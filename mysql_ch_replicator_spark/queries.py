@@ -1,0 +1,291 @@
+"""Central query registry: every operator exposed to the driver.
+
+Each entry is ``name -> (spark_builder, oracle_sql | None)``:
+
+- ``spark_builder(spark, sf_dir) -> DataFrame`` — the engine's Spark-first
+  implementation (DataFrame API, Catalyst-optimizable),
+- ``oracle_sql`` — the equivalent ANSI SQL DuckDB runs on the same parquet
+  views (``region nation customer supplier part orders lineitem events
+  documents embeddings``). ``None`` → non-SQL-expressible, rows-only check.
+
+Cross-engine determinism rules (the driver hash-compares values):
+
+- aggregates go through DECIMAL, never DOUBLE sums (bit-exact in both engines)
+- timestamps are emitted as formatted strings (Spark TimestampType is an
+  instant, DuckDB TIMESTAMP is naive — string form with session tz pinned to
+  UTC is the portable representation)
+- every computed column is aliased identically on both sides
+- top-k queries carry a full deterministic tie-break
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.replica import (
+    OP_ADD, OP_COL, OP_REMOVE, SEQ_COL,
+    collapse_batch, dedup_final_agg, stamp_version,
+)
+from .sources.snapshot import load_table
+
+SparkBuilder = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[SparkBuilder, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkBuilder):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def spark_queries() -> dict[str, SparkBuilder]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _ts_str(col):
+    """Portable timestamp rendering: 6-digit microseconds, UTC session tz."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# Replica / CDC semantics (SURVEY.md §2.3 — the reference's core guarantee)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_final_state",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           CAST(value AS DECIMAL(18,2)) AS last_value,
+           strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's end-to-end guarantee as one query.
+
+    Treat `events` as a CDC log (event_id = binlog sequence, user_id = PK,
+    event_type 'error' = REMOVE, everything else = ADD/upsert). The final
+    replica state is: last op per key wins; keys whose last op is REMOVE are
+    absent. This is K1+K2 (in-batch annihilation) + S7 (FINAL read) — one
+    hash aggregate on the PK (reference db_replicator_realtime.py:123–177,
+    clickhouse_api.py:107).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts"),
+        F.col("event_id").alias(SEQ_COL),
+        F.when(F.col("event_type") == "error", F.lit(OP_REMOVE))
+         .otherwise(F.lit(OP_ADD)).alias(OP_COL),
+    )
+    final_ops = collapse_batch(cdc, ["user_id"])
+    return (final_ops.where(F.col(OP_COL) == OP_ADD)
+            .select(
+                F.col("user_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").cast("decimal(18,2)").alias("last_value"),
+                _ts_str(F.col("ts")).alias("last_ts"),
+            ))
+
+
+@register(
+    "replica_dedup_final",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id AS _version,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts, _version
+    FROM ranked WHERE rn = 1
+    """,
+)
+def replica_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — FINAL dedup view: max-`_version` row per PK, as a single
+    max_by hash aggregate (reference ReplacingMergeTree(_version) + final=1,
+    clickhouse_api.py:107, 275)."""
+    events = load_table(spark, sf_dir, "events")
+    versioned = events.select(
+        "user_id", "event_type", "value", "ts",
+        F.col("event_id").cast("long").alias("_version"),
+    )
+    final = dedup_final_agg(versioned, ["user_id"])
+    return final.select(
+        "user_id", "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        _ts_str(F.col("ts")).alias("ts"),
+        "_version",
+    )
+
+
+@register(
+    "versioned_insert",
+    """
+    SELECT user_id, event_type,
+           row_number() OVER (ORDER BY event_id) AS _version
+    FROM events
+    """,
+)
+def versioned_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/S5 — deterministic version stamping: _version = base + row_number
+    over the event order (reference clickhouse_api.py:334–335; SURVEY.md §7
+    'hard parts': no monotonically_increasing_id across batches)."""
+    events = load_table(spark, sf_dir, "events")
+    stamped = stamp_version(events.select("user_id", "event_type", "event_id"),
+                            ["user_id"], order_col="event_id")
+    return stamped.select("user_id", "event_type", "_version")
+
+
+@register(
+    "keyed_delete",
+    """
+    SELECT e.user_id, count(*) AS n_rows
+    FROM events e
+    WHERE e.user_id NOT IN (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    GROUP BY e.user_id
+    """,
+)
+def keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — batched keyed delete as a broadcast left-anti join: remove every
+    version of each deleted key (reference clickhouse_api.py:368–400)."""
+    from .operators.replica import apply_deletes
+    events = load_table(spark, sf_dir, "events")
+    delete_keys = events.where(F.col("event_type") == "error").select("user_id")
+    kept = apply_deletes(events, delete_keys, ["user_id"])
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Analytical queries over the replica (the capability the reference delegates
+# to ClickHouse — free on Spark once the replica is a DataFrame, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.
+    Decimal arithmetic for bit-exact cross-engine results; the shipdate
+    filter is pushed into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).alias("sum_qty"),
+                 F.sum(price).alias("sum_base_price"),
+                 F.sum(price * (1 - disc)).alias("sum_disc_price"),
+                 F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register(
+    "q3_revenue_join",
+    """
+    SELECT l.l_orderkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast join into the fact
+    table → aggregate → top-k with deterministic tie-break. `customer` is
+    broadcast (no shuffle of orders/lineitem on the build side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    cust = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cust), o.o_custkey == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(price * (1 - disc)).alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way star join. All dimension tables broadcast —
+    the only shuffle in the plan is the final groupBy on n_name (25 keys,
+    map-side partial agg collapses it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                  n.n_regionkey == F.col("r_regionkey"))
+            .select("c_custkey", "n_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+            .groupBy("n_name")
+            .agg(F.sum(price * (1 - disc)).alias("revenue")))

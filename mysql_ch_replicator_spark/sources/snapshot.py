@@ -1,0 +1,111 @@
+"""Snapshot sources (S1 of SURVEY.md §2.1).
+
+The reference snapshots MySQL with keyset-paginated SELECTs in PK order,
+optionally sharded across N worker processes by ``CRC32(CONCAT_WS('|', pk…))
+% N`` (reference mysql_api.py:110–157, db_replicator_initial.py:386–448).
+
+Spark-first mapping:
+
+- Parquet snapshot (the driver's testdata, or any lake landing zone):
+  ``spark.read.parquet`` — already partitioned, already columnar, predicate
+  pushdown + column pruning free via Catalyst. Keyset pagination is
+  unnecessary: Spark schedules one task per file split.
+- JDBC snapshot (live MySQL): ``spark.read.jdbc`` with
+  partitionColumn/lowerBound/upperBound/numPartitions — Spark issues N
+  range-bounded SELECTs in parallel, replacing the reference's worker
+  processes.
+- Worker sharding is still exposed (``sharded_snapshot``) for co-located
+  incremental snapshot resume: it reproduces the reference's CRC32 sharding
+  with Spark's built-in ``crc32``/``concat_ws`` — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
+# they are read as raw int64 (legacy conf) and truncated to microseconds,
+# matching what DuckDB/Arrow do when they down-convert nanos.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one snapshot table from a parquet directory.
+
+    Pins the two session confs the engine's semantics depend on, so results
+    are identical no matter what SparkSession the caller hands us:
+
+    - ``session.timeZone=UTC`` — the engine's analog of the reference's
+      ``mysql_timezone`` config (converter.py:350–374): timestamps are
+      interpreted/rendered in one declared zone, never the host's.
+    - ``nanosAsLong`` — parquet TIMESTAMP(NANOS) columns arrive as int64
+      (Spark has no nanos type) and are truncated to micros below.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
+    """Read several snapshot tables; also registers each as a temp view so
+    the same queries can be written in either DataFrame or SQL form."""
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def sharded_snapshot(df: DataFrame, pk_cols: list[str],
+                     worker_id: int, total_workers: int) -> DataFrame:
+    """Reference-parity worker sharding: keep the rows whose
+    ``CRC32(CONCAT_WS('|', pk…)) % total_workers == worker_id``
+    (reference mysql_api.py:124–133).
+
+    Built-in columnar expressions only — the filter is pushed into the scan
+    where the source supports it. At cluster scale each worker reads a
+    disjoint slice, so a resumable snapshot can restart one shard without
+    touching the others.
+    """
+    if total_workers <= 1:
+        return df
+    key = F.crc32(F.concat_ws("|", *[F.col(c).cast("string") for c in pk_cols]))
+    return df.where(key % total_workers == worker_id)
+
+
+def jdbc_snapshot(spark: SparkSession, url: str, table: str,
+                  partition_column: str | None = None,
+                  lower_bound=None, upper_bound=None,
+                  num_partitions: int = 8,
+                  properties: dict | None = None) -> DataFrame:
+    """Parallel JDBC snapshot of a live MySQL table — the production S1 path.
+
+    Replaces the reference's keyset pagination + worker processes
+    (mysql_api.py:110–157) with Spark's range-partitioned JDBC read: N
+    concurrent SELECTs, one per partition, predicates pushed into MySQL.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("numPartitions", num_partitions))
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
