@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -289,3 +291,138 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
             .groupBy("n_name")
             .agg(F.sum(price * (1 - disc)).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Type-conversion pipeline (SURVEY.md §2.4 C-series + §2.5 D1 parser + F4)
+# ---------------------------------------------------------------------------
+
+_CONV_DDL = """
+CREATE TABLE conv_demo (
+  id     bigint NOT NULL,
+  tiny_u tinyint unsigned,
+  int_u  int unsigned,
+  big_u  bigint unsigned,
+  status enum('low','mid','high','ultra'),
+  flags  set('a','b','c','d','e','f','g'),
+  yr     year,
+  d      date NOT NULL,
+  cnt    int NOT NULL,
+  PRIMARY KEY (id)
+)"""
+
+
+@register(
+    "type_conversion_projection",
+    """
+    WITH src AS (
+      SELECT p_partkey,
+             (p_partkey % 256) - 128  AS tiny_raw,
+             (p_partkey % 1000) - 500 AS int_raw,
+             -p_partkey               AS big_raw,
+             p_partkey % 5            AS enum_idx,
+             p_partkey % 128          AS setmask,
+             1800 + (p_partkey % 400) AS yr_raw
+      FROM part
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS id,
+           CAST(CASE WHEN tiny_raw < 0 THEN tiny_raw + 256 ELSE tiny_raw END
+                AS SMALLINT) AS tiny_u,
+           CAST(CASE WHEN int_raw < 0 THEN int_raw + 4294967296 ELSE int_raw END
+                AS BIGINT) AS int_u,
+           CAST(CASE WHEN big_raw < 0
+                     THEN CAST(big_raw AS HUGEINT) + 18446744073709551616
+                     ELSE big_raw END AS DECIMAL(20,0)) AS big_u,
+           CASE enum_idx WHEN 0 THEN '0' WHEN 1 THEN 'low' WHEN 2 THEN 'mid'
+                         WHEN 3 THEN 'high' WHEN 4 THEN 'ultra' END AS status,
+           concat_ws(',',
+             CASE WHEN (setmask & 1)  != 0 THEN 'a' END,
+             CASE WHEN (setmask & 2)  != 0 THEN 'b' END,
+             CASE WHEN (setmask & 4)  != 0 THEN 'c' END,
+             CASE WHEN (setmask & 8)  != 0 THEN 'd' END,
+             CASE WHEN (setmask & 16) != 0 THEN 'e' END,
+             CASE WHEN (setmask & 32) != 0 THEN 'f' END,
+             CASE WHEN (setmask & 64) != 0 THEN 'g' END) AS flags,
+           CAST(LEAST(GREATEST(yr_raw, 1901), 2155) AS SMALLINT) AS yr,
+           CASE WHEN p_partkey % 3 = 0 THEN DATE '1970-01-01'
+                ELSE DATE '2024-01-15' END AS d,
+           CAST(0 AS INTEGER) AS cnt
+    FROM src
+    """,
+)
+def type_conversion_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — the reference's per-row conversion loop (converter.py:560–671) as
+    ONE columnar select: DDL text → parsed structure (D1) → conversion
+    expressions C1 (unsigned fixup), C3 (enum), C4 (set bitmask), C9 (year
+    clamp), C11 (NULL→default), C12 (zero-date). The CDC payload convention
+    (positional array<string>) is built from `part` so the oracle can verify
+    every semantic bit-for-bit."""
+    from .functions.conversions import convert_payload
+    from .schema.ddl_parser import parse_create_table
+
+    st = parse_create_table(_CONV_DDL)
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    payload = part.select(F.array(
+        k.cast("string"),
+        ((k % 256) - 128).cast("string"),
+        ((k % 1000) - 500).cast("string"),
+        (-k).cast("string"),
+        (k % 5).cast("string"),
+        (k % 128).cast("string"),
+        (1800 + (k % 400)).cast("string"),
+        F.when(k % 3 == 0, F.lit("0000-00-00")).otherwise(F.lit("2024-01-15")),
+        F.lit(None).cast("string"),
+    ).alias("payload"))
+    return convert_payload(payload, st)
+
+
+@register(
+    "geo_wkb_roundtrip",
+    """
+    SELECT p_partkey AS id,
+           CAST(p_partkey AS DOUBLE) AS x,
+           CAST(p_partkey * 2 AS DOUBLE) AS y,
+           CAST(GREATEST(p_size, 3) AS INTEGER) AS n_vertices
+    FROM part
+    """,
+)
+def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7 — WKB geometry parse via Arrow-batched pandas UDF: generate
+    MySQL-format WKB (SRID prefix + little-endian) for a point and a polygon
+    per part row, parse back, and emit scalars the oracle can recompute.
+    Exercises the full binary plumbing (hex payload → struct / vertex
+    array)."""
+    import struct as _s
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from .functions.wkb import wkb_point_udf, wkb_polygon_udf
+
+    def gen_point_fn(keys: pd.Series) -> pd.Series:
+        return keys.map(lambda v: (_s.pack("<I", 0)
+                                   + _s.pack("<BIdd", 1, 1, float(v), 2.0 * v)).hex())
+
+    def gen_polygon_fn(sizes: pd.Series) -> pd.Series:
+        def mk(n):
+            n = max(int(n), 3)
+            b = _s.pack("<BII", 1, 3, 1) + _s.pack("<I", n)
+            for i in range(n):
+                b += _s.pack("<dd", float(i), float(i))
+            return b.hex()
+        return sizes.map(mk)
+
+    gen_point = pandas_udf(gen_point_fn, "string")
+    gen_polygon = pandas_udf(gen_polygon_fn, "string")
+
+    part = load_table(spark, sf_dir, "part")
+    parsed = part.select(
+        F.col("p_partkey").alias("id"),
+        wkb_point_udf(gen_point(F.col("p_partkey"))).alias("pt"),
+        wkb_polygon_udf(gen_polygon(F.greatest(F.col("p_size"), F.lit(3)))).alias("poly"),
+    )
+    return parsed.select(
+        "id",
+        F.col("pt.x").alias("x"),
+        F.col("pt.y").alias("y"),
+        F.size("poly").alias("n_vertices"),
+    )
