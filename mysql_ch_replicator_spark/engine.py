@@ -1,0 +1,433 @@
+"""ReplicaEngine — the orchestrator: snapshot + CDC apply + DDL evolution
+over a parquet-backed, versioned, latest-wins replica.
+
+Reference lifecycle being reproduced (SURVEY.md §3):
+``db_replicator`` state machine (snapshot → realtime apply), flush-before-DDL
+barrier, per-table version counters, replay guard, TRUNCATE/DROP/RENAME
+handling, periodic OPTIMIZE compaction.
+
+Spark-first storage design (NOT a port of the ClickHouse sink):
+
+- each table is an **append-only parquet directory** of rows stamped with
+  ``_version`` (monotone long) and ``_op`` (1=ADD, 2=REMOVE tombstone)
+- CDC apply appends O(batch) rows — never rewrites the table. Deletes are
+  PK-only tombstones (reference issues DELETE against ClickHouse,
+  clickhouse_api.py:368–400; ClickHouse, like us, defers the actual removal
+  to merge time)
+- reads collapse to the max-version row per PK and drop REMOVE winners —
+  one hash aggregate (operators/replica.py) — exactly the semantics of
+  ``ReplacingMergeTree(_version) ... SETTINGS final=1``
+- ``optimize()`` materializes the collapse and drops tombstones — the
+  reference's ``OPTIMIZE TABLE ... FINAL`` (db_optimizer.py:71–80)
+- table metadata (parsed structure, PKs, version/seq watermarks) lives in a
+  ``_meta.json`` next to the data — the reference's ``state.pckl``
+  (db_replicator.py:33–86)
+
+Scale notes: appends parallelize per partition; the read-time collapse
+shuffles once on the PK (map-side partial agg); compaction bounds read
+amplification the same way ClickHouse merges do. Schema evolution is
+metadata-first: ADD/DROP COLUMN touch no data files (mergeSchema on read);
+only MODIFY/CHANGE (type change) and RENAME COLUMN rewrite, which parquet
+fundamentally requires (SURVEY.md §7 'hard parts').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.conversions import convert_payload, default_for
+from .operators.replica import (
+    OP_ADD, OP_REMOVE, VERSION_COL,
+    collapse_batch, dedup_final_ops,
+)
+from .schema.ddl_parser import (
+    parse_alter_table,
+    parse_create_table,
+    parse_drop_table,
+    parse_rename_table,
+    parse_truncate_table,
+)
+from .schema.table_structure import TableField, TableStructure
+from .schema.type_mapping import spark_type_for
+from .sources.event_log import (
+    EVENT_TYPE_QUERY, explode_row_events, stream_event_log,
+)
+
+OP_COL = "_op"
+
+
+def _structure_to_dict(st: TableStructure) -> dict:
+    return {
+        "table_name": st.table_name,
+        "charset": st.charset,
+        "primary_keys": st.primary_keys,
+        "fields": [dataclasses.asdict(f) for f in st.fields],
+    }
+
+
+def _structure_from_dict(d: dict) -> TableStructure:
+    return TableStructure(
+        fields=[TableField(**f) for f in d["fields"]],
+        primary_keys=list(d["primary_keys"]),
+        table_name=d["table_name"],
+        charset=d.get("charset"),
+    )
+
+
+class ReplicaEngine:
+    def __init__(self, spark: SparkSession, root: str,
+                 mysql_timezone: str = "UTC",
+                 types_mapping: dict[str, str] | None = None,
+                 ignore_deletes: bool = False):
+        self.spark = spark
+        self.root = root
+        self.mysql_timezone = mysql_timezone
+        self.types_mapping = types_mapping
+        # K6 — append-only mode: REMOVE events dropped entirely
+        # (reference db_replicator_realtime.py:152–160)
+        self.ignore_deletes = ignore_deletes
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths / metadata ---------------------------------------------------
+
+    def _table_dir(self, db: str, table: str) -> str:
+        return os.path.join(self.root, db, table)
+
+    def _data_dir(self, db: str, table: str) -> str:
+        return os.path.join(self._table_dir(db, table), "data")
+
+    def _meta_path(self, db: str, table: str) -> str:
+        return os.path.join(self._table_dir(db, table), "_meta.json")
+
+    def table_exists(self, db: str, table: str) -> bool:
+        return os.path.exists(self._meta_path(db, table))
+
+    def tables(self, db: str) -> list[str]:
+        dbdir = os.path.join(self.root, db)
+        if not os.path.isdir(dbdir):
+            return []
+        return sorted(t for t in os.listdir(dbdir)
+                      if os.path.exists(self._meta_path(db, t)))
+
+    def load_meta(self, db: str, table: str) -> dict:
+        with open(self._meta_path(db, table), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def save_meta(self, db: str, table: str, meta: dict) -> None:
+        os.makedirs(self._table_dir(db, table), exist_ok=True)
+        tmp = self._meta_path(db, table) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh, ensure_ascii=False, indent=1)
+        os.replace(tmp, self._meta_path(db, table))  # atomic publish
+
+    def structure(self, db: str, table: str) -> TableStructure:
+        return _structure_from_dict(self.load_meta(db, table)["structure"])
+
+    # -- DDL ----------------------------------------------------------------
+
+    def create_table(self, db: str, create_sql: str) -> TableStructure:
+        """D1/D2 — CREATE TABLE [LIKE]."""
+        st = parse_create_table(create_sql)
+        if getattr(st, "like_table", None):
+            src = self.structure(db, st.like_table)
+            st = TableStructure(fields=list(src.fields),
+                                primary_keys=list(src.primary_keys),
+                                table_name=st.table_name, charset=src.charset)
+        if self.table_exists(db, st.table_name):
+            if "if not exists" in create_sql.lower():
+                return self.structure(db, st.table_name)
+        self.save_meta(db, st.table_name, {
+            "structure": _structure_to_dict(st),
+            "last_version": 0,
+            "last_seq": -1,
+        })
+        return st
+
+    def execute_ddl(self, db: str, query: str, seq: int | None = None) -> None:
+        """QUERY-event dispatch (reference db_replicator_realtime.py:179–266).
+        The caller guarantees the flush-before-DDL barrier (row events with
+        lower seq already applied)."""
+        q = query.strip().lower()
+        if q.startswith("create table"):
+            self.create_table(db, query)
+        elif q.startswith("alter table"):
+            self._apply_alter(db, query)
+        elif q.startswith("drop table"):
+            names, if_exists = parse_drop_table(query)
+            for name in names:
+                if self.table_exists(db, name):
+                    shutil.rmtree(self._table_dir(db, name))
+                elif not if_exists:
+                    raise ValueError(f"DROP TABLE: unknown table {name!r}")
+        elif q.startswith("rename table"):
+            for old, new in parse_rename_table(query):
+                os.rename(self._table_dir(db, old), self._table_dir(db, new))
+                meta = self.load_meta(db, new)
+                meta["structure"]["table_name"] = new
+                self.save_meta(db, new, meta)
+        elif q.startswith("truncate"):
+            name = parse_truncate_table(query)
+            data = self._data_dir(db, name)
+            if os.path.exists(data):
+                shutil.rmtree(data)
+        # anything else (CREATE INDEX, SET, BEGIN...): ignored, like the
+        # reference's pattern-matched dispatch
+
+    def _apply_alter(self, db: str, query: str) -> None:
+        table, ops = parse_alter_table(query)
+        if not self.table_exists(db, table):
+            return
+        st = self.structure(db, table)
+        for op in ops:
+            kind = op["op"]
+            if kind == "add_column":
+                st.add_field(op["field"], first=op["first"], after=op["after"])
+            elif kind == "drop_column":
+                st.remove_field(op["name"])
+            elif kind == "modify_column":
+                st.update_field(op["field"])
+                self._rewrite_with_structure(db, table, st)
+            elif kind == "change_column":
+                old = op["old_name"]
+                new_field = op["field"]
+                if old != new_field.name:
+                    st.rename_field(old, new_field.name)
+                    self._rename_data_column(db, table, old, new_field.name)
+                st.update_field(new_field)
+                self._rewrite_with_structure(db, table, st)
+            elif kind == "rename_column":
+                st.rename_field(op["old_name"], op["new_name"])
+                self._rename_data_column(db, table, op["old_name"],
+                                         op["new_name"])
+            elif kind == "rename_table":
+                os.rename(self._table_dir(db, table),
+                          self._table_dir(db, op["new_name"]))
+                st.table_name = op["new_name"]
+                table = op["new_name"]
+        meta = self.load_meta(db, table)
+        meta["structure"] = _structure_to_dict(st)
+        self.save_meta(db, table, meta)
+
+    def _has_data(self, db: str, table: str) -> bool:
+        d = self._data_dir(db, table)
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d))
+
+    def _rename_data_column(self, db: str, table: str, old: str, new: str) -> None:
+        """Parquet has no in-place rename — rewrite once (Delta column
+        mapping would make this metadata-only; plain parquet can't)."""
+        if not self._has_data(db, table):
+            return
+        df = self.spark.read.option("mergeSchema", "true") \
+            .parquet(self._data_dir(db, table))
+        if old in df.columns:
+            self._overwrite_data(db, table, df.withColumnRenamed(old, new))
+
+    def _rewrite_with_structure(self, db: str, table: str,
+                                st: TableStructure) -> None:
+        """MODIFY/CHANGE type change: cast-rewrite (SURVEY.md §2.5 D8)."""
+        if not self._has_data(db, table):
+            return
+        df = self.spark.read.option("mergeSchema", "true") \
+            .parquet(self._data_dir(db, table))
+        exprs = []
+        for f in st.fields:
+            target = spark_type_for(f, self.types_mapping).simpleString()
+            if f.name in df.columns:
+                exprs.append(F.col(f.name).try_cast(target).alias(f.name))
+            else:
+                exprs.append(F.lit(None).cast(target).alias(f.name))
+        exprs += [F.col(VERSION_COL), F.col(OP_COL)]
+        self._overwrite_data(db, table, df.select(*exprs))
+
+    def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
+        """Rewrite via staging dir + atomic rename (D14 — readers never see
+        partial data; reference's db-swap, db_replicator_initial.py:149–163)."""
+        data = self._data_dir(db, table)
+        staging = data + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        old = data + ".old"
+        if os.path.exists(data):
+            os.rename(data, old)
+        os.rename(staging, data)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    # -- snapshot (S1 → F4 → K4 → S5) ---------------------------------------
+
+    def snapshot_table(self, db: str, table: str, df: DataFrame) -> None:
+        """Initial replication of an already-typed DataFrame (JDBC/parquet
+        snapshot). All snapshot rows are version-peers at version 1
+        (operators/replica.py stamp_version_snapshot rationale)."""
+        st = self.structure(db, table)
+        cols = [F.col(f.name) for f in st.fields if f.name in df.columns]
+        out = df.select(*cols) \
+            .withColumn(VERSION_COL, F.lit(1).cast("long")) \
+            .withColumn(OP_COL, F.lit(OP_ADD))
+        self._overwrite_data(db, table, out)
+        meta = self.load_meta(db, table)
+        meta["last_version"] = 1
+        self.save_meta(db, table, meta)
+
+    # -- reads (S7) ---------------------------------------------------------
+
+    def read_raw(self, db: str, table: str) -> DataFrame:
+        st = self.structure(db, table)
+        if not self._has_data(db, table):
+            from .schema.type_mapping import to_struct_type
+            schema = to_struct_type(st, self.types_mapping)
+            schema = schema.add(OP_COL, "integer", False)
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("mergeSchema", "true") \
+            .parquet(self._data_dir(db, table))
+        exprs = []
+        for f in st.fields:
+            target = spark_type_for(f, self.types_mapping).simpleString()
+            if f.name in df.columns:
+                c = F.col(f.name).try_cast(target)
+            else:  # column added after these rows were written
+                c = F.lit(None).cast(target)
+            if not f.nullable:
+                c = F.coalesce(c, default_for(f))
+            exprs.append(c.alias(f.name))
+        exprs += [F.col(VERSION_COL), F.col(OP_COL)]
+        return df.select(*exprs)
+
+    def read_final(self, db: str, table: str) -> DataFrame:
+        """The replica as queries see it: latest version per PK, deletes
+        applied — ClickHouse ``SELECT ... SETTINGS final=1``."""
+        st = self.structure(db, table)
+        return dedup_final_ops(self.read_raw(db, table), st.primary_keys,
+                               op_col=OP_COL)
+
+    # -- CDC apply (K1–K4, F2–F5) ------------------------------------------
+
+    def apply_batch(self, events: DataFrame) -> None:
+        """foreachBatch body. Row events are applied per (db, table) with
+        in-batch collapse; QUERY events form barriers: rows before a DDL are
+        flushed first (reference db_replicator_realtime.py:179–196)."""
+        ddls = (events.where(F.col("event_type") == EVENT_TYPE_QUERY)
+                .select("seq", "db", "query").collect())
+        ddls.sort(key=lambda r: r.seq)
+        rows = explode_row_events(events)
+        rows.persist()
+        try:
+            bounds = [-1] + [d.seq for d in ddls] + [None]
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                seg = rows.where(F.col("seq") > lo)
+                if hi is not None:
+                    seg = seg.where(F.col("seq") < hi)
+                self._apply_row_segment(seg)
+                if hi is not None:
+                    d = ddls[i]
+                    self.execute_ddl(d.db, d.query, seq=d.seq)
+        finally:
+            rows.unpersist()
+
+    def _apply_row_segment(self, rows: DataFrame) -> None:
+        pairs = [(r.db, r.table) for r in
+                 rows.select("db", "table").distinct().collect()]
+        for db, table in pairs:
+            if not self.table_exists(db, table):
+                continue  # table pattern excluded / not replicated
+            self._apply_table_rows(
+                db, table, rows.where((F.col("db") == db)
+                                      & (F.col("table") == table)))
+
+    def _apply_table_rows(self, db: str, table: str, rows: DataFrame) -> None:
+        meta = self.load_meta(db, table)
+        st = _structure_from_dict(meta["structure"])
+        pks = st.primary_keys
+
+        # F3 — replay guard: drop already-committed events (idempotent
+        # restart, reference db_replicator_realtime.py:81–83)
+        rows = rows.where(F.col("seq") > meta["last_seq"])
+        if self.ignore_deletes:
+            rows = rows.where(F.col("event_type") != OP_REMOVE)
+
+        order = F.struct(F.col("seq"), F.col("idx"))
+        typed = convert_payload(
+            rows.select("seq", "idx", "event_type",
+                        F.col("record").alias("payload")),
+            st, mysql_timezone=self.mysql_timezone,
+            types_mapping=self.types_mapping)
+
+        # K1/K2 — final op per key (ADD↔REMOVE annihilation)
+        final_ops = collapse_batch(typed, pks, seq_col=order,
+                                   op_col="event_type")
+        final_ops = final_ops.persist()
+        try:
+            stats = final_ops.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct("seq", "idx")).alias("mx")).collect()[0]
+            if stats.n == 0:
+                return
+
+            # K4 — versions above the committed watermark, ordered by event
+            # sequence (deterministic across retries)
+            from pyspark.sql import Window
+            w = Window.orderBy(F.col("seq"), F.col("idx"))
+            stamped = final_ops.withColumn(
+                VERSION_COL,
+                (F.row_number().over(w) + F.lit(meta["last_version"]))
+                .cast("long"))
+
+            # REMOVE rows become PK-only tombstones (F5 — only PKs converted
+            # meaningfully; non-PK columns nulled)
+            out_cols = []
+            for f in st.fields:
+                c = F.col(f.name)
+                if f.name not in pks:
+                    c = F.when(F.col("event_type") == OP_REMOVE,
+                               F.lit(None)).otherwise(c)
+                out_cols.append(c.alias(f.name))
+            out = stamped.select(
+                *out_cols, F.col(VERSION_COL),
+                F.col("event_type").cast("int").alias(OP_COL))
+
+            os.makedirs(self._data_dir(db, table), exist_ok=True)
+            out.write.mode("append").parquet(self._data_dir(db, table))
+
+            meta["last_version"] = int(meta["last_version"]) + int(stats.n)
+            meta["last_seq"] = int(stats.mx.seq)
+            self.save_meta(db, table, meta)
+        finally:
+            final_ops.unpersist()
+
+    # -- compaction (reference db_optimizer OPTIMIZE FINAL) -----------------
+
+    def optimize(self, db: str, table: str) -> None:
+        """Materialize the latest-wins collapse: drop superseded versions and
+        tombstones. Keeps ``_version``/``_op`` so CDC keeps appending above
+        the preserved watermark."""
+        if not self._has_data(db, table):
+            return
+        st = self.structure(db, table)
+        collapsed = dedup_final_ops(self.read_raw(db, table),
+                                    st.primary_keys, op_col=OP_COL) \
+            .withColumn(OP_COL, F.lit(OP_ADD))
+        self._overwrite_data(db, table, collapsed)
+
+    # -- streaming ----------------------------------------------------------
+
+    def start_streaming(self, event_dir: str, checkpoint_dir: str,
+                        trigger_seconds: float = 1.0,
+                        max_files_per_trigger: int | None = None):
+        """Realtime replication: event-log stream → foreachBatch apply.
+        1 s default trigger = the reference's DATA_DUMP_INTERVAL
+        (db_replicator_realtime.py:22). Exactly-once = file-source
+        checkpoint + the per-table seq replay guard."""
+        stream = stream_event_log(self.spark, event_dir,
+                                  max_files_per_trigger)
+        return (stream.writeStream
+                .foreachBatch(lambda batch, _id: self.apply_batch(batch))
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(processingTime=f"{trigger_seconds} seconds")
+                .start())

@@ -39,7 +39,11 @@ OP_ADD = 1
 OP_REMOVE = 2
 
 
-def stamp_version(df: DataFrame, pk_cols: list[str], order_col: str | None = None,
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def stamp_version(df: DataFrame, pk_cols: list[str], order_col=None,
                   base_version: int = 0) -> DataFrame:
     """K4 — stamp each row with a deterministic monotone ``_version``.
 
@@ -56,8 +60,8 @@ def stamp_version(df: DataFrame, pk_cols: list[str], order_col: str | None = Non
     stamping: version = base + dense offset computed from
     ``spark_partition_id`` cumulative counts (see ``stamp_version_snapshot``).
     """
-    order = order_col or pk_cols[0]
-    w = Window.orderBy(F.col(order))
+    order = order_col if order_col is not None else pk_cols[0]
+    w = Window.orderBy(_as_col(order))
     return df.withColumn(VERSION_COL,
                          (F.row_number().over(w) + F.lit(base_version)).cast("long"))
 
@@ -118,6 +122,21 @@ def dedup_final_window(df: DataFrame, pk_cols: list[str],
 dedup_final = dedup_final_agg
 
 
+def dedup_final_ops(df: DataFrame, pk_cols: list[str],
+                    version_col: str = VERSION_COL,
+                    op_col: str = OP_COL) -> DataFrame:
+    """S7 over an append-only store with delete tombstones: collapse to the
+    max-version row per PK, then drop keys whose winning op is REMOVE.
+
+    This is the parquet-native ReplacingMergeTree: deletes append a PK-only
+    tombstone instead of rewriting data files (an O(batch) write instead of
+    an O(table) rewrite — the property that keeps CDC apply cheap at 100 TB);
+    the tombstones fall out here at read time and at compaction.
+    """
+    winner = dedup_final_agg(df, pk_cols, version_col)
+    return winner.where(F.col(op_col) != OP_REMOVE).drop(op_col)
+
+
 def apply_deletes(replica: DataFrame, delete_keys: DataFrame,
                   pk_cols: list[str]) -> DataFrame:
     """S6 — remove every version of each deleted key.
@@ -131,7 +150,7 @@ def apply_deletes(replica: DataFrame, delete_keys: DataFrame,
 
 
 def collapse_batch(events: DataFrame, pk_cols: list[str],
-                   seq_col: str = SEQ_COL, op_col: str = OP_COL) -> DataFrame:
+                   seq_col=SEQ_COL, op_col: str = OP_COL) -> DataFrame:
     """K1/K2 — collapse a micro-batch to ONE final op per key.
 
     The reference's dict/set buffers (db_replicator_realtime.py:123–177):
@@ -143,7 +162,7 @@ def collapse_batch(events: DataFrame, pk_cols: list[str],
     ``op_col`` tells the sink which branch (upsert vs delete) the key takes.
     """
     payload = [c for c in events.columns if c not in pk_cols]
-    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(seq_col))
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), _as_col(seq_col))
     agg = events.groupBy(*pk_cols).agg(winner.alias("__w"))
     out_cols = []
     for c in events.columns:

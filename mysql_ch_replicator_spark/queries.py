@@ -426,3 +426,67 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pt.y").alias("y"),
         F.size("poly").alias("n_vertices"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-engine CDC pipeline (SURVEY.md §3 lifecycle, driver-visible)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_pipeline_e2e",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole engine, end-to-end: DDL parse → typed replica table →
+    distributed CDC apply (collapse, convert, version-stamp, tombstones,
+    parquet append) → FINAL read. Same event mapping as `cdc_final_state`
+    but through the materialized ReplicaEngine instead of a single query —
+    verifying the storage path (engine.py) against the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from .engine import ReplicaEngine
+    from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"mcrs_cdc_e2e_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    engine = ReplicaEngine(spark, root)
+    engine.create_table("drv", """CREATE TABLE user_state (
+        user_id bigint NOT NULL,
+        last_event varchar(32),
+        value decimal(18,2),
+        PRIMARY KEY (user_id))""")
+
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select(
+        F.lit("binlog.000001").alias("tx_file"),
+        F.col("event_id").alias("tx_pos"),
+        F.col("event_id").alias("seq"),
+        F.lit("drv").alias("db"),
+        F.lit("user_state").alias("table"),
+        F.when(F.col("event_type") == "error", F.lit(EVENT_TYPE_REMOVE))
+         .otherwise(F.lit(EVENT_TYPE_ADD)).alias("event_type"),
+        F.array(F.array(
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(18,2)").cast("string"),
+        )).alias("payload"),
+        F.lit(None).cast("string").alias("query"),
+    )
+    engine.apply_batch(cdc)
+    return engine.read_final("drv", "user_state") \
+        .select("user_id", "last_event", "value")

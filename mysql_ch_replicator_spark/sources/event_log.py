@@ -1,0 +1,141 @@
+"""CDC event-log source (S2/S3/S4 of SURVEY.md §2.1).
+
+The reference buffers binlog events as length-prefixed pickled records in
+numbered per-database files (binlog_replicator.py:47–66, 247–286). The
+Spark-native equivalent is a **JSON-lines event log** readable both as a
+batch DataFrame and as a Structured-Streaming file source — offset tracking,
+rotation, and seek-to-transaction come free from Spark's file-source
+checkpointing (the reference's ``DataReader.set_position`` machinery,
+binlog_replicator.py:117–244, collapses into checkpoint restore).
+
+Event schema mirrors the reference's ``LogEvent`` (binlog_replicator.py:31–44
+and FIXTURES.md F14):
+
+- ``tx_file``/``tx_pos`` — binlog position (the transaction id)
+- ``seq`` — global monotone sequence; with the intra-event record index it
+  gives the total order the reference got implicitly from file order
+- ``event_type`` — 1=ADD (insert+update after-image), 2=REMOVE, 3=QUERY/DDL
+- ``payload`` — array of positional records, every value serialized to
+  string (NULL stays null); REMOVE events may carry PK columns only
+- ``query`` — DDL text for QUERY events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_TYPE_ADD = 1
+EVENT_TYPE_REMOVE = 2
+EVENT_TYPE_QUERY = 3
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("tx_file", T.StringType()),
+    T.StructField("tx_pos", T.LongType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("db", T.StringType()),
+    T.StructField("table", T.StringType()),
+    T.StructField("event_type", T.IntegerType()),
+    T.StructField("payload", T.ArrayType(T.ArrayType(T.StringType()))),
+    T.StructField("query", T.StringType()),
+])
+
+
+class EventLogWriter:
+    """Test/tooling-side writer producing the engine's input format —
+    the stand-in for the reference's binlog_replicator process. Rotates
+    files every ``records_per_file`` events (reference config.py:113)."""
+
+    def __init__(self, log_dir: str, records_per_file: int = 100_000):
+        self.log_dir = log_dir
+        self.records_per_file = records_per_file
+        self._seq = 0
+        self._file_no = 0
+        self._in_file = 0
+        os.makedirs(log_dir, exist_ok=True)
+
+    def _path(self) -> str:
+        return os.path.join(self.log_dir, f"{self._file_no:06d}.jsonl")
+
+    def _emit(self, rec: dict) -> None:
+        rec.setdefault("tx_file", "binlog.000001")
+        rec.setdefault("tx_pos", self._seq)
+        rec["seq"] = self._seq
+        self._seq += 1
+        with open(self._path(), "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
+        self._in_file += 1
+        if self._in_file >= self.records_per_file:
+            self.rotate()
+
+    def rotate(self) -> None:
+        """Close the current file; the next event starts a new one.
+
+        Spark's streaming file source treats a file as immutable once
+        processed — a producer must rotate at flush boundaries for the
+        stream to see new events (the reference rotates its buffer files
+        the same way, binlog_replicator.py:247–286).
+        """
+        if self._in_file:
+            self._file_no += 1
+            self._in_file = 0
+
+    @staticmethod
+    def _serialize(values) -> list:
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+            elif isinstance(v, bool):
+                out.append("1" if v else "0")
+            elif isinstance(v, (bytes, bytearray)):
+                out.append(bytes(v).hex())
+            else:
+                out.append(str(v))
+        return out
+
+    def add(self, db: str, table: str, records: list) -> None:
+        """ADD event — insert or update (after-image only, reference
+        binlog_replicator.py:507–510)."""
+        self._emit({"db": db, "table": table, "event_type": EVENT_TYPE_ADD,
+                    "payload": [self._serialize(r) for r in records],
+                    "query": None})
+
+    def remove(self, db: str, table: str, pk_records: list) -> None:
+        self._emit({"db": db, "table": table, "event_type": EVENT_TYPE_REMOVE,
+                    "payload": [self._serialize(r) for r in pk_records],
+                    "query": None})
+
+    def ddl(self, db: str, query: str) -> None:
+        self._emit({"db": db, "table": None, "event_type": EVENT_TYPE_QUERY,
+                    "payload": None, "query": query})
+
+
+def read_event_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Batch read of the whole event log (used for replay/backfill)."""
+    return spark.read.schema(EVENT_SCHEMA).json(f"{log_dir}/*.jsonl")
+
+
+def stream_event_log(spark: SparkSession, log_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming read — Spark file source tracks processed files in the
+    checkpoint (exactly-once, the reference's state.json position tracking)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(log_dir)
+
+
+def explode_row_events(events: DataFrame) -> DataFrame:
+    """Flatten multi-record events into one row per record with a total
+    order ``(seq, idx)`` — the explicit form of the ordering the reference
+    gets from dict insertion (SURVEY.md §7 'hard parts')."""
+    rows = events.where(F.col("event_type") != EVENT_TYPE_QUERY)
+    return rows.select(
+        "tx_file", "tx_pos", "seq", "db", "table", "event_type",
+        F.posexplode("payload").alias("idx", "record"),
+    )

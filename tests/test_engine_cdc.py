@@ -1,0 +1,255 @@
+"""End-to-end CDC convergence tests — the engine-side analog of the
+reference's e2e suite (tests/test_e2e_integration.py, FIXTURES F01/F08/F13):
+write an event log, apply it, assert the dedup-final replica equals the
+expected row set."""
+
+import os
+
+import pytest
+
+from mysql_ch_replicator_spark.engine import ReplicaEngine
+from mysql_ch_replicator_spark.sources.event_log import (
+    EventLogWriter, read_event_log,
+)
+
+DB = "testdb"
+
+USERS_DDL = """CREATE TABLE users (
+  id int NOT NULL AUTO_INCREMENT,
+  name varchar(255),
+  age int,
+  PRIMARY KEY (id)
+)"""
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    return ReplicaEngine(spark, str(tmp_path / "replica"))
+
+
+def _final_rows(engine, table="users"):
+    return {tuple(r) for r in
+            engine.read_final(DB, table).drop("_version").collect()}
+
+
+def test_insert_update_delete_convergence_f01(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42), (2, "Petr", 33), (3, "Anya", 25)])
+    log.add(DB, "users", [(2, "Petr Updated", 34)])   # update = ADD after-image
+    log.remove(DB, "users", [(3,)])                   # delete by PK
+    log.add(DB, "users", [(4, "New", 18)])
+
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine) == {
+        (1, "Ivan", 42), (2, "Petr Updated", 34), (4, "New", 18)}
+
+
+def test_add_cancels_delete_and_vice_versa(engine, spark, tmp_path):
+    """K1/K2 annihilation (reference db_replicator_realtime.py:140–177)."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1), (2, "B", 2)])
+    log.remove(DB, "users", [(1,)])
+    log.add(DB, "users", [(1, "A-back", 3)])   # reinstates key 1
+    log.add(DB, "users", [(2, "B2", 4)])
+    log.remove(DB, "users", [(2,)])            # final op for key 2: delete
+
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine) == {(1, "A-back", 3)}
+
+
+def test_composite_pk_delete_f08(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, """CREATE TABLE composite_pk (
+      departments int NOT NULL, termine int NOT NULL,
+      PRIMARY KEY (departments, termine))""")
+    log.add(DB, "composite_pk", [(10, 20), (30, 40), (50, 60)])
+    log.remove(DB, "composite_pk", [(30, 40)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine, "composite_pk") == {(10, 20), (50, 60)}
+
+
+def test_replay_idempotent_f03(engine, spark, tmp_path):
+    """F3 — applying the same batch twice must not change the result
+    (restart resumes one checkpoint early, reference binlog_replicator
+    .py:360–372)."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1)])
+    log.remove(DB, "users", [(1,)])
+    log.add(DB, "users", [(1, "A2", 2)])
+    batch = read_event_log(spark, str(tmp_path / "log"))
+    engine.apply_batch(batch)
+    v1 = engine.read_final(DB, "users").collect()
+    engine.apply_batch(batch)  # replay
+    v2 = engine.read_final(DB, "users").collect()
+    assert v1 == v2
+    assert {tuple(r)[:3] for r in v1} == {(1, "A2", 2)}
+
+
+def test_version_monotonic_across_batches(engine, spark, tmp_path):
+    log1 = EventLogWriter(str(tmp_path / "log1"))
+    engine.create_table(DB, USERS_DDL)
+    log1.add(DB, "users", [(1, "A", 1)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+
+    log2 = EventLogWriter(str(tmp_path / "log2"))
+    log2._seq = 100  # later transactions
+    log2.add(DB, "users", [(1, "A-newer", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
+
+    rows = engine.read_final(DB, "users").collect()
+    assert len(rows) == 1
+    assert rows[0].name == "A-newer"
+    assert rows[0]._version == 2
+    assert engine.load_meta(DB, "users")["last_version"] == 2
+
+
+def test_snapshot_then_realtime(engine, spark, tmp_path):
+    """Initial replication (S1/K4/S5) followed by CDC — the two-phase
+    lifecycle (reference db_replicator.py:213–281)."""
+    engine.create_table(DB, USERS_DDL)
+    snap = spark.createDataFrame(
+        [(1, "Ivan", 42), (2, "Petr", 33)], "id int, name string, age int")
+    engine.snapshot_table(DB, "users", snap)
+    assert _final_rows(engine) == {(1, "Ivan", 42), (2, "Petr", 33)}
+
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "users", [(2, "Petr2", 34), (3, "Anya", 20)])
+    log.remove(DB, "users", [(1,)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine) == {(2, "Petr2", 34), (3, "Anya", 20)}
+
+
+def test_ddl_evolution_interleaved_f13(engine, spark, tmp_path):
+    """FIXTURES F13 — inserts interleaved with ALTERs land with the column
+    set current at their position in the log."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42)])
+    log.ddl(DB, "ALTER TABLE users ADD last_name varchar(255)")
+    log.add(DB, "users", [(2, "Petr", 33, "Petrov")])
+    log.ddl(DB, "ALTER TABLE users ADD UNIQUE INDEX prise_idx (age)")  # ignored
+    log.ddl(DB, "ALTER TABLE users ADD COLUMN country varchar(25) "
+                "DEFAULT '' NOT NULL AFTER name")
+    log.add(DB, "users", [(3, "Anya", "RU", 25, "Ivanova")])  # country after name
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    st = engine.structure(DB, "users")
+    assert st.field_names == ["id", "name", "country", "age", "last_name"]
+    rows = {r.id: r for r in engine.read_final(DB, "users").collect()}
+    assert rows[1].last_name is None and rows[1].country == ""  # NOT NULL default
+    assert rows[2].last_name == "Petrov"
+    assert rows[3].country == "RU" and rows[3].last_name == "Ivanova"
+
+
+def test_ddl_change_drop_rename_f13(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42)])
+    log.ddl(DB, "ALTER TABLE users CHANGE COLUMN name full_name varchar(500)")
+    log.add(DB, "users", [(2, "Petr", 33)])
+    log.ddl(DB, "ALTER TABLE users DROP COLUMN age")
+    log.add(DB, "users", [(3, "Anya")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    st = engine.structure(DB, "users")
+    assert st.field_names == ["id", "full_name"]
+    assert _final_rows(engine) == {(1, "Ivan"), (2, "Petr"), (3, "Anya")}
+
+
+def test_create_drop_rename_truncate_tables_f13(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.ddl(DB, "CREATE TABLE users2 (id int NOT NULL AUTO_INCREMENT, "
+                "name varchar(255), age int, PRIMARY KEY (id))")
+    log.add(DB, "users2", [(1, "X", 9)])
+    log.ddl(DB, "CREATE TABLE users3 LIKE users2")
+    log.add(DB, "users3", [(1, "Y", 8)])
+    log.ddl(DB, "RENAME TABLE users2 TO users2_renamed")
+    log.ddl(DB, "TRUNCATE TABLE users3")
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    assert engine.table_exists(DB, "users2_renamed")
+    assert not engine.table_exists(DB, "users2")
+    assert _final_rows(engine, "users2_renamed") == {(1, "X", 9)}
+    assert _final_rows(engine, "users3") == set()
+
+    log2 = EventLogWriter(str(tmp_path / "log2"))
+    log2._seq = 100
+    log2.ddl(DB, "DROP TABLE users3")
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
+    assert not engine.table_exists(DB, "users3")
+
+
+def test_ignore_deletes_mode_k6(spark, tmp_path):
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"),
+                           ignore_deletes=True)
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1)])
+    log.remove(DB, "users", [(1,)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine) == {(1, "A", 1)}
+
+
+def test_optimize_compaction(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1), (2, "B", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    log2 = EventLogWriter(str(tmp_path / "log2"))
+    log2._seq = 10
+    log2.add(DB, "users", [(1, "A2", 3)])
+    log2.remove(DB, "users", [(2,)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
+
+    before = _final_rows(engine)
+    engine.optimize(DB, "users")
+    assert _final_rows(engine) == before == {(1, "A2", 3)}
+    # compaction physically dropped superseded versions + tombstones
+    raw = engine.read_raw(DB, "users")
+    assert raw.count() == 1
+
+    # CDC keeps working above the preserved version watermark
+    log3 = EventLogWriter(str(tmp_path / "log3"))
+    log3._seq = 20
+    log3.add(DB, "users", [(1, "A3", 4)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log3")))
+    assert _final_rows(engine) == {(1, "A3", 4)}
+
+
+def test_string_pk_f12(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, """CREATE TABLE string_pk (
+      id char(30) NOT NULL, name varchar(255), PRIMARY KEY (id))""")
+    log.add(DB, "string_pk", [("k-1", "one"), ("k-2", "two")])
+    log.add(DB, "string_pk", [("k-1", "one-updated")])
+    log.remove(DB, "string_pk", [("k-2",)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine, "string_pk") == {("k-1", "one-updated")}
+
+
+def test_streaming_end_to_end(engine, spark, tmp_path):
+    """Realtime mode through actual Structured Streaming (S2→K3)."""
+    log_dir = str(tmp_path / "stream_log")
+    os.makedirs(log_dir)
+    engine.create_table(DB, USERS_DDL)
+
+    log = EventLogWriter(log_dir)
+    log.add(DB, "users", [(1, "Ivan", 42), (2, "Petr", 33)])
+    log.remove(DB, "users", [(2,)])
+    log.rotate()  # streaming file source reads completed files only
+
+    q = engine.start_streaming(log_dir, str(tmp_path / "ckpt"),
+                               trigger_seconds=0.5)
+    try:
+        q.processAllAvailable()
+        assert _final_rows(engine) == {(1, "Ivan", 42)}
+        # late-arriving file picked up by the stream
+        log.add(DB, "users", [(3, "Anya", 25)])
+        q.processAllAvailable()
+        assert _final_rows(engine) == {(1, "Ivan", 42), (3, "Anya", 25)}
+    finally:
+        q.stop()
