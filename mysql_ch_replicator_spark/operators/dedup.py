@@ -1,0 +1,203 @@
+"""Document deduplication suite — exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+These are the operations a large-scale training-data pipeline runs over a
+corpus; the reference engine has no analog (it replicates, it doesn't clean),
+so these are designed Spark-first from scratch.
+
+Common output convention: each operator returns the **survivor/duplicate
+mapping** ``(doc_id, dup_of)`` where ``dup_of`` is the smallest doc_id of the
+duplicate group the doc belongs to (dup_of == doc_id ⇒ survivor). Keeping
+the mapping (not just survivors) makes the result auditable and joins back
+onto the corpus cheaply.
+
+Scale design notes (100 TB corpus):
+
+- exact: one shuffle on a 128-bit content hash — minimal possible.
+- MinHash LSH: signatures are computed scan-side (no shuffle); the only
+  shuffle is the band-bucket explode+groupBy. Buckets are tiny (only docs
+  agreeing on a band); the candidate verification joins shingle sets only
+  for candidate pairs, never all-pairs.
+- SimHash: fingerprint scan-side; candidates via 4-chunk pigeonhole
+  (distance ≤3 ⇒ some 15-bit chunk equal) — again one explode+join.
+- n-gram Jaccard: inverted index on shingle hash; pairs co-occurring in a
+  posting list are counted — O(sum posting²) bounded by dropping
+  ultra-frequent shingles (stopword-shingle cap), the standard trick.
+- embedding: LSH (random hyperplanes) or brute-force; see similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    h60, lsh_band_keys, md5_hex, minhash_signature, shingles, simhash64, words,
+)
+
+
+def _pair_min_dup(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """Given verified duplicate pairs (a < b), produce (doc_id, dup_of) with
+    dup_of = min id over the doc's direct duplicates (one link hop —
+    deterministic and cheap; full transitive closure is an iterative job,
+    see docstring of minhash_lsh_dedup)."""
+    best = pairs.groupBy(F.col("b").alias("doc_id")) \
+        .agg(F.min("a").alias("dup_of"))
+    return (all_ids.join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dup_of", "doc_id").alias("dup_of")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the md5 of the raw text: one hash-shuffle, keep the
+    min doc_id per content group."""
+    hashed = docs.select(F.col(id_col).alias("doc_id"),
+                         md5_hex(F.col(text_col)).alias("content_hash"))
+    keeper = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("dup_of"))
+    return hashed.join(keeper, "content_hash") \
+        .select("doc_id", "dup_of", "content_hash")
+
+
+def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 3,
+                      num_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.6) -> DataFrame:
+    """Near-dup via MinHash signatures + LSH banding + exact-Jaccard
+    verification of candidates.
+
+    Pipeline: shingle → 12-hash MinHash signature → 4 bands × 3 rows →
+    band-bucket join (candidates) → verify true Jaccard of distinct shingle
+    sets ≥ threshold → (doc_id, dup_of) by one-hop min link.
+
+    One-hop rather than full transitive closure: closure needs an iterative
+    connected-components (graphframes / loop of joins); one hop is
+    deterministic, single-pass, and the standard first stage — re-running on
+    survivors converges if full closure is wanted.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
+         .alias("sh"))
+    base = base.where(F.size("sh") > 0)
+    sigs = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = sigs.select(
+        "doc_id", "sh",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
+         .alias("bucket"))
+
+    left = banded.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"),
+                         "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"),
+                          "bucket")
+    cand = (left.join(right, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b")
+            .dropDuplicates(["a", "b"]))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = cand.withColumn(
+        "jaccard", inter.cast("double") / union.cast("double")) \
+        .where(F.col("jaccard") >= threshold) \
+        .select("a", "b")
+    return _pair_min_dup(verified, docs.select(F.col(id_col).alias("doc_id")))
+
+
+def simhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_distance: int = 3) -> DataFrame:
+    """Near-dup via 60-bit SimHash + pigeonhole candidate generation:
+    distance ≤ 3 ⇒ at least one of the 4 15-bit chunks matches exactly, so
+    candidates come from one explode+equi-join, then exact Hamming verify."""
+    fp = docs.select(F.col(id_col).alias("doc_id"),
+                     simhash64(words(F.col(text_col))).alias("fp"))
+    chunks = fp.select(
+        "doc_id", "fp",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{c}:"),
+                     F.shiftright(F.col("fp"), c * 15)
+                      .bitwiseAND(F.lit((1 << 15) - 1)).cast("string"))
+            for c in range(4)])).alias("chunk"))
+    left = chunks.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"),
+                         "chunk")
+    right = chunks.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"),
+                          "chunk")
+    cand = (left.join(right, "chunk")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "fp_a", "fp_b")
+            .dropDuplicates(["a", "b"]))
+    verified = cand.where(
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_distance) \
+        .select("a", "b")
+    return _pair_min_dup(verified, docs.select(F.col(id_col).alias("doc_id")))
+
+
+def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        max_posting: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index (no MinHash
+    approximation): explode distinct shingles, drop shingles occurring in
+    more than ``max_posting`` docs (stopword-shingle cap — they add pairs
+    quadratically and carry no signal), count co-occurrences per pair, and
+    keep pairs with true Jaccard ≥ threshold."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
+         .alias("sh"))
+    base = base.where(F.size("sh") > 0)
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = base.select("doc_id", F.explode("sh").alias("g")) \
+        .withColumn("gh", h60(F.col("g"))).drop("g")
+    freq = posting.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    posting = posting.join(freq.where(F.col("df") <= max_posting), "gh")
+
+    pairs = (posting.alias("x").join(posting.alias("y"), "gh")
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .groupBy(F.col("x.doc_id").alias("a"),
+                      F.col("y.doc_id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    verified = (pairs
+                .join(sizes.select(F.col("doc_id").alias("a"),
+                                   F.col("n_sh").alias("na")), "a")
+                .join(sizes.select(F.col("doc_id").alias("b"),
+                                   F.col("n_sh").alias("nb")), "b")
+                .withColumn("jaccard",
+                            F.col("common").cast("double")
+                            / (F.col("na") + F.col("nb") - F.col("common")))
+                .where(F.col("jaccard") >= threshold)
+                .select("a", "b"))
+    return _pair_min_dup(verified, docs.select(F.col(id_col).alias("doc_id")))
+
+
+def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", threshold: float = 0.98,
+                      planes: int = 12) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH buckets → cosine verify.
+
+    Hyperplane components are deterministic pseudo-randoms derived from md5
+    of constant strings, precomputed driver-side and inlined (portable to
+    the SQL oracle — see similarity.plane_components). A vector's bucket is
+    the sign pattern over all planes; near-identical vectors agree on every
+    sign with high probability. Verification computes exact cosine within
+    buckets.
+    """
+    from ..operators.similarity import cosine_expr, hyperplane_bucket
+
+    dims = len(embeddings.select(vec_col).first()[0])
+    bucketed = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+
+    left = bucketed.select(F.col("doc_id").alias("a"), F.col("v").alias("va"),
+                           "bucket")
+    right = bucketed.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"),
+                            "bucket")
+    cand = (left.join(right, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+    verified = cand.withColumn("cos", cosine_expr("va", "vb")) \
+        .where(F.col("cos") >= threshold).select("a", "b")
+    return _pair_min_dup(
+        verified, embeddings.select(F.col(id_col).alias("doc_id")))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, compute dot products with built-in higher-order
+  functions (zip_with + aggregate — JVM-side, no Python), window top-k.
+  The baseline, and the verifier for the approximate path.
+- ``lsh_topk`` — random-hyperplane LSH: corpus and queries are bucketed by
+  the sign pattern of ``planes`` deterministic hyperplanes; only same-bucket
+  (or neighboring-probe) candidates get exact scoring. At 100 TB the bucket
+  join replaces the full cross product — the classic recall/cost dial.
+
+An IVF variant (cluster centroids via k-means, probe nearest cells) is the
+other standard scale path; LSH was chosen because it is stateless and
+deterministic (no trained centroids to persist), which also makes it
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+
+
+def _as_double(a) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot_expr(a, b) -> Column:
+    """Dot product via zip_with + left-to-right float64 fold. Elements are
+    cast to double BEFORE multiplying — float32 products would diverge from
+    any SQL oracle computing in float64."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a) -> Column:
+    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a, b) -> Column:
+    """Exact cosine similarity: float64 products summed left-to-right —
+    bit-identical to a SQL `v[1]*w[1] + v[2]*w[2] + ...` chain."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    The query side is broadcast (ANN workloads have |queries| ≪ |corpus|),
+    so the corpus is scanned once with no shuffle; the only exchange is the
+    per-query top-k, which AQE keeps small because scores are pre-filtered
+    by the window rank."""
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q),
+                    F.col("neighbor_id") != F.col("query_id")) \
+        .withColumn("cos", cosine_expr("qv", "cv"))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def plane_components(planes: int, dims: int,
+                     prefix: str = "") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components: plane p, dim d →
+    ``(h60_py(prefix + p-d) % 2001 - 1000) / 1000`` computed driver-side
+    with hashlib (identical constants are inlined into the Spark plan and
+    the SQL oracle — no runtime hashing per row)."""
+    import hashlib
+
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [[(h60_py(f"{prefix}{p}-{d}") % 2001 - 1000) / 1000.0
+             for d in range(dims)] for p in range(planes)]
+
+
+def hyperplane_bucket(vec_col, planes: int, dims: int,
+                      prefix: str = "") -> Column:
+    """Random-hyperplane signature: concat of per-plane dot-product signs."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    comps = plane_components(planes, dims, prefix)
+
+    def sign_bit(p: int) -> Column:
+        dot = None
+        for d in range(dims):
+            term = F.element_at(vec, d + 1).cast("double") * F.lit(comps[p][d])
+            dot = term if dot is None else dot + term
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[sign_bit(p) for p in range(planes)])
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             planes: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id", query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket; exact cosine +
+    top-k within candidates. Recall rises with fewer planes (bigger buckets)
+    or multi-probe; 8 planes ≈ 256 buckets."""
+    dims = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+    scored = c.join(F.broadcast(q), "bucket") \
+        .where(F.col("neighbor_id") != F.col("query_id")) \
+        .withColumn("cos", cosine_expr("qv", "cv"))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))

@@ -490,3 +490,7 @@ def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.apply_batch(cdc)
     return engine.read_final("drv", "user_state") \
         .select("user_id", "last_event", "value")
+
+
+# training-data pipeline queries register themselves on import
+from . import queries_ml  # noqa: E402,F401

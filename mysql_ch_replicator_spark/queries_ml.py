@@ -1,0 +1,444 @@
+"""Training-data pipeline queries: dedup suite, similarity search, text
+analysis, multimodal plumbing — each registered with a DuckDB oracle that
+replicates the exact algorithm (same md5-based hashes, same shingles, same
+thresholds), so the correctness gate checks real semantic agreement.
+
+SQL building blocks shared by the oracles (DuckDB dialect):
+
+- words:    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            w -> w != '')
+- h60(s):   CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+- shingles: list_transform(range(len(W)-n+1),
+            i -> array_to_string(W[i+1:i+n], ' '))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.similarity import plane_components
+from .queries import register, load_table
+
+_WORDS_SQL = ("list_filter(regexp_split_to_array(lower(text), "
+              "'[^a-z0-9]+'), w -> w != '')")
+
+
+def _sh_sql(n: int, words: str = "W") -> str:
+    return (f"CASE WHEN len({words}) < {n} THEN [] ELSE "
+            f"list_transform(range(len({words}) - {n - 1}), "
+            f"i -> array_to_string({words}[i+1:i+{n}], ' ')) END")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+_DUP_TAIL_SQL = """
+best AS (SELECT b AS doc_id, min(a) AS dup_of FROM verified GROUP BY b)
+SELECT d.doc_id, COALESCE(best.dup_of, d.doc_id) AS dup_of
+FROM (SELECT doc_id FROM documents) d LEFT JOIN best USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    keeper AS (SELECT content_hash, min(doc_id) AS dup_of
+               FROM hashed GROUP BY content_hash)
+    SELECT h.doc_id, k.dup_of, h.content_hash
+    FROM hashed h JOIN keeper k USING (content_hash)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash, min-id survivor per group — one
+    hash-shuffle total."""
+    from .operators.dedup import exact_dedup
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM (
+        SELECT doc_id, {_sh_sql(3, _WORDS_SQL)} AS sh FROM documents)
+      WHERE len(sh) > 0
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(12), k ->
+               list_min(list_transform(sh, g -> md5(k || '|' || g)))) AS sig
+      FROM base
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest(list_transform(range(4), b ->
+               md5(b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')))) AS bucket
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y USING (bucket) WHERE x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT a, b FROM cand
+      JOIN base ba ON ba.doc_id = a
+      JOIN base bb ON bb.doc_id = b
+      WHERE CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+            / (len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)))
+            >= 0.6
+    ),
+    {_DUP_TAIL_SQL}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands × 3) + exact-Jaccard verify at 0.6."""
+    from .operators.dedup import minhash_lsh_dedup
+    return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform(ws, x -> {_h60_sql('x')}) AS hl FROM w),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(60), i ->
+               CASE WHEN COALESCE(list_sum(list_transform(hl, h ->
+                      CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS fp
+      FROM hs
+    ),
+    chunks AS (
+      SELECT doc_id, fp,
+             unnest(list_transform(range(4), c ->
+               c || ':' || CAST(((fp >> CAST(c*15 AS INT)) & 32767) AS VARCHAR)
+             )) AS chunk
+      FROM fp
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM chunks x JOIN chunks y USING (chunk) WHERE x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT a, b FROM cand
+      JOIN fp fa ON fa.doc_id = a JOIN fp fb ON fb.doc_id = b
+      WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+    ),
+    {_DUP_TAIL_SQL}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash + 4-chunk pigeonhole candidates + Hamming ≤ 3."""
+    from .operators.dedup import simhash_dedup
+    return simhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM (
+        SELECT doc_id, {_sh_sql(3, _WORDS_SQL)} AS sh FROM documents)
+      WHERE len(sh) > 0
+    ),
+    szs AS (SELECT doc_id, len(sh) AS n FROM base),
+    posting AS (
+      SELECT doc_id, {_h60_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest(sh) AS g FROM base)
+    ),
+    freq AS (SELECT gh, count(*) AS df FROM posting GROUP BY gh),
+    posting2 AS (
+      SELECT p.doc_id, p.gh FROM posting p JOIN freq USING (gh)
+      WHERE df <= 1000
+    ),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      FROM posting2 x JOIN posting2 y USING (gh)
+      WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT a, b FROM pairs
+      JOIN szs sa ON sa.doc_id = a JOIN szs sb ON sb.doc_id = b
+      WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+    ),
+    {_DUP_TAIL_SQL}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 via inverted shingle index with a
+    1000-doc posting cap."""
+    from .operators.dedup import ngram_jaccard_dedup
+    return ngram_jaccard_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _bucket_sql(planes: int, dims: int, vec: str = "embedding",
+                prefix: str = "") -> str:
+    comps = plane_components(planes, dims, prefix)
+    bits = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * ({comps[p][d]!r})"
+            for d in range(dims))
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _dot_sql(a: str, b: str, dims: int) -> str:
+    return " + ".join(f"CAST({a}[{d}] AS DOUBLE) * CAST({b}[{d}] AS DOUBLE)"
+                      for d in range(1, dims + 1))
+
+
+def _cos_sql(a: str, b: str, dims: int) -> str:
+    return (f"(({_dot_sql(a, b, dims)}) / "
+            f"(sqrt({_dot_sql(a, a, dims)}) * sqrt({_dot_sql(b, b, dims)})))")
+
+
+_EMB_DIMS = 64  # driver testdata embedding dimensionality (all SFs)
+
+
+@register(
+    "dedup_embedding",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id AS doc_id, embedding AS v,
+             {_bucket_sql(12, _EMB_DIMS)} AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             x.v AS va, y.v AS vb
+      FROM bucketed x JOIN bucketed y USING (bucket)
+      WHERE x.doc_id < y.doc_id
+    ),
+    verified AS (
+      SELECT a, b FROM cand WHERE {_cos_sql('va', 'vb', _EMB_DIMS)} >= 0.98
+    ),
+    best AS (SELECT b AS doc_id, min(a) AS dup_of FROM verified GROUP BY b)
+    SELECT e.vec_id AS doc_id, COALESCE(best.dup_of, e.vec_id) AS dup_of
+    FROM embeddings e LEFT JOIN best ON best.doc_id = e.vec_id
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: 12-plane hyperplane LSH buckets + exact cosine
+    ≥ 0.98 verification."""
+    from .operators.dedup import embedding_neardup
+    return embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql('q.qv', 'c.embedding', _EMB_DIMS)}, 6) AS cos
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 20 query vectors: broadcast queries, scan
+    corpus once, window top-k ranked on the ROUNDED score (6 dp) so
+    float-ulp noise can't flip ranks across engines."""
+    from .operators.similarity import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_bucket_sql(8, _EMB_DIMS)} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_bucket_sql(8, _EMB_DIMS)} AS bucket
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', _EMB_DIMS)}, 6) AS cos
+      FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: 8-plane LSH bucket join instead of the cross
+    product — the 100 TB path (recall tunable via plane count)."""
+    from .operators.similarity import lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, queries, k=10, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS W,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS non_space,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '')) AS ws_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
+           round(CASE WHEN non_space > 0
+                      THEN CAST(punct AS DOUBLE) / non_space
+                      ELSE 0.0 END, 6) AS punct_ratio,
+           round((
+             LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + (1.0 - LEAST(CASE WHEN non_space > 0
+                                 THEN CAST(punct AS DOUBLE) / non_space
+                                 ELSE 0.0 END * 4.0, 1.0))
+             + CASE WHEN len(W) > 0
+                     AND CAST(list_sum(list_transform(W, x -> length(x)))
+                              AS DOUBLE) / len(W) BETWEEN 3.0 AND 8.0
+                    THEN 1.0 ELSE 0.5 END
+           ) / 3.0, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting over `documents` — all built-in
+    expressions, zero Python in the hot path."""
+    from .functions.text import (
+        char_count, punct_ratio, quality_score, token_count_bpe,
+        token_count_ws,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        char_count(t).alias("n_chars"),
+        token_count_ws(t).alias("ws_tokens"),
+        token_count_bpe(t).alias("bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    from .functions.text import LANG_STOPWORDS
+    ratios = []
+    for lang in sorted(LANG_STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        ratios.append(
+            f"CASE WHEN len(W) > 0 THEN CAST(len(list_filter(W, "
+            f"x -> list_contains([{lst}], x))) AS DOUBLE) / len(W) "
+            f"ELSE 0.0 END AS r_{lang}")
+    langs = sorted(LANG_STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"r_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN r_{lg} = best AND best > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    r AS (SELECT doc_id, {', '.join(ratios)} FROM t),
+    g AS (SELECT doc_id, {best} AS best, * FROM r)
+    SELECT doc_id, {case} AS pred_lang FROM g
+    """
+
+
+@register("text_lang_id", _lang_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-coverage language ID (en/de/es/fr/und)."""
+    from .functions.text import lang_id
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_WORDS_SQL} AS W FROM documents),
+    s AS (SELECT doc_id, text, W, {_sh_sql(8)} AS sh8 FROM t)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(W)), ' ')) AS content_fp,
+           CASE WHEN len(sh8) > 0
+                THEN list_min(list_transform(sh8, g -> {_h60_sql('g')}))
+                ELSE {_h60_sql('text')} END AS rolling_fp
+    FROM s
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (order-insensitive md5 of the token set) +
+    winnowing-style rolling fingerprint (min 8-gram hash)."""
+    from .functions.text import doc_fingerprint, rolling_fingerprint
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        doc_fingerprint(t).alias("content_fp"),
+        rolling_fingerprint(t, 8).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           'fake' AS fmt,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+           CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: pack a deterministic fake image
+    per doc (header + payload), then extract typed metadata with a second
+    mapInPandas pass — the real decode slot is stubbed (no image libs here),
+    the Spark plumbing (schemas, Arrow batches, partition preservation) is
+    real. The oracle recomputes the header fields analytically."""
+    from .operators.multimodal import attach_fake_binary, extract_image_metadata
+    docs = load_table(spark, sf_dir, "documents")
+    images = attach_fake_binary(docs)
+    return extract_image_metadata(images) \
+        .select("doc_id", "fmt", "width", "height", "n_bytes")
