@@ -78,24 +78,41 @@ def lsh_band_keys(signature_col: Column, bands: int, rows_per_band: int) -> Colu
 def simhash64(words_col: Column, bits: int = 60) -> Column:
     """SimHash fingerprint: per-bit majority vote of the word hashes.
     bit i of fingerprint = 1 iff sum over words of (±1 by word-hash bit i)
-    is positive. 60 bits so the value fits a signed long in both engines."""
-    hashes = F.transform(words_col, lambda w: h60(w))
-    def bit_value(i: Column) -> Column:
-        # call_function: the shift amount is a Column (the PySpark wrappers
-        # only take int literals)
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.call_function("shiftright", h, i)
-                 .bitwiseAND(F.lit(1)) == 1,  # noqa: B023
-                F.lit(1)).otherwise(F.lit(-1)))
-        return F.when(vote > 0,
-                      F.call_function("shiftleft", F.lit(1).cast("long"), i)) \
-                .otherwise(F.lit(0).cast("long"))
+    is positive. 60 bits so the value fits a signed long in both engines.
+
+    Single pass over the words: each word hash (one md5) is expanded into a
+    ±1 vote vector and folded into a 60-counter accumulator array —
+    O(words × bits) integer ops but exactly ONE md5 per word. (A naive
+    per-bit formulation inlines the hash transform into all 60 bit
+    expressions; Catalyst's CollapseProject duplicates it and the md5 work
+    explodes 60×.)"""
+    hashes = F.transform(words_col, h60)  # ONE md5 per word
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        # h is a bound lambda variable (already-computed long), so the
+        # 60-bit expansion below is pure integer ops
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.call_function("shiftright", h, i.cast("int"))
+                     .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v),
+    )
+    # fold the vote counters into the fingerprint long
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.zip_with(votes,
+                   F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda v, i: F.when(
+                       v > 0,
+                       F.call_function("shiftleft", F.lit(1).cast("long"),
+                                       i.cast("int")))
+                    .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
-        lambda acc, i: acc + bit_value(i.cast("int")),
+        lambda acc, b: acc + b,
     )
 
 

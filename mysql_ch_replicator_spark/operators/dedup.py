@@ -82,10 +82,14 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
          .alias("sh"))
     base = base.where(F.size("sh") > 0)
     sigs = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # materialize the signatures: the bucket self-join consumes this subtree
+    # twice and Spark has no cross-branch CSE — without the persist every
+    # shingle is re-md5'd on both sides (at 100 TB: write signatures to a
+    # table; here: cache)
     banded = sigs.select(
         "doc_id", "sh",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
-         .alias("bucket"))
+         .alias("bucket")).persist()
 
     left = banded.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"),
                          "bucket")
@@ -111,7 +115,7 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     distance ≤ 3 ⇒ at least one of the 4 15-bit chunks matches exactly, so
     candidates come from one explode+equi-join, then exact Hamming verify."""
     fp = docs.select(F.col(id_col).alias("doc_id"),
-                     simhash64(words(F.col(text_col))).alias("fp"))
+                     simhash64(words(F.col(text_col))).alias("fp")).persist()
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
@@ -149,9 +153,10 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
     base = base.where(F.size("sh") > 0)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
     posting = base.select("doc_id", F.explode("sh").alias("g")) \
-        .withColumn("gh", h60(F.col("g"))).drop("g")
+        .withColumn("gh", h60(F.col("g"))).drop("g").persist()
     freq = posting.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    posting = posting.join(freq.where(F.col("df") <= max_posting), "gh")
+    posting = posting.join(freq.where(F.col("df") <= max_posting), "gh") \
+        .persist()
 
     pairs = (posting.alias("x").join(posting.alias("y"), "gh")
              .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -188,7 +193,7 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
     dims = len(embeddings.select(vec_col).first()[0])
     bucketed = embeddings.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
-        hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+        hyperplane_bucket(vec_col, planes, dims).alias("bucket")).persist()
 
     left = bucketed.select(F.col("doc_id").alias("a"), F.col("v").alias("va"),
                            "bucket")

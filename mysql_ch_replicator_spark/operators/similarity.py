@@ -91,15 +91,21 @@ def plane_components(planes: int, dims: int,
 
 def hyperplane_bucket(vec_col, planes: int, dims: int,
                       prefix: str = "") -> Column:
-    """Random-hyperplane signature: concat of per-plane dot-product signs."""
+    """Random-hyperplane signature: concat of per-plane dot-product signs.
+
+    Each plane's dot product is a zip_with against a literal array, folded
+    left-to-right in float64 — the same addition order as the SQL oracle's
+    ``v[1]*c1 + v[2]*c2 + …`` chain, so the sign (and bucket) is
+    bit-identical. The array-literal form keeps the codegen expression tiny
+    (one literal per plane instead of ``dims`` element_at terms)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vec_d = F.transform(vec, lambda x: x.cast("double"))
     comps = plane_components(planes, dims, prefix)
 
     def sign_bit(p: int) -> Column:
-        dot = None
-        for d in range(dims):
-            term = F.element_at(vec, d + 1).cast("double") * F.lit(comps[p][d])
-            dot = term if dot is None else dot + term
+        plane = F.array(*[F.lit(c) for c in comps[p]])
+        dot = F.aggregate(F.zip_with(vec_d, plane, lambda x, c: x * c),
+                          F.lit(0.0), lambda acc, v: acc + v)
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[sign_bit(p) for p in range(planes)])
