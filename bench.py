@@ -29,8 +29,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = spark_queries()
-    # warmup: materialize one tiny query to JIT the session
+    # warmup: materialize one tiny query to JIT the session, and run one
+    # trivial pandas UDF across the cluster to pre-fork the Python worker
+    # pool (first Arrow batch otherwise pays ~5 s of worker startup)
     next(iter(qs.values()))(spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+    ident = pandas_udf(lambda s: s, "long")
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).select(ident(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name, builder in sorted(qs.items()):
@@ -39,6 +46,9 @@ def main() -> None:
         # force full materialization of every row/column, not just count
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop caches a query persisted for its own self-joins so later
+        # queries are measured against a clean executor heap
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

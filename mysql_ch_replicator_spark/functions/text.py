@@ -102,9 +102,12 @@ def doc_fingerprint(col: Column) -> Column:
 def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprint: minimum h60 over word
     ``window``-grams — a single representative shingle hash per doc, the
-    building block of locality-aware clustering."""
+    building block of locality-aware clustering.
+
+    Shaped so the shingle array is evaluated ONCE: `array_min` over an empty
+    array is NULL, so the short-doc fallback is a `coalesce`, not a `when`
+    whose predicate would duplicate the whole shingle subtree (higher-order
+    functions run interpreted — no codegen CSE to save us)."""
     from .hashing import shingles
     sh = shingles(words(col), window)
-    return F.when(F.size(sh) > 0,
-                  F.array_min(F.transform(sh, lambda g: h60(g)))) \
-            .otherwise(h60(col))
+    return F.coalesce(F.array_min(F.transform(sh, h60)), h60(col))

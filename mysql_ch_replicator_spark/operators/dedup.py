@@ -34,6 +34,24 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     h60, lsh_band_keys, md5_hex, minhash_signature, shingles, simhash64, words,
 )
+from ..sources.snapshot import spread
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str,
+              shingle_n: int) -> DataFrame:
+    """(doc_id, sh) with sh = distinct word n-gram shingles, computed ONCE.
+
+    The shingle subtree is interpreted (higher-order functions have no
+    codegen), so it must not be re-evaluated per consumer: persisting the
+    projection BEFORE the non-empty filter stops predicate pushdown from
+    cloning the subtree into the filter, and gives every downstream branch
+    (sizes, posting lists, signatures, verify join) the cached arrays. At
+    100 TB the persist becomes a staged table write — same shape."""
+    staged = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
+         .alias("sh")).persist()
+    return staged.where(F.size("sh") > 0)
 
 
 def _pair_min_dup(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
@@ -76,11 +94,7 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     survivors converges if full closure is wanted.
     """
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
-         .alias("sh"))
-    base = base.where(F.size("sh") > 0)
+    base = _shingled(docs, text_col, id_col, shingle_n)
     sigs = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     # materialize the signatures: the bucket self-join consumes this subtree
     # twice and Spark has no cross-branch CSE — without the persist every
@@ -114,8 +128,9 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     """Near-dup via 60-bit SimHash + pigeonhole candidate generation:
     distance ≤ 3 ⇒ at least one of the 4 15-bit chunks matches exactly, so
     candidates come from one explode+equi-join, then exact Hamming verify."""
-    fp = docs.select(F.col(id_col).alias("doc_id"),
-                     simhash64(words(F.col(text_col))).alias("fp")).persist()
+    fp = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(words(F.col(text_col))).alias("fp")).persist()
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
@@ -146,11 +161,7 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
     more than ``max_posting`` docs (stopword-shingle cap — they add pairs
     quadratically and carry no signal), count co-occurrences per pair, and
     keep pairs with true Jaccard ≥ threshold."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
-         .alias("sh"))
-    base = base.where(F.size("sh") > 0)
+    base = _shingled(docs, text_col, id_col, shingle_n)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
     posting = base.select("doc_id", F.explode("sh").alias("g")) \
         .withColumn("gh", h60(F.col("g"))).drop("g").persist()
@@ -191,7 +202,7 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
     from ..operators.similarity import cosine_expr, hyperplane_bucket
 
     dims = len(embeddings.select(vec_col).first()[0])
-    bucketed = embeddings.select(
+    bucketed = spread(embeddings).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, planes, dims).alias("bucket")).persist()
 

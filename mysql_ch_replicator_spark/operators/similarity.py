@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
+from ..sources.snapshot import spread
 
 
 def _as_double(a) -> Column:
@@ -61,8 +62,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     by the window rank."""
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv"))
     scored = c.join(F.broadcast(q),
                     F.col("neighbor_id") != F.col("query_id")) \
         .withColumn("cos", cosine_expr("qv", "cv"))
@@ -118,9 +119,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     top-k within candidates. Recall rises with fewer planes (bigger buckets)
     or multi-probe; 8 planes ≈ 256 buckets."""
     dims = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"),
-                      hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        hyperplane_bucket(vec_col, planes, dims).alias("bucket"))

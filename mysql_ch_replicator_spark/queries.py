@@ -31,7 +31,7 @@ from .operators.replica import (
     OP_ADD, OP_COL, OP_REMOVE, SEQ_COL,
     collapse_batch, dedup_final_agg, stamp_version,
 )
-from .sources.snapshot import load_table
+from .sources.snapshot import load_table, spread
 
 SparkBuilder = Callable[[SparkSession, str], DataFrame]
 
@@ -396,35 +396,48 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct as _s
     from pyspark.sql.pandas.functions import pandas_udf
 
-    from .functions.wkb import wkb_point_udf, wkb_polygon_udf
+    from .functions.wkb import parse_wkb_point, parse_wkb_polygon
+    from .schema.type_mapping import POINT_TYPE
 
-    def gen_point_fn(keys: pd.Series) -> pd.Series:
-        return keys.map(lambda v: (_s.pack("<I", 0)
-                                   + _s.pack("<BIdd", 1, 1, float(v), 2.0 * v)).hex())
+    # generation (test scaffolding) and parse (the real operator) fused into
+    # ONE pandas UDF per geometry: both UDFs depend only on scan columns, so
+    # Catalyst evaluates them in a single ArrowEvalPython node — one Python
+    # round-trip per batch instead of four chained ones
+    def point_roundtrip_fn(keys: pd.Series) -> pd.DataFrame:
+        def rt(v):
+            wkb = (_s.pack("<I", 0)
+                   + _s.pack("<BIdd", 1, 1, float(v), 2.0 * v)).hex()
+            return parse_wkb_point(wkb)
+        vals = [rt(v) for v in keys]
+        return pd.DataFrame(
+            {"x": [v["x"] if v else None for v in vals],
+             "y": [v["y"] if v else None for v in vals]})
 
-    def gen_polygon_fn(sizes: pd.Series) -> pd.Series:
-        def mk(n):
+    def polygon_roundtrip_fn(sizes: pd.Series) -> pd.Series:
+        def rt(n):
             n = max(int(n), 3)
             b = _s.pack("<BII", 1, 3, 1) + _s.pack("<I", n)
-            for i in range(n):
-                b += _s.pack("<dd", float(i), float(i))
-            return b.hex()
-        return sizes.map(mk)
+            b += b"".join(_s.pack("<dd", float(i), float(i)) for i in range(n))
+            ring = parse_wkb_polygon(b.hex())
+            return len(ring) if ring is not None else None
 
-    gen_point = pandas_udf(gen_point_fn, "string")
-    gen_polygon = pandas_udf(gen_polygon_fn, "string")
+        return sizes.map(rt)
 
-    part = load_table(spark, sf_dir, "part")
+    point_roundtrip = pandas_udf(point_roundtrip_fn, POINT_TYPE)
+    polygon_roundtrip = pandas_udf(polygon_roundtrip_fn, "int")
+
+    part = spread(load_table(spark, sf_dir, "part"))
     parsed = part.select(
         F.col("p_partkey").alias("id"),
-        wkb_point_udf(gen_point(F.col("p_partkey"))).alias("pt"),
-        wkb_polygon_udf(gen_polygon(F.greatest(F.col("p_size"), F.lit(3)))).alias("poly"),
+        point_roundtrip(F.col("p_partkey")).alias("pt"),
+        polygon_roundtrip(F.greatest(F.col("p_size"), F.lit(3)))
+         .alias("n_vertices"),
     )
     return parsed.select(
         "id",
         F.col("pt.x").alias("x"),
         F.col("pt.y").alias("y"),
-        F.size("poly").alias("n_vertices"),
+        "n_vertices",
     )
 
 

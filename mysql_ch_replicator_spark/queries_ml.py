@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .operators.similarity import plane_components
 from .queries import register, load_table
+from .sources.snapshot import spread
 
 _WORDS_SQL = ("list_filter(regexp_split_to_array(lower(text), "
               "'[^a-z0-9]+'), w -> w != '')")
@@ -347,7 +348,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count, punct_ratio, quality_score, token_count_bpe,
         token_count_ws,
     )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -386,7 +387,7 @@ def _lang_sql() -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-coverage language ID (en/de/es/fr/und)."""
     from .functions.text import lang_id
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -407,7 +408,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (order-insensitive md5 of the token set) +
     winnowing-style rolling fingerprint (min 8-gram hash)."""
     from .functions.text import doc_fingerprint, rolling_fingerprint
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",

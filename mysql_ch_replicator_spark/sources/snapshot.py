@@ -58,6 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least cluster-parallelism partitions before heavy per-row
+    compute (hashing, shingling, UDF batches).
+
+    A small table often arrives as ONE file split → one task, serializing
+    expensive projections on a single core while the rest of the cluster
+    idles. Repartition only in that case — a table already wider than the
+    cluster (the 100 TB path) passes through untouched, so no shuffle is
+    added where the scan is already parallel."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
     """Read several snapshot tables; also registers each as a temp view so
