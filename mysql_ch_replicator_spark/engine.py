@@ -84,15 +84,42 @@ class ReplicaEngine:
     def __init__(self, spark: SparkSession, root: str,
                  mysql_timezone: str = "UTC",
                  types_mapping: dict[str, str] | None = None,
-                 ignore_deletes: bool = False):
+                 ignore_deletes: bool = False,
+                 settings=None):
+        from .monitoring import ApplyStats
+
         self.spark = spark
         self.root = root
+        # a Settings object (config.py) centralizes every knob; the explicit
+        # kwargs remain as shortcuts for programmatic use
+        self.settings = settings
+        if settings is not None:
+            mysql_timezone = settings.mysql_timezone
+            types_mapping = settings.types_mapping or types_mapping
+            ignore_deletes = settings.ignore_deletes or ignore_deletes
         self.mysql_timezone = mysql_timezone
         self.types_mapping = types_mapping
         # K6 — append-only mode: REMOVE events dropped entirely
         # (reference db_replicator_realtime.py:152–160)
         self.ignore_deletes = ignore_deletes
+        self.stats = ApplyStats()   # A4 — throughput counters
         os.makedirs(root, exist_ok=True)
+
+    def _replicates(self, db: str, table: str) -> bool:
+        """F1 — db/table glob filters, exclude wins (reference
+        config.py:261–282, applied binlog_replicator.py:464–490)."""
+        if self.settings is None:
+            return True
+        return (self.settings.is_database_matches(db)
+                and self.settings.is_table_matches(table))
+
+    def _target(self, db: str, table: str) -> tuple[str, str]:
+        """Target db/table renaming (reference config.py:300–316,
+        tests/test_target_tables.py)."""
+        if self.settings is None:
+            return db, table
+        return (self.settings.target_database(db),
+                self.settings.target_table(table))
 
     # -- paths / metadata ---------------------------------------------------
 
@@ -132,8 +159,13 @@ class ReplicaEngine:
     # -- DDL ----------------------------------------------------------------
 
     def create_table(self, db: str, create_sql: str) -> TableStructure:
-        """D1/D2 — CREATE TABLE [LIKE]."""
+        """D1/D2 — CREATE TABLE [LIKE]. The parsed (source) table name is
+        filtered (F1) and mapped through ``target_tables`` before storage."""
         st = parse_create_table(create_sql)
+        if self.settings is not None:
+            if not self.settings.is_table_matches(st.table_name):
+                return st
+            st.table_name = self.settings.target_table(st.table_name)
         if getattr(st, "like_table", None):
             src = self.structure(db, st.like_table)
             st = TableStructure(fields=list(src.fields),
@@ -152,28 +184,35 @@ class ReplicaEngine:
     def execute_ddl(self, db: str, query: str, seq: int | None = None) -> None:
         """QUERY-event dispatch (reference db_replicator_realtime.py:179–266).
         The caller guarantees the flush-before-DDL barrier (row events with
-        lower seq already applied)."""
+        lower seq already applied). Source db/table names are pattern-filtered
+        (F1) and mapped through the target renaming before touching storage."""
+        if self.settings is not None and \
+                not self.settings.is_database_matches(db):
+            return
+        tdb = self._target(db, "")[0]
         q = query.strip().lower()
         if q.startswith("create table"):
-            self.create_table(db, query)
+            self.create_table(tdb, query)
         elif q.startswith("alter table"):
-            self._apply_alter(db, query)
+            self._apply_alter(tdb, query)
         elif q.startswith("drop table"):
             names, if_exists = parse_drop_table(query)
             for name in names:
-                if self.table_exists(db, name):
-                    shutil.rmtree(self._table_dir(db, name))
+                name = self._target(db, name)[1]
+                if self.table_exists(tdb, name):
+                    shutil.rmtree(self._table_dir(tdb, name))
                 elif not if_exists:
                     raise ValueError(f"DROP TABLE: unknown table {name!r}")
         elif q.startswith("rename table"):
             for old, new in parse_rename_table(query):
-                os.rename(self._table_dir(db, old), self._table_dir(db, new))
-                meta = self.load_meta(db, new)
+                old, new = self._target(db, old)[1], self._target(db, new)[1]
+                os.rename(self._table_dir(tdb, old), self._table_dir(tdb, new))
+                meta = self.load_meta(tdb, new)
                 meta["structure"]["table_name"] = new
-                self.save_meta(db, new, meta)
+                self.save_meta(tdb, new, meta)
         elif q.startswith("truncate"):
-            name = parse_truncate_table(query)
-            data = self._data_dir(db, name)
+            name = self._target(db, parse_truncate_table(query))[1]
+            data = self._data_dir(tdb, name)
             if os.path.exists(data):
                 shutil.rmtree(data)
         # anything else (CREATE INDEX, SET, BEGIN...): ignored, like the
@@ -181,6 +220,7 @@ class ReplicaEngine:
 
     def _apply_alter(self, db: str, query: str) -> None:
         table, ops = parse_alter_table(query)
+        table = self._target(db, table)[1]
         if not self.table_exists(db, table):
             return
         st = self.structure(db, table)
@@ -312,6 +352,10 @@ class ReplicaEngine:
         """foreachBatch body. Row events are applied per (db, table) with
         in-batch collapse; QUERY events form barriers: rows before a DDL are
         flushed first (reference db_replicator_realtime.py:179–196)."""
+        import time as _time
+        t0 = _time.monotonic()
+        self._batch_inserts = 0
+        self._batch_erases = 0
         ddls = (events.where(F.col("event_type") == EVENT_TYPE_QUERY)
                 .select("seq", "db", "query").collect())
         ddls.sort(key=lambda r: r.seq)
@@ -330,16 +374,22 @@ class ReplicaEngine:
                     self.execute_ddl(d.db, d.query, seq=d.seq)
         finally:
             rows.unpersist()
+        # A4 — throughput counters (reference db_replicator.py:21–30)
+        self.stats.record_batch(self._batch_inserts, self._batch_erases,
+                                len(ddls), _time.monotonic() - t0)
 
     def _apply_row_segment(self, rows: DataFrame) -> None:
         pairs = [(r.db, r.table) for r in
                  rows.select("db", "table").distinct().collect()]
         for db, table in pairs:
-            if not self.table_exists(db, table):
-                continue  # table pattern excluded / not replicated
+            if not self._replicates(db, table):
+                continue  # F1 — pattern-excluded
+            tdb, ttable = self._target(db, table)
+            if not self.table_exists(tdb, ttable):
+                continue  # not replicated (no CREATE seen)
             self._apply_table_rows(
-                db, table, rows.where((F.col("db") == db)
-                                      & (F.col("table") == table)))
+                tdb, ttable, rows.where((F.col("db") == db)
+                                        & (F.col("table") == table)))
 
     def _apply_table_rows(self, db: str, table: str, rows: DataFrame) -> None:
         meta = self.load_meta(db, table)
@@ -366,9 +416,15 @@ class ReplicaEngine:
         try:
             stats = final_ops.groupBy().agg(
                 F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("event_type") == OP_ADD, 1)
+                       .otherwise(0)).alias("n_add"),
                 F.max(F.struct("seq", "idx")).alias("mx")).collect()[0]
             if stats.n == 0:
                 return
+            self._batch_inserts = getattr(self, "_batch_inserts", 0) \
+                + int(stats.n_add)
+            self._batch_erases = getattr(self, "_batch_erases", 0) \
+                + int(stats.n - stats.n_add)
 
             # K4 — versions above the committed watermark, ordered by event
             # sequence (deterministic across retries)
@@ -400,6 +456,42 @@ class ReplicaEngine:
             self.save_meta(db, table, meta)
         finally:
             final_ops.unpersist()
+
+    # -- recovery / verification --------------------------------------------
+
+    def recover_version(self, db: str, table: str) -> int:
+        """A1 — reconcile the per-table version counter from the data itself:
+        ``MAX(_version)`` over the replica (reference consolidates parallel
+        snapshot workers and crash-recovers the same way,
+        clickhouse_api.py:444–467, db_replicator_initial.py:450–470).
+        Returns the recovered watermark and persists it to the metadata."""
+        meta = self.load_meta(db, table)
+        if self._has_data(db, table):
+            row = self.spark.read.option("mergeSchema", "true") \
+                .parquet(self._data_dir(db, table)) \
+                .agg(F.max(VERSION_COL).alias("v")).collect()[0]
+            recovered = int(row.v) if row.v is not None else 0
+        else:
+            recovered = 0
+        meta["last_version"] = max(recovered, int(meta.get("last_version", 0)))
+        self.save_meta(db, table, meta)
+        return meta["last_version"]
+
+    def verify_structure(self, db: str, table: str,
+                         current_create_sql: str) -> None:
+        """D15 — structure-drift verification: after a snapshot, re-fetch the
+        source DDL and abort publication if the schema changed mid-copy
+        (reference db_replicator_initial.py:277–384). Raises on drift."""
+        fresh = parse_create_table(current_create_sql)
+        stored = self.structure(db, table)
+        fresh_sig = [(f.name, f.type_spec, f.nullable) for f in fresh.fields]
+        stored_sig = [(f.name, f.type_spec, f.nullable) for f in stored.fields]
+        if fresh_sig != stored_sig or \
+                list(fresh.primary_keys) != list(stored.primary_keys):
+            raise RuntimeError(
+                f"structure drift detected for {db}.{table}: source schema "
+                f"changed during snapshot — rerun initial replication "
+                f"(got {fresh_sig}, had {stored_sig})")
 
     # -- compaction (reference db_optimizer OPTIMIZE FINAL) -----------------
 
