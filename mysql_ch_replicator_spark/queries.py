@@ -505,5 +505,250 @@ def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "last_event", "value")
 
 
+def _cdc_event_df(events: DataFrame, db: str, table: str,
+                  with_value: bool = True) -> DataFrame:
+    """events table → engine event-log rows (error = REMOVE, rest = ADD)."""
+    from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+    payload_cols = [F.col("user_id").cast("string"), F.col("event_type")]
+    if with_value:
+        payload_cols.append(
+            F.col("value").cast("decimal(18,2)").cast("string"))
+    return events.select(
+        F.lit("binlog.000001").alias("tx_file"),
+        F.col("event_id").alias("tx_pos"),
+        F.col("event_id").alias("seq"),
+        F.lit(db).alias("db"),
+        F.lit(table).alias("table"),
+        F.when(F.col("event_type") == "error", F.lit(EVENT_TYPE_REMOVE))
+         .otherwise(F.lit(EVENT_TYPE_ADD)).alias("event_type"),
+        F.array(F.array(*payload_cols)).alias("payload"),
+        F.lit(None).cast("string").alias("query"),
+    )
+
+
+def _tmp_root(sf_dir: str, tag: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"mcrs_{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+_USER_STATE_DDL = """CREATE TABLE user_state (
+    user_id bigint NOT NULL,
+    last_event varchar(32),
+    value decimal(18,2),
+    PRIMARY KEY (user_id))"""
+
+
+@register(
+    "event_log_replay",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def event_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 — the durable event-log buffer round-trip: events are written
+    to a JSON-lines log (Spark file sink — the reference's per-DB buffer
+    files, binlog_replicator.py:47–66), then batch-replayed through the
+    engine. Distinguishes itself from `cdc_pipeline_e2e` by the on-disk
+    buffer hop: schema round-trip, file-source ordering, replay."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .sources.event_log import read_event_log
+
+    root = _tmp_root(sf_dir, "replay")
+    evdir = os.path.join(root, "event_log")
+    events = load_table(spark, sf_dir, "events")
+    _cdc_event_df(events, "rep", "user_state").write.mode("overwrite") \
+        .json(evdir)
+
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("rep", _USER_STATE_DDL)
+    engine.apply_batch(read_event_log(spark, evdir, pattern="part-*"))
+    return engine.read_final("rep", "user_state") \
+        .select("user_id", "last_event", "value")
+
+
+@register(
+    "cdc_ignore_deletes",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT user_id, event_type AS last_event,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_ignore_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — append-only mode: REMOVE events are dropped before apply
+    (reference db_replicator_realtime.py:152–160), so the replica keeps the
+    last ADD per key even for keys whose final op was a delete."""
+    import os
+
+    from .engine import ReplicaEngine
+
+    root = _tmp_root(sf_dir, "igdel")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"),
+                           ignore_deletes=True)
+    engine.create_table("rep", _USER_STATE_DDL)
+    events = load_table(spark, sf_dir, "events")
+    engine.apply_batch(_cdc_event_df(events, "rep", "user_state"))
+    return engine.read_final("rep", "user_state") \
+        .select("user_id", "last_event", "value")
+
+
+@register(
+    "compaction_final_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def compaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE FINAL — the compaction path (reference db_optimizer.py:71–80):
+    after CDC apply, `optimize()` rewrites the table to the collapsed
+    latest-wins state and drops tombstones; the RAW read (no dedup at query
+    time) must then already equal the final state."""
+    import os
+
+    from .engine import ReplicaEngine
+
+    root = _tmp_root(sf_dir, "optimize")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("rep", _USER_STATE_DDL)
+    events = load_table(spark, sf_dir, "events")
+    engine.apply_batch(_cdc_event_df(events, "rep", "user_state"))
+    engine.optimize("rep", "user_state")
+    # raw read: proves compaction materialized the collapse + dropped deletes
+    return engine.read_raw("rep", "user_state") \
+        .select("user_id", "last_event", "value")
+
+
+@register(
+    "snapshot_shard_union",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def snapshot_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — parallel snapshot worker sharding by CRC32(pk) % N (reference
+    mysql_api.py:124–133): the 3 shards must be disjoint and complete, so
+    their union equals the source table exactly — the property the oracle
+    checks (DuckDB has no crc32, so the check is shard-algebra, not
+    per-shard hashes)."""
+    from .sources.snapshot import sharded_snapshot
+
+    events = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type")
+    shards = [sharded_snapshot(events, ["event_id"], w, 3) for w in range(3)]
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+@register(
+    "schema_evolution_e2e",
+    """
+    WITH split AS (
+      SELECT (min(event_id) + max(event_id)) // 2 AS s FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event,
+           CASE WHEN event_id >= (SELECT s FROM split)
+                THEN CAST(value AS DECIMAL(18,2)) END AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D6 — mid-stream ALTER TABLE ADD COLUMN with the flush-before-DDL
+    barrier (reference db_replicator_realtime.py:179–196): one batch contains
+    pre-DDL 2-column events, the DDL, and post-DDL 3-column events. Rows
+    applied before the ALTER have NULL for the new column; rows after carry
+    it — exactly what the oracle computes from the split point."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .sources.event_log import EVENT_SCHEMA, EVENT_TYPE_QUERY
+
+    root = _tmp_root(sf_dir, "evolve")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("rep", """CREATE TABLE user_state (
+        user_id bigint NOT NULL,
+        last_event varchar(32),
+        PRIMARY KEY (user_id))""")
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.min("event_id").alias("lo"),
+                        F.max("event_id").alias("hi")).collect()[0]
+    split = (int(bounds.lo) + int(bounds.hi)) // 2
+
+    pre = _cdc_event_df(events.where(F.col("event_id") < split),
+                        "rep", "user_state", with_value=False)
+    post = _cdc_event_df(events.where(F.col("event_id") >= split),
+                         "rep", "user_state", with_value=True)
+    ddl = spark.createDataFrame(
+        [("binlog.000001", split, split, "rep", None, EVENT_TYPE_QUERY, None,
+          "ALTER TABLE user_state ADD COLUMN value decimal(18,2)")],
+        EVENT_SCHEMA)
+    # give post-DDL rows seqs above the DDL's; pre-DDL rows stay below
+    post = post.withColumn("seq", F.col("seq") + F.lit(1))
+    engine.apply_batch(pre.select(*EVENT_SCHEMA.names).unionAll(ddl)
+                       .unionAll(post.select(*EVENT_SCHEMA.names)))
+    return engine.read_final("rep", "user_state") \
+        .select("user_id", "last_event", "value")
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — JSON columns land as text (reference converter.py:590–592 keeps
+    them as normalized JSON strings); querying them is `get_json_object`
+    pushdown + a plain aggregate. The reference's C++ binary-JSON decoder is
+    unnecessary on this path (SURVEY.md §2.4 C5)."""
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .select("event_type",
+                    F.get_json_object("props", "$.k").cast("int").alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401

@@ -115,9 +115,12 @@ class EventLogWriter:
                     "payload": None, "query": query})
 
 
-def read_event_log(spark: SparkSession, log_dir: str) -> DataFrame:
-    """Batch read of the whole event log (used for replay/backfill)."""
-    return spark.read.schema(EVENT_SCHEMA).json(f"{log_dir}/*.jsonl")
+def read_event_log(spark: SparkSession, log_dir: str,
+                   pattern: str = "*.jsonl") -> DataFrame:
+    """Batch read of the whole event log (used for replay/backfill).
+    ``pattern`` selects the file naming scheme: ``*.jsonl`` for
+    EventLogWriter logs, ``part-*`` for logs written by Spark itself."""
+    return spark.read.schema(EVENT_SCHEMA).json(f"{log_dir}/{pattern}")
 
 
 def stream_event_log(spark: SparkSession, log_dir: str,
