@@ -256,8 +256,11 @@ class ReplicaEngine:
 
     def _has_data(self, db: str, table: str) -> bool:
         d = self._data_dir(db, table)
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d))
+        if not os.path.isdir(d):
+            return False
+        # partitioned tables nest part files under key=value subdirs
+        return any(f.endswith(".parquet")
+                   for _, _, files in os.walk(d) for f in files)
 
     def _rename_data_column(self, db: str, table: str, old: str, new: str) -> None:
         """Parquet has no in-place rename — rewrite once (Delta column
@@ -286,12 +289,24 @@ class ReplicaEngine:
         exprs += [F.col(VERSION_COL), F.col(OP_COL)]
         self._overwrite_data(db, table, df.select(*exprs))
 
+    def _partition_cols(self, table: str) -> list[str]:
+        """S8 — per-table physical partitioning override (reference
+        ``partition_bys`` config, clickhouse_api.py:243–259): becomes parquet
+        directory partitioning → partition pruning on the replica scans."""
+        if self.settings is None:
+            return []
+        return list(self.settings.partition_bys.get(table, []))
+
     def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
         """Rewrite via staging dir + atomic rename (D14 — readers never see
         partial data; reference's db-swap, db_replicator_initial.py:149–163)."""
         data = self._data_dir(db, table)
         staging = data + ".staging"
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        parts = [c for c in self._partition_cols(table) if c in df.columns]
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
         old = data + ".old"
         if os.path.exists(data):
             os.rename(data, old)
@@ -314,6 +329,12 @@ class ReplicaEngine:
         meta = self.load_meta(db, table)
         meta["last_version"] = 1
         self.save_meta(db, table, meta)
+        # post_initial_replication_commands — arbitrary SQL after the
+        # snapshot publishes (reference config.py:330–337,
+        # db_replicator_initial.py:472–494)
+        if self.settings is not None:
+            for cmd in self.settings.post_initial_replication_commands:
+                self.spark.sql(cmd)
 
     # -- reads (S7) ---------------------------------------------------------
 
@@ -449,7 +470,12 @@ class ReplicaEngine:
                 F.col("event_type").cast("int").alias(OP_COL))
 
             os.makedirs(self._data_dir(db, table), exist_ok=True)
-            out.write.mode("append").parquet(self._data_dir(db, table))
+            writer = out.write.mode("append")
+            parts = [c for c in self._partition_cols(table)
+                     if c in out.columns]
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(self._data_dir(db, table))
 
             meta["last_version"] = int(meta["last_version"]) + int(stats.n)
             meta["last_seq"] = int(stats.mx.seq)
@@ -505,6 +531,13 @@ class ReplicaEngine:
         collapsed = dedup_final_ops(self.read_raw(db, table),
                                     st.primary_keys, op_col=OP_COL) \
             .withColumn(OP_COL, F.lit(OP_ADD))
+        # S8 — per-table sort-order override (reference ``order_bys``,
+        # clickhouse_api.py:260–273): clustering at compaction time gives
+        # parquet min/max stats real selectivity on those columns
+        if self.settings is not None:
+            order = self.settings.order_bys.get(table)
+            if order:
+                collapsed = collapsed.sortWithinPartitions(*order)
         self._overwrite_data(db, table, collapsed)
 
     # -- streaming ----------------------------------------------------------

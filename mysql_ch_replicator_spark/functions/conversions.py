@@ -98,6 +98,51 @@ def timestamp_attach_tz(col: Column, mysql_timezone: str) -> Column:
                               mysql_timezone)
 
 
+# C2 — MySQL charset name → Python codec name (the reference keeps the
+# equivalent 40-entry map, converter.py:19–62; only charsets whose names
+# differ need entries — utf8 variants fold to utf-8). NB the latin1 nuance:
+# MySQL 'latin1' is actually cp1252 (reference converter.py:24).
+CHARSET_CODECS = {
+    "utf8": "utf-8", "utf8mb3": "utf-8", "utf8mb4": "utf-8",
+    "latin1": "cp1252", "cp1252": "cp1252",
+    "latin2": "iso8859-2", "latin5": "iso8859-9", "latin7": "iso8859-13",
+    "greek": "iso8859-7", "hebrew": "iso8859-8",
+    "koi8r": "koi8-r", "koi8u": "koi8-u",
+    "cp1250": "cp1250", "cp1251": "cp1251",
+    "cp1256": "cp1256", "cp1257": "cp1257",
+    "cp850": "cp850", "cp852": "cp852", "cp866": "cp866",
+    "ascii": "ascii", "binary": None,
+    "gbk": "gbk", "gb2312": "gb2312", "big5": "big5",
+    "ujis": "euc_jp", "euckr": "euc_kr", "sjis": "shift_jis",
+    "cp932": "cp932", "tis620": "cp874",
+}
+
+# charsets Spark's built-in decode() handles (stays in codegen)
+_SPARK_NATIVE = {"utf-8": "UTF-8", "ascii": "US-ASCII"}
+
+
+def charset_decode(col: Column, mysql_charset: str | None) -> Column:
+    """C2 — decode raw text bytes with the table/column charset (reference
+    converter.py:643–648). UTF-8/ASCII stay on the built-in ``decode``
+    (codegen); legacy codecs (latin1-as-cp1252 and friends, which Spark's
+    decode rejects) go through an Arrow-batched pandas UDF — the conversion
+    cold path for legacy-charset snapshots."""
+    codec = CHARSET_CODECS.get((mysql_charset or "utf8mb4").lower(), "utf-8")
+    if codec is None:  # 'binary' pseudo-charset: keep bytes
+        return col.cast("binary").cast("string")
+    if codec in _SPARK_NATIVE:
+        return F.decode(col.cast("binary"), _SPARK_NATIVE[codec])
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def dec(s):
+        return s.map(lambda b: None if b is None
+                     else bytes(b).decode(codec, errors="replace"))
+
+    return pandas_udf(dec, "string")(col.cast("binary"))
+
+
 def bit_decode(col: Column) -> Column:
     """bit(n>1) — arrives as integer text or raw bytes; normalize to long."""
     return F.when(col.rlike("^[0-9]+$"), col.cast("long")) \

@@ -129,3 +129,108 @@ def decode_images(images: DataFrame, use_stub: bool = True,
             })
 
     return images.mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("image", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize pass: binary in → binary out, new header, payload resampled by
+    nearest-neighbor stride (the stub arithmetic; a real pipeline swaps in
+    PIL here — the mapInPandas plumbing, schema and batch flow are what this
+    exercises). One-in-one-out, partition-preserving, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_imgs = []
+            for raw in b["image"]:
+                raw = bytes(raw)
+                payload = raw[HEADER_LEN:]
+                target = out_w * out_h
+                if payload and len(payload) > target:
+                    stride = len(payload) / target
+                    payload = bytes(payload[int(i * stride)]
+                                    for i in range(target))
+                out_imgs.append(
+                    MAGIC + struct.pack("<III", out_w, out_h, 3) + payload)
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"),
+                "image": out_imgs,
+                "width": out_w, "height": out_h,
+            })
+
+    return images.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_off", T.LongType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(videos: DataFrame, frame_size: int = 8,
+                  step: int = 4) -> DataFrame:
+    """Frame-sampling pass: treat the payload after the header as a sequence
+    of fixed-size frames, emit every ``step``-th complete frame — one input
+    row fans out to N output rows (the one-to-many mapInPandas shape video
+    pipelines need). Deterministic, so an oracle can recompute the sampled
+    indices and offsets from the payload length alone."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame": []}
+            for doc_id, raw in zip(b["doc_id"], b["image"]):
+                raw = bytes(raw)
+                payload = raw[HEADER_LEN:]
+                n_frames = len(payload) // frame_size
+                for idx in range(0, n_frames, step):
+                    off = idx * frame_size
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(HEADER_LEN + off)
+                    out["frame"].append(payload[off:off + frame_size])
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("std_px", T.DoubleType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_features(images: DataFrame, max_pixels: int = 16) -> DataFrame:
+    """Feature-extraction pass over the decoded pixels (mean/std + the raw
+    vector) — numpy-vectorized inside the Arrow batch; the slot where a real
+    pipeline runs an embedding model."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            means, stds, feats = [], [], []
+            for raw in b["image"]:
+                px = np.asarray(deterministic_fake_decode(bytes(raw),
+                                                          max_pixels),
+                                dtype="float64")
+                if px.size:
+                    means.append(float(px.mean()))
+                    stds.append(float(px.std()))
+                    feats.append([float(v) for v in px])
+                else:
+                    means.append(None)
+                    stds.append(None)
+                    feats.append([])
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"),
+                "mean_px": means, "std_px": stds, "features": feats,
+            })
+
+    return images.mapInPandas(run, FEATURES_SCHEMA)

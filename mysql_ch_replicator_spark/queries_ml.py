@@ -443,3 +443,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = attach_fake_binary(docs)
     return extract_image_metadata(images) \
         .select("doc_id", "fmt", "width", "height", "n_bytes")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id, octet_length(encode(text)) // 8 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx,
+           CAST(16 + unnest(range(0, n_frames, 4)) * 8 AS BIGINT) AS frame_off
+    FROM vids WHERE n_frames > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary columns: every 4th complete
+    8-byte frame of the payload, one-to-many mapInPandas fan-out. The oracle
+    recomputes the sampled indices/offsets analytically from the payload
+    length (the deterministic fake format's header is 16 bytes)."""
+    from .operators.multimodal import attach_fake_binary, sample_frames
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    videos = attach_fake_binary(docs)
+    return sample_frames(videos, frame_size=8, step=4) \
+        .select("doc_id", "frame_idx", "frame_off")

@@ -102,6 +102,34 @@ def sharded_snapshot(df: DataFrame, pk_cols: list[str],
     return df.where(key % total_workers == worker_id)
 
 
+def snapshot_watermark(df: DataFrame, pk_cols: list[str]):
+    """A2 — running max-PK bookkeeping: the resume watermark a snapshot
+    records periodically (reference db_replicator_initial.py:239–246 tracks
+    ``max(primary_key_tuple)`` the same way). Returns a Row with the PK
+    values of the maximum tuple, or None on an empty frame."""
+    row = df.agg(F.max(F.struct(*[F.col(c) for c in pk_cols]))
+                 .alias("mx")).collect()[0]
+    return row.mx
+
+
+def resumable_snapshot(df: DataFrame, pk_cols: list[str],
+                       resume_after=None) -> DataFrame:
+    """A2/S1 — keyset-resume: keep only rows whose PK tuple is strictly
+    greater than the recorded watermark (reference keyset pagination,
+    mysql_api.py:117–122; resume state db_replicator_initial.py:183–192).
+
+    Tuple comparison is Spark's struct ordering — lexicographic over the PK
+    columns, identical to MySQL's ``(pk1, pk2) > (v1, v2)`` row comparison.
+    The predicate is a plain comparison, so it pushes into the source scan
+    (JDBC WHERE / parquet row-group pruning)."""
+    if resume_after is None:
+        return df
+    watermark = F.struct(*[
+        F.lit(v).cast(df.schema[c].dataType).alias(c)
+        for c, v in zip(pk_cols, list(resume_after))])
+    return df.where(F.struct(*[F.col(c) for c in pk_cols]) > watermark)
+
+
 def jdbc_snapshot(spark: SparkSession, url: str, table: str,
                   partition_column: str | None = None,
                   lower_bound=None, upper_bound=None,

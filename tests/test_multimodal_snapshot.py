@@ -1,0 +1,127 @@
+"""Multimodal processing passes (resize / frame-sample / features), C2
+charset decode, A2 resumable snapshot, S8 physical-layout overrides."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_ch_replicator_spark.config import Settings
+from mysql_ch_replicator_spark.engine import ReplicaEngine
+from mysql_ch_replicator_spark.functions.conversions import charset_decode
+from mysql_ch_replicator_spark.operators.multimodal import (
+    HEADER_LEN, attach_fake_binary, extract_features, resize_images,
+    sample_frames,
+)
+from mysql_ch_replicator_spark.sources.event_log import (
+    EventLogWriter, read_event_log,
+)
+from mysql_ch_replicator_spark.sources.snapshot import (
+    resumable_snapshot, snapshot_watermark,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "tiny"),
+         (3, "x" * 100)],
+        ["doc_id", "text"])
+
+
+def test_resize_images(spark, docs):
+    images = attach_fake_binary(docs)
+    out = {r.doc_id: r for r in resize_images(images, 2, 2).collect()}
+    assert out[3].width == 2 and out[3].height == 2
+    raw = bytes(out[3].image)
+    assert len(raw) == HEADER_LEN + 4          # payload resampled to 2x2
+    assert raw[HEADER_LEN:] == b"xxxx"
+    assert bytes(out[2].image)[HEADER_LEN:] == b"tiny"  # shorter than target
+
+
+def test_sample_frames(spark, docs):
+    images = attach_fake_binary(docs)
+    frames = sample_frames(images, frame_size=8, step=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 3: 100 bytes -> 12 complete frames -> indices 0,4,8
+    assert [r.frame_idx for r in sorted(by_doc[3], key=lambda r: r.frame_idx)] \
+        == [0, 4, 8]
+    assert all(len(bytes(r.frame)) == 8 for r in by_doc[3])
+    assert by_doc[3][0].frame_off == HEADER_LEN
+    # doc 2: 4 bytes -> 0 complete frames
+    assert 2 not in by_doc
+
+
+def test_extract_features(spark, docs):
+    images = attach_fake_binary(docs)
+    out = {r.doc_id: r for r in extract_features(images, 8).collect()}
+    px = [ord("x")] * 8
+    assert out[3].features == [float(v) for v in px]
+    assert out[3].mean_px == float(ord("x"))
+    assert out[3].std_px == 0.0
+
+
+def test_charset_decode(spark):
+    # 0xE9 is é in latin1 (which is really cp1252 — the reference nuance);
+    # the same text in UTF-8 is a 2-byte sequence
+    df = spark.createDataFrame(
+        [(bytes([0x63, 0x61, 0x66, 0xE9]), "café".encode())], ["l1", "u8"])
+    got = df.select(
+        charset_decode(F.col("l1"), "latin1").alias("latin1"),
+        charset_decode(F.col("u8"), "utf8mb4").alias("utf8"),
+        # cp1252-specific codepoint: 0x80 is € in cp1252, undefined in
+        # iso-8859-1 proper — proves the latin1→cp1252 mapping
+        charset_decode(F.lit(bytes([0x80])), "latin1").alias("euro"),
+    ).collect()[0]
+    assert got.latin1 == "café"
+    assert got.utf8 == "café"
+    assert got.euro == "€"
+
+
+def test_resumable_snapshot_keyset(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1)], ["a", "b"])
+    wm = snapshot_watermark(df, ["a", "b"])
+    assert tuple(wm) == (3, 1)
+    resumed = resumable_snapshot(df, ["a", "b"], resume_after=(1, 2))
+    assert sorted((r.a, r.b) for r in resumed.collect()) \
+        == [(2, 1), (2, 2), (3, 1)]
+    assert resumable_snapshot(df, ["a", "b"], None).count() == 5
+
+
+_DDL = """CREATE TABLE user_state (
+  user_id bigint NOT NULL, last_event varchar(32), PRIMARY KEY (user_id))"""
+
+
+def test_partitioned_replica_write(spark, tmp_path):
+    import os
+    s = Settings.load({"partition_bys": {"user_state": ["last_event"]},
+                       "order_bys": {"user_state": ["user_id"]}})
+    eng = ReplicaEngine(spark, str(tmp_path / "replica"), settings=s)
+    eng.create_table("db", _DDL)
+    w = EventLogWriter(str(tmp_path / "log"))
+    w.add("db", "user_state", [(1, "click"), (2, "view"), (3, "click")])
+    eng.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    data = tmp_path / "replica" / "db" / "user_state" / "data"
+    subdirs = {p.name for p in data.iterdir() if p.is_dir()}
+    assert "last_event=click" in subdirs and "last_event=view" in subdirs
+    got = {r.user_id: r.last_event
+           for r in eng.read_final("db", "user_state").collect()}
+    assert got == {1: "click", 2: "view", 3: "click"}
+    eng.optimize("db", "user_state")  # order_bys path executes
+    assert {r.user_id for r in eng.read_final("db", "user_state").collect()} \
+        == {1, 2, 3}
+
+
+def test_post_initial_replication_commands(spark, tmp_path):
+    s = Settings.load({"post_initial_replication_commands": [
+        "CREATE OR REPLACE TEMPORARY VIEW post_cmd_ran AS SELECT 1 AS ok"]})
+    eng = ReplicaEngine(spark, str(tmp_path / "replica"), settings=s)
+    eng.create_table("db", _DDL)
+    snap = spark.createDataFrame([(1, "click")], ["user_id", "last_event"])
+    eng.snapshot_table("db", "user_state", snap)
+    assert spark.table("post_cmd_ran").collect()[0].ok == 1
