@@ -447,14 +447,17 @@ class ReplicaEngine:
             self._batch_erases = getattr(self, "_batch_erases", 0) \
                 + int(stats.n - stats.n_add)
 
-            # K4 — versions above the committed watermark, ordered by event
-            # sequence (deterministic across retries)
-            from pyspark.sql import Window
-            w = Window.orderBy(F.col("seq"), F.col("idx"))
+            # K4 — after the collapse each key appears ONCE in this batch, so
+            # every surviving row can take the same version `watermark + 1`:
+            # per-key monotonicity across batches is preserved (all versions
+            # here exceed every earlier batch's), ties within a batch are
+            # impossible (one row per key), and stamping is O(1) per row with
+            # NO global sort — the scalable replacement for the reference's
+            # driver-side counter (clickhouse_api.py:334–335). Deterministic
+            # across retries by construction.
+            new_version = int(meta["last_version"]) + 1
             stamped = final_ops.withColumn(
-                VERSION_COL,
-                (F.row_number().over(w) + F.lit(meta["last_version"]))
-                .cast("long"))
+                VERSION_COL, F.lit(new_version).cast("long"))
 
             # REMOVE rows become PK-only tombstones (F5 — only PKs converted
             # meaningfully; non-PK columns nulled)
@@ -477,7 +480,7 @@ class ReplicaEngine:
                 writer = writer.partitionBy(*parts)
             writer.parquet(self._data_dir(db, table))
 
-            meta["last_version"] = int(meta["last_version"]) + int(stats.n)
+            meta["last_version"] = new_version
             meta["last_seq"] = int(stats.mx.seq)
             self.save_meta(db, table, meta)
         finally:

@@ -174,6 +174,14 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def _frames_of(raw: bytes, frame_size: int, step: int):
+    payload = bytes(raw)[HEADER_LEN:]
+    n_frames = len(payload) // frame_size
+    for idx in range(0, n_frames, step):
+        off = idx * frame_size
+        yield idx, HEADER_LEN + off, payload[off:off + frame_size]
+
+
 def sample_frames(videos: DataFrame, frame_size: int = 8,
                   step: int = 4) -> DataFrame:
     """Frame-sampling pass: treat the payload after the header as a sequence
@@ -185,18 +193,36 @@ def sample_frames(videos: DataFrame, frame_size: int = 8,
         for b in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame": []}
             for doc_id, raw in zip(b["doc_id"], b["image"]):
-                raw = bytes(raw)
-                payload = raw[HEADER_LEN:]
-                n_frames = len(payload) // frame_size
-                for idx in range(0, n_frames, step):
-                    off = idx * frame_size
+                for idx, off, frame in _frames_of(raw, frame_size, step):
                     out["doc_id"].append(int(doc_id))
                     out["frame_idx"].append(idx)
-                    out["frame_off"].append(HEADER_LEN + off)
-                    out["frame"].append(payload[off:off + frame_size])
+                    out["frame_off"].append(off)
+                    out["frame"].append(frame)
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
+def pack_and_sample_frames(docs: DataFrame, frame_size: int = 8,
+                           step: int = 4, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Fused scaffolding+sampling: generate the fake binary AND sample its
+    frames in ONE mapInPandas pass — one Python/Arrow round-trip instead of
+    two chained ones (a real pipeline reading binaries from the lake uses
+    ``sample_frames`` directly)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame": []}
+            for doc_id, text in zip(b[id_col], b[text_col]):
+                raw = pack_fake_image(int(doc_id), text)
+                for idx, off, frame in _frames_of(raw, frame_size, step):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(off)
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(run, FRAME_SCHEMA)
 
 
 FEATURES_SCHEMA = T.StructType([

@@ -463,8 +463,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte frame of the payload, one-to-many mapInPandas fan-out. The oracle
     recomputes the sampled indices/offsets analytically from the payload
     length (the deterministic fake format's header is 16 bytes)."""
-    from .operators.multimodal import attach_fake_binary, sample_frames
+    from .operators.multimodal import pack_and_sample_frames
     docs = spread(load_table(spark, sf_dir, "documents"))
-    videos = attach_fake_binary(docs)
-    return sample_frames(videos, frame_size=8, step=4) \
+    return pack_and_sample_frames(docs, frame_size=8, step=4) \
         .select("doc_id", "frame_idx", "frame_off")

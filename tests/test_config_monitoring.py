@@ -108,8 +108,12 @@ def test_recover_version_from_data(spark, tmp_path):
     eng = ReplicaEngine(spark, str(tmp_path / "replica"))
     eng.create_table("db", _DDL)
     eng.apply_batch(_mk_events(spark, tmp_path, db="db"))
+    w = EventLogWriter(str(tmp_path / "log2"))
+    w._seq = 100
+    w.add("db", "users", [(1, "alice2")])
+    eng.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
     meta = eng.load_meta("db", "users")
-    assert meta["last_version"] == 2
+    assert meta["last_version"] == 2  # one version per applied batch
     # simulate lost/stale metadata (crash before save, parallel writer)
     meta["last_version"] = 0
     eng.save_meta("db", "users", meta)
