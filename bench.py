@@ -35,9 +35,17 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).count()
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import pandas_udf
-    ident = pandas_udf(lambda s: s, "long")
+
+    def _warm(s):
+        # preload the engine package in each forked worker so UDF queries
+        # measure compute, not per-worker module import
+        import mysql_ch_replicator_spark.functions.wkb  # noqa: F401
+        import mysql_ch_replicator_spark.operators.multimodal  # noqa: F401
+        return s
+
+    ident = pandas_udf(_warm, "long")
     par = spark.sparkContext.defaultParallelism
-    spark.range(par * 4).repartition(par).select(ident(F.col("id"))).count()
+    spark.range(par * 4, numPartitions=par).select(ident(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name, builder in sorted(qs.items()):

@@ -377,6 +377,11 @@ class ReplicaEngine:
         t0 = _time.monotonic()
         self._batch_inserts = 0
         self._batch_erases = 0
+        # a micro-batch is bounded by the flush cadence (reference: 1 s /
+        # 100k rows), so caching it is safe at any table scale — and the
+        # DDL scan + row explode + per-segment filters then cost ONE source
+        # scan instead of one each
+        events = events.persist()
         ddls = (events.where(F.col("event_type") == EVENT_TYPE_QUERY)
                 .select("seq", "db", "query").collect())
         ddls.sort(key=lambda r: r.seq)
@@ -395,6 +400,7 @@ class ReplicaEngine:
                     self.execute_ddl(d.db, d.query, seq=d.seq)
         finally:
             rows.unpersist()
+            events.unpersist()
         # A4 — throughput counters (reference db_replicator.py:21–30)
         self.stats.record_batch(self._batch_inserts, self._batch_erases,
                                 len(ddls), _time.monotonic() - t0)

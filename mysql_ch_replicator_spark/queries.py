@@ -750,5 +750,34 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+@register(
+    "events_tumbling_window",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — event-time tumbling window aggregation (the operator family
+    the reference lacks entirely; on a streaming frame the same builder
+    takes a watermark — see streaming/windows.py and its tests). Batch and
+    stream produce the identical plan shape: one hash aggregate."""
+    from .streaming.windows import tumbling_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        events, "ts", "1 hour",
+        {"n": F.count(F.lit(1)),
+         "total": F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("decimal(28,2)")},
+        keys=["event_type"])
+    return out.select(_ts_str(F.col("window_start")).alias("window_start"),
+                      "event_type", "n", "total")
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401

@@ -1,0 +1,73 @@
+"""Windowed aggregation over event streams — §2.7 of SURVEY.md.
+
+The reference has NO windowed operators (processing is strict log order;
+late data is impossible by construction, SURVEY.md §2.7). A Spark-native
+engine gets event-time windows for free, and a training-data/analytics
+pipeline over the replica wants them, so they are first-class here:
+
+- ``tumbling_window_agg`` — fixed windows via the built-in ``window()``
+  expression. On a STREAMING frame add ``watermark`` to bound state and
+  admit late data up to the threshold; on a batch frame the same builder
+  produces the identical plan minus the state bookkeeping (one hash
+  aggregate, map-side partial agg — scales like any groupBy).
+- ``sliding_window_agg`` — overlapping windows (each row lands in
+  ``window/slide`` windows — the explode happens inside the native
+  ``window()`` expression, JVM-side).
+- ``session_window_agg`` — gap-based sessions via ``session_window()``
+  (Spark's native session support; state merges windows as events arrive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str,
+                    watermark: str | None) -> DataFrame:
+    if watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, window: str,
+                        aggs: dict[str, Column], keys: list[str] = (),
+                        watermark: str | None = None) -> DataFrame:
+    """Fixed non-overlapping event-time windows.
+
+    Returns one row per (window_start, *keys) with ``window_start``/
+    ``window_end`` timestamp columns plus the given aggregates."""
+    df = _with_watermark(df, ts_col, watermark)
+    grouped = df.groupBy(F.window(F.col(ts_col), window), *keys)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys, *aggs.keys())
+
+
+def sliding_window_agg(df: DataFrame, ts_col: str, window: str, slide: str,
+                       aggs: dict[str, Column], keys: list[str] = (),
+                       watermark: str | None = None) -> DataFrame:
+    """Overlapping windows of length ``window`` every ``slide``."""
+    df = _with_watermark(df, ts_col, watermark)
+    grouped = df.groupBy(F.window(F.col(ts_col), window, slide), *keys)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys, *aggs.keys())
+
+
+def session_window_agg(df: DataFrame, ts_col: str, gap: str,
+                       aggs: dict[str, Column], keys: list[str] = (),
+                       watermark: str | None = None) -> DataFrame:
+    """Gap-based session windows: a session extends while events arrive
+    within ``gap`` of the previous one."""
+    df = _with_watermark(df, ts_col, watermark)
+    grouped = df.groupBy(F.session_window(F.col(ts_col), gap), *keys)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys, *aggs.keys())

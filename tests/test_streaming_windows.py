@@ -1,0 +1,139 @@
+"""Windowed aggregation (tumbling/sliding/session) + custom stateful
+operator (applyInPandasWithState) — SURVEY.md §2.7 extensions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_ch_replicator_spark.streaming.stateful import running_key_stats
+from mysql_ch_replicator_spark.streaming.windows import (
+    session_window_agg, sliding_window_agg, tumbling_window_agg,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def batch_events(spark):
+    rows = [
+        (1, "click", 1.0, _ts(0, 10)),
+        (2, "click", 2.0, _ts(0, 50)),
+        (3, "view", 3.0, _ts(1, 10)),
+        (4, "click", 4.0, _ts(2, 30)),
+        (5, "view", 5.0, _ts(2, 40)),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp")
+
+
+def test_tumbling_window_batch(spark, batch_events):
+    out = tumbling_window_agg(
+        batch_events, "ts", "1 minute",
+        {"n": F.count(F.lit(1)), "total": F.sum("value")})
+    got = {r.window_start.minute: (r.n, r.total) for r in out.collect()}
+    assert got == {0: (2, 3.0), 1: (1, 3.0), 2: (2, 9.0)}
+
+
+def test_tumbling_window_keyed(spark, batch_events):
+    out = tumbling_window_agg(
+        batch_events, "ts", "2 minutes",
+        {"n": F.count(F.lit(1))}, keys=["event_type"])
+    got = {(r.window_start.minute, r.event_type): r.n for r in out.collect()}
+    assert got == {(0, "click"): 2, (0, "view"): 1,
+                   (2, "click"): 1, (2, "view"): 1}
+
+
+def test_sliding_window_batch(spark, batch_events):
+    out = sliding_window_agg(
+        batch_events, "ts", "2 minutes", "1 minute",
+        {"n": F.count(F.lit(1))})
+    got = {r.window_start.minute: r.n
+           for r in out.collect() if r.window_start.hour == 10}
+    # window [-1..1) sees minute-0 rows; [0..2) sees 0&1; [1..3) 1&2; [2..4) 2
+    assert got[0] == 3 and got[1] == 3 and got[2] == 2
+
+
+def test_session_window_batch(spark, batch_events):
+    # 60s gap: events at 0:10, 0:50, 1:10 chain into one session;
+    # 2:30, 2:40 form a second
+    out = session_window_agg(batch_events, "ts", "60 seconds",
+                             {"n": F.count(F.lit(1))})
+    ns = sorted(r.n for r in out.collect())
+    assert ns == [2, 3]
+
+
+def test_tumbling_window_stream_with_watermark(spark, tmp_path):
+    """Streaming form: file source → watermarked tumbling window →
+    complete-mode memory sink."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "value": 1.0, "ts": "2024-01-01T10:00:10.000Z"},
+        {"event_id": 2, "value": 2.0, "ts": "2024-01-01T10:00:40.000Z"},
+        {"event_id": 3, "value": 3.0, "ts": "2024-01-01T10:01:20.000Z"},
+    ]
+    with open(src / "0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_id long, value double, ts timestamp")
+              .json(str(src)))
+    agg = tumbling_window_agg(
+        stream, "ts", "1 minute",
+        {"n": F.count(F.lit(1)), "total": F.sum("value")},
+        watermark="30 seconds")
+    q = (agg.writeStream.format("memory").queryName("win_out")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {r.window_start.minute: (r.n, r.total)
+               for r in spark.table("win_out").collect()}
+        assert got == {0: (2, 3.0), 1: (1, 3.0)}
+    finally:
+        q.stop()
+
+
+def test_running_key_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: two source
+    files processed as separate triggers must fold into one running state."""
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"key": 1, "value": 10.0, "seq": 1}) + "\n")
+        fh.write(json.dumps({"key": 2, "value": 5.0, "seq": 2}) + "\n")
+
+    stream = (spark.readStream
+              .schema("key long, value double, seq long")
+              .option("maxFilesPerTrigger", 1)
+              .json(str(src)))
+    out = running_key_stats(stream)
+    q = (out.writeStream.format("memory").queryName("state_out")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # second batch arrives later → state must carry over
+        with open(src / "b.jsonl", "w") as fh:
+            fh.write(json.dumps({"key": 1, "value": 7.0, "seq": 3}) + "\n")
+        q.processAllAvailable()
+        rows = spark.table("state_out").collect()
+        latest = {}
+        for r in rows:  # update mode appends; last emission per key wins
+            latest[r.key] = (r.n_events, r.value_sum, r.last_seq)
+        assert latest[1] == (2, 17.0, 3)
+        assert latest[2] == (1, 5.0, 2)
+    finally:
+        q.stop()
