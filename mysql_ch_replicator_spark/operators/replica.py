@@ -13,12 +13,14 @@ Reference semantics being reproduced (SURVEY.md §2.1/§2.3):
 
 Spark-first design notes:
 
-- Dedup-final is ONE hash aggregate: ``groupBy(pks).agg(max_by(struct(*cols),
+- Dedup-final is ONE aggregate: ``groupBy(pks).agg(max_by(struct(*cols),
   _version))``. Map-side partial aggregation halves the shuffle; at 100 TB
-  this is a single exchange on the PK — the minimum possible. (The window
-  ``row_number() == 1`` formulation shuffles the same amount but must sort
-  within partitions and cannot partial-aggregate, so the agg form is the
-  default; both are provided and tested equivalent.)
+  this is a single exchange on the PK — the minimum possible. (Physically
+  Spark plans a SortAggregate — the struct-typed buffer rules out
+  HashAggregate — but partials still apply; the window ``row_number() == 1``
+  formulation shuffles the same amount, also sorts, and cannot
+  partial-aggregate, so the agg form stays the default. Both are provided
+  and tested equivalent; tests/test_plan_shapes.py pins the plan shape.)
 - Deletes are a left-anti join; the delete side is a distinct key set, tiny
   relative to the replica, so it is broadcast — no shuffle of the replica.
 - Batch collapse (K1/K2) is the same ``max_by`` aggregate keyed on an

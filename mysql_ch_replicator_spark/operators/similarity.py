@@ -112,6 +112,83 @@ def hyperplane_bucket(vec_col, planes: int, dims: int,
     return F.concat(*[sign_bit(p) for p in range(planes)])
 
 
+def ivf_centroids(n_cells: int, dims: int,
+                  prefix: str = "ivf") -> list[list[float]]:
+    """Deterministic pseudo-random IVF cell centroids (same md5-derived
+    constant scheme as plane_components — portable to the SQL oracle,
+    no trained state to persist)."""
+    return plane_components(n_cells, dims, prefix=prefix)
+
+
+def _sq_dists(vec_d: Column, cents: list[list[float]]) -> Column:
+    """Array of squared L2 distances to each centroid (no sqrt — ordering
+    is what matters). Left-to-right float64 folds, oracle-identical."""
+    dists = []
+    for c in cents:
+        cent = F.array(*[F.lit(x) for x in c])
+        dists.append(F.aggregate(
+            F.zip_with(vec_d, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v))
+    return F.array(*dists)
+
+
+def ivf_cells(vec_col, n_cells: int, dims: int, probes: int = 1,
+              prefix: str = "ivf") -> Column:
+    """The ``probes`` nearest IVF cells (1-based ids) for a vector.
+
+    Argmin is ``array_position(d, array_min(d))`` — first occurrence, so
+    ties break toward the lower cell id in both engines. Subsequent probes
+    mask the already-chosen cell with +inf and re-argmin (deterministic,
+    and exactly expressible in the SQL oracle, unlike an argsort whose
+    stability differs across engines)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vec_d = F.transform(vec, lambda x: x.cast("double"))
+    d = _sq_dists(vec_d, ivf_centroids(n_cells, dims, prefix))
+    cells = []
+    for _ in range(probes):
+        c = F.array_position(d, F.array_min(d)).cast("int")
+        cells.append(c)
+        chosen = F.array(*cells)
+        d = F.zip_with(
+            d, F.sequence(F.lit(1), F.lit(n_cells)),
+            lambda dist, i: F.when(F.array_contains(chosen, i.cast("int")),
+                                   F.lit(float("inf"))).otherwise(dist))
+    return F.array(*cells)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_cells: int = 8, probes: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k — the other standard ANN scale path (besides
+    LSH): the corpus is inverted into ``n_cells`` centroid cells; each query
+    scores only vectors in its ``probes`` nearest cells.
+
+    At 100 TB: the cell id becomes the partition/bucket column of the
+    corpus table, so a probe reads only ``probes/n_cells`` of the data —
+    partition pruning does the candidate selection. Recall dial = probes."""
+    from ..sources.snapshot import spread
+
+    dims = len(corpus.select(vec_col).first()[0])
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.element_at(ivf_cells(vec_col, n_cells, dims, probes=1), 1)
+         .alias("cell"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(ivf_cells(vec_col, n_cells, dims, probes=probes))
+         .alias("cell"))
+    scored = c.join(F.broadcast(q), "cell") \
+        .where(F.col("neighbor_id") != F.col("query_id")) \
+        .withColumn("cos", cosine_expr("qv", "cv"))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
              planes: int = 8, vec_col: str = "embedding",
              id_col: str = "vec_id", query_id_col: str = "query_id") -> DataFrame:

@@ -306,6 +306,81 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, planes=8)
 
 
+def _sqdist_sql(vec: str, cent: list[float]) -> str:
+    return " + ".join(
+        f"(CAST({vec}[{d + 1}] AS DOUBLE) - ({cent[d]!r}))"
+        f" * (CAST({vec}[{d + 1}] AS DOUBLE) - ({cent[d]!r}))"
+        for d in range(len(cent)))
+
+
+def _ivf_dl_sql(vec: str, n_cells: int, dims: int) -> str:
+    from .operators.similarity import ivf_centroids
+    cents = ivf_centroids(n_cells, dims)
+    return ("list_value(" + ", ".join(_sqdist_sql(vec, cents[c])
+                                      for c in range(n_cells)) + ")")
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cor AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings
+    ),
+    corc AS (
+      SELECT neighbor_id, cv,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+      FROM cor
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings WHERE vec_id < 20
+    ),
+    qc AS (
+      SELECT query_id, qv, dl,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, qv, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range(8), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dl[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, qv, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', _EMB_DIMS)}, 6) AS cos
+      FROM corc c JOIN qprobe q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 — the second ANN scale path: corpus inverted
+    into 8 deterministic centroid cells, queries probe their 2 nearest cells
+    (at 100 TB the cell id is the partition column → partition pruning does
+    candidate selection; recall dial = probe count)."""
+    from .operators.similarity import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=10, n_cells=8, probes=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,124 @@
+"""Physical-plan audits — the scale contract, machine-checked.
+
+Each headline query's executed plan must keep the properties that make it
+viable at 100 TB: filters pushed into the parquet scan, columns pruned,
+small sides broadcast (no fact-table shuffle for dim joins), whole-stage
+codegen on the hot path, and no more exchanges than the algorithm needs.
+A regression here (a lost broadcast hint, a filter trapped above a UDF)
+changes no rows at sf0.01 but melts a cluster at scale — these tests make
+it a test failure instead."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mysql_ch_replicator_spark.queries import spark_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan_of(df) -> str:
+    """Finalized adaptive plan (AQE only shows codegen spans and final join
+    strategies after execution — and only on the SAME QueryExecution that
+    ran, so collect this df rather than wrapping it in a write)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return spark_queries()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF))
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: untouched wide columns never leave the scan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q1_codegen(spark, queries):
+    plan = executed_plan_of(queries["q1_pricing_summary"](spark, SF))
+    # '*(n)' marks whole-stage-codegen spans: scan→filter→partial-agg fused
+    # into stage 1, final agg in stage 2
+    assert plan.count("*(") >= 2
+
+
+def test_q1_partial_aggregation(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF))
+    # map-side partial agg: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_q3_broadcasts_dimension(spark, queries):
+    plan = plan_of(queries["q3_revenue_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the filtered customer set is the build side, never shuffled
+    assert "BroadcastExchange" in plan
+
+
+def test_q5_star_join_single_agg_shuffle(spark, queries):
+    plan = plan_of(queries["q5_nation_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # dims all broadcast
+    # the only hash-partitioned exchanges allowed: the lineitem⋈orders join
+    # keys and the final 25-key groupBy — no dim-join shuffles
+    agg_exchanges = plan.count("Arguments: hashpartitioning")
+    assert agg_exchanges <= 3
+
+
+def test_keyed_delete_broadcast_anti_join(spark, queries):
+    plan = plan_of(queries["keyed_delete"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dedup_exact_single_shuffle_pair(spark, queries):
+    plan = plan_of(queries["dedup_exact"](spark, SF))
+    # content-hash groupBy + join back: hash exchanges only on content_hash
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "content_hash" in line
+
+
+def test_replica_dedup_is_one_aggregate(spark, queries):
+    plan = plan_of(queries["replica_dedup_final"](spark, SF))
+    # the FINAL read is ONE exchange on the PK. (The max_by aggregate
+    # carries a struct buffer, which HashAggregate cannot hold — Spark
+    # plans a SortAggregate; still single-shuffle with map-side partials,
+    # just sort-based within partitions.)
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_ann_brute_force_no_corpus_shuffle(spark, queries):
+    plan = plan_of(queries["ann_brute_force_topk"](spark, SF))
+    # query side broadcast: the corpus is scanned once, never repartitioned
+    # by a join key (the only exchange feeds the per-query top-k window)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_json_extract_stays_in_codegen(spark, queries):
+    plan = executed_plan_of(queries["json_extract_props"](spark, SF))
+    assert plan.count("*(") >= 2  # whole-stage-codegen spans
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tumbling_window_is_single_aggregate(spark, queries):
+    plan = plan_of(queries["events_tumbling_window"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "HashAggregate" in plan
