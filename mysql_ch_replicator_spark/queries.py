@@ -383,12 +383,13 @@ def type_conversion_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey AS id,
            CAST(p_partkey AS DOUBLE) AS x,
            CAST(p_partkey * 2 AS DOUBLE) AS y,
-           CAST(GREATEST(p_size, 3) AS INTEGER) AS n_vertices
+           CAST(GREATEST(p_size, 3) AS INTEGER) AS n_vertices,
+           CAST(p_partkey % 3 + 1 AS INTEGER) AS n_polys
     FROM part
     """,
 )
 def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6/C7 — WKB geometry parse via Arrow-batched pandas UDF: generate
+    """C6/C7/C8 — WKB geometry parse via Arrow-batched pandas UDF: generate
     MySQL-format WKB (SRID prefix + little-endian) for a point and a polygon
     per part row, parse back, and emit scalars the oracle can recompute.
     Exercises the full binary plumbing (hex payload → struct / vertex
@@ -396,7 +397,9 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct as _s
     from pyspark.sql.pandas.functions import pandas_udf
 
-    from .functions.wkb import parse_wkb_point, parse_wkb_polygon
+    from .functions.wkb import (
+        parse_wkb_multipolygon, parse_wkb_point, parse_wkb_polygon,
+    )
     from .schema.type_mapping import POINT_TYPE
 
     # generation (test scaffolding) and parse (the real operator) fused into
@@ -423,8 +426,22 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return sizes.map(rt)
 
+    def multipolygon_roundtrip_fn(keys: pd.Series) -> pd.Series:
+        def rt(key):
+            n_polys = int(key) % 3 + 1
+            b = _s.pack("<BII", 1, 6, n_polys)
+            for p in range(n_polys):
+                b += _s.pack("<BII", 1, 3, 1) + _s.pack("<I", 3)
+                for i in range(3):
+                    b += _s.pack("<dd", float(p + i), float(p - i))
+            polys = parse_wkb_multipolygon(b.hex())
+            return len(polys) if polys is not None else None
+
+        return keys.map(rt)
+
     point_roundtrip = pandas_udf(point_roundtrip_fn, POINT_TYPE)
     polygon_roundtrip = pandas_udf(polygon_roundtrip_fn, "int")
+    multipolygon_roundtrip = pandas_udf(multipolygon_roundtrip_fn, "int")
 
     part = spread(load_table(spark, sf_dir, "part"))
     parsed = part.select(
@@ -432,12 +449,14 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_roundtrip(F.col("p_partkey")).alias("pt"),
         polygon_roundtrip(F.greatest(F.col("p_size"), F.lit(3)))
          .alias("n_vertices"),
+        multipolygon_roundtrip(F.col("p_partkey")).alias("n_polys"),
     )
     return parsed.select(
         "id",
         F.col("pt.x").alias("x"),
         F.col("pt.y").alias("y"),
         "n_vertices",
+        "n_polys",
     )
 
 

@@ -253,3 +253,41 @@ def test_streaming_end_to_end(engine, spark, tmp_path):
         assert _final_rows(engine) == {(1, "Ivan", 42), (3, "Anya", 25)}
     finally:
         q.stop()
+
+
+def test_streaming_restart_from_checkpoint(engine, spark, tmp_path):
+    """Kill/restart resume (reference tests/test_mysql_ch_replicator.py:135+):
+    a new streaming query on the SAME checkpoint continues where the old one
+    stopped — already-processed files are not replayed (and the seq replay
+    guard would make replay harmless anyway)."""
+    log_dir = str(tmp_path / "stream_log")
+    os.makedirs(log_dir)
+    engine.create_table(DB, USERS_DDL)
+
+    log = EventLogWriter(log_dir)
+    log.add(DB, "users", [(1, "Ivan", 42)])
+    log.rotate()
+
+    q = engine.start_streaming(log_dir, str(tmp_path / "ckpt"),
+                               trigger_seconds=0.5)
+    try:
+        q.processAllAvailable()
+        assert _final_rows(engine) == {(1, "Ivan", 42)}
+    finally:
+        q.stop()
+    version_after_first = engine.load_meta(DB, "users")["last_version"]
+
+    # events arriving while the consumer is down
+    log.add(DB, "users", [(1, "Ivan-2", 43), (2, "Petr", 33)])
+    log.rotate()
+
+    q2 = engine.start_streaming(log_dir, str(tmp_path / "ckpt"),
+                                trigger_seconds=0.5)
+    try:
+        q2.processAllAvailable()
+        assert _final_rows(engine) == {(1, "Ivan-2", 43), (2, "Petr", 33)}
+    finally:
+        q2.stop()
+    # exactly one more batch applied — file 0 was NOT reprocessed
+    assert engine.load_meta(DB, "users")["last_version"] \
+        == version_after_first + 1
