@@ -388,13 +388,17 @@ class ReplicaEngine:
         rows = explode_row_events(events)
         rows.persist()
         try:
+            # one pass over the batch finds every (db, table) touched — the
+            # per-DDL segments below reuse this instead of re-scanning
+            pairs = [(r.db, r.table) for r in
+                     rows.select("db", "table").distinct().collect()]
             bounds = [-1] + [d.seq for d in ddls] + [None]
             for i in range(len(bounds) - 1):
                 lo, hi = bounds[i], bounds[i + 1]
                 seg = rows.where(F.col("seq") > lo)
                 if hi is not None:
                     seg = seg.where(F.col("seq") < hi)
-                self._apply_row_segment(seg)
+                self._apply_row_segment(seg, pairs)
                 if hi is not None:
                     d = ddls[i]
                     self.execute_ddl(d.db, d.query, seq=d.seq)
@@ -405,9 +409,11 @@ class ReplicaEngine:
         self.stats.record_batch(self._batch_inserts, self._batch_erases,
                                 len(ddls), _time.monotonic() - t0)
 
-    def _apply_row_segment(self, rows: DataFrame) -> None:
-        pairs = [(r.db, r.table) for r in
-                 rows.select("db", "table").distinct().collect()]
+    def _apply_row_segment(self, rows: DataFrame,
+                           pairs: list[tuple[str, str]] | None = None) -> None:
+        if pairs is None:
+            pairs = [(r.db, r.table) for r in
+                     rows.select("db", "table").distinct().collect()]
         for db, table in pairs:
             if not self._replicates(db, table):
                 continue  # F1 — pattern-excluded

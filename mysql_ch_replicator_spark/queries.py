@@ -798,5 +798,102 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type", "n", "total")
 
 
+@register(
+    "q_rollup_revenue",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(28,2)) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — grouping-set aggregation (ROLLUP): subtotals per priority and
+    the grand total in one pass (Catalyst expands to a single Expand+agg —
+    one shuffle, not one query per level). COALESCE folds the NULL grouping
+    keys to 'ALL' so the oracle compare is unambiguous."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(28,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "revenue", "n_orders"))
+
+
+@register(
+    "q_window_top_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DECIMAL(28,2)) AS cust_total
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, price, rnk, cust_total
+    FROM ranked WHERE rnk <= 2
+    """,
+)
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — window functions over the replica: per-customer top-2 orders
+    by price plus the per-customer total, one shuffle on the partition key
+    (both windows share it — Catalyst plans a single Window node chain)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    by_cust = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey", "o_orderkey", price.alias("price"),
+        F.row_number().over(
+            by_cust.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+         .alias("rnk"),
+        F.sum(price).over(by_cust).cast("decimal(28,2)").alias("cust_total"))
+    return ranked.where(F.col("rnk") <= 2)
+
+
+@register(
+    "q_set_ops_customers",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    building AS (
+      SELECT DISTINCT c_custkey AS custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT 'intersect' AS op, count(*) AS n FROM
+      (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM building)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM
+      (SELECT custkey FROM building EXCEPT SELECT custkey FROM buyers)
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM
+      (SELECT custkey FROM buyers UNION SELECT custkey FROM building)
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — set operators (INTERSECT/EXCEPT/UNION DISTINCT): customers who
+    ordered vs the BUILDING segment. Each set op is one shuffle on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    building = c.where(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("custkey")).distinct()
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")) \
+            .select(F.lit(op).alias("op"), "n")
+
+    return (counted("intersect", buyers.intersect(building))
+            .unionAll(counted("except", building.exceptAll(buyers).distinct()))
+            .unionAll(counted("union", buyers.union(building).distinct())))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
