@@ -1,20 +1,21 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 - ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
   set against the corpus, compute dot products with built-in higher-order
   functions (zip_with + aggregate — JVM-side, no Python), window top-k.
-  The baseline, and the verifier for the approximate path.
+  The baseline, and the verifier for the approximate paths.
 - ``lsh_topk`` — random-hyperplane LSH: corpus and queries are bucketed by
   the sign pattern of ``planes`` deterministic hyperplanes; only same-bucket
-  (or neighboring-probe) candidates get exact scoring. At 100 TB the bucket
-  join replaces the full cross product — the classic recall/cost dial.
+  candidates get exact scoring. At 100 TB the bucket join replaces the full
+  cross product — the classic recall/cost dial.
+- ``ivf_topk`` — inverted-file index: corpus partitioned into centroid
+  cells, queries probe their ``probes`` nearest cells. At 100 TB the cell
+  id becomes the corpus partition column, so probing is partition pruning.
 
-An IVF variant (cluster centroids via k-means, probe nearest cells) is the
-other standard scale path; LSH was chosen because it is stateless and
-deterministic (no trained centroids to persist), which also makes it
-oracle-checkable.
+Both approximate paths use deterministic md5-derived constants (no trained
+state to persist), which also makes them oracle-checkable in plain SQL.
 """
 
 from __future__ import annotations
@@ -104,7 +105,7 @@ def hyperplane_bucket(vec_col, planes: int, dims: int,
     comps = plane_components(planes, dims, prefix)
 
     def sign_bit(p: int) -> Column:
-        plane = F.array(*[F.lit(c) for c in comps[p]])
+        plane = _lit_double_array(comps[p])
         dot = F.aggregate(F.zip_with(vec_d, plane, lambda x, c: x * c),
                           F.lit(0.0), lambda acc, v: acc + v)
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -120,40 +121,56 @@ def ivf_centroids(n_cells: int, dims: int,
     return plane_components(n_cells, dims, prefix=prefix)
 
 
+def _lit_double_array(vals: list[float]) -> Column:
+    """Literal array<double> in ONE py4j call (64 F.lit() calls per plane/
+    centroid would dominate query-build time — each is a JVM round trip)."""
+    return F.expr("array(" + ", ".join(f"{v!r}D" for v in vals) + ")")
+
+
 def _sq_dists(vec_d: Column, cents: list[list[float]]) -> Column:
     """Array of squared L2 distances to each centroid (no sqrt — ordering
     is what matters). Left-to-right float64 folds, oracle-identical."""
     dists = []
     for c in cents:
-        cent = F.array(*[F.lit(x) for x in c])
+        cent = _lit_double_array(c)
         dists.append(F.aggregate(
             F.zip_with(vec_d, cent, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, v: acc + v))
     return F.array(*dists)
 
 
-def ivf_cells(vec_col, n_cells: int, dims: int, probes: int = 1,
-              prefix: str = "ivf") -> Column:
-    """The ``probes`` nearest IVF cells (1-based ids) for a vector.
+def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
+               probes: int = 1, prefix: str = "ivf",
+               cells_col: str = "cells") -> DataFrame:
+    """Attach the ``probes`` nearest IVF cell ids (1-based array column).
 
     Argmin is ``array_position(d, array_min(d))`` — first occurrence, so
     ties break toward the lower cell id in both engines. Subsequent probes
     mask the already-chosen cell with +inf and re-argmin (deterministic,
     and exactly expressible in the SQL oracle, unlike an argsort whose
-    stability differs across engines)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    stability differs across engines).
+
+    The distance array is STAGED as a persisted column first: the masked
+    re-argmin references it repeatedly, and inlined (CollapseProject) the
+    O(n_cells × dims) subtree would be cloned per reference — exploding
+    both driver-side planning time and per-row work. At 100 TB the stage
+    is a written table; here, a cache."""
+    vec = F.col(vec_col)
     vec_d = F.transform(vec, lambda x: x.cast("double"))
     d = _sq_dists(vec_d, ivf_centroids(n_cells, dims, prefix))
-    cells = []
+    staged = df.withColumn("__d", d).persist()
+
+    cells: list[Column] = []
+    dcol: Column = F.col("__d")
     for _ in range(probes):
-        c = F.array_position(d, F.array_min(d)).cast("int")
+        c = F.array_position(dcol, F.array_min(dcol)).cast("int")
         cells.append(c)
         chosen = F.array(*cells)
-        d = F.zip_with(
-            d, F.sequence(F.lit(1), F.lit(n_cells)),
+        dcol = F.zip_with(
+            F.col("__d"), F.sequence(F.lit(1), F.lit(n_cells)),
             lambda dist, i: F.when(F.array_contains(chosen, i.cast("int")),
                                    F.lit(float("inf"))).otherwise(dist))
-    return F.array(*cells)
+    return staged.withColumn(cells_col, F.array(*cells)).drop("__d")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -170,14 +187,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     from ..sources.snapshot import spread
 
     dims = len(corpus.select(vec_col).first()[0])
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        F.element_at(ivf_cells(vec_col, n_cells, dims, probes=1), 1)
-         .alias("cell"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(ivf_cells(vec_col, n_cells, dims, probes=probes))
-         .alias("cell"))
+    c = ivf_assign(spread(corpus), vec_col, n_cells, dims, probes=1) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                F.element_at("cells", 1).alias("cell"))
+    q = ivf_assign(queries, vec_col, n_cells, dims, probes=probes) \
+        .select(F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                F.explode("cells").alias("cell"))
     scored = c.join(F.broadcast(q), "cell") \
         .where(F.col("neighbor_id") != F.col("query_id")) \
         .withColumn("cos", cosine_expr("qv", "cv"))
