@@ -187,7 +187,7 @@ def apply_cdc_batch(replica: DataFrame, batch: DataFrame, pk_cols: list[str],
     3. stamp surviving ADDs with versions above ``base_version`` and append.
 
     The result is a plain DataFrame; the engine materializes it (Parquet
-    append + periodic compaction) — see ``streaming/apply.py``.
+    append + periodic compaction) — see ``engine.py`` ``apply_batch``/``start_streaming``.
     """
     final_ops = collapse_batch(batch, pk_cols, seq_col=seq_col, op_col=op_col)
     adds = final_ops.where(F.col(op_col) == OP_ADD)
