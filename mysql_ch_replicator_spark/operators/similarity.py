@@ -206,21 +206,36 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                     F.round("cos", 6).alias("cos")))
 
 
+def lsh_buckets(vec_col, tables: int, planes: int, dims: int) -> Column:
+    """Multi-table LSH bucket keys: one sign-pattern signature per table,
+    each over its own ``planes`` hyperplanes, key-prefixed with the table
+    id so buckets never collide across tables."""
+    return F.array(*[
+        F.concat(F.lit(f"{t}:"),
+                 hyperplane_bucket(vec_col, planes, dims, prefix=f"t{t}-"))
+        for t in range(tables)])
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
-             planes: int = 8, vec_col: str = "embedding",
+             tables: int = 8, planes: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", query_id_col: str = "query_id") -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket; exact cosine +
-    top-k within candidates. Recall rises with fewer planes (bigger buckets)
-    or multi-probe; 8 planes ≈ 256 buckets."""
+    """Approximate top-k via multi-table hyperplane LSH (OR-amplification):
+    a candidate needs to agree with the query on ALL planes of ANY table.
+    Single-table LSH collapses on weakly-clustered data (for near-uniform
+    vectors P[8 signs agree] ≈ 0.4% — measured recall@10 was 0.015); with
+    L=8 tables × 4 planes the same data measures ≈ 0.66 (floor pinned in
+    tests/test_ann_recall.py). Cost dial: tables ↑ → recall ↑, candidates ↑."""
     dims = len(corpus.select(vec_col).first()[0])
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+        F.explode(lsh_buckets(vec_col, tables, planes, dims)).alias("bucket"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       hyperplane_bucket(vec_col, planes, dims).alias("bucket"))
+                       F.explode(lsh_buckets(vec_col, tables, planes, dims))
+                        .alias("bucket"))
     scored = c.join(F.broadcast(q), "bucket") \
         .where(F.col("neighbor_id") != F.col("query_id")) \
+        .dropDuplicates(["query_id", "neighbor_id"]) \
         .withColumn("cos", cosine_expr("qv", "cv"))
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cos").desc(), F.col("neighbor_id"))

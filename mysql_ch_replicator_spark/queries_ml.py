@@ -269,23 +269,38 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+_LSH_TABLES, _LSH_PLANES = 8, 4
+
+
+def _lsh_buckets_sql(vec: str) -> str:
+    parts = ", ".join(
+        f"'{t}:' || " + _bucket_sql(_LSH_PLANES, _EMB_DIMS, vec=vec,
+                                    prefix=f"t{t}-")
+        for t in range(_LSH_TABLES))
+    return f"[{parts}]"
+
+
 @register(
     "ann_lsh_topk",
     f"""
     WITH c AS (
       SELECT vec_id AS neighbor_id, embedding AS cv,
-             {_bucket_sql(8, _EMB_DIMS)} AS bucket
+             unnest({_lsh_buckets_sql('embedding')}) AS bucket
       FROM embeddings
     ),
     q AS (
       SELECT vec_id AS query_id, embedding AS qv,
-             {_bucket_sql(8, _EMB_DIMS)} AS bucket
+             unnest({_lsh_buckets_sql('embedding')}) AS bucket
       FROM embeddings WHERE vec_id < 20
     ),
-    scored AS (
-      SELECT q.query_id, c.neighbor_id,
-             round({_cos_sql('q.qv', 'c.cv', _EMB_DIMS)}, 6) AS cos
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id, q.qv, c.cv
       FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cos_sql('qv', 'cv', _EMB_DIMS)}, 6) AS cos
+      FROM cand
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos,
@@ -297,13 +312,16 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10: 8-plane LSH bucket join instead of the cross
-    product — the 100 TB path (recall tunable via plane count)."""
+    """Approximate top-10 via multi-table LSH (8 tables x 4 planes,
+    OR-amplified) — the 100 TB path: bucket joins instead of the cross
+    product, recall dialed by table count (floor pinned in
+    tests/test_ann_recall.py)."""
     from .operators.similarity import lsh_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, queries, k=10, planes=8)
+    return lsh_topk(emb, queries, k=10,
+                    tables=_LSH_TABLES, planes=_LSH_PLANES)
 
 
 def _sqdist_sql(vec: str, cent: list[float]) -> str:

@@ -1,0 +1,74 @@
+"""Approximation-quality floors for the ANN paths.
+
+Correctness vs the oracle only proves the approximate algorithms compute
+what they claim; these tests pin that what they claim is USEFUL — recall@10
+of the LSH and IVF paths against the exact brute-force ranking. The floors
+are deliberately loose (the corpus is tiny synthetic data); they catch a
+bucketing scheme going degenerate (everything in one bucket, or recall ~0),
+not small tuning drift."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_ch_replicator_spark.operators.similarity import (
+    brute_force_topk, ivf_topk, lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, corpus):
+    return corpus.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def _neighbors(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = total = 0
+    for q, truth in exact.items():
+        hits += len(approx.get(q, set()) & truth)
+        total += len(truth)
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def exact(corpus, queries_df):
+    return _neighbors(brute_force_topk(corpus, queries_df, K))
+
+
+def test_lsh_recall_floor(corpus, queries_df, exact):
+    # multi-table OR-amplification: 8 tables x 4 planes measured ~0.66 here
+    approx = _neighbors(lsh_topk(corpus, queries_df, K, tables=8, planes=4))
+    r = _recall(approx, exact)
+    assert r >= 0.5, f"LSH recall@10 degenerate: {r:.2f}"
+
+
+def test_ivf_recall_floor(corpus, queries_df, exact):
+    approx = _neighbors(ivf_topk(corpus, queries_df, K,
+                                 n_cells=8, probes=2))
+    r = _recall(approx, exact)
+    assert r >= 0.3, f"IVF recall@10 degenerate: {r:.2f}"
+
+
+def test_ivf_single_cell_is_exhaustive(corpus, queries_df, exact):
+    """The recall dial must actually dial: one cell holds everything, so
+    probing it is exhaustive search = recall 1.0."""
+    all_cells = _neighbors(ivf_topk(corpus, queries_df, K,
+                                    n_cells=1, probes=1))
+    assert _recall(all_cells, exact) == 1.0

@@ -291,3 +291,34 @@ def test_streaming_restart_from_checkpoint(engine, spark, tmp_path):
     # exactly one more batch applied — file 0 was NOT reprocessed
     assert engine.load_meta(DB, "users")["last_version"] \
         == version_after_first + 1
+
+
+def test_percona_online_ddl_dance(engine, spark, tmp_path):
+    """pt-online-schema-change pattern (reference
+    tests/test_ddl_operations.py:50–126): build `_users_new` alongside,
+    copy, atomically swap via multi-clause RENAME, drop the old table —
+    readers only ever see a complete `users`."""
+    engine.create_table(DB, USERS_DDL)
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "users", [(1, "Ivan", 42), (2, "Petr", 33)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    log2 = EventLogWriter(str(tmp_path / "log2"))
+    log2._seq = 100
+    log2.ddl(DB, """CREATE TABLE `_users_new` (
+        id int NOT NULL,
+        name varchar(255),
+        age int,
+        email varchar(255),
+        PRIMARY KEY (id))""")
+    log2.add(DB, "_users_new", [(1, "Ivan", 42, "i@x.com"),
+                                (2, "Petr", 33, "p@x.com")])
+    log2.ddl(DB, "RENAME TABLE `users` TO `_users_old`, "
+                 "`_users_new` TO `users`")
+    log2.ddl(DB, "DROP TABLE `_users_old`")
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
+
+    assert engine.tables(DB) == ["users"]
+    got = {tuple(r) for r in
+           engine.read_final(DB, "users").drop("_version").collect()}
+    assert got == {(1, "Ivan", 42, "i@x.com"), (2, "Petr", 33, "p@x.com")}
