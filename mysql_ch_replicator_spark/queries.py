@@ -895,5 +895,31 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(counted("union", buyers.union(building).distinct())))
 
 
+@register(
+    "q_quantiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(avg(value), 4) AS mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — order statistics over the replica: exact percentiles (linear
+    interpolation, identical to SQL ``quantile_cont``). Exact rather than
+    ``approx_percentile`` so the oracle can verify values; at 100 TB the
+    approx (t-digest) variant is the same one-line swap the caller makes
+    knowingly."""
+    events = load_table(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+                 F.round(F.avg("value"), 4).alias("mean_value")))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
