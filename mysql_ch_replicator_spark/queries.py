@@ -485,16 +485,10 @@ def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet append) → FINAL read. Same event mapping as `cdc_final_state`
     but through the materialized ReplicaEngine instead of a single query —
     verifying the storage path (engine.py) against the oracle."""
-    import os
-    import shutil
-    import tempfile
-
     from .engine import ReplicaEngine
     from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
 
-    root = os.path.join(tempfile.gettempdir(),
-                        f"mcrs_cdc_e2e_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = _tmp_root(sf_dir, "cdc_e2e")
 
     engine = ReplicaEngine(spark, root)
     engine.create_table("drv", """CREATE TABLE user_state (
@@ -547,13 +541,18 @@ def _cdc_event_df(events: DataFrame, db: str, table: str,
 
 
 def _tmp_root(sf_dir: str, tag: str) -> str:
+    """Scratch dir for queries that materialize a replica — kept INSIDE the
+    repo (.scratch/, git-ignored): the environment contract forbids writing
+    outside it, and /tmp may not survive between driver phases."""
     import os
     import shutil
-    import tempfile
 
-    root = os.path.join(tempfile.gettempdir(),
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".scratch")
+    root = os.path.join(base,
                         f"mcrs_{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
     return root
 
 
