@@ -247,8 +247,12 @@ def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     cust = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(cust), o.o_custkey == F.col("c_custkey"))
+    # dim-first join order: orders shrinks ~5x against the broadcast customer
+    # filter BEFORE the expensive lineitem join — the big shuffle's build
+    # side is the reduced set (AQE often then broadcasts it entirely)
+    ord_b = o.join(F.broadcast(cust), o.o_custkey == F.col("c_custkey")) \
+        .select("o_orderkey", "o_orderdate")
+    return (li.join(ord_b, li.l_orderkey == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(price * (1 - disc)).alias("revenue"))
             .select("l_orderkey", "revenue",
@@ -287,8 +291,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
                   n.n_regionkey == F.col("r_regionkey"))
             .select("c_custkey", "n_name"))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+    # dim-first: ASIA customers cut orders ~5x before the lineitem join
+    ord_b = o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey")) \
+        .select("o_orderkey", "n_name")
+    return (li.join(ord_b, li.l_orderkey == F.col("o_orderkey"))
             .groupBy("n_name")
             .agg(F.sum(price * (1 - disc)).alias("revenue")))
 
