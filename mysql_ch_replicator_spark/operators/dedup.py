@@ -57,13 +57,79 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
 def _pair_min_dup(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     """Given verified duplicate pairs (a < b), produce (doc_id, dup_of) with
     dup_of = min id over the doc's direct duplicates (one link hop —
-    deterministic and cheap; full transitive closure is an iterative job,
-    see docstring of minhash_lsh_dedup)."""
+    deterministic and cheap; full transitive closure is
+    ``connected_components``)."""
     best = pairs.groupBy(F.col("b").alias("doc_id")) \
         .agg(F.min("a").alias("dup_of"))
     return (all_ids.join(best, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("dup_of", "doc_id").alias("dup_of")))
+
+
+def connected_components(pairs: DataFrame, all_ids: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """Full transitive closure of a duplicate-pair graph: (doc_id, dup_of)
+    with dup_of = the MINIMUM doc_id in the doc's connected component
+    (so A~B, B~C ⇒ all three map to min(A,B,C) even if A≁C directly).
+
+    Algorithm: iterative min-label propagation — each round every node takes
+    ``min(own label, min neighbor label)`` until a fixpoint. Converges in
+    O(component diameter) rounds; duplicate clusters are shallow (near-clique),
+    so 2–4 rounds in practice. Per round: one shuffle join (edges × labels)
+    + one groupBy min. ``localCheckpoint`` truncates the lineage each round —
+    without it the plan doubles per iteration and the driver OOMs planning
+    round ~20.
+
+    Scale notes (100 TB corpus): only nodes that appear in at least one pair
+    enter the loop — the iteration working set is |dup pairs|, typically
+    orders of magnitude smaller than the corpus; isolated docs are closed
+    with a single left join at the end. The convergence check is an
+    ``isEmpty`` on a changed-labels anti-pattern join, which short-circuits
+    on the first changed partition. For adversarial long-chain graphs swap
+    in large-star/small-star (O(log n) rounds) — not needed for dedup
+    workloads.
+    """
+    # the dup-pair graph is tiny relative to the corpus — collapse it to a
+    # handful of partitions so each iteration round is a few small tasks,
+    # not 200 near-empty ones
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(pairs.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst")))
+             .distinct().repartition(8, "src").persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges.join(labels.select(F.col("id").alias("src"),
+                                         F.col("lbl").alias("slbl")), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("slbl").alias("nlbl")))
+        # the changed flag rides along in the same projection, so
+        # convergence detection costs no extra join — just a scan of the
+        # checkpointed round output
+        new_labels = (labels.join(prop, "id", "left")
+                      .select("id",
+                              F.least(F.col("lbl"),
+                                      F.coalesce("nlbl", F.col("lbl")))
+                               .alias("lbl"),
+                              (F.col("nlbl") < F.col("lbl")).alias("chg"))
+                      .localCheckpoint())
+        converged = new_labels.where(F.col("chg")).isEmpty()
+        labels = new_labels.drop("chg")
+        if converged:
+            break
+    edges.unpersist()
+    return (all_ids.join(labels.select(F.col("id").alias("doc_id"), "lbl"),
+                         "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", F.col("doc_id")).alias("dup_of")))
+
+
+def _resolve(pairs: DataFrame, all_ids: DataFrame, closure: bool) -> DataFrame:
+    """Tail of every near-dup operator: one-hop min link (default) or full
+    transitive closure when ``closure=True``."""
+    if closure:
+        return connected_components(pairs, all_ids)
+    return _pair_min_dup(pairs, all_ids)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -80,7 +146,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 3,
                       num_hashes: int = 12, bands: int = 4,
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6,
+                      closure: bool = False) -> DataFrame:
     """Near-dup via MinHash signatures + LSH banding + exact-Jaccard
     verification of candidates.
 
@@ -120,11 +187,13 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
         "jaccard", inter.cast("double") / union.cast("double")) \
         .where(F.col("jaccard") >= threshold) \
         .select("a", "b")
-    return _pair_min_dup(verified, docs.select(F.col(id_col).alias("doc_id")))
+    return _resolve(verified, docs.select(F.col(id_col).alias("doc_id")),
+                    closure)
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_distance: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_distance: int = 3,
+                  closure: bool = False) -> DataFrame:
     """Near-dup via 60-bit SimHash + pigeonhole candidate generation:
     distance ≤ 3 ⇒ at least one of the 4 15-bit chunks matches exactly, so
     candidates come from one explode+equi-join, then exact Hamming verify."""
@@ -149,13 +218,14 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     verified = cand.where(
         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_distance) \
         .select("a", "b")
-    return _pair_min_dup(verified, docs.select(F.col(id_col).alias("doc_id")))
+    return _resolve(verified, docs.select(F.col(id_col).alias("doc_id")),
+                    closure)
 
 
 def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.5,
-                        max_posting: int = 1000) -> DataFrame:
+                        threshold: float = 0.5, max_posting: int = 1000,
+                        closure: bool = False) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index (no MinHash
     approximation): explode distinct shingles, drop shingles occurring in
     more than ``max_posting`` docs (stopword-shingle cap — they add pairs
@@ -184,12 +254,14 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
                             / (F.col("na") + F.col("nb") - F.col("common")))
                 .where(F.col("jaccard") >= threshold)
                 .select("a", "b"))
-    return _pair_min_dup(verified, docs.select(F.col(id_col).alias("doc_id")))
+    return _resolve(verified, docs.select(F.col(id_col).alias("doc_id")),
+                    closure)
 
 
 def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
                       id_col: str = "vec_id", threshold: float = 0.98,
-                      planes: int = 12) -> DataFrame:
+                      planes: int = 12,
+                      closure: bool = False) -> DataFrame:
     """Embedding near-dup: random-hyperplane LSH buckets → cosine verify.
 
     Hyperplane components are deterministic pseudo-randoms derived from md5
@@ -215,5 +287,5 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
             .dropDuplicates(["a", "b"]))
     verified = cand.withColumn("cos", cosine_expr("va", "vb")) \
         .where(F.col("cos") >= threshold).select("a", "b")
-    return _pair_min_dup(
-        verified, embeddings.select(F.col(id_col).alias("doc_id")))
+    return _resolve(
+        verified, embeddings.select(F.col(id_col).alias("doc_id")), closure)

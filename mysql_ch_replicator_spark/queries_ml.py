@@ -104,10 +104,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_simhash",
-    f"""
-    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+_SIMHASH_PAIRS_SQL = f"""w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     hs AS (SELECT doc_id,
                   list_transform(ws, x -> {_h60_sql('x')}) AS hl FROM w),
     fp AS (
@@ -133,7 +130,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b FROM cand
       JOIN fp fa ON fa.doc_id = a JOIN fp fb ON fb.doc_id = b
       WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
-    ),
+    )"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SIMHASH_PAIRS_SQL},
     {_DUP_TAIL_SQL}
     """,
 )
@@ -141,6 +144,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash + 4-chunk pigeonhole candidates + Hamming ≤ 3."""
     from .operators.dedup import simhash_dedup
     return simhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_closure",
+    f"""
+    WITH RECURSIVE {_SIMHASH_PAIRS_SQL},
+    edges AS (
+      SELECT a AS src, b AS dst FROM verified
+      UNION SELECT b AS src, a AS dst FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS dup_of FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.dup_of, d.doc_id) AS dup_of
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash duplicate pairs resolved to FULL transitive closure: dup_of =
+    min doc_id of the connected component (iterative min-label propagation,
+    operators/dedup.connected_components). The oracle computes the same
+    closure with a recursive CTE (min reachable id per node)."""
+    from .operators.dedup import simhash_dedup
+    return simhash_dedup(load_table(spark, sf_dir, "documents"),
+                         closure=True)
 
 
 @register(

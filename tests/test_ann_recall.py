@@ -72,3 +72,17 @@ def test_ivf_single_cell_is_exhaustive(corpus, queries_df, exact):
     all_cells = _neighbors(ivf_topk(corpus, queries_df, K,
                                     n_cells=1, probes=1))
     assert _recall(all_cells, exact) == 1.0
+
+
+def test_connected_components_chain(spark):
+    """A-B, B-C, D-E chain: closure maps {1,2,3}→1 and {4,5}→4; isolated 6→6.
+    One-hop min-link would leave 3→2 (its only direct neighbor's min is 2)."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        _pair_min_dup, connected_components)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {r.doc_id: r.dup_of
+           for r in connected_components(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    onehop = {r.doc_id: r.dup_of for r in _pair_min_dup(pairs, ids).collect()}
+    assert onehop[3] == 2  # the case closure fixes
