@@ -804,6 +804,45 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_click_view",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           v.view_event_id,
+           strftime(v.ts, '{_TS_FMT_DUCK}') AS view_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest preceding view
+    (operators/asof.py — union+window, one shuffle, no join blow-up). The
+    oracle is DuckDB's native ASOF LEFT JOIN; the right side is deduped on
+    (user_id, ts) so tie-breaking is well-defined in both engines."""
+    from .operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = (events.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id")))
+    res = as_of_join(clicks, views, ["user_id"], "ts", "ts")
+    return res.select(
+        "event_id", "user_id",
+        _ts_str(F.col("ts")).alias("click_ts"),
+        "view_event_id",
+        _ts_str(F.col("ts_matched")).alias("view_ts"))
+
+
+@register(
     "q_rollup_revenue",
     """
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -1,0 +1,55 @@
+"""as_of_join semantics: inclusive match, tolerance nulling, and the
+plan-shape guarantee that makes it scale (one exchange, zero join nodes)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mysql_ch_replicator_spark.operators.asof import as_of_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:00:05")),
+         (2, 10, _ts("2024-01-01 00:01:00")),
+         (3, 20, _ts("2024-01-01 00:00:01"))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:05"), 100),   # exactly at left #1 → match
+         (10, _ts("2024-01-01 00:00:30"), 101),
+         (20, _ts("2024-01-01 00:00:02"), 200)],  # after left #3 → no match
+        "user_id long, ts timestamp, reading long")
+    return left, right
+
+
+def test_asof_inclusive_and_unmatched(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: (r.reading, r.ts_matched)
+           for r in as_of_join(left, right, ["user_id"], "ts", "ts").collect()}
+    assert got[1][0] == 100                       # ties are inclusive (<=)
+    assert got[2][0] == 101                       # latest preceding wins
+    assert got[3] == (None, None)                 # nothing precedes → nulls
+    assert len(got) == 3                          # left rows always survive
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    got = {r.event_id: r.reading
+           for r in as_of_join(left, right, ["user_id"], "ts", "ts",
+                               tolerance_seconds=10).collect()}
+    assert got[1] == 100    # 0 s gap, within tolerance
+    assert got[2] is None   # match exists (30 s back) but exceeds tolerance
+    assert got[3] is None   # no match at all — still present, still null
+
+
+def test_asof_plan_single_shuffle_no_join(spark):
+    left, right = _frames(spark)
+    plan = as_of_join(left, right, ["user_id"], "ts", "ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "as-of must not materialize a join"
+    assert plan.count("Exchange hashpartitioning") == 1, \
+        "as-of must shuffle exactly once (on the keys)"
