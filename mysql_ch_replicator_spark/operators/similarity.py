@@ -139,9 +139,52 @@ def _sq_dists(vec_d: Column, cents: list[list[float]]) -> Column:
     return F.array(*dists)
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int,
+                        dims: int, iters: int = 5,
+                        sample_fraction: float | None = None,
+                        prefix: str = "ivf") -> list[list[float]]:
+    """Lloyd's k-means refinement of the IVF codebook, run as Spark jobs.
+
+    Init = the deterministic pseudo-random centroids (``ivf_centroids``), so
+    the whole training is deterministic — same data, same codebook. Each
+    iteration: assign every vector to its nearest centroid (same JVM-side
+    distance expression the query path uses), then recompute each centroid
+    as the element-wise mean of its cell via posexplode + groupBy(cell, pos)
+    — two shuffles of n×dims skinny rows per iteration. Empty cells keep
+    their previous centroid (standard Lloyd handling).
+
+    At 100 TB you train on a sample, not the corpus — pass
+    ``sample_fraction`` (deterministic seed) and the assign scan shrinks
+    accordingly; the codebook is k×dims floats on the driver either way.
+    Iterative + data-dependent state ⇒ not SQL-oracle-expressible (the
+    driver records the weaker rows-only check for the query built on this);
+    the recall tests pin that training actually helps vs the untrained
+    codebook."""
+    vecs = corpus.select(F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double")).alias("v"))
+    if sample_fraction is not None:
+        vecs = vecs.sample(fraction=sample_fraction, seed=42)
+    vecs = vecs.persist()
+    cents = ivf_centroids(n_cells, dims, prefix)
+    for _ in range(iters):
+        d = _sq_dists(F.col("v"), cents)
+        assigned = vecs.withColumn(
+            "cell", F.array_position(d, F.array_min(d)).cast("int"))
+        means = (assigned.select("cell", F.posexplode("v"))
+                 .groupBy("cell", "pos").agg(F.avg("col").alias("m"))
+                 .collect())
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r.cell - 1][r.pos] = r.m
+        cents = new
+    vecs.unpersist()
+    return cents
+
+
 def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
                probes: int = 1, prefix: str = "ivf",
-               cells_col: str = "cells") -> DataFrame:
+               cells_col: str = "cells",
+               centroids: list[list[float]] | None = None) -> DataFrame:
     """Attach the ``probes`` nearest IVF cell ids (1-based array column).
 
     Argmin is ``array_position(d, array_min(d))`` — first occurrence, so
@@ -157,7 +200,9 @@ def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
     is a written table; here, a cache."""
     vec = F.col(vec_col)
     vec_d = F.transform(vec, lambda x: x.cast("double"))
-    d = _sq_dists(vec_d, ivf_centroids(n_cells, dims, prefix))
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, dims, prefix)
+    d = _sq_dists(vec_d, cents)
     staged = df.withColumn("__d", d).persist()
 
     cells: list[Column] = []
@@ -176,7 +221,8 @@ def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              n_cells: int = 8, probes: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k — the other standard ANN scale path (besides
     LSH): the corpus is inverted into ``n_cells`` centroid cells; each query
     scores only vectors in its ``probes`` nearest cells.
@@ -187,11 +233,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     from ..sources.snapshot import spread
 
     dims = len(corpus.select(vec_col).first()[0])
-    c = ivf_assign(spread(corpus), vec_col, n_cells, dims, probes=1) \
+    c = ivf_assign(spread(corpus), vec_col, n_cells, dims, probes=1,
+                   centroids=centroids) \
         .select(F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("cv"),
                 F.element_at("cells", 1).alias("cell"))
-    q = ivf_assign(queries, vec_col, n_cells, dims, probes=probes) \
+    q = ivf_assign(queries, vec_col, n_cells, dims, probes=probes,
+                   centroids=centroids) \
         .select(F.col(query_id_col).alias("query_id"),
                 F.col(vec_col).alias("qv"),
                 F.explode("cells").alias("cell"))

@@ -430,6 +430,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_cells=8, probes=2)
 
 
+@register("ann_ivf_kmeans_topk", None)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with a k-means-REFINED codebook: 3 Lloyd iterations over
+    the corpus (deterministic init = the pseudo-random centroids, so the
+    whole run is reproducible), then the identical probe path as
+    ann_ivf_topk. Iterative data-dependent training ⇒ no SQL oracle
+    (rows-only check); tests/test_ann_recall.py pins that the trained
+    codebook's recall@10 beats the untrained one on the same data."""
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    cents = train_ivf_centroids(emb, "embedding", n_cells=8, dims=dims,
+                                iters=3)
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=10, n_cells=8, probes=2,
+                    centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mysql_ch_replicator_spark.operators.similarity import (
-    brute_force_topk, ivf_topk, lsh_topk,
+    brute_force_topk, ivf_topk, lsh_topk, train_ivf_centroids,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -64,6 +64,21 @@ def test_ivf_recall_floor(corpus, queries_df, exact):
                                  n_cells=8, probes=2))
     r = _recall(approx, exact)
     assert r >= 0.3, f"IVF recall@10 degenerate: {r:.2f}"
+
+
+def test_ivf_kmeans_training_improves_recall(corpus, queries_df, exact):
+    """The Lloyd refinement must actually move the needle: trained codebook
+    recall@10 >= untrained (same cells/probes/data, deterministic init)."""
+    dims = len(corpus.select("embedding").first()[0])
+    cents = train_ivf_centroids(corpus, "embedding", n_cells=8, dims=dims,
+                                iters=3)
+    trained = _recall(_neighbors(ivf_topk(corpus, queries_df, K, n_cells=8,
+                                          probes=2, centroids=cents)), exact)
+    untrained = _recall(_neighbors(ivf_topk(corpus, queries_df, K, n_cells=8,
+                                            probes=2)), exact)
+    assert trained >= untrained, (
+        f"k-means-refined IVF lost recall: {trained:.2f} < {untrained:.2f}")
+    assert trained >= 0.3, f"trained IVF recall degenerate: {trained:.2f}"
 
 
 def test_ivf_single_cell_is_exhaustive(corpus, queries_df, exact):
