@@ -804,6 +804,103 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_stats",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 6 HOUR, '{_TS_FMT_DUCK}')
+             AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+             AS total_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity closes a session) via
+    Spark's native session_window — one shuffle on the session keys, state
+    merge handled by the engine (streaming/windows.session_window_agg; the
+    same builder works on a stream with a watermark). The oracle derives
+    identical sessions with the classic lag/cumsum construction; both ends
+    define session_end = last event + gap, and an event exactly gap after
+    its predecessor starts a NEW session."""
+    from .streaming.windows import session_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        events, "ts", "6 hours",
+        {"n_events": F.count(F.lit(1)),
+         "total_value": F.sum(F.col("value").cast("decimal(18,2)"))
+                         .cast("decimal(28,2)")},
+        keys=["user_id"])
+    return out.select("user_id",
+                      _ts_str(F.col("session_start")).alias("session_start"),
+                      _ts_str(F.col("session_end")).alias("session_end"),
+                      "n_events", "total_value")
+
+
+@register(
+    "q_range_clicks_before_error",
+    f"""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT e.event_id, COUNT(*) AS n_clicks
+      FROM errors e JOIN clicks c
+        ON e.user_id = c.user_id
+       AND c.ts >= e.ts - INTERVAL 30 MINUTE
+       AND c.ts < e.ts
+      GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '{_TS_FMT_DUCK}') AS error_ts,
+           COALESCE(m.n_clicks, 0) AS n_clicks
+    FROM errors e LEFT JOIN matched m USING (event_id)
+    """,
+)
+def q_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: for every error event, how many clicks the same
+    user made in the preceding 30 minutes. Uses operators/rangejoin.band_join
+    — time-bucketized so Catalyst plans a plain shuffled equi-join on
+    (user_id, bucket) instead of the BroadcastNestedLoopJoin a raw
+    inequality join degenerates to (plan-shape test pins this). Unmatched
+    errors are preserved by joining the aggregate back, not by an outer
+    band join (which would double-count across the exploded buckets)."""
+    from .operators.rangejoin import band_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    clicks = events.where(F.col("event_type") == "click") \
+        .select("user_id", "ts")
+    eps = 1e-6  # open upper bound: strictly before the error instant
+    matched = (band_join(errors, clicks, ["user_id"], "ts", "ts",
+                         lower_seconds=-1800.0, upper_seconds=-eps)
+               .groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks")))
+    return (errors.join(matched, "event_id", "left")
+            .select("event_id", "user_id",
+                    _ts_str(F.col("ts")).alias("error_ts"),
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")))
+
+
+@register(
     "q_asof_click_view",
     f"""
     WITH clicks AS (

@@ -53,3 +53,30 @@ def test_asof_plan_single_shuffle_no_join(spark):
     assert "Join" not in plan, "as-of must not materialize a join"
     assert plan.count("Exchange hashpartitioning") == 1, \
         "as-of must shuffle exactly once (on the keys)"
+
+
+def test_band_join_exact_and_plan(spark):
+    """band_join: inclusive endpoints, exact micro-second boundaries, and
+    the plan guarantee — a shuffled equi-join, never a nested-loop."""
+    import datetime as dt
+    from mysql_ch_replicator_spark.operators.rangejoin import band_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame([(1, 10, t0)],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t0 - dt.timedelta(seconds=30)),   # inside [-60, -1us]
+         (10, t0 - dt.timedelta(seconds=60)),   # exactly lower bound: in
+         (10, t0 - dt.timedelta(seconds=61)),   # just below lower: out
+         (10, t0 - us),                         # exactly upper bound: in
+         (10, t0),                              # left instant itself: out
+         (20, t0 - dt.timedelta(seconds=30))],  # other key: out
+        "user_id long, ts timestamp")
+    got = band_join(left, right, ["user_id"], "ts", "ts",
+                    lower_seconds=-60.0, upper_seconds=-1e-6)
+    assert got.count() == 3
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, \
+        "band join must bucketize into an equi-join"
