@@ -610,3 +610,119 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return pack_and_sample_frames(docs, frame_size=8, step=4) \
         .select("doc_id", "frame_idx", "frame_off")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits / quantization
+# ---------------------------------------------------------------------------
+
+_SPLIT_B_SQL = ("CAST('0x' || substr(md5('{salt}|' || CAST({id} AS VARCHAR)),"
+                " 1, 15) AS BIGINT) % 10000")
+
+
+@register(
+    "split_assignment",
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {_SPLIT_B_SQL.format(salt='split', id='doc_id')} AS b
+          FROM documents)
+    """,
+)
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hash bucket of the doc
+    id (operators/sampling.hash_split) — reproducible on any cluster/
+    partitioning, zero shuffles, unlike df.randomSplit whose assignment
+    depends on the partition layout."""
+    from .operators.sampling import hash_split
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "sample_10pct",
+    f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 {_SPLIT_B_SQL.format(salt='sample', id='doc_id')} AS b
+          FROM documents)
+    WHERE b < 1000
+    """,
+)
+def sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample (operators/sampling.
+    stratified_sample): hash-threshold filter, scan-side, no shuffle; the
+    same salt at a larger fraction yields a SUPERSET (nested-subset
+    experiment design)."""
+    from .operators.sampling import stratified_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+@register(
+    "text_vocab_topk",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+    ),
+    agg AS (
+      SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM w GROUP BY token
+    )
+    SELECT token, tf, df FROM agg
+    ORDER BY df DESC, tf DESC, token LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by document frequency (then term
+    frequency, then token — full tie-break for a deterministic LIMIT).
+    Explode + one hash aggregate; partial map-side aggregation absorbs the
+    token skew ('the' appears in every partition) before the shuffle."""
+    from .functions.hashing import words as words_fn
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select(
+        "doc_id", F.explode(words_fn(F.col("text"))).alias("token"))
+    agg = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    return agg.orderBy(F.col("df").desc(), F.col("tf").desc(), "token") \
+        .limit(100)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, e, list_min(e) AS mn,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, mn AS q_min, scale AS q_scale,
+           CAST(list_sum(list_transform(e, x ->
+             CAST(CASE WHEN scale = 0 THEN 0
+                       ELSE round((x - mn) / scale) END AS BIGINT)))
+             AS BIGINT) AS code_sum
+    FROM p
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (4x compression —
+    the standard serving-index trick): per-vector min/scale + code array,
+    all in one codegen'd pass of array higher-order functions. The integer
+    code SUM is the cross-engine equality check (bit-reproducible float64
+    math, no float-ordering hazard in the hash compare)."""
+    from .operators.sampling import quantize_int8
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", *quantize_int8("embedding"))
+    return q.select(
+        "vec_id", "q_min", "q_scale",
+        F.aggregate("q_codes", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("code_sum"))
