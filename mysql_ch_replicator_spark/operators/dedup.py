@@ -89,6 +89,9 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     in large-star/small-star (O(log n) rounds) — not needed for dedup
     workloads.
     """
+    # pairs is typically the tail of an expensive candidate+verify pipeline;
+    # pin it before the bidirectional union or that pipeline runs TWICE
+    pairs = pairs.persist()
     # the dup-pair graph is tiny relative to the corpus — collapse it to a
     # handful of partitions so each iteration round is a few small tasks,
     # not 200 near-empty ones
@@ -118,6 +121,7 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
         if converged:
             break
     edges.unpersist()
+    pairs.unpersist()
     return (all_ids.join(labels.select(F.col("id").alias("doc_id"), "lbl"),
                          "doc_id", "left")
             .select("doc_id",
