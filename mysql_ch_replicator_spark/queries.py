@@ -299,6 +299,59 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(price * (1 - disc)).alias("revenue")))
 
 
+@register(
+    "q_semi_returned_orders",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_semi_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS ⇒ LEFT SEMI join — emits each order at most
+    once with no dedup step and never materializes match multiplicity
+    (a plain inner join + distinct would shuffle |matching lineitems| rows;
+    the semi join short-circuits per key at the probe). Filter on the probe
+    side pushes to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (o.join(returned, o.o_orderkey == returned.l_orderkey,
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "q_anti_parts_no_bulk",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_parts
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity > 45)
+    GROUP BY p.p_brand
+    """,
+)
+def q_anti_parts_no_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ⇒ LEFT ANTI join: parts never ordered in bulk
+    (quantity > 45). The probe side is reduced to DISTINCT keys before the
+    shuffle — correctness-neutral for semi/anti semantics but shrinks the
+    exchanged bytes to |distinct keys| (at 100 TB lineitem, the difference
+    between shuffling the fact table and shuffling a key list)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk_keys = li.where(F.col("l_quantity") > 45) \
+        .select("l_partkey").distinct()
+    return (p.join(bulk_keys, p.p_partkey == bulk_keys.l_partkey,
+                   "left_anti")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts")))
+
+
 # ---------------------------------------------------------------------------
 # Type-conversion pipeline (SURVEY.md §2.4 C-series + §2.5 D1 parser + F4)
 # ---------------------------------------------------------------------------
