@@ -80,3 +80,70 @@ def test_band_join_exact_and_plan(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, \
         "band join must bucketize into an equi-join"
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check: as_of_join == pandas.merge_asof (backward,
+    inclusive) on 500 left x 300 right rows over 20 keys, fixed seed."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "event_id": np.arange(500),
+        "k": rng.integers(0, 20, 500),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 500), unit="s"),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 20, 300),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 300), unit="s"),
+        "val": np.arange(300),
+    })
+    # merge_asof needs unique (k, ts) on the right for a well-defined match
+    right_pd = right_pd.sort_values("val").groupby(["k", "ts"], as_index=False).last()
+
+    exp = pd.merge_asof(
+        left_pd.sort_values("ts"), right_pd.sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True)
+    expected = {int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+                for r in exp.itertuples()}
+
+    got_df = as_of_join(spark.createDataFrame(left_pd),
+                        spark.createDataFrame(right_pd),
+                        ["k"], "ts", "ts")
+    got = {r.event_id: r.val for r in got_df.collect()}
+    assert got == expected
+
+
+def test_band_join_matches_naive(spark):
+    """Randomized cross-check: bucketized band join == naive inequality
+    join on the same data (the naive form is the semantics definition;
+    the bucketized form is the plan we actually run)."""
+    import numpy as np
+    from mysql_ch_replicator_spark.operators.rangejoin import band_join
+
+    rng = np.random.default_rng(11)
+    left = spark.createDataFrame(
+        [(int(i), int(rng.integers(0, 10)),
+          int(rng.integers(0, 5_000_000)))
+         for i in range(300)],
+        "lid long, k long, us long").select(
+        "lid", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+    right = spark.createDataFrame(
+        [(int(i), int(rng.integers(0, 10)),
+          int(rng.integers(0, 5_000_000)))
+         for i in range(300)],
+        "rid long, k long, us long").select(
+        "rid", "k", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    lo, hi = -90.0, 30.0
+    got = {(r.lid, r.rid) for r in
+           band_join(left, right, ["k"], "ts", "ts", lo, hi).collect()}
+    l, r = left.alias("l"), right.alias("r")
+    lus, rus = F.unix_micros(F.col("l.ts")), F.unix_micros(F.col("r.ts"))
+    naive = {(row.lid, row.rid) for row in
+             l.join(r, (F.col("l.k") == F.col("r.k"))
+                    & (rus >= lus + int(lo * 1e6))
+                    & (rus <= lus + int(hi * 1e6))).select("lid", "rid")
+              .collect()}
+    assert got == naive and len(got) > 100
