@@ -71,3 +71,23 @@ def session_window_agg(df: DataFrame, ts_col: str, gap: str,
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
         *keys, *aggs.keys())
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
+                 watermark: str) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: drop re-deliveries
+    of the same key seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is GC'd as the watermark
+    advances, so memory is bounded by the horizon × key cardinality, not by
+    stream length; plain ``dropDuplicates`` on a stream retains ALL keys
+    forever and OOMs a long-running job).
+
+    This is the stream-side analog of the engine's seq replay guard
+    (engine.py apply_batch): the guard dedups at the APPLY boundary using
+    durable per-table state; this operator dedups IN-FLIGHT, upstream of any
+    stateful aggregation that must not double-count. On a batch frame it
+    degrades to plain dropDuplicates (same semantics, no state)."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(keys)

@@ -137,3 +137,54 @@ def test_running_key_stats_stateful(spark, tmp_path):
         assert latest[2] == (1, 5.0, 2)
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids across micro-batches within the watermark horizon
+    are dropped; the downstream count never double-counts."""
+    from mysql_ch_replicator_spark.streaming.windows import stream_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    with open(src / "0.jsonl", "w") as fh:
+        for r in [
+            {"event_id": 1, "value": 1.0, "ts": "2024-01-01T10:00:10.000Z"},
+            {"event_id": 2, "value": 2.0, "ts": "2024-01-01T10:00:20.000Z"},
+            {"event_id": 1, "value": 1.0, "ts": "2024-01-01T10:00:10.000Z"},
+        ]:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_id long, value double, ts timestamp")
+              .json(str(src)))
+    deduped = stream_dedup(stream, ["event_id"], "ts", "10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # second delivery of event 1 arrives in a LATER file/micro-batch —
+        # state from batch 1 must still suppress it
+        with open(src / "1.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"event_id": 1, "value": 1.0,
+                 "ts": "2024-01-01T10:00:11.000Z"}) + "\n")
+            fh.write(json.dumps(
+                {"event_id": 3, "value": 3.0,
+                 "ts": "2024-01-01T10:00:30.000Z"}) + "\n")
+        q.processAllAvailable()
+        got = sorted(r.event_id for r in spark.table("dedup_out").collect())
+        assert got == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_batch_degrades(spark):
+    from mysql_ch_replicator_spark.streaming.windows import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01")],
+        "event_id long, ts string").select(
+        "event_id", F.col("ts").cast("timestamp"))
+    assert stream_dedup(df, ["event_id"], "ts", "1 hour").count() == 1
