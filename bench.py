@@ -83,6 +83,48 @@ def bench_streaming(spark) -> dict:
     }
 
 
+def bench_snapshot(spark, sf_dir: str) -> dict:
+    """Initial-replication throughput, the analog of the reference's
+    snapshot perf harness (tests/test_performance.py:173–291, 300k rows
+    serial-vs-parallel): snapshot the sf lineitem table (~600k rows at
+    sf0.1) through the full engine path — typed projection, version
+    stamping, partitioned parquet publish — and report rows/s. Parallelism
+    here is Spark's scan/write partitioning rather than the reference's
+    worker processes."""
+    import shutil
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".scratch", "bench_snapshot")
+    shutil.rmtree(scratch, ignore_errors=True)
+    engine = ReplicaEngine(spark, os.path.join(scratch, "replica"))
+    engine.create_table("bench", """CREATE TABLE lineitem (
+      l_orderkey bigint NOT NULL,
+      l_linenumber int NOT NULL,
+      l_partkey bigint,
+      l_suppkey bigint,
+      l_quantity double,
+      l_extendedprice double,
+      l_discount double,
+      l_tax double,
+      l_returnflag varchar(1),
+      l_linestatus varchar(1),
+      l_shipdate datetime,
+      PRIMARY KEY (l_orderkey, l_linenumber)
+    )""")
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = src.count()  # outside the timed window (footer-only anyway)
+
+    t0 = time.perf_counter()
+    engine.snapshot_table("bench", "lineitem", src)
+    wall = time.perf_counter() - t0
+    stored = engine.read_raw("bench", "lineitem").count()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return {"rows": n, "wall_s": round(wall, 2),
+            "rows_per_sec": round(n / wall), "stored_rows": stored}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -120,6 +162,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     streaming = bench_streaming(spark)
+    snapshot = bench_snapshot(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -129,6 +172,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "streaming": streaming,
+        "snapshot": snapshot,
     }))
     spark.stop()
 
