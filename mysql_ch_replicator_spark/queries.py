@@ -24,7 +24,7 @@ from collections.abc import Callable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.replica import (
@@ -297,6 +297,43 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(ord_b, li.l_orderkey == F.col("o_orderkey"))
             .groupBy("n_name")
             .agg(F.sum(price * (1 - disc)).alias("revenue")))
+
+
+@register(
+    "q_pivot_events_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                         FILTER (event_type = 'purchase'), 0)
+                AS DECIMAL(28,2)) AS purchase_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) via conditional aggregation: one hash aggregate,
+    no second shuffle — ``df.groupBy().pivot()`` with an explicit value
+    list compiles to the same plan, but the explicit form keeps the output
+    schema static (a streaming/contract requirement) and never runs
+    pivot's values-discovery pre-query. Day extraction uses the UTC-pinned
+    session zone (load_table), matching DuckDB's naive-timestamp CAST."""
+    events = load_table(spark, sf_dir, "events")
+
+    def _n(t: str) -> Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    purchase_val = F.sum(
+        F.when(F.col("event_type") == "purchase",
+               F.col("value").cast("decimal(18,2)")))
+    return (events.groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(_n("click"), _n("view"), _n("error"), _n("purchase"),
+                 _n("signup"),
+                 F.coalesce(purchase_val, F.lit(0).cast("decimal(18,2)"))
+                  .cast("decimal(28,2)").alias("purchase_value")))
 
 
 @register(
