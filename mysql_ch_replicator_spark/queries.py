@@ -300,6 +300,34 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_salted_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators/skew.salted_agg):
+    rows first aggregate per (key, salt-of-row) — spreading a hot key over
+    16 buckets/tasks — then partials combine per key. The oracle is the
+    PLAIN single-phase GROUP BY: the check proves salting is semantics-
+    neutral, which is the entire point (decomposable aggregates commute
+    with the salt split). At 100 TB this is the hand tool for skew that
+    AQE's skew-join handling doesn't cover (aggregation, not join)."""
+    from .operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events.select("user_id", "value"), ["user_id"],
+        {"n_events": F.count(F.lit(1)),
+         "total": F.sum(F.col("value").cast("decimal(18,2)"))},
+        {"n_events": F.sum("n_events"),
+         "total": F.sum("total").cast("decimal(28,2)")})
+    return out.select("user_id", "n_events", "total")
+
+
+@register(
     "q_pivot_events_daily",
     """
     SELECT CAST(ts AS DATE) AS day,

@@ -108,3 +108,37 @@ def test_ddl_parser_roundtrip(table):
         assert field.params.replace(" ", "") == params
         assert field.unsigned == unsigned
         assert field.nullable == (nullable and n != pk)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check of the iterative min-label propagation against
+    a driver-side union-find on 400 nodes / 300 random edges (seed fixed).
+    Long chains and multi-merge components exercise >1 propagation round."""
+    import numpy as np
+
+    from mysql_ch_replicator_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(3)
+    n = 400
+    edges = [(int(min(a, b)), int(max(a, b)))
+             for a, b in rng.integers(0, n, (300, 2)) if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r.doc_id: r.dup_of
+           for r in connected_components(pairs, ids).collect()}
+    assert got == expected
