@@ -101,11 +101,18 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
              .distinct().repartition(8, "src").persist())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")).localCheckpoint())
-    for _ in range(max_iter):
-        prop = (edges.join(labels.select(F.col("id").alias("src"),
-                                         F.col("lbl").alias("slbl")), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("slbl").alias("nlbl")))
+    for round_no in range(max_iter):
+        if round_no == 0:
+            # identity labels: label(src) == src, so round 0 needs no
+            # edges x labels join — the propagation is a bare aggregation
+            prop = (edges.groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("src").alias("nlbl")))
+        else:
+            prop = (edges.join(labels.select(F.col("id").alias("src"),
+                                             F.col("lbl").alias("slbl")),
+                               "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("slbl").alias("nlbl")))
         # the changed flag rides along in the same projection, so
         # convergence detection costs no extra join — just a scan of the
         # checkpointed round output
