@@ -11,6 +11,11 @@ Each entry is ``name -> (spark_builder, oracle_sql | None)``:
 Cross-engine determinism rules (the driver hash-compares values):
 
 - aggregates go through DECIMAL, never DOUBLE sums (bit-exact in both engines)
+- DECIMAL outputs are rendered as canonical fixed-point STRINGS in the final
+  projection on both sides (``CAST(x AS VARCHAR)``): the numeric value is
+  engine-identical but the in-memory decimal *representation* (precision
+  metadata, arrow width) is not, and the driver hashes representations.
+  Strings are the portable surface — same trick the timestamp columns use.
 - timestamps are emitted as formatted strings (Spark TimestampType is an
   instant, DuckDB TIMESTAMP is naive — string form with session tz pinned to
   UTC is the portable representation)
@@ -75,7 +80,7 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     )
     SELECT user_id,
            event_type AS last_event_type,
-           CAST(value AS DECIMAL(18,2)) AS last_value,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS last_value,
            strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
     FROM ranked
     WHERE rn = 1 AND event_type <> 'error'
@@ -106,7 +111,8 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("user_id"),
                 F.col("event_type").alias("last_event_type"),
-                F.col("value").cast("decimal(18,2)").alias("last_value"),
+                F.col("value").cast("decimal(18,2)").cast("string")
+                 .alias("last_value"),
                 _ts_str(F.col("ts")).alias("last_ts"),
             ))
 
@@ -119,7 +125,8 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
       FROM events
     )
-    SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value,
+    SELECT user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
            strftime(ts, '{_TS_FMT_DUCK}') AS ts, _version
     FROM ranked WHERE rn = 1
     """,
@@ -136,7 +143,7 @@ def replica_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = dedup_final_agg(versioned, ["user_id"])
     return final.select(
         "user_id", "event_type",
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"),
         _ts_str(F.col("ts")).alias("ts"),
         "_version",
     )
@@ -189,52 +196,71 @@ def keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     """
+    WITH src AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4)) AS disc_price,
+             CAST(l_tax AS DECIMAL(18,2)) AS tax
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+           CAST(SUM(qty) AS VARCHAR) AS sum_qty,
+           CAST(SUM(price) AS VARCHAR) AS sum_base_price,
+           CAST(SUM(disc_price) AS VARCHAR) AS sum_disc_price,
+           CAST(SUM(CAST(disc_price * (1 + tax) AS DECIMAL(18,6)))
+                AS VARCHAR) AS sum_charge,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM src
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.
     Decimal arithmetic for bit-exact cross-engine results; the shipdate
-    filter is pushed into the parquet scan."""
+    filter is pushed into the parquet scan. Intermediate products are
+    pinned to explicit (precision, scale) per row — Spark and DuckDB share
+    the s1+s2 multiplication scale rule but diverge on precision-overflow
+    handling, so capping at DECIMAL(18,s) keeps both engines on the exact
+    same arithmetic; sums render as canonical fixed-point strings."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = (price * (1 - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (1 + tax)).cast("decimal(18,6)")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(qty).alias("sum_qty"),
-                 F.sum(price).alias("sum_base_price"),
-                 F.sum(price * (1 - disc)).alias("sum_disc_price"),
-                 F.sum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            .agg(F.sum(qty).cast("string").alias("sum_qty"),
+                 F.sum(price).cast("string").alias("sum_base_price"),
+                 F.sum(disc_price).cast("string").alias("sum_disc_price"),
+                 F.sum(charge).cast("string").alias("sum_charge"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
 @register(
     "q3_revenue_join",
     """
-    SELECT l.l_orderkey,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
+    WITH top AS (
+      SELECT l.l_orderkey,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(18,4))) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    )
+    SELECT l_orderkey, CAST(revenue AS VARCHAR) AS revenue, o_orderdate
+    FROM top
     """,
 )
 def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,11 +280,14 @@ def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     return (li.join(ord_b, li.l_orderkey == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.sum(price * (1 - disc)).alias("revenue"))
+            .agg(F.sum((price * (1 - disc)).cast("decimal(18,4)"))
+                  .alias("revenue"))
             .select("l_orderkey", "revenue",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-            .limit(10))
+            .limit(10)
+            .select("l_orderkey", F.col("revenue").cast("string").alias("revenue"),
+                    "o_orderdate"))
 
 
 @register(
@@ -303,7 +332,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_skew_salted_user_stats",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                AS VARCHAR) AS total
     FROM events GROUP BY user_id
     """,
 )
@@ -324,7 +354,8 @@ def q_skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          "total": F.sum(F.col("value").cast("decimal(18,2)"))},
         {"n_events": F.sum("n_events"),
          "total": F.sum("total").cast("decimal(28,2)")})
-    return out.select("user_id", "n_events", "total")
+    return out.select("user_id", "n_events",
+                      F.col("total").cast("string").alias("total"))
 
 
 @register(
@@ -336,9 +367,9 @@ def q_skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (event_type = 'error')    AS n_error,
            COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
            COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
-           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
-                         FILTER (event_type = 'purchase'), 0)
-                AS DECIMAL(28,2)) AS purchase_value
+           CAST(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                              FILTER (event_type = 'purchase'), 0)
+                     AS DECIMAL(28,2)) AS VARCHAR) AS purchase_value
     FROM events GROUP BY 1
     """,
 )
@@ -361,7 +392,8 @@ def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(_n("click"), _n("view"), _n("error"), _n("purchase"),
                  _n("signup"),
                  F.coalesce(purchase_val, F.lit(0).cast("decimal(18,2)"))
-                  .cast("decimal(28,2)").alias("purchase_value")))
+                  .cast("decimal(28,2)").cast("string")
+                  .alias("purchase_value")))
 
 
 @register(
@@ -454,9 +486,9 @@ CREATE TABLE conv_demo (
                 AS SMALLINT) AS tiny_u,
            CAST(CASE WHEN int_raw < 0 THEN int_raw + 4294967296 ELSE int_raw END
                 AS BIGINT) AS int_u,
-           CAST(CASE WHEN big_raw < 0
+           CAST(CAST(CASE WHEN big_raw < 0
                      THEN CAST(big_raw AS HUGEINT) + 18446744073709551616
-                     ELSE big_raw END AS DECIMAL(20,0)) AS big_u,
+                     ELSE big_raw END AS DECIMAL(20,0)) AS VARCHAR) AS big_u,
            CASE enum_idx WHEN 0 THEN '0' WHEN 1 THEN 'low' WHEN 2 THEN 'mid'
                          WHEN 3 THEN 'high' WHEN 4 THEN 'ultra' END AS status,
            concat_ws(',',
@@ -498,7 +530,9 @@ def type_conversion_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 3 == 0, F.lit("0000-00-00")).otherwise(F.lit("2024-01-15")),
         F.lit(None).cast("string"),
     ).alias("payload"))
-    return convert_payload(payload, st)
+    out = convert_payload(payload, st)
+    # decimal(20,0) big_u → canonical digit string (see module docstring)
+    return out.withColumn("big_u", F.col("big_u").cast("string"))
 
 
 @register(
@@ -598,7 +632,7 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            event_type AS last_event,
-           CAST(value AS DECIMAL(18,2)) AS value
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
     FROM ranked
     WHERE rn = 1 AND event_type <> 'error'
     """,
@@ -639,7 +673,8 @@ def cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     engine.apply_batch(cdc)
     return engine.read_final("drv", "user_state") \
-        .select("user_id", "last_event", "value")
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
 
 
 def _cdc_event_df(events: DataFrame, db: str, table: str,
@@ -696,7 +731,7 @@ _USER_STATE_DDL = """CREATE TABLE user_state (
       FROM events
     )
     SELECT user_id, event_type AS last_event,
-           CAST(value AS DECIMAL(18,2)) AS value
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
     """,
 )
@@ -721,7 +756,8 @@ def event_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.create_table("rep", _USER_STATE_DDL)
     engine.apply_batch(read_event_log(spark, evdir, pattern="part-*"))
     return engine.read_final("rep", "user_state") \
-        .select("user_id", "last_event", "value")
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
 
 
 @register(
@@ -733,7 +769,7 @@ def event_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type <> 'error'
     )
     SELECT user_id, event_type AS last_event,
-           CAST(value AS DECIMAL(18,2)) AS value
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
     FROM ranked WHERE rn = 1
     """,
 )
@@ -752,7 +788,8 @@ def cdc_ignore_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     engine.apply_batch(_cdc_event_df(events, "rep", "user_state"))
     return engine.read_final("rep", "user_state") \
-        .select("user_id", "last_event", "value")
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
 
 
 @register(
@@ -764,7 +801,7 @@ def cdc_ignore_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_type AS last_event,
-           CAST(value AS DECIMAL(18,2)) AS value
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
     """,
 )
@@ -785,7 +822,8 @@ def compaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.optimize("rep", "user_state")
     # raw read: proves compaction materialized the collapse + dropped deletes
     return engine.read_raw("rep", "user_state") \
-        .select("user_id", "last_event", "value")
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
 
 
 @register(
@@ -823,8 +861,8 @@ def snapshot_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_type AS last_event,
-           CASE WHEN event_id >= (SELECT s FROM split)
-                THEN CAST(value AS DECIMAL(18,2)) END AS value
+           CAST(CASE WHEN event_id >= (SELECT s FROM split)
+                THEN CAST(value AS DECIMAL(18,2)) END AS VARCHAR) AS value
     FROM ranked WHERE rn = 1 AND event_type <> 'error'
     """,
 )
@@ -864,7 +902,8 @@ def schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.apply_batch(pre.select(*EVENT_SCHEMA.names).unionAll(ddl)
                        .unionAll(post.select(*EVENT_SCHEMA.names)))
     return engine.read_final("rep", "user_state") \
-        .select("user_id", "last_event", "value")
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
 
 
 @register(
@@ -898,7 +937,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                AS VARCHAR) AS total
     FROM events
     GROUP BY 1, 2
     """,
@@ -918,7 +958,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("decimal(28,2)")},
         keys=["event_type"])
     return out.select(_ts_str(F.col("window_start")).alias("window_start"),
-                      "event_type", "n", "total")
+                      "event_type", "n",
+                      F.col("total").cast("string").alias("total"))
 
 
 @register(
@@ -942,8 +983,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(max(ts) + INTERVAL 6 HOUR, '{_TS_FMT_DUCK}')
              AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
-             AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                AS VARCHAR) AS total_value
     FROM numbered GROUP BY user_id, sid
     """,
 )
@@ -967,7 +1008,8 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id",
                       _ts_str(F.col("session_start")).alias("session_start"),
                       _ts_str(F.col("session_end")).alias("session_end"),
-                      "n_events", "total_value")
+                      "n_events",
+                      F.col("total_value").cast("string").alias("total_value"))
 
 
 @register(
@@ -1062,8 +1104,8 @@ def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
            COALESCE(o_orderstatus, 'ALL') AS status,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                AS DECIMAL(28,2)) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(28,2)) AS VARCHAR) AS revenue,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
@@ -1077,7 +1119,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (o.rollup("o_orderpriority", "o_orderstatus")
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                  .cast("decimal(28,2)").alias("revenue"),
+                  .cast("decimal(28,2)").cast("string").alias("revenue"),
                  F.count(F.lit(1)).alias("n_orders"))
             .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
                     F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -1096,7 +1138,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OVER (PARTITION BY o_custkey) AS DECIMAL(28,2)) AS cust_total
       FROM orders
     )
-    SELECT o_custkey, o_orderkey, price, rnk, cust_total
+    SELECT o_custkey, o_orderkey,
+           CAST(price AS VARCHAR) AS price, rnk,
+           CAST(cust_total AS VARCHAR) AS cust_total
     FROM ranked WHERE rnk <= 2
     """,
 )
@@ -1115,7 +1159,10 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_cust.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
          .alias("rnk"),
         F.sum(price).over(by_cust).cast("decimal(28,2)").alias("cust_total"))
-    return ranked.where(F.col("rnk") <= 2)
+    return (ranked.where(F.col("rnk") <= 2)
+            .select("o_custkey", "o_orderkey",
+                    F.col("price").cast("string").alias("price"), "rnk",
+                    F.col("cust_total").cast("string").alias("cust_total")))
 
 
 @register(

@@ -20,8 +20,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # NOTE: deliberately strict for decimals — str() keeps the scale
+    # (trailing zeros), mirroring the driver's representation-sensitive
+    # hash. Registered queries avoid raw DECIMAL outputs entirely
+    # (rendered as strings, see queries.py docstring); this check is the
+    # local tripwire for any that slip through.
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
