@@ -436,11 +436,15 @@ class ReplicaEngine:
             rows = rows.where(F.col("event_type") != OP_REMOVE)
 
         order = F.struct(F.col("seq"), F.col("idx"))
+        # REMOVE payloads are PK-only, packed in primary_keys order —
+        # convert_payload reads them PK-relative (writer contract,
+        # sources/event_log.py remove())
         typed = convert_payload(
             rows.select("seq", "idx", "event_type",
                         F.col("record").alias("payload")),
             st, mysql_timezone=self.mysql_timezone,
-            types_mapping=self.types_mapping)
+            types_mapping=self.types_mapping,
+            remove_op_col="event_type", remove_op_value=OP_REMOVE)
 
         # K1/K2 — final op per key (ADD↔REMOVE annihilation)
         final_ops = collapse_batch(typed, pks, seq_col=order,

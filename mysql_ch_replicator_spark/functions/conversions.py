@@ -248,23 +248,50 @@ def conversion_expr(field: TableField, col: Column,
 def convert_payload(df, structure, payload_col: str = "payload",
                     mysql_timezone: str = "UTC",
                     types_mapping: dict[str, str] | None = None,
-                    only_primary: bool = False):
+                    only_primary: bool = False,
+                    remove_op_col: str | None = None,
+                    remove_op_value: int = 2):
     """Project a positional string-array payload column into named, typed
     columns per the table structure (reference convert_records,
     converter.py:575–671; F4/F5).
 
     ``only_primary`` converts just the PK columns — the delete path
     (reference converter.py:581–583); Catalyst then prunes everything else.
+
+    ``remove_op_col``: REMOVE payloads carry **PK values only, packed
+    densely at positions 1..k in ``primary_keys`` order** (the writer
+    contract, sources/event_log.py ``EventLogWriter.remove``; mirrors the
+    reference converting delete records by name, converter.py:581–583).
+    When set, rows whose ``remove_op_col`` equals ``remove_op_value``
+    read each PK column at its PK-relative position instead of its
+    structural ordinal — without this, any table whose PK columns are not
+    the leading columns would resolve the tombstone key from the wrong
+    slot (NULL → NOT-NULL default) and delete the wrong row. Non-PK
+    columns of REMOVE rows are read as NULL so a dense PK value is never
+    misread as a data column. Built as one per-column CASE — single scan,
+    stays in whole-stage codegen.
     """
     fields = structure.fields
     if only_primary:
         fields = [f for f in fields if f.name in structure.primary_keys]
+    pk_order = list(structure.primary_keys)
     exprs = []
     for f in fields:
         pos = structure.field_names.index(f.name) + 1  # 1-based
         # try_element_at: a payload shorter than the structure (an event
         # recorded before an ADD COLUMN) yields NULL → NOT-NULL default
         raw = F.try_element_at(F.col(payload_col), F.lit(pos))
+        if remove_op_col is not None:
+            is_remove = F.col(remove_op_col) == F.lit(remove_op_value)
+            if f.name in pk_order:
+                pk_pos = pk_order.index(f.name) + 1
+                raw = F.when(
+                    is_remove,
+                    F.try_element_at(F.col(payload_col), F.lit(pk_pos)),
+                ).otherwise(raw)
+            else:
+                raw = F.when(is_remove,
+                             F.lit(None).cast("string")).otherwise(raw)
         exprs.append(conversion_expr(f, raw, mysql_timezone, types_mapping))
     keep = [c for c in df.columns if c != payload_col]
     return df.select(*keep, *exprs)

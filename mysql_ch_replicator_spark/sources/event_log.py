@@ -106,6 +106,12 @@ class EventLogWriter:
                     "query": None})
 
     def remove(self, db: str, table: str, pk_records: list) -> None:
+        """REMOVE event. Each record carries **primary-key values only,
+        in the table's ``primary_keys`` declaration order** (dense, 1..k)
+        — NOT at the columns' structural ordinals. The engine converts
+        these PK-relative (functions/conversions.py convert_payload
+        ``remove_op_col``), matching the reference's by-name delete
+        conversion (converter.py:581–583)."""
         self._emit({"db": db, "table": table, "event_type": EVENT_TYPE_REMOVE,
                     "payload": [self._serialize(r) for r in pk_records],
                     "query": None})

@@ -70,6 +70,34 @@ def test_composite_pk_delete_f08(engine, spark, tmp_path):
     assert _final_rows(engine, "composite_pk") == {(10, 20), (50, 60)}
 
 
+def test_non_prefix_pk_delete(engine, spark, tmp_path):
+    """REMOVE payloads are dense PK-ordered (positions 1..k), not at
+    structural ordinals — a table whose PK is NOT the leading column must
+    still delete the right key (ADVICE r1 high: positional misread
+    coalesced the PK to its NOT-NULL default and deleted the wrong row)."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, """CREATE TABLE mid_pk (
+      label varchar(32), id int NOT NULL, score int,
+      PRIMARY KEY (id))""")
+    log.add(DB, "mid_pk", [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)])
+    log.remove(DB, "mid_pk", [(2,)])   # dense: id at payload position 1
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine, "mid_pk") == {("a", 1, 10), ("c", 3, 30)}
+
+
+def test_reordered_composite_pk_delete(engine, spark, tmp_path):
+    """Composite PK declared in a different order than the columns appear
+    in the structure: the REMOVE payload follows primary_keys order."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, """CREATE TABLE rev_pk (
+      a int NOT NULL, b varchar(16), c int NOT NULL,
+      PRIMARY KEY (c, a))""")
+    log.add(DB, "rev_pk", [(1, "x", 100), (2, "y", 200), (3, "z", 300)])
+    log.remove(DB, "rev_pk", [(200, 2)])   # (c, a) order
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine, "rev_pk") == {(1, "x", 100), (3, "z", 300)}
+
+
 def test_replay_idempotent_f03(engine, spark, tmp_path):
     """F3 — applying the same batch twice must not change the result
     (restart resumes one checkpoint early, reference binlog_replicator
