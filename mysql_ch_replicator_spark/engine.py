@@ -156,6 +156,25 @@ class ReplicaEngine:
     def structure(self, db: str, table: str) -> TableStructure:
         return _structure_from_dict(self.load_meta(db, table)["structure"])
 
+    # -- DDL replay watermark ----------------------------------------------
+
+    def _db_meta_path(self, db: str) -> str:
+        return os.path.join(self.root, db, "_db_meta.json")
+
+    def last_ddl_seq(self, db: str) -> int:
+        try:
+            with open(self._db_meta_path(db), encoding="utf-8") as fh:
+                return int(json.load(fh).get("last_ddl_seq", -1))
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _set_last_ddl_seq(self, db: str, seq: int) -> None:
+        os.makedirs(os.path.join(self.root, db), exist_ok=True)
+        tmp = self._db_meta_path(db) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"last_ddl_seq": int(seq)}, fh)
+        os.replace(tmp, self._db_meta_path(db))  # atomic publish
+
     # -- DDL ----------------------------------------------------------------
 
     def create_table(self, db: str, create_sql: str) -> TableStructure:
@@ -171,14 +190,19 @@ class ReplicaEngine:
             st = TableStructure(fields=list(src.fields),
                                 primary_keys=list(src.primary_keys),
                                 table_name=st.table_name, charset=src.charset)
+        meta = {"structure": _structure_to_dict(st),
+                "last_version": 0, "last_seq": -1}
         if self.table_exists(db, st.table_name):
             if "if not exists" in create_sql.lower():
                 return self.structure(db, st.table_name)
-        self.save_meta(db, st.table_name, {
-            "structure": _structure_to_dict(st),
-            "last_version": 0,
-            "last_seq": -1,
-        })
+            # re-CREATE over an existing table (at-least-once DDL replay,
+            # or CREATE after an unseen DROP): never reset the version/seq
+            # watermarks — doing so would break per-key version
+            # monotonicity for latest-wins reads over existing data
+            old = self.load_meta(db, st.table_name)
+            meta["last_version"] = old.get("last_version", 0)
+            meta["last_seq"] = old.get("last_seq", -1)
+        self.save_meta(db, st.table_name, meta)
         return st
 
     def execute_ddl(self, db: str, query: str, seq: int | None = None) -> None:
@@ -190,6 +214,14 @@ class ReplicaEngine:
                 not self.settings.is_database_matches(db):
             return
         tdb = self._target(db, "")[0]
+        # DDL replay guard: foreachBatch is at-least-once, and unlike row
+        # events (guarded per-table by last_seq) DDLs are not naturally
+        # idempotent — a replayed RENAME/ALTER must be skipped, not
+        # re-applied (the reference's state.pckl position serves the same
+        # role, db_replicator.py:33–86)
+        if seq is not None:
+            if seq <= self.last_ddl_seq(tdb):
+                return
         q = query.strip().lower()
         if q.startswith("create table"):
             self.create_table(tdb, query)
@@ -217,6 +249,8 @@ class ReplicaEngine:
                 shutil.rmtree(data)
         # anything else (CREATE INDEX, SET, BEGIN...): ignored, like the
         # reference's pattern-matched dispatch
+        if seq is not None:
+            self._set_last_ddl_seq(tdb, seq)
 
     def _apply_alter(self, db: str, query: str) -> None:
         table, ops = parse_alter_table(query)

@@ -66,6 +66,12 @@ class TableStructure:
         """Positional insert — ADD COLUMN [FIRST | AFTER x] (reference
         table_structure.py:28–44). Position matters because CDC payloads are
         positional tuples aligned to the MySQL column order."""
+        if new.name in self.field_names:
+            # idempotent under at-least-once DDL replay: a re-applied
+            # ADD COLUMN must not append a duplicate (which would make
+            # every later payload projection emit duplicate column names)
+            self.update_field(new)
+            return
         if first:
             self.fields.insert(0, new)
         elif after is not None:

@@ -116,6 +116,41 @@ def test_replay_idempotent_f03(engine, spark, tmp_path):
     assert {tuple(r)[:3] for r in v1} == {(1, "A2", 2)}
 
 
+def test_ddl_replay_idempotent(engine, spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch containing DDL must
+    not re-apply the DDL (duplicate ADD COLUMN would poison the structure
+    with duplicate names; replayed CREATE would reset version watermarks)."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1)])
+    log.ddl(DB, "ALTER TABLE users ADD COLUMN city varchar(32)")
+    log.add(DB, "users", [(2, "B", 2, "Paris")])
+    batch = read_event_log(spark, str(tmp_path / "log"))
+    engine.apply_batch(batch)
+    v1 = sorted(map(tuple, engine.read_final(DB, "users").collect()))
+    st1 = engine.structure(DB, "users").field_names
+    engine.apply_batch(batch)  # simulated retry of the same micro-batch
+    v2 = sorted(map(tuple, engine.read_final(DB, "users").collect()))
+    st2 = engine.structure(DB, "users").field_names
+    assert st1 == st2 == ["id", "name", "age", "city"]
+    assert v1 == v2
+    assert engine.load_meta(DB, "users")["last_version"] > 0
+
+
+def test_recreate_preserves_version_watermark(engine, spark, tmp_path):
+    """A replayed CREATE TABLE (no IF NOT EXISTS) over an existing table
+    must not reset last_version/last_seq over existing data."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    before = engine.load_meta(DB, "users")
+    engine.create_table(DB, USERS_DDL)  # direct re-create, no seq guard
+    after = engine.load_meta(DB, "users")
+    assert after["last_version"] == before["last_version"]
+    assert after["last_seq"] == before["last_seq"]
+
+
 def test_version_monotonic_across_batches(engine, spark, tmp_path):
     log1 = EventLogWriter(str(tmp_path / "log1"))
     engine.create_table(DB, USERS_DDL)
