@@ -49,7 +49,7 @@ def bench_streaming(spark) -> dict:
     )""")
 
     log_dir = os.path.join(scratch, "log")
-    log = EventLogWriter(log_dir)
+    log = EventLogWriter(log_dir, live=True)  # complete-at-first-visibility
     n, per_event, events_per_file = 100_000, 2_000, 5
     for i in range(0, n, per_event):
         log.add("bench", "t",

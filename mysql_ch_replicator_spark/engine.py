@@ -288,7 +288,24 @@ class ReplicaEngine:
         meta["structure"] = _structure_to_dict(st)
         self.save_meta(db, table, meta)
 
+    def _recover_data_dir(self, db: str, table: str) -> None:
+        """Crash recovery for the staging-rename publish protocol
+        (_overwrite_data): between ``rename(data, old)`` and
+        ``rename(staging, data)`` the table briefly has no data dir — a
+        crash there must not silently empty the table. Leftover ``.old``
+        with no ``data`` → roll back; orphaned ``.staging`` or ``.old``
+        next to a live ``data`` → incomplete/superseded, drop them."""
+        data = self._data_dir(db, table)
+        old, staging = data + ".old", data + ".staging"
+        if not os.path.exists(data) and os.path.exists(old):
+            os.rename(old, data)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        if os.path.exists(data) and os.path.exists(old):
+            shutil.rmtree(old)
+
     def _has_data(self, db: str, table: str) -> bool:
+        self._recover_data_dir(db, table)
         d = self._data_dir(db, table)
         if not os.path.isdir(d):
             return False
@@ -334,6 +351,7 @@ class ReplicaEngine:
     def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
         """Rewrite via staging dir + atomic rename (D14 — readers never see
         partial data; reference's db-swap, db_replicator_initial.py:149–163)."""
+        self._recover_data_dir(db, table)
         data = self._data_dir(db, table)
         staging = data + ".staging"
         writer = df.write.mode("overwrite")

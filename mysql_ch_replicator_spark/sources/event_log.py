@@ -48,41 +48,68 @@ EVENT_SCHEMA = T.StructType([
 class EventLogWriter:
     """Test/tooling-side writer producing the engine's input format —
     the stand-in for the reference's binlog_replicator process. Rotates
-    files every ``records_per_file`` events (reference config.py:113)."""
+    files every ``records_per_file`` events (reference config.py:113).
 
-    def __init__(self, log_dir: str, records_per_file: int = 100_000):
+    Publication is always **atomic** (content staged to a dot-prefixed
+    temp file, then ``os.replace`` — Spark readers ignore dot-files, so a
+    partially written file is never visible). Two modes:
+
+    - default (``live=False``): each emit atomically rewrites the current
+      numbered file with its full line set — events are visible to batch
+      readers immediately, and ``records_per_file`` packing is preserved
+      (the lag math in monitoring.event_log_lag depends on it). NOT safe
+      under a concurrent *streaming* consumer: Spark's file source treats
+      a filename as immutable once processed, so lines added to an
+      already-seen file are silently skipped.
+    - ``live=True``: events buffer in memory and a file becomes visible
+      only once complete (at ``records_per_file`` or an explicit
+      ``rotate()``), never growing afterwards — the required mode when a
+      streaming query watches the directory while the producer runs
+      (the reference's buffered flush+rotate, binlog_replicator.py:247–286).
+    """
+
+    def __init__(self, log_dir: str, records_per_file: int = 100_000,
+                 live: bool = False):
         self.log_dir = log_dir
         self.records_per_file = records_per_file
+        self.live = live
         self._seq = 0
         self._file_no = 0
-        self._in_file = 0
+        self._lines: list[str] = []   # current (unpublished or live) file
         os.makedirs(log_dir, exist_ok=True)
 
     def _path(self) -> str:
         return os.path.join(self.log_dir, f"{self._file_no:06d}.jsonl")
+
+    def _publish(self) -> None:
+        """Atomically write the current line set to the numbered file."""
+        tmp = os.path.join(self.log_dir, f".{self._file_no:06d}.jsonl.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("".join(self._lines))
+        os.replace(tmp, self._path())
 
     def _emit(self, rec: dict) -> None:
         rec.setdefault("tx_file", "binlog.000001")
         rec.setdefault("tx_pos", self._seq)
         rec["seq"] = self._seq
         self._seq += 1
-        with open(self._path(), "a", encoding="utf-8") as fh:
-            fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
-        self._in_file += 1
-        if self._in_file >= self.records_per_file:
+        self._lines.append(json.dumps(rec, ensure_ascii=False) + "\n")
+        if not self.live:
+            self._publish()
+        if len(self._lines) >= self.records_per_file:
             self.rotate()
 
     def rotate(self) -> None:
-        """Close the current file; the next event starts a new one.
-
-        Spark's streaming file source treats a file as immutable once
-        processed — a producer must rotate at flush boundaries for the
-        stream to see new events (the reference rotates its buffer files
-        the same way, binlog_replicator.py:247–286).
-        """
-        if self._in_file:
+        """Complete the current file; the next event starts a new one.
+        In live mode this is the publish point — buffered events become
+        visible as one complete, never-growing file."""
+        if self._lines:
+            if self.live:
+                self._publish()
             self._file_no += 1
-            self._in_file = 0
+            self._lines = []
+
+    flush = rotate  # alias: live-mode producers flush on a cadence
 
     @staticmethod
     def _serialize(values) -> list:
