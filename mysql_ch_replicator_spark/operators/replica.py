@@ -68,6 +68,59 @@ def stamp_version(df: DataFrame, pk_cols: list[str], order_col=None,
                          (F.row_number().over(w) + F.lit(base_version)).cast("long"))
 
 
+def stamp_version_ranged(df: DataFrame, order_col: str,
+                         base_version: int = 0,
+                         buckets: int | None = None) -> DataFrame:
+    """K4 at any scale — the same total-order ``_version`` as
+    ``stamp_version`` (``base + rank of order_col``) with NO
+    single-partition sort.
+
+    Plan: (1) one map-side-combined agg collects min/max of ``order_col``
+    (driver gets 2 longs); (2) rows get a deterministic range bucket
+    ``(order_col - lo) div width`` — pure arithmetic, no sampling, so the
+    bucketing is identical across retries, unlike ``repartitionByRange``'s
+    sampled bounds; (3) one more light agg counts rows per bucket (≤
+    ``buckets`` rows to the driver) from which cumulative offsets are
+    computed; (4) a window partitioned BY BUCKET stamps
+    ``offset[bucket] + row_number() within bucket``. The only full-data
+    exchange is the bucket-partitioned window shuffle — each partition
+    sorts only its own range slice. Skewed ``order_col`` distributions
+    make uneven buckets but never a whole-data single-task sort.
+
+    Requires ``order_col`` to be a numeric column with a total order
+    (event ids / sequence numbers — the CDC case).
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    o = F.col(order_col)
+    bounds = df.agg(F.min(o).alias("lo"), F.max(o).alias("hi")).collect()[0]
+    if bounds.lo is None:  # empty input
+        return df.withColumn(VERSION_COL, F.lit(None).cast("long"))
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    width = max((hi - lo) // buckets + 1, 1)
+    bucket_expr = F.expr(f"(({order_col} - {lo}L) div {width}L)")
+    with_bucket = df.withColumn("__bucket", bucket_expr)
+
+    counts = {int(r.b): int(r.n) for r in
+              with_bucket.groupBy(F.col("__bucket").alias("b"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_map = F.create_map(*[F.lit(x) for b in sorted(offsets)
+                                for x in (b, offsets[b])])
+
+    w = Window.partitionBy("__bucket").orderBy(o)
+    return (with_bucket
+            .withColumn(VERSION_COL,
+                        (F.row_number().over(w)
+                         + offset_map[F.col("__bucket")]
+                         + F.lit(base_version)).cast("long"))
+            .drop("__bucket"))
+
+
 def stamp_version_snapshot(df: DataFrame, base_version: int = 0) -> DataFrame:
     """K4 at snapshot scale — all rows of one snapshot are version-peers
     (no two share a PK), so they can all take ``base_version + 1``: the next

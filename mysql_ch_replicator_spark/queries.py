@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .operators.replica import (
     OP_ADD, OP_COL, OP_REMOVE, SEQ_COL,
-    collapse_batch, dedup_final_agg, stamp_version,
+    collapse_batch, dedup_final_agg,
 )
 from .sources.snapshot import load_table, spread
 
@@ -158,12 +158,18 @@ def replica_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def versioned_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4/S5 — deterministic version stamping: _version = base + row_number
-    over the event order (reference clickhouse_api.py:334–335; SURVEY.md §7
-    'hard parts': no monotonically_increasing_id across batches)."""
+    """K4/S5 — deterministic version stamping: _version = base + rank in the
+    event order (reference clickhouse_api.py:334–335; SURVEY.md §7 'hard
+    parts': no monotonically_increasing_id across batches). Scale form:
+    range-bucket + per-bucket row_number + cumulative offsets
+    (stamp_version_ranged) — same total order as the oracle's global
+    row_number with no single-partition sort; the bucket window is the
+    only full-data exchange. tests/test_plan_shapes.py pins the absence
+    of a SinglePartition exchange."""
+    from .operators.replica import stamp_version_ranged
     events = load_table(spark, sf_dir, "events")
-    stamped = stamp_version(events.select("user_id", "event_type", "event_id"),
-                            ["user_id"], order_col="event_id")
+    stamped = stamp_version_ranged(
+        events.select("user_id", "event_type", "event_id"), "event_id")
     return stamped.select("user_id", "event_type", "_version")
 
 
