@@ -135,6 +135,10 @@ class ReplicaEngine:
     def table_exists(self, db: str, table: str) -> bool:
         return os.path.exists(self._meta_path(db, table))
 
+    def databases(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.root)
+                      if os.path.isdir(os.path.join(self.root, d)))
+
     def tables(self, db: str) -> list[str]:
         dbdir = os.path.join(self.root, db)
         if not os.path.isdir(dbdir):

@@ -1,0 +1,75 @@
+"""Periodic compaction scheduler — the reference's ``db_optimizer``
+(db_optimizer.py:15–37 State, :56–98 select/optimize loop, config.py:135
+``optimize_interval`` default 86400 s) restated for the parquet replica.
+
+The reference runs OPTIMIZE TABLE ... FINAL against ClickHouse on a daily
+cadence per database, persisting last-run times in ``db_optimizer.bin``.
+Here ``engine.optimize`` materializes the latest-wins collapse (drops
+superseded versions + tombstones); without a cadence the append-only
+replica's read amplification grows unboundedly under sustained CDC. The
+scheduler tracks ``last_optimize_ts`` per table inside the table's own
+``_meta.json`` (atomic save via engine.save_meta) and compacts any table
+whose interval has elapsed.
+
+Scale note: each compaction is one table rewrite (read_final → staged
+overwrite) — the scheduler only decides WHEN; cost scales with live rows
+per table, and tables are processed independently so a supervisor can
+spread them across triggers.
+"""
+
+from __future__ import annotations
+
+import time
+
+from .engine import ReplicaEngine
+
+
+class ReplicaOptimizer:
+    def __init__(self, engine: ReplicaEngine,
+                 interval: float | None = None,
+                 clock=time.time):
+        """``interval`` defaults to the engine settings'
+        ``optimize_interval`` (reference config.py:135: 86400 s).
+        ``clock`` is injectable for tests."""
+        self.engine = engine
+        if interval is None:
+            interval = (engine.settings.optimize_interval
+                        if engine.settings is not None else 86_400.0)
+        self.interval = float(interval)
+        self.clock = clock
+
+    def _matches(self, db: str, table: str) -> bool:
+        s = self.engine.settings
+        if s is None:
+            return True
+        return s.is_database_matches(db) and s.is_table_matches(table)
+
+    def due_tables(self) -> list[tuple[str, str]]:
+        """(db, table) pairs whose last compaction is older than the
+        interval (never-compacted tables are always due) — the
+        ``select_db_to_optimize`` scan, reference db_optimizer.py:56–68."""
+        now = self.clock()
+        due = []
+        for db in self.engine.databases():
+            for table in self.engine.tables(db):
+                if not self._matches(db, table):
+                    continue
+                meta = self.engine.load_meta(db, table)
+                last = float(meta.get("last_optimize_ts", 0.0))
+                if now - last >= self.interval:
+                    due.append((db, table))
+        return due
+
+    def maybe_optimize(self) -> list[tuple[str, str]]:
+        """Compact every due table once and stamp its last-run time;
+        returns the tables compacted. Idempotent within the interval: a
+        second call before the interval elapses does nothing (reference
+        db_optimizer.py:96–98 stamps after optimize_database)."""
+        done = []
+        for db, table in self.due_tables():
+            self.engine.optimize(db, table)
+            meta = self.engine.load_meta(db, table)
+            meta["last_optimize_ts"] = self.clock()
+            self.engine.save_meta(db, table, meta)
+            done.append((db, table))
+        return done

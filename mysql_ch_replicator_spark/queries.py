@@ -812,20 +812,26 @@ def cdc_ignore_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def compaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPTIMIZE FINAL — the compaction path (reference db_optimizer.py:71–80):
-    after CDC apply, `optimize()` rewrites the table to the collapsed
-    latest-wins state and drops tombstones; the RAW read (no dedup at query
-    time) must then already equal the final state."""
+    """OPTIMIZE FINAL via the scheduler — the compaction path (reference
+    db_optimizer.py:56–98 select/optimize loop): after CDC apply, the
+    ReplicaOptimizer finds the table due and rewrites it to the collapsed
+    latest-wins state, dropping tombstones; the RAW read (no dedup at
+    query time) must then already equal the final state. A second
+    maybe_optimize() inside the interval is a no-op (idempotence pinned
+    in tests/test_optimizer.py)."""
     import os
 
     from .engine import ReplicaEngine
+    from .optimizer import ReplicaOptimizer
 
     root = _tmp_root(sf_dir, "optimize")
     engine = ReplicaEngine(spark, os.path.join(root, "replica"))
     engine.create_table("rep", _USER_STATE_DDL)
     events = load_table(spark, sf_dir, "events")
     engine.apply_batch(_cdc_event_df(events, "rep", "user_state"))
-    engine.optimize("rep", "user_state")
+    opt = ReplicaOptimizer(engine, interval=3600.0)
+    assert opt.maybe_optimize() == [("rep", "user_state")]
+    assert opt.maybe_optimize() == []   # inside the interval: no rewrite
     # raw read: proves compaction materialized the collapse + dropped deletes
     return engine.read_raw("rep", "user_state") \
         .select("user_id", "last_event",
