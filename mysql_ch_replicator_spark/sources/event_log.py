@@ -148,6 +148,43 @@ class EventLogWriter:
                     "payload": None, "query": query})
 
 
+def gc_event_log(log_dir: str, retention_seconds: float = 43_200.0,
+                 preserve_files: int = 5, clock=None) -> list[str]:
+    """S3 retention GC — prune published event-log files older than the
+    retention period (reference ``remove_old_files``,
+    binlog_replicator.py:288–298: 12 h default via
+    ``binlog_retention_period`` config.py:114, always preserving the
+    newest ``PRESERVE_FILES_COUNT = 5`` files regardless of age).
+
+    Only numbered published files are candidates — dot-prefixed staging
+    temp files and the live writer's unpublished buffer are untouched. A
+    consumer restarting from its checkpoint replays from the retained
+    tail: Spark's file-source checkpoint tracks processed files by path,
+    so deleting already-processed files never affects resumption, and the
+    age + preserve-count guards keep not-yet-processed recent files safe
+    (a consumer further behind than the retention period has lost data —
+    the same contract as the reference's binlog buffer).
+
+    Returns the removed paths."""
+    import re
+    import time as _time
+
+    now = (clock or _time.time)()
+    numbered = sorted(
+        f for f in os.listdir(log_dir)
+        if re.fullmatch(r"\d{6}\.jsonl", f))
+    candidates = numbered[:-preserve_files] if preserve_files > 0 \
+        else numbered
+    removed = []
+    cutoff = now - retention_seconds
+    for name in candidates:
+        path = os.path.join(log_dir, name)
+        if os.path.getmtime(path) <= cutoff:
+            os.remove(path)
+            removed.append(path)
+    return removed
+
+
 def read_event_log(spark: SparkSession, log_dir: str,
                    pattern: str = "*.jsonl") -> DataFrame:
     """Batch read of the whole event log (used for replay/backfill).
