@@ -1,0 +1,131 @@
+"""Multi-stream supervisor — the reference's ``runner.py`` process
+orchestrator (runner.py:131–232) restated for Structured Streaming.
+
+The reference runs one ``DbReplicatorRunner`` *process* per database,
+restarts dead processes every second (``restart_dead_processes``,
+runner.py:75–95), and rescans MySQL every ``check_db_updated_interval``
+for created/removed databases (``check_databases_updated``,
+runner.py:131–149). Here each database is one **streaming query** over
+its own event-log subdirectory (``event_root/<db>/``) with its own
+checkpoint — the per-db isolation the reference gets from processes:
+one database's failure never stalls the others, and a restart resumes
+exactly from that database's checkpoint.
+
+``poll()`` is one supervisor iteration (start new, restart dead, stop
+removed, kick the compaction scheduler); ``run_forever`` drives it on a
+cadence. Tests drive ``poll()`` directly — same contract, no sleeps.
+
+Scale note: queries share the SparkSession's scheduler pool; at real
+scale each database's micro-batches are jobs distributed over the
+cluster, so "one query per db" bounds *driver* bookkeeping, not
+parallelism. Hundreds of databases → group dirs per query via glob
+(Spark file sources accept globs) — the dial is queries-per-driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from .engine import ReplicaEngine
+from .optimizer import ReplicaOptimizer
+
+
+class ReplicationSupervisor:
+    def __init__(self, engine: ReplicaEngine, event_root: str,
+                 checkpoint_root: str,
+                 trigger_seconds: float = 1.0,
+                 max_files_per_trigger: int | None = None,
+                 optimizer: ReplicaOptimizer | None = None):
+        self.engine = engine
+        self.event_root = event_root
+        self.checkpoint_root = checkpoint_root
+        self.trigger_seconds = trigger_seconds
+        self.max_files_per_trigger = max_files_per_trigger
+        self.optimizer = optimizer
+        self.queries: dict[str, object] = {}   # db -> StreamingQuery
+        self.restarts: dict[str, int] = {}     # db -> restart count (A4-ish)
+
+    # -- discovery ----------------------------------------------------------
+
+    def discover_databases(self) -> list[str]:
+        """Databases = subdirectories of the event root, filtered through
+        the same db patterns as replication (reference
+        check_databases_updated, runner.py:131–137)."""
+        if not os.path.isdir(self.event_root):
+            return []
+        dbs = sorted(d for d in os.listdir(self.event_root)
+                     if os.path.isdir(os.path.join(self.event_root, d)))
+        s = self.engine.settings
+        if s is not None:
+            dbs = [d for d in dbs if s.is_database_matches(d)]
+        return dbs
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def _start(self, db: str):
+        q = self.engine.start_streaming(
+            os.path.join(self.event_root, db),
+            os.path.join(self.checkpoint_root, db),
+            trigger_seconds=self.trigger_seconds,
+            max_files_per_trigger=self.max_files_per_trigger)
+        self.queries[db] = q
+        return q
+
+    def poll(self) -> dict:
+        """One supervisor iteration:
+
+        1. start a query for every newly discovered database
+           (runner.py:137–142),
+        2. restart any dead query from its checkpoint
+           (restart_dead_processes, runner.py:75–95) — the seq replay
+           guard makes the at-least-once resume harmless,
+        3. stop + drop queries whose database directory disappeared
+           (runner.py:144–149),
+        4. run the compaction scheduler if attached (the reference runs
+           DbOptimizerRunner alongside, runner.py:166–168).
+
+        Returns a summary dict for monitoring."""
+        started, restarted, stopped = [], [], []
+        dbs = self.discover_databases()
+
+        for db in dbs:
+            if db not in self.queries:
+                self._start(db)
+                started.append(db)
+
+        for db, q in list(self.queries.items()):
+            if db not in dbs:
+                q.stop()
+                del self.queries[db]
+                stopped.append(db)
+                continue
+            if not q.isActive:
+                self._start(db)                 # same checkpoint → resume
+                self.restarts[db] = self.restarts.get(db, 0) + 1
+                restarted.append(db)
+
+        optimized = self.optimizer.maybe_optimize() if self.optimizer else []
+        return {"started": started, "restarted": restarted,
+                "stopped": stopped, "optimized": optimized,
+                "active": sorted(self.queries)}
+
+    def run_forever(self, poll_seconds: float = 1.0,
+                    max_polls: int | None = None) -> None:
+        """Drive poll() on a cadence (reference main loop runner.py:205–213).
+        ``max_polls`` bounds the loop for tooling/tests."""
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            self.poll()
+            polls += 1
+            time.sleep(poll_seconds)
+
+    def process_all_available(self) -> None:
+        """Barrier for tests/backfills: drain every active stream."""
+        for q in self.queries.values():
+            q.processAllAvailable()
+
+    def stop_all(self) -> None:
+        for db, q in list(self.queries.items()):
+            q.stop()
+            del self.queries[db]

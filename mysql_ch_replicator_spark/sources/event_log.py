@@ -77,6 +77,28 @@ class EventLogWriter:
         self._file_no = 0
         self._lines: list[str] = []   # current (unpublished or live) file
         os.makedirs(log_dir, exist_ok=True)
+        self._resume()
+
+    def _resume(self) -> None:
+        """A writer on an existing log continues after it — never renames
+        over a published file (a streaming consumer has already recorded
+        it as processed; rewriting it would silently lose the new events).
+        File numbering resumes at max existing + 1 (the reference's
+        ``get_next_file_name``, binlog_replicator.py:276–286) and ``seq``
+        continues from the newest file's last event."""
+        import re
+        numbered = sorted(f for f in os.listdir(self.log_dir)
+                          if re.fullmatch(r"\d{6}\.jsonl", f))
+        if not numbered:
+            return
+        self._file_no = int(numbered[-1].split(".")[0]) + 1
+        last_line = None
+        with open(os.path.join(self.log_dir, numbered[-1]),
+                  encoding="utf-8") as fh:
+            for last_line in fh:
+                pass
+        if last_line:
+            self._seq = int(json.loads(last_line)["seq"]) + 1
 
     def _path(self) -> str:
         return os.path.join(self.log_dir, f"{self._file_no:06d}.jsonl")

@@ -1,0 +1,97 @@
+"""Supervisor tests — the reference runner's contract
+(runner.py:75–95 restart_dead_processes, :131–149
+check_databases_updated): dead streams restart and converge, new
+databases are picked up within one poll, removed ones are stopped."""
+
+import os
+
+from mysql_ch_replicator_spark.engine import ReplicaEngine
+from mysql_ch_replicator_spark.runner import ReplicationSupervisor
+from mysql_ch_replicator_spark.sources.event_log import EventLogWriter
+
+DDL = """CREATE TABLE users (
+  id int NOT NULL, name varchar(255), PRIMARY KEY (id))"""
+
+
+def _write_events(event_root, db, rows, start_seq=0):
+    log = EventLogWriter(os.path.join(event_root, db))
+    log._seq = start_seq
+    log.add(db, "users", rows)
+    log.rotate()
+
+
+def _final(engine, db):
+    return {tuple(r) for r in
+            engine.read_final(db, "users").drop("_version").collect()}
+
+
+def test_supervisor_lifecycle(spark, tmp_path):
+    event_root = str(tmp_path / "events")
+    ckpt_root = str(tmp_path / "ckpt")
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    for db in ("db1", "db2"):
+        engine.create_table(db, DDL)
+        _write_events(event_root, db, [(1, f"{db}-a"), (2, f"{db}-b")])
+
+    sup = ReplicationSupervisor(engine, event_root, ckpt_root,
+                                trigger_seconds=0.2)
+    try:
+        r = sup.poll()
+        assert r["started"] == ["db1", "db2"]
+        sup.process_all_available()
+        assert _final(engine, "db1") == {(1, "db1-a"), (2, "db1-b")}
+        assert _final(engine, "db2") == {(1, "db2-a"), (2, "db2-b")}
+
+        # --- kill db1's query; supervisor restarts it and it converges
+        sup.queries["db1"].stop()
+        assert not sup.queries["db1"].isActive
+        _write_events(event_root, "db1", [(3, "db1-late")], start_seq=100)
+        r = sup.poll()
+        assert r["restarted"] == ["db1"]
+        sup.process_all_available()
+        assert _final(engine, "db1") == {(1, "db1-a"), (2, "db1-b"),
+                                         (3, "db1-late")}
+        assert sup.restarts["db1"] == 1
+
+        # --- a new database dir appears: picked up within one poll
+        engine.create_table("db3", DDL)
+        _write_events(event_root, "db3", [(7, "new")])
+        r = sup.poll()
+        assert r["started"] == ["db3"]
+        sup.process_all_available()
+        assert _final(engine, "db3") == {(7, "new")}
+        assert r["active"] == ["db1", "db2", "db3"]
+    finally:
+        sup.stop_all()
+    assert sup.queries == {}
+
+
+def test_supervisor_stops_removed_database(spark, tmp_path):
+    import shutil
+    event_root = str(tmp_path / "events")
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", DDL)
+    _write_events(event_root, "db1", [(1, "a")])
+    sup = ReplicationSupervisor(engine, event_root, str(tmp_path / "ckpt"),
+                                trigger_seconds=0.2)
+    try:
+        sup.poll()
+        sup.process_all_available()
+        shutil.rmtree(os.path.join(event_root, "db1"))
+        r = sup.poll()
+        assert r["stopped"] == ["db1"]
+        assert sup.queries == {}
+    finally:
+        sup.stop_all()
+
+
+def test_supervisor_db_pattern_filter(spark, tmp_path):
+    from mysql_ch_replicator_spark.config import Settings
+    event_root = str(tmp_path / "events")
+    settings = Settings.load({"databases": "prod_*"})
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"),
+                           settings=settings)
+    os.makedirs(os.path.join(event_root, "prod_a"))
+    os.makedirs(os.path.join(event_root, "staging_b"))
+    sup = ReplicationSupervisor(engine, event_root, str(tmp_path / "ckpt"))
+    assert sup.discover_databases() == ["prod_a"]
