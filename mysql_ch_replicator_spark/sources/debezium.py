@@ -1,0 +1,93 @@
+"""Debezium/Kafka CDC ingress adapter (S2 alternative source).
+
+The reference's production ingress is its own binlog wire-protocol
+decoder (binlog_replicator.py:364–372, 445–527 + vendored
+pymysqlreplication); this environment has no MySQL server, so the
+engine's native ingress is the file event log. For a real deployment the
+standard no-decoder path is **Debezium → Kafka → Spark**: Debezium emits
+one JSON change event per row with the public envelope
+``{before, after, op, ts_ms, source{db, table, file, pos}}``
+(Debezium MySQL connector docs; op c/r=create-snapshot, u=update,
+d=delete). This module maps that envelope LOSSLESSLY onto
+``EVENT_SCHEMA`` so ``ReplicaEngine.apply_batch`` consumes a Debezium
+topic exactly like the native log:
+
+- ADD events (op c/r/u) carry the **after** image at the table's
+  structural ordinals — the positional payload convention
+  (event_log.py module docstring),
+- REMOVE events (op d) carry the **before** image's primary-key values,
+  packed densely in ``primary_keys`` order — the writer contract
+  ``EventLogWriter.remove`` documents and ``convert_payload`` expects,
+- ``seq`` derives from the binlog position ``(file, pos)``: Debezium
+  guarantees pos is monotone within a file; callers replicating across
+  file rollovers should map (file, pos) → a dense global seq upstream
+  or rely on file ordering (tx_file is preserved for exactly that).
+
+Everything is built from ``from_json`` + column expressions — the
+whole adaptation runs in whole-stage codegen; with a Kafka source this
+is ``spark.readStream.format("kafka")`` → ``debezium_events(df, st)``
+→ ``engine.apply_batch`` in foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema.table_structure import TableStructure
+from .event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+
+def debezium_envelope_schema(structure: TableStructure) -> T.StructType:
+    """Envelope schema with before/after typed as all-string structs in
+    the table's column order — Spark's JSON parser renders numeric and
+    boolean JSON values to their literal text for StringType fields,
+    which is exactly the event log's serialize-to-string convention."""
+    row = T.StructType([T.StructField(f.name, T.StringType())
+                        for f in structure.fields])
+    return T.StructType([
+        T.StructField("before", row),
+        T.StructField("after", row),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("source", T.StructType([
+            T.StructField("db", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("file", T.StringType()),
+            T.StructField("pos", T.LongType()),
+        ])),
+    ])
+
+
+def _payload_expr(env: Column, structure: TableStructure) -> Column:
+    """One positional record per event: after-image at structural
+    ordinals for ADDs, dense PK-ordered before-image for deletes."""
+    add_rec = F.array(*[env["after"][f.name] for f in structure.fields])
+    del_rec = F.array(*[env["before"][pk] for pk in structure.primary_keys])
+    rec = F.when(env["op"] == "d", del_rec).otherwise(add_rec)
+    return F.array(rec)
+
+
+def debezium_events(df: DataFrame, structure: TableStructure,
+                    value_col: str = "value") -> DataFrame:
+    """Map a DataFrame of Debezium JSON strings (``value_col``, e.g. the
+    Kafka ``value``) onto ``EVENT_SCHEMA``. Tombstone messages (null
+    value — Kafka log-compaction markers, not CDC events) are dropped,
+    like the reference skips non-row binlog events."""
+    env = F.from_json(F.col(value_col).cast("string"),
+                      debezium_envelope_schema(structure))
+    out = (df.where(F.col(value_col).isNotNull())
+           .select(
+               env["source"]["file"].alias("tx_file"),
+               env["source"]["pos"].alias("tx_pos"),
+               env["source"]["pos"].cast("long").alias("seq"),
+               env["source"]["db"].alias("db"),
+               env["source"]["table"].alias("table"),
+               F.when(env["op"] == "d", F.lit(EVENT_TYPE_REMOVE))
+                .otherwise(F.lit(EVENT_TYPE_ADD)).alias("event_type"),
+               _payload_expr(env, structure)
+                .cast("array<array<string>>").alias("payload"),
+               F.lit(None).cast("string").alias("query"),
+           ))
+    return out
