@@ -108,15 +108,33 @@ class Settings:
         return settings
 
     def _apply_env_overrides(self) -> None:
-        """Env beats file (reference config.py:240–259)."""
+        """Env beats file — the full matrix of the reference's
+        ``_apply_env_overrides`` (config.py:240–259: MYSQL_HOST/PORT/USER/
+        PASSWORD/CHARSET + CLICKHOUSE_*) restated for the JDBC-url +
+        replica-root surface; cadence/locale knobs included because
+        they're the ones a container deploy overrides in practice."""
         if os.getenv("SOURCE_JDBC_URL"):
             self.source.url = os.getenv("SOURCE_JDBC_URL")
         if os.getenv("SOURCE_USER"):
             self.source.user = os.getenv("SOURCE_USER")
         if os.getenv("SOURCE_PASSWORD"):
             self.source.password = os.getenv("SOURCE_PASSWORD")
+        if os.getenv("SOURCE_CHARSET"):
+            self.source.charset = os.getenv("SOURCE_CHARSET")
         if os.getenv("REPLICA_ROOT"):
             self.replica.root = os.getenv("REPLICA_ROOT")
+        if os.getenv("REPLICA_ERASE_BATCH_SIZE"):
+            self.replica.erase_batch_size = \
+                int(os.getenv("REPLICA_ERASE_BATCH_SIZE"))
+        if os.getenv("MYSQL_TIMEZONE"):
+            self.mysql_timezone = os.getenv("MYSQL_TIMEZONE")
+        if os.getenv("LOG_LEVEL"):
+            self.log_level = os.getenv("LOG_LEVEL").lower()
+        if os.getenv("OPTIMIZE_INTERVAL"):
+            self.optimize_interval = float(os.getenv("OPTIMIZE_INTERVAL"))
+        if os.getenv("BINLOG_RETENTION_PERIOD"):
+            self.binlog_retention_period = \
+                float(os.getenv("BINLOG_RETENTION_PERIOD"))
 
     def validate(self) -> None:
         """Reference config.py:286–298, 366–383."""

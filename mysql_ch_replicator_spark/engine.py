@@ -352,6 +352,23 @@ class ReplicaEngine:
             return []
         return list(self.settings.partition_bys.get(table, []))
 
+    def _index_options(self, table: str, st: TableStructure,
+                      df_cols) -> dict[str, str]:
+        """S8 — skip-index analog (reference ``indexes`` override +
+        defaults, clickhouse_api.py:253–261: bloom_filter on a single PK,
+        minmax on _version). Parquet keeps min/max column statistics for
+        every column already (the minmax index is free); the bloom_filter
+        becomes a per-column parquet bloom filter via the writer option
+        ``parquet.bloom.filter.enabled#<col>`` — point-lookup row-group
+        skipping on the replica scans."""
+        cols = []
+        if len(st.primary_keys) == 1:
+            cols.append(st.primary_keys[0])
+        if self.settings is not None:
+            cols += self.settings.indexes.get(table, [])
+        return {f"parquet.bloom.filter.enabled#{c}": "true"
+                for c in dict.fromkeys(cols) if c in set(df_cols)}
+
     def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
         """Rewrite via staging dir + atomic rename (D14 — readers never see
         partial data; reference's db-swap, db_replicator_initial.py:149–163)."""
@@ -359,6 +376,10 @@ class ReplicaEngine:
         data = self._data_dir(db, table)
         staging = data + ".staging"
         writer = df.write.mode("overwrite")
+        if self.table_exists(db, table):
+            for k, v in self._index_options(
+                    table, self.structure(db, table), df.columns).items():
+                writer = writer.option(k, v)
         parts = [c for c in self._partition_cols(table) if c in df.columns]
         if parts:
             writer = writer.partitionBy(*parts)
@@ -577,6 +598,8 @@ class ReplicaEngine:
 
         os.makedirs(self._data_dir(db, table), exist_ok=True)
         writer = out.write.mode("append")
+        for k, v in self._index_options(table, st, out.columns).items():
+            writer = writer.option(k, v)
         parts = [c for c in self._partition_cols(table)
                  if c in out.columns]
         if parts:

@@ -767,6 +767,60 @@ def event_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "debezium_pipeline_e2e",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def debezium_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 via the Debezium/Kafka ingress (sources/debezium.py): the events
+    table is rendered as Debezium JSON change events (after-image for
+    upserts, before-image delete for 'error' rows — same CDC semantics as
+    cdc_pipeline_e2e), adapted onto EVENT_SCHEMA with debezium_events,
+    and applied through the engine. Proves a Kafka topic is a drop-in
+    replacement for the native event log, gate-checked end to end."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .sources.debezium import debezium_events
+
+    root = _tmp_root(sf_dir, "debezium")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("dbz", _USER_STATE_DDL)
+    st = engine.structure("dbz", "user_state")
+
+    events = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    after = F.struct(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type").alias("last_event"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"))
+    before = F.struct(F.col("user_id").cast("string").alias("user_id"))
+    envelope = F.to_json(F.struct(
+        F.when(is_del, before).alias("before"),
+        F.when(~is_del, after).alias("after"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        F.struct(F.lit("dbz").alias("db"),
+                 F.lit("user_state").alias("table"),
+                 F.lit("mysql-bin.000001").alias("file"),
+                 F.col("event_id").cast("long").alias("pos")).alias("source"),
+    ))
+    engine.apply_batch(debezium_events(events.select(envelope.alias("value")),
+                                       st))
+    return engine.read_final("dbz", "user_state") \
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
+
+
+@register(
     "cdc_ignore_deletes",
     """
     WITH ranked AS (

@@ -50,6 +50,32 @@ def test_env_overrides(monkeypatch, tmp_path):
     assert s.source.url == "jdbc:mysql://h:3306/db"
 
 
+@pytest.mark.parametrize("env,value,attr,expect", [
+    ("SOURCE_JDBC_URL", "jdbc:mysql://h:3306/db",
+     lambda s: s.source.url, "jdbc:mysql://h:3306/db"),
+    ("SOURCE_USER", "repl", lambda s: s.source.user, "repl"),
+    ("SOURCE_PASSWORD", "s3cret", lambda s: s.source.password, "s3cret"),
+    ("SOURCE_CHARSET", "latin1", lambda s: s.source.charset, "latin1"),
+    ("REPLICA_ROOT", "/data/replica", lambda s: s.replica.root,
+     "/data/replica"),
+    ("REPLICA_ERASE_BATCH_SIZE", "5000",
+     lambda s: s.replica.erase_batch_size, 5000),
+    ("MYSQL_TIMEZONE", "Europe/Berlin",
+     lambda s: s.mysql_timezone, "Europe/Berlin"),
+    ("LOG_LEVEL", "DEBUG", lambda s: s.log_level, "debug"),
+    ("OPTIMIZE_INTERVAL", "3600", lambda s: s.optimize_interval, 3600.0),
+    ("BINLOG_RETENTION_PERIOD", "7200",
+     lambda s: s.binlog_retention_period, 7200.0),
+])
+def test_env_override_matrix(monkeypatch, env, value, attr, expect):
+    """Parameterized env-var matrix — the reference's
+    tests/test_config_env_vars.py shape over _apply_env_overrides
+    (config.py:240–259)."""
+    monkeypatch.setenv(env, value)
+    s = Settings.load({})
+    assert attr(s) == expect
+
+
 def test_validation_rejects_bad_values():
     with pytest.raises(ValueError):
         Settings.load({"log_level": "noisy"})
