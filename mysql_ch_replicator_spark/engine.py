@@ -474,6 +474,7 @@ class ReplicaEngine:
                       .agg(F.collect_list(
                           F.when(F.col("event_type") == EVENT_TYPE_QUERY,
                                  F.struct("seq", "query"))).alias("dq"),
+                           F.min("seq").alias("min_seq"),
                            F.max("seq").alias("max_seq"))
                       .collect())
             ddls = sorted((d.seq, g.db, d.query)
@@ -481,19 +482,25 @@ class ReplicaEngine:
                           for d in g.dq)
             # replay fast-path: a (db, table) whose newest seq is already
             # committed has nothing to apply — skip its write job entirely
-            # (restart replays whole files; this makes them metadata-only)
-            max_seq: dict[tuple[str, str], int] = {}
+            # (restart replays whole files; this makes them metadata-only).
+            # The per-table [min_seq, max_seq] also prunes DDL segments a
+            # table has no events in (overlap test below) — without it,
+            # every segment of a DDL-bearing batch pays a write job per
+            # table even when empty.
+            bounds_by_table: dict[tuple[str, str], tuple[int, int]] = {}
             for g in groups:
                 if g.event_type != EVENT_TYPE_QUERY:
                     key = (g.db, g.table)
-                    max_seq[key] = max(max_seq.get(key, -1), int(g.max_seq))
+                    mn, mx = bounds_by_table.get(key, (1 << 62, -1))
+                    bounds_by_table[key] = (min(mn, int(g.min_seq)),
+                                            max(mx, int(g.max_seq)))
             pairs = []
-            for db, table in sorted(max_seq):
+            for db, table in sorted(bounds_by_table):
                 tdb, ttable = self._target(db, table)
                 if not self.table_exists(tdb, ttable):
                     pairs.append((db, table))  # routing decides later
                     continue
-                if max_seq[(db, table)] > self.load_meta(
+                if bounds_by_table[(db, table)][1] > self.load_meta(
                         tdb, ttable)["last_seq"]:
                     pairs.append((db, table))
             rows = explode_row_events(events)
@@ -505,7 +512,10 @@ class ReplicaEngine:
                 seg = rows.where(F.col("seq") > lo)
                 if hi is not None:
                     seg = seg.where(F.col("seq") < hi)
-                self._apply_row_segment(seg, pairs)
+                seg_pairs = [p for p in pairs
+                             if bounds_by_table[p][1] > lo
+                             and (hi is None or bounds_by_table[p][0] < hi)]
+                self._apply_row_segment(seg, seg_pairs)
                 if hi is not None:
                     seq, db, query = ddls[i]
                     self.execute_ddl(db, query, seq=seq)
