@@ -1232,6 +1232,182 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — CUBE: all 2^k grouping-set combinations in ONE pass (Spark
+    plans a single Expand + hash aggregate — k× the rows into the shuffle,
+    never k separate scans; same scale shape as the rollup query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("decimal(28,2)").cast("string").alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                     .alias("priority"),
+                    "n_orders", "revenue"))
+
+
+@register(
+    "q_distinct_users_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — exact distinct aggregation: daily active users. Spark plans
+    the mixed distinct/plain aggregate as a two-stage Expand — partial
+    aggregation still applies, the shuffle carries (day, user) pairs, not
+    raw events. (The approx path — HLL approx_count_distinct — is the
+    100 TB dial but is engine-specific, so the GATE pins the exact form.)"""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (ev.groupBy(day.alias("day"))
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "q_event_gaps",
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) FILTER (prev_ts IS NOT NULL AND
+                            date_diff('microsecond', prev_ts, ts) > 3600000000)
+             AS n_gaps,
+           MAX(date_diff('microsecond', prev_ts, ts)) AS max_gap_us
+    FROM w GROUP BY user_id
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — gaps-and-islands building block: per-user lag() deltas, gap
+    count over a 1 h threshold, max gap. Deltas compare in integer
+    MICROSECONDS (unix_micros vs date_diff'microsecond') — exact in both
+    engines, no float seconds. One shuffle on user_id shared by the window
+    and the final aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    staged = ev.select("user_id", delta.alias("gap_us"))
+    return (staged.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("gap_us") > 3_600_000_000, 1)
+                        .otherwise(0)).cast("long").alias("n_gaps"),
+                 F.max("gap_us").alias("max_gap_us")))
+
+
+@register(
+    "q_orders_above_cust_avg",
+    """
+    WITH w AS (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS tot
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_above
+    FROM w WHERE p * n > tot GROUP BY o_orderstatus
+    """,
+)
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — correlated comparison (orders above their customer's mean),
+    decorrelated into one window pass. The mean test is rewritten
+    ``price * n > sum`` in DECIMAL — exact integer-scaled arithmetic, no
+    float average whose summation order could flip boundary rows between
+    engines. One shuffle on o_custkey."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    by_cust = Window.partitionBy("o_custkey")
+    staged = o.select(
+        "o_orderstatus", p.alias("p"),
+        F.count(F.lit(1)).over(by_cust).alias("n"),
+        F.sum(p).over(by_cust).alias("tot"))
+    return (staged.where(F.col("p") * F.col("n") > F.col("tot"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_above")))
+
+
+@register(
+    "q_mode_event_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event, n FROM r WHERE rn = 1
+    """,
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — per-key mode (most frequent value), the grouped-top-1
+    pattern: pre-aggregate to (user, type, n) — map-side combine shrinks
+    the shuffle to the distinct pairs — then a tiny window picks the
+    winner with a deterministic tie-break (count desc, value asc)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id") \
+        .orderBy(F.col("n").desc(), "event_type")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("mode_event"), "n"))
+
+
+@register(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t <> '')) AS BIGINT) AS n_ws,
+           CAST(length(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline token accounting (functions/text.py): whitespace token
+    count and the BPE-ish upper-bound count (letter runs / single digits /
+    single punctuation), both pure codegen regex expressions — the
+    budget/billing columns of a training-data pipeline."""
+    from .functions.text import token_count_bpe, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_ws"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_bpe"))
+
+
+@register(
     "q_set_ops_customers",
     """
     WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
