@@ -25,6 +25,7 @@ parallelism. Hundreds of databases → group dirs per query via glob
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from .engine import ReplicaEngine
@@ -45,6 +46,7 @@ class ReplicationSupervisor:
         self.optimizer = optimizer
         self.queries: dict[str, object] = {}   # db -> StreamingQuery
         self.restarts: dict[str, int] = {}     # db -> restart count (A4-ish)
+        self._need_restart = False             # /restart_replication flag
 
     # -- discovery ----------------------------------------------------------
 
@@ -87,6 +89,8 @@ class ReplicationSupervisor:
 
         Returns a summary dict for monitoring."""
         started, restarted, stopped = [], [], []
+        if self._need_restart:
+            self._restart_replication()
         dbs = self.discover_databases()
 
         for db in dbs:
@@ -129,3 +133,61 @@ class ReplicationSupervisor:
         for db, q in list(self.queries.items()):
             q.stop()
             del self.queries[db]
+
+    # -- control plane ------------------------------------------------------
+
+    def request_restart(self) -> None:
+        """Schedule a full replication restart; the next poll() performs
+        it (the reference's need_restart_replication flag consumed by
+        restart_replication_if_required, runner.py:88–95, 113–129)."""
+        self._need_restart = True
+
+    def _restart_replication(self) -> None:
+        """Stop every query and clear its checkpoint so streams replay
+        the retained event log from the start — the analog of the
+        reference deleting state.pckl per db (runner.py:118–123). The
+        per-table seq replay guard makes the replay convergent, not
+        duplicating."""
+        self.stop_all()
+        shutil.rmtree(self.checkpoint_root, ignore_errors=True)
+        self._need_restart = False
+
+    def serve_control(self, host: str = "127.0.0.1", port: int = 0):
+        """Minimal HTTP control plane (the reference's FastAPI server,
+        runner.py:74–95, on stdlib http.server — no web framework in this
+        environment): GET /status reports active queries and restart
+        counts; GET /restart_replication schedules a full restart, picked
+        up by the next poll. Runs on a daemon thread; returns the server
+        (``server.server_address[1]`` is the bound port, ``shutdown()``
+        stops it)."""
+        import http.server
+        import json as _json
+        import threading
+
+        sup = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *args):   # quiet
+                pass
+
+            def _send(self, code: int, obj) -> None:
+                body = _json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/status":
+                    self._send(200, {"active": sorted(sup.queries),
+                                     "restarts": sup.restarts})
+                elif self.path == "/restart_replication":
+                    sup.request_restart()
+                    self._send(200, {"restart_scheduled": True})
+                else:
+                    self._send(404, {"error": "not found"})
+
+        server = http.server.ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server

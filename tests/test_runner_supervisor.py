@@ -85,6 +85,46 @@ def test_supervisor_stops_removed_database(spark, tmp_path):
         sup.stop_all()
 
 
+def test_http_control_restart_replication(spark, tmp_path):
+    """GET /restart_replication schedules a full restart: queries stop,
+    checkpoints clear, the next poll restarts streams which replay the
+    retained log and converge (reference runner.py:88–95, 113–129)."""
+    import json as _json
+    import urllib.request
+
+    event_root = str(tmp_path / "events")
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", DDL)
+    _write_events(event_root, "db1", [(1, "a"), (2, "b")])
+    sup = ReplicationSupervisor(engine, event_root, str(tmp_path / "ckpt"),
+                                trigger_seconds=0.2)
+    server = sup.serve_control(port=0)
+    port = server.server_address[1]
+    try:
+        sup.poll()
+        sup.process_all_available()
+        first_query = sup.queries["db1"]
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status") as r:
+            st = _json.loads(r.read())
+        assert st["active"] == ["db1"]
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/restart_replication") as r:
+            assert _json.loads(r.read()) == {"restart_scheduled": True}
+
+        sup.poll()                       # performs the restart
+        sup.process_all_available()      # full replay from the log
+        assert sup.queries["db1"] is not first_query
+        assert _final(engine, "db1") == {(1, "a"), (2, "b")}
+        meta = engine.load_meta("db1", "users")
+        assert meta["last_version"] >= 1
+    finally:
+        server.shutdown()
+        sup.stop_all()
+
+
 def test_supervisor_db_pattern_filter(spark, tmp_path):
     from mysql_ch_replicator_spark.config import Settings
     event_root = str(tmp_path / "events")
