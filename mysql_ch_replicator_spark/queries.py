@@ -1232,6 +1232,151 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — THE filter-pushdown benchmark: all four
+    predicates reach the parquet scan (range on shipdate prunes row
+    groups via min/max stats), then a single global decimal sum; no
+    shuffle beyond the 1-row final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (li.where(
+                (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+                & (F.col("l_quantity") < 24))
+            .agg(F.sum(price * disc).cast("string").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-revenue ratio over a dim join: part
+    is broadcast (no lineitem shuffle), numerator and denominator are
+    EXACT decimal sums, and only the final single division happens in
+    double (then rounded) — deterministic across engines, unlike
+    summing doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = price * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    joined = (li.where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price)
+                   .otherwise(F.lit(0).cast("decimal(18,2)")))
+    total = F.sum(disc_price)
+    return joined.agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6)
+         .alias("promo_pct"))
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(big.total_qty AS VARCHAR) AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a large aggregate joined back to the
+    dims: lineitem aggregates once on l_orderkey (map-side partials), the
+    HAVING filter shrinks the result to the big orders, and THAT small
+    side joins orders/customer — at scale the post-HAVING set is
+    broadcastable while the lineitem agg stays a single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qty).alias("total_qty"))
+           .where(F.col("total_qty") > 150))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_name", "o_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                    F.col("total_qty").cast("string").alias("total_qty")))
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicates across both join sides:
+    Catalyst splits the disjunction, pushing the part-only conjuncts
+    (brand OR-list, size ceiling) below the broadcast join and the
+    l_quantity envelope into the lineitem scan, so neither side carries
+    rows that no branch can accept."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                                 "p_size")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = price * (1 - F.col("l_discount").cast("decimal(18,2)"))
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & qty.between(20, 30)))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .where(branch)
+            .agg(F.sum(disc_price).cast("string").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
     "q_cube_status_priority",
     """
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -132,3 +132,21 @@ def test_versioned_insert_no_single_partition_sort(spark, queries):
     assert "SinglePartition" not in plan
     # the bucket-partitioned window is the only full-data exchange
     assert "Window" in plan
+
+
+def test_q6_all_predicates_pushed(spark, queries):
+    plan = plan_of(queries["q6_forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    # scan reads only the four needed columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q19_disjunction_split_and_broadcast(spark, queries):
+    plan = plan_of(queries["q19_disjunctive_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the l_quantity envelope (1..30 across branches) reaches the scan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_quantity" in pushed
