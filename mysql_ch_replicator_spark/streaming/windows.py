@@ -91,3 +91,50 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
         return df.dropDuplicates(keys)
     return df.withWatermark(ts_col, watermark) \
         .dropDuplicatesWithinWatermark(keys)
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str, left_ts: str, right_ts: str,
+                         lower: str, upper: str,
+                         left_watermark: str, right_watermark: str,
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join — the event-time
+    attribution primitive (e.g. click -> purchase within an hour) the
+    reference cannot express (strict log order, single stream).
+
+    Join condition: equal ``key`` and
+    ``left_ts + lower <= right_ts <= left_ts + upper`` (pass negative
+    intervals in ``lower`` to look back). Both inputs MUST carry
+    watermarks on streams: Spark derives the state-retention bound from
+    watermark + interval width, so each side buffers only the horizon,
+    not the whole stream — the property that makes the join runnable
+    forever. Outer variants additionally need both watermarks to know
+    when an unmatched row can be emitted.
+
+    On batch frames the same builder degrades to a plain range join
+    (identical semantics, no state) — mirroring the module's
+    batch/stream duality. Columns are disambiguated with ``l_``/``r_``
+    prefixes except the shared key.
+
+    Scale note: the equi-key keeps this a hash-partitioned join (one
+    shuffle per side on ``key``); the time interval is evaluated
+    post-match per key group. A missing equi-key would make it a
+    stream-stream cross join — unbounded state, never do that.
+    """
+    lw = left if not left.isStreaming \
+        else left.withWatermark(left_ts, left_watermark)
+    rw = right if not right.isStreaming \
+        else right.withWatermark(right_ts, right_watermark)
+
+    lsel = lw.select(F.col(key),
+                     *[F.col(c).alias(f"l_{c}") for c in lw.columns
+                       if c != key])
+    rsel = rw.select(F.col(key).alias("__rkey"),
+                     *[F.col(c).alias(f"r_{c}") for c in rw.columns
+                       if c != key])
+    cond = ((F.col(key) == F.col("__rkey"))
+            & (F.col(f"r_{right_ts}")
+               >= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {lower}"))
+            & (F.col(f"r_{right_ts}")
+               <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {upper}")))
+    return lsel.join(rsel, cond, how).drop("__rkey")

@@ -188,3 +188,79 @@ def test_stream_dedup_batch_degrades(spark):
         "event_id long, ts string").select(
         "event_id", F.col("ts").cast("timestamp"))
     assert stream_dedup(df, ["event_id"], "ts", "1 hour").count() == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two watermarked file-source streams joined on key with an
+    event-time interval (click -> purchase within 30 min): only pairs
+    inside the window match, state is bounded by watermark + interval."""
+    from mysql_ch_replicator_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    clicks = [
+        {"user_id": 1, "click_id": 10, "ts": "2024-01-01T10:00:00.000Z"},
+        {"user_id": 2, "click_id": 20, "ts": "2024-01-01T10:05:00.000Z"},
+        {"user_id": 3, "click_id": 30, "ts": "2024-01-01T10:10:00.000Z"},
+    ]
+    buys = [
+        # in-window for user 1 (+10 min)
+        {"user_id": 1, "buy_id": 100, "ts": "2024-01-01T10:10:00.000Z"},
+        # OUT of window for user 2 (+45 min)
+        {"user_id": 2, "buy_id": 200, "ts": "2024-01-01T10:50:00.000Z"},
+        # before the click for user 3 (-5 min): excluded by lower bound
+        {"user_id": 3, "buy_id": 300, "ts": "2024-01-01T10:05:00.000Z"},
+    ]
+    with open(clicks_dir / "0.jsonl", "w") as fh:
+        for r in clicks:
+            fh.write(json.dumps(r) + "\n")
+    with open(buys_dir / "0.jsonl", "w") as fh:
+        for r in buys:
+            fh.write(json.dumps(r) + "\n")
+
+    cs = (spark.readStream.schema("user_id long, click_id long, ts timestamp")
+          .json(str(clicks_dir)))
+    bs = (spark.readStream.schema("user_id long, buy_id long, ts timestamp")
+          .json(str(buys_dir)))
+    joined = stream_interval_join(
+        cs, bs, key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="30 minutes",
+        left_watermark="10 seconds", right_watermark="10 seconds")
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r.user_id, r.l_click_id, r.r_buy_id)
+               for r in spark.table("ssj_out").collect()}
+        assert got == {(1, 10, 100)}
+    finally:
+        q.stop()
+
+
+def test_interval_join_batch_degrades(spark):
+    """Same builder on batch frames: plain range join, same semantics."""
+    from mysql_ch_replicator_spark.streaming.windows import (
+        stream_interval_join,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    cs = spark.createDataFrame(
+        [(1, 10, t0), (2, 20, t0)], "user_id long, click_id long, ts timestamp")
+    bs = spark.createDataFrame(
+        [(1, 100, t0 + dt.timedelta(minutes=10)),
+         (2, 200, t0 + dt.timedelta(minutes=50))],
+        "user_id long, buy_id long, ts timestamp")
+    got = {(r.user_id, r.l_click_id, r.r_buy_id)
+           for r in stream_interval_join(
+               cs, bs, key="user_id", left_ts="ts", right_ts="ts",
+               lower="0 seconds", upper="30 minutes",
+               left_watermark="10 seconds",
+               right_watermark="10 seconds").collect()}
+    assert got == {(1, 10, 100)}
