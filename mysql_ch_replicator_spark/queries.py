@@ -1616,3 +1616,4 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
+from . import queries_tpch  # noqa: E402,F401

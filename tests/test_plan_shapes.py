@@ -150,3 +150,77 @@ def test_q19_disjunction_split_and_broadcast(spark, queries):
     # the l_quantity envelope (1..30 across branches) reaches the scan
     pushed = plan.split("PushedFilters")[1].split("\n")[0]
     assert "l_quantity" in pushed
+
+
+# --- TPC-H completion shapes (queries_tpch / queries_tpch2) ---------------
+
+
+def test_q4_semi_join_no_duplication(spark, queries):
+    """EXISTS must plan as LeftSemi (orders never duplicated per matching
+    line) with the quarter filter pushed into the orders scan."""
+    plan = plan_of(queries["q4_priority_count"](spark, SF))
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "o_orderdate" in pushed
+
+
+def test_q7_single_fact_shuffle(spark, queries):
+    """All five dims broadcast; the only hash exchanges are the
+    lineitem⋈orders orderkey join and the 3-key final aggregate."""
+    plan = plan_of(queries["q7_volume_shipping"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_q10_top_k_without_global_sort(spark, queries):
+    """LIMIT+ORDER BY must plan as TakeOrderedAndProject — a per-partition
+    top-20 then a driver merge of 20-row heaps, never a global sort."""
+    plan = plan_of(queries["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_q13_outer_join_preserved(spark, queries):
+    """The zero-order bucket requires the LEFT OUTER join to survive
+    optimization (COUNT of the nullable key, not COUNT(*))."""
+    plan = plan_of(queries["q13_order_count_distribution"](spark, SF))
+    assert "LeftOuter" in plan
+
+
+def test_q16_distinct_agg_two_phase(spark, queries):
+    """COUNT DISTINCT expands to the two-phase form: a dedup aggregate
+    below the final count, partials on the map side."""
+    plan = plan_of(queries["q16_supplier_variety"](spark, SF))
+    assert plan.count("HashAggregate") >= 3
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_no_correlated_reexecution(spark, queries):
+    """The correlated AVG subquery must be a joined aggregate, not a
+    per-row subquery re-execution (no more than: part semi-join, the
+    partkey agg exchange + its join-back, and the 1-row final agg)."""
+    plan = plan_of(queries["q17_small_qty_revenue"](spark, SF))
+    assert plan.count("Subquery") == 0
+    assert plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_q21_orderkey_shuffles_only(spark, queries):
+    """EXISTS + NOT EXISTS double correlation compiles to ONE per-order
+    aggregate joined back semi: every fact exchange is keyed by
+    l_orderkey (the distinct-agg expand and the tiny final s_name group
+    are the only others) — the fact table is never shuffled on suppkey,
+    and supplier is broadcast."""
+    plan = plan_of(queries["q21_waiting_suppliers"](spark, SF))
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "l_orderkey" in line or "s_name" in line
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_projects_before_shuffle(spark, queries):
+    """NOT EXISTS is a LeftAnti join; the orders side must carry only
+    o_custkey into the exchange (filter + projection below the join)."""
+    plan = plan_of(queries["q22_dormant_customers"](spark, SF))
+    assert "LeftAnti" in plan
+    read_schema = plan.split("ReadSchema")[-1].split("\n")[0]
+    assert "o_totalprice" not in read_schema
