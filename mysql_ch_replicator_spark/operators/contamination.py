@@ -1,0 +1,55 @@
+"""Test-set decontamination: n-gram overlap between a training corpus
+and a held-out evaluation set.
+
+The standard pre-training hygiene pass (GPT-3 appendix C, PaLM §B.2):
+a training document is contaminated if it shares any word ``n``-gram
+with an evaluation document. Both sides reduce to 60-bit gram hashes
+(md5-derived, portable to the DuckDB oracle); the training side keeps
+per-doc DISTINCT grams so the overlap count is "number of distinct
+shared grams", not occurrences.
+
+Scale shape (100 TB): evaluation sets are tiny relative to the corpus
+(benchmarks, not crawls), so the eval gram set is collected into a
+broadcast hash join — the training side explodes scan-locally, joins
+map-side with ZERO corpus shuffle, and the only exchange is the final
+per-doc count keyed by doc_id. The per-doc ``array_distinct`` happens
+before the explode, bounding the join probe count by document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, shingles, words
+
+
+def _doc_grams(docs: DataFrame, n: int, id_col: str,
+               text_col: str) -> DataFrame:
+    """(id, g): the per-doc DISTINCT 60-bit n-gram hashes, exploded."""
+    gram_hashes = F.array_distinct(
+        F.transform(shingles(words(F.col(text_col)), n), h60))
+    return docs.select(id_col, F.explode(gram_hashes).alias("g"))
+
+
+def ngram_contamination(train: DataFrame, eval_set: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Training docs sharing at least one word n-gram with the eval set:
+    (id_col, n_shared) where n_shared counts distinct shared grams."""
+    eval_grams = _doc_grams(eval_set, n, id_col, text_col) \
+        .select("g").distinct()
+    train_grams = _doc_grams(train, n, id_col, text_col)
+    return (train_grams.join(F.broadcast(eval_grams), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def split_contamination(docs: DataFrame, eval_pred: Column, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Convenience form when eval membership is a predicate over one
+    corpus table (e.g. a holdout split): contamination of the non-eval
+    side against the eval side."""
+    return ngram_contamination(docs.where(~eval_pred), docs.where(eval_pred),
+                               n, id_col, text_col)

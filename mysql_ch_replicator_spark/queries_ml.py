@@ -729,3 +729,116 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "q_min", "q_scale",
         F.aggregate("q_codes", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("code_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: repetition signals, decontamination, PII scrub
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    b2 AS (SELECT doc_id, unnest({_sh_sql(2)}) AS g FROM t),
+    c2 AS (SELECT doc_id, g, count(*) AS cnt FROM b2 GROUP BY doc_id, g),
+    m2 AS (SELECT doc_id,
+                  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top2
+           FROM c2 GROUP BY doc_id),
+    b3 AS (SELECT doc_id, unnest({_sh_sql(3)}) AS g FROM t),
+    c3 AS (SELECT doc_id, g, count(*) AS cnt FROM b3 GROUP BY doc_id, g),
+    m3 AS (SELECT doc_id,
+                  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                             AS DOUBLE) / sum(cnt), 6) AS dup3
+           FROM c3 GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(CASE WHEN len(W) > 0
+                      THEN 1.0 - CAST(len(list_distinct(W)) AS DOUBLE)
+                           / len(W)
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           COALESCE(m2.top2, 0.0) AS top_bigram_frac,
+           COALESCE(m3.dup3, 0.0) AS dup_trigram_frac
+    FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals: duplicate-word fraction
+    (scan-side expression), top-bigram share and duplicate-trigram share
+    (linear explode + two doc_id-keyed aggregates each)."""
+    from .operators.repetition import repetition_signals
+    return repetition_signals(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    s AS (SELECT doc_id, {_sh_sql(8)} AS sh FROM t),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(sh,
+                        x -> {_h60_sql('x')}))) AS g
+          FROM s),
+    e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+    SELECT g.doc_id, count(*) AS n_shared
+    FROM g JOIN e USING (g)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs (doc_id % 10 != 0) sharing
+    any word 8-gram with the holdout split (doc_id % 10 == 0). The eval
+    gram set broadcasts; the corpus side never shuffles before its final
+    per-doc count."""
+    from .operators.contamination import split_contamination
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return split_contamination(docs, F.col("doc_id") % 10 == 0, n=8)
+
+
+def _pii_query_sql() -> str:
+    from .functions.pii import pii_sql
+    synth = ("'u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+             "CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.' || "
+             "CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+             "CAST(doc_id % 250 AS VARCHAR) || ' ssn 123-45-' || "
+             "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+             "' tel +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+             " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+             "' ' || substr(text, 1, 80)")
+    counts, redacted = pii_sql("synth")
+    count_cols = ",\n           ".join(
+        f"{expr} AS n_{kind}" for kind, expr in counts.items())
+    return f"""
+    WITH s AS (SELECT doc_id, {synth} AS synth FROM documents)
+    SELECT doc_id,
+           {count_cols},
+           {redacted} AS redacted
+    FROM s
+    """
+
+
+@register("text_pii_scrub", _pii_query_sql())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministic synthetic surface: each doc gets an
+    email, IPv4, SSN and phone derived from doc_id (the corpus text itself
+    is PII-free word soup, so the synthesis makes the detector/redactor
+    verifiable cross-engine on every row). Counts + redacted text, all
+    codegen'd regex expressions."""
+    from .functions.pii import PII_PATTERNS, pii_count, redact_pii
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.lit("u"), did.cast("string"), F.lit("@ex"),
+        (did % 7).cast("string"), F.lit(".org ip 10."),
+        (did % 200).cast("string"), F.lit(".0."),
+        (did % 250).cast("string"), F.lit(" ssn 123-45-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" tel +1 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.substring("text", 1, 80))
+    s = docs.select("doc_id", synth.alias("synth"))
+    return s.select(
+        "doc_id",
+        *[pii_count(F.col("synth"), kind).alias(f"n_{kind}")
+          for kind, _, _ in PII_PATTERNS],
+        redact_pii(F.col("synth")).alias("redacted"))
