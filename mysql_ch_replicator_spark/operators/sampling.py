@@ -83,3 +83,28 @@ def quantize_int8(vec_col: str | Column,
     return [codes.alias(f"{out_prefix}_codes"),
             mn.alias(f"{out_prefix}_min"),
             scale.alias(f"{out_prefix}_scale")]
+
+
+def mixture_sample(df: DataFrame, id_col: str, stratum_col: str,
+                   rates: dict[str, float], default_rate: float = 0.0,
+                   salt: str = "mixture") -> DataFrame:
+    """Training-mixture rebalancing: keep each stratum (source, domain,
+    language, ...) at its OWN hash-deterministic rate — the up/down-
+    weighting step every multi-source pre-training mix needs (e.g. wiki
+    x2 epochs, crawl x0.3). Strata absent from ``rates`` fall back to
+    ``default_rate``.
+
+    Same scale shape as the uniform sampler: the per-row threshold is a
+    scan-side CASE over the stratum column, the hash is salted per
+    operator, and the filter pushes into the scan stage — zero shuffles,
+    reproducible on any partitioning. Nested-subset composition holds
+    per stratum (raising one stratum's rate only ever ADDS its rows)."""
+    b = split_bucket(F.col(id_col), salt)
+    expr = None
+    for name, rate in rates.items():
+        cond = F.col(stratum_col) == name
+        hi = F.lit(int(round(rate * _BUCKETS)))
+        expr = F.when(cond, hi) if expr is None else expr.when(cond, hi)
+    default = F.lit(int(round(default_rate * _BUCKETS)))
+    thresh = default if expr is None else expr.otherwise(default)
+    return df.where(b < thresh)

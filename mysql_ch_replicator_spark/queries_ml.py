@@ -842,3 +842,61 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[pii_count(F.col("synth"), kind).alias(f"n_{kind}")
           for kind, _, _ in PII_PATTERNS],
         redact_pii(F.col("synth")).alias("redacted"))
+
+
+@register(
+    "sample_mixture_weights",
+    f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 {_SPLIT_B_SQL.format(salt='mixture', id='doc_id')} AS b
+          FROM documents)
+    WHERE b < CASE WHEN source = 'src0' THEN 10000
+                   WHEN source = 'src1' THEN 5000
+                   WHEN source = 'src2' THEN 2500
+                   ELSE 1000 END
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing (operators/sampling.mixture_sample): keep src0
+    fully, src1 at 50%, src2 at 25%, everything else at 10% — per-stratum
+    hash thresholds, scan-side, zero shuffles."""
+    from .operators.sampling import mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "doc_id", "source",
+                          {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                          default_rate=0.10).select("doc_id", "source")
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 16 AS pack_bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, pack_bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_bucket
+                                 ORDER BY doc_id) AS running
+      FROM t
+    )
+    SELECT doc_id, pack_bucket,
+           CAST((GREATEST(running, 1) - 1) // 512 AS BIGINT) AS seq_id,
+           n_tokens
+    FROM r
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): BPE-ish token
+    counts packed greedily into 512-token sequences within 16 hash
+    buckets — one bucket-keyed shuffle + per-bucket sort, never global."""
+    from .functions.text import token_count_bpe
+    from .operators.packing import pack_sequences as pack
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return pack(docs, "doc_id", token_count_bpe(F.col("text")),
+                max_tokens=512, num_buckets=16)

@@ -51,3 +51,63 @@ def test_quantize_code_range(spark):
     assert bad == 0
     # scale strictly positive on real embeddings
     assert q.where(F.col("q_scale") <= 0).count() == 0
+
+
+def test_mixture_rates_and_monotonicity(spark):
+    from mysql_ch_replicator_spark.operators.sampling import mixture_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5}
+    kept = mixture_sample(docs, "doc_id", "source", rates, default_rate=0.1)
+    per = {r.source: r.n for r in kept.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.source: r.n for r in docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["src0"] == base["src0"]                      # rate 1.0 = all
+    # per-source counts are tiny (~25) at this SF: check direction per
+    # stratum, and the rate on the pooled 10% default (~450 docs)
+    assert 0 < per["src1"] < base["src1"]
+    others_kept = sum(n for s, n in per.items() if s not in rates)
+    others_base = sum(n for s, n in base.items() if s not in rates)
+    assert abs(others_kept / others_base - 0.10) < 0.05
+    # raising one stratum's rate only adds rows (nested-subset per stratum)
+    more = mixture_sample(docs, "doc_id", "source",
+                          {"src0": 1.0, "src1": 0.8}, default_rate=0.1)
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {r.doc_id for r in more.select("doc_id").collect()}
+    assert a <= b
+    # still scan-side: no shuffle
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_semantics(spark):
+    from mysql_ch_replicator_spark.operators.packing import (
+        packing_stats, pack_sequences,
+    )
+    # single bucket so the fill math is fully visible: budget 10
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([4, 4, 4, 9, 12, 1])], ["id", "tok"])
+    packed = pack_sequences(docs, "id", "tok", max_tokens=10, num_buckets=1)
+    rows = {r.id: r for r in packed.collect()}
+    # running: 4, 8, 12, 21, 33, 34 -> seq 0, 0, 1, 2, 3, 3
+    assert [rows[i].seq_id for i in range(6)] == [0, 0, 1, 2, 3, 3]
+    stats = {(r.pack_bucket, r.seq_id): r
+             for r in packing_stats(packed, 10).collect()}
+    # seq 3 = the 12-token oversize doc + the trailing 1-token doc:
+    # it overflows the 10-token budget (fill > 1), by design
+    assert stats[(0, 3)].n_docs == 2
+    assert stats[(0, 3)].seq_tokens == 13
+    assert stats[(0, 3)].fill_ratio > 1.0
+    # seq 2 = the 9-token doc alone, under budget
+    assert stats[(0, 2)].seq_tokens == 9
+
+
+def test_pack_plan_bucket_shuffle_only(spark):
+    from mysql_ch_replicator_spark.operators.packing import pack_sequences
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = pack_sequences(docs, "doc_id", F.col("n_chars"), 2048, 16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the pack bucket, never a global range sort
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pack_bucket" in plan.split("Exchange hashpartitioning")[1][:80]
