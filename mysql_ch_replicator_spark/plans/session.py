@@ -33,6 +33,12 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Parquet pushdown/pruning is on by default; pin it explicitly — the
     # engine depends on it (SURVEY.md §4 predicate-pushdown row).
+    # Parquet timestamps without isAdjustedToUTC would otherwise infer as
+    # TIMESTAMP_NTZ (Spark 3.4+ default) — pin them to TIMESTAMP_LTZ so the
+    # engine sees ONE timestamp type regardless of how the input files were
+    # written; with the session zone pinned UTC above, wall-clock values are
+    # identical either way and unix_micros()/window() stay valid.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",

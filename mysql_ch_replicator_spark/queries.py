@@ -300,8 +300,9 @@ def q3_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     """
     SELECT n.n_name,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -331,7 +332,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "n_name")
     return (li.join(ord_b, li.l_orderkey == F.col("o_orderkey"))
             .groupBy("n_name")
-            .agg(F.sum(price * (1 - disc)).alias("revenue")))
+            .agg(F.sum(price * (1 - disc)).cast("decimal(38,4)")
+                  .cast("string").alias("revenue")))
 
 
 @register(

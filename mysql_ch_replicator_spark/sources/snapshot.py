@@ -55,6 +55,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Parquet TIMESTAMP without isAdjustedToUTC infers as TIMESTAMP_NTZ on
+    # sessions we don't control (driver default). Normalize to TIMESTAMP_LTZ:
+    # with the session zone pinned UTC above, the cast reinterprets the same
+    # wall-clock as a UTC instant — values identical, and one timestamp type
+    # flows through every operator (unix_micros, window(), watermarks).
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name,
+                               F.col(field.name).cast("timestamp"))
     return df
 
 
