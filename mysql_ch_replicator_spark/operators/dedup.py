@@ -300,3 +300,32 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
         .where(F.col("cos") >= threshold).select("a", "b")
     return _resolve(
         verified, embeddings.select(F.col(id_col).alias("doc_id")), closure)
+
+
+def line_dedup_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n") -> DataFrame:
+    """Corpus-wide line-level exact dedup (the CCNet/RefinedWeb hygiene
+    step: boilerplate lines — nav bars, cookie banners, license headers —
+    repeat across millions of pages and are removed corpus-wide, not
+    per-document). A line occurrence is KEPT iff its document is the
+    minimum ``id_col`` among all documents containing that exact line —
+    deterministic first-document-wins. Returns one row per document:
+    ``(id, n_lines, n_kept)``.
+
+    Scale shape: explode → ONE aggregate keyed on the line text (uniform
+    key space, min(doc_id) combines map-side, so the shuffle carries one
+    record per distinct line per partition — boilerplate lines collapse
+    before the wire, exactly where the volume is) → one small per-doc
+    count aggregate + a doc-keyed join. No window over the corpus, no
+    all-pairs comparison anywhere.
+    """
+    lines = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("__l"))
+    n_lines = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    keepers = lines.groupBy("__l").agg(F.min(id_col).alias("__kdoc"))
+    kept = (keepers.groupBy("__kdoc").agg(F.count(F.lit(1)).alias("n_kept"))
+            .withColumnRenamed("__kdoc", id_col))
+    return (n_lines.join(kept, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))

@@ -62,6 +62,65 @@ def stratified_sample(df: DataFrame, id_col: str, fraction: float,
     return df.where(split_bucket(F.col(id_col), salt) < F.lit(thresh))
 
 
+def per_group_cap(df: DataFrame, group_col: str, id_col: str, cap: int,
+                  salt: str = "cap", oversample: int | None = 8) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically: the
+    ``cap`` smallest ``h60(salt|id)`` values (ties broken by id). The
+    per-domain/per-source document cap every crawl-derived corpus applies
+    (a hot domain must not dominate the mixture).
+
+    Scale design — the naive form (``row_number() OVER (PARTITION BY
+    group)``) funnels a hot group's ENTIRE row set through one task; with a
+    100 TB crawl where one domain is 5% of the corpus that task is 5 TB.
+    Instead, when ``oversample`` is set:
+
+    1. one count aggregate per group (map-side partial, tiny output),
+    2. broadcast the counts back and keep only rows whose hash priority
+       falls in the smallest ``oversample*cap/n`` fraction — a scan-side
+       filter that cuts every big group to ~``oversample*cap`` candidate
+       rows BEFORE the window,
+    3. exact row_number cap over the survivors (now bounded per group),
+    4. exactness guard: any group that produced fewer than ``min(cap, n)``
+       rows lost a true top-``cap`` candidate to the prefilter
+       (P ≈ exp(-Θ(cap·oversample)), never expected) — recompute just
+       those groups without the prefilter.
+
+    Groups with ``n ≤ 4·cap`` skip the prefilter entirely, so small groups
+    are never at risk. ``oversample=None`` = plain single-window form (for
+    group-count regimes where broadcasting counts is unattractive)."""
+    from pyspark.sql import Window
+
+    pri = h60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    d = df.withColumn("__pri", pri)
+    w = Window.partitionBy(group_col).orderBy("__pri", id_col)
+    if oversample is None:
+        return (d.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= cap).drop("__pri", "__rn"))
+
+    counts = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    d2 = d.join(F.broadcast(counts), group_col)
+    # priority is uniform in [0, 2^60); keep the smallest oversample*cap/n
+    # fraction. Double math is fine: the threshold is heuristic — the
+    # rescue pass below restores exactness if it ever bites.
+    thresh = F.lit(float(2 ** 60)) * F.lit(float(oversample * cap)) \
+        / F.col("__n")
+    survivors = d2.where((F.col("__n") <= F.lit(4 * cap)) |
+                         (F.col("__pri").cast("double") < thresh))
+    capped = (survivors.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= cap))
+    short = (capped.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("__k"),
+                  F.first("__n").alias("__cnt"))
+             .where((F.col("__k") < F.lit(cap)) &
+                    (F.col("__k") < F.col("__cnt")))
+             .select(group_col))
+    good = capped.join(F.broadcast(short), group_col, "left_anti")
+    rescued = (d2.join(F.broadcast(short), group_col)
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= cap))
+    return good.unionByName(rescued).drop("__pri", "__n", "__rn")
+
+
 def quantize_int8(vec_col: str | Column,
                   out_prefix: str = "q") -> list[Column]:
     """Per-vector int8 scalar quantization (the standard embedding

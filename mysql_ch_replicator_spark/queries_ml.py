@@ -900,3 +900,53 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return pack(docs, "doc_id", token_count_bpe(F.col("text")),
                 max_tokens=512, num_buckets=16)
+
+
+@register(
+    "sample_source_cap",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_h60_sql("'cap|' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.per_group_cap): at most
+    5 docs per source, deterministically the 5 smallest hash priorities.
+    The oracle is the NAIVE single-window form — the check proves the
+    skew-safe count+prefilter+rescue plan is semantics-identical to it
+    (the whole point: at 100 TB a hot domain's window input is bounded by
+    ~oversample*cap instead of the domain's full row count)."""
+    from .operators.sampling import per_group_cap
+    docs = load_table(spark, sf_dir, "documents")
+    return per_group_cap(docs, "source", "doc_id", 5) \
+        .select("doc_id", "source")
+
+
+@register(
+    "dedup_lines",
+    """
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ),
+    n AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+    k AS (SELECT line, min(doc_id) AS kdoc FROM l GROUP BY line),
+    kk AS (SELECT kdoc AS doc_id, count(*) AS n_kept FROM k GROUP BY kdoc)
+    SELECT n.doc_id, n.n_lines, COALESCE(kk.n_kept, 0) AS n_kept
+    FROM n LEFT JOIN kk USING (doc_id)
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level exact dedup counts (operators/dedup.
+    line_dedup_stats): first-document-wins per distinct line; per-doc
+    (n_lines, n_kept). One line-keyed aggregate with map-side min combine
+    — the boilerplate-removal hygiene pass, no window, no pairs."""
+    from .operators.dedup import line_dedup_stats
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return line_dedup_stats(docs)

@@ -111,3 +111,51 @@ def test_pack_plan_bucket_shuffle_only(spark):
     assert "rangepartitioning" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "pack_bucket" in plan.split("Exchange hashpartitioning")[1][:80]
+
+
+def test_per_group_cap_matches_naive_window(spark):
+    """The skew-safe count+prefilter+rescue plan must be semantics-identical
+    to the naive single-window form — on real data and on a synthetic skewed
+    frame, including oversample=1 where the rescue path actually fires."""
+    from mysql_ch_replicator_spark.operators.sampling import per_group_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    naive = {(r.doc_id, r.source) for r in
+             per_group_cap(docs, "source", "doc_id", 5, oversample=None)
+             .select("doc_id", "source").collect()}
+    fast = {(r.doc_id, r.source) for r in
+            per_group_cap(docs, "source", "doc_id", 5)
+            .select("doc_id", "source").collect()}
+    assert naive == fast
+
+    # skewed synthetic: one hot group (3000 rows), one at the 4*cap
+    # boundary, one under cap
+    rows = [(i, "hot") for i in range(3000)]
+    rows += [(10_000 + i, "warm") for i in range(20)]
+    rows += [(20_000 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    expect = {(r.id, r.grp) for r in
+              per_group_cap(df, "grp", "id", 5, oversample=None).collect()}
+    for oversample in (1, 8):
+        got = {(r.id, r.grp) for r in
+               per_group_cap(df, "grp", "id", 5, oversample=oversample)
+               .collect()}
+        assert got == expect, f"oversample={oversample}"
+    assert sum(1 for _, g in expect if g == "cold") == 3  # under-cap kept
+
+
+def test_line_dedup_stats_crafted(spark):
+    """Crafted cross-doc duplicate lines: first-document-wins counts."""
+    from mysql_ch_replicator_spark.operators.dedup import line_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared\nbeta"),
+         (2, "shared\ngamma"),
+         (3, "shared\nalpha\nshared")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_kept)
+           for r in line_dedup_stats(df).collect()}
+    # doc1 keeps alpha+shared+beta (first for all three); doc2 keeps gamma;
+    # doc3 keeps nothing (shared->1, alpha->1; its duplicate 'shared' lines
+    # count once in n_lines=3 but zero in kept)
+    assert got == {1: (3, 3), 2: (2, 1), 3: (3, 0)}
