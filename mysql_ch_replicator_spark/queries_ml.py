@@ -950,3 +950,55 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import line_dedup_stats
     docs = spread(load_table(spark, sf_dir, "documents"))
     return line_dedup_stats(docs)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, score, rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (1000000 * n.n // dfreq.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (1000000 * n.n // dfreq.df) DESC,
+                        tf.term) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction shape
+    (tokenize → tf per (doc,term) → df per term → score → per-doc top-k).
+
+    Determinism across engines: IDF is INTEGER-scaled (floor(1e6·N/df)) —
+    float ln() differs in the last ulp between libm and the JVM, which
+    flips rankings at ties; integer arithmetic is bit-identical. Ties
+    broken by term.
+
+    Scale: tf aggregate combines map-side before its (doc,term) shuffle;
+    the df table aggregates from tf (already one row per doc-term); the
+    score join shuffles on term (uniform); the final top-k window
+    partitions on doc_id — bounded input per doc (its distinct terms).
+    The corpus-size scalar N is the only driver-side value (one count)."""
+    from .functions.hashing import words as words_fn
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(words_fn(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.col("tf") * F.expr(f"CAST({1_000_000 * n_docs} AS BIGINT) div df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "term", "tf", "score", "rank"))
