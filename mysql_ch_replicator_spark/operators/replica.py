@@ -70,7 +70,8 @@ def stamp_version(df: DataFrame, pk_cols: list[str], order_col=None,
 
 def stamp_version_ranged(df: DataFrame, order_col: str,
                          base_version: int = 0,
-                         buckets: int | None = None) -> DataFrame:
+                         buckets: int | None = None,
+                         tie_breaks: tuple[str, ...] = ()) -> DataFrame:
     """K4 at any scale — the same total-order ``_version`` as
     ``stamp_version`` (``base + rank of order_col``) with NO
     single-partition sort.
@@ -112,7 +113,8 @@ def stamp_version_ranged(df: DataFrame, order_col: str,
     offset_map = F.create_map(*[F.lit(x) for b in sorted(offsets)
                                 for x in (b, offsets[b])])
 
-    w = Window.partitionBy("__bucket").orderBy(o)
+    w = Window.partitionBy("__bucket").orderBy(
+        o, *[F.col(t) for t in tie_breaks])
     return (with_bucket
             .withColumn(VERSION_COL,
                         (F.row_number().over(w)

@@ -1616,6 +1616,53 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("mean_value")))
 
 
+@register(
+    "q_user_spend_deciles",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sp,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY sp DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT user_id, CAST(sp AS VARCHAR) AS spend, n_events,
+           CAST(1 + ((rn - 1) * 10) // n AS BIGINT) AS decile
+    FROM r
+    """,
+)
+def q_user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile assignment (top-spender cohorts) WITHOUT a
+    single-partition sort. The oracle's ``row_number() OVER (ORDER BY
+    spend DESC)`` is the one-task form; here the same total order comes
+    from ``stamp_version_ranged``: arithmetic range-bucket on integer
+    spend cents (negated for DESC), per-bucket window + driver-side
+    cumulative offsets (≤ #buckets longs), so every partition sorts only
+    its own value slice — the decile shape that survives a billion users.
+    Decile = 1 + (rank-1)*10 div N (uniform-floor buckets, exact integer
+    arithmetic in both engines)."""
+    from .operators.replica import VERSION_COL, stamp_version_ranged
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.groupBy("user_id")
+         .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("decimal(28,2)").alias("sp"),
+              F.count(F.lit(1)).alias("n_events")))
+    keyed = s.withColumn(
+        "__key", (-(F.col("sp") * 100)).cast("long"))
+    n = keyed.count()  # one scalar to the driver
+    ranked = stamp_version_ranged(keyed, "__key", tie_breaks=("user_id",))
+    decile = F.expr(
+        f"CAST(1 + (({VERSION_COL} - 1) * 10) div {n} AS BIGINT)")
+    return ranked.select(
+        "user_id", F.col("sp").cast("string").alias("spend"), "n_events",
+        decile.alias("decile"))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401

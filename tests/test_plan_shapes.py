@@ -224,3 +224,11 @@ def test_q22_anti_join_projects_before_shuffle(spark, queries):
     assert "LeftAnti" in plan
     read_schema = plan.split("ReadSchema")[-1].split("\n")[0]
     assert "o_totalprice" not in read_schema
+
+
+def test_spend_deciles_no_single_partition_sort(spark, queries):
+    """Global decile ranking must come from the range-bucketed window —
+    a SinglePartition exchange would mean the one-task sort came back."""
+    plan = plan_of(queries["q_user_spend_deciles"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
