@@ -1,0 +1,92 @@
+"""Incremental aggregate maintenance: keep a GROUP BY materialized view in
+sync with a CDC stream WITHOUT rescanning the replica.
+
+The reference answers aggregate queries by re-reading the ReplacingMergeTree
+table with FINAL dedup on every query (clickhouse_api.py:107) — the aggregate
+is recomputed from the full table each time. At 100 TB that is the wrong
+cost model for a hot dashboard aggregate: each micro-batch touches a few
+thousand keys, so the aggregate's CHANGE is computable from (batch rows +
+the old values of exactly those keys).
+
+Delta algebra per collapsed batch row (one op per PK after in-batch
+annihilation, operators/replica.collapse_batch):
+
+  ADD,    no old row  →  (+1, +value) to the new row's group
+  ADD,    old row     →  (-1, -old_value) to the OLD group (it may differ),
+                          (+1, +value) to the new group
+  REMOVE, old row     →  (-1, -old_value) to the old group
+  REMOVE, no old row  →  nothing
+
+Scale shape: the only full-size operations are two joins keyed on the PK
+(semi + anti) whose probe side is the SMALL batch (broadcast it); the delta
+aggregate is ≤ 2·|batch| rows collapsing map-side to ≤ |groups touched|;
+the merge is a full-outer join on the (small) group dimension. The replica
+is never rescanned. Sums use DECIMAL so a long chain of +x/-x deltas is
+exact — float drift would diverge from the from-scratch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .replica import OP_ADD, OP_COL
+
+_SUM_T = "decimal(28,2)"
+
+
+def empty_agg(spark, group_col: str, group_type: str = "string") -> DataFrame:
+    return spark.createDataFrame(
+        [], f"{group_col} {group_type}, n_rows bigint, total {_SUM_T}")
+
+
+def agg_of(state: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """From-scratch form of the maintained view (init / repair path)."""
+    return state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+         .cast(_SUM_T).alias("total"))
+
+
+def apply_agg_batch(state: DataFrame, batch_ops: DataFrame, agg: DataFrame,
+                    pk_cols: list[str], group_col: str,
+                    value_col: str) -> tuple[DataFrame, DataFrame]:
+    """Advance (state, agg) by one collapsed CDC batch.
+
+    ``state``     — current replica rows ``(pk…, group, value, …)``.
+    ``batch_ops`` — ``collapse_batch`` output: one row per PK with
+                    ``__op`` and the after-image columns.
+    ``agg``       — current maintained view ``(group, n_rows, total)``.
+
+    Returns the new (state, agg). Callers in a streaming loop should
+    persist/checkpoint between batches (the engine stores both as parquet,
+    so lineage resets for free)."""
+    keys = batch_ops.select(pk_cols)
+    old = state.join(F.broadcast(keys), pk_cols, "left_semi")
+    minus = old.select(
+        F.col(group_col).alias("g"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col(value_col).cast("decimal(18,2)")).alias("dv"))
+    adds = batch_ops.where(F.col(OP_COL) == OP_ADD)
+    plus = adds.select(
+        F.col(group_col).alias("g"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col(value_col).cast("decimal(18,2)").alias("dv"))
+    delta = (minus.unionByName(plus).groupBy("g")
+             .agg(F.sum("dn").alias("dn"),
+                  F.sum("dv").cast(_SUM_T).alias("dv")))
+
+    merged = (agg.join(delta, agg[group_col] == delta["g"], "full_outer")
+              .select(
+                  F.coalesce(agg[group_col], delta["g"]).alias(group_col),
+                  (F.coalesce(agg["n_rows"], F.lit(0))
+                   + F.coalesce(delta["dn"], F.lit(0))).alias("n_rows"),
+                  (F.coalesce(agg["total"], F.lit(0).cast(_SUM_T))
+                   + F.coalesce(delta["dv"], F.lit(0).cast(_SUM_T)))
+                  .cast(_SUM_T).alias("total"))
+              .where(F.col("n_rows") > 0))
+
+    survivors = state.join(F.broadcast(keys), pk_cols, "left_anti")
+    new_state = survivors.unionByName(
+        adds.select(state.columns), allowMissingColumns=False)
+    return new_state, merged

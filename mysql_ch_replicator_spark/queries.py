@@ -1663,6 +1663,66 @@ def q_user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         decile.alias("decile"))
 
 
+@register(
+    "incremental_agg_maintenance",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                AS VARCHAR) AS total
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a per-group (count, exact decimal sum)
+    view kept in sync across 4 sequential CDC batches by DELTA arithmetic
+    (operators/incremental_agg) — the replica is never rescanned; each
+    batch touches only its own keys (broadcast semi/anti joins) and its
+    groups' partial sums. The oracle recomputes the same view FROM SCRATCH
+    over the final latest-wins state — equality proves the incremental
+    path is exact, including group moves (a user's latest event_type
+    changing) and delete retraction. The reference re-reads the replica
+    with FINAL for every aggregate (clickhouse_api.py:107); this is the
+    form that survives a 100 TB replica with a few-thousand-key batch."""
+    from .operators.incremental_agg import apply_agg_batch, empty_agg
+
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select(
+        "user_id", "event_type", "value",
+        F.col("event_id").alias(SEQ_COL),
+        F.when(F.col("event_type") == "error", F.lit(OP_REMOVE))
+         .otherwise(F.lit(OP_ADD)).alias(OP_COL))
+
+    bounds = cdc.agg(F.min(SEQ_COL).alias("lo"),
+                     F.max(SEQ_COL).alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    width = (hi - lo) // 4 + 1
+
+    state = spark.createDataFrame(
+        [], "user_id bigint, event_type string, value double")
+    agg = empty_agg(spark, "event_type")
+    for b in range(4):
+        batch = cdc.where(
+            (F.col(SEQ_COL) >= lo + b * width)
+            & (F.col(SEQ_COL) < lo + (b + 1) * width))
+        ops = collapse_batch(batch, ["user_id"])
+        state, agg = apply_agg_batch(
+            state, ops, agg, ["user_id"], "event_type", "value")
+        # in the engine both frames land in parquet between batches; here
+        # persist stands in so lineage doesn't stack across rounds
+        state = state.persist()
+        agg = agg.persist()
+    return agg.select("event_type", "n_rows",
+                      F.col("total").cast("string").alias("total"))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401

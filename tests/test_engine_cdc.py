@@ -438,3 +438,40 @@ def test_percona_online_ddl_dance(engine, spark, tmp_path):
     got = {tuple(r) for r in
            engine.read_final(DB, "users").drop("_version").collect()}
     assert got == {(1, "Ivan", 42, "i@x.com"), (2, "Petr", 33, "p@x.com")}
+
+
+def test_incremental_agg_group_move_and_retraction(spark):
+    """Delta maintenance must handle the two hard cases exactly: a key
+    whose group CHANGES between batches (retract from old group, add to
+    new), and a delete retracting a prior contribution."""
+    from pyspark.sql import functions as F
+    from mysql_ch_replicator_spark.operators.incremental_agg import (
+        agg_of, apply_agg_batch, empty_agg)
+    from mysql_ch_replicator_spark.operators.replica import (
+        OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, collapse_batch)
+
+    def batch(rows):
+        return collapse_batch(spark.createDataFrame(
+            rows, f"user_id bigint, event_type string, value double, "
+                  f"{SEQ_COL} long, {OP_COL} int"), ["user_id"])
+
+    state = spark.createDataFrame(
+        [], "user_id bigint, event_type string, value double")
+    agg = empty_agg(spark, "event_type")
+
+    b1 = batch([(1, "a", 10.0, 1, OP_ADD), (2, "a", 20.0, 2, OP_ADD),
+                (3, "b", 30.0, 3, OP_ADD)])
+    state, agg = apply_agg_batch(state, b1, agg,
+                                 ["user_id"], "event_type", "value")
+    b2 = batch([(1, "b", 5.0, 4, OP_ADD),      # group move a -> b
+                (2, None, None, 5, OP_REMOVE),  # retraction
+                (4, "a", 7.0, 6, OP_ADD)])
+    state, agg = apply_agg_batch(state, b2, agg,
+                                 ["user_id"], "event_type", "value")
+
+    got = {r.event_type: (r.n_rows, str(r.total)) for r in agg.collect()}
+    assert got == {"a": (1, "7.00"), "b": (2, "35.00")}
+    # incremental == from-scratch over the final state
+    scratch = {r.event_type: (r.n_rows, str(r.total))
+               for r in agg_of(state, "event_type", "value").collect()}
+    assert got == scratch
