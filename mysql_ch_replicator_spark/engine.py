@@ -419,7 +419,7 @@ class ReplicaEngine:
         st = self.structure(db, table)
         if not self._has_data(db, table):
             from .schema.type_mapping import to_struct_type
-            schema = to_struct_type(st, self.types_mapping)
+            schema = to_struct_type(st, self.types_mapping)  # incl. _version
             schema = schema.add(OP_COL, "integer", False)
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.option("mergeSchema", "true") \
@@ -443,6 +443,75 @@ class ReplicaEngine:
         st = self.structure(db, table)
         return dedup_final_ops(self.read_raw(db, table), st.primary_keys,
                                op_col=OP_COL)
+
+    # -- maintained aggregates (incremental materialized views) -------------
+
+    def _agg_dir(self, db: str, table: str, name: str) -> str:
+        return os.path.join(self._table_dir(db, table), f"_agg_{name}")
+
+    def register_aggregate(self, db: str, table: str, name: str,
+                           group_col: str, value_col: str) -> None:
+        """Maintain ``SELECT group, count(*), sum(value)`` over the FINAL
+        state of ``table`` incrementally: each CDC batch advances the view
+        by delta arithmetic (operators/incremental_agg) instead of
+        re-reading the replica with FINAL per query — the scale answer to
+        the reference's query-time recompute (clickhouse_api.py:107).
+        The view is parquet next to the table; read with
+        ``read_aggregate``. Crash-safe: a view whose seq watermark
+        disagrees with the table's is rebuilt from scratch on the next
+        batch (repair path = the from-scratch definition, so the two can
+        never drift)."""
+        st = self.structure(db, table)
+        names = {f.name for f in st.fields}
+        if group_col not in names or value_col not in names:
+            raise ValueError(f"unknown column for aggregate {name}")
+        meta = self.load_meta(db, table)
+        meta.setdefault("aggregates", {})[name] = {
+            "group": group_col, "value": value_col}
+        self.save_meta(db, table, meta)
+        self._rebuild_aggregate(db, table, name)
+
+    def read_aggregate(self, db: str, table: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._agg_dir(db, table, name), "data"))
+
+    def _agg_state_path(self, db: str, table: str, name: str) -> str:
+        return os.path.join(self._agg_dir(db, table, name), "state.json")
+
+    def _agg_last_seq(self, db: str, table: str, name: str) -> int:
+        try:
+            with open(self._agg_state_path(db, table, name),
+                      encoding="utf-8") as fh:
+                return int(json.load(fh)["last_seq"])
+        except (OSError, ValueError, KeyError):
+            return -(10 ** 18)  # unknown → forces rebuild
+
+    def _write_aggregate(self, db: str, table: str, name: str,
+                         df: DataFrame, last_seq: int) -> None:
+        root = self._agg_dir(db, table, name)
+        os.makedirs(root, exist_ok=True)
+        data = os.path.join(root, "data")
+        staging = data + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        old = data + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(data):
+            os.rename(data, old)
+        os.rename(staging, data)
+        shutil.rmtree(old, ignore_errors=True)
+        tmp = self._agg_state_path(db, table, name) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"last_seq": last_seq}, fh)
+        os.replace(tmp, self._agg_state_path(db, table, name))
+
+    def _rebuild_aggregate(self, db: str, table: str, name: str) -> None:
+        from .operators.incremental_agg import agg_of
+        spec = self.load_meta(db, table)["aggregates"][name]
+        view = agg_of(self.read_final(db, table), spec["group"],
+                      spec["value"])
+        self._write_aggregate(db, table, name, view,
+                              int(self.load_meta(db, table)["last_seq"]))
 
     # -- CDC apply (K1–K4, F2–F5) ------------------------------------------
 
@@ -581,6 +650,31 @@ class ReplicaEngine:
                    .otherwise(0)).alias("n_add"),
             F.max(F.struct("seq", "idx")).alias("mx"))
 
+        # maintained aggregates: deltas must see the PRE-append state, so
+        # they are computed (and collected — O(groups touched)) before the
+        # write. A view whose seq watermark disagrees with the table's
+        # (crash between table write and view write) is rebuilt from the
+        # pre-batch state first — repair = the from-scratch definition.
+        aggs = meta.get("aggregates") or {}
+        agg_deltas: dict[str, tuple] = {}
+        if aggs:
+            from .operators.incremental_agg import agg_delta
+            final_ops = final_ops.persist()
+            pre_seq = int(meta["last_seq"])
+            for nm in aggs:
+                if self._agg_last_seq(db, table, nm) != pre_seq:
+                    self._rebuild_aggregate(db, table, nm)
+            keys = final_ops.select(*pks)
+            old_final = dedup_final_ops(
+                self.read_raw(db, table)
+                    .join(F.broadcast(keys), pks, "left_semi"),
+                pks, op_col=OP_COL)
+            for nm, spec in aggs.items():
+                d = agg_delta(old_final, final_ops, spec["group"],
+                              spec["value"], op_col="event_type",
+                              add_value=OP_ADD)
+                agg_deltas[nm] = (d.schema, d.collect())
+
         # K4 — after the collapse each key appears ONCE in this batch, so
         # every surviving row can take the same version `watermark + 1`:
         # per-key monotonicity across batches is preserved (all versions
@@ -618,6 +712,8 @@ class ReplicaEngine:
 
         stats = obs.get
         if int(stats["n"]) == 0:
+            if aggs:
+                final_ops.unpersist()
             return  # nothing applied; keep watermarks unchanged
         self._batch_inserts = getattr(self, "_batch_inserts", 0) \
             + int(stats["n_add"])
@@ -626,6 +722,17 @@ class ReplicaEngine:
         meta["last_version"] = new_version
         meta["last_seq"] = int(stats["mx"].seq)
         self.save_meta(db, table, meta)
+
+        if aggs:
+            from .operators.incremental_agg import merge_agg
+            for nm, spec in aggs.items():
+                schema, rows_d = agg_deltas[nm]
+                delta_df = self.spark.createDataFrame(rows_d, schema)
+                merged = merge_agg(self.read_aggregate(db, table, nm),
+                                   delta_df, spec["group"])
+                self._write_aggregate(db, table, nm, merged,
+                                      int(meta["last_seq"]))
+            final_ops.unpersist()
 
     # -- recovery / verification --------------------------------------------
 

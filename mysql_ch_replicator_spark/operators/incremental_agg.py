@@ -48,6 +48,39 @@ def agg_of(state: DataFrame, group_col: str, value_col: str) -> DataFrame:
          .cast(_SUM_T).alias("total"))
 
 
+def agg_delta(old_rows: DataFrame, batch_ops: DataFrame, group_col: str,
+              value_col: str, op_col: str = OP_COL,
+              add_value: int = OP_ADD) -> DataFrame:
+    """The view's change from one collapsed batch: retract the old
+    contribution of every touched key, add the new one. ``old_rows`` is
+    the PRE-batch state restricted to the batch's keys (semi-join)."""
+    minus = old_rows.select(
+        F.col(group_col).alias("g"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col(value_col).cast("decimal(18,2)")).alias("dv"))
+    plus = batch_ops.where(F.col(op_col) == add_value).select(
+        F.col(group_col).alias("g"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col(value_col).cast("decimal(18,2)").alias("dv"))
+    return (minus.unionByName(plus).groupBy("g")
+            .agg(F.sum("dn").alias("dn"),
+                 F.sum("dv").cast(_SUM_T).alias("dv")))
+
+
+def merge_agg(agg: DataFrame, delta: DataFrame, group_col: str) -> DataFrame:
+    """Fold a delta into the view; groups whose count reaches 0 vanish."""
+    merged = (agg.join(delta, agg[group_col] == delta["g"], "full_outer")
+              .select(
+                  F.coalesce(agg[group_col], delta["g"]).alias(group_col),
+                  (F.coalesce(agg["n_rows"], F.lit(0))
+                   + F.coalesce(delta["dn"], F.lit(0))).alias("n_rows"),
+                  (F.coalesce(agg["total"], F.lit(0).cast(_SUM_T))
+                   + F.coalesce(delta["dv"], F.lit(0).cast(_SUM_T)))
+                  .cast(_SUM_T).alias("total"))
+              .where(F.col("n_rows") > 0))
+    return merged
+
+
 def apply_agg_batch(state: DataFrame, batch_ops: DataFrame, agg: DataFrame,
                     pk_cols: list[str], group_col: str,
                     value_col: str) -> tuple[DataFrame, DataFrame]:
@@ -63,29 +96,9 @@ def apply_agg_batch(state: DataFrame, batch_ops: DataFrame, agg: DataFrame,
     so lineage resets for free)."""
     keys = batch_ops.select(pk_cols)
     old = state.join(F.broadcast(keys), pk_cols, "left_semi")
-    minus = old.select(
-        F.col(group_col).alias("g"),
-        F.lit(-1).cast("long").alias("dn"),
-        (-F.col(value_col).cast("decimal(18,2)")).alias("dv"))
     adds = batch_ops.where(F.col(OP_COL) == OP_ADD)
-    plus = adds.select(
-        F.col(group_col).alias("g"),
-        F.lit(1).cast("long").alias("dn"),
-        F.col(value_col).cast("decimal(18,2)").alias("dv"))
-    delta = (minus.unionByName(plus).groupBy("g")
-             .agg(F.sum("dn").alias("dn"),
-                  F.sum("dv").cast(_SUM_T).alias("dv")))
-
-    merged = (agg.join(delta, agg[group_col] == delta["g"], "full_outer")
-              .select(
-                  F.coalesce(agg[group_col], delta["g"]).alias(group_col),
-                  (F.coalesce(agg["n_rows"], F.lit(0))
-                   + F.coalesce(delta["dn"], F.lit(0))).alias("n_rows"),
-                  (F.coalesce(agg["total"], F.lit(0).cast(_SUM_T))
-                   + F.coalesce(delta["dv"], F.lit(0).cast(_SUM_T)))
-                  .cast(_SUM_T).alias("total"))
-              .where(F.col("n_rows") > 0))
-
+    merged = merge_agg(
+        agg, agg_delta(old, batch_ops, group_col, value_col), group_col)
     survivors = state.join(F.broadcast(keys), pk_cols, "left_anti")
     new_state = survivors.unionByName(
         adds.select(state.columns), allowMissingColumns=False)

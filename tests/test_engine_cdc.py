@@ -475,3 +475,59 @@ def test_incremental_agg_group_move_and_retraction(spark):
     scratch = {r.event_type: (r.n_rows, str(r.total))
                for r in agg_of(state, "event_type", "value").collect()}
     assert got == scratch
+
+
+def test_engine_maintained_aggregate(engine, spark, tmp_path):
+    """A registered aggregate view advances per batch by delta arithmetic
+    and always equals the from-scratch view over read_final — including
+    updates that move a key between groups and deletes."""
+    from mysql_ch_replicator_spark.operators.incremental_agg import agg_of
+
+    engine.create_table(DB, """CREATE TABLE acct (
+      id int NOT NULL, grp varchar(16), amount decimal(18,2),
+      PRIMARY KEY (id))""")
+    log = EventLogWriter(str(tmp_path / "log1"))
+    log.add(DB, "acct", [(1, "a", "10.00"), (2, "a", "20.00"),
+                         (3, "b", "30.00")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+
+    engine.register_aggregate(DB, "acct", "by_grp", "grp", "amount")
+    view = {r.grp: (r.n_rows, str(r.total)) for r in
+            engine.read_aggregate(DB, "acct", "by_grp").collect()}
+    assert view == {"a": (2, "30.00"), "b": (1, "30.00")}
+
+    log.add(DB, "acct", [(1, "b", "5.00")])      # group move a -> b
+    log.remove(DB, "acct", [(2,)])               # retraction
+    log.add(DB, "acct", [(4, "c", "7.50")])      # new group
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+
+    view = {r.grp: (r.n_rows, str(r.total)) for r in
+            engine.read_aggregate(DB, "acct", "by_grp").collect()}
+    assert view == {"b": (2, "35.00"), "c": (1, "7.50")}
+    scratch = {r.grp: (r.n_rows, str(r.total)) for r in
+               agg_of(engine.read_final(DB, "acct"),
+                      "grp", "amount").collect()}
+    assert view == scratch
+
+
+def test_engine_aggregate_crash_gap_rebuild(engine, spark, tmp_path):
+    """If the view's seq watermark disagrees with the table's (crash
+    between table write and view write), the next batch rebuilds it."""
+    engine.create_table(DB, USERS_DDL)
+    log = EventLogWriter(str(tmp_path / "log1"))
+    log.add(DB, "users", [(1, "A", 10), (2, "B", 20)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+    engine.register_aggregate(DB, "users", "by_name", "name", "age")
+
+    # simulate the crash gap: poison the view's watermark
+    import json as _json
+    p = engine._agg_state_path(DB, "users", "by_name")
+    with open(p, "w", encoding="utf-8") as fh:
+        _json.dump({"last_seq": -1}, fh)
+
+    log.add(DB, "users", [(3, "C", 30)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+    view = {r.name: (r.n_rows, str(r.total)) for r in
+            engine.read_aggregate(DB, "users", "by_name").collect()}
+    assert view == {"A": (1, "10.00"), "B": (1, "20.00"),
+                    "C": (1, "30.00")}
