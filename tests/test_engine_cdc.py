@@ -531,3 +531,79 @@ def test_engine_aggregate_crash_gap_rebuild(engine, spark, tmp_path):
             engine.read_aggregate(DB, "users", "by_name").collect()}
     assert view == {"A": (1, "10.00"), "B": (1, "20.00"),
                     "C": (1, "30.00")}
+
+
+def test_streaming_maintained_aggregate(engine, spark, tmp_path):
+    """The maintained view advances through the REAL Structured Streaming
+    path (foreachBatch -> apply_batch), across multiple micro-batches."""
+    from mysql_ch_replicator_spark.operators.incremental_agg import agg_of
+
+    log_dir = str(tmp_path / "stream_log")
+    os.makedirs(log_dir)
+    engine.create_table(DB, USERS_DDL)
+    engine.register_aggregate(DB, "users", "by_name", "name", "age")
+
+    log = EventLogWriter(log_dir)
+    log.add(DB, "users", [(1, "A", 10), (2, "A", 20), (3, "B", 30)])
+    log.rotate()
+    q = engine.start_streaming(log_dir, str(tmp_path / "ckpt"),
+                               trigger_seconds=0.5)
+    try:
+        q.processAllAvailable()
+        log.add(DB, "users", [(1, "B", 11)])   # group move
+        log.remove(DB, "users", [(2,)])        # retraction
+        log.rotate()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    view = {r.name: (r.n_rows, str(r.total)) for r in
+            engine.read_aggregate(DB, "users", "by_name").collect()}
+    scratch = {r.name: (r.n_rows, str(r.total)) for r in
+               agg_of(engine.read_final(DB, "users"),
+                      "name", "age").collect()}
+    assert view == scratch == {"B": (2, "41.00")}
+
+
+def test_incremental_agg_random_sequences(spark):
+    """Property: for random op sequences in random batch splits, the
+    incrementally maintained view equals the from-scratch aggregate of the
+    final state (drift in either count or decimal sum fails)."""
+    import random
+
+    from mysql_ch_replicator_spark.operators.incremental_agg import (
+        agg_of, apply_agg_batch, empty_agg)
+    from mysql_ch_replicator_spark.operators.replica import (
+        OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, collapse_batch)
+
+    rng = random.Random(20260813)
+    for trial in range(5):
+        ops = []
+        for seq in range(rng.randint(10, 40)):
+            uid = rng.randint(1, 8)
+            if rng.random() < 0.3:
+                ops.append((uid, None, None, seq, OP_REMOVE))
+            else:
+                ops.append((uid, f"g{rng.randint(0, 3)}",
+                            float(rng.randint(0, 9999)) / 100, seq, OP_ADD))
+        cuts = sorted(rng.sample(range(1, len(ops)), 2))
+        batches = [ops[:cuts[0]], ops[cuts[0]:cuts[1]], ops[cuts[1]:]]
+
+        state = spark.createDataFrame(
+            [], "user_id bigint, event_type string, value double")
+        agg = empty_agg(spark, "event_type")
+        for rows in batches:
+            if not rows:
+                continue
+            b = collapse_batch(spark.createDataFrame(
+                rows, f"user_id bigint, event_type string, value double, "
+                      f"{SEQ_COL} long, {OP_COL} int"), ["user_id"])
+            state, agg = apply_agg_batch(state, b, agg,
+                                         ["user_id"], "event_type", "value")
+            state, agg = state.persist(), agg.persist()
+
+        got = {r.event_type: (r.n_rows, str(r.total))
+               for r in agg.collect()}
+        scratch = {r.event_type: (r.n_rows, str(r.total))
+                   for r in agg_of(state, "event_type", "value").collect()}
+        assert got == scratch, f"trial {trial}: {got} != {scratch}"
