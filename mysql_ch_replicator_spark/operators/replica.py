@@ -251,3 +251,41 @@ def apply_cdc_batch(replica: DataFrame, batch: DataFrame, pk_cols: list[str],
                             base_version=base_version)
     stamped = stamped.select(*[c for c in replica.columns])
     return kept.unionByName(stamped)
+
+
+def changelog(before_state: DataFrame, batch_ops: DataFrame,
+              pk_cols: list[str], op_col: str = OP_COL) -> DataFrame:
+    """Change-data-feed OUT: classify one collapsed batch against the
+    pre-batch state into row-level changes — ``insert`` (key unseen),
+    ``update`` (key existed, final op ADD), ``delete`` (key existed,
+    final op REMOVE); a REMOVE for a key that never existed is dropped.
+    Emits ``change`` plus ``__before``/``__after`` payload structs for the
+    caller to project — the outgoing twin of the Debezium envelope the
+    engine ingests (sources/debezium.py), and what a downstream consumer
+    needs to subscribe to the replica's changes instead of re-reading it.
+
+    Scale: ONE left join keyed on the PK. ``batch_ops`` is micro-batch
+    sized — broadcast it if the caller's before_state is the full replica;
+    here the join builds on whatever partitioning the caller provides.
+    """
+    payload = [c for c in before_state.columns if c not in pk_cols]
+    b = before_state.select(
+        *pk_cols,
+        F.struct(*[F.col(c) for c in payload]).alias("__before"),
+        F.lit(True).alias("__existed"))
+    t_payload = [c for c in batch_ops.columns
+                 if c not in pk_cols and c != op_col]
+    t = batch_ops.select(
+        *pk_cols, F.col(op_col).alias("__op"),
+        F.struct(*[F.col(c) for c in t_payload]).alias("__after"))
+    joined = t.join(b, pk_cols, "left")
+    change = (F.when(F.col("__op") == OP_REMOVE, F.lit("delete"))
+              .when(F.col("__existed").isNull(), F.lit("insert"))
+              .otherwise(F.lit("update")))
+    return (joined
+            .where(~((F.col("__op") == OP_REMOVE)
+                     & F.col("__existed").isNull()))
+            .select(*pk_cols, change.alias("change"),
+                    F.col("__before"),
+                    F.when(F.col("__op") == OP_REMOVE, F.lit(None))
+                     .otherwise(F.col("__after")).alias("__after")))

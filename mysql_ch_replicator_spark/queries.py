@@ -1723,6 +1723,79 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("total").cast("string").alias("total"))
 
 
+@register(
+    "cdc_changelog",
+    """
+    WITH cut AS (
+      SELECT min(event_id) + (max(event_id) - min(event_id)) * 4 // 5 AS c
+      FROM events
+    ),
+    before_state AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events, cut WHERE event_id <= cut.c)
+      WHERE rn = 1 AND event_type <> 'error'
+    ),
+    tail_ops AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events, cut WHERE event_id > cut.c)
+      WHERE rn = 1
+    )
+    SELECT t.user_id,
+           CASE WHEN t.event_type = 'error' THEN 'delete'
+                WHEN b.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS change,
+           CAST(CAST(b.value AS DECIMAL(18,2)) AS VARCHAR) AS before_value,
+           CASE WHEN t.event_type = 'error' THEN NULL
+                ELSE CAST(CAST(t.value AS DECIMAL(18,2)) AS VARCHAR)
+           END AS after_value
+    FROM tail_ops t LEFT JOIN before_state b USING (user_id)
+    WHERE NOT (t.event_type = 'error' AND b.user_id IS NULL)
+    """,
+)
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed OUT (operators/replica.changelog): classify the
+    last 20% of the event log (one micro-batch) against the state built
+    from the first 80% into insert/update/delete rows with before/after
+    images — what a downstream subscriber consumes instead of re-reading
+    the replica (the outgoing twin of the ingested Debezium envelope).
+    The 80/20 cut is exact integer arithmetic on event_id so both engines
+    split identically. One PK-keyed left join; batch side micro-batch
+    sized."""
+    from .operators.replica import changelog
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(F.min("event_id").alias("lo"),
+                   F.max("event_id").alias("hi")).collect()[0]
+    cut = int(b.lo) + (int(b.hi) - int(b.lo)) * 4 // 5
+
+    def cdc_of(df):
+        return df.select(
+            "user_id", "value",
+            F.col("event_id").alias(SEQ_COL),
+            F.when(F.col("event_type") == "error", F.lit(OP_REMOVE))
+             .otherwise(F.lit(OP_ADD)).alias(OP_COL))
+
+    before = (collapse_batch(cdc_of(events.where(F.col("event_id") <= cut)),
+                             ["user_id"])
+              .where(F.col(OP_COL) == OP_ADD)
+              .select("user_id", "value"))
+    tail = collapse_batch(cdc_of(events.where(F.col("event_id") > cut)),
+                          ["user_id"]).drop(SEQ_COL)
+    log = changelog(before, tail, ["user_id"])
+    return log.select(
+        "user_id", "change",
+        F.col("__before").getField("value").cast("decimal(18,2)")
+         .cast("string").alias("before_value"),
+        F.col("__after").getField("value").cast("decimal(18,2)")
+         .cast("string").alias("after_value"))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
