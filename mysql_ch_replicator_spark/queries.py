@@ -1796,6 +1796,67 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("string").alias("after_value"))
 
 
+@register(
+    "events_sliding_window",
+    f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events
+    ),
+    w AS (
+      SELECT event_type,
+             (us // 1800000000 - i.i) * 1800000000 AS start_us
+      FROM e CROSS JOIN (SELECT unnest(range(2)) AS i) i
+      WHERE (us // 1800000000 - i.i) * 1800000000 > us - 3600000000
+    )
+    SELECT strftime(make_timestamp(start_us), '{_TS_FMT_DUCK}')
+             AS window_start,
+           event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — sliding (hopping) window: 1 h windows every 30 min, so each
+    event lands in exactly 2 windows. Spark's ``window(ts, w, s)`` is one
+    Expand(2 rows) + one hash aggregate — NOT a self-join; the oracle
+    reconstructs the same epoch-aligned window starts with exact integer
+    microsecond arithmetic. Streaming form takes a watermark
+    (streaming/windows.sliding_window_agg, tested in
+    test_streaming_windows.py)."""
+    from .streaming.windows import sliding_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        events, "ts", "1 hour", "30 minutes",
+        {"n": F.count(F.lit(1))}, keys=["event_type"])
+    return out.select(_ts_str(F.col("window_start")).alias("window_start"),
+                      "event_type", "n")
+
+
+@register(
+    "q_running_totals",
+    """
+    SELECT user_id, event_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY event_id)
+                AS DECIMAL(28,2)) AS VARCHAR) AS running_value
+    FROM events
+    """,
+)
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — per-key cumulative sum (running account balance). One window
+    keyed on user_id — shuffle partitions by key, each partition sorts
+    only its own keys' rows; exact DECIMAL accumulation (float running
+    sums diverge between engines at ~1e-13 per step)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    running = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    return events.select(
+        "user_id", "event_id",
+        running.cast("decimal(28,2)").cast("string").alias("running_value"))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
