@@ -290,7 +290,34 @@ class ReplicaEngine:
                 table = op["new_name"]
         meta = self.load_meta(db, table)
         meta["structure"] = _structure_to_dict(st)
+        # maintained aggregates must track schema evolution: follow column
+        # renames; drop the view if a referenced column was dropped (its
+        # definition can no longer be evaluated — silently keeping a stale
+        # spec would poison the next batch's delta)
+        renames = {op["old_name"]: op["new_name"] for op in ops
+                   if op["op"] == "rename_column"}
+        renames.update({op["old_name"]: op["field"].name for op in ops
+                        if op["op"] == "change_column"
+                        and op["old_name"] != op["field"].name})
+        rebuilt = []
+        if meta.get("aggregates"):
+            live = {f.name for f in st.fields}
+            kept = {}
+            for nm, spec in meta["aggregates"].items():
+                new_spec = {
+                    "group": renames.get(spec["group"], spec["group"]),
+                    "value": renames.get(spec["value"], spec["value"])}
+                if new_spec["group"] in live and new_spec["value"] in live:
+                    kept[nm] = new_spec
+                    if new_spec != spec:
+                        rebuilt.append(nm)  # stored parquet has old names
+                else:
+                    shutil.rmtree(self._agg_dir(db, table, nm),
+                                  ignore_errors=True)
+            meta["aggregates"] = kept
         self.save_meta(db, table, meta)
+        for nm in rebuilt:
+            self._rebuild_aggregate(db, table, nm)
 
     def _recover_data_dir(self, db: str, table: str) -> None:
         """Crash recovery for the staging-rename publish protocol

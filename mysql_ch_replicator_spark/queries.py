@@ -1857,6 +1857,53 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running.cast("decimal(28,2)").cast("string").alias("running_value"))
 
 
+@register(
+    "q_event_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view')     AS t_view,
+             min(ts) FILTER (event_type = 'click')    AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CASE
+             WHEN t_view IS NOT NULL AND t_click > t_view
+                  AND t_purchase > t_click THEN 3
+             WHEN t_view IS NOT NULL AND t_click > t_view THEN 2
+             WHEN t_view IS NOT NULL THEN 1
+             ELSE 0 END AS stage,
+           COUNT(*) AS n_users
+    FROM firsts GROUP BY 1
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — funnel analysis (view → click → purchase in temporal order),
+    the sequence-pattern shape every product-analytics engine ships. NOT a
+    3-way self-join: one conditional-min aggregate per user (map-side
+    partial), then stage classification by timestamp comparison and one
+    tiny recount. NULL ordering falls out of SQL comparison semantics
+    identically in both engines (t_click > t_view is NULL-false when
+    either leg is missing)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+         .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("t_purchase"))
+    stage = (F.when(F.col("t_view").isNotNull()
+                    & (F.col("t_click") > F.col("t_view"))
+                    & (F.col("t_purchase") > F.col("t_click")), F.lit(3))
+             .when(F.col("t_view").isNotNull()
+                   & (F.col("t_click") > F.col("t_view")), F.lit(2))
+             .when(F.col("t_view").isNotNull(), F.lit(1))
+             .otherwise(F.lit(0)))
+    return (firsts.select(stage.alias("stage"))
+            .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users")))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401

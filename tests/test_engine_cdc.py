@@ -607,3 +607,29 @@ def test_incremental_agg_random_sequences(spark):
         scratch = {r.event_type: (r.n_rows, str(r.total))
                    for r in agg_of(state, "event_type", "value").collect()}
         assert got == scratch, f"trial {trial}: {got} != {scratch}"
+
+
+def test_aggregate_follows_schema_evolution(engine, spark, tmp_path):
+    """A maintained view follows RENAME COLUMN; DROP of a referenced
+    column removes the view (a stale spec would poison later deltas)."""
+    engine.create_table(DB, """CREATE TABLE acct (
+      id int NOT NULL, grp varchar(16), amount decimal(18,2), note varchar(8),
+      PRIMARY KEY (id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "acct", [(1, "a", "10.00", "x"), (2, "b", "20.00", "y")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    engine.register_aggregate(DB, "acct", "by_grp", "grp", "amount")
+
+    engine.execute_ddl(DB, "ALTER TABLE acct RENAME COLUMN grp TO segment",
+                       seq=100)
+    assert engine.load_meta(DB, "acct")["aggregates"]["by_grp"] == {
+        "group": "segment", "value": "amount"}
+    log.add(DB, "acct", [(3, "c", "5.00", "z")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    view = {r.segment: (r.n_rows, str(r.total)) for r in
+            engine.read_aggregate(DB, "acct", "by_grp").collect()}
+    assert view == {"a": (1, "10.00"), "b": (1, "20.00"), "c": (1, "5.00")}
+
+    engine.execute_ddl(DB, "ALTER TABLE acct DROP COLUMN amount", seq=101)
+    assert engine.load_meta(DB, "acct")["aggregates"] == {}
+    assert not os.path.exists(engine._agg_dir(DB, "acct", "by_grp"))
