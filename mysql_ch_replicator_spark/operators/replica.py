@@ -289,3 +289,29 @@ def changelog(before_state: DataFrame, batch_ops: DataFrame,
                     F.col("__before"),
                     F.when(F.col("__op") == OP_REMOVE, F.lit(None))
                      .otherwise(F.col("__after")).alias("__after")))
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent data checksum for replica verification — the DATA
+    twin of the engine's structure-drift check (engine.verify_structure):
+    run the same digest on source and replica (or replica before/after a
+    migration/compaction) and compare one row.
+
+    ``sum(h60(concat_ws('|', cols)))`` + ``count(*)``: commutative, so the
+    result is independent of row order, partitioning, and merge history —
+    comparable across ANY two engines/layouts. The sum accumulates in
+    DECIMAL(38,0) (60-bit terms: no overflow below ~10^20 rows, far past
+    100 TB; a bare BIGINT sum would wrap in Spark but saturate to HUGEINT
+    in DuckDB — not comparable). NULLs render as the literal 'NULL' inside
+    the concat so (NULL) and ('NULL') differ from absent columns by
+    position. One map-side-combined aggregate; output is a single row.
+    """
+    from ..functions.hashing import h60
+
+    cols = cols or df.columns
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+             for c in cols]
+    term = h60(F.concat_ws("|", *parts)).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("checksum"))

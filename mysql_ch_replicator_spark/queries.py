@@ -1904,6 +1904,50 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users")))
 
 
+@register(
+    "replica_checksum",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    final AS (
+      SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST('0x' || substr(md5(
+                  CAST(user_id AS VARCHAR) || '|' || event_type || '|'
+                  || CAST(v AS VARCHAR)), 1, 15) AS BIGINT))
+                AS VARCHAR) AS checksum
+    FROM final
+    """,
+)
+def replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-adjacent — replication verification by order-independent data
+    digest (operators/replica.table_checksum): sum of per-row 60-bit
+    hashes over the latest-wins final state. Same digest on any engine,
+    any row order, any partitioning — THE cheap answer to "is the replica
+    byte-equal to the source" that the reference can only approximate by
+    row-count + spot SELECTs (tests/test_e2e_integration.py asserts).
+    One map-side-combined aggregate, single-row output."""
+    from .operators.replica import table_checksum
+
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select(
+        "user_id", "event_type", "value",
+        F.col("event_id").alias(SEQ_COL),
+        F.when(F.col("event_type") == "error", F.lit(OP_REMOVE))
+         .otherwise(F.lit(OP_ADD)).alias(OP_COL))
+    final = (collapse_batch(cdc, ["user_id"])
+             .where(F.col(OP_COL) == OP_ADD)
+             .select("user_id", "event_type",
+                     F.col("value").cast("decimal(18,2)").alias("v")))
+    return table_checksum(final, ["user_id", "event_type", "v"])
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401

@@ -232,3 +232,22 @@ def test_spend_deciles_no_single_partition_sort(spark, queries):
     plan = plan_of(queries["q_user_spend_deciles"](spark, SF))
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_funnel_is_two_aggregates_no_join(spark, queries):
+    plan = plan_of(queries["q_event_funnel"](spark, SF))
+    assert "Join" not in plan, "funnel must not self-join"
+
+
+def test_sliding_window_is_expand_plus_one_agg(spark, queries):
+    plan = plan_of(queries["events_sliding_window"](spark, SF))
+    assert "Expand" in plan
+    assert "Join" not in plan, "sliding window must not self-join"
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_checksum_single_row_partial_agg(spark, queries):
+    """The digest must partial-aggregate map-side: two HashAggregate (or
+    SortAggregate) nodes around a single-partition exchange of ONE row."""
+    plan = plan_of(queries["replica_checksum"](spark, SF))
+    assert "Join" not in plan
