@@ -251,3 +251,38 @@ def test_checksum_single_row_partial_agg(spark, queries):
     SortAggregate) nodes around a single-partition exchange of ONE row."""
     plan = plan_of(queries["replica_checksum"](spark, SF))
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables joined on the bucket key must plan ZERO
+    Exchange nodes (the shuffle was paid at write time); the identical
+    unbucketed join shuffles both sides. Row sets must be identical."""
+    from pyspark.sql import functions as F
+
+    from mysql_ch_replicator_spark.operators.bucketed import (
+        co_located_join, write_bucketed)
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = spark.read.parquet(f"{SF}/customer.parquet") \
+        .select("c_custkey", "c_name").withColumnRenamed("c_custkey",
+                                                         "o_custkey")
+    write_bucketed(orders, "t_orders_b", ["o_custkey"], 8)
+    write_bucketed(cust, "t_cust_b", ["o_custkey"], 8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "t_orders_b", "t_cust_b",
+                                 ["o_custkey"])
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        plain = orders.join(cust, "o_custkey")
+        assert "Exchange" in plan_of(plain)
+        assert sorted(map(tuple, joined.collect())) == \
+            sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
