@@ -68,8 +68,11 @@ def agg_delta(old_rows: DataFrame, batch_ops: DataFrame, group_col: str,
 
 
 def merge_agg(agg: DataFrame, delta: DataFrame, group_col: str) -> DataFrame:
-    """Fold a delta into the view; groups whose count reaches 0 vanish."""
-    merged = (agg.join(delta, agg[group_col] == delta["g"], "full_outer")
+    """Fold a delta into the view; groups whose count reaches 0 vanish.
+    The join is NULL-safe: a nullable group column's NULL bucket is a
+    real group and must merge, not duplicate."""
+    merged = (agg.join(delta, agg[group_col].eqNullSafe(delta["g"]),
+                       "full_outer")
               .select(
                   F.coalesce(agg[group_col], delta["g"]).alias(group_col),
                   (F.coalesce(agg["n_rows"], F.lit(0))

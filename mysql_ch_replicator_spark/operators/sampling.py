@@ -97,8 +97,12 @@ def per_group_cap(df: DataFrame, group_col: str, id_col: str, cap: int,
         return (d.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") <= cap).drop("__pri", "__rn"))
 
+    # NULL-safe count join: a NULL group is a real group (dirty domains);
+    # a plain equi-join would silently drop its rows from the output
     counts = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    d2 = d.join(F.broadcast(counts), group_col)
+    d2 = (d.join(F.broadcast(counts.withColumnRenamed(group_col, "__g")),
+                 F.col(group_col).eqNullSafe(F.col("__g")))
+          .drop("__g"))
     # priority is uniform in [0, 2^60); keep the smallest oversample*cap/n
     # fraction. Double math is fine: the threshold is heuristic — the
     # rescue pass below restores exactness if it ever bites.
@@ -114,8 +118,11 @@ def per_group_cap(df: DataFrame, group_col: str, id_col: str, cap: int,
              .where((F.col("__k") < F.lit(cap)) &
                     (F.col("__k") < F.col("__cnt")))
              .select(group_col))
-    good = capped.join(F.broadcast(short), group_col, "left_anti")
-    rescued = (d2.join(F.broadcast(short), group_col)
+    short_r = F.broadcast(short.withColumnRenamed(group_col, "__g"))
+    good = capped.join(short_r, F.col(group_col).eqNullSafe(F.col("__g")),
+                       "left_anti")
+    rescued = (d2.join(short_r, F.col(group_col).eqNullSafe(F.col("__g")))
+               .drop("__g")
                .withColumn("__rn", F.row_number().over(w))
                .where(F.col("__rn") <= cap))
     return good.unionByName(rescued).drop("__pri", "__n", "__rn")

@@ -584,7 +584,9 @@ def test_incremental_agg_random_sequences(spark):
             if rng.random() < 0.3:
                 ops.append((uid, None, None, seq, OP_REMOVE))
             else:
-                ops.append((uid, f"g{rng.randint(0, 3)}",
+                grp = None if rng.random() < 0.15 \
+                    else f"g{rng.randint(0, 3)}"   # NULL group is a group
+                ops.append((uid, grp,
                             float(rng.randint(0, 9999)) / 100, seq, OP_ADD))
         cuts = sorted(rng.sample(range(1, len(ops)), 2))
         batches = [ops[:cuts[0]], ops[cuts[0]:cuts[1]], ops[cuts[1]:]]

@@ -159,3 +159,20 @@ def test_line_dedup_stats_crafted(spark):
     # doc3 keeps nothing (shared->1, alpha->1; its duplicate 'shared' lines
     # count once in n_lines=3 but zero in kept)
     assert got == {1: (3, 3), 2: (2, 1), 3: (3, 0)}
+
+
+def test_per_group_cap_null_group(spark):
+    """NULL group values are a real group (dirty domains) — the count
+    prefilter joins must be null-safe, never dropping the NULL bucket."""
+    from mysql_ch_replicator_spark.operators.sampling import per_group_cap
+
+    rows = [(i, None) for i in range(200)] + [(1000 + i, "g") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    naive = {(r.id, r.grp) for r in
+             per_group_cap(df, "grp", "id", 5, oversample=None).collect()}
+    for oversample in (1, 8):
+        got = {(r.id, r.grp) for r in
+               per_group_cap(df, "grp", "id", 5, oversample=oversample)
+               .collect()}
+        assert got == naive, f"oversample={oversample}"
+    assert sum(1 for _, g in naive if g is None) == 5
