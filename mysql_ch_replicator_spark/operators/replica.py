@@ -315,3 +315,28 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(term).cast("decimal(38,0)").cast("string").alias("checksum"))
+
+
+def scd2_history(events: DataFrame, pk_cols: list[str],
+                 seq_col: str = SEQ_COL) -> DataFrame:
+    """Slowly-changing-dimension Type 2 view of a CDC stream: every event
+    becomes a validity interval ``[valid_from, valid_to)`` in sequence
+    space, with ``is_current`` marking each key's live row. The reference
+    keeps only latest-wins state; this derives the FULL history from the
+    same event log — time-travel reads are
+    ``WHERE valid_from <= v AND v < valid_to``.
+
+    One window keyed on the PK (lead of the next event's seq) — partitions
+    by key, each partition sorts only its own keys' events; no self-join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*pk_cols).orderBy(seq_col)
+    nxt = F.lead(seq_col).over(w)
+    return (events
+            .withColumn("valid_from", F.col(seq_col).cast("long"))
+            .withColumn("valid_to",
+                        F.coalesce(nxt.cast("long"),
+                                   F.lit(2 ** 63 - 1)))
+            .withColumn("is_current",
+                        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))))

@@ -1948,6 +1948,99 @@ def replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(final, ["user_id", "event_type", "v"])
 
 
+@register(
+    "cdc_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, value, event_id,
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS next_id
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+           END AS value,
+           event_id AS valid_from,
+           COALESCE(next_id, 9223372036854775807) AS valid_to,
+           CASE WHEN next_id IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM ordered
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 (operators/replica.scd2_history): the CDC log as a full
+    validity-interval history — time travel the reference's latest-wins
+    replica cannot answer. One PK-keyed lead() window, no self-join;
+    tombstones become NULL-payload intervals."""
+    from .operators.replica import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select("user_id", "event_type", "value",
+                        F.col("event_id").alias(SEQ_COL))
+    hist = scd2_history(cdc, ["user_id"])
+    return hist.select(
+        "user_id", "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+         .otherwise(F.col("value").cast("decimal(18,2)").cast("string"))
+         .alias("value"),
+        F.col(SEQ_COL).alias("valid_from"), "valid_to", "is_current")
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             strftime(f.t0, '%Y-%m') AS cohort,
+             date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE)) // 7
+               AS wk
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort, wk, COUNT(*) AS n_active
+    FROM activity GROUP BY cohort, wk
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (signup-month cohorts x weeks-since-first-seen):
+    first-seen aggregate, broadcast back, integer week arithmetic on DATE
+    boundaries (identical in both engines), distinct-user recount. Two
+    aggregates + one join keyed on the user — no window needed."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    activity = (events.join(F.broadcast(first_seen), "user_id")
+                .select("user_id",
+                        F.date_format("t0", "yyyy-MM").alias("cohort"),
+                        F.expr("CAST(datediff(CAST(ts AS DATE), "
+                               "CAST(t0 AS DATE)) AS BIGINT) div 7")
+                         .alias("wk"))
+                .distinct())
+    return activity.groupBy("cohort", "wk").agg(
+        F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "q_source_lang_concat",
+    """
+    SELECT source,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_lang_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-concat: collect_set sorted then joined — the
+    only portable form of string aggregation (unsorted string_agg output
+    is partitioning-dependent on ANY engine). One hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",")
+         .alias("langs"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
