@@ -471,6 +471,18 @@ class ReplicaEngine:
         return dedup_final_ops(self.read_raw(db, table), st.primary_keys,
                                op_col=OP_COL)
 
+    def read_asof(self, db: str, table: str, version: int) -> DataFrame:
+        """Time travel: the table as it stood when ``last_version`` was
+        ``version`` — filter the append-only store to ``_version <= v``
+        and dedup (tombstones up to v apply). Free on this storage design
+        (ClickHouse ReplacingMergeTree cannot answer it); reaches back to
+        the last ``optimize()``, which collapses history like a Delta
+        VACUUM. The version filter prunes at the parquet scan."""
+        st = self.structure(db, table)
+        hist = self.read_raw(db, table) \
+            .where(F.col(VERSION_COL) <= F.lit(int(version)))
+        return dedup_final_ops(hist, st.primary_keys, op_col=OP_COL)
+
     # -- maintained aggregates (incremental materialized views) -------------
 
     def _agg_dir(self, db: str, table: str, name: str) -> str:

@@ -635,3 +635,27 @@ def test_aggregate_follows_schema_evolution(engine, spark, tmp_path):
     engine.execute_ddl(DB, "ALTER TABLE acct DROP COLUMN amount", seq=101)
     assert engine.load_meta(DB, "acct")["aggregates"] == {}
     assert not os.path.exists(engine._agg_dir(DB, "acct", "by_grp"))
+
+
+def test_read_asof_time_travel(engine, spark, tmp_path):
+    """read_asof(v) reproduces the exact post-batch states of the replica,
+    including deletes; the latest version equals read_final."""
+    engine.create_table(DB, USERS_DDL)
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "users", [(1, "A", 10), (2, "B", 20)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    v1 = engine.load_meta(DB, "users")["last_version"]
+
+    log.add(DB, "users", [(1, "A2", 11), (3, "C", 30)])
+    log.remove(DB, "users", [(2,)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    v2 = engine.load_meta(DB, "users")["last_version"]
+    assert v2 > v1
+
+    def rows(df):
+        return {tuple(r) for r in df.drop("_version").collect()}
+
+    assert rows(engine.read_asof(DB, "users", v1)) == {
+        (1, "A", 10), (2, "B", 20)}
+    assert rows(engine.read_asof(DB, "users", v2)) == \
+        rows(engine.read_final(DB, "users")) == {(1, "A2", 11), (3, "C", 30)}
