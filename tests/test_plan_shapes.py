@@ -286,3 +286,15 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_per_group_cap_prefilter_broadcasts(spark):
+    """The skew-safe cap must broadcast the counts/rescue sides — the big
+    side never shuffles for those joins (the only full-data exchange is
+    the bounded per-group window)."""
+    from mysql_ch_replicator_spark.operators.sampling import per_group_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(per_group_cap(docs, "source", "doc_id", 5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
