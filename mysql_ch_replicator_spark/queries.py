@@ -2041,6 +2041,56 @@ def q_source_lang_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"))
 
 
+@register(
+    "q_monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT month, cents,
+             lag(cents) OVER (ORDER BY month) AS prev_cents
+      FROM m
+    )
+    SELECT month,
+           CAST(CAST(cents AS DECIMAL(28,0)) AS VARCHAR) AS revenue_cents,
+           CASE WHEN prev_cents IS NULL THEN NULL
+                ELSE (cents - prev_cents) * 10000 // prev_cents
+           END AS growth_bps
+    FROM r
+    """,
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series growth: month-over-month revenue change in integer
+    BASIS POINTS — ``(cur-prev)*10000 div prev`` on exact cents, so no
+    float-division/rounding divergence cross-engine. The lag window runs
+    over the POST-AGGREGATION series (#months rows — decades fit in one
+    partition); the heavy lifting is the one map-side-combined monthly
+    aggregate over the fact table."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("month"))
+         .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+              .cast("long").alias("cents")))
+    w = Window.orderBy("month")
+    r = m.withColumn("prev_cents", F.lag("cents").over(w))
+    return r.select(
+        "month",
+        F.col("cents").cast("decimal(28,0)").cast("string")
+         .alias("revenue_cents"),
+        F.when(F.col("prev_cents").isNull(), F.lit(None).cast("long"))
+         .otherwise(F.expr(
+             # both engines truncate integer division toward zero
+             # (DuckDB `//` == Spark `div`; verified on negative operands)
+             "CAST((cents - prev_cents) * 10000 div prev_cents AS BIGINT)"))
+         .alias("growth_bps"))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
