@@ -2091,6 +2091,29 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("growth_bps"))
 
 
+@register(
+    "q_activity_heatmap",
+    """
+    SELECT CAST(strftime(ts, '%w') AS BIGINT) AS dow,
+           CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap (0=Sunday, matching strftime
+    %w; Spark's dayofweek is 1-based so shifted by one). One hash
+    aggregate over 168 cells; the distinct-user count partial-aggregates
+    per cell before the shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return (events.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users")))
+
+
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
