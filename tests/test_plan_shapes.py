@@ -204,6 +204,37 @@ def test_q17_no_correlated_reexecution(spark, queries):
     assert plan.count("Arguments: hashpartitioning") <= 3
 
 
+def test_q17_part_side_broadcast_semi(spark, queries):
+    """The filtered part list must reach lineitem as a BROADCAST left-semi
+    join — losing the broadcast shuffles the whole fact table on partkey
+    just to apply a small filter."""
+    plan = plan_of(queries["q17_small_qty_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_q20_broadcast_semi_and_exchange_reuse(spark, queries):
+    """q20's two scale contracts: (1) the %bolt% part filter hits lineitem
+    as a broadcast semi-join (no fact shuffle on partkey); (2) the shipped
+    per-suppkey aggregate feeds BOTH the row branch and the scalar-AVG
+    branch through one exchange (AQE ReuseExchange) — the replacement for
+    the r2 persist that leaked cache across bench queries."""
+    plan = executed_plan_of(queries["q20_heavy_suppliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "ReusedExchange" in plan
+
+
+@pytest.mark.parametrize("name", ["q11_revenue_concentration",
+                                  "q15_top_supplier"])
+def test_scalar_threshold_branch_reuses_exchange(spark, queries, name):
+    """q11/q15 consume their per-key aggregate twice (rows + scalar
+    threshold). The scalar branch must be served by ReuseExchange from the
+    row branch's shuffle — one scan, no persist, no leaked cache."""
+    plan = executed_plan_of(queries[name](spark, SF))
+    assert "ReusedExchange" in plan
+
+
 def test_q21_orderkey_shuffles_only(spark, queries):
     """EXISTS + NOT EXISTS double correlation compiles to ONE per-order
     aggregate joined back semi: every fact exchange is keyed by
