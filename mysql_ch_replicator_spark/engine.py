@@ -104,6 +104,7 @@ class ReplicaEngine:
         self.ignore_deletes = ignore_deletes
         self.stats = ApplyStats()   # A4 — throughput counters
         os.makedirs(root, exist_ok=True)
+        self.recover_databases()  # finish any interrupted db-level publish
 
     def _replicates(self, db: str, table: str) -> bool:
         """F1 — db/table glob filters, exclude wins (reference
@@ -137,7 +138,8 @@ class ReplicaEngine:
 
     def databases(self) -> list[str]:
         return sorted(d for d in os.listdir(self.root)
-                      if os.path.isdir(os.path.join(self.root, d)))
+                      if os.path.isdir(os.path.join(self.root, d))
+                      and not d.endswith(".old"))
 
     def tables(self, db: str) -> list[str]:
         dbdir = os.path.join(self.root, db)
@@ -251,6 +253,13 @@ class ReplicaEngine:
             data = self._data_dir(tdb, name)
             if os.path.exists(data):
                 shutil.rmtree(data)
+            # maintained aggregates must reset with the table: their seq
+            # watermark still equals the table's last_seq, so the
+            # watermark-mismatch repair in apply_batch would never fire
+            # and later deltas would merge onto the stale pre-truncate
+            # view. Rebuild from the (now empty) table immediately.
+            for nm in (self.load_meta(tdb, name).get("aggregates") or {}):
+                self._rebuild_aggregate(tdb, name, nm)
         # anything else (CREATE INDEX, SET, BEGIN...): ignored, like the
         # reference's pattern-matched dispatch
         if seq is not None:
@@ -418,6 +427,69 @@ class ReplicaEngine:
         if os.path.exists(old):
             shutil.rmtree(old)
 
+    # -- database-level atomic publish (D14 full analog) --------------------
+
+    def _publish_marker(self, db: str) -> str:
+        return os.path.join(self.root, f"_publish_{db}.json")
+
+    def publish_database(self, staging_db: str, db: str) -> None:
+        """Database-level atomic snapshot publish: the reference snapshots a
+        whole database into ``{db}_tmp`` and swaps it live with one RENAME
+        (db_replicator_initial.py:149–163), so a multi-table initial
+        snapshot is never observed half-published. Same protocol here at
+        the directory level: snapshot every table under ``staging_db`` with
+        the normal APIs, then one ``publish_database`` call makes them all
+        visible at once.
+
+        Crash-safe via an intent marker written (atomically) BEFORE the
+        swap: the marker asserts "staging is complete", so recovery rolls
+        the swap FORWARD; without a marker an orphaned staging database is
+        an incomplete snapshot and is dropped (``recover_databases``)."""
+        staging = os.path.join(self.root, staging_db)
+        target = os.path.join(self.root, db)
+        if not os.path.isdir(staging):
+            raise ValueError(f"staging database {staging_db!r} not found")
+        marker = self._publish_marker(db)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"staging": staging_db}, fh)
+        os.replace(tmp, marker)
+        old = target + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(target):
+            os.rename(target, old)
+        os.rename(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
+        os.remove(marker)
+
+    def recover_databases(self) -> None:
+        """Finish (or clean up after) a database publish interrupted at any
+        point. Marker present + staging present → the swap never completed:
+        re-run it (staging was complete by contract). Marker present +
+        staging gone → the swap itself finished; drop leftovers. Superseded
+        ``.old`` databases next to a live one are removed either way."""
+        for fn in list(os.listdir(self.root)):
+            if not (fn.startswith("_publish_") and fn.endswith(".json")):
+                continue
+            db = fn[len("_publish_"):-len(".json")]
+            marker = os.path.join(self.root, fn)
+            try:
+                with open(marker, encoding="utf-8") as fh:
+                    staging_db = json.load(fh)["staging"]
+            except (OSError, ValueError, KeyError):
+                os.remove(marker)
+                continue
+            staging = os.path.join(self.root, staging_db)
+            target = os.path.join(self.root, db)
+            old = target + ".old"
+            if os.path.isdir(staging):
+                if os.path.isdir(target):  # crash before rename(target, old)
+                    shutil.rmtree(old, ignore_errors=True)
+                    os.rename(target, old)
+                os.rename(staging, target)
+            shutil.rmtree(old, ignore_errors=True)
+            os.remove(marker)
+
     # -- snapshot (S1 → F4 → K4 → S5) ---------------------------------------
 
     def snapshot_table(self, db: str, table: str, df: DataFrame) -> None:
@@ -439,6 +511,53 @@ class ReplicaEngine:
         if self.settings is not None:
             for cmd in self.settings.post_initial_replication_commands:
                 self.spark.sql(cmd)
+
+    def snapshot_table_sharded(self, db: str, table: str, df: DataFrame,
+                               workers: int | None = None) -> None:
+        """Parallel initial replication (S1 sharded): ``workers`` concurrent
+        Spark jobs each snapshot one CRC32(pk)%N shard — the reference's
+        worker processes (db_replicator_initial.py:386–448,
+        ``initial_replication_threads``) mapped onto one Spark app running
+        N jobs from a thread pool. Each worker writes its own staging dir
+        (concurrent appends into one parquet dir would share the
+        ``_temporary`` staging path and clobber each other); consolidation
+        is a pure file-rename pass, then ``recover_version`` reconciles the
+        version watermark from MAX(_version) exactly like the reference's
+        post-worker consolidation (db_replicator_initial.py:450–470)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .sources.snapshot import sharded_snapshot
+
+        if workers is None:
+            workers = (self.settings.initial_replication_threads
+                       if self.settings is not None else 1)
+        if workers <= 1:
+            return self.snapshot_table(db, table, df)
+        st = self.structure(db, table)
+        pks = st.primary_keys
+        cols = [F.col(f.name) for f in st.fields if f.name in df.columns]
+        data = self._data_dir(db, table)
+
+        def write_shard(w: int) -> str:
+            shard_dir = f"{data}.shard{w}"
+            shutil.rmtree(shard_dir, ignore_errors=True)
+            out = (sharded_snapshot(df, pks, w, workers)
+                   .select(*cols)
+                   .withColumn(VERSION_COL, F.lit(1).cast("long"))
+                   .withColumn(OP_COL, F.lit(OP_ADD)))
+            out.write.mode("overwrite").parquet(shard_dir)
+            return shard_dir
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            shard_dirs = list(ex.map(write_shard, range(workers)))
+        os.makedirs(data, exist_ok=True)
+        for w, shard_dir in enumerate(shard_dirs):
+            for fn in os.listdir(shard_dir):
+                if fn.endswith(".parquet"):
+                    os.rename(os.path.join(shard_dir, fn),
+                              os.path.join(data, f"shard{w}-{fn}"))
+            shutil.rmtree(shard_dir)
+        self.recover_version(db, table)
 
     # -- reads (S7) ---------------------------------------------------------
 
@@ -679,21 +798,32 @@ class ReplicaEngine:
         # batch stats ride the write action via observe() — one Spark job
         # per (table, segment) instead of a separate stats collect over a
         # persisted intermediate (the dominant fixed cost at streaming
-        # cadence; VERDICT r1 #4)
-        from pyspark.sql import Observation
-        obs = Observation()
-        final_ops = final_ops.observe(
-            obs,
+        # cadence; VERDICT r1 #4). Only safe when the write is the SOLE
+        # action over the observed frame: with maintained aggregates the
+        # delta staging writes are extra actions over the same frame and
+        # the observation may capture whichever action's metrics event
+        # lands first (schemaless row race) — that path persists final_ops
+        # anyway, so stats come from a direct cache-served aggregate below.
+        stats_cols = (
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("event_type") == OP_ADD, 1)
                    .otherwise(0)).alias("n_add"),
             F.max(F.struct("seq", "idx")).alias("mx"))
+        obs = None
+        if not (meta.get("aggregates") or {}):
+            from pyspark.sql import Observation
+            obs = Observation()
+            final_ops = final_ops.observe(obs, *stats_cols)
 
         # maintained aggregates: deltas must see the PRE-append state, so
-        # they are computed (and collected — O(groups touched)) before the
-        # write. A view whose seq watermark disagrees with the table's
-        # (crash between table write and view write) is rebuilt from the
-        # pre-batch state first — repair = the from-scratch definition.
+        # they are materialized before the write — to a staging parquet
+        # path, NOT via collect(): the staging write breaks the delta's
+        # lineage on the pre-append files without moving row data through
+        # the driver, so a high-cardinality group key stays fully
+        # distributed (O(groups touched) executor-side). A view whose seq
+        # watermark disagrees with the table's (crash between table write
+        # and view write) is rebuilt from the pre-batch state first —
+        # repair = the from-scratch definition.
         aggs = meta.get("aggregates") or {}
         agg_deltas: dict[str, tuple] = {}
         if aggs:
@@ -712,7 +842,10 @@ class ReplicaEngine:
                 d = agg_delta(old_final, final_ops, spec["group"],
                               spec["value"], op_col="event_type",
                               add_value=OP_ADD)
-                agg_deltas[nm] = (d.schema, d.collect())
+                staging = os.path.join(self._agg_dir(db, table, nm),
+                                       "delta.staging")
+                d.write.mode("overwrite").parquet(staging)
+                agg_deltas[nm] = (d.schema, staging)
 
         # K4 — after the collapse each key appears ONCE in this batch, so
         # every surviving row can take the same version `watermark + 1`:
@@ -749,10 +882,15 @@ class ReplicaEngine:
             writer = writer.partitionBy(*parts)
         writer.parquet(self._data_dir(db, table))
 
-        stats = obs.get
+        if obs is not None:
+            stats = obs.get
+        else:  # aggs path: final_ops is cached; one tiny extra job
+            stats = final_ops.agg(*stats_cols).collect()[0].asDict()
         if int(stats["n"]) == 0:
             if aggs:
                 final_ops.unpersist()
+                for _, staging in agg_deltas.values():
+                    shutil.rmtree(staging, ignore_errors=True)
             return  # nothing applied; keep watermarks unchanged
         self._batch_inserts = getattr(self, "_batch_inserts", 0) \
             + int(stats["n_add"])
@@ -765,12 +903,15 @@ class ReplicaEngine:
         if aggs:
             from .operators.incremental_agg import merge_agg
             for nm, spec in aggs.items():
-                schema, rows_d = agg_deltas[nm]
-                delta_df = self.spark.createDataFrame(rows_d, schema)
+                schema, staging = agg_deltas[nm]
+                # explicit schema: a zero-row delta may have written no
+                # part files, which would otherwise fail schema inference
+                delta_df = self.spark.read.schema(schema).parquet(staging)
                 merged = merge_agg(self.read_aggregate(db, table, nm),
                                    delta_df, spec["group"])
                 self._write_aggregate(db, table, nm, merged,
                                       int(meta["last_seq"]))
+                shutil.rmtree(staging, ignore_errors=True)
             final_ops.unpersist()
 
     # -- recovery / verification --------------------------------------------

@@ -112,11 +112,18 @@ def per_group_cap(df: DataFrame, group_col: str, id_col: str, cap: int,
                          (F.col("__pri").cast("double") < thresh))
     capped = (survivors.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= cap))
-    short = (capped.groupBy(group_col)
-             .agg(F.count(F.lit(1)).alias("__k"),
-                  F.first("__n").alias("__cnt"))
+    # exactness-rescue detection is anchored on the group-count frame, NOT
+    # on the prefilter survivors: a group whose every row was prefiltered
+    # out has NO row in `capped` and must still be rescued (absent → 0
+    # survivors), otherwise it silently vanishes from the output.
+    kcounts = (capped.groupBy(F.col(group_col).alias("__g2"))
+               .agg(F.count(F.lit(1)).alias("__k")))
+    short = (counts.join(kcounts,
+                         F.col(group_col).eqNullSafe(F.col("__g2")), "left")
+             .select(group_col, F.col("__n"),
+                     F.coalesce(F.col("__k"), F.lit(0)).alias("__k"))
              .where((F.col("__k") < F.lit(cap)) &
-                    (F.col("__k") < F.col("__cnt")))
+                    (F.col("__k") < F.col("__n")))
              .select(group_col))
     short_r = F.broadcast(short.withColumnRenamed(group_col, "__g"))
     good = capped.join(short_r, F.col(group_col).eqNullSafe(F.col("__g")),

@@ -50,6 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→LTZ cast below binds the session zone at ANALYSIS time, so
+    # forcing UTC here fixes the interpretation for the returned DataFrame
+    # even if the caller changes the session zone afterwards. Assert the
+    # pin actually took (a session that rejects the conf would otherwise
+    # silently shift every instant by the host zone offset).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        raise RuntimeError(
+            "load_table requires spark.sql.session.timeZone=UTC; the "
+            "session refused the conf pin")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

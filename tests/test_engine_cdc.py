@@ -510,6 +510,160 @@ def test_engine_maintained_aggregate(engine, spark, tmp_path):
     assert view == scratch
 
 
+def test_sharded_snapshot_workers_consolidate(engine, spark, tmp_path):
+    """3-worker sharded initial replication, run CONCURRENTLY: the shard
+    union must equal the full table exactly (disjoint + exhaustive CRC32
+    sharding), and recover_version must reconcile the per-table watermark
+    from MAX(_version) afterwards — the reference's multi-threaded initial
+    replication + version consolidation (db_replicator_initial.py:386–470,
+    ``initial_replication_threads``)."""
+    engine.create_table(DB, USERS_DDL)
+    src = spark.createDataFrame(
+        [(i, f"u{i}", i % 90) for i in range(1, 2001)],
+        "id int, name string, age int")
+    engine.snapshot_table_sharded(DB, "users", src, workers=3)
+
+    assert engine.read_final(DB, "users").count() == 2000  # no dup, no loss
+    got = {(r.id, r.name, r.age) for r in
+           engine.read_final(DB, "users").drop("_version").collect()}
+    assert got == {(i, f"u{i}", i % 90) for i in range(1, 2001)}
+    # version watermark consolidated: snapshot rows are version-1 peers
+    assert engine.load_meta(DB, "users")["last_version"] == 1
+    assert engine.recover_version(DB, "users") == 1
+    # and CDC keeps working on top of the sharded snapshot
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "users", [(1, "updated", 99)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    row = engine.read_final(DB, "users").where("id = 1").collect()[0]
+    assert (row.name, row.age) == ("updated", 99)
+    assert engine.load_meta(DB, "users")["last_version"] == 2
+
+
+def test_database_level_atomic_publish(engine, spark, tmp_path):
+    """D14 full analog (reference db_replicator_initial.py:149–163): a
+    multi-table initial snapshot staged under ``{db}_tmp`` is invisible
+    until ONE publish_database call, then fully visible — never
+    half-published."""
+    staging = f"{DB}_tmp"
+    engine.create_table(staging, USERS_DDL)
+    engine.create_table(staging, """CREATE TABLE items (
+      id int NOT NULL, label varchar(32), PRIMARY KEY (id))""")
+    engine.snapshot_table(staging, "users", spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20)], "id int, name string, age int"))
+    engine.snapshot_table(staging, "items", spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id int, label string"))
+
+    assert not engine.table_exists(DB, "users")   # invisible pre-publish
+    assert not engine.table_exists(DB, "items")
+
+    engine.publish_database(staging, DB)
+    assert engine.tables(DB) == ["items", "users"]  # all-at-once visible
+    assert staging not in engine.databases()
+    assert engine.read_final(DB, "users").count() == 2
+    assert engine.read_final(DB, "items").count() == 3
+
+
+def test_database_publish_crash_recovery(engine, spark, tmp_path):
+    """Crash mid-swap: marker written, old db renamed away, staging not yet
+    renamed — a restarted engine must roll the publish FORWARD (staging was
+    complete by contract). An orphan staging with NO marker is an
+    incomplete snapshot and is dropped."""
+    import json as _json
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+
+    # live db with one table
+    engine.create_table(DB, USERS_DDL)
+    engine.snapshot_table(DB, "users", spark.createDataFrame(
+        [(1, "old", 1)], "id int, name string, age int"))
+    # complete staging with the refreshed snapshot
+    staging = f"{DB}_tmp"
+    engine.create_table(staging, USERS_DDL)
+    engine.snapshot_table(staging, "users", spark.createDataFrame(
+        [(1, "new", 2), (2, "B", 3)], "id int, name string, age int"))
+
+    # simulate the crash window: marker on disk, target renamed to .old,
+    # staging still in place (crash between the two renames)
+    root = engine.root
+    with open(os.path.join(root, f"_publish_{DB}.json"), "w",
+              encoding="utf-8") as fh:
+        _json.dump({"staging": staging}, fh)
+    os.rename(os.path.join(root, DB), os.path.join(root, DB + ".old"))
+
+    e2 = ReplicaEngine(spark, root)   # restart → recovery runs in __init__
+    assert e2.tables(DB) == ["users"]
+    assert {r.name for r in e2.read_final(DB, "users").collect()} \
+        == {"new", "B"}
+    assert not os.path.exists(os.path.join(root, DB + ".old"))
+    assert not os.path.exists(os.path.join(root, f"_publish_{DB}.json"))
+    assert staging not in e2.databases()
+
+
+def test_truncate_resets_maintained_aggregate(engine, spark, tmp_path):
+    """TRUNCATE must reset registered aggregate views along with the data:
+    the view's seq watermark still equals the table's after a truncate, so
+    the watermark-mismatch repair alone would never fire and later deltas
+    would merge onto the stale pre-truncate view (ADVICE r2 #1)."""
+    from mysql_ch_replicator_spark.operators.incremental_agg import agg_of
+
+    engine.create_table(DB, """CREATE TABLE acct (
+      id int NOT NULL, grp varchar(16), amount decimal(18,2),
+      PRIMARY KEY (id))""")
+    log = EventLogWriter(str(tmp_path / "log1"))
+    log.add(DB, "acct", [(1, "a", "10.00"), (2, "a", "20.00"),
+                         (3, "b", "30.00")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+    engine.register_aggregate(DB, "acct", "by_grp", "grp", "amount")
+
+    log.ddl(DB, "TRUNCATE TABLE acct")
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+    assert engine.read_aggregate(DB, "acct", "by_grp").count() == 0
+
+    # post-truncate batches must merge onto the EMPTY view, not the stale one
+    log.add(DB, "acct", [(1, "a", "5.00"), (4, "c", "7.50")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+    view = {r.grp: (r.n_rows, str(r.total)) for r in
+            engine.read_aggregate(DB, "acct", "by_grp").collect()}
+    assert view == {"a": (1, "5.00"), "c": (1, "7.50")}
+    scratch = {r.grp: (r.n_rows, str(r.total)) for r in
+               agg_of(engine.read_final(DB, "acct"),
+                      "grp", "amount").collect()}
+    assert view == scratch
+
+
+def test_aggregate_high_cardinality_group_no_driver_roundtrip(
+        engine, spark, tmp_path):
+    """Deltas stay distributed: an aggregate grouped on the PK itself
+    (every row its own group — the worst case for a driver collect) goes
+    through the staging-parquet path and stays exact (VERDICT r2 #2)."""
+    from mysql_ch_replicator_spark.operators.incremental_agg import agg_of
+
+    engine.create_table(DB, """CREATE TABLE wide (
+      id int NOT NULL, grp varchar(16), amount decimal(18,2),
+      PRIMARY KEY (id))""")
+    log = EventLogWriter(str(tmp_path / "log1"))
+    log.add(DB, "wide", [(i, f"g{i}", f"{i}.00") for i in range(1, 501)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+    engine.register_aggregate(DB, "wide", "by_id", "grp", "amount")
+
+    log.add(DB, "wide", [(i, f"g{i}", f"{i + 1000}.00")
+                         for i in range(1, 251)])      # update half
+    log.remove(DB, "wide", [(i,) for i in range(251, 301)])  # delete 50
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log1")))
+
+    agg = engine.read_aggregate(DB, "wide", "by_id")
+    assert agg.count() == 450
+    view = {r.grp: (r.n_rows, str(r.total)) for r in agg.collect()}
+    scratch = {r.grp: (r.n_rows, str(r.total)) for r in
+               agg_of(engine.read_final(DB, "wide"),
+                      "grp", "amount").collect()}
+    assert view == scratch
+    # no staging leftovers after a successful merge
+    import glob
+    assert not glob.glob(os.path.join(
+        engine._agg_dir(DB, "wide", "by_id"), "delta.staging"))
+
+
 def test_engine_aggregate_crash_gap_rebuild(engine, spark, tmp_path):
     """If the view's seq watermark disagrees with the table's (crash
     between table write and view write), the next batch rebuilds it."""

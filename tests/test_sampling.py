@@ -144,6 +144,25 @@ def test_per_group_cap_matches_naive_window(spark):
     assert sum(1 for _, g in expect if g == "cold") == 3  # under-cap kept
 
 
+def test_per_group_cap_zero_survivor_groups_rescued(spark):
+    """A group whose EVERY row is cut by the hash prefilter must still be
+    rescued: with cap=1, oversample=1 and n=120, a group keeps zero
+    prefilter survivors with probability ~(1-1/n)^n ~ 37%, so across 40
+    groups the old capped-anchored detector (ADVICE r2 #2) loses ~15 groups
+    entirely. The counts-anchored detector must keep all of them, exactly
+    matching the naive window."""
+    from mysql_ch_replicator_spark.operators.sampling import per_group_cap
+
+    rows = [(g * 1000 + i, f"g{g}") for g in range(40) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    naive = {(r.id, r.grp) for r in
+             per_group_cap(df, "grp", "id", 1, oversample=None).collect()}
+    got = {(r.id, r.grp) for r in
+           per_group_cap(df, "grp", "id", 1, oversample=1).collect()}
+    assert got == naive
+    assert len({g for _, g in got}) == 40  # no group vanished
+
+
 def test_line_dedup_stats_crafted(spark):
     """Crafted cross-doc duplicate lines: first-document-wins counts."""
     from mysql_ch_replicator_spark.operators.dedup import line_dedup_stats
