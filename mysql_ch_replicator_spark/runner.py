@@ -37,13 +37,22 @@ class ReplicationSupervisor:
                  checkpoint_root: str,
                  trigger_seconds: float = 1.0,
                  max_files_per_trigger: int | None = None,
-                 optimizer: ReplicaOptimizer | None = None):
+                 optimizer: ReplicaOptimizer | None = None,
+                 log_retention_seconds: float | None = None,
+                 gc_interval_seconds: float = 60.0):
         self.engine = engine
         self.event_root = event_root
         self.checkpoint_root = checkpoint_root
         self.trigger_seconds = trigger_seconds
         self.max_files_per_trigger = max_files_per_trigger
         self.optimizer = optimizer
+        # event-log retention GC cadence (reference runs remove_old_files
+        # inside the binlog writer loop, binlog_replicator.py:288–298;
+        # here the supervisor owns it — one sweep across every db's log
+        # dir at most every gc_interval_seconds). None → GC disabled.
+        self.log_retention_seconds = log_retention_seconds
+        self.gc_interval_seconds = gc_interval_seconds
+        self._last_gc = 0.0
         self.queries: dict[str, object] = {}   # db -> StreamingQuery
         self.restarts: dict[str, int] = {}     # db -> restart count (A4-ish)
         self._need_restart = False             # /restart_replication flag
@@ -85,7 +94,12 @@ class ReplicationSupervisor:
         3. stop + drop queries whose database directory disappeared
            (runner.py:144–149),
         4. run the compaction scheduler if attached (the reference runs
-           DbOptimizerRunner alongside, runner.py:166–168).
+           DbOptimizerRunner alongside, runner.py:166–168),
+        5. GC expired event-log files across every db's log dir if
+           retention is configured (reference remove_old_files,
+           binlog_replicator.py:288–298) — checkpointed streams are
+           unaffected: the file-source checkpoint tracks processed files
+           by path, and the newest files are always preserved.
 
         Returns a summary dict for monitoring."""
         started, restarted, stopped = [], [], []
@@ -110,9 +124,29 @@ class ReplicationSupervisor:
                 restarted.append(db)
 
         optimized = self.optimizer.maybe_optimize() if self.optimizer else []
+        gc_removed = self._maybe_gc(dbs)
         return {"started": started, "restarted": restarted,
                 "stopped": stopped, "optimized": optimized,
+                "gc_removed": gc_removed,
                 "active": sorted(self.queries)}
+
+    def _maybe_gc(self, dbs: list[str]) -> list[str]:
+        """Event-log retention sweep, rate-limited to one pass per
+        ``gc_interval_seconds`` so a 1 s poll cadence doesn't stat every
+        log file every second."""
+        if self.log_retention_seconds is None:
+            return []
+        now = time.time()
+        if now - self._last_gc < self.gc_interval_seconds:
+            return []
+        self._last_gc = now
+        from .sources.event_log import gc_event_log
+        removed = []
+        for db in dbs:
+            removed.extend(gc_event_log(
+                os.path.join(self.event_root, db),
+                retention_seconds=self.log_retention_seconds))
+        return removed
 
     def run_forever(self, poll_seconds: float = 1.0,
                     max_polls: int | None = None) -> None:

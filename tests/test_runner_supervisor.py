@@ -125,6 +125,56 @@ def test_http_control_restart_replication(spark, tmp_path):
         sup.stop_all()
 
 
+def test_supervisor_gc_expired_logs_and_stream_restarts(spark, tmp_path):
+    """VERDICT r2 #7: the supervisor poll runs event-log retention GC.
+    Already-processed expired files are removed (newest preserved), and a
+    killed stream still restarts from its checkpoint and converges — the
+    file-source checkpoint tracks processed files by path, so GC of
+    processed files never breaks resumption."""
+    event_root = str(tmp_path / "events")
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", DDL)
+    log = EventLogWriter(os.path.join(event_root, "db1"))
+    for i in range(8):   # 8 published files, one row each
+        log.add("db1", "users", [(i, f"u{i}")])
+        log.rotate()
+
+    sup = ReplicationSupervisor(
+        engine, event_root, str(tmp_path / "ckpt"), trigger_seconds=0.2,
+        log_retention_seconds=3600.0, gc_interval_seconds=0.0)
+    try:
+        sup.poll()
+        sup.process_all_available()
+        assert len(_final(engine, "db1")) == 8
+
+        # age every published file beyond retention; next poll GCs all but
+        # the newest preserve_files=5
+        for fn in os.listdir(os.path.join(event_root, "db1")):
+            p = os.path.join(event_root, "db1", fn)
+            os.utime(p, (os.path.getmtime(p) - 7200, )*2)
+        r = sup.poll()
+        assert len(r["gc_removed"]) == 3          # 8 files - 5 preserved
+        live = sorted(f for f in os.listdir(os.path.join(event_root, "db1"))
+                      if f.endswith(".jsonl"))
+        assert len(live) == 5
+
+        # kill the stream; restart must resume from checkpoint over the
+        # GC'd directory and stay converged + accept new events
+        sup.queries["db1"].stop()
+        log2 = EventLogWriter(os.path.join(event_root, "db1"))
+        log2._seq = 1000
+        log2.add("db1", "users", [(100, "after-gc")])
+        log2.rotate()
+        r = sup.poll()
+        assert r["restarted"] == ["db1"]
+        sup.process_all_available()
+        final = _final(engine, "db1")
+        assert (100, "after-gc") in final
+        assert len(final) == 9
+    finally:
+        sup.stop_all()
+
+
 def test_supervisor_db_pattern_filter(spark, tmp_path):
     from mysql_ch_replicator_spark.config import Settings
     event_root = str(tmp_path / "events")
