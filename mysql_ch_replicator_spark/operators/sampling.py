@@ -181,3 +181,39 @@ def mixture_sample(df: DataFrame, id_col: str, stratum_col: str,
     default = F.lit(int(round(default_rate * _BUCKETS)))
     thresh = default if expr is None else expr.otherwise(default)
     return df.where(b < thresh)
+
+
+def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
+                       alpha: float = 0.5,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flattened mixture: downsample each stratum so kept
+    counts are ∝ ``n_s^alpha`` (``alpha`` = 1/T; alpha<1 flattens a
+    skewed source distribution — the multilingual/multi-source balancing
+    rule from the mBERT/XLM-R recipes). The smallest stratum keeps 100%
+    and larger strata keep ``(n_min/n_s)^(1-alpha)`` of their rows,
+    hash-deterministically.
+
+    Scale shape: one per-stratum count aggregate (tiny) broadcast back,
+    a 1-row min broadcast, and a scan-side hash-threshold filter — no
+    shuffle of the data itself, reproducible on any partitioning.
+
+    Cross-engine exactness: with the default ``alpha=0.5`` the keep rate
+    is ``sqrt(n_min/n_s)`` — int→double cast, division, sqrt and the
+    final multiply are ALL correctly-rounded IEEE-754 ops, so Spark
+    (JVM) and any C-libm engine agree bit-exactly. Other alphas go
+    through ``pow``, which libms round differently — fine for
+    production, not for a hash-compared oracle."""
+    n = F.col("__n").cast("double")
+    nmin = F.col("__nmin").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(nmin / n)
+    else:
+        rate = F.pow(nmin / n, F.lit(1.0 - alpha))
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    low = counts.agg(F.min("__n").alias("__nmin"))
+    d = (df.join(F.broadcast(counts.withColumnRenamed(stratum_col, "__g")),
+                 F.col(stratum_col).eqNullSafe(F.col("__g")))
+         .crossJoin(F.broadcast(low)))
+    b = split_bucket(F.col(id_col), salt).cast("double")
+    return (d.where(b < rate * F.lit(float(_BUCKETS)))
+            .drop("__g", "__n", "__nmin"))

@@ -94,6 +94,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q20_heavy_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    # 2c. new in round 3 — first driver verification
+    "sample_temperature",
+    "doc_length_histogram",
+    "q_grouping_sets_activity",
     # 3. last driver row was round 1 — rotate back into the window
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -1487,6 +1491,42 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("o_orderpriority", F.lit("ALL"))
                      .alias("priority"),
                     "n_orders", "revenue"))
+
+
+@register(
+    "q_grouping_sets_activity",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL')
+             AS day,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                AS VARCHAR) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type,
+                             strftime(date_trunc('day', ts), '%Y-%m-%d')),
+                            (strftime(date_trunc('day', ts), '%Y-%m-%d')),
+                            (event_type))
+    """,
+)
+def q_grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — arbitrary GROUPING SETS (the asymmetric cousin of
+    rollup/cube: (type, day), (day), (type) with NO grand total — a shape
+    only GROUPING SETS can express). Spark plans one Expand + ONE hash
+    aggregate: each input row fans out to its 3 grouping-set replicas
+    map-side, partials combine before the single shuffle — never three
+    separate scans of the fact table."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    d = events.select("event_type", day, "value")
+    return (d.groupingSets([["event_type", "day"], ["day"], ["event_type"]],
+                           "event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("decimal(28,2)").cast("string").alias("total_value"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("day", F.lit("ALL")).alias("day"),
+                    "n_events", "total_value"))
 
 
 @register(

@@ -869,6 +869,71 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature",
+    f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents
+                    GROUP BY source),
+    low AS (SELECT MIN(n) AS nmin FROM counts)
+    SELECT doc_id, source
+    FROM (SELECT d.doc_id, d.source,
+                 CAST({_SPLIT_B_SQL.format(salt='temp', id='d.doc_id')}
+                      AS DOUBLE) AS b,
+                 sqrt(CAST(low.nmin AS DOUBLE) / CAST(c.n AS DOUBLE)) AS rate
+          FROM documents d
+          JOIN counts c USING (source)
+          CROSS JOIN low)
+    WHERE b < rate * 10000.0
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (operators/sampling.
+    temperature_sample, alpha=0.5): kept counts become proportional to
+    sqrt(n_source) — the multilingual/multi-source flattening rule. One
+    tiny count aggregate broadcast back + a scan-side hash threshold;
+    the data itself never shuffles. Exact cross-engine because every
+    float op in the rate (int→double cast, divide, sqrt, multiply) is
+    correctly-rounded IEEE — unlike pow, which libms disagree on."""
+    from .operators.sampling import temperature_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "doc_id", "source",
+                              alpha=0.5).select("doc_id", "source")
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT source,
+           CASE WHEN strlen(text) < 200 THEN '0000-0199'
+                WHEN strlen(text) < 500 THEN '0200-0499'
+                WHEN strlen(text) < 1000 THEN '0500-0999'
+                WHEN strlen(text) < 2000 THEN '1000-1999'
+                ELSE '2000+' END AS length_bucket,
+           COUNT(*) AS n_docs,
+           SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution report (the standard pre-training data
+    audit): per-source byte-length histogram over fixed buckets. Single
+    map-side-combined hash aggregate over (source, bucket) — tiny result,
+    one shuffle of partial aggregates only. octet_length (bytes) rather
+    than length (codepoints) so the bucket edges are encoding-exact on
+    every engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    blen = F.octet_length("text")
+    bucket = (F.when(blen < 200, "0000-0199")
+              .when(blen < 500, "0200-0499")
+              .when(blen < 1000, "0500-0999")
+              .when(blen < 2000, "1000-1999")
+              .otherwise("2000+"))
+    return (docs.groupBy("source", bucket.alias("length_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(blen.cast("bigint")).alias("total_bytes")))
+
+
+@register(
     "pack_sequences",
     """
     WITH t AS (

@@ -144,6 +144,40 @@ def test_per_group_cap_matches_naive_window(spark):
     assert sum(1 for _, g in expect if g == "cold") == 3  # under-cap kept
 
 
+def test_temperature_sample_flattens_to_sqrt(spark):
+    """alpha=0.5 temperature sampling: the smallest stratum keeps ~100%
+    of its rows and kept counts are ~∝ sqrt(n_s) — the flattening rule.
+    Deterministic in the ids, so repeated runs agree exactly."""
+    import math
+
+    from mysql_ch_replicator_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    sizes = {"big": 6400, "mid": 1600, "small": 100}
+    rows, next_id = [], 0
+    for name, n in sizes.items():
+        for _ in range(n):
+            rows.append((next_id, name))
+            next_id += 1
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_sample(df, "id", "src")
+    got = {r.src: r.n for r in
+           out.groupBy("src").agg(F.count("id").alias("n")).collect()}
+    # smallest stratum: keep rate 1.0 → kept exactly
+    assert got["small"] == 100
+    # larger strata: expected kept = sqrt(n_min * n_s); allow hash noise
+    for name in ("big", "mid"):
+        expect = math.sqrt(sizes[name] * sizes["small"])
+        assert abs(got[name] - expect) / expect < 0.15, (name, got[name])
+    # determinism
+    got2 = {(r.id, r.src) for r in out.select("id", "src").collect()}
+    got3 = {(r.id, r.src) for r in
+            temperature_sample(df, "id", "src").select("id", "src")
+            .collect()}
+    assert got2 == got3
+
+
 def test_per_group_cap_zero_survivor_groups_rescued(spark):
     """A group whose EVERY row is cut by the hash prefilter must still be
     rescued: with cap=1, oversample=1 and n=120, a group keeps zero
