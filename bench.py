@@ -64,18 +64,31 @@ def bench_streaming(spark) -> dict:
     log.rotate()
     total_rows = n + 5_000 + 5_000
 
-    # warmup: push a tiny batch through the full apply pipeline on a
-    # throwaway table so whole-stage codegen + shuffle machinery are
-    # compiled before the timed window
-    from mysql_ch_replicator_spark.sources.event_log import read_event_log
+    # warmup: drive a small event log through the REAL Structured
+    # Streaming path (not a direct apply_batch call) on a throwaway
+    # table — the timed window uses the streaming machinery (file-source
+    # listing, micro-batch planner, checkpoint commits) whose first use
+    # costs JIT/codegen that a batch-mode warmup does not touch. Three
+    # micro-batches make the second-batch fast path (replay guard, state
+    # reuse) warm too.
     warm_engine = ReplicaEngine(spark, os.path.join(scratch, "warm_replica"))
     warm_engine.create_table("bench", """CREATE TABLE t (
       id int NOT NULL, name varchar(255), age int, PRIMARY KEY (id))""")
-    warm_log = EventLogWriter(os.path.join(scratch, "warm_log"))
-    warm_log.add("bench", "t", [(1, "w", 1), (2, "w", 2)])
-    warm_log.remove("bench", "t", [(2,)])
-    warm_engine.apply_batch(
-        read_event_log(spark, os.path.join(scratch, "warm_log")))
+    warm_log = EventLogWriter(os.path.join(scratch, "warm_log"), live=True)
+    for b in range(3):   # real volume: C2-tier JIT needs invocations
+        warm_log.add("bench", "t",
+                     [(j, f"w{j}", j % 7)
+                      for j in range(b * 4000, b * 4000 + 4000)])
+        warm_log.rotate()
+    warm_log.remove("bench", "t", [(1,)])
+    warm_log.rotate()
+    wq = warm_engine.start_streaming(
+        os.path.join(scratch, "warm_log"), os.path.join(scratch, "warm_ckpt"),
+        trigger_seconds=0.1, max_files_per_trigger=1)
+    try:
+        wq.processAllAvailable()
+    finally:
+        wq.stop()
 
     t0 = time.perf_counter()
     q = engine.start_streaming(log_dir, os.path.join(scratch, "ckpt"),

@@ -329,3 +329,57 @@ def test_per_group_cap_prefilter_broadcasts(spark):
     plan = plan_of(per_group_cap(docs, "source", "doc_id", 5))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_mixture_sample_scan_side_no_shuffle(spark, queries):
+    """Static-rate mixture rebalancing is a pure scan-side filter: the
+    per-stratum threshold is a CASE over the stratum column — ZERO
+    exchanges in the whole plan (the property that makes it free at
+    100 TB: it composes into any downstream job's scan stage)."""
+    plan = plan_of(queries["sample_mixture_weights"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_temperature_sample_data_never_shuffles(spark, queries):
+    """Temperature flattening: the only exchanges are the tiny per-stratum
+    count aggregate and its 1-row min — both end in broadcasts. The
+    document data itself must reach the output without an exchange above
+    its scan (filter applied via broadcast join, not repartitioning)."""
+    plan = plan_of(queries["sample_temperature"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    # the docs scan feeds a BroadcastHashJoin directly: no hash exchange
+    # keyed on the stratum column for the full table
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "doc_id" not in line, line
+
+
+def test_dedup_lines_line_keyed_aggregates_broadcast_join(spark, queries):
+    """Corpus line-dedup: explode + line-keyed aggregate (map-side min
+    combine) and the doc-keyed stats aggregate, stitched by a BROADCAST
+    join — bounded exchanges, never an all-pairs or sort-merge join."""
+    plan = plan_of(queries["dedup_lines"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_grouping_sets_single_expand_single_agg(spark, queries):
+    """Arbitrary GROUPING SETS must plan as ONE Expand + one hash
+    aggregate pair (partial + final = one exchange) — never N separate
+    scans of the fact table. (explain('formatted') mentions each node in
+    both the tree and the details, so scans are counted by their
+    Location detail line.)"""
+    plan = plan_of(queries["q_grouping_sets_activity"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_doc_length_histogram_single_agg(spark, queries):
+    """Length histogram: single map-combined aggregate, one exchange of
+    (source, bucket) partials, one scan."""
+    plan = plan_of(queries["doc_length_histogram"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
