@@ -795,6 +795,57 @@ def _cdc_event_df(events: DataFrame, db: str, table: str,
     )
 
 
+@register(
+    "cdc_time_travel",
+    """
+    WITH cut AS (
+      SELECT min(event_id) + (max(event_id) - min(event_id)) * 3 // 5 AS c
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events, cut WHERE event_id <= cut.c
+    )
+    SELECT user_id,
+           event_type AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version time travel (engine.read_asof): apply the event log in TWO
+    engine batches split at an exact 60% event_id cut (batch 1 stamps
+    _version=1, batch 2 stamps _version=2), then read the table AS OF
+    version 1. The result must equal the latest-wins state over only the
+    first batch's events — tombstones up to v1 applied, v2 invisible.
+    Free on this append-only storage design (filter `_version <= v` +
+    dedup); ClickHouse ReplacingMergeTree cannot answer it
+    (SURVEY.md §2.7 beyond-reference row)."""
+    from .engine import ReplicaEngine
+
+    root = _tmp_root(sf_dir, "cdc_asof")
+    engine = ReplicaEngine(spark, root)
+    engine.create_table("drv", """CREATE TABLE user_state (
+        user_id bigint NOT NULL,
+        last_event varchar(32),
+        value decimal(18,2),
+        PRIMARY KEY (user_id))""")
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(F.min("event_id").alias("lo"),
+                   F.max("event_id").alias("hi")).collect()[0]
+    cut = int(b.lo) + (int(b.hi) - int(b.lo)) * 3 // 5
+    cdc = _cdc_event_df(events, "drv", "user_state")
+    engine.apply_batch(cdc.where(F.col("seq") <= cut))   # -> _version 1
+    engine.apply_batch(cdc.where(F.col("seq") > cut))    # -> _version 2
+    return engine.read_asof("drv", "user_state", version=1) \
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
+
+
 def _tmp_root(sf_dir: str, tag: str) -> str:
     """Scratch dir for queries that materialize a replica — kept INSIDE the
     repo (.scratch/, git-ignored): the environment contract forbids writing

@@ -197,6 +197,82 @@ def test_per_group_cap_zero_survivor_groups_rescued(spark):
     assert len({g for _, g in got}) == 40  # no group vanished
 
 
+def test_per_group_cap_property_random_shapes(spark):
+    """Property: for RANDOM group-size profiles (hypothesis-driven), the
+    skew-safe plan equals the naive window for every oversample, every
+    group keeps min(cap, n) rows, and the operator is partition-invariant
+    (repartitioning the input never changes the selection — the
+    determinism contract hash-based sampling promises)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_ch_replicator_spark.operators.sampling import per_group_cap
+
+    @settings(max_examples=6, deadline=None)
+    @given(sizes=st.lists(st.integers(min_value=1, max_value=400),
+                          min_size=1, max_size=6),
+           cap=st.integers(min_value=1, max_value=7))
+    def check(sizes, cap):
+        rows, nid = [], 0
+        for g, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((nid, f"g{g}"))
+                nid += 1
+        df = spark.createDataFrame(rows, "id long, grp string")
+        naive = {(r.id, r.grp) for r in
+                 per_group_cap(df, "grp", "id", cap,
+                               oversample=None).collect()}
+        fast = {(r.id, r.grp) for r in
+                per_group_cap(df, "grp", "id", cap, oversample=2).collect()}
+        assert fast == naive
+        per_group = {}
+        for _, g in naive:
+            per_group[g] = per_group.get(g, 0) + 1
+        for g, n in enumerate(sizes):
+            assert per_group.get(f"g{g}", 0) == min(cap, n)
+        shuffled = {(r.id, r.grp) for r in
+                    per_group_cap(df.repartition(7), "grp", "id", cap,
+                                  oversample=2).collect()}
+        assert shuffled == naive
+
+    check()
+
+
+def test_temperature_sample_partition_invariant_and_nested(spark):
+    """Properties: partition-invariance (hash decisions don't depend on
+    physical layout) and subset monotonicity — flattening a superset
+    corpus never *adds* rows for a stratum whose count grew (its keep
+    rate only falls as n_s rises, rate = sqrt(n_min/n_s))."""
+    from mysql_ch_replicator_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "a") for i in range(900)] + \
+           [(1000 + i, "b") for i in range(150)] + \
+           [(2000 + i, "c") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    base = {(r.id, r.src) for r in
+            temperature_sample(df, "id", "src").select("id", "src")
+            .collect()}
+    repart = {(r.id, r.src) for r in
+              temperature_sample(df.repartition(13), "id", "src")
+              .select("id", "src").collect()}
+    assert repart == base
+
+    # grow stratum 'a' (n_min unchanged): a-rows kept must be a subset of
+    # before (rate fell), b/c unchanged counts → identical decisions
+    grown = df.unionByName(spark.createDataFrame(
+        [(5000 + i, "a") for i in range(900)], "id long, src string"))
+    after = {(r.id, r.src) for r in
+             temperature_sample(grown, "id", "src").select("id", "src")
+             .collect()}
+    base_a_old_ids = {t for t in base if t[1] == "a"}
+    after_a_old_ids = {t for t in after if t[1] == "a" and t[0] < 5000}
+    assert after_a_old_ids <= base_a_old_ids
+    assert {t for t in after if t[1] == "c"} == \
+        {t for t in base if t[1] == "c"}
+
+
 def test_line_dedup_stats_crafted(spark):
     """Crafted cross-doc duplicate lines: first-document-wins counts."""
     from mysql_ch_replicator_spark.operators.dedup import line_dedup_stats
