@@ -76,8 +76,19 @@ class Settings:
     records_per_file: int = 100_000               # config.py:113
     binlog_retention_period: float = 43_200.0     # config.py:114
     optimize_interval: float = 86_400.0           # config.py:135
+    enable_optimize_final: bool = True            # config.py:189, db_optimizer.py:75
     mysql_timezone: str = "UTC"                   # converter.py:350–374
     log_level: str = "info"
+
+    # version counter start for new tables — lets a rebuilt replica slot
+    # under an existing one's version space (config.py:207,
+    # clickhouse_api.py:205 get_last_used_version fallback)
+    version_initial_value: int = 0
+
+    # supervisor HTTP control plane bind (config.py:197–198; the
+    # reference's FastAPI runner endpoint)
+    http_host: str = "127.0.0.1"
+    http_port: int = 0
 
     # -- loading ------------------------------------------------------------
 
@@ -142,6 +153,12 @@ class Settings:
             raise ValueError(f"wrong log level {self.log_level!r}")
         if self.initial_replication_threads < 1:
             raise ValueError("initial_replication_threads must be >= 1")
+        if not isinstance(self.version_initial_value, int) \
+                or self.version_initial_value < 0:
+            raise ValueError("version_initial_value must be an int >= 0")
+        if not isinstance(self.http_port, int) \
+                or not (0 <= self.http_port <= 65535):
+            raise ValueError("http_port must be an int in [0, 65535]")
         for m in (self.target_databases, self.target_tables,
                   self.types_mapping):
             if not isinstance(m, dict):

@@ -196,8 +196,13 @@ class ReplicaEngine:
             st = TableStructure(fields=list(src.fields),
                                 primary_keys=list(src.primary_keys),
                                 table_name=st.table_name, charset=src.charset)
+        # version counter starts at the configured initial value so a
+        # rebuilt replica can slot ABOVE an existing one's version space
+        # (reference version_initial_value, clickhouse_api.py:205)
+        v0 = (self.settings.version_initial_value
+              if self.settings is not None else 0)
         meta = {"structure": _structure_to_dict(st),
-                "last_version": 0, "last_seq": -1}
+                "last_version": v0, "last_seq": -1}
         if self.table_exists(db, st.table_name):
             if "if not exists" in create_sql.lower():
                 return self.structure(db, st.table_name)
@@ -497,13 +502,15 @@ class ReplicaEngine:
         snapshot). All snapshot rows are version-peers at version 1
         (operators/replica.py stamp_version_snapshot rationale)."""
         st = self.structure(db, table)
+        meta = self.load_meta(db, table)
+        snap_v = int(meta.get("last_version", 0)) + 1  # v0+1 on a fresh table
         cols = [F.col(f.name) for f in st.fields if f.name in df.columns]
         out = df.select(*cols) \
-            .withColumn(VERSION_COL, F.lit(1).cast("long")) \
+            .withColumn(VERSION_COL, F.lit(snap_v).cast("long")) \
             .withColumn(OP_COL, F.lit(OP_ADD))
         self._overwrite_data(db, table, out)
         meta = self.load_meta(db, table)
-        meta["last_version"] = 1
+        meta["last_version"] = snap_v
         self.save_meta(db, table, meta)
         # post_initial_replication_commands — arbitrary SQL after the
         # snapshot publishes (reference config.py:330–337,
@@ -537,13 +544,14 @@ class ReplicaEngine:
         pks = st.primary_keys
         cols = [F.col(f.name) for f in st.fields if f.name in df.columns]
         data = self._data_dir(db, table)
+        snap_v = int(self.load_meta(db, table).get("last_version", 0)) + 1
 
         def write_shard(w: int) -> str:
             shard_dir = f"{data}.shard{w}"
             shutil.rmtree(shard_dir, ignore_errors=True)
             out = (sharded_snapshot(df, pks, w, workers)
                    .select(*cols)
-                   .withColumn(VERSION_COL, F.lit(1).cast("long"))
+                   .withColumn(VERSION_COL, F.lit(snap_v).cast("long"))
                    .withColumn(OP_COL, F.lit(OP_ADD)))
             out.write.mode("overwrite").parquet(shard_dir)
             return shard_dir

@@ -47,7 +47,13 @@ class ReplicaOptimizer:
     def due_tables(self) -> list[tuple[str, str]]:
         """(db, table) pairs whose last compaction is older than the
         interval (never-compacted tables are always due) — the
-        ``select_db_to_optimize`` scan, reference db_optimizer.py:56–68."""
+        ``select_db_to_optimize`` scan, reference db_optimizer.py:56–68.
+        ``enable_optimize_final: false`` disables the sweep entirely (the
+        reference drops the FINAL keyword, db_optimizer.py:75; with
+        parquet the collapse IS the operation, so disabled = skip)."""
+        s = self.engine.settings
+        if s is not None and not s.enable_optimize_final:
+            return []
         now = self.clock()
         due = []
         for db in self.engine.databases():

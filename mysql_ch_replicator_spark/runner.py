@@ -186,7 +186,7 @@ class ReplicationSupervisor:
         shutil.rmtree(self.checkpoint_root, ignore_errors=True)
         self._need_restart = False
 
-    def serve_control(self, host: str = "127.0.0.1", port: int = 0):
+    def serve_control(self, host: str | None = None, port: int | None = None):
         """Minimal HTTP control plane (the reference's FastAPI server,
         runner.py:74–95, on stdlib http.server — no web framework in this
         environment): GET /status reports active queries and restart
@@ -197,6 +197,12 @@ class ReplicationSupervisor:
         import http.server
         import json as _json
         import threading
+
+        s = self.engine.settings
+        if host is None:
+            host = (s.http_host if s is not None else "") or "127.0.0.1"
+        if port is None:
+            port = s.http_port if s is not None else 0
 
         sup = self
 

@@ -190,3 +190,55 @@ def test_apply_stats_rps():
     assert st.events_count == 121
     assert st.insert_records_count == 100
     assert st.erase_records_count == 20
+
+
+def test_version_initial_value_offsets_version_space(spark, tmp_path):
+    """version_initial_value starts every new table's version counter at
+    the configured base (reference clickhouse_api.py:205): snapshot rows
+    stamp base+1 and CDC batches keep counting monotonically above it —
+    a rebuilt replica can slot ABOVE an old replica's version space."""
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    settings = Settings.load({"version_initial_value": 1000})
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"),
+                           settings=settings)
+    engine.create_table("db1", """CREATE TABLE users (
+      id int NOT NULL, name varchar(32), PRIMARY KEY (id))""")
+    assert engine.load_meta("db1", "users")["last_version"] == 1000
+
+    engine.snapshot_table("db1", "users", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"))
+    assert engine.load_meta("db1", "users")["last_version"] == 1001
+    vs = {r._version for r in engine.read_raw("db1", "users").collect()}
+    assert vs == {1001}
+
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "users", [(3, "c")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert engine.load_meta("db1", "users")["last_version"] == 1002
+    assert engine.recover_version("db1", "users") == 1002
+
+
+def test_http_host_port_settings_wire_control_plane(spark, tmp_path):
+    """http_host/http_port settings feed serve_control's bind address
+    (reference config.py:197–198)."""
+    import json as _json
+    import urllib.request
+
+    from mysql_ch_replicator_spark.runner import ReplicationSupervisor
+
+    settings = Settings.load({"http_host": "127.0.0.1", "http_port": 0})
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"),
+                           settings=settings)
+    sup = ReplicationSupervisor(engine, str(tmp_path / "events"),
+                                str(tmp_path / "ckpt"))
+    server = sup.serve_control()   # host/port from settings
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status") as r:
+            assert _json.loads(r.read())["active"] == []
+    finally:
+        server.shutdown()

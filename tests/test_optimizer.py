@@ -96,3 +96,16 @@ def test_compaction_preserves_final_semantics(spark, tmp_path):
     after = {tuple(r) for r in
              engine.read_final("db1", "users").drop("_version").collect()}
     assert before == after == {(1, "a2")}
+
+
+def test_enable_optimize_final_false_disables_sweep(spark, tmp_path):
+    """enable_optimize_final: false turns the compaction scheduler off —
+    the reference's flag that drops OPTIMIZE ... FINAL
+    (config.py:189, db_optimizer.py:75)."""
+    settings = Settings.load({"enable_optimize_final": False})
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"),
+                           settings=settings)
+    engine.create_table("db1", DDL)
+    opt = ReplicaOptimizer(engine, interval=0.0, clock=FakeClock())
+    assert opt.due_tables() == []
+    assert opt.maybe_optimize() == []
