@@ -61,6 +61,8 @@ def register(name: str, oracle: str | None):
 #   3. queries whose last driver row was round 1 (the ML-pipeline surface).
 # Everything not listed follows in registration order; those all hold green
 # round-2 rows.  Rotate this list as rounds verify queries.
+# ROUND-4 ROTATION CANDIDATES (registered after the round-3 window froze,
+# local-oracle-green but no driver row yet): q_table_stats, cdc_time_travel.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 1. core CDC smoke set — pinned in-window every round
     "cdc_final_state",
@@ -793,6 +795,66 @@ def _cdc_event_df(events: DataFrame, db: str, table: str,
         F.array(F.array(*payload_cols)).alias("payload"),
         F.lit(None).cast("string").alias("query"),
     )
+
+
+@register(
+    "q_table_stats",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS z1,
+             COUNT(DISTINCT o_orderstatus) AS d1,
+             MIN(o_orderstatus) AS mn1, MAX(o_orderstatus) AS mx1,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z2,
+             COUNT(DISTINCT o_custkey) AS d2,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS z3,
+             COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS d3,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn3,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx3
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, n AS n_rows, z1 AS n_nulls,
+           d1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM s
+    UNION ALL
+    SELECT 'o_custkey', n, z2, d2, mn2, mx2 FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n, z3, d3, mn3, mx3 FROM s
+    """,
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-verification column statistics (the ANALYZE/structure-
+    drift companion to replica_checksum): per-column null count, EXACT
+    distinct count, and canonical min/max — computed in ONE aggregate
+    pass over the table (Spark plans the multi-distinct agg with a
+    single Expand; each row fans out once per distinct column — one
+    shuffle, never one scan per column), then unpivoted to a row per
+    column. Doubles go through DECIMAL so min/max render identically on
+    every engine."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("z1"),
+        F.countDistinct("o_orderstatus").alias("d1"),
+        F.min("o_orderstatus").alias("mn1"),
+        F.max("o_orderstatus").alias("mx1"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("z2"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.min("o_custkey").cast("string").alias("mn2"),
+        F.max("o_custkey").cast("string").alias("mx2"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("z3"),
+        F.countDistinct(price).alias("d3"),
+        F.min(price).cast("string").alias("mn3"),
+        F.max(price).cast("string").alias("mx3"))
+    return s.selectExpr(
+        """stack(3,
+             'o_orderstatus', n, z1, d1, mn1, mx1,
+             'o_custkey',     n, z2, d2, mn2, mx2,
+             'o_totalprice',  n, z3, d3, mn3, mx3)
+           AS (column_name, n_rows, n_nulls, n_distinct,
+               min_value, max_value)""")
 
 
 @register(
@@ -1897,8 +1959,10 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (every persist is paired with an unpersist — no cache outlives
         # the query in a long-lived bench/driver session)
         state, agg = state.persist(), agg.persist()
-        agg.count()
-        state.count()
+        # ONE materialization job per round: the union action evaluates
+        # (and caches) both persisted frames together
+        state.select(F.lit(1).alias("x")) \
+            .unionByName(agg.select(F.lit(1).alias("x"))).count()
         for f in live:
             f.unpersist()
         live = [state, agg]
