@@ -383,3 +383,11 @@ def test_doc_length_histogram_single_agg(spark, queries):
     plan = plan_of(queries["doc_length_histogram"](spark, SF))
     assert plan.count("Arguments: hashpartitioning") == 1
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_table_stats_single_pass_multi_distinct(spark, queries):
+    """Column statistics must be ONE pass: the multi-distinct aggregate
+    plans as a single Expand over one scan — never one scan per column."""
+    plan = plan_of(queries["q_table_stats"](spark, SF))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
