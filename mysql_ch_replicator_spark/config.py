@@ -90,6 +90,35 @@ class Settings:
     http_host: str = "127.0.0.1"
     http_port: int = 0
 
+    # supervisor database-rescan cadence (reference config.py:136/:190,
+    # check_databases_updated runner.py:131–149): how often the
+    # supervisor re-lists the event root for created/removed databases.
+    # Dead-query restarts still happen every poll — only *discovery* is
+    # rate-limited, exactly like the reference's 1 s process-check vs
+    # 120 s database-rescan split.
+    check_db_updated_interval: float = 120.0
+
+    # Accepted-but-inert reference knobs (loaded without error so every
+    # reference YAML works; each is a no-op here by design):
+    #  - auto_restart_interval (config.py:137/:193): the reference
+    #    restarts its per-db worker PROCESSES hourly to bound Python
+    #    memory growth; Spark executors are long-lived JVMs and the
+    #    streaming checkpoint already gives crash-equivalent restart, so
+    #    there is nothing to restart on a timer.
+    #  - cluster_mode (config.py:166/:203, ClickHouse ``ON CLUSTER``
+    #    Distributed DDL): the replica root is one partitioned parquet
+    #    namespace visible to every executor — there is no per-node DDL
+    #    to fan out.
+    #  - debug_log_level (config.py:150/:288): folded into log_level
+    #    ("debug" wins over the default) at load time.
+    auto_restart_interval: float = 3600.0
+    cluster_mode: bool = False
+    debug_log_level: bool = False
+
+    # event-log directory (the reference's ``binlog_replicator.data_dir``,
+    # config.py:111–113) — where EventLogWriter/stream_event_log live
+    event_log_dir: str = ""
+
     # -- loading ------------------------------------------------------------
 
     @classmethod
@@ -114,9 +143,97 @@ class Settings:
         if unknown:
             raise ValueError(f"unknown settings: {sorted(unknown)}")
         settings = cls(source=src, replica=rep, **raw)
+        if settings.debug_log_level:
+            settings.log_level = "debug"
         settings._apply_env_overrides()
         settings.validate()
         return settings
+
+    @classmethod
+    def from_reference_yaml(cls, path_or_dict) -> "Settings":
+        """Load a config written for the REFERENCE's YAML surface
+        (reference config.py:172–238 + example_config.yaml) unchanged.
+
+        Every reference key is accepted; blocks map onto the Spark-first
+        surface: ``mysql`` → a JDBC url source, ``clickhouse`` → the
+        replica settings (``cluster`` → cluster_mode), ``binlog_replicator``
+        → the event-log dir/rotation/retention, and the list-form
+        ``indexes``/``partition_bys``/``order_bys``/
+        ``post_initial_replication_commands`` (per-db/table glob entries,
+        reference config.py:38–62) flatten to the per-table dict form.
+        Unknown keys raise, same as the reference (config.py:236)."""
+        if isinstance(path_or_dict, dict):
+            raw = dict(path_or_dict)
+        else:
+            import yaml
+            with open(path_or_dict, encoding="utf-8") as fh:
+                raw = yaml.safe_load(fh) or {}
+
+        my = cls()._asdict_shallow()
+        out: dict = {}
+        mysql = raw.pop("mysql", {})
+        if mysql:
+            host = mysql.get("host", "localhost")
+            port = int(mysql.get("port", 3306))
+            out["source"] = {
+                "url": f"jdbc:mysql://{host}:{port}",
+                "user": mysql.get("user", "root"),
+                "password": mysql.get("password", ""),
+                "charset": mysql.get("charset", "utf8mb4"),
+            }
+        ch = raw.pop("clickhouse", {})
+        if ch:
+            out["replica"] = {"erase_batch_size":
+                              int(ch.get("erase_batch_size", 100_000))}
+            if ch.get("cluster"):
+                raw.setdefault("cluster_mode", True)
+        binlog = raw.pop("binlog_replicator", {})
+        if binlog:
+            out["event_log_dir"] = binlog.get("data_dir", "binlog")
+            if "records_per_file" in binlog:
+                out["records_per_file"] = int(binlog["records_per_file"])
+            if "binlog_retention_period" in binlog:
+                out["binlog_retention_period"] = \
+                    float(binlog["binlog_retention_period"])
+
+        def _exact_tables(entry) -> list[str]:
+            """Expand an entry's ``tables`` into dict keys: exact names
+            key directly; a glob keys as the glob itself (matched at
+            lookup time by the per-table override getters)."""
+            t = entry.get("tables", "*")
+            return t if isinstance(t, list) else [t]
+
+        for key, spec_field in (("indexes", "index"),
+                                ("partition_bys", "partition_by"),
+                                ("order_bys", "order_by")):
+            entries = raw.pop(key, [])
+            mapped: dict[str, list[str]] = {}
+            for entry in entries:
+                spec = entry.get(spec_field, "")
+                cols = [c.strip().strip("`")
+                        for c in spec.strip().strip("()").split(",")
+                        if c.strip()]
+                for t in _exact_tables(entry):
+                    mapped.setdefault(t, []).extend(cols)
+            if mapped:
+                out[key] = mapped
+        cmds = raw.pop("post_initial_replication_commands", [])
+        if cmds:
+            out["post_initial_replication_commands"] = \
+                [c for entry in cmds for c in (entry.get("commands") or [])]
+
+        for key in list(raw):
+            if key in my:
+                out[key] = raw.pop(key)
+        raw.pop("settings_file", None)
+        if raw:
+            raise ValueError(
+                f"unsupported reference config options: {sorted(raw)}")
+        return cls.load(out)
+
+    def _asdict_shallow(self) -> dict:
+        return {f.name: getattr(self, f.name)
+                for f in dataclasses.fields(self)}
 
     def _apply_env_overrides(self) -> None:
         """Env beats file — the full matrix of the reference's
@@ -159,6 +276,10 @@ class Settings:
         if not isinstance(self.http_port, int) \
                 or not (0 <= self.http_port <= 65535):
             raise ValueError("http_port must be an int in [0, 65535]")
+        if self.check_db_updated_interval <= 0:
+            raise ValueError("check_db_updated_interval must be positive")
+        if self.auto_restart_interval < 0:
+            raise ValueError("auto_restart_interval must be >= 0")
         for m in (self.target_databases, self.target_tables,
                   self.types_mapping):
             if not isinstance(m, dict):
@@ -195,6 +316,30 @@ class Settings:
                 self.is_pattern_matches(table_name, self.exclude_tables):
             return False
         return self.is_pattern_matches(table_name, self.tables)
+
+    # -- per-table layout overrides (glob-aware) -----------------------------
+
+    def _table_override(self, mapping: dict[str, list[str]],
+                        table: str) -> list[str]:
+        """Exact table key wins; otherwise the first glob entry that
+        matches. Reference Index/PartitionBy/OrderBy entries carry table
+        GLOBS (config.py:38–56), so ``from_reference_yaml`` keeps glob
+        keys verbatim and they resolve here at lookup time."""
+        if table in mapping:
+            return list(mapping[table])
+        for pat, cols in mapping.items():
+            if any(ch in pat for ch in "*?[") and fnmatch.fnmatch(table, pat):
+                return list(cols)
+        return []
+
+    def partition_by_for(self, table: str) -> list[str]:
+        return self._table_override(self.partition_bys, table)
+
+    def order_by_for(self, table: str) -> list[str]:
+        return self._table_override(self.order_bys, table)
+
+    def indexes_for(self, table: str) -> list[str]:
+        return self._table_override(self.indexes, table)
 
     # -- target renaming ----------------------------------------------------
 

@@ -391,7 +391,7 @@ class ReplicaEngine:
         directory partitioning → partition pruning on the replica scans."""
         if self.settings is None:
             return []
-        return list(self.settings.partition_bys.get(table, []))
+        return self.settings.partition_by_for(table)
 
     def _index_options(self, table: str, st: TableStructure,
                       df_cols) -> dict[str, str]:
@@ -406,7 +406,7 @@ class ReplicaEngine:
         if len(st.primary_keys) == 1:
             cols.append(st.primary_keys[0])
         if self.settings is not None:
-            cols += self.settings.indexes.get(table, [])
+            cols += self.settings.indexes_for(table)
         return {f"parquet.bloom.filter.enabled#{c}": "true"
                 for c in dict.fromkeys(cols) if c in set(df_cols)}
 
@@ -449,7 +449,15 @@ class ReplicaEngine:
         Crash-safe via an intent marker written (atomically) BEFORE the
         swap: the marker asserts "staging is complete", so recovery rolls
         the swap FORWARD; without a marker an orphaned staging database is
-        an incomplete snapshot and is dropped (``recover_databases``)."""
+        an incomplete snapshot and is dropped (``recover_databases``).
+
+        Concurrency: one publisher per database at a time (reference has
+        exactly one db_replicator process per database — same single-writer
+        assumption). The one benign race — a second engine constructed on
+        the same root mid-publish runs ``recover_databases`` and rolls the
+        marked swap forward FIRST — is tolerated: once the marker is down,
+        "staging gone + target present" IS the published state, so the
+        publisher treats its own lost rename as completed-by-recovery."""
         staging = os.path.join(self.root, staging_db)
         target = os.path.join(self.root, db)
         if not os.path.isdir(staging):
@@ -461,11 +469,21 @@ class ReplicaEngine:
         os.replace(tmp, marker)
         old = target + ".old"
         shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(target):
-            os.rename(target, old)
-        os.rename(staging, target)
+        try:
+            if os.path.isdir(target) and os.path.isdir(staging):
+                os.rename(target, old)
+            os.rename(staging, target)
+        except FileNotFoundError:
+            # recover_databases() in a concurrently-constructed engine saw
+            # the marker and completed the swap first; by the marker
+            # contract that outcome is identical to ours.
+            if os.path.isdir(staging) or not os.path.isdir(target):
+                raise
         shutil.rmtree(old, ignore_errors=True)
-        os.remove(marker)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass  # recovery already consumed it
 
     def recover_databases(self) -> None:
         """Finish (or clean up after) a database publish interrupted at any
@@ -525,12 +543,19 @@ class ReplicaEngine:
         Spark jobs each snapshot one CRC32(pk)%N shard — the reference's
         worker processes (db_replicator_initial.py:386–448,
         ``initial_replication_threads``) mapped onto one Spark app running
-        N jobs from a thread pool. Each worker writes its own staging dir
+        N jobs from a thread pool. Each worker writes its own shard dir
         (concurrent appends into one parquet dir would share the
         ``_temporary`` staging path and clobber each other); consolidation
-        is a pure file-rename pass, then ``recover_version`` reconciles the
-        version watermark from MAX(_version) exactly like the reference's
-        post-worker consolidation (db_replicator_initial.py:450–470)."""
+        renames shard files into a fresh ``.staging`` dir and publishes it
+        with the SAME atomic-rename protocol as ``_overwrite_data`` — so a
+        re-snapshot replaces stale rows instead of merging with them, and
+        a crash or concurrent reader mid-consolidation never observes a
+        partial snapshot (``_recover_data_dir`` rolls either way). Then
+        ``recover_version`` reconciles the version watermark from
+        MAX(_version) exactly like the reference's post-worker
+        consolidation (db_replicator_initial.py:450–470). Shard writers
+        carry the same partitionBy/bloom-index options as
+        ``snapshot_table`` (S8 parity)."""
         from concurrent.futures import ThreadPoolExecutor
 
         from .sources.snapshot import sharded_snapshot
@@ -545,6 +570,9 @@ class ReplicaEngine:
         cols = [F.col(f.name) for f in st.fields if f.name in df.columns]
         data = self._data_dir(db, table)
         snap_v = int(self.load_meta(db, table).get("last_version", 0)) + 1
+        col_names = [f.name for f in st.fields if f.name in df.columns]
+        idx_opts = self._index_options(table, st, col_names)
+        parts = [c for c in self._partition_cols(table) if c in col_names]
 
         def write_shard(w: int) -> str:
             shard_dir = f"{data}.shard{w}"
@@ -553,18 +581,37 @@ class ReplicaEngine:
                    .select(*cols)
                    .withColumn(VERSION_COL, F.lit(snap_v).cast("long"))
                    .withColumn(OP_COL, F.lit(OP_ADD)))
-            out.write.mode("overwrite").parquet(shard_dir)
+            writer = out.write.mode("overwrite")
+            for k, v in idx_opts.items():
+                writer = writer.option(k, v)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(shard_dir)
             return shard_dir
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             shard_dirs = list(ex.map(write_shard, range(workers)))
-        os.makedirs(data, exist_ok=True)
+        # Consolidate into .staging (rename-only, preserving any partition
+        # subdirs), then the same atomic swap as _overwrite_data.
+        self._recover_data_dir(db, table)  # clears stale .staging/.old
+        staging = data + ".staging"
+        os.makedirs(staging)
         for w, shard_dir in enumerate(shard_dirs):
-            for fn in os.listdir(shard_dir):
-                if fn.endswith(".parquet"):
-                    os.rename(os.path.join(shard_dir, fn),
-                              os.path.join(data, f"shard{w}-{fn}"))
+            for sub, _dirs, files in os.walk(shard_dir):
+                rel = os.path.relpath(sub, shard_dir)
+                dest = staging if rel == "." else os.path.join(staging, rel)
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    os.makedirs(dest, exist_ok=True)
+                    os.rename(os.path.join(sub, fn),
+                              os.path.join(dest, f"shard{w}-{fn}"))
             shutil.rmtree(shard_dir)
+        old = data + ".old"
+        if os.path.exists(data):
+            os.rename(data, old)
+        os.rename(staging, data)
+        shutil.rmtree(old, ignore_errors=True)
         self.recover_version(db, table)
 
     # -- reads (S7) ---------------------------------------------------------
@@ -974,7 +1021,7 @@ class ReplicaEngine:
         # clickhouse_api.py:260–273): clustering at compaction time gives
         # parquet min/max stats real selectivity on those columns
         if self.settings is not None:
-            order = self.settings.order_bys.get(table)
+            order = self.settings.order_by_for(table)
             if order:
                 collapsed = collapsed.sortWithinPartitions(*order)
         self._overwrite_data(db, table, collapsed)

@@ -139,46 +139,111 @@ def _sq_dists(vec_d: Column, cents: list[list[float]]) -> Column:
     return F.array(*dists)
 
 
+#: Default Lloyd quantization scale (2^22). Exactness bound: every squared
+#: distance must stay an exact float64 integer, i.e.
+#: dims × (2 · max|component| · scale)² < 2^53 — with dims=64 and
+#: components in [-1, 1] (unit-ish embeddings + init centroids), 2^22 is
+#: the largest power of two that fits. Pass a smaller scale for
+#: larger-magnitude vectors.
+QUANT_SCALE = 4_194_304.0
+
+
+def quantize_expr(vec_col, scale: float = QUANT_SCALE) -> Column:
+    """array<float> → array<long>: per-component ``floor(x · scale)``.
+    Multiplying by a power of two is exact in float64 and floor is
+    deterministic, so Spark and any SQL engine compute identical
+    integers."""
+    return F.transform(_as_double(vec_col),
+                       lambda x: F.floor(x * F.lit(scale)).cast("long"))
+
+
+def quantize_centroids(cents: list[list[float]],
+                       scale: float = QUANT_SCALE) -> list[list[int]]:
+    import math
+    return [[math.floor(c * scale) for c in row] for row in cents]
+
+
+def _sq_dists_quant(qcol: Column, cents_q: list[list[int]]) -> Column:
+    """Array of EXACT squared L2 distances in quantized space: every term
+    and every partial sum is an integer below 2^53, exactly representable
+    in float64 — summation order cannot perturb the result, in Spark OR
+    in any SQL oracle. (Contrast _sq_dists, whose float sums are pinned
+    to a left-to-right fold order instead.)"""
+    qd = F.transform(qcol, lambda x: x.cast("double"))
+    dists = []
+    for c in cents_q:
+        cent = F.expr("array(" + ", ".join(f"{v}D" for v in c) + ")")
+        dists.append(F.aggregate(
+            F.zip_with(qd, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v))
+    return F.array(*dists)
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int,
                         dims: int, iters: int = 5,
                         sample_fraction: float | None = None,
-                        prefix: str = "ivf") -> list[list[float]]:
-    """Lloyd's k-means refinement of the IVF codebook, run as Spark jobs.
+                        prefix: str = "ivf", id_col: str | None = None,
+                        salt: str = "ivf-train",
+                        quant_scale: float = QUANT_SCALE) -> list[list[float]]:
+    """Lloyd's k-means refinement of the IVF codebook, run as Spark jobs —
+    in EXACT quantized arithmetic, so the whole training is reproducible
+    bit-for-bit on any engine (it unrolls to plain SQL; see the
+    ann_ivf_kmeans_topk DuckDB oracle).
 
-    Init = the deterministic pseudo-random centroids (``ivf_centroids``), so
-    the whole training is deterministic — same data, same codebook. Each
-    iteration: assign every vector to its nearest centroid (same JVM-side
-    distance expression the query path uses), then recompute each centroid
-    as the element-wise mean of its cell via posexplode + groupBy(cell, pos)
-    — two shuffles of n×dims skinny rows per iteration. Empty cells keep
-    their previous centroid (standard Lloyd handling).
+    Components are quantized to ``floor(x · quant_scale)`` integers.
+    Within the documented magnitude bound every squared distance and
+    every per-cell component sum is an exact float64 integer, so neither
+    Spark's unordered aggregation nor a SQL engine's can perturb
+    assignments or means — the one FP hazard plain Lloyd has. The
+    centroid update is ``floor(sum / count)`` back in quantized space
+    (sum ≤ n·scale·max|x| stays exact), and the returned codebook is
+    ``m / quant_scale`` — exact float64 division by a power of two. The
+    quantization error (2^-22 per component) is orders of magnitude
+    below the cluster scale, so recall is unaffected (pinned by
+    tests/test_ann_recall.py).
 
-    At 100 TB you train on a sample, not the corpus — pass
-    ``sample_fraction`` (deterministic seed) and the assign scan shrinks
-    accordingly; the codebook is k×dims floats on the driver either way.
-    Iterative + data-dependent state ⇒ not SQL-oracle-expressible (the
-    driver records the weaker rows-only check for the query built on this);
-    the recall tests pin that training actually helps vs the untrained
-    codebook."""
-    vecs = corpus.select(F.transform(F.col(vec_col),
-                                     lambda x: x.cast("double")).alias("v"))
+    Each iteration: assign every vector to its nearest centroid
+    (first-min tie-break toward the lower cell), then recompute each
+    centroid as the element-wise quantized mean of its cell via
+    posexplode + groupBy(cell, pos) — two shuffles of n×dims skinny rows
+    per iteration. Empty cells keep their previous centroid.
+
+    At 100 TB you train on a sample, not the corpus — ``sample_fraction``
+    with ``id_col`` keeps rows by deterministic md5-hash threshold (the
+    same portable h60 idiom the sampling operators use — NOT
+    ``DataFrame.sample``, whose per-partition XORShift draw no SQL oracle
+    can reproduce); the assign scan shrinks accordingly while the
+    codebook stays k×dims floats on the driver."""
+    import math
+
+    vecs = corpus
     if sample_fraction is not None:
-        vecs = vecs.sample(fraction=sample_fraction, seed=42)
-    vecs = vecs.persist()
-    cents = ivf_centroids(n_cells, dims, prefix)
+        if id_col is None:
+            raise ValueError("sample_fraction requires id_col (the "
+                             "deterministic hash-sample key)")
+        thresh = int(round(sample_fraction * 10_000))
+        bucket = h60(F.concat(F.lit(f"{salt}|"),
+                              F.col(id_col).cast("string"))) % 10_000
+        vecs = vecs.where(bucket < F.lit(thresh))
+    q = vecs.select(quantize_expr(vec_col, quant_scale).alias("q")).persist()
+    cents_q = quantize_centroids(ivf_centroids(n_cells, dims, prefix),
+                                 quant_scale)
     for _ in range(iters):
-        d = _sq_dists(F.col("v"), cents)
-        assigned = vecs.withColumn(
+        d = _sq_dists_quant(F.col("q"), cents_q)
+        assigned = q.withColumn(
             "cell", F.array_position(d, F.array_min(d)).cast("int"))
-        means = (assigned.select("cell", F.posexplode("v"))
-                 .groupBy("cell", "pos").agg(F.avg("col").alias("m"))
+        stats = (assigned.select("cell", F.posexplode("q"))
+                 .groupBy("cell", "pos")
+                 .agg(F.sum("col").alias("s"), F.count("col").alias("n"))
                  .collect())
-        new = [list(c) for c in cents]
-        for r in means:
-            new[r.cell - 1][r.pos] = r.m
-        cents = new
-    vecs.unpersist()
-    return cents
+        new = [list(c) for c in cents_q]
+        for r in stats:
+            # float division then floor — the exact sequence the SQL
+            # oracle's floor(CAST(s AS DOUBLE)/n) performs
+            new[r.cell - 1][r.pos] = math.floor(float(r.s) / float(r.n))
+        cents_q = new
+    q.unpersist()
+    return [[m / quant_scale for m in row] for row in cents_q]
 
 
 def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,

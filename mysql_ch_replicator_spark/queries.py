@@ -53,72 +53,79 @@ def register(name: str, oracle: str | None):
 # The driver's correctness harness records at most ~50 entries of
 # ``queries()`` in iteration order.  With 93 registered queries, iteration
 # order decides which queries get a driver-verified CORRECTNESS row each
-# round.  This list pins the front of that window:
+# round.  This list pins the front of that window (round-4 rotation):
 #   1. a core CDC smoke set that must be re-verified EVERY round,
-#   2. queries that have never had a driver correctness row (round-3
-#      rotation: the 15 TPC-H completions, the 8 newest ML-pipeline ops,
-#      ann_ivf_kmeans_topk, q_activity_heatmap),
-#   3. queries whose last driver row was round 1 (the ML-pipeline surface).
-# Everything not listed follows in registration order; those all hold green
-# round-2 rows.  Rotate this list as rounds verify queries.
-# ROUND-4 ROTATION CANDIDATES (registered after the round-3 window froze,
-# local-oracle-green but no driver row yet): q_table_stats, cdc_time_travel.
+#   2. never-driver-verified queries (q_table_stats, cdc_time_travel —
+#      registered after the round-3 window froze — plus the new
+#      schema_migration_swap) and doc_length_histogram, whose round-3 row
+#      was red on an oracle HUGEINT type bug, fixed this round,
+#   3. the cohort whose last green driver row was round 2 — core CDC
+#      pipeline set first, then windows/joins/TPC-H remainder.
+# Everything not listed follows in registration order (those all hold green
+# round-3 rows).  ann_ivf_kmeans_topk — `err: no_oracle` in r1/r3 — now HAS
+# a real DuckDB oracle (round 4: training rewritten in exact quantized
+# arithmetic, the 3 Lloyd iterations unrolled as CTE stages), so it
+# re-enters the window for its first verifiable row.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 1. core CDC smoke set — pinned in-window every round
     "cdc_final_state",
     "versioned_insert",
     "keyed_delete",
     "schema_evolution_e2e",
-    # 2a. never-driver-verified: newest ML-pipeline operators
-    "q_activity_heatmap",
-    "text_repetition",
-    "decontaminate_ngram",
-    "text_pii_scrub",
-    "sample_mixture_weights",
-    "pack_sequences",
-    "sample_source_cap",
-    "dedup_lines",
-    "tfidf_top_terms",
-    "ann_ivf_kmeans_topk",
-    # 2b. never-driver-verified: TPC-H completions
-    "q2_min_price_supplier",
-    "q4_priority_count",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_revenue_concentration",
-    "q12_ship_delay_priority",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # 2c. new in round 3 — first driver verification
-    "sample_temperature",
+    # 2. never-driver-verified + the round-3 red row (oracle fixed)
+    "q_table_stats",
+    "cdc_time_travel",
+    "schema_migration_swap",
     "doc_length_histogram",
-    "q_grouping_sets_activity",
-    # 3. last driver row was round 1 — rotate back into the window
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_closure",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_brute_force_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_quality",
-    "text_lang_id",
-    "doc_fingerprints",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "split_assignment",
-    "sample_10pct",
-    "text_vocab_topk",
-    "embedding_quantize_int8",
+    "ann_ivf_kmeans_topk",
+    # 3a. last green row round 2: core CDC pipeline + replica semantics
+    "cdc_pipeline_e2e",
+    "event_log_replay",
+    "debezium_pipeline_e2e",
+    "type_conversion_projection",
+    "incremental_agg_maintenance",
+    "compaction_final_state",
+    "replica_dedup_final",
+    "cdc_ignore_deletes",
+    "cdc_changelog",
+    "cdc_scd2_history",
+    "replica_checksum",
+    "snapshot_shard_union",
+    "geo_wkb_roundtrip",
+    "json_extract_props",
+    # 3b. last green row round 2: streaming windows + event analytics
+    "events_tumbling_window",
+    "events_session_stats",
+    "events_sliding_window",
+    "q_range_clicks_before_error",
+    "q_asof_click_view",
+    "q_event_gaps",
+    "q_event_funnel",
+    "q_distinct_users_daily",
+    # 3c. last green row round 2: TPC-H remainder + SQL surface
+    "q1_pricing_summary",
+    "q3_revenue_join",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q_skew_salted_user_stats",
+    "q_pivot_events_daily",
+    "q_semi_returned_orders",
+    "q_anti_parts_no_bulk",
+    "q_rollup_revenue",
+    "q_cube_status_priority",
+    "q_window_top_orders",
+    "q_orders_above_cust_avg",
+    "q_quantiles",
+    "q_user_spend_deciles",
+    "q_running_totals",
+    "q_cohort_retention",
+    # (exactly fills the 50-slot window; the remaining five r2-green
+    # queries — q_monthly_revenue_growth, q_mode_event_type,
+    # text_token_counts, q_set_ops_customers, q_source_lang_concat —
+    # rotate in round 5.)
 )
 
 
@@ -802,14 +809,17 @@ def _cdc_event_df(events: DataFrame, db: str, table: str,
     """
     WITH s AS (
       SELECT COUNT(*) AS n,
-             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS z1,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z1,
              COUNT(DISTINCT o_orderstatus) AS d1,
              MIN(o_orderstatus) AS mn1, MAX(o_orderstatus) AS mx1,
-             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z2,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z2,
              COUNT(DISTINCT o_custkey) AS d2,
              CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
              CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
-             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS z3,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS z3,
              COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS d3,
              CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn3,
              CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx3
@@ -904,6 +914,78 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.apply_batch(cdc.where(F.col("seq") <= cut))   # -> _version 1
     engine.apply_batch(cdc.where(F.col("seq") > cut))    # -> _version 2
     return engine.read_asof("drv", "user_state", version=1) \
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
+
+
+@register(
+    "schema_migration_swap",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def schema_migration_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percona pt-online-schema-change dance (reference
+    tests/test_ddl_operations.py:50–126), end-to-end through the engine:
+    phase 1 replicates `user_state` on the OLD schema (no value column);
+    phase 2 is one batch carrying the full online-DDL choreography —
+    CREATE `_user_state_new` with the widened schema, copy the state into
+    it as ordinary row events, multi-clause RENAME swap, DROP the old
+    table. The final read of `user_state` must be the post-migration
+    state: latest event per user WITH the value column — which only holds
+    if the swap semantics (D11/D12 rename chain + flush-before-DDL
+    barriers) are exactly right; the pre-migration 2-column state would
+    fail the oracle's schema."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .sources.event_log import EVENT_SCHEMA, EVENT_TYPE_QUERY
+
+    root = _tmp_root(sf_dir, "pt_osc")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("rep", """CREATE TABLE user_state (
+        user_id bigint NOT NULL,
+        last_event varchar(32),
+        PRIMARY KEY (user_id))""")
+
+    events = load_table(spark, sf_dir, "events")
+    # phase 1: the live table on the old schema
+    engine.apply_batch(
+        _cdc_event_df(events, "rep", "user_state", with_value=False)
+        .select(*EVENT_SCHEMA.names))
+
+    hi = int(events.agg(F.max("event_id")).collect()[0][0])
+
+    def ddl(seq: int, q: str) -> DataFrame:
+        return spark.createDataFrame(
+            [("binlog.000001", seq, seq, "rep", None, EVENT_TYPE_QUERY,
+              None, q)], EVENT_SCHEMA)
+
+    copy = (_cdc_event_df(events, "rep", "_user_state_new", with_value=True)
+            .withColumn("seq", F.col("seq") + F.lit(hi + 2))
+            .withColumn("tx_pos", F.col("tx_pos") + F.lit(hi + 2)))
+    dance = (ddl(hi + 1, """CREATE TABLE `_user_state_new` (
+                 user_id bigint NOT NULL,
+                 last_event varchar(32),
+                 value decimal(18,2),
+                 PRIMARY KEY (user_id))""")
+             .unionAll(copy.select(*EVENT_SCHEMA.names))
+             .unionAll(ddl(2 * hi + 3,
+                           "RENAME TABLE `user_state` TO `_user_state_old`, "
+                           "`_user_state_new` TO `user_state`"))
+             .unionAll(ddl(2 * hi + 4, "DROP TABLE `_user_state_old`")))
+    engine.apply_batch(dance)
+    return engine.read_final("rep", "user_state") \
         .select("user_id", "last_event",
                 F.col("value").cast("string").alias("value"))
 

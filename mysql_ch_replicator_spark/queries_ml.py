@@ -430,22 +430,148 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_cells=8, probes=2)
 
 
-@register("ann_ivf_kmeans_topk", None)
+def _sqdist_arr_sql(vec: str, cl: str, dims: int) -> str:
+    """Squared L2 chain against a DATA-BORNE centroid array column —
+    same left-to-right order as the Spark fold in _sq_dists."""
+    return " + ".join(
+        f"(CAST({vec}[{d + 1}] AS DOUBLE) - {cl}[{d + 1}])"
+        f" * (CAST({vec}[{d + 1}] AS DOUBLE) - {cl}[{d + 1}])"
+        for d in range(dims))
+
+
+def _ivf_kmeans_oracle_sql(n_cells: int, dims: int, iters: int,
+                           scale: float, sample_pct: int,
+                           salt: str) -> str:
+    """DuckDB oracle for the k-means-trained IVF query: the ``iters``
+    Lloyd iterations UNROLLED as CTE stages. Expressible in plain SQL
+    because training runs in exact quantized arithmetic
+    (operators/similarity.train_ivf_centroids): assignments compare exact
+    float64 integers (summation-order-free), the centroid update is
+    floor(sum/count) on exact sums, so every stage is bit-identical
+    cross-engine. The probe stage then uses the trained centroids as a
+    data column with the same left-to-right distance chains every other
+    ANN oracle uses."""
+    from .operators.similarity import ivf_centroids, quantize_centroids
+
+    init_q = quantize_centroids(ivf_centroids(n_cells, dims), scale)
+    c0_rows = ",\n             ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c + 1, ", ".join(f"{v}e0" for v in init_q[c]))
+        for c in range(n_cells))
+    qdist = (f"list_sum(list_transform(range({dims}), i -> "
+             f"(v.q[i + 1] - c.cq[i + 1]) * (v.q[i + 1] - c.cq[i + 1])))")
+    lloyd = ""
+    for k in range(1, iters + 1):
+        lloyd += f"""
+    a{k} AS (
+      SELECT vec_id, q, cell FROM (
+        SELECT v.vec_id, v.q, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {qdist}, c.cell) AS rn
+        FROM tr v CROSS JOIN c{k - 1} c)
+      WHERE rn = 1
+    ),
+    u{k} AS (
+      SELECT cell, list(m ORDER BY pos) AS cq FROM (
+        SELECT cell, t.i AS pos,
+               floor(CAST(sum(q[t.i + 1]) AS DOUBLE) / count(*)) AS m
+        FROM a{k}, range({dims}) t(i)
+        GROUP BY cell, t.i) GROUP BY cell
+    ),
+    c{k} AS (
+      SELECT p.cell, COALESCE(u.cq, p.cq) AS cq
+      FROM c{k - 1} p LEFT JOIN u{k} u USING (cell)
+    ),"""
+    return f"""
+    WITH tr AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * {scale!r})) AS q
+      FROM embeddings
+      WHERE CAST('0x' || substr(md5('{salt}|' || CAST(vec_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 10000 < {sample_pct}
+    ),
+    c0(cell, cq) AS (
+      VALUES {c0_rows}
+    ),{lloyd}
+    cd AS (
+      SELECT cell, list_transform(cq, x -> x / {scale!r}) AS cl
+      FROM c{iters}
+    ),
+    cord AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
+             {_sqdist_arr_sql('e.embedding', 'c.cl', dims)} AS dist
+      FROM embeddings e CROSS JOIN cd c
+    ),
+    corc AS (
+      SELECT neighbor_id, cv, cell FROM (
+        SELECT neighbor_id, cv, cell,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY dist, cell) AS rn
+        FROM cord) WHERE rn = 1
+    ),
+    qd0 AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             {_sqdist_arr_sql('e.embedding', 'c.cl', dims)} AS dist
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) e
+      CROSS JOIN cd c
+    ),
+    qd AS (
+      SELECT query_id, qv, list(dist ORDER BY cell) AS dl
+      FROM qd0 GROUP BY query_id, qv
+    ),
+    qc AS (
+      SELECT query_id, qv, dl,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, qv, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range({n_cells}), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dl[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, qv, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', dims)}, 6) AS cos
+      FROM corc c JOIN qprobe q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_ivf_kmeans_topk",
+          _ivf_kmeans_oracle_sql(n_cells=8, dims=_EMB_DIMS, iters=3,
+                                 scale=4_194_304.0, sample_pct=2500,
+                                 salt="ivf-train"))
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 with a k-means-REFINED codebook: 3 Lloyd iterations over
-    the corpus (deterministic init = the pseudo-random centroids, so the
-    whole run is reproducible), then the identical probe path as
-    ann_ivf_topk. Iterative data-dependent training ⇒ no SQL oracle
-    (rows-only check); tests/test_ann_recall.py pins that the trained
-    codebook's recall@10 beats the untrained one on the same data."""
+    a 25% deterministic hash-sample of the corpus (the 100 TB path —
+    training always runs on a sample), then the identical probe path as
+    ann_ivf_topk. Training runs in EXACT quantized arithmetic
+    (train_ivf_centroids), which is what makes an iterative clustering
+    algorithm SQL-oracle-expressible: the oracle unrolls the three Lloyd
+    steps as CTE stages and must match bit-for-bit.
+    tests/test_ann_recall.py separately pins that the trained codebook's
+    recall@10 beats the untrained one on the same data."""
     from .operators.similarity import ivf_topk, train_ivf_centroids
     emb = load_table(spark, sf_dir, "embeddings")
     dims = len(emb.select("embedding").first()[0])
-    # train on a 25% deterministic sample — 3-4x cheaper, recall measured
-    # equal-or-better (0.71 vs 0.65 full-corpus at sf0.01); this IS the
-    # 100 TB path, where training always runs on a sample
     cents = train_ivf_centroids(emb, "embedding", n_cells=8, dims=dims,
-                                iters=3, sample_fraction=0.25)
+                                iters=3, sample_fraction=0.25,
+                                id_col="vec_id", salt="ivf-train")
     queries = emb.where(F.col("vec_id") < 20) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(emb, queries, k=10, n_cells=8, probes=2,
@@ -909,7 +1035,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN strlen(text) < 2000 THEN '1000-1999'
                 ELSE '2000+' END AS length_bucket,
            COUNT(*) AS n_docs,
-           SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes
+           CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1, 2
     """,

@@ -39,13 +39,25 @@ class ReplicationSupervisor:
                  max_files_per_trigger: int | None = None,
                  optimizer: ReplicaOptimizer | None = None,
                  log_retention_seconds: float | None = None,
-                 gc_interval_seconds: float = 60.0):
+                 gc_interval_seconds: float = 60.0,
+                 db_rescan_seconds: float | None = None):
         self.engine = engine
         self.event_root = event_root
         self.checkpoint_root = checkpoint_root
         self.trigger_seconds = trigger_seconds
         self.max_files_per_trigger = max_files_per_trigger
         self.optimizer = optimizer
+        # database-discovery cadence — the reference's
+        # check_db_updated_interval (config.py:136/:190; runner.py:131–149
+        # rescans MySQL for new/removed databases every 120 s while the
+        # dead-process check runs every second). None → take it from the
+        # engine's settings; engines without settings rescan every poll
+        # (the test-friendly degenerate cadence).
+        if db_rescan_seconds is None and engine.settings is not None:
+            db_rescan_seconds = engine.settings.check_db_updated_interval
+        self.db_rescan_seconds = db_rescan_seconds
+        self._last_rescan: float | None = None   # None → never scanned
+        self._known_dbs: list[str] = []
         # event-log retention GC cadence (reference runs remove_old_files
         # inside the binlog writer loop, binlog_replicator.py:288–298;
         # here the supervisor owns it — one sweep across every db's log
@@ -105,7 +117,12 @@ class ReplicationSupervisor:
         started, restarted, stopped = [], [], []
         if self._need_restart:
             self._restart_replication()
-        dbs = self.discover_databases()
+        now = time.time()
+        if (self._last_rescan is None or not self.db_rescan_seconds
+                or now - self._last_rescan >= self.db_rescan_seconds):
+            self._known_dbs = self.discover_databases()
+            self._last_rescan = now
+        dbs = self._known_dbs
 
         for db in dbs:
             if db not in self.queries:

@@ -46,8 +46,14 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     spark_cols = spark_df.columns
     con = duck_connection(sf_dir)
     rel = con.sql(oracle_sql)
-    duck_rows = rel.fetchall()
-    duck_cols = list(rel.columns)
+    # Fetch through Arrow, NOT fetchall(): the driver's hash goes through
+    # Arrow, where DuckDB HUGEINT (e.g. an uncast SUM over integers)
+    # surfaces as decimal128 and mismatches Spark's BIGINT.  fetchall()
+    # would quietly collapse both to Python int and hide that bug class
+    # (bitten in round 3: doc_length_histogram).
+    tbl = rel.fetch_arrow_table()
+    duck_cols = list(tbl.column_names)
+    duck_rows = [tuple(d[c] for c in duck_cols) for d in tbl.to_pylist()]
     con.close()
 
     if sorted(spark_cols) != sorted(c for c in duck_cols):

@@ -813,3 +813,87 @@ def test_read_asof_time_travel(engine, spark, tmp_path):
         (1, "A", 10), (2, "B", 20)}
     assert rows(engine.read_asof(DB, "users", v2)) == \
         rows(engine.read_final(DB, "users")) == {(1, "A2", 11), (3, "C", 30)}
+
+
+def test_sharded_resnapshot_replaces_stale_rows(engine, spark, tmp_path):
+    """A re-snapshot through the sharded path must REPLACE the table, not
+    merge into it: rows deleted at the source between snapshots must be
+    gone afterwards (ADVICE r3: the shard consolidation used to rename
+    files into the live data dir, so source-deleted rows survived
+    latest-wins dedup). Also: no leftover .staging/.shard* dirs."""
+    engine.create_table(DB, USERS_DDL)
+    full = spark.createDataFrame(
+        [(i, f"u{i}", i % 90) for i in range(1, 501)],
+        "id int, name string, age int")
+    engine.snapshot_table_sharded(DB, "users", full, workers=3)
+    assert engine.read_final(DB, "users").count() == 500
+
+    # source shrank: ids 1..100 deleted, id 200 renamed
+    shrunk = spark.createDataFrame(
+        [(i, "renamed" if i == 200 else f"u{i}", i % 90)
+         for i in range(101, 501)],
+        "id int, name string, age int")
+    engine.snapshot_table_sharded(DB, "users", shrunk, workers=3)
+
+    got = {(r.id, r.name) for r in
+           engine.read_final(DB, "users").select("id", "name").collect()}
+    assert len(got) == 400
+    assert (50, "u50") not in got          # stale row really replaced
+    assert (200, "renamed") in got
+    data = engine._data_dir(DB, "users")
+    parent = os.path.dirname(data)
+    leftovers = [d for d in os.listdir(parent)
+                 if d.startswith("data.") and d != "data"]
+    assert leftovers == []
+
+
+def test_sharded_snapshot_applies_partition_and_index_options(spark, tmp_path):
+    """S8 parity on the sharded path: partition_bys produces real directory
+    partitioning after consolidation (consolidation must preserve partition
+    subdirs) and the PK bloom option is applied by the shard writers."""
+    from mysql_ch_replicator_spark.config import Settings
+
+    settings = Settings.load({"partition_bys": {"users": ["age"]}})
+    engine = ReplicaEngine(spark, str(tmp_path / "r"), settings=settings)
+    engine.create_table(DB, USERS_DDL)
+    src = spark.createDataFrame(
+        [(i, f"u{i}", i % 4) for i in range(1, 401)],
+        "id int, name string, age int")
+    engine.snapshot_table_sharded(DB, "users", src, workers=3)
+
+    data = engine._data_dir(DB, "users")
+    part_dirs = sorted(d for d in os.listdir(data) if d.startswith("age="))
+    assert part_dirs == ["age=0", "age=1", "age=2", "age=3"]
+    got = {(r.id, r.name, r.age) for r in
+           engine.read_final(DB, "users").drop("_version").collect()}
+    assert got == {(i, f"u{i}", i % 4) for i in range(1, 401)}
+
+
+def test_publish_tolerates_concurrent_recovery(engine, spark, monkeypatch):
+    """ADVICE r3: a second engine constructed on the same root mid-publish
+    runs recover_databases concurrently; if recovery performs the marked
+    swap first, the publisher's own rename must be treated as
+    completed-by-recovery, not raise FileNotFoundError."""
+    import os as _os
+
+    staging = f"{DB}_tmp"
+    engine.create_table(staging, USERS_DDL)
+    engine.snapshot_table(staging, "users", spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20)], "id int, name string, age int"))
+
+    real_rename = _os.rename
+    fired = {}
+
+    def racing_rename(src, dst):
+        if not fired:  # publisher's first swap rename: lose the race
+            fired["x"] = True
+            ReplicaEngine(spark, engine.root)  # recovery completes the swap
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", racing_rename)
+    engine.publish_database(staging, DB)   # must tolerate, not raise
+
+    assert engine.tables(DB) == ["users"]
+    assert engine.read_final(DB, "users").count() == 2
+    assert staging not in engine.databases()
+    assert not os.path.exists(os.path.join(engine.root, f"_publish_{DB}.json"))
