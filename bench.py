@@ -194,15 +194,26 @@ def main() -> None:
     snapshot = bench_snapshot(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    # Key order matters: the per-round recorder keeps only the TAIL of this
+    # line (~2 KB), so "queries" goes FIRST (its head may truncate) and the
+    # summary blocks — the 8 most expensive queries, streaming/snapshot
+    # throughput, total — go LAST so they always survive. The complete
+    # result is also written to BENCH_FULL.json for direct reading.
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    result = {
+        "queries": timings,
+        "sf": sf,
+        "top": top,
+        "streaming": streaming,
+        "snapshot": snapshot,
         "metric": "total_query_time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "streaming": streaming,
-        "snapshot": snapshot,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w", encoding="utf-8") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
     spark.stop()
 
 

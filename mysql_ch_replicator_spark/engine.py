@@ -1019,11 +1019,20 @@ class ReplicaEngine:
             .withColumn(OP_COL, F.lit(OP_ADD))
         # S8 — per-table sort-order override (reference ``order_bys``,
         # clickhouse_api.py:260–273): clustering at compaction time gives
-        # parquet min/max stats real selectivity on those columns
+        # parquet min/max stats real selectivity on those columns. With
+        # 2–3 numeric/temporal keys the rewrite Z-orders instead of
+        # sorting lexicographically (functions/zorder.py): every file
+        # then covers a tight range on EVERY key, so at 100 TB a scan
+        # filtered on the second or third column still prunes row groups
+        # — lexicographic clustering only helps the leading one.
         if self.settings is not None:
             order = self.settings.order_by_for(table)
             if order:
-                collapsed = collapsed.sortWithinPartitions(*order)
+                from .functions.zorder import zorder_cluster
+                z = zorder_cluster(collapsed, order) \
+                    if len(order) >= 2 else None
+                collapsed = z if z is not None \
+                    else collapsed.sortWithinPartitions(*order)
         self._overwrite_data(db, table, collapsed)
 
     # -- streaming ----------------------------------------------------------

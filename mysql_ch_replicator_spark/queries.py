@@ -29,7 +29,7 @@ from collections.abc import Callable
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.replica import (
@@ -914,6 +914,122 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.apply_batch(cdc.where(F.col("seq") <= cut))   # -> _version 1
     engine.apply_batch(cdc.where(F.col("seq") > cut))    # -> _version 2
     return engine.read_asof("drv", "user_state", version=1) \
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
+
+
+def _zscale_sql(col: str, lo: str, hi: str) -> str:
+    """SQL twin of functions/zorder.scale_expr with data-borne bounds."""
+    return (f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) * "
+            f"2097151.0 / (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) "
+            f"AS BIGINT)")
+
+
+def _zorder_oracle_sql() -> str:
+    from .functions.zorder import morton_sql
+    return f"""
+    WITH b AS (
+      SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+             min(event_id) AS elo, max(event_id) AS ehi
+      FROM events
+    ),
+    s AS (
+      SELECT {_zscale_sql('user_id', 'b.ulo', 'b.uhi')} AS su,
+             {_zscale_sql('event_id', 'b.elo', 'b.ehi')} AS se
+      FROM events, b
+    ),
+    k AS (
+      SELECT {morton_sql(['su', 'se'])} AS zkey FROM s
+    )
+    SELECT zkey >> 32 AS bucket,
+           COUNT(*) AS n,
+           MIN(zkey) AS zmin,
+           MAX(zkey) AS zmax
+    FROM k GROUP BY 1
+    """
+
+
+@register("q_zorder_locality", _zorder_oracle_sql())
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (functions/zorder.py, wired into
+    engine.optimize for 2–3-column ``order_bys``): min/max-scale
+    (user_id, event_id) to 21-bit integers, Morton-interleave with pure
+    shift/and/or column expressions, and aggregate per 1024-key bucket —
+    verifying the interleave bit-for-bit against the SQL twin. The same
+    key drives the OPTIMIZE rewrite's range partitioning, so parquet
+    min/max stats prune scans on either column at 100 TB."""
+    from .functions.zorder import morton_key, scale_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+               F.min("event_id").alias("elo"),
+               F.max("event_id").alias("ehi")).collect()[0]
+    staged = ev.select(
+        scale_expr(F.col("user_id"), b.ulo, b.uhi).alias("su"),
+        scale_expr(F.col("event_id"), b.elo, b.ehi).alias("se"))
+    keyed = staged.select(
+        morton_key([F.col("su"), F.col("se")]).alias("zkey"))
+    return (keyed.groupBy(F.shiftright("zkey", 32).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("zkey").alias("zmin"),
+                 F.max("zkey").alias("zmax")))
+
+
+@register(
+    "snapshot_cdc_handoff",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def snapshot_cdc_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot → realtime pickup, the reference's core lifecycle
+    (db_replicator_initial.py snapshot at a recorded binlog position, then
+    db_replicator_realtime.py applies only events past it): the source
+    state AS OF a 50% watermark goes through ``snapshot_table`` (version-1
+    peers), then ONLY events with seq > watermark go through the CDC apply
+    path (versions 2+). The final read must equal latest-wins over ALL
+    events — the handoff is seamless exactly when the watermark split
+    loses nothing and duplicates nothing: a snapshot-state row later
+    re-touched is superseded, a user deleted before the watermark stays
+    absent, a user deleted after it is tombstoned by CDC."""
+    from .engine import ReplicaEngine
+
+    root = _tmp_root(sf_dir, "handoff")
+    engine = ReplicaEngine(spark, root)
+    engine.create_table("drv", """CREATE TABLE user_state (
+        user_id bigint NOT NULL,
+        last_event varchar(32),
+        value decimal(18,2),
+        PRIMARY KEY (user_id))""")
+
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(F.min("event_id").alias("lo"),
+                   F.max("event_id").alias("hi")).collect()[0]
+    w = (int(b.lo) + int(b.hi)) // 2
+    # "read the source table at snapshot time": latest non-deleted state
+    # over events up to the watermark
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("event_id").desc()))
+    snap = (events.where(F.col("event_id") <= w)
+            .withColumn("rn", rn).where("rn = 1")
+            .where(F.col("event_type") != "error")
+            .select(F.col("user_id").cast("bigint"),
+                    F.col("event_type").alias("last_event"),
+                    F.col("value").cast("decimal(18,2)")))
+    engine.snapshot_table("drv", "user_state", snap)
+    engine.apply_batch(
+        _cdc_event_df(events, "drv", "user_state").where(F.col("seq") > w))
+    return engine.read_final("drv", "user_state") \
         .select("user_id", "last_event",
                 F.col("value").cast("string").alias("value"))
 

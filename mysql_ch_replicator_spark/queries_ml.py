@@ -14,7 +14,7 @@ SQL building blocks shared by the oracles (DuckDB dialect):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.similarity import plane_components
@@ -576,6 +576,59 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(emb, queries, k=10, n_cells=8, probes=2,
                     centroids=cents)
+
+
+@register(
+    "ann_knn_classify",
+    f"""
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             round({_cos_sql('q.embedding', 'c.embedding', _EMB_DIMS)}, 6)
+               AS cos
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+      WHERE c.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM cand) WHERE rk <= 10
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) AS rn
+      FROM votes) WHERE rn = 1
+    """,
+)
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over the labeled embedding corpus
+    (the eval-side companion of the ANN family: label propagation /
+    weak-label audit for curated subsets): exact top-10 cosine neighbors
+    per query vector via the brute-force operator, then a per-label vote
+    with full tie-breaks (more votes, then lower label id). Composition of
+    two existing primitives — the top-k scan and one tiny aggregate; at
+    100 TB the top-k comes from an ANN path instead, identical vote
+    stage."""
+    from .operators.similarity import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = brute_force_topk(emb, queries, k=10)
+    votes = (topk.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                  "label"), "neighbor_id")
+             .groupBy("query_id", "label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("votes").desc(), F.col("label"))
+    return (votes.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "votes"))
 
 
 # ---------------------------------------------------------------------------
