@@ -391,3 +391,28 @@ def test_table_stats_single_pass_multi_distinct(spark, queries):
     plan = plan_of(queries["q_table_stats"](spark, SF))
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "Expand" in plan
+
+
+def test_zorder_key_single_agg_pruned_scan(spark, queries):
+    """q_zorder_locality: the Morton key is pure projection (scan →
+    project → one hash aggregate — a single exchange of per-bucket
+    partials) and the scan reads only the two clustered columns. The
+    bounds lookup is a separate tiny pre-query, so the main plan has
+    exactly one scan."""
+    plan = plan_of(queries["q_zorder_locality"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "user_id" in read_schema and "event_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_knn_classify_broadcasts_query_side(spark, queries):
+    """ann_knn_classify: corpus is scanned, never shuffled for the
+    similarity join — the 20-vector query side broadcasts; the label
+    join is also a broadcast (embeddings is tiny relative to the
+    threshold). The only exchanges are the vote aggregate and its
+    window."""
+    plan = plan_of(queries["ann_knn_classify"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
