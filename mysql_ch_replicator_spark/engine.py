@@ -103,8 +103,29 @@ class ReplicaEngine:
         # (reference db_replicator_realtime.py:152–160)
         self.ignore_deletes = ignore_deletes
         self.stats = ApplyStats()   # A4 — throughput counters
+        # Per-table re-entrant locks: a streaming micro-batch (Spark
+        # streaming thread) and the compaction scheduler (supervisor poll
+        # thread) run in the SAME process but different threads; without
+        # mutual exclusion optimize()'s read→staging→swap can lose rows a
+        # concurrent apply appends between its read and its rename (the
+        # reference never hits this — OPTIMIZE FINAL is transactional
+        # inside ClickHouse). Cross-PROCESS writers are out of scope, same
+        # single-writer-per-database assumption as publish_database.
+        import threading
+        self._table_locks: dict[tuple[str, str], threading.RLock] = {}
+        self._table_locks_guard = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self.recover_databases()  # finish any interrupted db-level publish
+
+    def table_lock(self, db: str, table: str):
+        """The (db, table) mutex serializing data-dir mutations: CDC
+        appends, compaction rewrites, truncates, and structure rewrites.
+        Re-entrant, so rewrite paths that already hold it can call
+        _overwrite_data."""
+        import threading
+        with self._table_locks_guard:
+            return self._table_locks.setdefault((db, table),
+                                                threading.RLock())
 
     def _replicates(self, db: str, table: str) -> bool:
         """F1 — db/table glob filters, exclude wins (reference
@@ -243,7 +264,8 @@ class ReplicaEngine:
             for name in names:
                 name = self._target(db, name)[1]
                 if self.table_exists(tdb, name):
-                    shutil.rmtree(self._table_dir(tdb, name))
+                    with self.table_lock(tdb, name):
+                        shutil.rmtree(self._table_dir(tdb, name))
                 elif not if_exists:
                     raise ValueError(f"DROP TABLE: unknown table {name!r}")
         elif q.startswith("rename table"):
@@ -255,16 +277,19 @@ class ReplicaEngine:
                 self.save_meta(tdb, new, meta)
         elif q.startswith("truncate"):
             name = self._target(db, parse_truncate_table(query))[1]
-            data = self._data_dir(tdb, name)
-            if os.path.exists(data):
-                shutil.rmtree(data)
-            # maintained aggregates must reset with the table: their seq
-            # watermark still equals the table's last_seq, so the
-            # watermark-mismatch repair in apply_batch would never fire
-            # and later deltas would merge onto the stale pre-truncate
-            # view. Rebuild from the (now empty) table immediately.
-            for nm in (self.load_meta(tdb, name).get("aggregates") or {}):
-                self._rebuild_aggregate(tdb, name, nm)
+            with self.table_lock(tdb, name):
+                data = self._data_dir(tdb, name)
+                if os.path.exists(data):
+                    shutil.rmtree(data)
+                # maintained aggregates must reset with the table: their
+                # seq watermark still equals the table's last_seq, so the
+                # watermark-mismatch repair in apply_batch would never
+                # fire and later deltas would merge onto the stale
+                # pre-truncate view. Rebuild from the (now empty) table
+                # immediately.
+                for nm in (self.load_meta(tdb, name).get("aggregates")
+                           or {}):
+                    self._rebuild_aggregate(tdb, name, nm)
         # anything else (CREATE INDEX, SET, BEGIN...): ignored, like the
         # reference's pattern-matched dispatch
         if seq is not None:
@@ -412,7 +437,15 @@ class ReplicaEngine:
 
     def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
         """Rewrite via staging dir + atomic rename (D14 — readers never see
-        partial data; reference's db-swap, db_replicator_initial.py:149–163)."""
+        partial data; reference's db-swap, db_replicator_initial.py:149–163).
+        Holds the table lock: concurrent CDC appends must not land between
+        the rewrite's read and its swap (they would vanish with the old
+        dir)."""
+        with self.table_lock(db, table):
+            self._overwrite_data_locked(db, table, df)
+
+    def _overwrite_data_locked(self, db: str, table: str,
+                               df: DataFrame) -> None:
         self._recover_data_dir(db, table)
         data = self._data_dir(db, table)
         staging = data + ".staging"
@@ -825,6 +858,13 @@ class ReplicaEngine:
                                         & (F.col("table") == table)))
 
     def _apply_table_rows(self, db: str, table: str, rows: DataFrame) -> None:
+        # under the table lock: the append (and its meta watermark update)
+        # must not interleave with a compaction's read→swap window
+        with self.table_lock(db, table):
+            self._apply_table_rows_locked(db, table, rows)
+
+    def _apply_table_rows_locked(self, db: str, table: str,
+                                 rows: DataFrame) -> None:
         meta = self.load_meta(db, table)
         st = _structure_from_dict(meta["structure"])
         pks = st.primary_keys
@@ -1010,7 +1050,17 @@ class ReplicaEngine:
     def optimize(self, db: str, table: str) -> None:
         """Materialize the latest-wins collapse: drop superseded versions and
         tombstones. Keeps ``_version``/``_op`` so CDC keeps appending above
-        the preserved watermark."""
+        the preserved watermark.
+
+        Runs fully under the table lock: parquet file LISTING happens
+        eagerly when read_raw builds its frame, so without the lock a
+        micro-batch appended between the listing and the swap would
+        vanish with the old directory (the optimizer runs on the
+        supervisor thread, applies on the streaming thread)."""
+        with self.table_lock(db, table):
+            self._optimize_locked(db, table)
+
+    def _optimize_locked(self, db: str, table: str) -> None:
         if not self._has_data(db, table):
             return
         st = self.structure(db, table)

@@ -897,3 +897,51 @@ def test_publish_tolerates_concurrent_recovery(engine, spark, monkeypatch):
     assert engine.read_final(DB, "users").count() == 2
     assert staging not in engine.databases()
     assert not os.path.exists(os.path.join(engine.root, f"_publish_{DB}.json"))
+
+
+def test_concurrent_optimize_never_loses_appends(engine, spark, tmp_path):
+    """Compaction on one thread racing CDC applies on another must never
+    drop a batch: optimize()'s read -> staging -> swap runs under the
+    per-table lock, so an append can't land between the file listing and
+    the directory swap (it would vanish with the old dir). Without the
+    lock this test is a flaky canary; with it, deterministic."""
+    import threading
+
+    engine.create_table(DB, USERS_DDL)
+    log = EventLogWriter(str(tmp_path / "log"))
+    stop = threading.Event()
+    errors = []
+
+    def compactor():
+        import time as _time
+        while not stop.is_set():
+            try:
+                engine.optimize(DB, "users")
+                _time.sleep(0.1)   # a cadence, not a hot loop
+            except Exception as exc:   # pragma: no cover - the failure mode
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=compactor, daemon=True)
+    t.start()
+    try:
+        for b in range(6):
+            log.add(DB, "users",
+                    [(b * 200 + i, f"u{b}-{i}", i % 9) for i in range(200)])
+            engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors
+    assert engine.read_final(DB, "users").count() == 1200
+    got = {r.id for r in engine.read_final(DB, "users").select("id").collect()}
+    assert got == set(range(1200))
+
+
+def test_table_lock_is_reentrant_and_per_table(engine):
+    lock_a = engine.table_lock("db", "t1")
+    assert engine.table_lock("db", "t1") is lock_a
+    assert engine.table_lock("db", "t2") is not lock_a
+    with lock_a:
+        with lock_a:   # re-entrant: rewrite paths nest under apply/optimize
+            pass
