@@ -1,0 +1,279 @@
+"""CLI — the reference's process entry points (reference main.py:151–210:
+``run_all | binlog_replicator | db_replicator | db_optimizer |
+monitoring``) mapped onto the Spark engine. A user of the reference keeps
+the same commands and config file:
+
+    python -m mysql_ch_replicator_spark run_all --config config.yaml
+    python -m mysql_ch_replicator_spark db_replicator --db mydb
+    python -m mysql_ch_replicator_spark db_optimizer
+    python -m mysql_ch_replicator_spark monitoring
+    python -m mysql_ch_replicator_spark binlog_replicator \\
+        --envelope_dir /kafka/dump
+
+Process-model mapping (SURVEY.md §3): the reference runs one OS process
+per role per database; here each role is a Structured Streaming query or
+scheduler loop inside ONE Spark application — per-db isolation comes
+from per-db streams + checkpoints (runner.py), parallel initial
+replication from N concurrent shard jobs instead of worker processes, so
+``--worker_id`` is accepted-and-inert (``--total_workers`` sets the
+shard count; reference main.py:176–186).
+
+``binlog_replicator`` is the ingest tier. The reference speaks the MySQL
+wire protocol (binlog_replicator.py:364–527); the Spark-first ingress is
+a Debezium envelope stream (sources/debezium.py — the standard
+no-decoder deployment), converted to the native event log continuously
+with exactly-once file-source checkpoints.
+
+Every ``run_*`` function takes injectable loop bounds so tests drive one
+iteration deterministically; the argparse surface mirrors the reference's
+flags (main.py:157–196) and loads either config format
+(``Settings.load`` or ``--reference_config`` → ``from_reference_yaml``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from .config import Settings
+
+
+def _spark(app: str):
+    from .plans.session import get_spark
+    return get_spark(app)
+
+
+def _engine(spark, config: Settings):
+    from .engine import ReplicaEngine
+    root = config.replica.root or "replica"
+    return ReplicaEngine(spark, root, settings=config)
+
+
+def _event_root(config: Settings) -> str:
+    return config.event_log_dir or "binlog"
+
+
+def run_all(args, config: Settings, spark=None,
+            max_polls: int | None = None):
+    """Supervisor over every replicated database + compaction scheduler +
+    HTTP control plane (reference Runner, runner.py:131–232)."""
+    from .optimizer import ReplicaOptimizer
+    from .runner import ReplicationSupervisor
+
+    spark = spark or _spark("mysql_ch_replicator_spark-run_all")
+    engine = _engine(spark, config)
+    sup = ReplicationSupervisor(
+        engine, _event_root(config),
+        os.path.join(engine.root, "_checkpoints"),
+        optimizer=ReplicaOptimizer(engine),
+        log_retention_seconds=config.binlog_retention_period)
+    server = None
+    if config.http_port:
+        server = sup.serve_control()
+    try:
+        sup.run_forever(poll_seconds=1.0, max_polls=max_polls)
+    finally:
+        sup.stop_all()
+        if server is not None:
+            server.shutdown()
+    return sup
+
+
+def run_db_replicator(args, config: Settings, spark=None,
+                      max_polls: int | None = None):
+    """One database's lifecycle (reference DbReplicator, main.py:70–117):
+    initial replication from the JDBC source (sharded when
+    ``--total_workers``/``initial_replication_threads`` > 1), then
+    realtime streaming from the database's event-log directory.
+    ``--initial_only`` stops after the snapshot;
+    ``--skip_initial_replication`` goes straight to realtime."""
+    if not args.db:
+        raise SystemExit("need to pass --db argument")
+    from .runner import ReplicationSupervisor
+    from .sources.snapshot import jdbc_snapshot
+
+    spark = spark or _spark(f"mysql_ch_replicator_spark-db-{args.db}")
+    engine = _engine(spark, config)
+    tdb = config.target_database(args.db) if args.target_db is None \
+        else args.target_db
+
+    skip = args.skip_initial_replication or config.skip_initial_replication
+    if not skip and config.source.url:
+        workers = args.total_workers or config.initial_replication_threads
+        tables = [args.table] if args.table else engine.tables(tdb)
+        for table in tables:
+            df = jdbc_snapshot(
+                spark, config.source.url, f"{args.db}.{table}",
+                properties={"user": config.source.user,
+                            "password": config.source.password})
+            engine.snapshot_table_sharded(tdb, table, df, workers=workers)
+    if args.initial_only:
+        return None
+
+    sup = ReplicationSupervisor(
+        engine, _event_root(config),
+        os.path.join(engine.root, "_checkpoints"))
+    # restrict discovery to this db (the reference process owns exactly one)
+    sup.discover_databases = lambda: [args.db] if os.path.isdir(
+        os.path.join(sup.event_root, args.db)) else []
+    try:
+        sup.run_forever(poll_seconds=1.0, max_polls=max_polls)
+    finally:
+        sup.stop_all()
+    return sup
+
+
+def run_db_optimizer(args, config: Settings, spark=None,
+                     max_iterations: int | None = None,
+                     sleep_seconds: float = 30.0):
+    """Compaction loop (reference DbOptimizer, db_optimizer.py:56–98):
+    sweep for due tables, optimize, sleep."""
+    from .optimizer import ReplicaOptimizer
+
+    spark = spark or _spark("mysql_ch_replicator_spark-optimizer")
+    engine = _engine(spark, config)
+    opt = ReplicaOptimizer(engine)
+    done = 0
+    while max_iterations is None or done < max_iterations:
+        optimized = opt.maybe_optimize()
+        if optimized:
+            print(json.dumps({"optimized": optimized}), flush=True)
+        done += 1
+        if max_iterations is None or done < max_iterations:
+            time.sleep(sleep_seconds)
+    return opt
+
+
+def run_monitoring(args, config: Settings, spark=None,
+                   max_iterations: int | None = None,
+                   interval_seconds: float = 10.0, out=None):
+    """Lag/health reporter (reference Monitoring, main.py:138–141): one
+    JSON line per interval with, per database, the newest event-log file
+    number and per-table committed seq — the replication-lag surface the
+    reference derives from binlog vs state positions."""
+    from .monitoring import newest_log_file_number
+
+    spark = spark or _spark("mysql_ch_replicator_spark-monitoring")
+    engine = _engine(spark, config)
+    out = out or sys.stdout
+    root = _event_root(config)
+    done = 0
+    while max_iterations is None or done < max_iterations:
+        report = {"ts": time.time(), "databases": {}}
+        dbs = [args.db] if args.db else engine.databases()
+        for db in dbs:
+            tables = {}
+            for t in engine.tables(db):
+                tables[t] = int(engine.load_meta(db, t).get("last_seq", -1))
+            report["databases"][db] = {
+                "newest_log_file": newest_log_file_number(
+                    os.path.join(root, db)),
+                "table_last_seq": tables,
+            }
+        out.write(json.dumps(report) + "\n")
+        out.flush()
+        done += 1
+        if max_iterations is None or done < max_iterations:
+            time.sleep(interval_seconds)
+
+
+def run_binlog_replicator(args, config: Settings, spark=None,
+                          await_termination: bool = True):
+    """Ingest tier: continuously convert a Debezium-envelope JSON stream
+    (``--envelope_dir``; one JSON object per line, the connector's Kafka
+    value) into the native event log, one output subdirectory per source
+    database — the role the reference's wire-protocol binlog reader plays
+    (binlog_replicator.py:364–527), minus the protocol decoding Debezium
+    already did. Structures come from the replica's registered tables;
+    envelopes for unknown tables are dropped exactly like the reference
+    skips non-replicated tables. Exactly-once via the file-source
+    checkpoint; output uses Spark file-sink naming, which
+    read_event_log/stream_event_log accept."""
+    from pyspark.sql import functions as F
+
+    from .sources.debezium import debezium_events
+
+    if not args.envelope_dir:
+        raise SystemExit("need to pass --envelope_dir argument")
+    spark = spark or _spark("mysql_ch_replicator_spark-binlog")
+    engine = _engine(spark, config)
+    root = _event_root(config)
+
+    branches = []
+    for db in engine.databases():
+        for table in engine.tables(db):
+            st = engine.structure(db, table)
+            branches.append((db, table, st))
+    if not branches:
+        raise SystemExit("no replicated tables registered — create tables "
+                         "first (DDL events or ReplicaEngine.create_table)")
+
+    raw = (spark.readStream.schema("value string")
+           .text(args.envelope_dir))
+
+    def convert(batch, _id):
+        for db, table, st in branches:
+            ev = debezium_events(batch, st) \
+                .where((F.col("db") == db) & (F.col("table") == table))
+            (ev.write.mode("append")
+               .json(os.path.join(root, db)))
+
+    q = (raw.writeStream.foreachBatch(convert)
+         .option("checkpointLocation",
+                 os.path.join(root, "_ingest_checkpoint"))
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mysql_ch_replicator_spark")
+    p.add_argument("mode", nargs="?",
+                   choices=["run_all", "binlog_replicator", "db_replicator",
+                            "monitoring", "db_optimizer"])
+    p.add_argument("--config", default="config.yaml")
+    p.add_argument("--reference_config", action="store_true",
+                   help="config file uses the reference's YAML format")
+    p.add_argument("--db", type=str, default=None)
+    p.add_argument("--target_db", type=str, default=None)
+    p.add_argument("--wait_initial_replication", type=bool, default=True)
+    p.add_argument("--initial_only", type=bool, default=False)
+    p.add_argument("--worker_id", type=int, default=None,
+                   help="accepted for reference compatibility; sharded "
+                        "initial replication runs all workers as "
+                        "concurrent jobs in this process")
+    p.add_argument("--total_workers", type=int, default=None)
+    p.add_argument("--table", type=str, default=None)
+    p.add_argument("--skip_initial_replication", action="store_true")
+    p.add_argument("--envelope_dir", type=str, default=None,
+                   help="binlog_replicator mode: directory of Debezium "
+                        "envelope JSONL files")
+    return p
+
+
+_MODES = {
+    "run_all": run_all,
+    "db_replicator": run_db_replicator,
+    "db_optimizer": run_db_optimizer,
+    "monitoring": run_monitoring,
+    "binlog_replicator": run_binlog_replicator,
+}
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.mode:
+        parser.print_help()
+        return
+    config = Settings.from_reference_yaml(args.config) \
+        if args.reference_config else Settings.load(args.config)
+    _MODES[args.mode](args, config)
+
+
+if __name__ == "__main__":
+    main()
