@@ -66,6 +66,10 @@ def register(name: str, oracle: str | None):
 # a real DuckDB oracle (round 4: training rewritten in exact quantized
 # arithmetic, the 3 Lloyd iterations unrolled as CTE stages), so it
 # re-enters the window for its first verifiable row.
+# ROUND-5 ROTATION CANDIDATES (registered after this round's window was
+# set; local-oracle-green, no driver row yet): snapshot_cdc_handoff,
+# q_zorder_locality, ann_knn_classify — plus the five r2-green queries
+# named at the list's tail.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 1. core CDC smoke set — pinned in-window every round
     "cdc_final_state",
