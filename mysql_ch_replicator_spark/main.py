@@ -56,6 +56,29 @@ def _event_root(config: Settings) -> str:
     return config.event_log_dir or "binlog"
 
 
+class GracefulKiller:
+    """SIGTERM/SIGINT → a flag the supervisor loops poll (the reference's
+    GracefulKiller, utils.py:13–21): streams stop at the next poll
+    boundary with their checkpoints committed, instead of dying
+    mid-batch."""
+
+    def __init__(self, install: bool = True):
+        import signal
+        self.kill_now = False
+        if install:
+            try:
+                signal.signal(signal.SIGTERM, self._exit)
+                signal.signal(signal.SIGINT, self._exit)
+            except ValueError:   # not the main thread (tests)
+                pass
+
+    def _exit(self, *_):
+        self.kill_now = True
+
+    def __call__(self) -> bool:
+        return self.kill_now
+
+
 def run_all(args, config: Settings, spark=None,
             max_polls: int | None = None):
     """Supervisor over every replicated database + compaction scheduler +
@@ -73,8 +96,10 @@ def run_all(args, config: Settings, spark=None,
     server = None
     if config.http_port:
         server = sup.serve_control()
+    killer = GracefulKiller(install=max_polls is None)
     try:
-        sup.run_forever(poll_seconds=1.0, max_polls=max_polls)
+        sup.run_forever(poll_seconds=1.0, max_polls=max_polls,
+                        should_stop=killer)
     finally:
         sup.stop_all()
         if server is not None:
@@ -119,8 +144,10 @@ def run_db_replicator(args, config: Settings, spark=None,
     # restrict discovery to this db (the reference process owns exactly one)
     sup.discover_databases = lambda: [args.db] if os.path.isdir(
         os.path.join(sup.event_root, args.db)) else []
+    killer = GracefulKiller(install=max_polls is None)
     try:
-        sup.run_forever(poll_seconds=1.0, max_polls=max_polls)
+        sup.run_forever(poll_seconds=1.0, max_polls=max_polls,
+                        should_stop=killer)
     finally:
         sup.stop_all()
     return sup

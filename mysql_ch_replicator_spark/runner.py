@@ -166,11 +166,16 @@ class ReplicationSupervisor:
         return removed
 
     def run_forever(self, poll_seconds: float = 1.0,
-                    max_polls: int | None = None) -> None:
+                    max_polls: int | None = None,
+                    should_stop=None) -> None:
         """Drive poll() on a cadence (reference main loop runner.py:205–213).
-        ``max_polls`` bounds the loop for tooling/tests."""
+        ``max_polls`` bounds the loop for tooling/tests; ``should_stop`` is
+        polled each iteration (the CLI wires a SIGTERM/SIGINT flag to it —
+        the reference's GracefulKiller, utils.py:13–21)."""
         polls = 0
         while max_polls is None or polls < max_polls:
+            if should_stop is not None and should_stop():
+                break
             self.poll()
             polls += 1
             time.sleep(poll_seconds)

@@ -154,3 +154,19 @@ def test_binlog_replicator_requires_tables(spark, tmp_path):
     with pytest.raises(SystemExit, match="no replicated tables"):
         run_binlog_replicator(args, _config(tmp_path), spark=spark,
                               await_termination=False)
+
+
+def test_graceful_killer_stops_supervisor_loop(spark, tmp_path):
+    """A SIGTERM-set flag ends run_forever at the next poll boundary
+    (reference GracefulKiller, utils.py:13-21)."""
+    from mysql_ch_replicator_spark.main import GracefulKiller
+    from mysql_ch_replicator_spark.runner import ReplicationSupervisor
+
+    cfg = _config(tmp_path)
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    sup = ReplicationSupervisor(engine, cfg.event_log_dir,
+                                str(tmp_path / "ckpt"))
+    killer = GracefulKiller(install=False)
+    killer._exit()
+    sup.run_forever(poll_seconds=0.0, max_polls=None, should_stop=killer)
+    assert sup.queries == {}   # loop exited without a single poll
