@@ -77,8 +77,11 @@ class ReplicationSupervisor:
         check_databases_updated, runner.py:131–137)."""
         if not os.path.isdir(self.event_root):
             return []
+        # "_"/"." prefixes are infrastructure, not databases (Spark's own
+        # hidden-file convention): checkpoint dirs, _spark_metadata, etc.
         dbs = sorted(d for d in os.listdir(self.event_root)
-                     if os.path.isdir(os.path.join(self.event_root, d)))
+                     if os.path.isdir(os.path.join(self.event_root, d))
+                     and not d.startswith(("_", ".")))
         s = self.engine.settings
         if s is not None:
             dbs = [d for d in dbs if s.is_database_matches(d)]

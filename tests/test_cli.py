@@ -170,3 +170,44 @@ def test_graceful_killer_stops_supervisor_loop(spark, tmp_path):
     killer._exit()
     sup.run_forever(poll_seconds=0.0, max_polls=None, should_stop=killer)
     assert sup.queries == {}   # loop exited without a single poll
+
+
+def test_ingest_and_apply_streams_compose_e2e(spark, tmp_path):
+    """The full two-stage production topology, both stages live at once:
+    binlog_replicator's envelope->event-log stream feeding a supervisor
+    apply stream — Debezium dump in, queryable replica out, no manual
+    apply anywhere."""
+    from mysql_ch_replicator_spark.runner import ReplicationSupervisor
+
+    cfg = _config(tmp_path)
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    engine.create_table("shop", DDL)
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    with open(env_dir / "dump.jsonl", "w", encoding="utf-8") as fh:
+        for i in range(1, 26):
+            fh.write(json.dumps(
+                {"op": "c", "after": {"id": i, "name": f"u{i}"},
+                 "before": None, "ts_ms": i,
+                 "source": {"db": "shop", "table": "users",
+                            "file": "binlog.1", "pos": i * 10}}) + "\n")
+
+    args = build_parser().parse_args(
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+    ingest = run_binlog_replicator(args, cfg, spark=spark,
+                                   await_termination=False)
+    sup = ReplicationSupervisor(engine, cfg.event_log_dir,
+                                str(tmp_path / "ckpt"),
+                                trigger_seconds=0.2)
+    try:
+        ingest.processAllAvailable()   # envelopes -> event log
+        sup.poll()                     # discovers db "shop"
+        sup.process_all_available()    # event log -> replica
+    finally:
+        ingest.stop()
+        sup.stop_all()
+
+    got = {(r.id, r.name) for r in
+           engine.read_final("shop", "users").drop("_version").collect()}
+    assert got == {(i, f"u{i}") for i in range(1, 26)}
