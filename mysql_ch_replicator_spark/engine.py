@@ -277,6 +277,14 @@ class ReplicaEngine:
                 self.save_meta(tdb, new, meta)
         elif q.startswith("truncate"):
             name = self._target(db, parse_truncate_table(query))[1]
+            if not self.table_exists(tdb, name):
+                # TRUNCATE of a non-replicated/unknown table is skipped,
+                # not an error (reference issue #155 regression tests,
+                # tests/test_truncate_bug.py — both with and without the
+                # TABLE keyword)
+                if seq is not None:
+                    self._set_last_ddl_seq(tdb, seq)
+                return
             with self.table_lock(tdb, name):
                 data = self._data_dir(tdb, name)
                 if os.path.exists(data):

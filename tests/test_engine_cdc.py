@@ -945,3 +945,34 @@ def test_table_lock_is_reentrant_and_per_table(engine):
     with lock_a:
         with lock_a:   # re-entrant: rewrite paths nest under apply/optimize
             pass
+
+
+def test_truncate_non_replicated_table_is_ignored(engine, spark, tmp_path):
+    """TRUNCATE of a table that was never replicated must be skipped, not
+    crash the batch (reference issue #155, tests/test_truncate_bug.py —
+    with and without the TABLE keyword), and the DDL watermark must still
+    advance so replays skip it."""
+    engine.create_table(DB, USERS_DDL)
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "users", [(1, "A", 1)])
+    log.ddl(DB, "TRUNCATE TABLE not_replicated")
+    log.ddl(DB, "TRUNCATE also_not_replicated")   # no TABLE keyword
+    log.add(DB, "users", [(2, "B", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
+    assert engine.last_ddl_seq(DB) >= 0
+
+
+def test_create_if_not_exists_preserves_existing_table(engine, spark,
+                                                       tmp_path):
+    """CREATE TABLE IF NOT EXISTS over a live table keeps its data and
+    watermarks (reference test_if_exists_if_not_exists)."""
+    engine.create_table(DB, USERS_DDL)
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add(DB, "users", [(1, "A", 1)])
+    log.ddl(DB, "CREATE TABLE IF NOT EXISTS `users` ("
+                "id int NOT NULL, name varchar(255), age int, "
+                "PRIMARY KEY (id))")
+    log.add(DB, "users", [(2, "B", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
