@@ -976,3 +976,20 @@ def test_create_if_not_exists_preserves_existing_table(engine, spark,
     log.add(DB, "users", [(2, "B", 2)])
     engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
     assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
+
+
+def test_string_primary_key_crud(engine, spark, tmp_path):
+    """varchar/char(36) primary keys through the full CDC path
+    (reference tests/test_mysql_ch_replicator.py
+    test_string_primary_key): inserts, updates, and PK deletes must key
+    on the string exactly — no numeric coercion anywhere in collapse,
+    version stamping, or tombstone matching."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, """CREATE TABLE skeyed (
+      code char(36) NOT NULL, qty int, PRIMARY KEY (code))""")
+    log.add(DB, "skeyed", [("a-1", 1), ("b-2", 2), ("0", 3), ("00", 4)])
+    log.add(DB, "skeyed", [("a-1", 10)])     # update by string key
+    log.remove(DB, "skeyed", [("b-2",)])
+    log.remove(DB, "skeyed", [("0",)])       # "0" must not match "00"
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert _final_rows(engine, "skeyed") == {("a-1", 10), ("00", 4)}
