@@ -106,3 +106,98 @@ def apply_agg_batch(state: DataFrame, batch_ops: DataFrame, agg: DataFrame,
     new_state = survivors.unionByName(
         adds.select(state.columns), allowMissingColumns=False)
     return new_state, merged
+
+
+# -- MIN/MAX maintenance (bounded rescan on extreme retraction) --------------
+
+_VAL_T = "decimal(18,2)"
+
+
+def minmax_of(state: DataFrame, group_col: str,
+              value_col: str) -> DataFrame:
+    """From-scratch form of the min/max view (init / repair / rescan)."""
+    return state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col(value_col).cast(_VAL_T)).alias("vmin"),
+        F.max(F.col(value_col).cast(_VAL_T)).alias("vmax"))
+
+
+def apply_minmax_batch(state: DataFrame, batch_ops: DataFrame,
+                       agg: DataFrame, pk_cols: list[str], group_col: str,
+                       value_col: str) -> tuple[DataFrame, DataFrame]:
+    """Advance a (group, n_rows, vmin, vmax) view by one collapsed batch.
+
+    Unlike SUM/COUNT, MIN/MAX are not group-invertible: retracting a
+    non-extreme row is free, but retracting the CURRENT extreme forgets
+    what the runner-up was. The standard maintenance (e.g. materialized
+    view engines' "bounded rescan") falls out of that asymmetry:
+
+    - adds tighten the view for free: vmin' = least(vmin, min(adds)),
+    - retractions are compared against the stored extremes; ONLY groups
+      whose retracted values touch an extreme (old_min <= vmin or
+      old_max >= vmax) are recomputed — from the post-batch state pruned
+      to exactly those groups via a broadcast semi-join.
+
+    At 100 TB the rescan working set is |touched extreme groups| — a hot
+    group only rescans when its actual min/max row churns, never on
+    ordinary traffic. Counts ride the same invertible delta as the
+    SUM view, so vanished groups (n_rows 0) drop exactly."""
+    keys = batch_ops.select(pk_cols)
+    old = state.join(F.broadcast(keys), pk_cols, "left_semi")
+    adds = batch_ops.where(F.col(OP_COL) == OP_ADD)
+
+    cnt = agg_delta(old, batch_ops, group_col, value_col) \
+        .select("g", "dn")
+    addx = adds.groupBy(F.col(group_col).alias("g")).agg(
+        F.min(F.col(value_col).cast(_VAL_T)).alias("amin"),
+        F.max(F.col(value_col).cast(_VAL_T)).alias("amax"))
+    # every pre-batch row of a touched key retracts (replaced or deleted)
+    retr = old.groupBy(F.col(group_col).alias("g")).agg(
+        F.min(F.col(value_col).cast(_VAL_T)).alias("rmin"),
+        F.max(F.col(value_col).cast(_VAL_T)).alias("rmax"))
+
+    u = agg.select(F.col(group_col).alias("g"), "n_rows", "vmin", "vmax")
+    j = (u.join(cnt, u["g"].eqNullSafe(cnt["g"]), "full_outer")
+          .select(F.coalesce(u["g"], cnt["g"]).alias("g"),
+                  "n_rows", "vmin", "vmax", "dn"))
+    j = (j.join(addx, j["g"].eqNullSafe(addx["g"]), "full_outer")
+          .select(F.coalesce(j["g"], addx["g"]).alias("g"),
+                  "n_rows", "vmin", "vmax", "dn", "amin", "amax"))
+    j = (j.join(retr, j["g"].eqNullSafe(retr["g"]), "full_outer")
+          .select(F.coalesce(j["g"], retr["g"]).alias("g"),
+                  "n_rows", "vmin", "vmax", "dn", "amin", "amax",
+                  "rmin", "rmax"))
+    n_new = (F.coalesce(F.col("n_rows"), F.lit(0))
+             + F.coalesce(F.col("dn"), F.lit(0)))
+    needs_rescan = (
+        (F.col("rmin").isNotNull()
+         & (F.col("vmin").isNull() | (F.col("rmin") <= F.col("vmin"))))
+        | (F.col("rmax").isNotNull()
+           & (F.col("vmax").isNull() | (F.col("rmax") >= F.col("vmax")))))
+    # NOT persisted: j is group-cardinality-bounded (joins of tiny view
+    # frames), and both consumers below re-derive it cheaply — a persist
+    # here would leak caches across the caller's batch loop
+    j = j.withColumn("n_new", n_new) \
+         .withColumn("rescan", F.coalesce(needs_rescan, F.lit(False)))
+
+    fast = (j.where(~F.col("rescan") & (F.col("n_new") > 0))
+            .select(F.col("g").alias(group_col),
+                    F.col("n_new").alias("n_rows"),
+                    F.least(F.coalesce("vmin", "amin"),
+                            F.coalesce("amin", "vmin")).alias("vmin"),
+                    F.greatest(F.coalesce("vmax", "amax"),
+                               F.coalesce("amax", "vmax")).alias("vmax")))
+
+    survivors = state.join(F.broadcast(keys), pk_cols, "left_anti")
+    new_state = survivors.unionByName(adds.select(state.columns))
+
+    rescan_groups = j.where(F.col("rescan") & (F.col("n_new") > 0)) \
+        .select(F.col("g").alias(group_col))
+    rescanned = minmax_of(
+        new_state.join(F.broadcast(rescan_groups),
+                       new_state[group_col].eqNullSafe(
+                           rescan_groups[group_col]),
+                       "left_semi"),
+        group_col, value_col)
+
+    return new_state, fast.unionByName(rescanned)

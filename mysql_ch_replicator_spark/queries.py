@@ -68,8 +68,8 @@ def register(name: str, oracle: str | None):
 # re-enters the window for its first verifiable row.
 # ROUND-5 ROTATION CANDIDATES (registered after this round's window was
 # set; local-oracle-green, no driver row yet): snapshot_cdc_handoff,
-# q_zorder_locality, ann_knn_classify — plus the five r2-green queries
-# named at the list's tail.
+# q_zorder_locality, ann_knn_classify, incremental_minmax_maintenance —
+# plus the five r2-green queries named at the list's tail.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 1. core CDC smoke set — pinned in-window every round
     "cdc_final_state",
@@ -1108,6 +1108,77 @@ def schema_migration_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.read_final("rep", "user_state") \
         .select("user_id", "last_event",
                 F.col("value").cast("string").alias("value"))
+
+
+@register(
+    "incremental_minmax_maintenance",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS vmin,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS vmax
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def incremental_minmax_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance across 4 sequential CDC
+    batches (operators/incremental_agg.apply_minmax_batch) — the
+    NON-invertible aggregate family: adds tighten the view for free;
+    only groups whose actual extreme is retracted get a bounded rescan
+    (broadcast-pruned to exactly those groups — the replica is never
+    fully rescanned). The oracle recomputes the view from scratch over
+    the final latest-wins state; equality proves the rescan trigger
+    never misses an extreme retraction, including group moves and
+    delete retractions."""
+    from .operators.incremental_agg import apply_minmax_batch, minmax_of
+
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select(
+        "user_id", "event_type", "value",
+        F.col("event_id").alias(SEQ_COL),
+        F.when(F.col("event_type") == "error", F.lit(OP_REMOVE))
+         .otherwise(F.lit(OP_ADD)).alias(OP_COL))
+
+    bounds = cdc.agg(F.min(SEQ_COL).alias("lo"),
+                     F.max(SEQ_COL).alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    width = (hi - lo) // 4 + 1
+
+    state = spark.createDataFrame(
+        [], "user_id bigint, event_type string, value double")
+    agg = minmax_of(state, "event_type", "value")
+    live: list[DataFrame] = []
+    for b in range(4):
+        batch = cdc.where(
+            (F.col(SEQ_COL) >= lo + b * width)
+            & (F.col(SEQ_COL) < lo + (b + 1) * width))
+        ops = collapse_batch(batch, ["user_id"])
+        state, agg = apply_minmax_batch(
+            state, ops, agg, ["user_id"], "event_type", "value")
+        # same persist discipline as incremental_agg_maintenance: the
+        # engine writes both frames to parquet between batches; here an
+        # eager persist stands in, paired with unpersists
+        state, agg = state.persist(), agg.persist()
+        state.select(F.lit(1).alias("x")) \
+            .unionByName(agg.select(F.lit(1).alias("x"))).count()
+        for f in live:
+            f.unpersist()
+        live = [state, agg]
+    result = agg.select("event_type", "n_rows",
+                        F.col("vmin").cast("string").alias("vmin"),
+                        F.col("vmax").cast("string").alias("vmax"))
+    out = spark.createDataFrame(result.collect(), result.schema)
+    for f in live:
+        f.unpersist()
+    return out
 
 
 def _tmp_root(sf_dir: str, tag: str) -> str:
