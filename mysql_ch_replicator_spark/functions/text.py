@@ -77,6 +77,45 @@ def quality_score(col: Column) -> Column:
     return F.round((length_term + punct_term + shape_term) / 3.0, 6)
 
 
+def alpha_word_ratio(col: Column) -> Column:
+    """Fraction of tokens containing at least one letter (Gopher's
+    "80% of words contain an alphabetic character" rule — our tokenizer
+    already restricts to [a-z0-9], so this separates digit-runs)."""
+    ws = words(col)
+    hits = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)) \
+            .otherwise(F.lit(0.0))
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    """Stopword occurrences WITH multiplicity (Gopher's "at least two
+    distinct-ish function words" rule uses a raw count)."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(sw, w)))
+
+
+# Gopher-rule thresholds (Rae et al. 2021, Table A1-flavored, adapted to
+# this corpus's scale): word-count bounds, mean-word-length band, minimum
+# alphabetic-word share, minimum stopword hits, maximum symbol ratio.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 90
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.7
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_PUNCT = 0.25
+
+
+def gopher_passes(n_words: Column, mwl: Column, alpha: Column,
+                  n_stop: Column, punct: Column) -> Column:
+    """The composite Gopher quality gate as one boolean expression over
+    the five pre-computed signal columns (kept separate so callers can
+    report the signals alongside the verdict)."""
+    return ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+            & (alpha >= GOPHER_MIN_ALPHA)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+            & (punct <= GOPHER_MAX_PUNCT))
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: the language whose function words cover the
     largest fraction of the doc's tokens; 'und' (undetermined) when nothing

@@ -154,6 +154,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
         .select("doc_id", "dup_of", "content_hash")
 
 
+def normalized_dedup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, fold every non-
+    alphanumeric run to a single space, trim, THEN hash — catches the
+    re-encoded / re-punctuated / re-wrapped copies that byte-exact dedup
+    misses while staying a pure one-shuffle hash-group (the cheap middle
+    ground before the MinHash family).
+
+    Same plan shape as ``exact_dedup``: hash projection at the scan, one
+    map-side-combined aggregate on the hash, keeper = min doc id; the
+    join back is hash-co-partitioned with the aggregate's exchange.
+    Returns (doc_id, dup_of, n_copies, norm_hash) for every doc.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    hashed = docs.select(F.col(id_col).alias("doc_id"),
+                         md5_hex(norm).alias("norm_hash"))
+    keeper = hashed.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_copies"))
+    return hashed.join(keeper, "norm_hash") \
+        .select("doc_id", "dup_of", "n_copies", "norm_hash")
+
+
 def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 3,
                       num_hashes: int = 12, bands: int = 4,
@@ -300,6 +324,48 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
         .where(F.col("cos") >= threshold).select("a", "b")
     return _resolve(
         verified, embeddings.select(F.col(id_col).alias("doc_id")), closure)
+
+
+def semantic_cell_dedup(embeddings: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", n_cells: int = 16,
+                        threshold: float = 0.98,
+                        closure: bool = False) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023):
+    assign every embedding to its nearest of ``n_cells`` deterministic IVF
+    centroids, then mark cosine-near-duplicates WITHIN each cell only —
+    the cluster bounds the pair space, which is the whole point of the
+    method (and what makes it shard cleanly: cell = partition key, each
+    task does its own cell's pairs, no global candidate structure).
+
+    The hyperplane variant (``embedding_neardup``) buckets on sign
+    agreement — high precision, recall limited to sign-exact matches; the
+    cell variant trades a coarser partition for full recall inside each
+    cell, the standard semantic-dedup operating point.
+
+    Returns ``(doc_id, cell, dup_of)`` for every vector.
+    """
+    from .similarity import cosine_expr, ivf_assign
+
+    dims = len(embeddings.select(vec_col).first()[0])
+    assigned = ivf_assign(
+        spread(embeddings).select(F.col(id_col).alias("doc_id"),
+                                  F.col(vec_col).alias("v")),
+        "v", n_cells, dims, probes=1, cells_col="cells")
+    cells = assigned.withColumn("cell", F.element_at("cells", 1)) \
+        .drop("cells").persist()
+    left = cells.select(F.col("doc_id").alias("a"),
+                        F.col("v").alias("va"), "cell")
+    right = cells.select(F.col("doc_id").alias("b"),
+                         F.col("v").alias("vb"), "cell")
+    pairs = (left.join(right, "cell")
+             .where(F.col("a") < F.col("b"))
+             .where(cosine_expr("va", "vb") >= threshold)
+             .select("a", "b"))
+    resolved = _resolve(pairs,
+                        embeddings.select(F.col(id_col).alias("doc_id")),
+                        closure)
+    return (resolved.join(cells.select("doc_id", "cell"), "doc_id")
+            .select("doc_id", "cell", "dup_of"))
 
 
 def line_dedup_stats(docs: DataFrame, text_col: str = "text",

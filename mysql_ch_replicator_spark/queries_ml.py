@@ -1246,3 +1246,274 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("doc_id", "term", "tf", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Data selection: DSIR importance, novelty, normalized dedup, quality gate,
+# token-budget selection (operators/selection.py, functions/text.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dsir_importance_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             {_h60_sql('w')} % 4096 AS bkt
+      FROM tok
+    ),
+    cnt AS (
+      SELECT bkt, COUNT(*) AS n_raw,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tgt
+      FROM b GROUP BY bkt
+    ),
+    wts AS (SELECT bkt, (n_tgt + 1) * 1000000 // (n_raw + 1) AS w FROM cnt),
+    score AS (
+      SELECT b.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(wts.w) AS BIGINT) AS score
+      FROM b JOIN wts USING (bkt) GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens, score
+    FROM score ORDER BY score DESC, doc_id LIMIT 200
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every document by
+    how target-domain-like its hashed-unigram distribution is (target here:
+    the `lang='en'` slice), keep the top 200. Integer ratio weights instead
+    of the paper's float log-likelihoods — bit-identical cross-engine and
+    rank-preserving.
+
+    Scale: the 4096-row bucket-weight table is the ONLY state broadcast to
+    the scorer; the corpus shuffles once (per-doc score agg); the top-k is
+    a TakeOrdered, never a global sort."""
+    from .operators.selection import dsir_scores
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scores = dsir_scores(docs, target=F.col("lang") == "en")
+    return (scores.orderBy(F.col("score").desc(), "doc_id").limit(200)
+            .select("doc_id", "n_tokens", "score"))
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct({_sh_sql(3)})) AS g FROM t
+    ),
+    fo AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM g
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM fo GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_grams, 0) AS n_grams,
+           COALESCE(agg.n_novel, 0) AS n_novel,
+           round(CASE WHEN COALESCE(agg.n_grams, 0) > 0
+                      THEN CAST(agg.n_novel AS DOUBLE) / agg.n_grams
+                      ELSE 0.0 END, 6) AS novelty_ratio
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-occurrence novelty: the share of a doc's distinct
+    3-gram shingles first seen (min doc id) in that doc — the "how much new
+    content does this doc add" audit. One gram-partitioned window (min over
+    the whole partition, no sort) + one doc-keyed agg; no self-join."""
+    from .operators.selection import ngram_novelty as novelty_op
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return novelty_op(docs, n=3)
+
+
+@register(
+    "dedup_normalized",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+      FROM documents
+    ),
+    k AS (SELECT norm_hash, min(doc_id) AS dup_of,
+                 COUNT(*) AS n_copies
+          FROM h GROUP BY norm_hash)
+    SELECT h.doc_id, k.dup_of, k.n_copies, h.norm_hash
+    FROM h JOIN k USING (norm_hash)
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase + fold punctuation/
+    whitespace runs to single spaces + trim, then md5-group — catches
+    re-punctuated and re-wrapped copies byte-exact dedup misses. Same
+    one-shuffle plan as dedup_exact."""
+    from .operators.dedup import normalized_dedup
+    return normalized_dedup(spread(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WORDS_SQL} AS W,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS non_space,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(len(W) AS BIGINT) AS n_words,
+             CASE WHEN len(W) > 0
+                  THEN CAST(list_sum(list_transform(W, x -> length(x)))
+                            AS DOUBLE) / len(W)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(W) > 0
+                  THEN CAST(len(list_filter(W,
+                         x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(W)
+                  ELSE 0.0 END AS alpha,
+             CAST(len(list_filter(W, x -> list_contains(
+               ['the','and','of','to','a','in','is','that','it','for'], x)))
+               AS BIGINT) AS n_stopwords,
+             CASE WHEN non_space > 0
+                  THEN CAST(punct AS DOUBLE) / non_space
+                  ELSE 0.0 END AS pr
+      FROM t
+    )
+    SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+           round(alpha, 6) AS alpha_ratio, n_stopwords,
+           round(pr, 6) AS punct_ratio,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 90
+                      AND mwl BETWEEN 3.0 AND 10.0
+                      AND alpha >= 0.7
+                      AND n_stopwords >= 2
+                      AND pr <= 0.25
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM f
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free quality gate (Rae et al. 2021): word-count
+    bounds, mean-word-length band, alphabetic-word share, stopword floor,
+    symbol-ratio ceiling — reported per doc with the composite 0/1 verdict.
+    Pure column expressions, whole-stage codegen, zero shuffles (scan →
+    project)."""
+    from .functions.text import (
+        GOPHER_MAX_PUNCT, GOPHER_MAX_MWL, GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA,
+        GOPHER_MIN_MWL, GOPHER_MIN_STOPWORDS, GOPHER_MIN_WORDS,
+        alpha_word_ratio, gopher_passes, mean_word_len, punct_ratio,
+        stopword_count,
+    )
+    from .functions.hashing import words as words_fn
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    f = docs.select(
+        "doc_id",
+        F.size(words_fn(t)).cast("long").alias("n_words"),
+        mean_word_len(t).alias("mwl"),
+        alpha_word_ratio(t).alias("alpha"),
+        stopword_count(t).cast("long").alias("n_stopwords"),
+        punct_ratio(t).alias("pr"))
+    return f.select(
+        "doc_id", "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("alpha", 6).alias("alpha_ratio"),
+        "n_stopwords",
+        F.round("pr", 6).alias("punct_ratio"),
+        gopher_passes(F.col("n_words"), F.col("mwl"), F.col("alpha"),
+                      F.col("n_stopwords"), F.col("pr"))
+        .cast("long").alias("passes"))
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS W,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS non_space,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+             round((
+               LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               + (1.0 - LEAST(CASE WHEN non_space > 0
+                                   THEN CAST(punct AS DOUBLE) / non_space
+                                   ELSE 0.0 END * 4.0, 1.0))
+               + CASE WHEN len(W) > 0
+                       AND CAST(list_sum(list_transform(W, x -> length(x)))
+                                AS DOUBLE) / len(W) BETWEEN 3.0 AND 8.0
+                      THEN 1.0 ELSE 0.5 END
+             ) / 3.0, 6) AS quality
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens,
+           CAST(CASE WHEN cum_tokens <= 12000 THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+    FROM r
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first corpus selection under a 12k-token global
+    budget: rank docs by (quality desc, id), keep while the cumulative
+    BPE-ish token count fits — the "fill the training mix from the top"
+    step. The oracle's global window ORDER BY is the one-task form; the
+    engine computes the identical prefix sum with the arithmetic
+    range-bucket protocol (operators/selection.ranged_running_sum — per-
+    bucket window + driver-side offsets, ≤ #buckets longs collected), so
+    no single-partition sort exists at any scale."""
+    from .operators.selection import token_budget_select as select_op
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return select_op(docs, budget_tokens=12_000) \
+        .select("doc_id", "n_tokens", "quality", "cum_tokens", "selected")
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH cor AS (
+      SELECT vec_id AS doc_id, embedding AS v,
+             {_ivf_dl_sql('embedding', 16, _EMB_DIMS)} AS dl
+      FROM embeddings
+    ),
+    a AS (
+      SELECT doc_id, v,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+      FROM cor
+    ),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM a x JOIN a y USING (cell)
+      WHERE x.doc_id < y.doc_id
+        AND {_cos_sql('x.v', 'y.v', _EMB_DIMS)} >= 0.98
+    ),
+    best AS (SELECT b AS doc_id, min(a) AS dup_of FROM cand GROUP BY b)
+    SELECT a.doc_id, a.cell, COALESCE(best.dup_of, a.doc_id) AS dup_of
+    FROM a LEFT JOIN best USING (doc_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023):
+    nearest-of-16 deterministic IVF cells bounds the candidate space, exact
+    cosine >= 0.98 within each cell marks duplicates, min-id survivor. Cell
+    = partition key at scale — each task owns its cell's pair space; no
+    global candidate structure, no all-pairs join."""
+    from .operators.dedup import semantic_cell_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_cell_dedup(emb, n_cells=16, threshold=0.98)
