@@ -175,6 +175,72 @@ def ranged_running_sum(df: DataFrame, key_col: str, value_col: str,
             .drop("__bucket"))
 
 
+def curation_pipeline(docs: DataFrame, budget_tokens: int,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The full corpus-curation pipeline as ONE composed plan:
+    quality gate (Gopher rules) → normalized exact dedup among gated docs
+    → greedy token-budget selection among survivors — the standard
+    filter/dedup/select order of a pre-training data build.
+
+    Returns every input doc with its stage outcomes: ``passed_gate``,
+    ``is_survivor`` (gated AND the min-id keeper of its normalized-content
+    group), ``cum_tokens`` (prefix position in the quality-desc ranking of
+    survivors; NULL for docs that never reach selection) and ``selected``.
+    Keeping all stages' verdicts on every row makes the pipeline auditable
+    — "why did this doc drop" is a column read, not a diff of snapshots.
+
+    Scale: one scan computes every per-doc signal; the dedup keeper is one
+    hash-keyed aggregate; the budget stage runs the range-bucketed running
+    sum over survivors only. No stage re-tokenizes (signals are staged),
+    and nothing sorts globally in one task.
+    """
+    from ..functions.text import (
+        alpha_word_ratio, gopher_passes, mean_word_len, punct_ratio,
+        quality_score, stopword_count, token_count_bpe,
+    )
+    from ..functions.hashing import words
+
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(t)).cast("long").alias("__nw"),
+        mean_word_len(t).alias("__mwl"),
+        alpha_word_ratio(t).alias("__alpha"),
+        stopword_count(t).cast("long").alias("__nstop"),
+        punct_ratio(t).alias("__pr"),
+        token_count_bpe(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        F.md5(F.trim(F.regexp_replace(F.lower(t), "[^a-z0-9]+", " ")))
+        .alias("__h"))
+    gated = base.withColumn(
+        "passed_gate",
+        gopher_passes(F.col("__nw"), F.col("__mwl"), F.col("__alpha"),
+                      F.col("__nstop"), F.col("__pr")).cast("long")) \
+        .persist()  # every signal used by 2+ downstream jobs
+    keeper = (gated.where(F.col("passed_gate") == 1)
+              .groupBy("__h").agg(F.min("doc_id").alias("__keep")))
+    staged = gated.join(keeper, "__h", "left").withColumn(
+        "is_survivor",
+        ((F.col("passed_gate") == 1)
+         & (F.col("doc_id") == F.col("__keep"))).cast("long"))
+    sel_in = staged.where(F.col("is_survivor") == 1) \
+        .select("doc_id", "n_tokens", "quality") \
+        .withColumn("__qkey", (-F.round(F.col("quality") * 1e6, 0))
+                    .cast("long"))
+    run = ranged_running_sum(sel_in, "__qkey", "n_tokens",
+                             tie_breaks=("doc_id",), out_col="cum_tokens")
+    sel = run.select(
+        "doc_id", "cum_tokens",
+        F.when(F.col("cum_tokens") <= budget_tokens, 1).otherwise(0)
+        .cast("long").alias("__sel"))
+    return (staged.join(sel, "doc_id", "left")
+            .select("doc_id", "passed_gate",
+                    F.coalesce("is_survivor", F.lit(0)).alias("is_survivor"),
+                    "n_tokens", "quality", "cum_tokens",
+                    F.coalesce("__sel", F.lit(0)).alias("selected")))
+
+
 def token_budget_select(docs: DataFrame, budget_tokens: int,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

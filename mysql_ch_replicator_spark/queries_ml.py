@@ -1517,3 +1517,86 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import semantic_cell_dedup
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_cell_dedup(emb, n_cells=16, threshold=0.98)
+
+
+@register(
+    "corpus_curation_e2e",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WORDS_SQL} AS W,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS non_space,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(W) AS BIGINT) AS nw,
+             CASE WHEN len(W) > 0
+                  THEN CAST(list_sum(list_transform(W, x -> length(x)))
+                            AS DOUBLE) / len(W)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(W) > 0
+                  THEN CAST(len(list_filter(W,
+                         x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(W)
+                  ELSE 0.0 END AS alpha,
+             CAST(len(list_filter(W, x -> list_contains(
+               ['the','and','of','to','a','in','is','that','it','for'], x)))
+               AS BIGINT) AS nstop,
+             CASE WHEN non_space > 0
+                  THEN CAST(punct AS DOUBLE) / non_space
+                  ELSE 0.0 END AS pr,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+             round((
+               LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               + (1.0 - LEAST(CASE WHEN non_space > 0
+                                   THEN CAST(punct AS DOUBLE) / non_space
+                                   ELSE 0.0 END * 4.0, 1.0))
+               + CASE WHEN len(W) > 0
+                       AND CAST(list_sum(list_transform(W, x -> length(x)))
+                                AS DOUBLE) / len(W) BETWEEN 3.0 AND 8.0
+                      THEN 1.0 ELSE 0.5 END
+             ) / 3.0, 6) AS quality,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS h
+      FROM t
+    ),
+    g AS (
+      SELECT *, CAST(CASE WHEN nw BETWEEN 30 AND 90
+                           AND mwl BETWEEN 3.0 AND 10.0
+                           AND alpha >= 0.7 AND nstop >= 2 AND pr <= 0.25
+                          THEN 1 ELSE 0 END AS BIGINT) AS passed_gate
+      FROM f
+    ),
+    k AS (SELECT h, min(doc_id) AS keep FROM g
+          WHERE passed_gate = 1 GROUP BY h),
+    s AS (
+      SELECT g.*, CAST(CASE WHEN g.passed_gate = 1 AND g.doc_id = k.keep
+                            THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+      FROM g LEFT JOIN k ON g.h = k.h
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(SUM(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM s WHERE is_survivor = 1
+    )
+    SELECT s.doc_id, s.passed_gate, s.is_survivor, s.n_tokens, s.quality,
+           r.cum_tokens,
+           CAST(COALESCE(CASE WHEN r.cum_tokens <= 8000 THEN 1 ELSE 0 END,
+                         0) AS BIGINT) AS selected
+    FROM s LEFT JOIN r USING (doc_id)
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus build as one composed plan: Gopher quality gate →
+    normalized exact dedup among gated docs → greedy 8k-token-budget
+    selection among survivors — with every stage's verdict reported per
+    doc ("why did this doc drop" is a column read). One scan computes all
+    signals; the running sum is range-bucketed; nothing sorts globally in
+    one task."""
+    from .operators.selection import curation_pipeline
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return curation_pipeline(docs, budget_tokens=8_000)

@@ -165,6 +165,29 @@ def test_token_budget_selects_quality_prefix(spark):
     assert by_id[7].selected == 1
 
 
+def test_curation_pipeline_stage_semantics(spark):
+    from mysql_ch_replicator_spark.operators.selection import curation_pipeline
+    good = " ".join(["the quick brown fox jumps over it and off for"] * 4)
+    rows = [
+        (1, "en", good),                       # gated, survivor, selected
+        (2, "en", good.upper() + "!!!"),       # dup of 1 after normalization
+        (3, "en", "too short for the gate"),   # fails gate
+        (4, "en", good + " extra tail here"),  # gated, unique → survivor
+    ]
+    out = {r.doc_id: r for r in
+           curation_pipeline(_docs(spark, rows),
+                             budget_tokens=10_000).collect()}
+    assert out[1].passed_gate == 1 and out[1].is_survivor == 1
+    assert out[2].passed_gate == 1 and out[2].is_survivor == 0  # deduped
+    assert out[3].passed_gate == 0 and out[3].is_survivor == 0
+    assert out[4].is_survivor == 1
+    # non-survivors never reach selection
+    assert out[2].cum_tokens is None and out[2].selected == 0
+    assert out[3].cum_tokens is None and out[3].selected == 0
+    # survivors fit in the big budget
+    assert out[1].selected == 1 and out[4].selected == 1
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style cluster-scoped semantic dedup
 # ---------------------------------------------------------------------------
