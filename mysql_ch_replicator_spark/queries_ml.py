@@ -1600,3 +1600,106 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import curation_pipeline
     docs = spread(load_table(spark, sf_dir, "documents"))
     return curation_pipeline(docs, budget_tokens=8_000)
+
+
+def _sqdist_off_sql(vec: str, cent: list[float], off: int) -> str:
+    """Squared L2 chain for a SUBVECTOR starting at 0-based ``off`` —
+    same left-to-right order as the Spark fold over the slice."""
+    return " + ".join(
+        f"(CAST({vec}[{off + d + 1}] AS DOUBLE) - ({cent[d]!r}))"
+        f" * (CAST({vec}[{off + d + 1}] AS DOUBLE) - ({cent[d]!r}))"
+        for d in range(len(cent)))
+
+
+def _pq_oracle_sql(m: int, n_codes: int, dims: int, k: int,
+                   shortlist: int) -> str:
+    """DuckDB oracle for two-stage PQ/ADC top-k: L2 normalization, per-
+    subspace distance lists against the same (scaled) deterministic
+    codebooks, first-occurrence argmin codes, nested-array table lookups
+    summed left-to-right, then exact-cosine rerank of the shortlist."""
+    from .operators.similarity import pq_codebooks
+    sd = dims // m
+    books = pq_codebooks(m, n_codes, sd)
+
+    norm_chain = " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{d + 1}] AS DOUBLE)" for d in range(dims))
+
+    def dl(vec: str, j: int) -> str:
+        return ("list_value(" + ", ".join(
+            _sqdist_off_sql(vec, books[j][c], j * sd)
+            for c in range(n_codes)) + ")")
+
+    enc_dls = ",\n             ".join(
+        f"{dl('v', j)} AS dl{j}" for j in range(m))
+    codes = ", ".join(
+        f"CAST(list_position(dl{j}, list_min(dl{j})) AS INTEGER)"
+        for j in range(m))
+    q_dt = ", ".join(dl("v", j) for j in range(m))
+    score = " + ".join(f"dt[{j + 1}][codes[{j + 1}]]" for j in range(m))
+    return f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt({norm_chain})) AS v
+      FROM embeddings
+    ),
+    encd AS (
+      SELECT vec_id AS neighbor_id,
+             {enc_dls}
+      FROM nv
+    ),
+    enc AS (
+      SELECT neighbor_id, list_value({codes}) AS codes FROM encd
+    ),
+    q AS (
+      SELECT vec_id AS query_id, list_value({q_dt}) AS dt
+      FROM nv WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.query_id, e.neighbor_id, {score} AS adc
+      FROM enc e CROSS JOIN q
+      WHERE e.neighbor_id <> q.query_id
+    ),
+    sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS r
+        FROM scored) WHERE r <= {shortlist}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_sql('q2.embedding', 'e.embedding', dims)} AS cos
+      FROM sl s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN embeddings q2 ON q2.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_pq_topk",
+          _pq_oracle_sql(m=16, n_codes=16, dims=_EMB_DIMS, k=10,
+                         shortlist=100))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage product-quantization ANN (Jégou et al. 2011): the corpus
+    compresses to 16 subspace codes per vector, each query broadcasts its
+    16x16 ADC distance table, a candidate costs 16 array lookups + 15
+    adds; the 100-deep shortlist is then reranked by exact cosine on raw
+    vectors — the deployed memory-bandwidth-bound shape (recall@10 = 0.91
+    vs brute force, floor pinned in tests/test_ann_recall.py). Stage 1 is
+    a shuffle-free compressed scan; stage 2 touches |queries| x 100 raw
+    vectors via broadcast joins — the corpus never shuffles."""
+    from .operators.similarity import ann_pq_topk as pq_op
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_op(emb, queries, k=10, m=16, n_codes=16, shortlist=100)

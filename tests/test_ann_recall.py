@@ -81,6 +81,27 @@ def test_ivf_kmeans_training_improves_recall(corpus, queries_df, exact):
     assert trained >= 0.3, f"trained IVF recall degenerate: {trained:.2f}"
 
 
+def test_pq_rerank_recall_floor(corpus, queries_df, exact):
+    """Two-stage PQ (ADC shortlist -> exact rerank) measured 0.91 at
+    (m=16, codes=16, R=100); the floor catches codebook-scale or
+    normalization regressions, not tuning drift."""
+    from mysql_ch_replicator_spark.operators.similarity import ann_pq_topk
+    approx = _neighbors(ann_pq_topk(corpus, queries_df, K,
+                                    m=16, n_codes=16, shortlist=100))
+    r = _recall(approx, exact)
+    assert r >= 0.7, f"PQ rerank recall@10 degenerate: {r:.2f}"
+
+
+def test_pq_shortlist_dial(corpus, queries_df, exact):
+    """The recall dial must dial: a corpus-wide shortlist makes stage 2
+    exhaustive = recall 1.0."""
+    from mysql_ch_replicator_spark.operators.similarity import ann_pq_topk
+    n = corpus.count()
+    full = _neighbors(ann_pq_topk(corpus, queries_df, K,
+                                  m=16, n_codes=16, shortlist=n))
+    assert _recall(full, exact) == 1.0
+
+
 def test_ivf_single_cell_is_exhaustive(corpus, queries_df, exact):
     """The recall dial must actually dial: one cell holds everything, so
     probing it is exhaustive search = recall 1.0."""

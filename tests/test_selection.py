@@ -35,6 +35,32 @@ def test_ranged_running_sum_matches_global_window(spark):
     assert got == want
 
 
+def test_ranged_running_sum_property(spark):
+    """Property: for RANDOM key distributions — negative keys, heavy ties,
+    skewed clusters — the range-bucketed prefix sum equals the single-task
+    global window exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(keys=st.lists(st.integers(min_value=-50, max_value=50),
+                         min_size=1, max_size=120),
+           buckets=st.integers(min_value=1, max_value=16))
+    def check(keys, buckets):
+        rows = [(i, k, (i * 7) % 5 + 1) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        got = {r.id: r.run for r in
+               ranged_running_sum(df, "k", "v", tie_breaks=("id",),
+                                  buckets=buckets, out_col="run").collect()}
+        w = (Window.orderBy("k", "id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = {r.id: r.run for r in
+                df.withColumn("run", F.sum("v").over(w)).collect()}
+        assert got == want
+
+    check()
+
+
 def test_ranged_running_sum_empty(spark):
     df = spark.createDataFrame([], "id long, k long, v long")
     assert ranged_running_sum(df, "k", "v", out_col="run").count() == 0
