@@ -1703,3 +1703,76 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 20) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return pq_op(emb, queries, k=10, m=16, n_codes=16, shortlist=100)
+
+
+@register(
+    "incremental_dedup_maintenance",
+    """
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM documents WHERE doc_id % 11 <> 0
+    GROUP BY md5(text)
+    """,
+)
+def incremental_dedup_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The exact-dedup keeper table maintained INCREMENTALLY through the
+    CDC apply path — corpus hygiene meeting the replication engine: the
+    (content_hash → min doc_id, count) view advances batch-by-batch as
+    documents arrive (4 add batches), then a delete batch retracts every
+    doc_id % 11 == 0 — including group KEEPERS, the non-invertible case:
+    only groups whose stored minimum is touched get the bounded rescan
+    (operators/incremental_agg.apply_minmax_batch); vanished single-copy
+    groups drop via the count delta. The oracle recomputes the keeper
+    table from scratch over the final corpus; equality proves the rescan
+    trigger never misses a keeper retraction. (3 add batches + the delete
+    wave — the same 4-sequential-batch budget as
+    incremental_minmax_maintenance; each extra batch is a fixed job-count
+    cost, not a data cost.)"""
+    from .operators.incremental_agg import apply_minmax_batch, minmax_of
+    from .operators.replica import (
+        OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, collapse_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", F.md5("text").alias("content_hash"),
+                       F.col("doc_id").alias("dup_id"))
+    b = rows.agg(F.min("doc_id").alias("lo"),
+                 F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    width = (hi - lo) // 3 + 1
+
+    state = spark.createDataFrame(
+        [], "doc_id bigint, content_hash string, dup_id bigint")
+    agg = minmax_of(state, "content_hash", "dup_id")
+    live: list[DataFrame] = []
+    batches = [
+        rows.where((F.col("doc_id") >= lo + k * width)
+                   & (F.col("doc_id") < lo + (k + 1) * width))
+        .withColumn(SEQ_COL, F.col("doc_id"))
+        .withColumn(OP_COL, F.lit(OP_ADD))
+        for k in range(3)
+    ]
+    batches.append(  # the retraction wave: every 11th doc leaves
+        rows.where(F.col("doc_id") % 11 == 0)
+        .withColumn(SEQ_COL, F.col("doc_id") + F.lit(hi + 1))
+        .withColumn(OP_COL, F.lit(OP_REMOVE)))
+    for batch in batches:
+        ops = collapse_batch(batch, ["doc_id"])
+        state, agg = apply_minmax_batch(
+            state, ops, agg, ["doc_id"], "content_hash", "dup_id")
+        state, agg = state.persist(), agg.persist()
+        state.select(F.lit(1).alias("x")) \
+            .unionByName(agg.select(F.lit(1).alias("x"))).count()
+        for f in live:
+            f.unpersist()
+        live = [state, agg]
+    result = agg.select(
+        "content_hash",
+        F.col("n_rows").alias("n_copies"),
+        F.col("vmin").cast("bigint").alias("keeper"))
+    out = spark.createDataFrame(result.collect(), result.schema)
+    for f in live:
+        f.unpersist()
+    return out
