@@ -138,3 +138,27 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
             & (F.col(f"r_{right_ts}")
                <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {upper}")))
     return lsel.join(rsel, cond, how).drop("__rkey")
+
+
+def stream_enrich(stream: DataFrame, dim: DataFrame, keys: list[str],
+                  how: str = "left",
+                  broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes (user
+    profile, table metadata, source registry) to a CDC/event stream.
+
+    The static side's file listing is CAPTURED when the streaming query
+    starts — a path-backed dimension is fixed for the life of the query
+    (rewriting it under a running stream fails the query with
+    FILE_NOT_EXIST; measured, not theoretical). For slowly-changing
+    dimensions, re-read the dim inside ``foreachBatch`` (one
+    ``spark.read`` per micro-batch — the engine's own apply path is
+    already a foreachBatch, so CDC pipelines get the refresh point for
+    free) or restart the query after the atomic dim swap.
+
+    Scale: the dimension is broadcast by default — the stream side never
+    shuffles, which is the property that keeps micro-batch latency flat
+    as the stream widens. Set ``broadcast_dim=False`` only for dimensions
+    too large for executor memory (falls back to a shuffled join of the
+    BATCH, still bounded by trigger size)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, keys, how)

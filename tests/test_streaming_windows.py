@@ -264,3 +264,69 @@ def test_interval_join_batch_degrades(spark):
                left_watermark="10 seconds",
                right_watermark="10 seconds").collect()}
     assert got == {(1, 10, 100)}
+
+
+def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
+    """Stream-static enrichment: events across micro-batches join the
+    broadcast dimension (unmatched keep NULL); after the dim's atomic
+    rewrite, a RESTARTED query (the documented SCD contract — the listing
+    is captured per query) sees the fresh attributes."""
+    import json as _json
+
+    from mysql_ch_replicator_spark.streaming.windows import stream_enrich
+
+    src = tmp_path / "enrich_src"
+    dim_dir = tmp_path / "dim"
+    src.mkdir()
+    dim_dir.mkdir()
+    spark.createDataFrame([(1, "bronze")], "user_id long, tier string") \
+        .write.mode("overwrite").parquet(str(dim_dir))
+
+    with open(src / "0.jsonl", "w") as fh:
+        fh.write(_json.dumps({"event_id": 10, "user_id": 1}) + "\n")
+        fh.write(_json.dumps({"event_id": 11, "user_id": 2}) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long")
+              .json(str(src)))
+    dim = spark.read.parquet(str(dim_dir))
+    out = stream_enrich(stream, dim, ["user_id"])
+    q = (out.writeStream.format("memory").queryName("enrich_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_en"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # a second micro-batch joins the same dim without restarts
+        with open(src / "1.jsonl", "w") as fh:
+            fh.write(_json.dumps({"event_id": 12, "user_id": 1}) + "\n")
+        q.processAllAvailable()
+        rows = {r.event_id: r.tier
+                for r in spark.sql("SELECT * FROM enrich_out").collect()}
+        assert rows[10] == "bronze"
+        assert rows[11] is None              # left join keeps unmatched
+        assert rows[12] == "bronze"
+    finally:
+        q.stop()
+
+    # SCD step: atomic dim rewrite, then a restarted query (fresh listing)
+    spark.createDataFrame([(1, "bronze"), (2, "gold")],
+                          "user_id long, tier string") \
+        .write.mode("overwrite").parquet(str(dim_dir))
+    spark.catalog.refreshByPath(str(dim_dir))
+    stream2 = (spark.readStream
+               .schema("event_id long, user_id long")
+               .json(str(src)))
+    out2 = stream_enrich(stream2, spark.read.parquet(str(dim_dir)),
+                         ["user_id"])
+    q2 = (out2.writeStream.format("memory").queryName("enrich_out2")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ckpt_en2"))
+          .start())
+    try:
+        q2.processAllAvailable()
+        rows = {r.event_id: r.tier
+                for r in spark.sql("SELECT * FROM enrich_out2").collect()}
+        assert rows[11] == "gold"            # fresh attribute after restart
+    finally:
+        q2.stop()
