@@ -217,3 +217,38 @@ def temperature_sample(df: DataFrame, id_col: str, stratum_col: str,
     b = split_bucket(F.col(id_col), salt).cast("double")
     return (d.where(b < rate * F.lit(float(_BUCKETS)))
             .drop("__g", "__n", "__nmin"))
+
+
+def epoch_upsample(df: DataFrame, id_col: str, stratum_col: str,
+                   epochs: dict[str, float], default_epochs: float = 1.0,
+                   salt: str = "epoch") -> DataFrame:
+    """Epoch-aware mixture up/down-sampling: every row gets an integer
+    ``repeat_count`` so each stratum is consumed for its configured
+    (possibly fractional) number of epochs — the standard data-mixing
+    primitive ("3.5 epochs of wiki, 0.5 of crawl"). Fractional epochs
+    resolve per ROW by stable hash: floor(e) repeats plus one more for
+    the hash-chosen frac(e) share — deterministic, shard-independent,
+    and exact in expectation per stratum with zero coordination.
+
+    repeat_count = floor(e) + (h60(salt|id) % 10000 < frac(e)·10000)
+
+    Pure scan-side arithmetic: no shuffle, no state; downsampling is the
+    e < 1 case (repeat 0 or 1). Materialize repeats with
+    ``explode(sequence(1, repeat_count))`` where the consumer needs
+    physical copies — kept separate so the count column stays cheap to
+    audit."""
+    cases = None
+    for s, e in sorted(epochs.items()):
+        whole, frac_bp = int(e), int(round((e - int(e)) * _BUCKETS))
+        expr = (F.lit(whole)
+                + F.when(split_bucket(F.col(id_col), salt) < frac_bp, 1)
+                .otherwise(0))
+        cases = F.when(F.col(stratum_col) == s, expr) if cases is None \
+            else cases.when(F.col(stratum_col) == s, expr)
+    dw, dfrac = int(default_epochs), \
+        int(round((default_epochs - int(default_epochs)) * _BUCKETS))
+    default = (F.lit(dw)
+               + F.when(split_bucket(F.col(id_col), salt) < dfrac, 1)
+               .otherwise(0))
+    rc = (cases.otherwise(default) if cases is not None else default)
+    return df.withColumn("repeat_count", rc.cast("long"))

@@ -1776,3 +1776,36 @@ def incremental_dedup_maintenance(spark: SparkSession,
     for f in live:
         f.unpersist()
     return out
+
+
+@register(
+    "sample_epoch_mixture",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             {_SPLIT_B_SQL.format(salt='epoch', id='doc_id')} AS b
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(CASE source
+                WHEN 'src0' THEN 2 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+                WHEN 'src1' THEN 0 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+                WHEN 'src2' THEN 3 + CASE WHEN b < 0 THEN 1 ELSE 0 END
+                ELSE 1 + CASE WHEN b < 0 THEN 1 ELSE 0 END
+                END AS BIGINT) AS repeat_count
+    FROM b
+    """,
+)
+def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware data mixing (operators/sampling.epoch_upsample): 2.5
+    epochs of src0, half an epoch of src1 (downsampling), 3 of src2, one
+    of everything else — fractional epochs resolved per row by stable
+    hash, so the mix is deterministic and shard-independent with zero
+    coordination. Pure scan-side arithmetic; physical copies materialize
+    later via explode(sequence(1, repeat_count))."""
+    from .operators.sampling import epoch_upsample
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_upsample(docs, "doc_id", "source",
+                          {"src0": 2.5, "src1": 0.5, "src2": 3.0},
+                          default_epochs=1.0) \
+        .select("doc_id", "source", "repeat_count")

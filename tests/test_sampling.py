@@ -305,3 +305,28 @@ def test_per_group_cap_null_group(spark):
                .collect()}
         assert got == naive, f"oversample={oversample}"
     assert sum(1 for _, g in naive if g is None) == 5
+
+
+def test_epoch_upsample_rates_and_materialization(spark):
+    from mysql_ch_replicator_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, f"src{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(df, "doc_id", "source",
+                         {"src0": 2.5, "src1": 0.5}, default_epochs=1.0)
+    per = {r.source: (r.total, r.n) for r in
+           out.groupBy("source")
+           .agg(F.sum("repeat_count").alias("total"),
+                F.count("*").alias("n")).collect()}
+    # fractional epochs land within hash noise of the target rate
+    assert abs(per["src0"][0] / per["src0"][1] - 2.5) < 0.1
+    assert abs(per["src1"][0] / per["src1"][1] - 0.5) < 0.1   # downsample
+    assert per["src2"][0] == per["src2"][1]                   # exactly 1.0
+    # deterministic
+    again = epoch_upsample(df, "doc_id", "source",
+                           {"src0": 2.5, "src1": 0.5})
+    assert out.exceptAll(again).isEmpty()
+    # physical materialization matches the counts
+    exploded = out.where(F.col("repeat_count") > 0).select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.col("repeat_count"))))
+    assert exploded.count() == sum(t for t, _ in per.values())
