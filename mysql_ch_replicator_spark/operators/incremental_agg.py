@@ -146,25 +146,33 @@ def apply_minmax_batch(state: DataFrame, batch_ops: DataFrame,
     old = state.join(F.broadcast(keys), pk_cols, "left_semi")
     adds = batch_ops.where(F.col(OP_COL) == OP_ADD)
 
-    cnt = agg_delta(old, batch_ops, group_col, value_col) \
-        .select("g", "dn")
-    addx = adds.groupBy(F.col(group_col).alias("g")).agg(
-        F.min(F.col(value_col).cast(_VAL_T)).alias("amin"),
-        F.max(F.col(value_col).cast(_VAL_T)).alias("amax"))
-    # every pre-batch row of a touched key retracts (replaced or deleted)
-    retr = old.groupBy(F.col(group_col).alias("g")).agg(
-        F.min(F.col(value_col).cast(_VAL_T)).alias("rmin"),
-        F.max(F.col(value_col).cast(_VAL_T)).alias("rmax"))
+    # One fused delta: every pre-batch row of a touched key retracts
+    # (count -1, feeds rmin/rmax); every add contributes (count +1, feeds
+    # amin/amax). A single union + ONE groupBy produces all five delta
+    # columns — the previous form (separate cnt/addx/retr groupBys merged
+    # through three sequential full-outer joins) shuffled the same
+    # group-cardinality data five times for identical algebra.
+    _nul = F.lit(None).cast(_VAL_T)
+    old_part = old.select(
+        F.col(group_col).alias("g"),
+        F.lit(-1).cast("long").alias("dn"),
+        _nul.alias("amin"), _nul.alias("amax"),
+        F.col(value_col).cast(_VAL_T).alias("rmin"),
+        F.col(value_col).cast(_VAL_T).alias("rmax"))
+    add_part = adds.select(
+        F.col(group_col).alias("g"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col(value_col).cast(_VAL_T).alias("amin"),
+        F.col(value_col).cast(_VAL_T).alias("amax"),
+        _nul.alias("rmin"), _nul.alias("rmax"))
+    delta = old_part.unionByName(add_part).groupBy("g").agg(
+        F.sum("dn").alias("dn"),
+        F.min("amin").alias("amin"), F.max("amax").alias("amax"),
+        F.min("rmin").alias("rmin"), F.max("rmax").alias("rmax"))
 
     u = agg.select(F.col(group_col).alias("g"), "n_rows", "vmin", "vmax")
-    j = (u.join(cnt, u["g"].eqNullSafe(cnt["g"]), "full_outer")
-          .select(F.coalesce(u["g"], cnt["g"]).alias("g"),
-                  "n_rows", "vmin", "vmax", "dn"))
-    j = (j.join(addx, j["g"].eqNullSafe(addx["g"]), "full_outer")
-          .select(F.coalesce(j["g"], addx["g"]).alias("g"),
-                  "n_rows", "vmin", "vmax", "dn", "amin", "amax"))
-    j = (j.join(retr, j["g"].eqNullSafe(retr["g"]), "full_outer")
-          .select(F.coalesce(j["g"], retr["g"]).alias("g"),
+    j = (u.join(delta, u["g"].eqNullSafe(delta["g"]), "full_outer")
+          .select(F.coalesce(u["g"], delta["g"]).alias("g"),
                   "n_rows", "vmin", "vmax", "dn", "amin", "amax",
                   "rmin", "rmax"))
     n_new = (F.coalesce(F.col("n_rows"), F.lit(0))

@@ -59,3 +59,40 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
                  F.sum("n_tokens").alias("seq_tokens"))
             .withColumn("fill_ratio",
                         F.round(F.col("seq_tokens") / max_tokens, 6)))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_size: int, overlap: int = 0) -> DataFrame:
+    """Split every document into fixed-size overlapping character windows —
+    the "chunking oversized docs" step the packing docstring defers to the
+    tokenizer side, done engine-side: chunk k covers characters
+    [k*stride, k*stride + chunk_size) with stride = chunk_size - overlap,
+    so consecutive chunks share ``overlap`` characters (the standard
+    RAG/pretraining windowing). An empty document yields one empty chunk
+    (sequence(0, 0) = [0]) so no doc silently vanishes.
+
+    Output: (id, chunk_idx, chunk_text, chunk_len, n_chunks).
+
+    Scale shape (100 TB): pure scan-side column expressions — sequence +
+    posexplode + substr, whole-stage codegen, ZERO shuffles; output size
+    is input size x (1 + overlap/stride). Token-window chunking is the
+    same shape over an array of tokens (slice instead of substr)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    length = F.length(F.col(text_col))
+    offsets = F.sequence(F.lit(0), F.greatest(length - 1, F.lit(0)),
+                         F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_chunk_src"),
+        F.size(offsets).cast("long").alias("n_chunks"),
+        F.posexplode(offsets).alias("chunk_idx", "_chunk_off"))
+    chunk = F.col("_chunk_src").substr(F.col("_chunk_off") + 1,
+                                       F.lit(chunk_size))
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        "n_chunks")

@@ -15,7 +15,7 @@ higher-order array functions (JVM codegen'd per element, no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
@@ -252,3 +252,28 @@ def epoch_upsample(df: DataFrame, id_col: str, stratum_col: str,
                .otherwise(0))
     rc = (cases.otherwise(default) if cases is not None else default)
     return df.withColumn("repeat_count", rc.cast("long"))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   epoch: int = 0, salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort:
+    every row gets (shard, pos) — shard = h60(salt|epoch|id) % n_shards,
+    pos = dense position within the shard ordered by (hash, id). Reading
+    shards 0..n-1 sequentially (each shard ordered by pos) visits the
+    corpus in a pseudorandom order that is stable across runs, cluster
+    sizes, and partitionings, and changes completely per epoch — the
+    distributed analog of an epoch reshuffle.
+
+    Scale shape (100 TB): ONE shuffle keyed by shard (the same exchange
+    the per-shard sort rides on — Window.partitionBy(shard) sorts within
+    partitions, never globally); n_shards is the parallelism dial, sized
+    so one shard fits a task's sort buffer. No driver state, no total
+    order, no skew (hash-uniform shards)."""
+    h = h60(F.concat(F.lit(f"{salt}|{epoch}|"),
+                     F.col(id_col).cast("string")))
+    staged = df.select(F.col(id_col), h.alias("_h"),
+                       (h % n_shards).cast("long").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return staged.select(
+        id_col, "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"))

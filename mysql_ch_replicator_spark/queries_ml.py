@@ -1809,3 +1809,64 @@ def sample_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                           {"src0": 2.5, "src1": 0.5, "src2": 3.0},
                           default_epochs=1.0) \
         .select("doc_id", "source", "repeat_count")
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH c AS (
+      SELECT doc_id, text, greatest(length(text) - 1, 0) AS hi
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, text, hi,
+             unnest(generate_series(0, hi, 150)) AS off
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(off // 150 AS BIGINT) AS chunk_idx,
+           substr(text, off + 1, 200) AS chunk_text,
+           CAST(length(substr(text, off + 1, 200)) AS BIGINT) AS chunk_len,
+           CAST(hi // 150 + 1 AS BIGINT) AS n_chunks
+    FROM e
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap
+    (operators/packing.chunk_documents): 200-char windows, 50-char
+    overlap (stride 150) — the pretraining/RAG windowing step upstream of
+    sequence packing. Pure scan-side sequence+posexplode+substr (zero
+    shuffles, whole-stage codegen); every doc keeps its chunk count so
+    reassembly is auditable."""
+    from .operators.packing import chunk_documents as chunk_op
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_op(docs, "doc_id", "text", chunk_size=200, overlap=50)
+
+
+@register(
+    "shuffle_epoch_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('shuffle|1|' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8
+                                   ORDER BY hh, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle (operators/sampling.shuffle_shards):
+    each doc gets (shard, pos) for epoch 1 over 8 shards — reading shards
+    in pos order visits the corpus in a stable pseudorandom order that
+    re-randomizes per epoch, with ONE hash-keyed shuffle and no global
+    sort. The training-loader analog of ORDER BY random() that actually
+    scales."""
+    from .operators.sampling import shuffle_shards
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8, epoch=1)
