@@ -395,3 +395,66 @@ def line_dedup_stats(docs: DataFrame, text_col: str = "text",
     return (n_lines.join(kept, id_col, "left")
             .select(id_col, "n_lines",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
+def fuzzy_name_pairs(df: DataFrame, name_col: str, max_dist: int = 2,
+                     gram_n: int = 2, short_len: int = 6) -> DataFrame:
+    """Edit-distance entity matching: all UNORDERED pairs of distinct
+    names within Levenshtein distance [1, max_dist] — the fuzzy-join
+    family (typo'd entity names, OCR noise) that the set-based near-dup
+    operators (Jaccard/MinHash) cannot express, since edit distance is
+    order- and position-sensitive.
+
+    Blocking is exact-recall, not heuristic: a candidate pair must share
+    one character n-gram (an edit destroys at most ``gram_n`` grams of
+    the SET — set blocking is shift-invariant under insertions — so for
+    names with > max_dist*gram_n + gram_n - 1 chars a survivor gram
+    always exists) OR involve a short name (< ``short_len`` chars),
+    which is rescued by a short-bucket block against every name within
+    ``max_dist`` of its length. Candidates then verify with a single
+    JVM levenshtein call. The oracle is deliberately the NAIVE exhaustive
+    pair join, so a blocking recall hole shows up as a driver mismatch
+    rather than being mirrored away.
+
+    Scale shape (100 TB): the working set is DISTINCT names (one
+    map-side-combining aggregate over the corpus — orders of magnitude
+    smaller than the row count); the gram self-join carries a length
+    predicate so hot grams prune before the verify; no all-pairs join
+    anywhere except inside the bounded short bucket. For hostile
+    hot-gram distributions, composite (gram, length-bucket) keys are the
+    standard escalation — same plan shape, more blocks."""
+    # no persist: every consumer branch sits above the SAME distinct
+    # aggregate, so its exchange is planned once and reused (AQE
+    # ReuseExchange) — caching would leak across a long-lived session
+    names = df.select(F.col(name_col).alias("name")).distinct() \
+        .withColumn("len", F.length("name"))
+    grams = names.select(
+        "name", "len",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.col("len") - gram_n, F.lit(0))),
+            lambda i: F.col("name").substr(i + 1, F.lit(gram_n)),
+        ))).alias("g")).where(F.length("g") == gram_n)
+    a = grams.select(F.col("name").alias("name_a"),
+                     F.col("len").alias("la"), "g")
+    b = grams.select(F.col("name").alias("name_b"),
+                     F.col("len").alias("lb"), "g")
+    cand = (a.join(b, "g")
+            .where((F.col("name_a") < F.col("name_b"))
+                   & (F.abs(F.col("la") - F.col("lb")) <= max_dist))
+            .select("name_a", "name_b"))
+    shorts = names.where(F.col("len") < short_len) \
+        .select(F.col("name").alias("s_name"), F.col("len").alias("sl"))
+    near = names.where(F.col("len") < short_len + max_dist) \
+        .select(F.col("name").alias("o_name"), F.col("len").alias("ol"))
+    rescue = (shorts.join(near,
+                          (F.abs(F.col("sl") - F.col("ol")) <= max_dist)
+                          & (F.col("s_name") != F.col("o_name")))
+              .select(F.least("s_name", "o_name").alias("name_a"),
+                      F.greatest("s_name", "o_name").alias("name_b")))
+    dist = F.levenshtein("name_a", "name_b")
+    out = (cand.unionByName(rescue).distinct()
+           .withColumn("dist", dist.cast("long"))
+           .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+           .select("name_a", "name_b", "dist"))
+    return out
