@@ -1892,3 +1892,69 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import fuzzy_name_pairs as fuzzy_op
     part = load_table(spark, sf_dir, "part")
     return fuzzy_op(part, "p_name", max_dist=2)
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled BPE-merge oracle (one CTE chain per round), mirroring the
+    trained-IVF precedent: pair counting via list unnest, argmax with the
+    same total (cnt DESC, pair ASC) tie-break, merge via the identical
+    wrapped-separator string replace — left-to-right non-overlapping
+    replace is greedy BPE in both engines."""
+    S = "␟"
+    ctes = [f"""
+    v0 AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+      GROUP BY w
+    ),
+    r0 AS (
+      SELECT word, freq,
+             regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS repr
+      FROM v0
+    )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    p{r} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(1, len(l)),
+               i -> l[i] || ' ' || l[i+1])) AS pair
+        FROM (SELECT freq,
+                     list_filter(string_split(repr, '{S}'),
+                                 s -> s <> '') AS l
+              FROM r{r-1})
+      ) GROUP BY pair
+    ),
+    m{r} AS (
+      SELECT split_part(pair, ' ', 1) AS x,
+             split_part(pair, ' ', 2) AS y, cnt
+      FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    r{r} AS (
+      SELECT word, freq,
+             replace(repr, '{S}' || m.x || '{S}{S}' || m.y || '{S}',
+                     '{S}' || m.x || m.y || '{S}') AS repr
+      FROM r{r-1} CROSS JOIN m{r} m
+    ),
+    s{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round, m.x AS merge_x,
+             m.y AS merge_y, m.cnt AS pair_count,
+             (SELECT CAST(SUM(freq * len(list_filter(
+                     string_split(repr, '{S}'), s -> s <> ''))) AS BIGINT)
+              FROM r{r}) AS corpus_tokens
+      FROM m{r} m
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM s{r}"
+                                for r in range(1, rounds + 1))
+    return "WITH " + ",".join(ctes) + "\n    " + unions
+
+
+@register("bpe_learn_merges", _bpe_oracle_sql(3))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 3 BPE merges learned from the corpus
+    (operators/bpe.learn_bpe_merges) — vocab-table working set, wrapped-
+    separator string-replace merges, per-round argmax as a broadcast
+    scalar join, zero driver round-trips. Output is the merge table plus
+    the post-merge corpus token count (the compression trajectory)."""
+    from .operators.bpe import learn_bpe_merges
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, "text", rounds=3)
