@@ -1958,3 +1958,57 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import learn_bpe_merges
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, "text", rounds=3)
+
+
+@register(
+    "sketch_count_min",
+    f"""
+    WITH w AS (
+      SELECT unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_count FROM w GROUP BY w
+    ),
+    probes AS (
+      SELECT w, true_count FROM freq
+      ORDER BY true_count DESC, w ASC LIMIT 25
+    ),
+    sk AS (
+      SELECT t.k, CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || w.w), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM w, range(0, 4) t(k)
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT p.w, p.true_count, t.k,
+             CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || p.w), 1, 15) AS BIGINT) % 512 AS bucket
+      FROM probes p, range(0, 4) t(k)
+    )
+    SELECT pb.w AS word, pb.true_count,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM pb LEFT JOIN sk USING (k, bucket)
+    GROUP BY pb.w, pb.true_count
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch round-trip (operators/sketch.cm_build/cm_estimate):
+    a 4x512 md5-seeded counter grid summarizes the corpus word stream in
+    ONE map-side-combining aggregate (<=2048 rows on the wire per
+    partition, any input size); the 25 most frequent words are then
+    point-queried against it. Estimates are exact-deterministic
+    cross-engine (same hashes, same min), and >= true_count by
+    construction — the oracle checks the VALUES, the test checks the
+    bound."""
+    from .functions.hashing import words as words_fn
+    from .operators.sketch import cm_build, cm_estimate
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(words_fn(F.col("text"))).alias("w"))
+    freq = w.groupBy("w").agg(F.count(F.lit(1)).cast("long")
+                              .alias("true_count"))
+    probes = freq.orderBy(F.col("true_count").desc(), F.col("w").asc()) \
+        .limit(25)
+    sketch = cm_build(w, "w", depth=4, width=512)
+    return cm_estimate(sketch, probes, "w", depth=4, width=512) \
+        .select(F.col("w").alias("word"), "true_count", "est_count")
