@@ -21,9 +21,10 @@ pair everywhere, repeat. Two representation choices make this engine-shaped:
    codepoint the tokenizer can never emit inside a symbol.
 
 The per-round argmax pair is a 1-row DataFrame cross-joined back in
-(broadcast, the repo's standard scalar-join form) — no ``collect``;
-the whole R-round unroll is ONE lazy plan, deterministic via exact
-integer counts and a total (count DESC, pair ASC) tie-break.
+(broadcast, the repo's standard scalar-join form) — no ``collect``; each
+round ends in an eager ``localCheckpoint`` of the (small) vocab table so
+the plan stays linear in R instead of exponential. Deterministic via
+exact integer counts and a total (count DESC, pair ASC) tie-break.
 
 Scale shape (100 TB): corpus → vocab is the only full-size aggregate;
 each round is a vocab-size explode + one pair aggregate + a broadcast
@@ -87,9 +88,17 @@ def learn_bpe_merges(docs: DataFrame, text_col: str,
         pattern = F.concat(F.lit(SEP), F.col("x"), F.lit(SEP + SEP),
                            F.col("y"), F.lit(SEP))
         merged = F.concat(F.lit(SEP), F.col("x"), F.col("y"), F.lit(SEP))
+        # localCheckpoint truncates the lineage each round (the
+        # connected_components pattern): without it every stats/count
+        # consumer re-derives ALL previous rounds and the physical plan
+        # grows exponentially in R (measured: 101 exchanges at R=3).
+        # The vocab table is small — materializing it per round is the
+        # cheap side of that trade, and it is still a distributed
+        # materialization, not a driver collect.
         cur = (cur.crossJoin(F.broadcast(best))
                .withColumn("repr", F.replace(F.col("repr"), pattern, merged))
-               .drop("x", "y", "cnt"))
+               .drop("x", "y", "cnt")
+               .localCheckpoint(eager=True))
         toks = cur.agg(
             F.sum(F.col("freq") * F.size(_symbols(F.col("repr"))))
              .cast("long").alias("corpus_tokens"))

@@ -1953,8 +1953,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 3 BPE merges learned from the corpus
     (operators/bpe.learn_bpe_merges) — vocab-table working set, wrapped-
     separator string-replace merges, per-round argmax as a broadcast
-    scalar join, zero driver round-trips. Output is the merge table plus
-    the post-merge corpus token count (the compression trajectory)."""
+    scalar join, per-round localCheckpoint keeping the plan linear in R,
+    zero driver round-trips. Output is the merge table plus the
+    post-merge corpus token count (the compression trajectory)."""
     from .operators.bpe import learn_bpe_merges
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, "text", rounds=3)

@@ -416,3 +416,40 @@ def test_knn_classify_broadcasts_query_side(spark, queries):
     plan = plan_of(queries["ann_knn_classify"](spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_count_min_probe_joins_broadcast(spark, queries):
+    """sketch_count_min: neither the probe join against the sketch nor
+    the top-25 probe selection may shuffle the corpus side — probes and
+    sketch are both bounded small, so every join broadcasts; the only
+    hash exchanges are the word/cell aggregates."""
+    plan = executed_plan_of(queries["sketch_count_min"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_plan_linear_in_rounds(spark, queries):
+    """bpe_learn_merges: per-round localCheckpoints must keep the final
+    plan bounded (it collapses to the last round over checkpointed
+    vocab) — without them the unroll re-derives every previous round
+    and the exchange count explodes (measured 101 at R=3). All scalar
+    re-entries are broadcast; nothing sort-merge joins."""
+    plan = executed_plan_of(queries["bpe_learn_merges"](spark, SF))
+    assert plan.count("Exchange") <= 30
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_blocking_join_shapes(spark, queries):
+    """fuzzy_name_pairs: the gram self-join and short-bucket rescue run
+    over the DISTINCT-name working set; with names bounded small both
+    sides broadcast, and the only nested-loop join is the bounded
+    short-bucket block. The corpus-size part scan feeds ONLY the
+    distinct aggregate — p_name alone is read."""
+    df = queries["fuzzy_name_pairs"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "p_name" in read_schema
+    assert "p_retailprice" not in read_schema and "p_type" not in read_schema
+    executed = executed_plan_of(df)
+    assert executed.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in executed
