@@ -59,3 +59,56 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
             .groupBy(*others)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est_count")))
+
+
+# -- HyperLogLog (Flajolet et al. 2007), integer-exact variant ---------------
+
+HLL_M = 64          # buckets (alpha_64 ~= 0.709)
+HLL_W = 20          # rank-field width in bits
+_ALPHA_NUM, _ALPHA_DEN = 709, 1000
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  salt: str = "hll") -> DataFrame:
+    """The register table (bucket, t): bucket = h60 % m; the register
+    stores T' = 2^bitlen(s) for the bucket's MINIMUM-bitlength sub-hash
+    s = (h60 >> 6) % 2^W — an integer encoding of the classic
+    max-leading-zeros rank (min bitlen == max rank), chosen because
+    ``bin()`` renders identical minimal binary in Spark and DuckDB, so
+    the whole sketch stays in exact integer arithmetic. One map-side-
+    combining aggregate, <= m rows out; registers merge across partial
+    sketches by MIN(t) — same groupBy."""
+    # shiftright, not /: h is up to 2^60 and float division would lose
+    # the low bits both engines must agree on
+    h = h60(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    s = F.shiftright(h, 6) % (1 << HLL_W)
+    staged = df.select((h % HLL_M).alias("bucket"), s.alias("s"))
+    t = F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CASE WHEN s > 0 THEN length(bin(s)) ELSE 0 END)")
+    return (staged.select("bucket", t.alias("t"))
+            .groupBy("bucket").agg(F.min("t").cast("long").alias("t")))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row distinct-count estimate from the register table, entirely
+    in integer arithmetic so both engines agree bit-for-bit:
+
+        E = alpha * m^2 / sum_j 2^(-M_j)
+          = alpha * m^2 * 2^(W+1) / sum_j T'_j     (empty bucket: T'=2^(W+1))
+
+    floor-divided with the alpha ratio kept as an exact 709/1000. The
+    standard small/large-range corrections need ln() (float, not
+    portable) and are intentionally omitted — callers wanting them apply
+    a driver-side correction to this exact raw estimate."""
+    full = F.lit(1 << (HLL_W + 1)).cast("long")
+    return (registers.agg(
+        F.sum("t").cast("long").alias("sum_t"),
+        F.count(F.lit(1)).cast("long").alias("used"))
+        .select(
+            (F.col("sum_t")
+             + (F.lit(HLL_M) - F.col("used")) * full).alias("den"),
+            "used")
+        .select(F.expr(
+            f"CAST({_ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))} "
+            f"AS BIGINT) div ({_ALPHA_DEN} * den)")
+            .cast("long").alias("est_distinct")))

@@ -2013,3 +2013,64 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cm_build(w, "w", depth=4, width=512)
     return cm_estimate(sketch, probes, "w", depth=4, width=512) \
         .select(F.col("w").alias("word"), "true_count", "est_count")
+
+
+def _hll_oracle_sql() -> str:
+    from .operators.sketch import _ALPHA_DEN, _ALPHA_NUM, HLL_M, HLL_W
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
+    full = 1 << (HLL_W + 1)
+    mask = 1 << HLL_W
+    return f"""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT h % {HLL_M} AS bucket,
+             MIN(CASE WHEN (h // {HLL_M}) % {mask} > 0
+                      THEN 1 << length(bin((h // {HLL_M}) % {mask}))
+                      ELSE 1 END) AS t
+      FROM h GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS sum_t,
+             CAST(COUNT(*) AS BIGINT) AS used
+      FROM reg
+    ),
+    est AS (
+      SELECT CAST({num} // ({_ALPHA_DEN}
+                  * (sum_t + ({HLL_M} - used) * {full})) AS BIGINT)
+             AS est_distinct
+      FROM agg
+    ),
+    tru AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events
+    )
+    SELECT t.true_distinct, e.est_distinct,
+           CAST(abs(e.est_distinct - t.true_distinct) * 10000
+                // t.true_distinct AS BIGINT) AS err_bp
+    FROM tru t CROSS JOIN est e
+    """
+
+
+@register("sketch_hll_distinct", _hll_oracle_sql())
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch
+    (operators/sketch.hll_registers/hll_estimate): 64 registers built by
+    ONE map-side-combining MIN aggregate — constant wire cost at any
+    input size, partial sketches merge by the same MIN — then an
+    integer-exact estimate (bin() bit-lengths, 709/1000 alpha kept as an
+    exact ratio, integer div throughout), so the oracle checks exact
+    VALUES; the test asserts the 13%-class accuracy bound alongside."""
+    from .operators.sketch import hll_estimate, hll_registers
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = hll_estimate(hll_registers(ev, "user_id"))
+    tru = ev.agg(F.countDistinct("user_id").cast("long")
+                 .alias("true_distinct"))
+    return (tru.crossJoin(F.broadcast(est))
+            .select("true_distinct", "est_distinct",
+                    F.expr("abs(est_distinct - true_distinct) * 10000 "
+                           "div true_distinct")
+                    .cast("long").alias("err_bp")))

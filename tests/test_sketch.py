@@ -55,3 +55,46 @@ def test_sketch_size_is_bounded(spark):
     keys = [f"k{i}" for i in range(500)]
     sk = cm_build(_df(spark, keys), "w", depth=4, width=16)
     assert sk.count() <= 4 * 16
+
+
+def test_hll_accuracy_and_bounds(spark):
+    from mysql_ch_replicator_spark.operators.sketch import (
+        HLL_M, hll_estimate, hll_registers,
+    )
+    n = 20000
+    df = spark.range(n).select(F.col("id").cast("string").alias("w"))
+    regs = hll_registers(df, "w")
+    assert regs.count() <= HLL_M
+    est = hll_estimate(regs).collect()[0].est_distinct
+    # m=64 -> ~1.04/sqrt(64) = 13% standard error; 3 sigma = 39%
+    assert abs(est - n) / n < 0.39
+
+
+def test_hll_merge_is_register_min(spark):
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hll_estimate, hll_registers,
+    )
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("w"))
+    b = spark.range(2000, 5000).select(F.col("id").cast("string").alias("w"))
+    full = hll_registers(a.unionByName(b), "w")
+    merged = (hll_registers(a, "w").unionByName(hll_registers(b, "w"))
+              .groupBy("bucket").agg(F.min("t").cast("long").alias("t")))
+    fa = {(r.bucket): r.t for r in full.collect()}
+    fb = {(r.bucket): r.t for r in merged.collect()}
+    assert fa == fb
+    ea = hll_estimate(full).collect()[0].est_distinct
+    eb = hll_estimate(merged).collect()[0].est_distinct
+    assert ea == eb
+
+
+def test_hll_insertion_order_invariant(spark):
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hll_estimate, hll_registers,
+    )
+    fwd = spark.range(1000).select(F.col("id").cast("string").alias("w"))
+    rev = (spark.range(1000).select((999 - F.col("id")).cast("string")
+                                    .alias("w")))
+    dup = fwd.unionByName(fwd)  # duplicates must not change the sketch
+    es = [hll_estimate(hll_registers(d, "w")).collect()[0].est_distinct
+          for d in (fwd, rev, dup)]
+    assert es[0] == es[1] == es[2]
