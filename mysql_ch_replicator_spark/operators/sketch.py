@@ -112,3 +112,38 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             f"CAST({_ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))} "
             f"AS BIGINT) div ({_ALPHA_DEN} * den)")
             .cast("long").alias("est_distinct")))
+
+
+# -- Bloom filter (Bloom 1970) as a set-bits table ---------------------------
+
+
+def bloom_build(df: DataFrame, key_col: str, n_bits: int = 4096,
+                k: int = 3, salt: str = "bloom") -> DataFrame:
+    """Membership sketch as the TABLE of set bit positions (bit) — at most
+    n_bits rows whatever the input size: explode each key's k md5-seeded
+    positions, one distinct. Partial filters merge by plain union+distinct
+    (bitwise OR in table form), so it builds partition-parallel and
+    composes with streams. The table form is also the 100 TB-friendly
+    join representation: membership probes are a bits-table join, not a
+    serialized bitmap shipped through the driver."""
+    return (df.select(F.explode(
+                _cells(F.col(key_col), k, n_bits, salt)).alias("bit"))
+            .distinct())
+
+
+def bloom_contains(bloom: DataFrame, probes: DataFrame, key_col: str,
+                   n_bits: int = 4096, k: int = 3,
+                   salt: str = "bloom") -> DataFrame:
+    """Probe the filter: a key tests positive iff ALL k of its bit
+    positions are set — no false negatives, false-positive rate
+    (1 - e^(-k·n/m))^k. Probe bits join the (small, broadcastable)
+    bits table; one per-key aggregate counts hits."""
+    pb = probes.select(
+        "*", F.posexplode(_cells(F.col(key_col), k, n_bits, salt))
+        .alias("pos", "bit"))
+    hit = bloom.select("bit", F.lit(1).alias("__hit"))
+    others = probes.columns
+    return (pb.join(hit, "bit", "left")
+            .groupBy(*others)
+            .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  == F.lit(k)).alias("bloom_positive")))

@@ -2074,3 +2074,77 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("abs(est_distinct - true_distinct) * 10000 "
                            "div true_distinct")
                     .cast("long").alias("err_bp")))
+
+
+def _bloom_oracle_sql(n_bits: int = 4096, k: int = 3) -> str:
+    cell = ("CAST('0x' || substr(md5('bloom' || CAST(t.k AS VARCHAR) "
+            "|| '|' || CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) "
+            f"% {n_bits}")
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ),
+    bits AS (
+      SELECT DISTINCT {cell.format(key='m.key')} AS bit
+      FROM members m, range(0, {k}) t(k)
+    ),
+    probes AS (
+      SELECT c_custkey FROM customer
+      UNION ALL SELECT c_custkey + 1000000 FROM customer
+    ),
+    pb AS (
+      SELECT c.c_custkey, {cell.format(key='c.c_custkey')} AS bit
+      FROM probes c, range(0, {k}) t(k)
+    ),
+    probed AS (
+      SELECT pb.c_custkey,
+             (SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = {k})
+               AS bloom_positive
+      FROM pb LEFT JOIN bits b USING (bit)
+      GROUP BY pb.c_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_members,
+           CAST(SUM(CASE WHEN p.bloom_positive THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bloom_positive,
+           CAST(SUM(CASE WHEN p.bloom_positive AND m.key IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN NOT p.bloom_positive AND m.key IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+    FROM probed p LEFT JOIN members m ON p.c_custkey = m.key
+    """
+
+
+@register("sketch_bloom_filter", _bloom_oracle_sql())
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch (operators/sketch.bloom_build/
+    bloom_contains): the distinct order-placing customers compress to a
+    <=4096-row set-bits table (mergeable by union — bitwise OR in table
+    form); every customer key then probes it. Output tallies true
+    members, bloom positives, false positives (collisions, expected at
+    this fill factor) and false negatives (MUST be zero — the Bloom
+    guarantee, asserted by the oracle's exact-value match). The probe set
+    is every customer key plus a shifted copy guaranteed absent, so both
+    sides of the membership boundary are exercised."""
+    from .operators.sketch import bloom_build, bloom_contains
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    bloom = bloom_build(members, "key")
+    probes = customer.select("c_custkey").unionByName(
+        customer.select((F.col("c_custkey") + 1000000).alias("c_custkey")))
+    probed = bloom_contains(bloom, probes, "c_custkey")
+    joined = probed.join(members,
+                         probed["c_custkey"] == members["key"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("key").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_true_members"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+         .cast("long").alias("n_bloom_positive"),
+        F.sum(F.when(F.col("bloom_positive") & F.col("key").isNull(), 1)
+              .otherwise(0)).cast("long").alias("n_false_positive"),
+        F.sum(F.when(~F.col("bloom_positive") & F.col("key").isNotNull(),
+                     1).otherwise(0)).cast("long")
+         .alias("n_false_negative"))

@@ -98,3 +98,41 @@ def test_hll_insertion_order_invariant(spark):
     es = [hll_estimate(hll_registers(d, "w")).collect()[0].est_distinct
           for d in (fwd, rev, dup)]
     assert es[0] == es[1] == es[2]
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from mysql_ch_replicator_spark.operators.sketch import (
+        bloom_build, bloom_contains,
+    )
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("w"))
+    b = spark.range(300, 600).select(F.col("id").cast("string").alias("w"))
+    full = bloom_build(a.unionByName(b), "w", n_bits=1024, k=3)
+    # merge law: union+distinct of partial filters == filter of the union
+    merged = (bloom_build(a, "w", n_bits=1024, k=3)
+              .unionByName(bloom_build(b, "w", n_bits=1024, k=3))
+              .distinct())
+    assert ({r.bit for r in full.collect()}
+            == {r.bit for r in merged.collect()})
+    assert full.count() <= 1024
+    # every member MUST test positive
+    out = bloom_contains(full, a.unionByName(b), "w", n_bits=1024, k=3)
+    assert out.where(~F.col("bloom_positive")).count() == 0
+
+
+def test_bloom_wider_filter_fewer_false_positives(spark):
+    from mysql_ch_replicator_spark.operators.sketch import (
+        bloom_build, bloom_contains,
+    )
+    members = spark.range(0, 500).select(F.col("id").cast("string")
+                                         .alias("w"))
+    outsiders = spark.range(10_000, 11_000).select(
+        F.col("id").cast("string").alias("w"))
+
+    def fp(n_bits):
+        bl = bloom_build(members, "w", n_bits=n_bits, k=3)
+        return (bloom_contains(bl, outsiders, "w", n_bits=n_bits, k=3)
+                .where(F.col("bloom_positive")).count())
+
+    small, big = fp(512), fp(16384)
+    assert big <= small
+    assert big < 50  # ~0.1% expected at this fill; 5% gives headroom
