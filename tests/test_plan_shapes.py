@@ -453,3 +453,25 @@ def test_fuzzy_blocking_join_shapes(spark, queries):
     executed = executed_plan_of(df)
     assert executed.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in executed
+
+
+def test_hll_single_min_aggregate_no_joins(spark, queries):
+    """sketch_hll_distinct: the register build is ONE min aggregate over
+    a scan-side projection (two exchanges total with the estimate fold);
+    the true-count join against the 1-row estimate broadcasts. Nothing
+    sort-merge joins and the events scan reads only user_id."""
+    df = queries["sketch_hll_distinct"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "user_id" in read_schema and "props" not in read_schema
+    executed = executed_plan_of(df)
+    assert "SortMergeJoin" not in executed
+
+
+def test_bloom_probe_joins_broadcast(spark, queries):
+    """sketch_bloom_filter: the bits table (<= n_bits rows) must be the
+    broadcast side of the probe join; the membership tally join against
+    the distinct-member set also broadcasts."""
+    executed = executed_plan_of(queries["sketch_bloom_filter"](spark, SF))
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
