@@ -74,8 +74,9 @@ def register(name: str, oracle: str | None):
 # token_budget_select, dedup_semantic, corpus_curation_e2e, ann_pq_topk,
 # incremental_dedup_maintenance, sample_epoch_mixture, chunk_documents,
 # shuffle_epoch_order, fuzzy_name_pairs, bpe_learn_merges,
-# sketch_count_min, sketch_hll_distinct, sketch_bloom_filter — plus
-# the five r2-green queries named at the list's tail.
+# sketch_count_min, sketch_hll_distinct, sketch_bloom_filter,
+# sketch_heavy_hitters — plus the five r2-green queries named at the
+# list's tail.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 1. core CDC smoke set — pinned in-window every round
     "cdc_final_state",

@@ -2148,3 +2148,57 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("bloom_positive") & F.col("key").isNotNull(),
                      1).otherwise(0)).cast("long")
          .alias("n_false_negative"))
+
+
+@register(
+    "sketch_heavy_hitters",
+    f"""
+    WITH w AS (
+      SELECT unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_count FROM w GROUP BY w
+    ),
+    sk AS (
+      SELECT t.k, CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || w.w), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM w, range(0, 4) t(k)
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT f.w, f.true_count, t.k,
+             CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || f.w), 1, 15) AS BIGINT) % 512 AS bucket
+      FROM freq f, range(0, 4) t(k)
+    ),
+    est AS (
+      SELECT pb.w, pb.true_count,
+             CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+      FROM pb LEFT JOIN sk USING (k, bucket)
+      GROUP BY pb.w, pb.true_count
+    )
+    SELECT w AS word, est_count, true_count,
+           true_count >= 800 AS is_true_hh
+    FROM est WHERE est_count >= 800
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through the Count-Min sketch: every distinct word
+    probes the 4x512 grid and candidates with estimate >= 800 survive —
+    a SUPERSET of the true frequent set by the sketch's one-sided error
+    (est >= true, so no true heavy hitter can be missed; collisions only
+    add candidates, flagged by is_true_hh). This is the sketch's deployed
+    shape at 100 TB: the exact counts exist here only to audit — the
+    candidate filter needs just the <=2048-row sketch."""
+    from .functions.hashing import words as words_fn
+    from .operators.sketch import cm_build, cm_estimate
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(words_fn(F.col("text"))).alias("w"))
+    freq = w.groupBy("w").agg(F.count(F.lit(1)).cast("long")
+                              .alias("true_count"))
+    sketch = cm_build(w, "w", depth=4, width=512)
+    est = cm_estimate(sketch, freq, "w", depth=4, width=512)
+    return (est.where(F.col("est_count") >= 800)
+            .select(F.col("w").alias("word"), "est_count", "true_count",
+                    (F.col("true_count") >= 800).alias("is_true_hh")))

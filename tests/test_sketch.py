@@ -136,3 +136,23 @@ def test_bloom_wider_filter_fewer_false_positives(spark):
     small, big = fp(512), fp(16384)
     assert big <= small
     assert big < 50  # ~0.1% expected at this fill; 5% gives headroom
+
+
+def test_heavy_hitters_superset_guarantee(spark):
+    # one-sided error: every key truly above threshold MUST appear in
+    # the candidate set, even with a tiny (collision-heavy) sketch
+    from mysql_ch_replicator_spark.operators.sketch import (
+        cm_build, cm_estimate,
+    )
+    keys = (["hot"] * 40 + ["warm"] * 25 + ["cool"] * 10
+            + [f"x{i}" for i in range(200)])
+    df = _df(spark, keys)
+    truth = df.groupBy("w").agg(F.count(F.lit(1)).cast("long")
+                                .alias("true_count"))
+    sk = cm_build(df, "w", depth=3, width=8)
+    est = cm_estimate(sk, truth, "w", depth=3, width=8)
+    rows = {r.w: (r.true_count, r.est_count)
+            for r in est.where(F.col("est_count") >= 20).collect()}
+    assert {"hot", "warm"} <= set(rows)    # never missed
+    for true, e in rows.values():          # one-sided error everywhere
+        assert e >= true
