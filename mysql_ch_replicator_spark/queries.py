@@ -75,8 +75,8 @@ def register(name: str, oracle: str | None):
 # incremental_dedup_maintenance, sample_epoch_mixture, chunk_documents,
 # shuffle_epoch_order, fuzzy_name_pairs, bpe_learn_merges,
 # sketch_count_min, sketch_hll_distinct, sketch_bloom_filter,
-# sketch_heavy_hitters — plus the five r2-green queries named at the
-# list's tail.
+# sketch_heavy_hitters, incremental_sketch_maintenance — plus the
+# five r2-green queries named at the list's tail.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 1. core CDC smoke set — pinned in-window every round
     "cdc_final_state",

@@ -2202,3 +2202,98 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (est.where(F.col("est_count") >= 800)
             .select(F.col("w").alias("word"), "est_count", "true_count",
                     (F.col("true_count") >= 800).alias("is_true_hh")))
+
+
+@register(
+    "incremental_sketch_maintenance",
+    f"""
+    WITH live AS (
+      SELECT text FROM documents WHERE doc_id % 11 <> 0
+    ),
+    w AS (
+      SELECT unnest({_WORDS_SQL}) AS w FROM live
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_count FROM w GROUP BY w
+    ),
+    probes AS (
+      SELECT w, true_count FROM freq
+      ORDER BY true_count DESC, w ASC LIMIT 20
+    ),
+    sk AS (
+      SELECT t.k, CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || w.w), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM w, range(0, 4) t(k)
+      GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT p.w, p.true_count, t.k,
+             CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || p.w), 1, 15) AS BIGINT) % 512 AS bucket
+      FROM probes p, range(0, 4) t(k)
+    )
+    SELECT pb.w AS word, pb.true_count,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM pb LEFT JOIN sk USING (k, bucket)
+    GROUP BY pb.w, pb.true_count
+    """,
+)
+def incremental_sketch_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The Count-Min sketch maintained INCREMENTALLY through the CDC
+    batch path: 3 add waves stream the corpus in, then a delete wave
+    retracts every 11th document — and because the sketch is LINEAR
+    (cells are sums), deletions subtract exactly: sketch(adds) -
+    sketch(deletes) == sketch(final corpus). The oracle builds the
+    from-scratch sketch over the surviving documents only; exact
+    equality of the top-20 estimates proves linearity end-to-end. Per
+    batch the merge is one union + cell-keyed groupBy over <= 2048-row
+    frames — the same constant-size maintenance a streaming
+    foreachBatch would run at 100 TB."""
+    from .functions.hashing import words as words_fn
+    from .operators.sketch import _cells, cm_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.agg(F.min("doc_id").alias("lo"),
+                 F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    width = (hi - lo) // 3 + 1
+    batches = [
+        (docs.where((F.col("doc_id") >= lo + k * width)
+                    & (F.col("doc_id") < lo + (k + 1) * width)), 1)
+        for k in range(3)
+    ]
+    batches.append((docs.where(F.col("doc_id") % 11 == 0), -1))
+
+    sketch = spark.createDataFrame([], "k int, bucket bigint, cnt bigint")
+    live: list = []
+    for batch, sign in batches:
+        delta = (batch.select(F.explode(words_fn(F.col("text")))
+                              .alias("w"))
+                 .select(F.posexplode(_cells(F.col("w"), 4, 512, "cm"))
+                         .alias("k", "bucket"))
+                 .groupBy("k", "bucket")
+                 .agg((F.count(F.lit(1)) * sign).cast("long").alias("cnt")))
+        sketch = (sketch.unionByName(delta)
+                  .groupBy("k", "bucket")
+                  .agg(F.sum("cnt").cast("long").alias("cnt"))
+                  .where(F.col("cnt") != 0)
+                  .persist())
+        sketch.count()
+        for f in live:
+            f.unpersist()
+        live = [sketch]
+
+    final = docs.where(F.col("doc_id") % 11 != 0)
+    w = final.select(F.explode(words_fn(F.col("text"))).alias("w"))
+    probes = (w.groupBy("w")
+              .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+              .orderBy(F.col("true_count").desc(), F.col("w").asc())
+              .limit(20))
+    result = cm_estimate(sketch, probes, "w", depth=4, width=512) \
+        .select(F.col("w").alias("word"), "true_count", "est_count")
+    out = spark.createDataFrame(result.collect(), result.schema)
+    for f in live:
+        f.unpersist()
+    return out
