@@ -51,107 +51,97 @@ def register(name: str, oracle: str | None):
 
 
 # The driver's correctness harness records at most ~50 entries of
-# ``queries()`` in iteration order.  With 93 registered queries, iteration
+# ``queries()`` in iteration order.  With 122 registered queries, iteration
 # order decides which queries get a driver-verified CORRECTNESS row each
-# round.  This list pins the front of that window (round-4 rotation):
-#   1. a core CDC smoke set that must be re-verified EVERY round,
-#   2. never-driver-verified queries (q_table_stats, cdc_time_travel —
-#      registered after the round-3 window froze — plus the new
-#      schema_migration_swap) and doc_length_histogram, whose round-3 row
-#      was red on an oracle HUGEINT type bug, fixed this round,
-#   3. the cohort whose last green driver row was round 2 — core CDC
-#      pipeline set first, then windows/joins/TPC-H remainder.
-# Everything not listed follows in registration order (those all hold green
-# round-3 rows).  ann_ivf_kmeans_topk — `err: no_oracle` in r1/r3 — now HAS
-# a real DuckDB oracle (round 4: training rewritten in exact quantized
-# arithmetic, the 3 Lloyd iterations unrolled as CTE stages), so it
-# re-enters the window for its first verifiable row.
-# ROUND-5 ROTATION CANDIDATES (registered after this round's window was
-# set; local-oracle-green, no driver row yet): snapshot_cdc_handoff,
-# q_zorder_locality, ann_knn_classify, incremental_minmax_maintenance,
-# and the round-4 data-selection family — dsir_importance_select,
-# ngram_novelty, dedup_normalized, gopher_quality_filter,
-# token_budget_select, dedup_semantic, corpus_curation_e2e, ann_pq_topk,
-# incremental_dedup_maintenance, sample_epoch_mixture, chunk_documents,
-# shuffle_epoch_order, fuzzy_name_pairs, bpe_learn_merges,
-# sketch_count_min, sketch_hll_distinct, sketch_bloom_filter,
-# sketch_heavy_hitters, incremental_sketch_maintenance — plus the
-# five r2-green queries named at the list's tail.
-_DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # 1. core CDC smoke set — pinned in-window every round
+# round.  Instead of a hand-maintained list (rounds 3–4), the rotation is
+# now COMPUTED from the driver's own ``CORRECTNESS_r*.json`` history at the
+# repo root (round-5 policy, per the r4 verdict):
+#   1. a core CDC smoke set is pinned in-window every round,
+#   2. ``_ROTATION_BOOST`` names come next (queries flagged weak/regressed
+#      that need a fresh driver row regardless of staleness),
+#   3. everything else ascends by the round of its newest green driver row
+#      (never-verified first, then oldest), registration order as the
+#      tie-break.
+# This caps row staleness automatically: with 122 queries / 50 slots the
+# oldest cohort always rotates back in, so no query's newest green row ages
+# past ceil(122/50) ≈ 3 rounds, and any red/never-verified query jumps the
+# queue the round after it appears.
+_DRIVER_WINDOW_PINNED: tuple[str, ...] = (
+    # core CDC smoke set — re-verified EVERY round
     "cdc_final_state",
     "versioned_insert",
     "keyed_delete",
     "schema_evolution_e2e",
-    # 2. never-driver-verified + the round-3 red row (oracle fixed)
-    "q_table_stats",
-    "cdc_time_travel",
-    "schema_migration_swap",
-    "doc_length_histogram",
-    "ann_ivf_kmeans_topk",
-    # 3a. last green row round 2: core CDC pipeline + replica semantics
-    "cdc_pipeline_e2e",
-    "event_log_replay",
-    "debezium_pipeline_e2e",
-    "type_conversion_projection",
-    "incremental_agg_maintenance",
-    "compaction_final_state",
-    "replica_dedup_final",
-    "cdc_ignore_deletes",
-    "cdc_changelog",
-    "cdc_scd2_history",
-    "replica_checksum",
-    "snapshot_shard_union",
-    "geo_wkb_roundtrip",
-    "json_extract_props",
-    # 3b. last green row round 2: streaming windows + event analytics
-    "events_tumbling_window",
-    "events_session_stats",
-    "events_sliding_window",
-    "q_range_clicks_before_error",
-    "q_asof_click_view",
-    "q_event_gaps",
-    "q_event_funnel",
-    "q_distinct_users_daily",
-    # 3c. last green row round 2: TPC-H remainder + SQL surface
-    "q1_pricing_summary",
-    "q3_revenue_join",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_ratio",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q_skew_salted_user_stats",
-    "q_pivot_events_daily",
-    "q_semi_returned_orders",
-    "q_anti_parts_no_bulk",
-    "q_rollup_revenue",
-    "q_cube_status_priority",
-    "q_window_top_orders",
-    "q_orders_above_cust_avg",
-    "q_quantiles",
-    "q_user_spend_deciles",
-    "q_running_totals",
-    "q_cohort_retention",
-    # (exactly fills the 50-slot window; the remaining five r2-green
-    # queries — q_monthly_revenue_growth, q_mode_event_type,
-    # text_token_counts, q_set_ops_customers, q_source_lang_concat —
-    # rotate in round 5.)
+)
+
+# Queries the last verdict marked weak (perf regression or flaky measure):
+# force a fresh driver row this round even if their last row is recent.
+_ROTATION_BOOST: tuple[str, ...] = (
+    "text_pii_scrub",  # r4 verdict: 2.6x bench regression, marked weak
 )
 
 
-def _ordered_names() -> list[str]:
-    """Registry names with the driver-window priority list first.
+def _latest_green_rounds() -> dict[str, int]:
+    """Newest driver-green round per query, parsed from CORRECTNESS_r*.json.
 
-    Raises if a priority name is missing from the registry so a renamed
-    query fails loudly at import/collection time instead of silently
-    dropping out of the verification window.
+    A row is green when rows+schema match and the value hash matches (or the
+    query has no oracle — ``hash_match`` null — and the rows-only check
+    passed).  Missing/corrupt files are skipped; with no history at all the
+    rotation degrades to registration order, which is still deterministic.
     """
-    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in _REGISTRY]
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
+            )
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def _ordered_names() -> list[str]:
+    """Registry names ordered for the driver's ~50-slot correctness window.
+
+    Pinned smoke set first, then boosted (weak-flagged) queries, then
+    ascending newest-green-driver-round (never-verified = -1, so they lead),
+    registration order breaking ties.  Raises if a pinned/boosted name is
+    missing from the registry so a renamed query fails loudly at import
+    time instead of silently dropping out of the verification window.
+    """
+    missing = [
+        n
+        for n in (*_DRIVER_WINDOW_PINNED, *_ROTATION_BOOST)
+        if n not in _REGISTRY
+    ]
     if missing:
         raise KeyError(f"driver-window priority names not registered: {missing}")
-    seen = set(_DRIVER_WINDOW_PRIORITY)
-    return list(_DRIVER_WINDOW_PRIORITY) + [n for n in _REGISTRY if n not in seen]
+    latest = _latest_green_rounds()
+    reg_index = {n: i for i, n in enumerate(_REGISTRY)}
+    pinned = set(_DRIVER_WINDOW_PINNED)
+    boost = set(_ROTATION_BOOST) - pinned
+    rest = [n for n in _REGISTRY if n not in pinned]
+    rest.sort(key=lambda n: (n not in boost, latest.get(n, -1), reg_index[n]))
+    return list(_DRIVER_WINDOW_PINNED) + rest
 
 
 def spark_queries() -> dict[str, SparkBuilder]:

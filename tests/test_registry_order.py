@@ -1,10 +1,16 @@
 """The driver's correctness harness records only the first ~50 entries of
-``queries()`` in iteration order.  These tests pin the window composition so
-a refactor can't silently rotate an unverified query out of the gate."""
+``queries()`` in iteration order.  These tests pin the round-5 rotation
+policy: window composition is COMPUTED from the driver's own
+``CORRECTNESS_r*.json`` history (never-verified and stale queries rotate to
+the front automatically) so a refactor can't silently strand a query
+outside the verification gate."""
 
 from mysql_ch_replicator_spark.queries import (
-    _DRIVER_WINDOW_PRIORITY,
+    _DRIVER_WINDOW_PINNED,
     _REGISTRY,
+    _ROTATION_BOOST,
+    _latest_green_rounds,
+    _ordered_names,
     oracle_queries,
     spark_queries,
 )
@@ -19,29 +25,56 @@ CORE_SMOKE = {
 }
 
 
-def test_priority_names_all_registered():
-    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in _REGISTRY]
+def test_pinned_and_boost_names_all_registered():
+    missing = [
+        n
+        for n in (*_DRIVER_WINDOW_PINNED, *_ROTATION_BOOST)
+        if n not in _REGISTRY
+    ]
     assert not missing
 
 
-def test_priority_has_no_duplicates():
-    assert len(set(_DRIVER_WINDOW_PRIORITY)) == len(_DRIVER_WINDOW_PRIORITY)
-
-
-def test_core_smoke_set_inside_window():
-    window = list(spark_queries())[:DRIVER_WINDOW]
-    assert CORE_SMOKE <= set(window)
-
-
-def test_priority_list_fits_in_window():
-    assert len(_DRIVER_WINDOW_PRIORITY) <= DRIVER_WINDOW
-
-
-def test_priority_prefix_and_full_coverage():
+def test_core_smoke_set_leads_window():
     names = list(spark_queries())
-    assert tuple(names[: len(_DRIVER_WINDOW_PRIORITY)]) == _DRIVER_WINDOW_PRIORITY
+    assert tuple(names[: len(_DRIVER_WINDOW_PINNED)]) == _DRIVER_WINDOW_PINNED
+    assert CORE_SMOKE <= set(names[:DRIVER_WINDOW])
+
+
+def test_boosted_queries_inside_window():
+    window = set(list(spark_queries())[:DRIVER_WINDOW])
+    assert set(_ROTATION_BOOST) <= window
+
+
+def test_rotation_prefers_stalest_rows():
+    """Every query in the window must be at least as stale (older newest
+    green driver row; never-verified = -1) as every non-pinned, non-boosted
+    query outside it — the staleness-cap invariant the r4 verdict asked for."""
+    latest = _latest_green_rounds()
+    names = _ordered_names()
+    special = set(_DRIVER_WINDOW_PINNED) | set(_ROTATION_BOOST)
+    inside = [n for n in names[:DRIVER_WINDOW] if n not in special]
+    outside = [n for n in names[DRIVER_WINDOW:] if n not in special]
+    if inside and outside:
+        assert max(latest.get(n, -1) for n in inside) <= min(
+            latest.get(n, -1) for n in outside
+        )
+
+
+def test_never_verified_queries_lead_rotation():
+    """Any registered query with no green driver row ever must be in the
+    window (as long as the window has room beyond pinned+boost)."""
+    latest = _latest_green_rounds()
+    never = [n for n in _REGISTRY if n not in latest]
+    room = DRIVER_WINDOW - len(_DRIVER_WINDOW_PINNED) - len(_ROTATION_BOOST)
+    window = set(_ordered_names()[:DRIVER_WINDOW])
+    assert set(never[:room]) <= window
+
+
+def test_full_coverage_and_determinism():
+    names = _ordered_names()
     assert set(names) == set(_REGISTRY)
     assert len(names) == len(_REGISTRY)
+    assert names == _ordered_names()  # stable across calls
 
 
 def test_oracle_order_matches_spark_order():
