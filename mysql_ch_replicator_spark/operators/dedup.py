@@ -66,8 +66,27 @@ def _pair_min_dup(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
                     F.coalesce("dup_of", "doc_id").alias("dup_of")))
 
 
+def closure_partitions(n_edges: int, spark) -> int:
+    """Shuffle width for the closure loop, derived from the edge count.
+
+    The dup-pair graph is usually tiny relative to the corpus, and
+    near-empty tasks dominate round latency if the loop inherits the
+    parent's partitioning — but a hardcoded small constant (the pre-r5
+    ``repartition(8)``) becomes the bottleneck at a billion pairs.
+    ~1M bidirectional edges per partition, clamped to
+    [cluster parallelism / 4, shuffle partitions * 8]: a 10k-pair graph
+    collapses to a handful of tasks, a billion-pair one fans out to the
+    full cluster."""
+    sc = spark.sparkContext
+    lo = max(1, sc.defaultParallelism // 4)
+    hi = int(spark.conf.get("spark.sql.shuffle.partitions",
+                            str(sc.defaultParallelism))) * 8
+    return min(hi, max(lo, n_edges // 1_000_000 + 1))
+
+
 def connected_components(pairs: DataFrame, all_ids: DataFrame,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         num_partitions: int | None = None) -> DataFrame:
     """Full transitive closure of a duplicate-pair graph: (doc_id, dup_of)
     with dup_of = the MINIMUM doc_id in the doc's connected component
     (so A~B, B~C ⇒ all three map to min(A,B,C) even if A≁C directly).
@@ -92,13 +111,15 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     # pairs is typically the tail of an expensive candidate+verify pipeline;
     # pin it before the bidirectional union or that pipeline runs TWICE
     pairs = pairs.persist()
-    # the dup-pair graph is tiny relative to the corpus — collapse it to a
-    # handful of partitions so each iteration round is a few small tasks,
-    # not 200 near-empty ones
+    if num_partitions is None:
+        # pairs.count() is served from the persist the loop needs anyway,
+        # so sizing costs one cheap job, not a rescan of the pipeline.
+        num_partitions = closure_partitions(pairs.count() * 2,
+                                            pairs.sparkSession)
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .union(pairs.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst")))
-             .distinct().repartition(8, "src").persist())
+             .distinct().repartition(num_partitions, "src").persist())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")).localCheckpoint())
     for round_no in range(max_iter):

@@ -142,3 +142,37 @@ def test_connected_components_matches_union_find(spark):
     got = {r.doc_id: r.dup_of
            for r in connected_components(pairs, ids).collect()}
     assert got == expected
+
+
+def test_closure_partitions_scale_with_edges(spark):
+    """The closure loop's shuffle width must derive from |edges| (r4
+    verdict: the old repartition(8) constant bottlenecks at a billion
+    pairs): small graphs collapse, huge graphs fan out to the clamp."""
+    from mysql_ch_replicator_spark.operators.dedup import closure_partitions
+
+    lo = max(1, spark.sparkContext.defaultParallelism // 4)
+    hi = int(spark.conf.get("spark.sql.shuffle.partitions")) * 8
+    assert closure_partitions(10_000, spark) == lo
+    assert closure_partitions(50_000_000, spark) == min(hi, 51)
+    assert closure_partitions(10**9, spark) == hi
+    # monotone in edge count, always within the clamp
+    prev = 0
+    for n in (0, 10**4, 10**6, 10**8, 10**10):
+        p = closure_partitions(n, spark)
+        assert lo <= p <= hi and p >= prev
+        prev = p
+
+
+def test_connected_components_explicit_partitions(spark):
+    """Caller-supplied num_partitions is honored and results unchanged."""
+    from mysql_ch_replicator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    got = {r.doc_id: r.dup_of
+           for r in connected_components(pairs, ids,
+                                         num_partitions=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[5] == 5
