@@ -114,6 +114,15 @@ class ReplicaEngine:
         import threading
         self._table_locks: dict[tuple[str, str], threading.RLock] = {}
         self._table_locks_guard = threading.Lock()
+        # Per-table writes within one micro-batch segment are independent
+        # (distinct data dirs, distinct meta files, per-table locks), so
+        # they run on a thread pool: Spark job submission is thread-safe
+        # per session, and at hundreds of tables per batch the sequential
+        # loop serializes many small write jobs (the reference gets the
+        # same overlap from per-db worker processes, runner.py:176–200).
+        # The counters the threads share are guarded by _stats_guard.
+        self.apply_parallelism = 8
+        self._stats_guard = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self.recover_databases()  # finish any interrupted db-level publish
 
@@ -855,15 +864,33 @@ class ReplicaEngine:
         if pairs is None:
             pairs = [(r.db, r.table) for r in
                      rows.select("db", "table").distinct().collect()]
+        work: list[tuple[str, str, DataFrame]] = []
         for db, table in pairs:
             if not self._replicates(db, table):
                 continue  # F1 — pattern-excluded
             tdb, ttable = self._target(db, table)
             if not self.table_exists(tdb, ttable):
                 continue  # not replicated (no CREATE seen)
-            self._apply_table_rows(
-                tdb, ttable, rows.where((F.col("db") == db)
-                                        & (F.col("table") == table)))
+            work.append((tdb, ttable,
+                         rows.where((F.col("db") == db)
+                                    & (F.col("table") == table))))
+        n_workers = min(len(work), max(1, int(self.apply_parallelism)))
+        if n_workers <= 1:
+            for tdb, ttable, trows in work:
+                self._apply_table_rows(tdb, ttable, trows)
+            return
+        # Overlap the per-table write jobs: each thread drives its own
+        # Spark actions against independent table dirs (per-table lock
+        # still serializes vs compaction). Futures are drained in order so
+        # the first failure propagates and the segment stays all-or-retry.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=n_workers,
+                thread_name_prefix="apply-table") as pool:
+            futures = [pool.submit(self._apply_table_rows, tdb, ttable, trows)
+                       for tdb, ttable, trows in work]
+            for fut in futures:
+                fut.result()
 
     def _apply_table_rows(self, db: str, table: str, rows: DataFrame) -> None:
         # under the table lock: the append (and its meta watermark update)
@@ -995,10 +1022,11 @@ class ReplicaEngine:
                 for _, staging in agg_deltas.values():
                     shutil.rmtree(staging, ignore_errors=True)
             return  # nothing applied; keep watermarks unchanged
-        self._batch_inserts = getattr(self, "_batch_inserts", 0) \
-            + int(stats["n_add"])
-        self._batch_erases = getattr(self, "_batch_erases", 0) \
-            + int(stats["n"] - stats["n_add"])
+        with self._stats_guard:  # parallel table writers share the counters
+            self._batch_inserts = getattr(self, "_batch_inserts", 0) \
+                + int(stats["n_add"])
+            self._batch_erases = getattr(self, "_batch_erases", 0) \
+                + int(stats["n"] - stats["n_add"])
         meta["last_version"] = new_version
         meta["last_seq"] = int(stats["mx"].seq)
         self.save_meta(db, table, meta)

@@ -993,3 +993,54 @@ def test_string_primary_key_crud(engine, spark, tmp_path):
     log.remove(DB, "skeyed", [("0",)])       # "0" must not match "00"
     engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
     assert _final_rows(engine, "skeyed") == {("a-1", 10), ("00", 4)}
+
+
+def test_multi_table_batch_parallel_apply(engine, spark, tmp_path):
+    """A multi-table micro-batch fans the per-table write jobs out on the
+    apply thread pool (r4 verdict #5: the sequential loop serializes small
+    writes at hundreds of tables/batch): with apply_parallelism > 1 the
+    table applies must run on >1 distinct worker thread, counters must not
+    lose increments to the read-modify-write race, and every table must
+    converge exactly as the sequential path does."""
+    import threading
+
+    log = EventLogWriter(str(tmp_path / "log"))
+    tables = [f"t{i}" for i in range(6)]
+    for t in tables:
+        engine.create_table(DB, f"""CREATE TABLE {t} (
+          id int NOT NULL, val varchar(32), PRIMARY KEY (id))""")
+        log.add(DB, t, [(1, f"{t}-a"), (2, f"{t}-b")])
+        log.remove(DB, t, [(2,)])
+
+    seen_threads = set()
+    orig = engine._apply_table_rows
+
+    def spy(db, table, rows):
+        seen_threads.add(threading.current_thread().name)
+        return orig(db, table, rows)
+
+    engine._apply_table_rows = spy
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    engine._apply_table_rows = orig
+
+    assert len(seen_threads) > 1, seen_threads
+    assert all(n.startswith("apply-table") for n in seen_threads)
+    for t in tables:
+        assert _final_rows(engine, t) == {(1, f"{t}-a")}
+    # counters survived concurrent increments: after in-batch collapse the
+    # final ops per table are 1 ADD (key 1) + 1 REMOVE (key 2 annihilated
+    # to a tombstone)
+    assert engine.stats.insert_records_count == len(tables)
+    assert engine.stats.erase_records_count == len(tables)
+
+
+def test_apply_parallelism_one_stays_sequential(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.apply_parallelism = 1
+    for t in ("s0", "s1"):
+        engine.create_table(DB, f"""CREATE TABLE {t} (
+          id int NOT NULL, val varchar(32), PRIMARY KEY (id))""")
+        log.add(DB, t, [(1, t)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    for t in ("s0", "s1"):
+        assert _final_rows(engine, t) == {(1, t)}
