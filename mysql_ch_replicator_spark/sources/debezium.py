@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schema.table_structure import TableStructure
-from .event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+from .event_log import EVENT_TYPE_ADD, EVENT_TYPE_QUERY, EVENT_TYPE_REMOVE
 
 
 def debezium_envelope_schema(structure: TableStructure) -> T.StructType:
@@ -67,6 +67,61 @@ def _payload_expr(env: Column, structure: TableStructure) -> Column:
     del_rec = F.array(*[env["before"][pk] for pk in structure.primary_keys])
     rec = F.when(env["op"] == "d", del_rec).otherwise(add_rec)
     return F.array(rec)
+
+
+def debezium_schema_change_schema() -> T.StructType:
+    """Public envelope of Debezium's *schema change topic* (the per-server
+    topic carrying DDL, distinct from the internal schema history topic):
+    ``{source{db, table, file, pos}, ts_ms, databaseName, schemaName,
+    ddl, tableChanges[...]}`` — Debezium MySQL connector docs, 'schema
+    change topic'. Only the routing fields and the raw DDL string are
+    projected; ``tableChanges`` (Debezium's own parsed form) is ignored
+    because the engine re-parses the DDL with its MySQL-dialect parser,
+    the same way the reference consumes raw QUERY binlog events
+    (reference binlog_replicator.py:472–487)."""
+    return T.StructType([
+        T.StructField("source", T.StructType([
+            T.StructField("db", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("file", T.StringType()),
+            T.StructField("pos", T.LongType()),
+        ])),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("databaseName", T.StringType()),
+        T.StructField("ddl", T.StringType()),
+    ])
+
+
+def debezium_schema_events(df: DataFrame,
+                           value_col: str = "value") -> DataFrame:
+    """Map a Debezium schema-change topic (JSON strings in ``value_col``)
+    onto ``EVENT_SCHEMA`` QUERY events, the twin of ``debezium_events``
+    for DDL: ``apply_batch`` then treats each as a barrier — rows before
+    it flush first, then the DDL executes via ``execute_ddl`` — exactly
+    like native-log ``EventLogWriter.ddl`` entries. Without this pathway
+    a Debezium-fed deployment silently loses schema evolution (r4
+    verdict #6).
+
+    Events with a null/empty ``ddl`` (Debezium emits snapshot markers
+    and SET statements too — consumers filter) are dropped. ``seq``
+    derives from binlog (file, pos) like the row adapter, so unioning
+    the row topic and the schema topic yields one correctly-ordered
+    event stream."""
+    env = F.from_json(F.col(value_col).cast("string"),
+                      debezium_schema_change_schema())
+    return (df.where(F.col(value_col).isNotNull())
+            .where(env["ddl"].isNotNull() & (F.trim(env["ddl"]) != ""))
+            .select(
+                env["source"]["file"].alias("tx_file"),
+                env["source"]["pos"].alias("tx_pos"),
+                env["source"]["pos"].cast("long").alias("seq"),
+                F.coalesce(env["databaseName"],
+                           env["source"]["db"]).alias("db"),
+                F.lit(None).cast("string").alias("table"),
+                F.lit(EVENT_TYPE_QUERY).alias("event_type"),
+                F.lit(None).cast("array<array<string>>").alias("payload"),
+                env["ddl"].alias("query"),
+            ))
 
 
 def debezium_events(df: DataFrame, structure: TableStructure,
