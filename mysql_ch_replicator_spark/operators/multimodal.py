@@ -91,12 +91,30 @@ def extract_image_metadata(images: DataFrame) -> DataFrame:
     return images.mapInPandas(meta, IMAGE_META_SCHEMA)
 
 
-def _decode_stub(raw: bytes):
-    """The real decoder slot. Image/audio libraries are not available in
-    this environment — plug PIL/torchaudio/ffmpeg here."""
-    raise NotImplementedError(
-        "binary decode requires an image/audio library not present in this "
-        "environment; use deterministic_fake_decode for plumbing tests")
+try:  # the real decoder, wherever one exists (not in this sandbox)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+
+def _decode_stub(raw: bytes, max_pixels: int = 16):
+    """The real decoder slot, PIL-guarded (r4 verdict #7): where Pillow is
+    installed, real image bytes (PNG/JPEG/...) decode to a flattened pixel
+    list; the deterministic fake format always decodes via its own header
+    (so mixed corpora work either way); without Pillow, non-fake bytes
+    raise — plug torchaudio/ffmpeg the same way for audio/video."""
+    raw = bytes(raw)
+    if raw[:4] == MAGIC:
+        return deterministic_fake_decode(raw, max_pixels)
+    if _PILImage is None:
+        raise NotImplementedError(
+            "binary decode requires an image library not present in this "
+            "environment; use deterministic_fake_decode for plumbing tests")
+    import io
+
+    with _PILImage.open(io.BytesIO(raw)) as img:
+        data = list(img.convert("L").getdata())
+    return [int(v) for v in data[:max_pixels]]
 
 
 def deterministic_fake_decode(raw: bytes, max_pixels: int = 16) -> list[int]:
@@ -116,7 +134,10 @@ DECODED_SCHEMA = T.StructType([
 def decode_images(images: DataFrame, use_stub: bool = True,
                   max_pixels: int = 16) -> DataFrame:
     """Full-decode pass (feature extraction / resize / frame-sample all
-    follow this shape: binary in, array out, mapInPandas, Arrow batches)."""
+    follow this shape: binary in, array out, mapInPandas, Arrow batches).
+    ``use_stub=False`` routes through the PIL-guarded real slot, which
+    still handles the deterministic fake format header-side, so the same
+    pipeline runs with or without an installed decoder."""
     decode = deterministic_fake_decode if use_stub else _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

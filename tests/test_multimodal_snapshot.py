@@ -125,3 +125,36 @@ def test_post_initial_replication_commands(spark, tmp_path):
     snap = spark.createDataFrame([(1, "click")], ["user_id", "last_event"])
     eng.snapshot_table("db", "user_state", snap)
     assert spark.table("post_cmd_ran").collect()[0].ok == 1
+
+
+def test_real_decode_slot_runs_either_way(spark):
+    """The decode slot is PIL-guarded (r4 verdict #7): with Pillow absent
+    the fake-format branch still decodes (header dispatch), a non-fake
+    payload raises NotImplementedError; with Pillow present real bytes
+    decode to pixels. The mapInPandas pipeline itself runs identically in
+    both worlds."""
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        _PILImage, _decode_stub, decode_images, pack_fake_image,
+    )
+
+    # fake-format bytes decode through the real slot regardless of PIL
+    fake = pack_fake_image(7, "hello world decode slot")
+    assert _decode_stub(fake, max_pixels=8) == \
+        list(bytes(fake)[16:24])
+
+    if _PILImage is None:
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            _decode_stub(b"\x89PNG\r\n\x1a\n not a real png")
+    else:
+        import io
+        buf = io.BytesIO()
+        _PILImage.new("L", (4, 4), color=77).save(buf, format="PNG")
+        assert _decode_stub(buf.getvalue(), max_pixels=4) == [77] * 4
+
+    # the distributed pipeline accepts the real slot end-to-end
+    rows = [(int(i), pack_fake_image(i, f"doc {i} text")) for i in range(6)]
+    imgs = spark.createDataFrame(rows, "doc_id long, image binary")
+    got = decode_images(imgs, use_stub=False, max_pixels=4).collect()
+    assert sorted(r.doc_id for r in got) == list(range(6))
+    assert all(r.n_pixels == 4 for r in got)
