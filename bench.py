@@ -212,7 +212,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
         # drop caches a query persisted for its own self-joins so later
-        # queries are measured against a clean executor heap
+        # queries are measured against a clean executor heap (the
+        # transient-cache registry is drained too, so its FIFO never
+        # carries a stale entry across queries)
+        from mysql_ch_replicator_spark.cache import release_transient_caches
+        release_transient_caches()
         spark.catalog.clearCache()
 
     streaming = bench_streaming(spark)

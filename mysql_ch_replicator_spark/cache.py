@@ -1,0 +1,50 @@
+"""Bounded lifecycle for operator-internal caches.
+
+Several operators ``persist()`` an expensive intermediate that BOTH later
+internal jobs and the returned lazy plan reference (staged shingles,
+scored projections, normalized vectors...). The operator cannot eagerly
+unpersist — the caller's action still needs the blocks — but a bare
+``persist()`` leaks one cache entry per call, and a long-lived driver
+session running the whole 122-query registry accumulates them without
+bound (ADVICE r4).
+
+``transient_persist`` is the middle ground: persist and register in a
+bounded FIFO — when the registry exceeds the cap the OLDEST entry is
+unpersisted (by then its query has long since run its actions; recompute
+is always correct anyway, caching is a pure optimization here). Sessions
+therefore hold at most ``TRANSIENT_CACHE_LIMIT`` operator caches, and
+block-level LRU eviction inside that bounded set behaves as before.
+
+``release_transient_caches`` drops everything immediately — bench
+harnesses call it between queries, tests call it in teardown.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+
+TRANSIENT_CACHE_LIMIT = 16
+
+_TRANSIENT: deque[DataFrame] = deque()
+
+
+def transient_persist(df: DataFrame,
+                      limit: int = TRANSIENT_CACHE_LIMIT) -> DataFrame:
+    """persist() with bounded lifetime: evicts the oldest registered
+    transient cache once more than ``limit`` are alive."""
+    df.persist()
+    _TRANSIENT.append(df)
+    while len(_TRANSIENT) > limit:
+        _TRANSIENT.popleft().unpersist()
+    return df
+
+
+def release_transient_caches() -> int:
+    """Unpersist every registered transient cache; returns the count."""
+    n = 0
+    while _TRANSIENT:
+        _TRANSIENT.popleft().unpersist()
+        n += 1
+    return n

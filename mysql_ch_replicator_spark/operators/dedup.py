@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import transient_persist
 from ..functions.hashing import (
     h60, lsh_band_keys, md5_hex, minhash_signature, shingles, simhash64, words,
 )
@@ -47,10 +48,10 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     cloning the subtree into the filter, and gives every downstream branch
     (sizes, posting lists, signatures, verify join) the cached arrays. At
     100 TB the persist becomes a staged table write — same shape."""
-    staged = spread(docs).select(
+    staged = transient_persist(spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
-         .alias("sh")).persist()
+         .alias("sh")))
     return staged.where(F.size("sh") > 0)
 
 
@@ -223,10 +224,10 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     # twice and Spark has no cross-branch CSE — without the persist every
     # shingle is re-md5'd on both sides (at 100 TB: write signatures to a
     # table; here: cache)
-    banded = sigs.select(
+    banded = transient_persist(sigs.select(
         "doc_id", "sh",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
-         .alias("bucket")).persist()
+         .alias("bucket")))
 
     left = banded.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"),
                          "bucket")
@@ -253,9 +254,9 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     """Near-dup via 60-bit SimHash + pigeonhole candidate generation:
     distance ≤ 3 ⇒ at least one of the 4 15-bit chunks matches exactly, so
     candidates come from one explode+equi-join, then exact Hamming verify."""
-    fp = spread(docs).select(
+    fp = transient_persist(spread(docs).select(
         F.col(id_col).alias("doc_id"),
-        simhash64(words(F.col(text_col))).alias("fp")).persist()
+        simhash64(words(F.col(text_col))).alias("fp")))
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
@@ -289,11 +290,12 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
     keep pairs with true Jaccard ≥ threshold."""
     base = _shingled(docs, text_col, id_col, shingle_n)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    posting = base.select("doc_id", F.explode("sh").alias("g")) \
-        .withColumn("gh", h60(F.col("g"))).drop("g").persist()
+    posting = transient_persist(
+        base.select("doc_id", F.explode("sh").alias("g"))
+        .withColumn("gh", h60(F.col("g"))).drop("g"))
     freq = posting.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    posting = posting.join(freq.where(F.col("df") <= max_posting), "gh") \
-        .persist()
+    posting = transient_persist(
+        posting.join(freq.where(F.col("df") <= max_posting), "gh"))
 
     pairs = (posting.alias("x").join(posting.alias("y"), "gh")
              .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -330,9 +332,9 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
     from ..operators.similarity import cosine_expr, hyperplane_bucket
 
     dims = len(embeddings.select(vec_col).first()[0])
-    bucketed = spread(embeddings).select(
+    bucketed = transient_persist(spread(embeddings).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
-        hyperplane_bucket(vec_col, planes, dims).alias("bucket")).persist()
+        hyperplane_bucket(vec_col, planes, dims).alias("bucket")))
 
     left = bucketed.select(F.col("doc_id").alias("a"), F.col("v").alias("va"),
                            "bucket")
@@ -372,8 +374,9 @@ def semantic_cell_dedup(embeddings: DataFrame, vec_col: str = "embedding",
         spread(embeddings).select(F.col(id_col).alias("doc_id"),
                                   F.col(vec_col).alias("v")),
         "v", n_cells, dims, probes=1, cells_col="cells")
-    cells = assigned.withColumn("cell", F.element_at("cells", 1)) \
-        .drop("cells").persist()
+    cells = transient_persist(
+        assigned.withColumn("cell", F.element_at("cells", 1))
+        .drop("cells"))
     left = cells.select(F.col("doc_id").alias("a"),
                         F.col("v").alias("va"), "cell")
     right = cells.select(F.col("doc_id").alias("b"),

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import transient_persist
 from ..functions.hashing import h60, shingles, words
 
 DSIR_SCALE = 1_000_000  # integer weight scale — exact in both engines
@@ -217,7 +218,7 @@ def curation_pipeline(docs: DataFrame, budget_tokens: int,
         "passed_gate",
         gopher_passes(F.col("__nw"), F.col("__mwl"), F.col("__alpha"),
                       F.col("__nstop"), F.col("__pr")).cast("long")) \
-        .persist()  # every signal used by 2+ downstream jobs
+        .transform(transient_persist)  # every signal used by 2+ downstream jobs
     keeper = (gated.where(F.col("passed_gate") == 1)
               .groupBy("__h").agg(F.min("doc_id").alias("__keep")))
     staged = gated.join(keeper, "__h", "left").withColumn(
@@ -270,9 +271,8 @@ def token_budget_select(docs: DataFrame, budget_tokens: int,
     # expression is the expensive part — without staging each job would
     # re-tokenize the whole corpus. At 100 TB this is a written table;
     # here, a cache of 4 narrow columns per doc.
-    keyed = scored.withColumn(
-        "__qkey", (-F.round(F.col("quality") * 1e6, 0)).cast("long")) \
-        .persist()
+    keyed = transient_persist(scored.withColumn(
+        "__qkey", (-F.round(F.col("quality") * 1e6, 0)).cast("long")))
     run = ranged_running_sum(keyed, "__qkey", "n_tokens",
                              tie_breaks=("doc_id",), out_col="cum_tokens")
     return (run.drop("__qkey")

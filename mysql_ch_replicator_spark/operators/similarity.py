@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import transient_persist
 from ..functions.hashing import h60
 from ..sources.snapshot import spread
 
@@ -268,7 +269,7 @@ def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
     cents = centroids if centroids is not None \
         else ivf_centroids(n_cells, dims, prefix)
     d = _sq_dists(vec_d, cents)
-    staged = df.withColumn("__d", d).persist()
+    staged = transient_persist(df.withColumn("__d", d))
 
     cells: list[Column] = []
     dcol: Column = F.col("__d")
@@ -488,9 +489,9 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     # duplicates interpreted higher-order functions — measured 20×). At
     # 100 TB the staged frame is the written compressed index; here, a
     # cache of (id, raw vector, normalized vector).
-    cor = spread(corpus).select(
+    cor = transient_persist(spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        normalize_expr(vec_col).alias("__v")).persist()
+        normalize_expr(vec_col).alias("__v")))
     enc = cor.select(
         "neighbor_id",
         pq_encode("__v", m, n_codes, dims, normalized=True).alias("codes"))

@@ -51,11 +51,15 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
     """Point-query the sketch for every probe key: min over the key's
     depth cells, absent cells counting 0. Probe side is expected small
     (broadcast); the sketch is depth*width rows at most."""
+    # reserved-prefix aliases: a probe frame already carrying a column
+    # named k/bucket must not collide with the internal explode (ADVICE r4)
     pb = probes.select(
         "*", F.posexplode(_cells(F.col(key_col), depth, width, salt))
-        .alias("k", "bucket"))
+        .alias("__cm_k", "__cm_bucket"))
     others = [c for c in probes.columns]
-    return (pb.join(sketch, ["k", "bucket"], "left")
+    sk = sketch.select(F.col("k").alias("__cm_k"),
+                       F.col("bucket").alias("__cm_bucket"), "cnt")
+    return (pb.join(sk, ["__cm_k", "__cm_bucket"], "left")
             .groupBy(*others)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est_count")))
@@ -138,12 +142,14 @@ def bloom_contains(bloom: DataFrame, probes: DataFrame, key_col: str,
     positions are set — no false negatives, false-positive rate
     (1 - e^(-k·n/m))^k. Probe bits join the (small, broadcastable)
     bits table; one per-key aggregate counts hits."""
+    # reserved-prefix aliases, same collision guard as cm_estimate
     pb = probes.select(
         "*", F.posexplode(_cells(F.col(key_col), k, n_bits, salt))
-        .alias("pos", "bit"))
-    hit = bloom.select("bit", F.lit(1).alias("__hit"))
+        .alias("__bl_pos", "__bl_bit"))
+    hit = bloom.select(F.col("bit").alias("__bl_bit"),
+                       F.lit(1).alias("__bl_hit"))
     others = probes.columns
-    return (pb.join(hit, "bit", "left")
+    return (pb.join(hit, "__bl_bit", "left")
             .groupBy(*others)
-            .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .agg((F.sum(F.coalesce(F.col("__bl_hit"), F.lit(0)))
                   == F.lit(k)).alias("bloom_positive")))

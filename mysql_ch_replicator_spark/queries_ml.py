@@ -1720,7 +1720,7 @@ def incremental_dedup_maintenance(spark: SparkSession,
     """The exact-dedup keeper table maintained INCREMENTALLY through the
     CDC apply path — corpus hygiene meeting the replication engine: the
     (content_hash → min doc_id, count) view advances batch-by-batch as
-    documents arrive (4 add batches), then a delete batch retracts every
+    documents arrive (3 add batches), then a delete batch retracts every
     doc_id % 11 == 0 — including group KEEPERS, the non-invertible case:
     only groups whose stored minimum is touched get the bounded rescan
     (operators/incremental_agg.apply_minmax_batch); vanished single-copy

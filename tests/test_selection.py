@@ -260,3 +260,23 @@ def test_novelty_has_no_single_partition_exchange(spark, sf_dir):
     from mysql_ch_replicator_spark.queries import spark_queries
     plan = _executed(spark_queries()["ngram_novelty"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_transient_cache_is_bounded(spark):
+    """Operator-internal caches are registered in a bounded FIFO (ADVICE
+    r4): exceeding the cap unpersists the oldest, so a long-lived session
+    running the whole registry holds at most TRANSIENT_CACHE_LIMIT
+    operator caches."""
+    from mysql_ch_replicator_spark.cache import (
+        _TRANSIENT, release_transient_caches, transient_persist,
+    )
+
+    release_transient_caches()
+    dfs = [spark.range(5).withColumn("x", F.lit(i)) for i in range(5)]
+    for df in dfs:
+        transient_persist(df, limit=3)
+    assert len(_TRANSIENT) == 3
+    assert dfs[0].storageLevel.useMemory is False   # evicted
+    assert dfs[4].storageLevel.useMemory is True    # newest retained
+    assert release_transient_caches() == 3
+    assert all(not df.storageLevel.useMemory for df in dfs)

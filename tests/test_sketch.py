@@ -156,3 +156,26 @@ def test_heavy_hitters_superset_guarantee(spark):
     assert {"hot", "warm"} <= set(rows)    # never missed
     for true, e in rows.values():          # one-sided error everywhere
         assert e >= true
+
+
+def test_probe_columns_named_k_bucket_bit_do_not_collide(spark):
+    """ADVICE r4: a probe frame already containing k/bucket/pos/bit must
+    probe cleanly — the internal explode uses reserved-prefix aliases."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        bloom_build, bloom_contains, cm_build, cm_estimate,
+    )
+
+    data = spark.createDataFrame(
+        [(f"key{i % 7}",) for i in range(70)], "name string")
+    cm = cm_build(data, "name")
+    bl = bloom_build(data, "name")
+
+    probes = spark.createDataFrame(
+        [("key1", 1, 2, 3, 4), ("nope", 5, 6, 7, 8)],
+        "name string, k int, bucket int, pos int, bit int")
+    est = {r.name: r.est_count
+           for r in cm_estimate(cm, probes, "name").collect()}
+    assert est["key1"] == 10
+    member = {r.name: r.bloom_positive
+              for r in bloom_contains(bl, probes, "name").collect()}
+    assert member["key1"] is True
