@@ -157,8 +157,78 @@ class ReplicaEngine:
     def _table_dir(self, db: str, table: str) -> str:
         return os.path.join(self.root, db, table)
 
+    # -- data generations (commit-log manifest) -----------------------------
+    #
+    # Rewrites (compaction, MODIFY/CHANGE, truncate, re-snapshot) publish a
+    # NEW generation directory and flip a tiny manifest pointer, instead of
+    # rename-swapping the live ``data`` path (r4 verdict #8): a reader's
+    # DataFrame pins the absolute file paths of the generation it resolved,
+    # and a retired generation's files stay on disk until the NEXT rewrite
+    # deletes them — so any read planned before a compaction still collects
+    # correctly after it (snapshot isolation with a one-rewrite grace
+    # window, the same retention idea as Delta's tombstoned files, built
+    # from one atomic os.replace of a JSON pointer). CDC appends land in
+    # the CURRENT generation dir — new files appearing under a pinned
+    # listing are invisible to an in-flight reader, never an error.
+
+    def _gen_manifest_path(self, db: str, table: str) -> str:
+        return os.path.join(self._table_dir(db, table), "_generations.json")
+
+    def _load_generations(self, db: str, table: str) -> dict:
+        """Manifest {current: dirname, retired: [dirname...]}; a missing or
+        unreadable manifest means the legacy layout (current = "data")."""
+        try:
+            with open(self._gen_manifest_path(db, table),
+                      encoding="utf-8") as fh:
+                g = json.load(fh)
+        except (OSError, ValueError):
+            g = {}
+        if not isinstance(g, dict):
+            g = {}
+        g.setdefault("current", "data")
+        g.setdefault("retired", [])
+        return g
+
+    def _next_gen_name(self, db: str, table: str) -> str:
+        g = self._load_generations(db, table)
+        cur = g["current"]
+        n = int(cur[len("data.gen"):]) if cur.startswith("data.gen") else 0
+        nxt = n + 1
+        # skip orphans a crashed rewrite may have left (they are cleaned
+        # at publish time, but never reuse a dirty name)
+        while os.path.exists(os.path.join(self._table_dir(db, table),
+                                          f"data.gen{nxt}")):
+            nxt += 1
+        return f"data.gen{nxt}"
+
+    def _publish_generation(self, db: str, table: str, new_name: str) -> None:
+        """Flip the manifest to ``new_name`` (atomic), retire the previous
+        current generation, and delete generations retired by EARLIER
+        publishes — readers of the just-retired generation get a full
+        rewrite cycle to finish. Orphan gen dirs (crashed rewrites that
+        never published) are swept here too, under the caller's table
+        lock."""
+        tdir = self._table_dir(db, table)
+        g = self._load_generations(db, table)
+        for name in g["retired"]:
+            if name != new_name:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        live = {new_name, g["current"]}
+        for entry in os.listdir(tdir):
+            if (entry.startswith("data.gen") and entry not in live
+                    and os.path.isdir(os.path.join(tdir, entry))):
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+        retired = [g["current"]] if (
+            g["current"] != new_name
+            and os.path.exists(os.path.join(tdir, g["current"]))) else []
+        tmp = self._gen_manifest_path(db, table) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"current": new_name, "retired": retired}, fh)
+        os.replace(tmp, self._gen_manifest_path(db, table))
+
     def _data_dir(self, db: str, table: str) -> str:
-        return os.path.join(self._table_dir(db, table), "data")
+        return os.path.join(self._table_dir(db, table),
+                            self._load_generations(db, table)["current"])
 
     def _meta_path(self, db: str, table: str) -> str:
         return os.path.join(self._table_dir(db, table), "_meta.json")
@@ -295,9 +365,13 @@ class ReplicaEngine:
                     self._set_last_ddl_seq(tdb, seq)
                 return
             with self.table_lock(tdb, name):
-                data = self._data_dir(tdb, name)
-                if os.path.exists(data):
-                    shutil.rmtree(data)
+                if os.path.exists(self._data_dir(tdb, name)):
+                    # truncate = publish an empty generation; in-flight
+                    # readers of the old one keep their files for a cycle
+                    new_name = self._next_gen_name(tdb, name)
+                    os.makedirs(os.path.join(self._table_dir(tdb, name),
+                                             new_name))
+                    self._publish_generation(tdb, name, new_name)
                 # maintained aggregates must reset with the table: their
                 # seq watermark still equals the table's last_seq, so the
                 # watermark-mismatch repair in apply_batch would never
@@ -376,12 +450,14 @@ class ReplicaEngine:
             self._rebuild_aggregate(db, table, nm)
 
     def _recover_data_dir(self, db: str, table: str) -> None:
-        """Crash recovery for the staging-rename publish protocol
-        (_overwrite_data): between ``rename(data, old)`` and
-        ``rename(staging, data)`` the table briefly has no data dir — a
+        """Crash recovery for the LEGACY staging-rename publish protocol
+        (pre-manifest layouts only): between ``rename(data, old)`` and
+        ``rename(staging, data)`` the table briefly had no data dir — a
         crash there must not silently empty the table. Leftover ``.old``
         with no ``data`` → roll back; orphaned ``.staging`` or ``.old``
-        next to a live ``data`` → incomplete/superseded, drop them."""
+        next to a live ``data`` → incomplete/superseded, drop them.
+        The manifest protocol needs no rollback (os.replace is atomic;
+        an unpublished generation dir is swept at the next publish)."""
         data = self._data_dir(db, table)
         old, staging = data + ".old", data + ".staging"
         if not os.path.exists(data) and os.path.exists(old):
@@ -453,19 +529,21 @@ class ReplicaEngine:
                 for c in dict.fromkeys(cols) if c in set(df_cols)}
 
     def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
-        """Rewrite via staging dir + atomic rename (D14 — readers never see
-        partial data; reference's db-swap, db_replicator_initial.py:149–163).
-        Holds the table lock: concurrent CDC appends must not land between
-        the rewrite's read and its swap (they would vanish with the old
-        dir)."""
+        """Rewrite by publishing a NEW data generation (D14 — readers never
+        see partial data; reference's db-swap,
+        db_replicator_initial.py:149–163, upgraded to the commit-log
+        manifest so in-flight readers of the old generation keep their
+        files). Holds the table lock: concurrent CDC appends must not land
+        between the rewrite's read and its publish (they would be stranded
+        in the retired generation)."""
         with self.table_lock(db, table):
             self._overwrite_data_locked(db, table, df)
 
     def _overwrite_data_locked(self, db: str, table: str,
                                df: DataFrame) -> None:
         self._recover_data_dir(db, table)
-        data = self._data_dir(db, table)
-        staging = data + ".staging"
+        new_name = self._next_gen_name(db, table)
+        new_dir = os.path.join(self._table_dir(db, table), new_name)
         writer = df.write.mode("overwrite")
         if self.table_exists(db, table):
             for k, v in self._index_options(
@@ -474,13 +552,10 @@ class ReplicaEngine:
         parts = [c for c in self._partition_cols(table) if c in df.columns]
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(staging)
-        old = data + ".old"
-        if os.path.exists(data):
-            os.rename(data, old)
-        os.rename(staging, data)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        writer.parquet(new_dir)
+        # df's plan reads the OLD generation and the write above is its
+        # only action — publish strictly after it completes
+        self._publish_generation(db, table, new_name)
 
     # -- database-level atomic publish (D14 full analog) --------------------
 
@@ -596,11 +671,11 @@ class ReplicaEngine:
         N jobs from a thread pool. Each worker writes its own shard dir
         (concurrent appends into one parquet dir would share the
         ``_temporary`` staging path and clobber each other); consolidation
-        renames shard files into a fresh ``.staging`` dir and publishes it
-        with the SAME atomic-rename protocol as ``_overwrite_data`` — so a
+        renames shard files into a fresh generation dir and publishes it
+        with the SAME manifest protocol as ``_overwrite_data`` — so a
         re-snapshot replaces stale rows instead of merging with them, and
         a crash or concurrent reader mid-consolidation never observes a
-        partial snapshot (``_recover_data_dir`` rolls either way). Then
+        partial snapshot (an unpublished generation is invisible). Then
         ``recover_version`` reconciles the version watermark from
         MAX(_version) exactly like the reference's post-worker
         consolidation (db_replicator_initial.py:450–470). Shard writers
@@ -641,15 +716,17 @@ class ReplicaEngine:
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             shard_dirs = list(ex.map(write_shard, range(workers)))
-        # Consolidate into .staging (rename-only, preserving any partition
-        # subdirs), then the same atomic swap as _overwrite_data.
-        self._recover_data_dir(db, table)  # clears stale .staging/.old
-        staging = data + ".staging"
-        os.makedirs(staging)
+        # Consolidate into a fresh generation dir (rename-only, preserving
+        # any partition subdirs), then the same manifest publish as
+        # _overwrite_data.
+        self._recover_data_dir(db, table)  # clears legacy .staging/.old
+        new_name = self._next_gen_name(db, table)
+        new_dir = os.path.join(self._table_dir(db, table), new_name)
+        os.makedirs(new_dir)
         for w, shard_dir in enumerate(shard_dirs):
             for sub, _dirs, files in os.walk(shard_dir):
                 rel = os.path.relpath(sub, shard_dir)
-                dest = staging if rel == "." else os.path.join(staging, rel)
+                dest = new_dir if rel == "." else os.path.join(new_dir, rel)
                 for fn in files:
                     if not fn.endswith(".parquet"):
                         continue
@@ -657,11 +734,7 @@ class ReplicaEngine:
                     os.rename(os.path.join(sub, fn),
                               os.path.join(dest, f"shard{w}-{fn}"))
             shutil.rmtree(shard_dir)
-        old = data + ".old"
-        if os.path.exists(data):
-            os.rename(data, old)
-        os.rename(staging, data)
-        shutil.rmtree(old, ignore_errors=True)
+        self._publish_generation(db, table, new_name)
         self.recover_version(db, table)
 
     # -- reads (S7) ---------------------------------------------------------

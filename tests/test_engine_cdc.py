@@ -842,9 +842,16 @@ def test_sharded_resnapshot_replaces_stale_rows(engine, spark, tmp_path):
     assert (200, "renamed") in got
     data = engine._data_dir(DB, "users")
     parent = os.path.dirname(data)
+    # no shard/staging leftovers; the only data.* dirs are the manifest's
+    # current generation and (grace window for in-flight readers) the one
+    # retired generation
+    manifest = engine._load_generations(DB, "users")
+    allowed = {manifest["current"], *manifest["retired"], "data"}
     leftovers = [d for d in os.listdir(parent)
-                 if d.startswith("data.") and d != "data"]
+                 if (d.startswith("data.") or d == "data")
+                 and d not in allowed]
     assert leftovers == []
+    assert len(manifest["retired"]) <= 1
 
 
 def test_sharded_snapshot_applies_partition_and_index_options(spark, tmp_path):
@@ -1044,3 +1051,58 @@ def test_apply_parallelism_one_stays_sequential(engine, spark, tmp_path):
     engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
     for t in ("s0", "s1"):
         assert _final_rows(engine, t) == {(1, t)}
+
+
+def test_reader_survives_concurrent_optimize(engine, spark, tmp_path):
+    """Snapshot isolation during compaction (r4 verdict #8): a DataFrame
+    planned BEFORE optimize() pins the old generation's files; the
+    manifest publish retires that generation without deleting it, so the
+    pre-compaction read still collects correctly AFTER the swap — the
+    failure mode the old rename-swap protocol couldn't avoid. The retired
+    generation is reclaimed by the NEXT rewrite (bounded garbage)."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(i, f"u{i}", i % 50) for i in range(1, 101)])
+    log.add(DB, "users", [(i, f"upd{i}", 99) for i in range(1, 51)])
+    log.remove(DB, "users", [(i,) for i in range(90, 101)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    pre = engine.read_final(DB, "users")     # plan + file listing pinned
+    pre_raw = engine.read_raw(DB, "users")   # includes superseded versions
+    old_dir = engine._data_dir(DB, "users")
+
+    engine.optimize(DB, "users")
+    new_dir = engine._data_dir(DB, "users")
+    assert new_dir != old_dir                # generation advanced
+    assert os.path.isdir(old_dir)            # retired, NOT deleted
+
+    expected = {(i, f"upd{i}" if i <= 50 else f"u{i}")
+                for i in range(1, 90)}
+    # pre-compaction frames still collect, with pre-compaction semantics
+    assert {(r.id, r.name) for r in pre.select("id", "name").collect()} \
+        == expected
+    # one batch → in-batch collapse already ran: one final op per key
+    # (89 surviving ADDs + 11 tombstones)
+    assert pre_raw.count() == 100
+    # post-compaction reads see the collapsed generation
+    post = engine.read_final(DB, "users")
+    assert {(r.id, r.name) for r in post.select("id", "name").collect()} \
+        == expected
+    assert engine.read_raw(DB, "users").count() == 89   # collapsed
+
+    # the NEXT rewrite reclaims the retired generation
+    engine.optimize(DB, "users")
+    assert not os.path.exists(old_dir)
+    manifest = engine._load_generations(DB, "users")
+    assert len(manifest["retired"]) <= 1
+
+
+def test_truncate_preserves_inflight_readers(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1), (2, "B", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    pre = engine.read_final(DB, "users")
+    engine.execute_ddl(DB, "TRUNCATE TABLE users")
+    assert engine.read_final(DB, "users").count() == 0
+    assert pre.count() == 2                  # old generation still on disk
