@@ -277,3 +277,35 @@ def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
     return staged.select(
         id_col, "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"))
+
+
+def systematic_weighted_sample(df: DataFrame, weight_col: str, k: int,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Weight-proportional systematic sampling: walk the id-ordered corpus
+    with a fixed stride of ``total_weight div k`` and keep every row whose
+    cumulative-weight interval contains a stride multiple — the classic
+    systematic/pps design (each row's inclusion probability ∝ its weight,
+    rows heavier than the stride are always kept).
+
+    Deterministic and integer-exact: weights cast to long, the global
+    prefix sum comes from ``ranged_running_sum`` (range-bucketed — NO
+    single-partition sort at any scale, selection.py:130), and membership
+    is two integer divisions: ``cum div step > (cum - w) div step`` counts
+    the stride multiples inside ``(cum - w, cum]``. The only driver-side
+    value is the 1-row total-weight aggregate.
+
+    Returns (doc_id, w, cum_w) for the selected rows — ~k of them (heavy
+    rows can land 2+ multiples; they appear once)."""
+    from .selection import ranged_running_sum
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    keyed = df.select(F.col(id_col).alias("doc_id"),
+                      F.col(weight_col).cast("long").alias("w"))
+    total = keyed.agg(F.sum("w").alias("t")).collect()[0].t or 0
+    step = max(int(total) // k, 1)
+    run = ranged_running_sum(keyed, "doc_id", "w", out_col="cum_w")
+    # integer `div`, not float `/`: exact at any cumulative magnitude
+    return (run.where(F.expr(f"(cum_w div {step}L) > "
+                             f"((cum_w - w) div {step}L)"))
+            .select("doc_id", "w", "cum_w"))

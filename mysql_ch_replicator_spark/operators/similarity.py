@@ -526,3 +526,48 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cos", 6).alias("cos")))
+
+
+OUTLIER_SCALE = 1024  # small quantization scale: keeps n^2*dist in int64
+
+
+def embedding_outlier_scores(embeddings: DataFrame,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             group_col: str | None = "label",
+                             scale: int = OUTLIER_SCALE) -> DataFrame:
+    """Distance-to-centroid outlier scoring per group (label), the standard
+    embedding-space quality filter (drop vectors far from their cluster
+    center — mislabeled/garbled items).
+
+    Integer-exact without ever materializing a float centroid: with
+    quantized components xq = floor(x*scale), group size n and per-dim
+    sums s_d, the score is
+
+        dist_q = sum_d (n*xq_d - s_d)^2  =  n^2 * ||xq - mean(xq)||^2
+
+    — pure int64 arithmetic both engines compute identically (scale is
+    small so n*xq ~ 2^19 and the 64-dim sum stays far under 2^63).
+    Comparable WITHIN a group (same n^2 factor), which is how outlier
+    ranks are consumed.
+
+    Scale notes: one posexplode + map-side-combining agg builds the
+    (group, dim) sums table — |groups| x dims rows, broadcast back onto
+    the corpus explode, so the corpus itself never shuffles before its
+    final per-vector aggregation. Returns (vec_id, grp, n, dist_q)."""
+    base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        (F.col(group_col).alias("grp") if group_col
+         else F.lit(0).alias("grp")),
+        quantize_expr(vec_col, float(scale)).alias("xq"))
+    exploded = base.select("vec_id", "grp",
+                           F.posexplode("xq").alias("d", "x"))
+    sums = (exploded.groupBy("grp", "d")
+            .agg(F.sum("x").alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    return (exploded.join(F.broadcast(sums), ["grp", "d"])
+            .groupBy("vec_id", "grp")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.sum((F.col("n") * F.col("x") - F.col("s"))
+                       * (F.col("n") * F.col("x") - F.col("s")))
+                 .cast("long").alias("dist_q")))

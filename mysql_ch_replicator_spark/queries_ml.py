@@ -2297,3 +2297,96 @@ def incremental_sketch_maintenance(spark: SparkSession,
     for f in live:
         f.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 5 additions: pps sampling, bigram-LM fluency, embedding outliers
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_systematic_weighted",
+    """
+    WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+    c AS (SELECT doc_id, w,
+                 CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum_w
+          FROM w),
+    t AS (SELECT CAST(GREATEST(SUM(w) // 97, 1) AS BIGINT) AS step FROM w)
+    SELECT c.doc_id, c.w, c.cum_w
+    FROM c, t
+    WHERE (cum_w // step) > ((cum_w - w) // step)
+    """,
+)
+def sample_systematic_weighted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic (pps) sampling, ~97 docs weighted by
+    n_chars: inclusion iff the doc's cumulative-weight interval contains a
+    stride multiple. The Spark side's global prefix sum is the
+    range-bucketed protocol (operators/selection.ranged_running_sum) — no
+    single-partition sort; the oracle's window SUM is the semantic spec."""
+    from .operators.sampling import systematic_weighted_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_weighted_sample(docs, "n_chars", k=97)
+
+
+@register(
+    "text_bigram_fluency",
+    f"""
+    WITH W AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[CAST(i AS INTEGER)] AS a,
+             ws[CAST(i AS INTEGER) + 1] AS b
+      FROM W, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM bg GROUP BY a, b),
+    ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM bg GROUP BY a)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((c_ab * 1000000) // c_a) AS BIGINT) AS fluency
+    FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score (operators/lm.py — the
+    KenLM/CCNet filtering shape in exact integer arithmetic): each bigram
+    occurrence contributes C(w1,w2)*1e6 div C(w1,*); count tables are
+    vocab-bounded aggregates, the corpus shuffles once on the join key."""
+    from .operators.lm import bigram_lm_scores
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_outlier_scores",
+    """
+    WITH q AS (
+      SELECT vec_id, label AS grp,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, grp, CAST(d AS INTEGER) AS d,
+             xq[CAST(d AS INTEGER)] AS x
+      FROM q, UNNEST(range(1, len(xq) + 1)) AS t(d)
+    ),
+    s AS (SELECT grp, d, CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY grp, d)
+    SELECT e.vec_id, e.grp, CAST(MAX(s.n) AS BIGINT) AS n,
+           CAST(SUM((s.n * e.x - s.s) * (s.n * e.x - s.s)) AS BIGINT)
+             AS dist_q
+    FROM e JOIN s USING (grp, d)
+    GROUP BY e.vec_id, e.grp
+    """,
+)
+def embedding_outlier_scores_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-label distance-to-centroid outlier scores
+    (operators/similarity.embedding_outlier_scores): dist_q =
+    n^2*||xq - mean||^2 entirely in int64 (no float centroid), the
+    (label, dim) sums table broadcasts so the corpus never shuffles
+    before its per-vector aggregation."""
+    from .operators.similarity import embedding_outlier_scores
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_outlier_scores(emb)

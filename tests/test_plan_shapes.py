@@ -497,3 +497,36 @@ def test_pii_scrub_single_codegen_projection(spark, queries):
     assert "BatchEvalPython" not in executed and "ArrowEvalPython" not in executed
     assert "HashAggregate" not in executed and "Join" not in executed
     assert "regexp_replace" in executed and executed.count("*(") >= 1
+
+
+def test_systematic_sample_no_global_sort(spark, queries):
+    """sample_systematic_weighted: the prefix sum must use the range-bucket
+    protocol — window partitioned by bucket, never a SinglePartition global
+    sort; membership is a codegen'd integer filter."""
+    df = queries["sample_systematic_weighted"](spark, SF)
+    executed = executed_plan_of(df)
+    assert "SinglePartition" not in executed
+    read = plan_of(queries["sample_systematic_weighted"](spark, SF))
+    read_schema = read.split("ReadSchema")[1].split("\n")[0]
+    assert "n_chars" in read_schema and "text" not in read_schema
+
+
+def test_bigram_fluency_bounded_joins(spark, queries):
+    """text_bigram_fluency: the LM joins hit the vocab-bounded count
+    tables — no cartesian products, corpus scan pruned to doc_id+text."""
+    df = queries["text_bigram_fluency"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    executed = executed_plan_of(df)
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+
+
+def test_embedding_outlier_sums_broadcast(spark, queries):
+    """embedding_outlier_scores: the (label, dim) sums table must be the
+    broadcast side; the exploded corpus never sort-merge joins."""
+    executed = executed_plan_of(queries["embedding_outlier_scores"](spark, SF))
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
