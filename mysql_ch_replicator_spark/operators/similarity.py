@@ -571,3 +571,76 @@ def embedding_outlier_scores(embeddings: DataFrame,
                  F.sum((F.col("n") * F.col("x") - F.col("s"))
                        * (F.col("n") * F.col("x") - F.col("s")))
                  .cast("long").alias("dist_q")))
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               shortlist: int = 20, lam: float = 0.5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the standard diversity pass on a retrieval shortlist: greedily pick
+    ``argmax lam*rel(c) - (1-lam)*max_{s in picked} sim(c, s)`` k times,
+    so results are relevant AND mutually dissimilar (RAG context
+    assembly, diverse few-shot selection).
+
+    Two-stage, scale-first: stage 1 is ``brute_force_topk`` (corpus
+    scanned once, queries broadcast, per-query top-``shortlist``); stage 2
+    runs entirely on the shortlist working set — |q|*N rows with an
+    |q|*N^2 pairwise-sim table — through k unrolled DataFrame rounds
+    (anti-join picked, max-sim join, per-query window argmax), each
+    ``localCheckpoint``ed so plans stay linear. Nothing about the corpus
+    is touched after stage 1; the greedy loop's cost is independent of
+    corpus size.
+
+    Cross-engine exact: rel and sim are rounded to 6 dp (on bit-identical
+    float64 chains), scores are float64 arithmetic on those rounded
+    values, ranks tie-break on neighbor_id. Returns
+    (query_id, neighbor_id, rank, score), rank 1..k."""
+    short = brute_force_topk(corpus, queries, shortlist,
+                             vec_col=vec_col, id_col=id_col,
+                             query_id_col=query_id_col) \
+        .withColumnRenamed("cos", "rel").drop("rank")
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
+    sv = short.join(cv, "neighbor_id") \
+        .select("query_id", "neighbor_id", "rel", "cv").localCheckpoint()
+    x = sv.select("query_id", F.col("neighbor_id").alias("a"),
+                  F.col("cv").alias("va"))
+    y = sv.select("query_id", F.col("neighbor_id").alias("b"),
+                  F.col("cv").alias("vb"))
+    sims = (x.join(y, "query_id")
+            .where(F.col("a") != F.col("b"))
+            .select("query_id", "a", "b",
+                    F.round(cosine_expr("va", "vb"), 6).alias("s"))
+            .localCheckpoint())
+
+    w1 = Window.partitionBy("query_id") \
+        .orderBy(F.col("rel").desc(), F.col("neighbor_id"))
+    sel = (sv.withColumn("rn", F.row_number().over(w1))
+           .where(F.col("rn") == 1)
+           .select("query_id", "neighbor_id",
+                   F.lit(1).alias("rank"),
+                   F.round("rel", 6).alias("score"))
+           .localCheckpoint())
+    wq = Window.partitionBy("query_id") \
+        .orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    for r in range(2, k + 1):
+        ms = (sims.join(sel.select("query_id",
+                                   F.col("neighbor_id").alias("b")),
+                        ["query_id", "b"])
+              .groupBy("query_id", F.col("a").alias("neighbor_id"))
+              .agg(F.max("s").alias("ms")))
+        scored = (sv.select("query_id", "neighbor_id", "rel")
+                  .join(sel.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_anti")
+                  .join(ms, ["query_id", "neighbor_id"])
+                  .withColumn("score",
+                              F.lit(lam) * F.col("rel")
+                              - F.lit(1.0 - lam) * F.col("ms")))
+        pick = (scored.withColumn("rn", F.row_number().over(wq))
+                .where(F.col("rn") == 1)
+                .select("query_id", "neighbor_id",
+                        F.lit(r).alias("rank"),
+                        F.round("score", 6).alias("score")))
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel

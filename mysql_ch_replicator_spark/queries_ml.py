@@ -2390,3 +2390,80 @@ def embedding_outlier_scores_q(spark: SparkSession,
     from .operators.similarity import embedding_outlier_scores
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_outlier_scores(emb)
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist: int = 20, n_queries: int = 3,
+                    lam: float = 0.5) -> str:
+    """Unrolled MMR greedy loop (same technique as the Lloyd-iteration
+    oracle for ann_ivf_kmeans_topk): one CTE pair per pick round."""
+    cos_qc = _cos_sql("q.qv", "c.embedding", _EMB_DIMS)
+    cos_xy = _cos_sql("x.cv", "y.cv", _EMB_DIMS)
+    parts = [f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT query_id, neighbor_id, cv, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, neighbor_id) AS rk
+      FROM (SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding AS cv,
+                   {cos_qc} AS raw, round({cos_qc}, 6) AS rel
+            FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+    ),
+    short AS (SELECT query_id, neighbor_id, cv, rel FROM scored
+              WHERE rk <= {shortlist}),
+    sims AS (
+      SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+             round({cos_xy}, 6) AS s
+      FROM short x JOIN short y USING (query_id)
+      WHERE x.neighbor_id <> y.neighbor_id
+    ),
+    selall1 AS (
+      SELECT query_id, neighbor_id, 1 AS rank, round(rel, 6) AS score
+      FROM (SELECT query_id, neighbor_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, neighbor_id) AS rn
+            FROM short)
+      WHERE rn = 1
+    )"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    ms{r} AS (
+      SELECT s.query_id, s.a AS neighbor_id, MAX(s.s) AS ms
+      FROM sims s JOIN selall{r - 1} p
+        ON p.query_id = s.query_id AND p.neighbor_id = s.b
+      GROUP BY s.query_id, s.a
+    ),
+    sel{r} AS (
+      SELECT query_id, neighbor_id, {r} AS rank, round(score, 6) AS score
+      FROM (SELECT c.query_id, c.neighbor_id,
+                   {lam!r} * c.rel - {1.0 - lam!r} * m.ms AS score,
+                   row_number() OVER (PARTITION BY c.query_id
+                     ORDER BY ({lam!r} * c.rel - {1.0 - lam!r} * m.ms) DESC,
+                              c.neighbor_id) AS rn
+            FROM short c JOIN ms{r} m
+              ON m.query_id = c.query_id
+             AND m.neighbor_id = c.neighbor_id
+            WHERE NOT EXISTS (SELECT 1 FROM selall{r - 1} p
+                              WHERE p.query_id = c.query_id
+                                AND p.neighbor_id = c.neighbor_id))
+      WHERE rn = 1
+    ),
+    selall{r} AS (SELECT * FROM selall{r - 1}
+                  UNION ALL SELECT * FROM sel{r})""")
+    parts.append(f"""
+    SELECT query_id, neighbor_id, rank, score FROM selall{k}""")
+    return "".join(parts)
+
+
+@register("ann_mmr_rerank", _mmr_oracle_sql())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.mmr_rerank): top-20
+    cosine shortlist per query (3 queries), then 5 greedy
+    relevance-vs-redundancy picks at lambda 0.5 — the RAG context-assembly
+    pass. Corpus touched only by stage 1; the greedy loop runs on the
+    |q|*20 shortlist working set with k unrolled rounds."""
+    from .operators.similarity import mmr_rerank
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return mmr_rerank(emb, queries, k=5, shortlist=20, lam=0.5)

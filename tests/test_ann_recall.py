@@ -122,3 +122,40 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
     onehop = {r.doc_id: r.dup_of for r in _pair_min_dup(pairs, ids).collect()}
     assert onehop[3] == 2  # the case closure fixes
+
+
+def test_mmr_rerank_prefers_diverse_results(spark):
+    """MMR property check: with a near-duplicate of the top hit in the
+    corpus, plain top-k ranks it second, MMR (lambda .5) pushes it down in
+    favor of a less redundant candidate; rank 1 always equals the plain
+    argmax. Built on a tiny synthetic corpus with a known geometry."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        brute_force_topk, mmr_rerank,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    # query is deliberately NOT collinear with the top hit: for a corpus
+    # vector equal to the query, rel(c) == sim(c, top) makes every MMR
+    # score zero and the property unobservable
+    rows = [
+        (1, vec(1.00, 0.10, 0.0)),   # top hit
+        (2, vec(1.00, 0.12, 0.0)),   # near-dup of 1 (sim ~ 1.0)
+        (3, vec(0.60, 0.80, 0.0)),   # relevant, different direction
+        (4, vec(0.50, 0.00, 0.9)),   # relevant, third direction
+        (5, vec(0.00, 0.00, 1.0)),   # off-topic
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(100, vec(1.0, 0.2, 0.0))],
+                                    "query_id long, embedding array<float>")
+
+    plain = {r.rank: r.neighbor_id
+             for r in brute_force_topk(corpus, queries, 3).collect()}
+    assert plain == {1: 2, 2: 1, 3: 3}       # near-dups take ranks 1+2
+
+    mmr = {r.rank: r.neighbor_id
+           for r in mmr_rerank(corpus, queries, k=3, shortlist=5).collect()}
+    # relevance wins round 1; the near-dup (1) is demoted in favor of the
+    # orthogonal directions — at lambda .5 redundancy keeps it out entirely
+    assert mmr == {1: 2, 2: 3, 3: 5}
