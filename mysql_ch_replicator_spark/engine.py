@@ -80,6 +80,61 @@ def _structure_from_dict(d: dict) -> TableStructure:
     )
 
 
+def _gen_manifest_path_of(root: str) -> str:
+    return os.path.join(root, "_generations.json")
+
+
+def load_gen_manifest(root: str) -> dict:
+    """Generation manifest {current: dirname, retired: [dirname...]} of any
+    versioned data root; missing/unreadable → legacy layout (current =
+    "data")."""
+    try:
+        with open(_gen_manifest_path_of(root), encoding="utf-8") as fh:
+            g = json.load(fh)
+    except (OSError, ValueError):
+        g = {}
+    if not isinstance(g, dict):
+        g = {}
+    g.setdefault("current", "data")
+    g.setdefault("retired", [])
+    return g
+
+
+def next_gen_name(root: str) -> str:
+    cur = load_gen_manifest(root)["current"]
+    n = int(cur[len("data.gen"):]) if cur.startswith("data.gen") else 0
+    nxt = n + 1
+    # never reuse a dirty name a crashed rewrite may have left (orphans
+    # are swept at publish time)
+    while os.path.exists(os.path.join(root, f"data.gen{nxt}")):
+        nxt += 1
+    return f"data.gen{nxt}"
+
+
+def publish_generation(root: str, new_name: str) -> None:
+    """Flip the manifest to ``new_name`` (atomic os.replace), retire the
+    previous current generation, and delete generations retired by EARLIER
+    publishes — readers of the just-retired generation get a full rewrite
+    cycle to finish. Orphan gen dirs (crashed rewrites that never
+    published) are swept too; callers hold the owning lock."""
+    g = load_gen_manifest(root)
+    for name in g["retired"]:
+        if name != new_name:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    live = {new_name, g["current"]}
+    for entry in os.listdir(root):
+        if (entry.startswith("data.gen") and entry not in live
+                and os.path.isdir(os.path.join(root, entry))):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    retired = [g["current"]] if (
+        g["current"] != new_name
+        and os.path.exists(os.path.join(root, g["current"]))) else []
+    tmp = _gen_manifest_path_of(root) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"current": new_name, "retired": retired}, fh)
+    os.replace(tmp, _gen_manifest_path_of(root))
+
+
 class ReplicaEngine:
     def __init__(self, spark: SparkSession, root: str,
                  mysql_timezone: str = "UTC",
@@ -171,60 +226,14 @@ class ReplicaEngine:
     # the CURRENT generation dir — new files appearing under a pinned
     # listing are invisible to an in-flight reader, never an error.
 
-    def _gen_manifest_path(self, db: str, table: str) -> str:
-        return os.path.join(self._table_dir(db, table), "_generations.json")
-
     def _load_generations(self, db: str, table: str) -> dict:
-        """Manifest {current: dirname, retired: [dirname...]}; a missing or
-        unreadable manifest means the legacy layout (current = "data")."""
-        try:
-            with open(self._gen_manifest_path(db, table),
-                      encoding="utf-8") as fh:
-                g = json.load(fh)
-        except (OSError, ValueError):
-            g = {}
-        if not isinstance(g, dict):
-            g = {}
-        g.setdefault("current", "data")
-        g.setdefault("retired", [])
-        return g
+        return load_gen_manifest(self._table_dir(db, table))
 
     def _next_gen_name(self, db: str, table: str) -> str:
-        g = self._load_generations(db, table)
-        cur = g["current"]
-        n = int(cur[len("data.gen"):]) if cur.startswith("data.gen") else 0
-        nxt = n + 1
-        # skip orphans a crashed rewrite may have left (they are cleaned
-        # at publish time, but never reuse a dirty name)
-        while os.path.exists(os.path.join(self._table_dir(db, table),
-                                          f"data.gen{nxt}")):
-            nxt += 1
-        return f"data.gen{nxt}"
+        return next_gen_name(self._table_dir(db, table))
 
     def _publish_generation(self, db: str, table: str, new_name: str) -> None:
-        """Flip the manifest to ``new_name`` (atomic), retire the previous
-        current generation, and delete generations retired by EARLIER
-        publishes — readers of the just-retired generation get a full
-        rewrite cycle to finish. Orphan gen dirs (crashed rewrites that
-        never published) are swept here too, under the caller's table
-        lock."""
-        tdir = self._table_dir(db, table)
-        g = self._load_generations(db, table)
-        for name in g["retired"]:
-            if name != new_name:
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
-        live = {new_name, g["current"]}
-        for entry in os.listdir(tdir):
-            if (entry.startswith("data.gen") and entry not in live
-                    and os.path.isdir(os.path.join(tdir, entry))):
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
-        retired = [g["current"]] if (
-            g["current"] != new_name
-            and os.path.exists(os.path.join(tdir, g["current"]))) else []
-        tmp = self._gen_manifest_path(db, table) + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"current": new_name, "retired": retired}, fh)
-        os.replace(tmp, self._gen_manifest_path(db, table))
+        publish_generation(self._table_dir(db, table), new_name)
 
     def _data_dir(self, db: str, table: str) -> str:
         return os.path.join(self._table_dir(db, table),
@@ -808,8 +817,9 @@ class ReplicaEngine:
         self._rebuild_aggregate(db, table, name)
 
     def read_aggregate(self, db: str, table: str, name: str) -> DataFrame:
+        root = self._agg_dir(db, table, name)
         return self.spark.read.parquet(
-            os.path.join(self._agg_dir(db, table, name), "data"))
+            os.path.join(root, load_gen_manifest(root)["current"]))
 
     def _agg_state_path(self, db: str, table: str, name: str) -> str:
         return os.path.join(self._agg_dir(db, table, name), "state.json")
@@ -824,18 +834,13 @@ class ReplicaEngine:
 
     def _write_aggregate(self, db: str, table: str, name: str,
                          df: DataFrame, last_seq: int) -> None:
+        # same manifest protocol as table data: a reader mid-merge keeps
+        # the files of the generation it resolved
         root = self._agg_dir(db, table, name)
         os.makedirs(root, exist_ok=True)
-        data = os.path.join(root, "data")
-        staging = data + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        df.write.mode("overwrite").parquet(staging)
-        old = data + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(data):
-            os.rename(data, old)
-        os.rename(staging, data)
-        shutil.rmtree(old, ignore_errors=True)
+        new_name = next_gen_name(root)
+        df.write.mode("overwrite").parquet(os.path.join(root, new_name))
+        publish_generation(root, new_name)
         tmp = self._agg_state_path(db, table, name) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"last_seq": last_seq}, fh)
