@@ -482,3 +482,44 @@ def fuzzy_name_pairs(df: DataFrame, name_col: str, max_dist: int = 2,
            .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
            .select("name_a", "name_b", "dist"))
     return out
+
+
+def substring_dup_stats(docs: DataFrame, win: int = 64, stride: int = 32,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-document substring-duplication audit (the rolling-window
+    approximation of exact substring dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): hash every ``win``-char
+    window at ``stride`` offsets, count per doc how many of its windows
+    also occur in ANOTHER document — the docs with high duplicated-window
+    share are the boilerplate/mirror candidates a suffix-array pass would
+    flag.
+
+    Scale design: window hashing is a zero-shuffle scan-side explode
+    (sequence+substr+h60, all codegen); the only shuffles are the
+    window-hash frequency aggregate (map-side combining, keyspace bounded
+    by total windows) and the count join back. No suffix array, no global
+    sort — the standard big-corpus trade (stride>1 misses unaligned dups;
+    halve the stride to dial recall).
+
+    Returns (doc_id, n_windows, n_dup_windows) for docs with >= 1 window
+    (len >= win)."""
+    wh = (spread(docs)
+          .where(F.length(text_col) >= win)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.transform(
+                      F.sequence(F.lit(0),
+                                 F.floor((F.length(text_col) - win)
+                                         / stride).cast("int")),
+                      lambda i: h60(F.substr(F.col(text_col),
+                                             i * stride + 1,
+                                             F.lit(win)))))
+                  .alias("wh")))
+    wh = transient_persist(wh)
+    freq = wh.groupBy("wh").agg(
+        F.count_distinct("doc_id").alias("nd"))
+    return (wh.join(freq, "wh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_windows")))

@@ -2467,3 +2467,31 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 3) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return mmr_rerank(emb, queries, k=5, shortlist=20, lam=0.5)
+
+
+@register(
+    "dedup_substring_windows",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    w AS (
+      SELECT doc_id,
+             {_h60_sql("substr(text, CAST(i*32+1 AS INTEGER), 64)")} AS wh
+      FROM d, UNNEST(range(0, (L - 64) // 32 + 1)) AS t(i)
+      WHERE L >= 64
+    ),
+    g AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wh)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM w JOIN g USING (wh)
+    GROUP BY doc_id
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc substring-duplication audit
+    (operators/dedup.substring_dup_stats): 64-char windows at stride 32,
+    rolling-hash counted corpus-wide — the distributed approximation of
+    suffix-array substring dedup. Window hashing is a zero-shuffle scan
+    explode; only the hash-frequency agg and count join shuffle."""
+    from .operators.dedup import substring_dup_stats
+    return substring_dup_stats(load_table(spark, sf_dir, "documents"))

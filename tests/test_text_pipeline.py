@@ -106,3 +106,27 @@ def test_contamination_broadcasts_eval_side(spark):
     # without a pre-join shuffle
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_dup_stats_flags_shared_spans(spark):
+    """A 64+-char span pasted into two docs must mark dup windows in both;
+    a unique doc has zero; short docs (< win) drop out."""
+    from mysql_ch_replicator_spark.operators.dedup import substring_dup_stats
+
+    boiler = ("copyright notice all rights reserved this text is repeated "
+              "verbatim across documents " * 3)  # ~260 chars
+    # stride-aligned offsets: shared spans are only caught when they start
+    # at the same phase mod stride in both docs (the documented recall
+    # trade of stride > 1) — the preamble is exactly one stride long
+    rows = [
+        (1, boiler + " plus tail one that is long enough to window"),
+        (2, "unrelated preamble of 32 chars! " + boiler),
+        (3, "completely unique text " + "x y z w " * 30),
+        (4, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows)
+           for r in substring_dup_stats(docs, win=64, stride=32).collect()}
+    assert 4 not in got                          # too short to window
+    assert got[3][1] == 0                        # unique: no dup windows
+    assert got[1][1] >= 1 and got[2][1] >= 1     # shared span flagged... 
