@@ -1106,3 +1106,42 @@ def test_truncate_preserves_inflight_readers(engine, spark, tmp_path):
     engine.execute_ddl(DB, "TRUNCATE TABLE users")
     assert engine.read_final(DB, "users").count() == 0
     assert pre.count() == 2                  # old generation still on disk
+
+
+def test_generation_crash_recovery_and_legacy_upgrade(engine, spark,
+                                                      tmp_path):
+    """Manifest-protocol crash windows: (a) a rewrite that died after
+    writing its generation dir but BEFORE the manifest flip leaves an
+    orphan — reads keep serving the current generation and the next
+    publish sweeps the orphan without ever reusing its name; (b) a
+    pre-manifest (legacy) table with a bare `data` dir reads and rewrites
+    seamlessly — the first rewrite upgrades it to the manifest layout."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1), (2, "B", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    tdir = engine._table_dir(DB, "users")
+    # legacy layout: no manifest yet, current resolves to "data"
+    assert not os.path.exists(os.path.join(tdir, "_generations.json"))
+    assert engine._data_dir(DB, "users").endswith("/data")
+
+    # (a) simulated crash: an unpublished generation dir full of junk
+    orphan = os.path.join(tdir, "data.gen7")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}  # unaffected
+
+    engine.optimize(DB, "users")  # first manifest publish
+    manifest = engine._load_generations(DB, "users")
+    assert manifest["current"].startswith("data.gen")
+    assert manifest["current"] != "data.gen7"    # dirty name never reused
+    assert not os.path.exists(orphan)            # orphan swept
+    assert manifest["retired"] == ["data"]       # legacy dir retired
+    assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
+
+    # (b) next rewrite reclaims the legacy dir
+    engine.optimize(DB, "users")
+    assert not os.path.exists(os.path.join(tdir, "data"))
+    assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
