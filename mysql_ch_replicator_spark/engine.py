@@ -161,8 +161,8 @@ class ReplicaEngine:
         # Per-table re-entrant locks: a streaming micro-batch (Spark
         # streaming thread) and the compaction scheduler (supervisor poll
         # thread) run in the SAME process but different threads; without
-        # mutual exclusion optimize()'s read→staging→swap can lose rows a
-        # concurrent apply appends between its read and its rename (the
+        # mutual exclusion optimize()'s read→write→publish can lose rows a
+        # concurrent apply appends between its read and its generation flip (the
         # reference never hits this — OPTIMIZE FINAL is transactional
         # inside ClickHouse). Cross-PROCESS writers are out of scope, same
         # single-writer-per-database assumption as publish_database.
