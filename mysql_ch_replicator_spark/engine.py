@@ -1033,7 +1033,7 @@ class ReplicaEngine:
         # and view write) is rebuilt from the pre-batch state first —
         # repair = the from-scratch definition.
         aggs = meta.get("aggregates") or {}
-        agg_deltas: dict[str, tuple] = {}
+        agg_deltas: dict[str, DataFrame] = {}
         if aggs:
             from .operators.incremental_agg import agg_delta
             final_ops = final_ops.persist()
@@ -1050,10 +1050,13 @@ class ReplicaEngine:
                 d = agg_delta(old_final, final_ops, spec["group"],
                               spec["value"], op_col="event_type",
                               add_value=OP_ADD)
-                staging = os.path.join(self._agg_dir(db, table, nm),
-                                       "delta.staging")
-                d.write.mode("overwrite").parquet(staging)
-                agg_deltas[nm] = (d.schema, staging)
+                # localCheckpoint pins the delta against the PRE-append
+                # files without moving row data through the driver (the
+                # r4 staging-parquet round-trip, minus its 2 IO jobs per
+                # view per batch); crash repair never relied on the
+                # staged bytes — a seq-watermark mismatch rebuilds from
+                # scratch either way.
+                agg_deltas[nm] = d.localCheckpoint()
 
         # K4 — after the collapse each key appears ONCE in this batch, so
         # every surviving row can take the same version `watermark + 1`:
@@ -1097,8 +1100,6 @@ class ReplicaEngine:
         if int(stats["n"]) == 0:
             if aggs:
                 final_ops.unpersist()
-                for _, staging in agg_deltas.values():
-                    shutil.rmtree(staging, ignore_errors=True)
             return  # nothing applied; keep watermarks unchanged
         with self._stats_guard:  # parallel table writers share the counters
             self._batch_inserts = getattr(self, "_batch_inserts", 0) \
@@ -1112,15 +1113,10 @@ class ReplicaEngine:
         if aggs:
             from .operators.incremental_agg import merge_agg
             for nm, spec in aggs.items():
-                schema, staging = agg_deltas[nm]
-                # explicit schema: a zero-row delta may have written no
-                # part files, which would otherwise fail schema inference
-                delta_df = self.spark.read.schema(schema).parquet(staging)
                 merged = merge_agg(self.read_aggregate(db, table, nm),
-                                   delta_df, spec["group"])
+                                   agg_deltas[nm], spec["group"])
                 self._write_aggregate(db, table, nm, merged,
                                       int(meta["last_seq"]))
-                shutil.rmtree(staging, ignore_errors=True)
             final_ops.unpersist()
 
     # -- recovery / verification --------------------------------------------
