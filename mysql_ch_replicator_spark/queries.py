@@ -138,7 +138,12 @@ def _ordered_names() -> list[str]:
     latest = _latest_green_rounds()
     reg_index = {n: i for i, n in enumerate(_REGISTRY)}
     pinned = set(_DRIVER_WINDOW_PINNED)
-    boost = set(_ROTATION_BOOST) - pinned
+    # a boost is self-retiring: once the flagged query has a green row in
+    # the NEWEST recorded round it has been re-verified, and the slot goes
+    # back to the ordinary staleness rotation
+    newest = max(latest.values(), default=-1)
+    boost = {n for n in _ROTATION_BOOST
+             if n not in pinned and latest.get(n, -1) < newest}
     rest = [n for n in _REGISTRY if n not in pinned]
     rest.sort(key=lambda n: (n not in boost, latest.get(n, -1), reg_index[n]))
     return list(_DRIVER_WINDOW_PINNED) + rest
