@@ -644,3 +644,51 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         F.round("score", 6).alias("score")))
         sel = sel.unionByName(pick).localCheckpoint()
     return sel
+
+
+def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroids: list[list[float]] | None = None) -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet table —
+    the 100 TB deployment shape of ``ivf_topk``: cell assignment is paid
+    once at write, and every probe afterwards reads only
+    ``probes/n_cells`` of the data via PARTITION PRUNING (the cell
+    predicate never reaches row groups — it prunes whole directories at
+    planning time). The assignment scan is the only full pass."""
+    dims = len(corpus.select(vec_col).first()[0])
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding")),
+        "embedding", n_cells, dims, probes=1, centroids=centroids)
+    (assigned.withColumn("cell", F.element_at("cells", 1)).drop("cells")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
+                   n_cells: int = 8, probes: int = 2, dims: int = 64,
+                   query_id_col: str = "query_id",
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """Probe a ``write_ivf_index`` table: compute each query's ``probes``
+    nearest cells, scan ONLY those partitions (an IN-filter on the
+    partition column → PartitionFilters in the parquet scan, zero IO for
+    every other cell), then exact cosine top-k within the probed subset.
+    Same ranking contract as ``ivf_topk`` (rounded-score window,
+    neighbor-id tie-break)."""
+    q = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")),
+        "qv", n_cells, dims, probes=probes, centroids=centroids)
+    qcells = q.select("query_id", "qv", F.explode("cells").alias("cell"))
+    probe_cells = sorted({r.cell for r in
+                          qcells.select("cell").distinct().collect()})
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    scored = (index.join(F.broadcast(qcells), "cell")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cos", cosine_expr("qv", "embedding")))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 6).alias("cos")))

@@ -159,3 +159,29 @@ def test_mmr_rerank_prefers_diverse_results(spark):
     # relevance wins round 1; the near-dup (1) is demoted in favor of the
     # orthogonal directions — at lambda .5 redundancy keeps it out entirely
     assert mmr == {1: 2, 2: 3, 3: 5}
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path, corpus,
+                                                  queries_df, exact):
+    """The written-index deployment shape: write_ivf_index partitions the
+    corpus by cell; ivf_index_topk's probe must (a) show PartitionFilters
+    on `cell` in the scan — directory-level pruning, the 100 TB read-cost
+    contract — and (b) return exactly what in-memory ivf_topk returns for
+    the same cells/probes."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ivf_index_topk, ivf_topk, write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, path, n_cells=8)
+    got = ivf_index_topk(spark, path, queries_df, K, n_cells=8, probes=2)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+
+    want = ivf_topk(corpus, queries_df, K, n_cells=8, probes=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # recall sanity rides along
+    assert _recall(_neighbors(got), exact) >= 0.3
