@@ -405,23 +405,35 @@ class ReplicaEngine:
             kind = op["op"]
             if kind == "add_column":
                 st.add_field(op["field"], first=op["first"], after=op["after"])
+                self._guard_physical_collision(db, table, st,
+                                               op["field"].name)
             elif kind == "drop_column":
                 st.remove_field(op["name"])
             elif kind == "modify_column":
-                st.update_field(op["field"])
+                new_field = dataclasses.replace(
+                    op["field"], physical=st.field(op["field"].name).physical)
+                st.update_field(new_field)
                 self._rewrite_with_structure(db, table, st)
             elif kind == "change_column":
                 old = op["old_name"]
-                new_field = op["field"]
+                # the rewrite must read the OLD physical column; the new
+                # field inherits it for the read, and the rewrite then
+                # normalizes every mapping away
+                new_field = dataclasses.replace(
+                    op["field"], physical=st.field(old).physical or old)
                 if old != new_field.name:
                     st.rename_field(old, new_field.name)
-                    self._rename_data_column(db, table, old, new_field.name)
                 st.update_field(new_field)
                 self._rewrite_with_structure(db, table, st)
             elif kind == "rename_column":
+                # METADATA-ONLY (Delta-style column mapping): the data
+                # keeps its physical column; only the logical name and the
+                # mapping change. No O(table) rewrite (r4 verdict missing
+                # #2); the next MODIFY/CHANGE/optimize rewrite normalizes.
+                fld = st.field(op["old_name"])
+                phys = fld.physical or op["old_name"]
                 st.rename_field(op["old_name"], op["new_name"])
-                self._rename_data_column(db, table, op["old_name"],
-                                         op["new_name"])
+                st.field(op["new_name"]).physical = phys
             elif kind == "rename_table":
                 os.rename(self._table_dir(db, table),
                           self._table_dir(db, op["new_name"]))
@@ -485,32 +497,46 @@ class ReplicaEngine:
         return any(f.endswith(".parquet")
                    for _, _, files in os.walk(d) for f in files)
 
-    def _rename_data_column(self, db: str, table: str, old: str, new: str) -> None:
-        """Parquet has no in-place rename — rewrite once (Delta column
-        mapping would make this metadata-only; plain parquet can't)."""
-        if not self._has_data(db, table):
-            return
-        df = self.spark.read.option("mergeSchema", "true") \
-            .parquet(self._data_dir(db, table))
-        if old in df.columns:
-            self._overwrite_data(db, table, df.withColumnRenamed(old, new))
+    def _guard_physical_collision(self, db: str, table: str,
+                                  st: TableStructure, name: str) -> None:
+        """ADD COLUMN whose name matches a stale PHYSICAL column (a column
+        renamed away from this name, or dropped with its bytes still in
+        old files) must get a fresh physical name — otherwise reads would
+        resurrect the old column's values into the new one. One footer
+        read; no data moves."""
+        taken = {f.physical or f.name for f in st.fields if f.name != name}
+        if self._has_data(db, table):
+            taken |= set(self.spark.read.option("mergeSchema", "true")
+                         .parquet(self._data_dir(db, table)).columns)
+        if name in taken:
+            i = 1
+            while f"{name}__p{i}" in taken:
+                i += 1
+            st.field(name).physical = f"{name}__p{i}"
 
     def _rewrite_with_structure(self, db: str, table: str,
                                 st: TableStructure) -> None:
-        """MODIFY/CHANGE type change: cast-rewrite (SURVEY.md §2.5 D8)."""
+        """MODIFY/CHANGE type change: cast-rewrite (SURVEY.md §2.5 D8).
+        Reads through the column mapping and writes logical names, so it
+        doubles as the mapping-normalization point."""
         if not self._has_data(db, table):
+            for f in st.fields:
+                f.physical = None
             return
         df = self.spark.read.option("mergeSchema", "true") \
             .parquet(self._data_dir(db, table))
         exprs = []
         for f in st.fields:
             target = spark_type_for(f, self.types_mapping).simpleString()
-            if f.name in df.columns:
-                exprs.append(F.col(f.name).try_cast(target).alias(f.name))
+            phys = f.physical or f.name
+            if phys in df.columns:
+                exprs.append(F.col(phys).try_cast(target).alias(f.name))
             else:
                 exprs.append(F.lit(None).cast(target).alias(f.name))
         exprs += [F.col(VERSION_COL), F.col(OP_COL)]
         self._overwrite_data(db, table, df.select(*exprs))
+        for f in st.fields:   # files are logical-named again
+            f.physical = None
 
     def _partition_cols(self, table: str) -> list[str]:
         """S8 — per-table physical partitioning override (reference
@@ -534,8 +560,14 @@ class ReplicaEngine:
             cols.append(st.primary_keys[0])
         if self.settings is not None:
             cols += self.settings.indexes_for(table)
-        return {f"parquet.bloom.filter.enabled#{c}": "true"
-                for c in dict.fromkeys(cols) if c in set(df_cols)}
+        # options are declared on logical names; parquet wants the file
+        # (physical) column — identical unless a rename is mapped. The
+        # membership check keeps options honest either way (a frame mid-
+        # normalizing rewrite carries logical names and simply skips).
+        phys_of = {f.name: (f.physical or f.name) for f in st.fields}
+        return {f"parquet.bloom.filter.enabled#{phys_of.get(c, c)}": "true"
+                for c in dict.fromkeys(cols)
+                if phys_of.get(c, c) in set(df_cols)}
 
     def _overwrite_data(self, db: str, table: str, df: DataFrame) -> None:
         """Rewrite by publishing a NEW data generation (D14 — readers never
@@ -565,6 +597,17 @@ class ReplicaEngine:
         # df's plan reads the OLD generation and the write above is its
         # only action — publish strictly after it completes
         self._publish_generation(db, table, new_name)
+        # every rewrite writes LOGICAL column names, so any column mapping
+        # in the stored meta is now stale — normalize it (optimize and
+        # re-snapshot route here; ALTER rewrites also clear their in-memory
+        # structure before re-saving)
+        if self.table_exists(db, table):
+            meta = self.load_meta(db, table)
+            if any(f.get("physical")
+                   for f in meta["structure"]["fields"]):
+                for f in meta["structure"]["fields"]:
+                    f["physical"] = None
+                self.save_meta(db, table, meta)
 
     # -- database-level atomic publish (D14 full analog) --------------------
 
@@ -760,8 +803,9 @@ class ReplicaEngine:
         exprs = []
         for f in st.fields:
             target = spark_type_for(f, self.types_mapping).simpleString()
-            if f.name in df.columns:
-                c = F.col(f.name).try_cast(target)
+            phys = f.physical or f.name  # column-mapping indirection
+            if phys in df.columns:
+                c = F.col(phys).try_cast(target)
             else:  # column added after these rows were written
                 c = F.lit(None).cast(target)
             if not f.nullable:
@@ -1084,11 +1128,18 @@ class ReplicaEngine:
             F.col("event_type").cast("int").alias(OP_COL))
 
         os.makedirs(self._data_dir(db, table), exist_ok=True)
+        # column mapping: files carry PHYSICAL names (identical to logical
+        # unless a metadata-only rename happened); partition/bloom options
+        # are declared on logical names and translated here
+        phys_of = {f.name: (f.physical or f.name) for f in st.fields}
+        out = out.select(
+            *[F.col(f.name).alias(phys_of[f.name]) for f in st.fields],
+            F.col(VERSION_COL), F.col(OP_COL))
         writer = out.write.mode("append")
         for k, v in self._index_options(table, st, out.columns).items():
             writer = writer.option(k, v)
-        parts = [c for c in self._partition_cols(table)
-                 if c in out.columns]
+        parts = [phys_of[c] for c in self._partition_cols(table)
+                 if c in phys_of]
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(self._data_dir(db, table))

@@ -22,6 +22,12 @@ class TableField:
     nullable: bool = True
     default: str | None = None     # raw DEFAULT token (unquoted), if present
     charset: str | None = None     # column-level CHARACTER SET override
+    # Delta-style column mapping: the name this column carries in parquet
+    # files when it differs from the logical name (after a metadata-only
+    # RENAME COLUMN, or an ADD COLUMN whose name collides with a stale
+    # physical column). None -> physical == logical. Cleared whenever a
+    # full rewrite (MODIFY/CHANGE/optimize) normalizes the files.
+    physical: str | None = None
 
     @property
     def type_spec(self) -> str:

@@ -1145,3 +1145,83 @@ def test_generation_crash_recovery_and_legacy_upgrade(engine, spark,
     engine.optimize(DB, "users")
     assert not os.path.exists(os.path.join(tdir, "data"))
     assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
+
+
+def test_rename_column_is_metadata_only(engine, spark, tmp_path):
+    """RENAME COLUMN flips the column mapping, not the data (Delta-style;
+    r4 verdict missing #2: the rewrite was O(table)): same generation dir
+    after the DDL, reads serve the new logical name, subsequent CDC
+    appends land in the old physical column, and a later MODIFY rewrite
+    normalizes the mapping away."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42), (2, "Petr", 33)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    gen_before = engine._data_dir(DB, "users")
+
+    engine.execute_ddl(DB, "ALTER TABLE users RENAME COLUMN name TO fullname")
+    assert engine._data_dir(DB, "users") == gen_before     # no rewrite
+    st = engine.structure(DB, "users")
+    assert st.field("fullname").physical == "name"
+    assert {(r.id, r.fullname) for r in
+            engine.read_final(DB, "users").select("id", "fullname")
+            .collect()} == {(1, "Ivan"), (2, "Petr")}
+
+    # CDC after the rename: payloads stay positional, files get the
+    # physical column, reads map it back
+    log2 = EventLogWriter(str(tmp_path / "log2"))
+    log2._seq = 100
+    log2.add(DB, "users", [(3, "Anya", 25)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
+    assert {(r.id, r.fullname) for r in
+            engine.read_final(DB, "users").select("id", "fullname")
+            .collect()} == {(1, "Ivan"), (2, "Petr"), (3, "Anya")}
+
+    # a MODIFY rewrite normalizes: mapping gone, logical file columns
+    engine.execute_ddl(DB, "ALTER TABLE users MODIFY age bigint")
+    st2 = engine.structure(DB, "users")
+    assert all(f.physical is None for f in st2.fields)
+    raw_cols = spark.read.option("mergeSchema", "true").parquet(
+        engine._data_dir(DB, "users")).columns
+    assert "fullname" in raw_cols and "name" not in raw_cols
+
+
+def test_add_column_does_not_resurrect_renamed_physical(engine, spark,
+                                                        tmp_path):
+    """ADD COLUMN `name` after `name` was renamed away: the stale physical
+    bytes must NOT leak into the new logical column."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    engine.execute_ddl(DB, "ALTER TABLE users RENAME COLUMN name TO fullname")
+    engine.execute_ddl(DB, "ALTER TABLE users ADD COLUMN name varchar(64)")
+
+    st = engine.structure(DB, "users")
+    assert st.field("name").physical not in (None, "name")  # remapped
+    row = engine.read_final(DB, "users").collect()[0]
+    assert row.fullname == "Ivan" and row.name is None
+
+    # and the re-added column is writable
+    log2 = EventLogWriter(str(tmp_path / "log2"))
+    log2._seq = 100
+    log2.add(DB, "users", [(2, "Petr", 33, "P. Petrov")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log2")))
+    got = {(r.id, r.fullname, r.name) for r in
+           engine.read_final(DB, "users")
+           .select("id", "fullname", "name").collect()}
+    assert got == {(1, "Ivan", None), (2, "Petr", "P. Petrov")}
+
+
+def test_optimize_normalizes_column_mapping(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    engine.execute_ddl(DB, "ALTER TABLE users RENAME COLUMN name TO fullname")
+    engine.optimize(DB, "users")
+    st = engine.structure(DB, "users")
+    assert all(f.physical is None for f in st.fields)
+    assert {(r.id, r.fullname) for r in
+            engine.read_final(DB, "users").select("id", "fullname")
+            .collect()} == {(1, "Ivan")}
