@@ -221,7 +221,7 @@ def run_binlog_replicator(args, config: Settings, spark=None,
     read_event_log/stream_event_log accept."""
     from pyspark.sql import functions as F
 
-    from .sources.debezium import debezium_events
+    from .sources.debezium import debezium_events, debezium_schema_events
 
     if not args.envelope_dir:
         raise SystemExit("need to pass --envelope_dir argument")
@@ -242,6 +242,15 @@ def run_binlog_replicator(args, config: Settings, spark=None,
            .text(args.envelope_dir))
 
     def convert(batch, _id):
+        # schema-change envelopes (non-null ddl) become QUERY barrier
+        # events in the same per-db log; apply orders by binlog pos, so
+        # rows-before-DDL flush first exactly like the native log. Row
+        # envelopes have a null ddl and fall out of this branch; schema
+        # envelopes have a null table and fall out of the row branches.
+        ddl = debezium_schema_events(batch)
+        for db in {b[0] for b in branches}:
+            (ddl.where(F.col("db") == db).write.mode("append")
+               .json(os.path.join(root, db)))
         for db, table, st in branches:
             ev = debezium_events(batch, st) \
                 .where((F.col("db") == db) & (F.col("table") == table))

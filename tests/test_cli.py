@@ -211,3 +211,51 @@ def test_ingest_and_apply_streams_compose_e2e(spark, tmp_path):
     got = {(r.id, r.name) for r in
            engine.read_final("shop", "users").drop("_version").collect()}
     assert got == {(i, f"u{i}") for i in range(1, 26)}
+
+
+def test_binlog_replicator_routes_schema_change_envelopes(spark, tmp_path):
+    """A schema-change envelope (non-null ddl) in the same stream becomes
+    a QUERY barrier in the per-db log: rows before it apply to the old
+    structure, the ALTER evolves the table, rows after it carry the new
+    column — the CLI twin of the native DDL pathway."""
+    cfg = _config(tmp_path)
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    engine.create_table("shop", DDL)
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    events = [
+        {"op": "c", "after": {"id": 1, "name": "Ivan"}, "before": None,
+         "ts_ms": 1, "source": {"db": "shop", "table": "users",
+                                "file": "binlog.1", "pos": 10}},
+        {"source": {"db": "shop", "table": None,
+                    "file": "binlog.1", "pos": 20},
+         "ts_ms": 2, "databaseName": "shop",
+         "ddl": "ALTER TABLE users ADD COLUMN city varchar(64)",
+         "tableChanges": []},
+    ]
+    with open(env_dir / "dump.jsonl", "w", encoding="utf-8") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+    args = build_parser().parse_args(
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+    q = run_binlog_replicator(args, cfg, spark=spark,
+                              await_termination=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EVENT_SCHEMA, EVENT_TYPE_QUERY,
+    )
+    log = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(cfg.event_log_dir, "shop"))
+    assert log.where(f"event_type = {EVENT_TYPE_QUERY}").count() == 1
+    engine.apply_batch(log)
+    st = engine.structure("shop", "users")
+    assert [f.name for f in st.fields] == ["id", "name", "city"]
+    got = {tuple(r) for r in
+           engine.read_final("shop", "users").drop("_version").collect()}
+    assert got == {(1, "Ivan", None)}
