@@ -601,13 +601,16 @@ class ReplicaEngine:
         # in the stored meta is now stale — normalize it (optimize and
         # re-snapshot route here; ALTER rewrites also clear their in-memory
         # structure before re-saving)
-        if self.table_exists(db, table):
-            meta = self.load_meta(db, table)
-            if any(f.get("physical")
-                   for f in meta["structure"]["fields"]):
-                for f in meta["structure"]["fields"]:
-                    f["physical"] = None
-                self.save_meta(db, table, meta)
+        self._normalize_column_mapping(db, table)
+
+    def _normalize_column_mapping(self, db: str, table: str) -> None:
+        if not self.table_exists(db, table):
+            return
+        meta = self.load_meta(db, table)
+        if any(f.get("physical") for f in meta["structure"]["fields"]):
+            for f in meta["structure"]["fields"]:
+                f["physical"] = None
+            self.save_meta(db, table, meta)
 
     # -- database-level atomic publish (D14 full analog) --------------------
 
@@ -787,6 +790,7 @@ class ReplicaEngine:
                               os.path.join(dest, f"shard{w}-{fn}"))
             shutil.rmtree(shard_dir)
         self._publish_generation(db, table, new_name)
+        self._normalize_column_mapping(db, table)  # shards wrote logical names
         self.recover_version(db, table)
 
     # -- reads (S7) ---------------------------------------------------------

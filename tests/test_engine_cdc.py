@@ -1225,3 +1225,21 @@ def test_optimize_normalizes_column_mapping(engine, spark, tmp_path):
     assert {(r.id, r.fullname) for r in
             engine.read_final(DB, "users").select("id", "fullname")
             .collect()} == {(1, "Ivan")}
+
+
+def test_sharded_resnapshot_normalizes_column_mapping(engine, spark,
+                                                      tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "Ivan", 42)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    engine.execute_ddl(DB, "ALTER TABLE users RENAME COLUMN name TO fullname")
+    snap = spark.createDataFrame(
+        [(i, f"u{i}", i % 9) for i in range(1, 40)],
+        "id int, fullname string, age int")
+    engine.snapshot_table_sharded(DB, "users", snap, workers=2)
+    st = engine.structure(DB, "users")
+    assert all(f.physical is None for f in st.fields)
+    got = {(r.id, r.fullname) for r in
+           engine.read_final(DB, "users").select("id", "fullname").collect()}
+    assert got == {(i, f"u{i}") for i in range(1, 40)}
