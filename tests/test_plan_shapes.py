@@ -530,3 +530,18 @@ def test_embedding_outlier_sums_broadcast(spark, queries):
     executed = executed_plan_of(queries["embedding_outlier_scores"](spark, SF))
     assert "BroadcastHashJoin" in executed
     assert "SortMergeJoin" not in executed
+
+
+def test_substring_windows_scan_side_hashing(spark, queries):
+    """dedup_substring_windows: window hashing must stay a scan-side
+    explode (no join/cartesian before the frequency agg), reading only
+    doc_id+text."""
+    df = queries["dedup_substring_windows"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    executed = executed_plan_of(df)
+    assert "CartesianProduct" not in executed
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "Generate" in executed          # the explode is the only blow-up
