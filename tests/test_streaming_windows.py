@@ -330,3 +330,51 @@ def test_stream_enrich_picks_up_dim_updates(spark, tmp_path):
         assert rows[11] == "gold"            # fresh attribute after restart
     finally:
         q2.stop()
+
+
+def test_text_pipeline_runs_on_a_stream(spark, tmp_path):
+    """The scan-side text operators (Gopher gate, quality score, PII
+    redaction, token counts) are pure stateless projections, so the SAME
+    column expressions run unchanged under Structured Streaming — the
+    ingest-time filtering shape of a live corpus feed. One micro-batch
+    over a file stream must produce the identical rows as the batch
+    plan."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from mysql_ch_replicator_spark.functions.pii import redact_pii
+    from mysql_ch_replicator_spark.functions.text import (
+        quality_score, token_count_bpe,
+    )
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a solid normal document about spark tables and rows",
+                 "email me at bob@example.org today",
+                 "x"],
+    }).to_parquet(src / "part-0.parquet")
+
+    def project(df):
+        return df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            token_count_bpe(F.col("text")).alias("n_tokens"),
+            redact_pii(F.col("text")).alias("clean"))
+
+    batch_rows = sorted(map(tuple, project(
+        spark.read.parquet(str(src))).collect()))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    q = (project(stream).writeStream.format("memory")
+         .queryName("text_stream_out").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = sorted(map(tuple, spark.sql(
+        "SELECT * FROM text_stream_out").collect()))
+    assert stream_rows == batch_rows
+    assert any("[EMAIL]" in r[3] for r in stream_rows)
