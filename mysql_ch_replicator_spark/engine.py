@@ -111,27 +111,58 @@ def next_gen_name(root: str) -> str:
     return f"data.gen{nxt}"
 
 
-def publish_generation(root: str, new_name: str) -> None:
+#: How long a retired generation's files stay on disk (seconds). A reader
+#: that resolved a generation has this long to finish collecting after a
+#: rewrite retires it — the same contract as Delta's VACUUM retention.
+#: Next-rewrite-only reclamation is NOT enough: back-to-back compactions
+#: (tight supervisor loop, test churn) would shrink the grace window to
+#: milliseconds and break in-flight readers.
+GENERATION_RETENTION_S = 60.0
+
+
+def _retired_entries(g: dict) -> list[dict]:
+    """Normalize manifest retired entries (legacy plain strings → ts 0,
+    i.e. immediately reclaimable)."""
+    out = []
+    for r in g["retired"]:
+        if isinstance(r, str):
+            out.append({"name": r, "ts": 0.0})
+        elif isinstance(r, dict) and "name" in r:
+            out.append({"name": r["name"], "ts": float(r.get("ts", 0.0))})
+    return out
+
+
+def publish_generation(root: str, new_name: str,
+                       retention_s: float = GENERATION_RETENTION_S) -> None:
     """Flip the manifest to ``new_name`` (atomic os.replace), retire the
-    previous current generation, and delete generations retired by EARLIER
-    publishes — readers of the just-retired generation get a full rewrite
-    cycle to finish. Orphan gen dirs (crashed rewrites that never
-    published) are swept too; callers hold the owning lock."""
+    previous current generation, and delete retired generations older than
+    ``retention_s`` — readers of a retired generation get at least that
+    long to finish, however fast rewrites churn. Orphan gen dirs (crashed
+    rewrites that never published) are swept too; callers hold the owning
+    lock."""
+    import time as _time
+
+    now = _time.time()
     g = load_gen_manifest(root)
-    for name in g["retired"]:
-        if name != new_name:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-    live = {new_name, g["current"]}
+    kept: list[dict] = []
+    for r in _retired_entries(g):
+        if r["name"] == new_name:
+            continue
+        if now - r["ts"] >= retention_s:
+            shutil.rmtree(os.path.join(root, r["name"]), ignore_errors=True)
+        elif os.path.exists(os.path.join(root, r["name"])):
+            kept.append(r)
+    live = {new_name, g["current"]} | {r["name"] for r in kept}
     for entry in os.listdir(root):
         if (entry.startswith("data.gen") and entry not in live
                 and os.path.isdir(os.path.join(root, entry))):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-    retired = [g["current"]] if (
-        g["current"] != new_name
-        and os.path.exists(os.path.join(root, g["current"]))) else []
+    if (g["current"] != new_name
+            and os.path.exists(os.path.join(root, g["current"]))):
+        kept.append({"name": g["current"], "ts": now})
     tmp = _gen_manifest_path_of(root) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"current": new_name, "retired": retired}, fh)
+        json.dump({"current": new_name, "retired": kept}, fh)
     os.replace(tmp, _gen_manifest_path_of(root))
 
 
@@ -177,6 +208,9 @@ class ReplicaEngine:
         # same overlap from per-db worker processes, runner.py:176–200).
         # The counters the threads share are guarded by _stats_guard.
         self.apply_parallelism = 8
+        #: retired-generation retention (module default 60 s); tests that
+        #: assert immediate reclamation set it to 0
+        self.generation_retention_s = GENERATION_RETENTION_S
         self._stats_guard = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self.recover_databases()  # finish any interrupted db-level publish
@@ -233,7 +267,8 @@ class ReplicaEngine:
         return next_gen_name(self._table_dir(db, table))
 
     def _publish_generation(self, db: str, table: str, new_name: str) -> None:
-        publish_generation(self._table_dir(db, table), new_name)
+        publish_generation(self._table_dir(db, table), new_name,
+                           retention_s=self.generation_retention_s)
 
     def _data_dir(self, db: str, table: str) -> str:
         return os.path.join(self._table_dir(db, table),
@@ -802,8 +837,13 @@ class ReplicaEngine:
             schema = to_struct_type(st, self.types_mapping)  # incl. _version
             schema = schema.add(OP_COL, "integer", False)
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("mergeSchema", "true") \
-            .parquet(self._data_dir(db, table))
+        # Build (and list) the frame under the table lock: the generation
+        # resolved here cannot be retired mid-listing, and once built the
+        # frame pins concrete file paths that retention keeps alive for
+        # GENERATION_RETENTION_S after any subsequent rewrite.
+        with self.table_lock(db, table):
+            df = self.spark.read.option("mergeSchema", "true") \
+                .parquet(self._data_dir(db, table))
         exprs = []
         for f in st.fields:
             target = spark_type_for(f, self.types_mapping).simpleString()
@@ -888,7 +928,8 @@ class ReplicaEngine:
         os.makedirs(root, exist_ok=True)
         new_name = next_gen_name(root)
         df.write.mode("overwrite").parquet(os.path.join(root, new_name))
-        publish_generation(root, new_name)
+        publish_generation(root, new_name,
+                           retention_s=self.generation_retention_s)
         tmp = self._agg_state_path(db, table, name) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"last_seq": last_seq}, fh)

@@ -846,12 +846,12 @@ def test_sharded_resnapshot_replaces_stale_rows(engine, spark, tmp_path):
     # current generation and (grace window for in-flight readers) the one
     # retired generation
     manifest = engine._load_generations(DB, "users")
-    allowed = {manifest["current"], *manifest["retired"], "data"}
+    retired_names = {r["name"] for r in manifest["retired"]}
+    allowed = {manifest["current"], *retired_names, "data"}
     leftovers = [d for d in os.listdir(parent)
                  if (d.startswith("data.") or d == "data")
                  and d not in allowed]
     assert leftovers == []
-    assert len(manifest["retired"]) <= 1
 
 
 def test_sharded_snapshot_applies_partition_and_index_options(spark, tmp_path):
@@ -1067,6 +1067,7 @@ def test_reader_survives_concurrent_optimize(engine, spark, tmp_path):
     log.remove(DB, "users", [(i,) for i in range(90, 101)])
     engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
 
+    engine.generation_retention_s = 0.0      # immediate-reclaim semantics
     pre = engine.read_final(DB, "users")     # plan + file listing pinned
     pre_raw = engine.read_raw(DB, "users")   # includes superseded versions
     old_dir = engine._data_dir(DB, "users")
@@ -1121,6 +1122,7 @@ def test_generation_crash_recovery_and_legacy_upgrade(engine, spark,
     log.add(DB, "users", [(1, "A", 1), (2, "B", 2)])
     engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
 
+    engine.generation_retention_s = 0.0
     tdir = engine._table_dir(DB, "users")
     # legacy layout: no manifest yet, current resolves to "data"
     assert not os.path.exists(os.path.join(tdir, "_generations.json"))
@@ -1138,7 +1140,7 @@ def test_generation_crash_recovery_and_legacy_upgrade(engine, spark,
     assert manifest["current"].startswith("data.gen")
     assert manifest["current"] != "data.gen7"    # dirty name never reused
     assert not os.path.exists(orphan)            # orphan swept
-    assert manifest["retired"] == ["data"]       # legacy dir retired
+    assert [r["name"] for r in manifest["retired"]] == ["data"]
     assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
 
     # (b) next rewrite reclaims the legacy dir

@@ -109,3 +109,71 @@ def test_enable_optimize_final_false_disables_sweep(spark, tmp_path):
     opt = ReplicaOptimizer(engine, interval=0.0, clock=FakeClock())
     assert opt.due_tables() == []
     assert opt.maybe_optimize() == []
+
+
+def test_concurrent_apply_optimize_and_read(spark, tmp_path):
+    """True thread interleaving over one table: a CDC writer applies 6
+    sequential batches while a compactor loops optimize() and a reader
+    loops read_final().count() — the streaming-thread vs supervisor-thread
+    race the table lock + generation manifest exist for. No batch may be
+    lost to a rewrite window, and no read may crash on vanished files."""
+    import threading
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db", """CREATE TABLE t (
+      id int NOT NULL, v int, PRIMARY KEY (id))""")
+
+    logs = []
+    seq = 0
+    for b in range(6):
+        log = EventLogWriter(str(tmp_path / f"log{b}"))
+        log._seq = seq
+        log.add("db", "t", [(b * 100 + i, b) for i in range(100)])
+        if b:  # update half of the previous batch's keys
+            log.add("db", "t", [((b - 1) * 100 + i, 99) for i in range(50)])
+        seq = log._seq + 1000
+        logs.append(str(tmp_path / f"log{b}"))
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                engine.optimize("db", "t")
+            except BaseException as e:  # noqa: BLE001 - recorded for assert
+                errors.append(e)
+                return
+
+    def reader():
+        while not stop.is_set():
+            try:
+                engine.read_final("db", "t").count()
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=compactor),
+               threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    try:
+        for d in logs:
+            engine.apply_batch(read_event_log(spark, d))
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors
+
+    rows = {r.id: r.v for r in engine.read_final("db", "t").collect()}
+    assert len(rows) == 600
+    for b in range(6):
+        for i in range(100):
+            expect = 99 if (b < 5 and i < 50) else b
+            assert rows[b * 100 + i] == expect, (b, i, rows[b * 100 + i])
