@@ -638,6 +638,21 @@ class ReplicaEngine:
         # structure before re-saving)
         self._normalize_column_mapping(db, table)
 
+    def vacuum(self, db: str, table: str,
+               retention_s: float | None = None) -> None:
+        """Reclaim retired generations older than ``retention_s`` (default:
+        the engine's retention) without publishing a new one — the Delta
+        VACUUM analog for ops that want space back sooner than the next
+        rewrite. ``retention_s=0`` force-reclaims everything retired;
+        in-flight readers older than the chosen window may fail, exactly
+        like an aggressive VACUUM."""
+        with self.table_lock(db, table):
+            root = self._table_dir(db, table)
+            publish_generation(
+                root, load_gen_manifest(root)["current"],
+                retention_s=self.generation_retention_s
+                if retention_s is None else retention_s)
+
     def _normalize_column_mapping(self, db: str, table: str) -> None:
         if not self.table_exists(db, table):
             return

@@ -1245,3 +1245,20 @@ def test_sharded_resnapshot_normalizes_column_mapping(engine, spark,
     got = {(r.id, r.fullname) for r in
            engine.read_final(DB, "users").select("id", "fullname").collect()}
     assert got == {(i, f"u{i}") for i in range(1, 40)}
+
+
+def test_vacuum_reclaims_retired_generations(engine, spark, tmp_path):
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1), (2, "B", 2)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    old_dir = engine._data_dir(DB, "users")
+    engine.optimize(DB, "users")            # retires old_dir (retention 60s)
+    assert os.path.isdir(old_dir)
+    engine.vacuum(DB, "users")              # default retention: kept
+    assert os.path.isdir(old_dir)
+    engine.vacuum(DB, "users", retention_s=0)   # force-reclaim
+    assert not os.path.exists(old_dir)
+    manifest = engine._load_generations(DB, "users")
+    assert manifest["retired"] == []
+    assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
