@@ -70,6 +70,10 @@ class Settings:
     ignore_deletes: bool = False            # db_replicator_realtime.py:152–160
     skip_initial_replication: bool = False  # tests/test_mysql_ch_replicator.py:1081
     initial_replication_threads: int = 1    # db_replicator_initial.py:386
+    # driver threads overlapping per-table write jobs inside one
+    # micro-batch (the reference gets the same overlap from per-db worker
+    # processes, runner.py:176–200); 1 = sequential
+    apply_parallelism: int = 8
 
     # cadence / sizing knobs (BASELINE.md)
     initial_replication_batch_size: int = 50_000  # config.py:138
@@ -270,6 +274,8 @@ class Settings:
             raise ValueError(f"wrong log level {self.log_level!r}")
         if self.initial_replication_threads < 1:
             raise ValueError("initial_replication_threads must be >= 1")
+        if self.apply_parallelism < 1:
+            raise ValueError("apply_parallelism must be >= 1")
         if not isinstance(self.version_initial_value, int) \
                 or self.version_initial_value < 0:
             raise ValueError("version_initial_value must be an int >= 0")

@@ -207,7 +207,8 @@ class ReplicaEngine:
         # loop serializes many small write jobs (the reference gets the
         # same overlap from per-db worker processes, runner.py:176–200).
         # The counters the threads share are guarded by _stats_guard.
-        self.apply_parallelism = 8
+        self.apply_parallelism = (settings.apply_parallelism
+                                  if settings is not None else 8)
         #: retired-generation retention (module default 60 s); tests that
         #: assert immediate reclamation set it to 0
         self.generation_retention_s = GENERATION_RETENTION_S
