@@ -545,3 +545,18 @@ def test_substring_windows_scan_side_hashing(spark, queries):
     assert "CartesianProduct" not in executed
     assert "BroadcastNestedLoopJoin" not in executed
     assert "Generate" in executed          # the explode is the only blow-up
+
+
+def test_mmr_result_is_checkpoint_backed(spark, queries):
+    """ann_mmr_rerank: the greedy rounds run eagerly behind
+    localCheckpoints, so the RETURNED frame must be a bare materialized
+    scan (O(|q|*k) rows, zero recompute of the rounds per downstream
+    action) — collecting it twice must not re-run stage 1. The corpus
+    contract of stage 1 (queries broadcast, corpus unshuffled) is pinned
+    by test_ann_brute_force_no_corpus_shuffle on the shared operator."""
+    df = queries["ann_mmr_rerank"](spark, SF)
+    executed = executed_plan_of(df)
+    assert "Scan ExistingRDD" in executed      # checkpoint-backed
+    assert "Exchange" not in executed
+    assert "FileScan" not in executed          # no re-read of the corpus
+    assert df.count() == 15                    # 3 queries x k=5
