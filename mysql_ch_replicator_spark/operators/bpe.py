@@ -113,3 +113,33 @@ def learn_bpe_merges(docs: DataFrame, text_col: str,
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encode the corpus with a LEARNED merge list — the tokenizer-apply
+    companion of ``learn_bpe_merges``: each word's wrapped-separator
+    representation goes through the merges in priority order (one built-in
+    ``replace`` per merge, literal patterns — pure whole-stage codegen, no
+    joins at all), then per-doc token counts aggregate.
+
+    Left-to-right non-overlapping ``replace`` is exactly greedy BPE
+    within-merge application, identically in Spark and the SQL oracle —
+    the same property the learner leans on. Scale shape: one explode
+    (words) + |merges| chained string replaces scan-side + one doc-keyed
+    aggregate; merges are a static hyperparameter, so plan depth is
+    bounded and NOTHING shuffles except the final per-doc agg.
+
+    Returns (doc_id, n_words, n_tokens_bpe)."""
+    repr0 = F.regexp_replace(F.col("word"), "(.)", SEP + "$1" + SEP)
+    enc = repr0
+    for x, y in merges:
+        enc = F.replace(enc, F.lit(f"{SEP}{x}{SEP}{SEP}{y}{SEP}"),
+                        F.lit(f"{SEP}{x}{y}{SEP}"))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(words(F.col(text_col))).alias("word"))
+            .select("doc_id", F.size(_symbols(enc)).alias("n_sym"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_sym").cast("long").alias("n_tokens_bpe")))

@@ -2488,3 +2488,39 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode; only the hash-frequency agg and count join shuffle."""
     from .operators.dedup import substring_dup_stats
     return substring_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_oracle_sql(merges) -> str:
+    sep = "␟"
+    enc = f"regexp_replace(word, '(.)', '{sep}\\1{sep}', 'g')"
+    for x, y in merges:
+        enc = (f"replace({enc}, '{sep}{x}{sep}{sep}{y}{sep}', "
+               f"'{sep}{x}{y}{sep}')")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    e AS (SELECT doc_id,
+                 len(list_filter(string_split({enc}, '{sep}'),
+                                 s -> s != '')) AS n_sym
+          FROM w)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe
+    FROM e GROUP BY doc_id
+    """
+
+
+_BPE_ENCODE_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+                      ("e", "r")]
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle_sql(_BPE_ENCODE_MERGES))
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (operators/bpe.apply_bpe_merges): encode every doc
+    with a fixed 5-merge BPE list — chained literal replaces over the
+    wrapped-separator word form, zero joins, one doc-keyed aggregate.
+    The companion of bpe_learn_merges: learning produces the merge list,
+    this is the corpus-wide encode pass that consumes it."""
+    from .operators.bpe import apply_bpe_merges
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_bpe_merges(docs, _BPE_ENCODE_MERGES)

@@ -43,3 +43,19 @@ def test_merged_token_does_not_remerge_same_round(spark):
 def test_deterministic(spark):
     texts = ["the quick brown fox", "the lazy dog", "the the the"]
     assert _rows(spark, texts) == _rows(spark, texts)
+
+
+def test_apply_bpe_merges_textbook(spark):
+    """Encode with a known merge list on a crafted corpus: 'the' under
+    [(t,h),(th,e)] collapses to ONE token; merge priority is respected
+    (later merges see earlier merges' output); unmerged words keep
+    char-count tokens."""
+    from mysql_ch_replicator_spark.operators.bpe import apply_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the theme"), (2, "tho")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens_bpe)
+           for r in apply_bpe_merges(
+               docs, [("t", "h"), ("th", "e")]).collect()}
+    # 'the' -> [the] (1); 'theme' -> [the, m, e] (3); 'tho' -> [th, o] (2)
+    assert got == {1: (2, 4), 2: (1, 2)}
