@@ -2260,7 +2260,6 @@ def incremental_sketch_maintenance(spark: SparkSession,
     batches.append((docs.where(F.col("doc_id") % 11 == 0), -1))
 
     sketch = spark.createDataFrame([], "k int, bucket bigint, cnt bigint")
-    live: list = []
     for batch, sign in batches:
         delta = (batch.select(F.explode(words_fn(F.col("text")))
                               .alias("w"))
@@ -2268,15 +2267,13 @@ def incremental_sketch_maintenance(spark: SparkSession,
                          .alias("k", "bucket"))
                  .groupBy("k", "bucket")
                  .agg((F.count(F.lit(1)) * sign).cast("long").alias("cnt")))
+        # eager localCheckpoint: materialize + lineage-cut in one pass
+        # (the incremental_minmax pattern; sketch frames are <= 2048 rows)
         sketch = (sketch.unionByName(delta)
                   .groupBy("k", "bucket")
                   .agg(F.sum("cnt").cast("long").alias("cnt"))
                   .where(F.col("cnt") != 0)
-                  .persist())
-        sketch.count()
-        for f in live:
-            f.unpersist()
-        live = [sketch]
+                  .localCheckpoint())
 
     final = docs.where(F.col("doc_id") % 11 != 0)
     w = final.select(F.explode(words_fn(F.col("text"))).alias("w"))
@@ -2286,10 +2283,7 @@ def incremental_sketch_maintenance(spark: SparkSession,
               .limit(20))
     result = cm_estimate(sketch, probes, "w", depth=4, width=512) \
         .select(F.col("w").alias("word"), "true_count", "est_count")
-    out = spark.createDataFrame(result.collect(), result.schema)
-    for f in live:
-        f.unpersist()
-    return out
+    return spark.createDataFrame(result.collect(), result.schema)
 
 
 # ---------------------------------------------------------------------------
