@@ -212,6 +212,7 @@ class ReplicaEngine:
         #: retired-generation retention (module default 60 s); tests that
         #: assert immediate reclamation set it to 0
         self.generation_retention_s = GENERATION_RETENTION_S
+        self._gen_cache: dict[str, tuple] = {}  # manifest cache (mtime key)
         self._stats_guard = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self.recover_databases()  # finish any interrupted db-level publish
@@ -262,7 +263,24 @@ class ReplicaEngine:
     # listing are invisible to an in-flight reader, never an error.
 
     def _load_generations(self, db: str, table: str) -> dict:
-        return load_gen_manifest(self._table_dir(db, table))
+        # mtime+size-keyed cache: _data_dir is on the hot apply path
+        # (called several times per locked section) and the manifest can
+        # only change through publish_generation, which rewrites the file
+        # (fresh mtime). Stale reads are impossible for lock holders; a
+        # racing reader at worst re-parses. (review r5 #7)
+        root = self._table_dir(db, table)
+        path = _gen_manifest_path_of(root)
+        try:
+            st_ = os.stat(path)
+            key = (st_.st_mtime_ns, st_.st_size)
+        except OSError:
+            key = None
+        cached = self._gen_cache.get(root)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        g = load_gen_manifest(root)
+        self._gen_cache[root] = (key, g)
+        return g
 
     def _next_gen_name(self, db: str, table: str) -> str:
         return next_gen_name(self._table_dir(db, table))
@@ -436,6 +454,16 @@ class ReplicaEngine:
         table = self._target(db, table)[1]
         if not self.table_exists(db, table):
             return
+        # the whole load-structure -> mutate -> save-meta sequence holds
+        # the table lock: a concurrent compaction normalizes the column
+        # mapping (files rewritten to logical names + meta cleared), and
+        # re-saving a stale in-memory mapping over that would make the
+        # renamed column read NULL forever (review r5). RLock, so the
+        # rewrite paths this dispatches into re-enter fine.
+        with self.table_lock(db, table):
+            self._apply_alter_locked(db, table, ops)
+
+    def _apply_alter_locked(self, db: str, table: str, ops) -> None:
         st = self.structure(db, table)
         for op in ops:
             kind = op["op"]
@@ -824,40 +852,48 @@ class ReplicaEngine:
             shard_dirs = list(ex.map(write_shard, range(workers)))
         # Consolidate into a fresh generation dir (rename-only, preserving
         # any partition subdirs), then the same manifest publish as
-        # _overwrite_data.
-        self._recover_data_dir(db, table)  # clears legacy .staging/.old
-        new_name = self._next_gen_name(db, table)
-        new_dir = os.path.join(self._table_dir(db, table), new_name)
-        os.makedirs(new_dir)
-        for w, shard_dir in enumerate(shard_dirs):
-            for sub, _dirs, files in os.walk(shard_dir):
-                rel = os.path.relpath(sub, shard_dir)
-                dest = new_dir if rel == "." else os.path.join(new_dir, rel)
-                for fn in files:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    os.makedirs(dest, exist_ok=True)
-                    os.rename(os.path.join(sub, fn),
-                              os.path.join(dest, f"shard{w}-{fn}"))
-            shutil.rmtree(shard_dir)
-        self._publish_generation(db, table, new_name)
-        self._normalize_column_mapping(db, table)  # shards wrote logical names
-        self.recover_version(db, table)
+        # _overwrite_data — UNDER the table lock, so a concurrent CDC
+        # append cannot land in the old generation between consolidation
+        # and the flip and be silently lost (review r5; _overwrite_data
+        # holds the lock for exactly this window).
+        with self.table_lock(db, table):
+            self._recover_data_dir(db, table)  # clears legacy .staging/.old
+            new_name = self._next_gen_name(db, table)
+            new_dir = os.path.join(self._table_dir(db, table), new_name)
+            os.makedirs(new_dir)
+            for w, shard_dir in enumerate(shard_dirs):
+                for sub, _dirs, files in os.walk(shard_dir):
+                    rel = os.path.relpath(sub, shard_dir)
+                    dest = new_dir if rel == "." \
+                        else os.path.join(new_dir, rel)
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        os.makedirs(dest, exist_ok=True)
+                        os.rename(os.path.join(sub, fn),
+                                  os.path.join(dest, f"shard{w}-{fn}"))
+                shutil.rmtree(shard_dir)
+            self._publish_generation(db, table, new_name)
+            self._normalize_column_mapping(db, table)  # shards wrote logical
+            self.recover_version(db, table)
 
     # -- reads (S7) ---------------------------------------------------------
 
     def read_raw(self, db: str, table: str) -> DataFrame:
-        st = self.structure(db, table)
-        if not self._has_data(db, table):
-            from .schema.type_mapping import to_struct_type
-            schema = to_struct_type(st, self.types_mapping)  # incl. _version
-            schema = schema.add(OP_COL, "integer", False)
-            return self.spark.createDataFrame([], schema)
-        # Build (and list) the frame under the table lock: the generation
-        # resolved here cannot be retired mid-listing, and once built the
-        # frame pins concrete file paths that retention keeps alive for
-        # GENERATION_RETENTION_S after any subsequent rewrite.
+        # Structure AND file listing are taken atomically under the table
+        # lock: the generation resolved here cannot be retired mid-listing,
+        # and the column mapping cannot be normalized between structure
+        # load and listing (a stale mapping against rewritten files would
+        # silently read a renamed column as NULL — review r5). Once built,
+        # the frame pins concrete file paths that retention keeps alive
+        # for GENERATION_RETENTION_S after any subsequent rewrite.
         with self.table_lock(db, table):
+            st = self.structure(db, table)
+            if not self._has_data(db, table):
+                from .schema.type_mapping import to_struct_type
+                schema = to_struct_type(st, self.types_mapping)
+                schema = schema.add(OP_COL, "integer", False)
+                return self.spark.createDataFrame([], schema)
             df = self.spark.read.option("mergeSchema", "true") \
                 .parquet(self._data_dir(db, table))
         exprs = []
@@ -1160,7 +1196,11 @@ class ReplicaEngine:
                 # r4 staging-parquet round-trip, minus its 2 IO jobs per
                 # view per batch); crash repair never relied on the
                 # staged bytes — a seq-watermark mismatch rebuilds from
-                # scratch either way.
+                # scratch either way. Block lifetime: checkpoint storage
+                # is reclaimed by Spark's ContextCleaner once this frame
+                # goes out of scope at batch end (weak-reference cleanup
+                # — unlike CacheManager persists, no explicit unpersist
+                # is needed or possible here).
                 agg_deltas[nm] = d.localCheckpoint()
 
         # K4 — after the collapse each key appears ONCE in this batch, so

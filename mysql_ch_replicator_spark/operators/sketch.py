@@ -58,10 +58,11 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
         .alias("__cm_k", "__cm_bucket"))
     others = [c for c in probes.columns]
     sk = sketch.select(F.col("k").alias("__cm_k"),
-                       F.col("bucket").alias("__cm_bucket"), "cnt")
+                       F.col("bucket").alias("__cm_bucket"),
+                       F.col("cnt").alias("__cm_cnt"))
     return (pb.join(sk, ["__cm_k", "__cm_bucket"], "left")
             .groupBy(*others)
-            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .agg(F.min(F.coalesce(F.col("__cm_cnt"), F.lit(0)))
                  .cast("long").alias("est_count")))
 
 

@@ -2222,7 +2222,10 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in the engine both frames land in parquet between batches; an
         # eager localCheckpoint stands in — materialize + lineage-cut in
         # one pass (the incremental_minmax pattern, 2x the persist+count
-        # form at sf0.1), with storage freed when the frames are GC'd
+        # form at sf0.1). Round checkpoints are reclaimed by Spark's
+        # ContextCleaner when the frames drop out of scope on return
+        # (weak-ref cleanup; CacheManager-style explicit unpersist does
+        # not apply to checkpoint blocks)
         state, agg = state.localCheckpoint(), agg.localCheckpoint()
     # the maintained view is group-cardinality-bounded (one row per
     # event_type) — pin the handful of result rows locally

@@ -132,7 +132,11 @@ def debezium_events(df: DataFrame, structure: TableStructure,
     like the reference skips non-row binlog events."""
     env = F.from_json(F.col(value_col).cast("string"),
                       debezium_envelope_schema(structure))
+    # op.isNotNull(): a schema-change envelope on a combined stream carries
+    # a populated source.table but NO op — without this guard it would
+    # also parse here as a phantom all-NULL ADD row (review r5)
     out = (df.where(F.col(value_col).isNotNull())
+           .where(env["op"].isNotNull())
            .select(
                env["source"]["file"].alias("tx_file"),
                env["source"]["pos"].alias("tx_pos"),

@@ -156,3 +156,38 @@ def test_debezium_ddl_barrier_e2e(spark, tmp_path):
            engine.read_final("shop", "users").drop("_version").collect()}
     assert got == {("Ivan", 1, 42, None), ("Petr", 2, 33, None),
                    ("Anya", 3, 25, "Kazan")}
+
+
+def test_row_adapter_ignores_schema_envelopes_with_table(spark, tmp_path):
+    """A REAL Debezium schema-change envelope carries a populated
+    source.table (unlike the null-table fixtures above): the row adapter
+    must not turn it into a phantom all-NULL ADD — only the schema
+    adapter may consume it."""
+    from mysql_ch_replicator_spark.sources.debezium import (
+        debezium_schema_events,
+    )
+
+    st = parse_create_table(DDL)
+    ddl_env = json.dumps({
+        "source": {"db": "shop", "table": "users",
+                   "file": "mysql-bin.000003", "pos": 500},
+        "ts_ms": 1700000002000, "databaseName": "shop",
+        "ddl": "ALTER TABLE users ADD COLUMN city varchar(64)",
+        "tableChanges": [],
+    })
+    row_env = _dbz("c", 510, after={"name": "Zoe", "id": 9, "age": 20})
+    df = spark.createDataFrame([(ddl_env,), (row_env,)], "value string")
+
+    rows = debezium_events(df, st).collect()
+    assert [r.seq for r in rows] == [510]          # DDL envelope ignored
+    ddls = debezium_schema_events(df).collect()
+    assert [d.seq for d in ddls] == [500]          # row envelope ignored
+
+    # end-to-end: union applies cleanly, no phantom NULL-PK row
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("shop", DDL)
+    engine.apply_batch(debezium_events(df, st)
+                       .unionByName(debezium_schema_events(df)))
+    got = {tuple(r) for r in
+           engine.read_final("shop", "users").drop("_version").collect()}
+    assert got == {("Zoe", 9, 20, None)}

@@ -171,8 +171,8 @@ def test_probe_columns_named_k_bucket_bit_do_not_collide(spark):
     bl = bloom_build(data, "name")
 
     probes = spark.createDataFrame(
-        [("key1", 1, 2, 3, 4), ("nope", 5, 6, 7, 8)],
-        "name string, k int, bucket int, pos int, bit int")
+        [("key1", 1, 2, 3, 4, 5), ("nope", 5, 6, 7, 8, 9)],
+        "name string, k int, bucket int, pos int, bit int, cnt int")
     est = {r.name: r.est_count
            for r in cm_estimate(cm, probes, "name").collect()}
     assert est["key1"] == 10
