@@ -1262,3 +1262,20 @@ def test_vacuum_reclaims_retired_generations(engine, spark, tmp_path):
     manifest = engine._load_generations(DB, "users")
     assert manifest["retired"] == []
     assert _final_rows(engine) == {(1, "A", 1), (2, "B", 2)}
+
+
+def test_generation_cache_sees_other_engines_publishes(engine, spark,
+                                                       tmp_path):
+    """Two engine instances over one replica root (the multi-source
+    deployment): engine B's mtime-keyed manifest cache must pick up a
+    generation published by engine A immediately."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    log.add(DB, "users", [(1, "A", 1)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    other = ReplicaEngine(spark, engine.root)
+    assert other._data_dir(DB, "users") == engine._data_dir(DB, "users")
+    engine.optimize(DB, "users")     # publishes a new generation
+    assert other._data_dir(DB, "users") == engine._data_dir(DB, "users")
+    assert other._data_dir(DB, "users").endswith("data.gen1")
