@@ -692,3 +692,70 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "rank", F.round("cos", 6).alias("cos")))
+
+
+RRF_K = 60              # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000   # integer scale: contribution = SCALE div (K + rank)
+
+
+def hybrid_rrf_search(docs: DataFrame, embeddings: DataFrame,
+                      query_terms: list[str], query_vec_id: int,
+                      k: int = 20, per_list: int = 50,
+                      text_col: str = "text", doc_id_col: str = "doc_id",
+                      vec_col: str = "embedding",
+                      vec_id_col: str = "vec_id") -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009)
+    — the standard fusion of a lexical ranking and a vector ranking
+    (every production RAG stack's default): each list contributes
+    ``SCALE div (K + rank)`` per document (integer arithmetic, so the
+    fused ordering is engine-exact), missing from a list = 0.
+
+    Lexical side: occurrence count of the query terms per doc (the
+    degenerate-but-exact BM25 stand-in — scan-side explode + filter +
+    agg, no index needed). Vector side: exact cosine against the query
+    embedding (``brute_force_topk`` contract: rounded score, id
+    tie-break). Both lists are top-``per_list`` windows; the fused
+    top-``k`` carries both ranks for auditability.
+
+    Scale shape: two scans (corpus text, corpus vectors), each ending in
+    a bounded top-N window; fusion joins two <= per_list-row frames —
+    broadcast territory at any corpus size."""
+    terms = [t.lower() for t in query_terms]
+    from ..functions.hashing import words as words_fn
+
+    lex_scored = (spread(docs)
+                  .select(F.col(doc_id_col).alias("id"),
+                          F.explode(words_fn(F.col(text_col))).alias("w"))
+                  .where(F.col("w").isin(terms))
+                  .groupBy("id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("lex_score")))
+    # distributed top-N first (TakeOrderedAndProject — per-partition heads
+    # merged, never a global sort), THEN rank the <= per_list survivors
+    # with a window whose single partition is bounded by construction
+    lex_top = lex_scored.orderBy(F.col("lex_score").desc(),
+                                 F.col("id")).limit(per_list)
+    wl = Window.orderBy(F.col("lex_score").desc(), F.col("id"))
+    lex = (lex_top.withColumn("lex_rank", F.row_number().over(wl))
+           .select("id", "lex_rank"))
+
+    qv = embeddings.where(F.col(vec_id_col) == query_vec_id) \
+        .select(F.col(vec_id_col).alias("query_id"), vec_col)
+    vec = (brute_force_topk(embeddings, qv, per_list,
+                            vec_col=vec_col, id_col=vec_id_col)
+           .select(F.col("neighbor_id").alias("id"),
+                   F.col("rank").alias("vec_rank")))
+
+    contrib_l = F.when(F.col("lex_rank").isNotNull(),
+                       F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)")) \
+        .otherwise(F.lit(0))
+    contrib_v = F.when(F.col("vec_rank").isNotNull(),
+                       F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rank)")) \
+        .otherwise(F.lit(0))
+    fused = (lex.join(vec, "id", "full_outer")
+             .select("id", "lex_rank", "vec_rank",
+                     (contrib_l + contrib_v).cast("long").alias("rrf")))
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .where(F.col("rank") <= k)
+            .select(F.col("id").alias("doc_id"), "rank", "rrf",
+                    "lex_rank", "vec_rank"))

@@ -2518,3 +2518,65 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import apply_bpe_merges
     docs = load_table(spark, sf_dir, "documents")
     return apply_bpe_merges(docs, _BPE_ENCODE_MERGES)
+
+
+def _rrf_oracle_sql(terms: list[str], qid: int, k: int,
+                    per_list: int) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH lexs AS (
+      SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS lex_score
+      FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+      WHERE w IN ({term_list})
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY lex_score DESC, id)
+                      AS INTEGER) AS lex_rank
+      FROM (SELECT * FROM lexs ORDER BY lex_score DESC, id
+            LIMIT {per_list})
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+    vs AS (
+      SELECT c.vec_id AS id,
+             round({_cos_sql('q.qv', 'c.embedding', _EMB_DIMS)}, 6) AS cos
+      FROM embeddings c, q WHERE c.vec_id <> {qid}
+    ),
+    vec AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+                      AS INTEGER) AS vec_rank
+      FROM (SELECT * FROM vs ORDER BY cos DESC, id LIMIT {per_list})
+    ),
+    fused AS (
+      SELECT COALESCE(lex.id, vec.id) AS doc_id, lex_rank, vec_rank,
+             CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+                  + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT)
+               AS rrf
+      FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS rank,
+           rrf, lex_rank, vec_rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {k}
+    """
+
+
+_RRF_TERMS = ["table", "key", "hash"]
+
+
+@register("hybrid_rrf_search",
+          _rrf_oracle_sql(_RRF_TERMS, qid=0, k=20, per_list=50))
+def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion
+    (operators/similarity.hybrid_rrf_search): term-count lexical top-50
+    (distributed TakeOrdered, no global sort) + exact-cosine top-50 for
+    one query embedding, fused by SCALE div (60 + rank) integer RRF —
+    the production RAG retrieval default, engine-exact."""
+    from .operators.similarity import hybrid_rrf_search
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_search(docs, emb, _RRF_TERMS, query_vec_id=0, k=20,
+                             per_list=50)

