@@ -560,3 +560,17 @@ def test_mmr_result_is_checkpoint_backed(spark, queries):
     assert "Exchange" not in executed
     assert "FileScan" not in executed          # no re-read of the corpus
     assert df.count() == 15                    # 3 queries x k=5
+
+
+def test_hybrid_rrf_uses_distributed_topn(spark, queries):
+    """hybrid_rrf_search: both candidate lists must come from distributed
+    top-N (TakeOrderedAndProject), never a corpus-wide single-partition
+    window; the only SinglePartition windows rank the <= per_list
+    survivors. Corpus text scan pruned to doc_id+text."""
+    df = queries["hybrid_rrf_search"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" not in read_schema
+    executed = executed_plan_of(df)
+    assert "TakeOrderedAndProject" in executed
+    assert "CartesianProduct" not in executed
