@@ -523,3 +523,27 @@ def substring_dup_stats(docs: DataFrame, win: int = 64, stride: int = 32,
             .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
                  F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
                  .cast("long").alias("n_dup_windows")))
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Release diff between two corpus versions — the dataset-versioning
+    audit every training-data pipeline runs before shipping a new crawl:
+    (doc_id, status) with status ∈ added / removed / changed / unchanged,
+    decided by content hash (not text equality — the comparison ships a
+    16-byte digest per side, never the documents themselves).
+
+    Scale shape: each side is one scan projecting (id, md5); the diff is
+    a single full-outer join on the id — no text moves through the
+    shuffle, so the cost is O(|ids|) regardless of document size."""
+    oh = old_docs.select(F.col(id_col).alias("doc_id"),
+                         F.md5(text_col).alias("__old_h"))
+    nh = new_docs.select(F.col(id_col).alias("doc_id"),
+                         F.md5(text_col).alias("__new_h"))
+    return (oh.join(nh, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.when(F.col("__old_h").isNull(), "added")
+                     .when(F.col("__new_h").isNull(), "removed")
+                     .when(F.col("__old_h") != F.col("__new_h"), "changed")
+                     .otherwise("unchanged").alias("status")))

@@ -2580,3 +2580,45 @@ def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_rrf_search(docs, emb, _RRF_TERMS, query_vec_id=0, k=20,
                              per_list=50)
+
+
+@register(
+    "corpus_version_diff",
+    """
+    WITH old_v AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new_v AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 29 = 0
+    )
+    SELECT COALESCE(old_v.doc_id, new_v.doc_id) AS doc_id,
+           CASE WHEN old_v.h IS NULL THEN 'added'
+                WHEN new_v.h IS NULL THEN 'removed'
+                WHEN old_v.h <> new_v.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old_v FULL OUTER JOIN new_v USING (doc_id)
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff (operators/dedup.corpus_diff): the new version
+    drops every 17th doc, edits every 13th, and adds one synthetic doc
+    per 29th — the diff classifies every id by content hash through ONE
+    full-outer join of (id, digest) pairs; document text never shuffles."""
+    from .operators.dedup import corpus_diff
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new_docs = (docs.where(did % 17 != 0)
+                .select("doc_id",
+                        F.when(did % 13 == 0,
+                               F.concat("text", F.lit(" [edited]")))
+                         .otherwise(F.col("text")).alias("text"))
+                .unionByName(
+                    docs.where(did % 29 == 0)
+                    .select((did + 1_000_000).alias("doc_id"),
+                            F.concat(F.lit("new doc "),
+                                     did.cast("string")).alias("text"))))
+    return corpus_diff(docs, new_docs)

@@ -130,3 +130,16 @@ def test_substring_dup_stats_flags_shared_spans(spark):
     assert 4 not in got                          # too short to window
     assert got[3][1] == 0                        # unique: no dup windows
     assert got[1][1] >= 1 and got[2][1] >= 1     # shared span flagged... 
+
+
+def test_corpus_diff_classifies_all_transitions(spark):
+    from mysql_ch_replicator_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
