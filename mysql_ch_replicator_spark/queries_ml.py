@@ -2622,3 +2622,58 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.concat(F.lit("new doc "),
                                      did.cast("string")).alias("text"))))
     return corpus_diff(docs, new_docs)
+
+
+@register(
+    "corpus_audit_report",
+    f"""
+    WITH sig AS (
+      SELECT source, lang,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS h
+      FROM documents
+    ),
+    per_hash AS (
+      SELECT source, lang, h, CAST(COUNT(*) AS BIGINT) AS copies,
+             CAST(SUM(n_tok) AS BIGINT) AS tok, 
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM sig GROUP BY source, lang, h
+    )
+    SELECT source, lang,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(copies - 1) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_texts
+    FROM per_hash
+    GROUP BY source, lang
+    """,
+)
+def corpus_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card audit: per (source, lang) — doc counts, exact
+    token and char totals, normalized-dup count, distinct-text count —
+    everything a corpus release report needs, from ONE scan: a single
+    signal projection feeds a two-level aggregate (hash level, then
+    group level), both map-side combining. No joins, no second pass
+    over the text."""
+    from .functions.text import token_count_bpe
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "source", "lang",
+        token_count_bpe(F.col("text")).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")))
+         .alias("h"))
+    per_hash = (sig.groupBy("source", "lang", "h")
+                .agg(F.count(F.lit(1)).cast("long").alias("copies"),
+                     F.sum("n_tok").cast("long").alias("tok"),
+                     F.sum("n_chars").cast("long").alias("chars")))
+    return (per_hash.groupBy("source", "lang")
+            .agg(F.sum("copies").cast("long").alias("n_docs"),
+                 F.sum("tok").cast("long").alias("total_tokens"),
+                 F.sum("chars").cast("long").alias("total_chars"),
+                 F.sum(F.col("copies") - 1).cast("long").alias("n_dup_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct_texts")))

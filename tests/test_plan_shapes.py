@@ -574,3 +574,14 @@ def test_hybrid_rrf_uses_distributed_topn(spark, queries):
     executed = executed_plan_of(df)
     assert "TakeOrderedAndProject" in executed
     assert "CartesianProduct" not in executed
+
+
+def test_corpus_audit_single_scan_two_aggs(spark, queries):
+    """corpus_audit_report: the dataset-card audit must be ONE text scan
+    feeding a two-level aggregate — no joins, no second pass."""
+    df = queries["corpus_audit_report"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    executed = executed_plan_of(df)
+    assert "Join" not in executed
+    assert executed.count("Exchange") - executed.count("ReusedExchange") <= 3
