@@ -580,8 +580,7 @@ def test_corpus_audit_single_scan_two_aggs(spark, queries):
     """corpus_audit_report: the dataset-card audit must be ONE text scan
     feeding a two-level aggregate — no joins, no second pass."""
     df = queries["corpus_audit_report"](spark, SF)
-    plan = plan_of(df)
-    assert plan.count("Scan parquet") == 1
     executed = executed_plan_of(df)
+    assert executed.count("FileScan") == 1
     assert "Join" not in executed
     assert executed.count("Exchange") - executed.count("ReusedExchange") <= 3
