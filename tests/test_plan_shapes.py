@@ -580,7 +580,9 @@ def test_corpus_audit_single_scan_two_aggs(spark, queries):
     """corpus_audit_report: the dataset-card audit must be ONE text scan
     feeding a two-level aggregate — no joins, no second pass."""
     df = queries["corpus_audit_report"](spark, SF)
-    executed = executed_plan_of(df)
+    # AQE's toString repeats the tree under "== Initial Plan ==" — audit
+    # only the final section
+    executed = executed_plan_of(df).split("== Initial Plan ==")[0]
     assert executed.count("FileScan") == 1
     assert "Join" not in executed
     assert executed.count("Exchange") - executed.count("ReusedExchange") <= 3
