@@ -1279,3 +1279,43 @@ def test_generation_cache_sees_other_engines_publishes(engine, spark,
     engine.optimize(DB, "users")     # publishes a new generation
     assert other._data_dir(DB, "users") == engine._data_dir(DB, "users")
     assert other._data_dir(DB, "users").endswith("data.gen1")
+
+
+def test_parallel_apply_partial_failure_replay_converges(engine, spark,
+                                                         tmp_path):
+    """foreachBatch is at-least-once: if ONE table's write job fails mid
+    parallel fan-out, the batch errors and is replayed wholesale — tables
+    that already committed must skip via their seq replay guard, the
+    failed table must apply, and nothing double-applies."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    tables = ["p0", "p1", "p2", "p3"]
+    for t in tables:
+        engine.create_table(DB, f"""CREATE TABLE {t} (
+          id int NOT NULL, val varchar(32), PRIMARY KEY (id))""")
+        log.add(DB, t, [(1, f"{t}-a"), (2, f"{t}-b")])
+    batch = read_event_log(spark, str(tmp_path / "log"))
+
+    orig = engine._apply_table_rows
+    calls = {"n": 0}
+
+    def flaky(db, table, rows):
+        if table == "p2" and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected write failure")
+        return orig(db, table, rows)
+
+    engine._apply_table_rows = flaky
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected"):
+        engine.apply_batch(batch)
+    # replay (the streaming engine's retry): converges, no duplicates
+    engine.apply_batch(batch)
+    engine._apply_table_rows = orig
+
+    for t in tables:
+        rows = engine.read_final(DB, t).collect()
+        assert {(r.id, r.val) for r in rows} == \
+            {(1, f"{t}-a"), (2, f"{t}-b")}, t
+        # replay guard: versions not double-stamped (raw store has exactly
+        # one row per key)
+        assert engine.read_raw(DB, t).count() == 2, t
