@@ -51,7 +51,7 @@ def register(name: str, oracle: str | None):
 
 
 # The driver's correctness harness records at most ~50 entries of
-# ``queries()`` in iteration order.  With 129 registered queries, iteration
+# ``queries()`` in iteration order.  With 131 registered queries, iteration
 # order decides which queries get a driver-verified CORRECTNESS row each
 # round.  Instead of a hand-maintained list (rounds 3–4), the rotation is
 # now COMPUTED from the driver's own ``CORRECTNESS_r*.json`` history at the
@@ -62,9 +62,9 @@ def register(name: str, oracle: str | None):
 #   3. everything else ascends by the round of its newest green driver row
 #      (never-verified first, then oldest), registration order as the
 #      tie-break.
-# This caps row staleness automatically: with 129 queries / 50 slots the
+# This caps row staleness automatically: with 131 queries / 50 slots the
 # oldest cohort always rotates back in, so no query's newest green row ages
-# past ceil(129/50) ≈ 3 rounds, and any red/never-verified query jumps the
+# past ceil(131/50) ≈ 3 rounds, and any red/never-verified query jumps the
 # queue the round after it appears.
 _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
     # core CDC smoke set — re-verified EVERY round
