@@ -28,6 +28,15 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def norm_text_hash(col: Column) -> Column:
+    """md5 of the case/punctuation-normalized text — THE normalization
+    contract shared by normalized dedup, the curation pipeline, and the
+    corpus audit report (one definition, one SQL twin:
+    ``md5(trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')))``).
+    Change it here and every consumer + oracle moves together."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")))
+
+
 def words(col: Column) -> Column:
     """Lowercased alphanumeric tokens, empties dropped — the tokenizer every
     text operator shares (DuckDB twin: list_filter(regexp_split_to_array(

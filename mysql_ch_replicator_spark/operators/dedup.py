@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from ..cache import transient_persist
 from ..functions.hashing import (
-    h60, lsh_band_keys, md5_hex, minhash_signature, shingles, simhash64, words,
+    h60, lsh_band_keys, md5_hex, minhash_signature, norm_text_hash,
+    shingles, simhash64, words,
 )
 from ..sources.snapshot import spread
 
@@ -189,10 +190,8 @@ def normalized_dedup(docs: DataFrame, text_col: str = "text",
     join back is hash-co-partitioned with the aggregate's exchange.
     Returns (doc_id, dup_of, n_copies, norm_hash) for every doc.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                   "[^a-z0-9]+", " "))
     hashed = docs.select(F.col(id_col).alias("doc_id"),
-                         md5_hex(norm).alias("norm_hash"))
+                         norm_text_hash(F.col(text_col)).alias("norm_hash"))
     keeper = hashed.groupBy("norm_hash").agg(
         F.min("doc_id").alias("dup_of"),
         F.count(F.lit(1)).alias("n_copies"))
@@ -537,13 +536,20 @@ def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
     Scale shape: each side is one scan projecting (id, md5); the diff is
     a single full-outer join on the id — no text moves through the
     shuffle, so the cost is O(|ids|) regardless of document size."""
+    # presence is decided by explicit side markers, NOT by hash
+    # nullability: md5(NULL text) is NULL, and hash-as-presence would
+    # misreport a NULL-text doc present in both versions as 'added'
+    # (review r5). The hash comparison itself is null-safe.
     oh = old_docs.select(F.col(id_col).alias("doc_id"),
-                         F.md5(text_col).alias("__old_h"))
+                         F.md5(text_col).alias("__old_h"),
+                         F.lit(1).alias("__in_old"))
     nh = new_docs.select(F.col(id_col).alias("doc_id"),
-                         F.md5(text_col).alias("__new_h"))
+                         F.md5(text_col).alias("__new_h"),
+                         F.lit(1).alias("__in_new"))
     return (oh.join(nh, "doc_id", "full_outer")
             .select("doc_id",
-                    F.when(F.col("__old_h").isNull(), "added")
-                     .when(F.col("__new_h").isNull(), "removed")
-                     .when(F.col("__old_h") != F.col("__new_h"), "changed")
+                    F.when(F.col("__in_old").isNull(), "added")
+                     .when(F.col("__in_new").isNull(), "removed")
+                     .when(~F.col("__old_h").eqNullSafe(F.col("__new_h")),
+                           "changed")
                      .otherwise("unchanged").alias("status")))

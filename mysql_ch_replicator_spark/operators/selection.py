@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import transient_persist
-from ..functions.hashing import h60, shingles, words
+from ..functions.hashing import h60, norm_text_hash, shingles, words
 
 DSIR_SCALE = 1_000_000  # integer weight scale — exact in both engines
 
@@ -212,8 +212,7 @@ def curation_pipeline(docs: DataFrame, budget_tokens: int,
         punct_ratio(t).alias("__pr"),
         token_count_bpe(t).cast("long").alias("n_tokens"),
         quality_score(t).alias("quality"),
-        F.md5(F.trim(F.regexp_replace(F.lower(t), "[^a-z0-9]+", " ")))
-        .alias("__h"))
+        norm_text_hash(t).alias("__h"))
     gated = base.withColumn(
         "passed_gate",
         gopher_passes(F.col("__nw"), F.col("__mwl"), F.col("__alpha"),

@@ -68,13 +68,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                               F.col(vec_col).alias("cv"))
     scored = c.join(F.broadcast(q),
                     F.col("neighbor_id") != F.col("query_id")) \
-        .withColumn("cos", cosine_expr("qv", "cv"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
+    # rank on the ROUNDED score (the value the oracle ranks on and the
+    # caller receives): ranking on the raw float while emitting the
+    # rounded one leaves a latent cross-engine rank flip whenever two
+    # cosines differ only past 6 dp and id order disagrees (review r5)
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cos", 6).alias("cos")))
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 def plane_components(planes: int, dims: int,

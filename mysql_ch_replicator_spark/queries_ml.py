@@ -2391,9 +2391,9 @@ def _mmr_oracle_sql(k: int = 5, shortlist: int = 20, n_queries: int = 3,
     scored AS (
       SELECT query_id, neighbor_id, cv, rel,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY raw DESC, neighbor_id) AS rk
+                                ORDER BY rel DESC, neighbor_id) AS rk
       FROM (SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding AS cv,
-                   {cos_qc} AS raw, round({cos_qc}, 6) AS rel
+                   round({cos_qc}, 6) AS rel
             FROM embeddings c, q WHERE c.vec_id <> q.query_id)
     ),
     short AS (SELECT query_id, neighbor_id, cv, rel FROM scored
@@ -2659,14 +2659,14 @@ def corpus_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal projection feeds a two-level aggregate (hash level, then
     group level), both map-side combining. No joins, no second pass
     over the text."""
+    from .functions.hashing import norm_text_hash
     from .functions.text import token_count_bpe
     docs = load_table(spark, sf_dir, "documents")
     sig = docs.select(
         "source", "lang",
         token_count_bpe(F.col("text")).cast("long").alias("n_tok"),
         F.length("text").cast("long").alias("n_chars"),
-        F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")))
-         .alias("h"))
+        norm_text_hash(F.col("text")).alias("h"))
     per_hash = (sig.groupBy("source", "lang", "h")
                 .agg(F.count(F.lit(1)).cast("long").alias("copies"),
                      F.sum("n_tok").cast("long").alias("tok"),

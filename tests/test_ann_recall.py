@@ -211,7 +211,7 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     by_id = {r.doc_id: r for r in out}
     # doc 1: lexical rank 1 AND vector rank 1 (closest to query vec) ->
     # fused winner
-    assert out[0].doc_id == 1 if False else by_id[1].rank == 1
+    assert by_id[1].rank == 1
     assert by_id[1].lex_rank == 1 and by_id[1].vec_rank == 1
     assert by_id[1].rrf == 2 * (RRF_SCALE // (RRF_K + 1))
     # doc 2: no lexical hits, vector-only; contribution from one list

@@ -143,3 +143,17 @@ def test_corpus_diff_classifies_all_transitions(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_null_text_uses_presence_not_hash(spark):
+    """md5(NULL) is NULL: presence must come from the join sides, so a
+    NULL-text doc in both versions is 'unchanged', text->NULL is
+    'changed', and NULL->NULL stays comparable (review r5)."""
+    from mysql_ch_replicator_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "text"), (3, None)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
