@@ -314,13 +314,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 F.explode("cells").alias("cell"))
     scored = c.join(F.broadcast(q), "cell") \
         .where(F.col("neighbor_id") != F.col("query_id")) \
-        .withColumn("cos", cosine_expr("qv", "cv"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
+    # rank on the rounded score — the value the oracle ranks on (same
+    # latent cross-engine flip as brute_force_topk, review r5)
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cos", 6).alias("cos")))
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 def lsh_buckets(vec_col, tables: int, planes: int, dims: int) -> Column:
@@ -353,13 +354,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     scored = c.join(F.broadcast(q), "bucket") \
         .where(F.col("neighbor_id") != F.col("query_id")) \
         .dropDuplicates(["query_id", "neighbor_id"]) \
-        .withColumn("cos", cosine_expr("qv", "cv"))
+        .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cos", 6).alias("cos")))
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 # ---------------------------------------------------------------------------
@@ -522,13 +522,12 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     rer = (cands
            .join(cor.select("neighbor_id", "cv"), "neighbor_id")
            .join(F.broadcast(qd.select("query_id", "qv")), "query_id")
-           .withColumn("cos", cosine_expr("qv", "cv")))
+           .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6)))
     w2 = Window.partitionBy("query_id") \
         .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (rer.withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("cos", 6).alias("cos")))
+            .select("query_id", "neighbor_id", "rank", "cos"))
 
 
 OUTLIER_SCALE = 1024  # small quantization scale: keeps n^2*dist in int64
@@ -688,13 +687,14 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
     index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
     scored = (index.join(F.broadcast(qcells), "cell")
               .where(F.col("vec_id") != F.col("query_id"))
-              .withColumn("cos", cosine_expr("qv", "embedding")))
+              .withColumn("cos", F.round(cosine_expr("qv", "embedding"),
+                                         6)))
     w = Window.partitionBy("query_id") \
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "rank", F.round("cos", 6).alias("cos")))
+                    "rank", "cos"))
 
 
 RRF_K = 60              # the standard reciprocal-rank-fusion constant
