@@ -21,6 +21,7 @@ harnesses call it between queries, tests call it in teardown.
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 
 from pyspark.sql import DataFrame
@@ -28,6 +29,10 @@ from pyspark.sql import DataFrame
 TRANSIENT_CACHE_LIMIT = 16
 
 _TRANSIENT: deque[DataFrame] = deque()
+# Operators may run from concurrent threads (engine apply_parallelism pool,
+# multi-threaded bench); registration and eviction must not interleave or
+# the cap can overshoot / an eviction can race a registration (ADVICE r5).
+_TRANSIENT_LOCK = threading.Lock()
 
 
 def transient_persist(df: DataFrame,
@@ -35,16 +40,21 @@ def transient_persist(df: DataFrame,
     """persist() with bounded lifetime: evicts the oldest registered
     transient cache once more than ``limit`` are alive."""
     df.persist()
-    _TRANSIENT.append(df)
-    while len(_TRANSIENT) > limit:
-        _TRANSIENT.popleft().unpersist()
+    evicted: list[DataFrame] = []
+    with _TRANSIENT_LOCK:
+        _TRANSIENT.append(df)
+        while len(_TRANSIENT) > limit:
+            evicted.append(_TRANSIENT.popleft())
+    for old in evicted:  # unpersist outside the lock — it can block on the JVM
+        old.unpersist()
     return df
 
 
 def release_transient_caches() -> int:
     """Unpersist every registered transient cache; returns the count."""
-    n = 0
-    while _TRANSIENT:
-        _TRANSIENT.popleft().unpersist()
-        n += 1
-    return n
+    with _TRANSIENT_LOCK:
+        drained = list(_TRANSIENT)
+        _TRANSIENT.clear()
+    for df in drained:
+        df.unpersist()
+    return len(drained)
