@@ -548,15 +548,19 @@ def embedding_outlier_scores(embeddings: DataFrame,
 
         dist_q = sum_d (n*xq_d - s_d)^2  =  n^2 * ||xq - mean(xq)||^2
 
-    — pure int64 arithmetic both engines compute identically (scale is
-    small so n*xq ~ 2^19 and the 64-dim sum stays far under 2^63).
-    Comparable WITHIN a group (same n^2 factor), which is how outlier
-    ranks are consumed.
+    — exact integer arithmetic both engines compute identically.  The
+    squared terms are accumulated in decimal(38,0), not int64: the
+    worst-case per-dim term is (2*n*scale)^2, which at 64 dims silently
+    wraps int64 around n ~ 2e5 group members (ADVICE r5); decimal(38,0)
+    holds the sum exactly up to n ~ 6e14 per group, far past any real
+    label cohort.  Comparable WITHIN a group (same n^2 factor), which is
+    how outlier ranks are consumed; decimal ordering is exact.
 
     Scale notes: one posexplode + map-side-combining agg builds the
     (group, dim) sums table — |groups| x dims rows, broadcast back onto
     the corpus explode, so the corpus itself never shuffles before its
-    final per-vector aggregation. Returns (vec_id, grp, n, dist_q)."""
+    final per-vector aggregation. Returns (vec_id, grp, n,
+    dist_q decimal(38,0))."""
     base = spread(embeddings).select(
         F.col(id_col).alias("vec_id"),
         (F.col(group_col).alias("grp") if group_col
@@ -567,12 +571,12 @@ def embedding_outlier_scores(embeddings: DataFrame,
     sums = (exploded.groupBy("grp", "d")
             .agg(F.sum("x").alias("s"),
                  F.count(F.lit(1)).alias("n")))
+    diff = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(19,0)")
     return (exploded.join(F.broadcast(sums), ["grp", "d"])
             .groupBy("vec_id", "grp")
             .agg(F.max("n").cast("long").alias("n"),
-                 F.sum((F.col("n") * F.col("x") - F.col("s"))
-                       * (F.col("n") * F.col("x") - F.col("s")))
-                 .cast("long").alias("dist_q")))
+                 F.sum(diff * diff)
+                 .cast("decimal(38,0)").alias("dist_q")))
 
 
 def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -648,6 +652,9 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return sel
 
 
+_IVF_META = "_ivf_meta.json"   # underscore prefix: invisible to parquet scans
+
+
 def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     centroids: list[list[float]] | None = None) -> None:
@@ -656,18 +663,48 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
     once at write, and every probe afterwards reads only
     ``probes/n_cells`` of the data via PARTITION PRUNING (the cell
     predicate never reaches row groups — it prunes whole directories at
-    planning time). The assignment scan is the only full pass."""
+    planning time). The assignment scan is the only full pass.
+
+    The centroids that defined the assignment are persisted WITH the
+    index (``_ivf_meta.json`` beside the partitions — the underscore
+    prefix keeps it out of parquet file listings, the _SUCCESS
+    convention): an index probed with different centroids silently
+    searches the wrong cells, so the index must be self-describing
+    (r5 verdict #4). k-means-trained and default hyperplane indexes
+    round-trip identically."""
+    import json
+    import os
+
     dims = len(corpus.select(vec_col).first()[0])
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, dims, "ivf")
+    cents = [[float(x) for x in c] for c in cents]
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("embedding")),
-        "embedding", n_cells, dims, probes=1, centroids=centroids)
+        "embedding", n_cells, dims, probes=1, centroids=cents)
     (assigned.withColumn("cell", F.element_at("cells", 1)).drop("cells")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, _IVF_META), "w", encoding="utf-8") as fh:
+        json.dump({"n_cells": n_cells, "dims": dims, "centroids": cents},
+                  fh)
+
+
+def read_ivf_meta(path: str) -> dict | None:
+    """The persisted index descriptor, or None for a pre-r6 index dir."""
+    import json
+    import os
+
+    meta = os.path.join(path, _IVF_META)
+    if not os.path.exists(meta):
+        return None
+    with open(meta, encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
-                   n_cells: int = 8, probes: int = 2, dims: int = 64,
+                   n_cells: int | None = None, probes: int = 2,
+                   dims: int | None = None,
                    query_id_col: str = "query_id",
                    vec_col: str = "embedding",
                    centroids: list[list[float]] | None = None) -> DataFrame:
@@ -676,7 +713,33 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
     partition column → PartitionFilters in the parquet scan, zero IO for
     every other cell), then exact cosine top-k within the probed subset.
     Same ranking contract as ``ivf_topk`` (rounded-score window,
-    neighbor-id tie-break)."""
+    neighbor-id tie-break).
+
+    Probe geometry comes from the index's own ``_ivf_meta.json`` when
+    ``centroids`` is None — a probe can never silently use centroids
+    other than the ones that built the assignment; passing centroids
+    (or n_cells/dims) that contradict the persisted descriptor raises
+    instead of returning wrong-cell results (r5 verdict #4)."""
+    meta = read_ivf_meta(path)
+    if meta is not None:
+        if centroids is not None and \
+                [[float(x) for x in c] for c in centroids] \
+                != meta["centroids"]:
+            raise ValueError(
+                f"ivf_index_topk: supplied centroids differ from the ones "
+                f"persisted with the index at {path}; probing with them "
+                f"would search the wrong cells")
+        for name, given, stored in (("n_cells", n_cells, meta["n_cells"]),
+                                    ("dims", dims, meta["dims"])):
+            if given is not None and given != stored:
+                raise ValueError(
+                    f"ivf_index_topk: {name}={given} contradicts the "
+                    f"index descriptor ({name}={stored}) at {path}")
+        centroids = meta["centroids"]
+        n_cells, dims = meta["n_cells"], meta["dims"]
+    # pre-r6 index dirs have no descriptor: keep the historical defaults
+    n_cells = 8 if n_cells is None else n_cells
+    dims = 64 if dims is None else dims
     q = ivf_assign(
         queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv")),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.similarity import plane_components
-from .queries import register, load_table
+from .queries import _pin_result, register, load_table
 from .sources.snapshot import spread
 
 _WORDS_SQL = ("list_filter(regexp_split_to_array(lower(text), "
@@ -1764,11 +1764,13 @@ def incremental_dedup_maintenance(spark: SparkSession,
         # eager localCheckpoint: materialize + lineage-cut in one pass
         # (2x faster per round than persist + forcing count at sf0.1)
         state, agg = state.localCheckpoint(), agg.localCheckpoint()
+    # the keeper table is corpus-cardinality (one row per distinct hash):
+    # pin through scratch parquet, never through the driver (r5 verdict #3)
     result = agg.select(
         "content_hash",
         F.col("n_rows").alias("n_copies"),
         F.col("vmin").cast("bigint").alias("keeper"))
-    return spark.createDataFrame(result.collect(), result.schema)
+    return _pin_result(result, sf_dir, "incr_dedup")
 
 
 @register(
@@ -2283,7 +2285,7 @@ def incremental_sketch_maintenance(spark: SparkSession,
               .limit(20))
     result = cm_estimate(sketch, probes, "w", depth=4, width=512) \
         .select(F.col("w").alias("word"), "true_count", "est_count")
-    return spark.createDataFrame(result.collect(), result.schema)
+    return _pin_result(result, sf_dir, "incr_sketch")
 
 
 # ---------------------------------------------------------------------------
@@ -2361,7 +2363,8 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM e GROUP BY grp, d)
     SELECT e.vec_id, e.grp, CAST(MAX(s.n) AS BIGINT) AS n,
-           CAST(SUM((s.n * e.x - s.s) * (s.n * e.x - s.s)) AS BIGINT)
+           CAST(SUM(CAST(s.n * e.x - s.s AS HUGEINT)
+                    * CAST(s.n * e.x - s.s AS HUGEINT)) AS VARCHAR)
              AS dist_q
     FROM e JOIN s USING (grp, d)
     GROUP BY e.vec_id, e.grp
@@ -2371,12 +2374,15 @@ def embedding_outlier_scores_q(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Per-label distance-to-centroid outlier scores
     (operators/similarity.embedding_outlier_scores): dist_q =
-    n^2*||xq - mean||^2 entirely in int64 (no float centroid), the
+    n^2*||xq - mean||^2 in exact integer arithmetic accumulated in
+    decimal(38,0) (int64 wraps around n~2e5 members — ADVICE r5), the
     (label, dim) sums table broadcasts so the corpus never shuffles
-    before its per-vector aggregation."""
+    before its per-vector aggregation.  dist_q renders as a fixed-point
+    string for the cross-engine hash (HUGEINT on the DuckDB side)."""
     from .operators.similarity import embedding_outlier_scores
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_outlier_scores(emb)
+    return embedding_outlier_scores(emb).withColumn(
+        "dist_q", F.col("dist_q").cast("string"))
 
 
 def _mmr_oracle_sql(k: int = 5, shortlist: int = 20, n_queries: int = 3,

@@ -187,6 +187,43 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path, corpus,
     assert _recall(_neighbors(got), exact) >= 0.3
 
 
+def test_ivf_index_persists_trained_centroids(spark, tmp_path, corpus,
+                                              queries_df):
+    """r5 verdict #4: an index written with TRAINED centroids must be
+    self-describing — a probe that omits them loads the persisted
+    descriptor and searches the write-time cells; a probe supplying
+    DIFFERENT centroids (which would silently scan the wrong cells)
+    raises; matching explicit centroids still work."""
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ivf_index_topk, read_ivf_meta, train_ivf_centroids, write_ivf_index,
+    )
+
+    DIMS = 64
+    trained = train_ivf_centroids(corpus, "embedding", 4, DIMS, iters=2)
+    path = str(tmp_path / "ivf_trained")
+    write_ivf_index(corpus, path, n_cells=4, centroids=trained)
+
+    meta = read_ivf_meta(path)
+    assert meta["n_cells"] == 4 and meta["dims"] == DIMS
+    assert meta["centroids"] == [[float(x) for x in c] for c in trained]
+
+    bare = ivf_index_topk(spark, path, queries_df, K, probes=2)
+    explicit = ivf_index_topk(spark, path, queries_df, K, n_cells=4,
+                              dims=DIMS, probes=2, centroids=trained)
+    assert sorted(map(tuple, bare.collect())) == \
+        sorted(map(tuple, explicit.collect()))
+
+    wrong = [[c + 5.0 for c in cent] for cent in trained]
+    with _pytest.raises(ValueError, match="centroids differ"):
+        ivf_index_topk(spark, path, queries_df, K, n_cells=4,
+                       dims=DIMS, probes=2, centroids=wrong)
+    with _pytest.raises(ValueError, match="contradict"):
+        ivf_index_topk(spark, path, queries_df, K, n_cells=8,
+                       dims=DIMS, probes=2)
+
+
 def test_hybrid_rrf_fuses_both_lists(spark):
     """RRF property check on a crafted corpus: a doc ranked top in BOTH
     lists must out-rank docs present in only one; a doc in neither list

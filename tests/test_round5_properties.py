@@ -117,6 +117,33 @@ def test_embedding_outlier_scores_match_reference(spark):
     assert max(grp5, key=lambda kv: kv[1][2])[0] == 5
 
 
+def test_embedding_outlier_scores_beyond_int64(spark):
+    """ADVICE r5: dist_q = sum_d (n*x - s)^2 wraps int64 around n ~ 2e5
+    members at 64 dims.  One vector at -1 among 200k at +1 makes its
+    distance-to-centroid exceed 2^63; the decimal(38,0) accumulator must
+    return the exact positive value, not a wrapped negative long."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        embedding_outlier_scores,
+    )
+
+    n, dims = 200_001, 64
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            F.when(F.col("id") == 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            for _ in range(dims)
+        ]).cast("array<float>").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    row0 = (embedding_outlier_scores(emb)
+            .where(F.col("vec_id") == 0).collect()[0])
+    s_d = (n - 1) * 1024 + (-1024)          # per-dim sum of quantized comps
+    expect = dims * (n * (-1024) - s_d) ** 2
+    assert expect > 2**63                    # the probe actually overflows
+    assert int(row0.dist_q) == expect
+    assert row0.n == n
+
+
 def test_substring_dup_windows_match_reference(spark):
     from mysql_ch_replicator_spark.operators.dedup import substring_dup_stats
 
