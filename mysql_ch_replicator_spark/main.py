@@ -214,11 +214,13 @@ def run_binlog_replicator(args, config: Settings, spark=None,
     value) into the native event log, one output subdirectory per source
     database — the role the reference's wire-protocol binlog reader plays
     (binlog_replicator.py:364–527), minus the protocol decoding Debezium
-    already did. Structures come from the replica's registered tables;
-    envelopes for unknown tables are dropped exactly like the reference
-    skips non-replicated tables. Exactly-once via the file-source
-    checkpoint; output uses Spark file-sink naming, which
-    read_event_log/stream_event_log accept."""
+    already did. Structures come from the replica's registered tables,
+    re-enumerated every micro-batch so tables created mid-stream (via a
+    routed CREATE TABLE barrier the apply tier has executed) start
+    ingesting without a restart; envelopes for still-unknown tables are
+    dropped exactly like the reference skips non-replicated tables.
+    Exactly-once via the file-source checkpoint; output uses Spark
+    file-sink naming, which read_event_log/stream_event_log accept."""
     from pyspark.sql import functions as F
 
     from .sources.debezium import debezium_events, debezium_schema_events
@@ -229,12 +231,7 @@ def run_binlog_replicator(args, config: Settings, spark=None,
     engine = _engine(spark, config)
     root = _event_root(config)
 
-    branches = []
-    for db in engine.databases():
-        for table in engine.tables(db):
-            st = engine.structure(db, table)
-            branches.append((db, table, st))
-    if not branches:
+    if not any(engine.tables(db) for db in engine.databases()):
         raise SystemExit("no replicated tables registered — create tables "
                          "first (DDL events or ReplicaEngine.create_table)")
 
@@ -247,15 +244,40 @@ def run_binlog_replicator(args, config: Settings, spark=None,
         # rows-before-DDL flush first exactly like the native log. Row
         # envelopes have a null ddl and fall out of this branch; schema
         # envelopes have a null table and fall out of the row branches.
-        ddl = debezium_schema_events(batch)
-        for db in {b[0] for b in branches}:
-            (ddl.where(F.col("db") == db).write.mode("append")
-               .json(os.path.join(root, db)))
-        for db, table, st in branches:
-            ev = debezium_events(batch, st) \
-                .where((F.col("db") == db) & (F.col("table") == table))
-            (ev.write.mode("append")
-               .json(os.path.join(root, db)))
+        #
+        # DDL routes by the envelope's OWN databaseName (ADVICE r5): a
+        # CREATE TABLE for a database with no tables yet must still reach
+        # its per-db log so the apply tier can bootstrap it — only the
+        # config's db-glob filter applies, same as the reference skipping
+        # non-replicated schemas (reference binlog_replicator.py:464–490).
+        batch.persist()
+        try:
+            ddl = debezium_schema_events(batch)
+            ddl_dbs = [r.db for r in ddl.select("db").distinct().collect()
+                       if r.db]
+            for db in ddl_dbs:
+                if not (config.is_database_matches(db)
+                        if config is not None else True):
+                    continue
+                (ddl.where(F.col("db") == db).write.mode("append")
+                   .json(os.path.join(root, db)))
+            # the branch set refreshes EVERY micro-batch: once the apply
+            # tier executes a routed CREATE TABLE barrier, the new
+            # table's row envelopes ingest from the next batch on — no
+            # replicator restart. (Rows in the SAME batch as their
+            # CREATE TABLE still need the apply tier to register the
+            # structure first; Debezium snapshot-reads the table after
+            # DDL, so the re-read covers the gap in production.)
+            for db in engine.databases():
+                for table in engine.tables(db):
+                    st = engine.structure(db, table)
+                    ev = debezium_events(batch, st) \
+                        .where((F.col("db") == db)
+                               & (F.col("table") == table))
+                    (ev.write.mode("append")
+                       .json(os.path.join(root, db)))
+        finally:
+            batch.unpersist()
 
     q = (raw.writeStream.foreachBatch(convert)
          .option("checkpointLocation",

@@ -213,6 +213,61 @@ def test_ingest_and_apply_streams_compose_e2e(spark, tmp_path):
     assert got == {(i, f"u{i}") for i in range(1, 26)}
 
 
+def test_binlog_replicator_ingests_table_created_mid_stream(spark, tmp_path):
+    """ADVICE r5: DDL routes by the envelope's own databaseName (not the
+    stream-start branch set) and branches refresh per micro-batch — a
+    CREATE TABLE for a brand-new database flows to its per-db log, the
+    apply tier bootstraps the table, and the NEXT batch's row envelopes
+    for it are ingested with no replicator restart."""
+    cfg = _config(tmp_path)
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    engine.create_table("shop", DDL)   # pre-existing db so the stream starts
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    # batch 1: CREATE TABLE in a database the replicator has never seen
+    with open(env_dir / "b1.jsonl", "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(
+            {"source": {"db": "newdb", "table": None,
+                        "file": "binlog.9", "pos": 5},
+             "ts_ms": 1, "databaseName": "newdb",
+             "ddl": "CREATE TABLE items (id int NOT NULL, sku varchar(32),"
+                    " PRIMARY KEY (id))",
+             "tableChanges": []}) + "\n")
+
+    args = build_parser().parse_args(
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+    q = run_binlog_replicator(args, cfg, spark=spark,
+                              await_termination=False)
+    from mysql_ch_replicator_spark.sources.event_log import EVENT_SCHEMA
+    try:
+        q.processAllAvailable()
+        # the DDL barrier reached newdb's log despite newdb ∉ branches
+        log1 = spark.read.schema(EVENT_SCHEMA).json(
+            os.path.join(cfg.event_log_dir, "newdb"))
+        assert log1.count() == 1
+        engine.apply_batch(log1)          # apply tier registers the table
+        assert "items" in engine.tables("newdb")
+
+        # batch 2: row envelopes for the mid-stream table now ingest
+        with open(env_dir / "b2.jsonl", "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(
+                {"op": "c", "after": {"id": 7, "sku": "ab-7"},
+                 "before": None, "ts_ms": 2,
+                 "source": {"db": "newdb", "table": "items",
+                            "file": "binlog.9", "pos": 15}}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    log2 = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(cfg.event_log_dir, "newdb"))
+    engine.apply_batch(log2)
+    got = {(r.id, r.sku) for r in
+           engine.read_final("newdb", "items").drop("_version").collect()}
+    assert got == {(7, "ab-7")}
+
+
 def test_binlog_replicator_routes_schema_change_envelopes(spark, tmp_path):
     """A schema-change envelope (non-null ddl) in the same stream becomes
     a QUERY barrier in the per-db log: rows before it apply to the old
