@@ -133,16 +133,19 @@ def _retired_entries(g: dict) -> list[dict]:
 
 
 def publish_generation(root: str, new_name: str,
-                       retention_s: float = GENERATION_RETENTION_S) -> None:
+                       retention_s: float = GENERATION_RETENTION_S,
+                       now: float | None = None) -> None:
     """Flip the manifest to ``new_name`` (atomic os.replace), retire the
     previous current generation, and delete retired generations older than
     ``retention_s`` — readers of a retired generation get at least that
     long to finish, however fast rewrites churn. Orphan gen dirs (crashed
     rewrites that never published) are swept too; callers hold the owning
-    lock."""
+    lock. ``now`` is injectable so a scheduler's clock drives retention
+    decisions consistently (ReplicaOptimizer.maybe_vacuum)."""
     import time as _time
 
-    now = _time.time()
+    if now is None:
+        now = _time.time()
     g = load_gen_manifest(root)
     kept: list[dict] = []
     for r in _retired_entries(g):
@@ -668,19 +671,22 @@ class ReplicaEngine:
         self._normalize_column_mapping(db, table)
 
     def vacuum(self, db: str, table: str,
-               retention_s: float | None = None) -> None:
+               retention_s: float | None = None,
+               now: float | None = None) -> None:
         """Reclaim retired generations older than ``retention_s`` (default:
         the engine's retention) without publishing a new one — the Delta
         VACUUM analog for ops that want space back sooner than the next
         rewrite. ``retention_s=0`` force-reclaims everything retired;
         in-flight readers older than the chosen window may fail, exactly
-        like an aggressive VACUUM."""
+        like an aggressive VACUUM. ``now`` is the scheduler-injectable
+        clock reading (defaults to wall time)."""
         with self.table_lock(db, table):
             root = self._table_dir(db, table)
             publish_generation(
                 root, load_gen_manifest(root)["current"],
                 retention_s=self.generation_retention_s
-                if retention_s is None else retention_s)
+                if retention_s is None else retention_s,
+                now=now)
 
     def _normalize_column_mapping(self, db: str, table: str) -> None:
         if not self.table_exists(db, table):

@@ -115,31 +115,74 @@ def learn_bpe_merges(docs: DataFrame, text_col: str,
     return out
 
 
-def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str]],
-                     text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Encode the corpus with a LEARNED merge list — the tokenizer-apply
-    companion of ``learn_bpe_merges``: each word's wrapped-separator
-    representation goes through the merges in priority order (one built-in
-    ``replace`` per merge, literal patterns — pure whole-stage codegen, no
-    joins at all), then per-doc token counts aggregate.
+#: Merge-chain length kept in ONE projection. Below this the encode is a
+#: zero-join scan-side chain; above it the chain is segmented over the
+#: vocab table with a checkpoint per segment (plan depth stays O(segment),
+#: materialization stays vocab-sized). 64 keeps the generated code well
+#: under janino's 64KB method limit.
+APPLY_SEGMENT = 64
 
-    Left-to-right non-overlapping ``replace`` is exactly greedy BPE
-    within-merge application, identically in Spark and the SQL oracle —
-    the same property the learner leans on. Scale shape: one explode
-    (words) + |merges| chained string replaces scan-side + one doc-keyed
-    aggregate; merges are a static hyperparameter, so plan depth is
-    bounded and NOTHING shuffles except the final per-doc agg.
 
-    Returns (doc_id, n_words, n_tokens_bpe)."""
-    repr0 = F.regexp_replace(F.col("word"), "(.)", SEP + "$1" + SEP)
-    enc = repr0
+def _chain_merges(enc, merges: list[tuple[str, str]]):
     for x, y in merges:
         enc = F.replace(enc, F.lit(f"{SEP}{x}{SEP}{SEP}{y}{SEP}"),
                         F.lit(f"{SEP}{x}{y}{SEP}"))
-    return (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(words(F.col(text_col))).alias("word"))
-            .select("doc_id", F.size(_symbols(enc)).alias("n_sym"))
+    return enc
+
+
+def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     segment: int = APPLY_SEGMENT) -> DataFrame:
+    """Encode the corpus with a LEARNED merge list — the tokenizer-apply
+    companion of ``learn_bpe_merges``: each word's wrapped-separator
+    representation goes through the merges in priority order (one built-in
+    ``replace`` per merge, literal patterns), then per-doc token counts
+    aggregate.
+
+    Left-to-right non-overlapping ``replace`` is exactly greedy BPE
+    within-merge application, identically in Spark and the SQL oracle —
+    the same property the learner leans on.
+
+    Scale shape, two regimes (r5 verdict #7 — plan depth used to grow
+    unboundedly with |merges|):
+
+    - ``len(merges) <= segment``: one explode + chained replaces in a
+      single whole-stage-codegen projection + one doc-keyed aggregate —
+      zero joins, nothing shuffles except the final agg.
+    - larger merge lists (real tokenizers run 30k+): the chain runs over
+      the DISTINCT-WORD table instead of the occurrence stream — the
+      learner's working-set trick — segmented ``segment`` merges per
+      projection with an eager ``localCheckpoint`` between segments, so
+      both expression depth and generated-method size are bounded by
+      ``segment`` while each materialization is vocab-sized, never
+      corpus-sized. Occurrences then join the per-word symbol count on
+      the word key (one extra shuffle — the price of a bounded plan,
+      paid only in the big-vocab regime).
+
+    Returns (doc_id, n_words, n_tokens_bpe)."""
+    repr0 = F.regexp_replace(F.col("word"), "(.)", SEP + "$1" + SEP)
+    occurrences = docs.select(F.col(id_col).alias("doc_id"),
+                              F.explode(words(F.col(text_col))).alias("word"))
+    if len(merges) <= segment:
+        enc = _chain_merges(repr0, merges)
+        return (occurrences
+                .select("doc_id", F.size(_symbols(enc)).alias("n_sym"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                     F.sum("n_sym").cast("long").alias("n_tokens_bpe")))
+    counts = (occurrences.groupBy("doc_id", "word")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    vocab = counts.select("word").distinct() \
+        .withColumn("enc", repr0)
+    for lo in range(0, len(merges), segment):
+        vocab = vocab.withColumn(
+            "enc", _chain_merges(F.col("enc"), merges[lo:lo + segment]))
+        if lo + segment < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+    syms = vocab.select("word", F.size(_symbols(F.col("enc"))).alias("n_sym"))
+    return (counts.join(syms, "word")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
-                 F.sum("n_sym").cast("long").alias("n_tokens_bpe")))
+            .agg(F.sum("cnt").cast("long").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("n_sym"))
+                  .cast("long").alias("n_tokens_bpe")))

@@ -111,17 +111,22 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
     workloads.
     """
     # pairs is typically the tail of an expensive candidate+verify pipeline;
-    # pin it before the bidirectional union or that pipeline runs TWICE
-    pairs = pairs.persist()
+    # pin it before the bidirectional union or that pipeline runs TWICE.
+    # Eager localCheckpoint materializes AND truncates the lineage in one
+    # job (the r5 maintenance-loop pattern — ~2x a persist + forcing
+    # count), so the sizing count below scans cached blocks only.
+    pairs = pairs.localCheckpoint()
     if num_partitions is None:
-        # pairs.count() is served from the persist the loop needs anyway,
-        # so sizing costs one cheap job, not a rescan of the pipeline.
         num_partitions = closure_partitions(pairs.count() * 2,
                                             pairs.sparkSession)
+    # no distinct: verified pairs are unique (a < b), so the two union
+    # branches cannot collide — and even a caller passing duplicate pairs
+    # only duplicates rows under min-aggregations, never changes them.
+    # Dropping it removes a full shuffle of the edge set (r5 verdict #6).
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .union(pairs.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst")))
-             .distinct().repartition(num_partitions, "src").persist())
+             .repartition(num_partitions, "src").persist())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id")).localCheckpoint())
     for round_no in range(max_iter):
@@ -151,7 +156,8 @@ def connected_components(pairs: DataFrame, all_ids: DataFrame,
         if converged:
             break
     edges.unpersist()
-    pairs.unpersist()
+    # pairs' checkpoint blocks are reclaimed by the ContextCleaner once the
+    # frame goes out of scope (checkpoints have no explicit unpersist)
     return (all_ids.join(labels.select(F.col("id").alias("doc_id"), "lbl"),
                          "doc_id", "left")
             .select("doc_id",
@@ -553,3 +559,56 @@ def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
                      .when(~F.col("__old_h").eqNullSafe(F.col("__new_h")),
                            "changed")
                      .otherwise("unchanged").alias("status")))
+
+
+def source_similarity_matrix(docs: DataFrame, shingle_n: int = 3,
+                             text_col: str = "text",
+                             source_col: str = "source") -> DataFrame:
+    """Pairwise shingle-set Jaccard between SOURCES — the corpus-level
+    overlap diagnostic run before mixing datasets (two crawls sharing
+    most of their shingles should not both be upweighted; a near-zero
+    overlap validates a claimed-independent source).
+
+    Set algebra on distinct (source, shingle-hash) postings:
+    |A∩B| comes from the posting self-join on the hash, |A∪B| from
+    per-source set sizes (|A|+|B|-|A∩B|), and jaccard6 =
+    1e6*inter div union is integer-exact in both engines. Every source
+    pair appears exactly once (src_a < src_b), including zero-overlap
+    pairs.
+
+    Scale shape: one scan explodes shingles into a distinct posting list
+    (the dedup-family staging shuffle); the self-join is co-partitioned
+    on the hash, and its fan-out per hash is bounded by the SOURCE count
+    (not the corpus) since postings are per-source distinct — with S
+    sources a hash contributes at most S(S-1)/2 pair rows, so the pair
+    aggregate is S^2-bounded however large the corpus grows. Designed
+    for the source-level regime (S in the tens-to-hundreds); per-DOC
+    overlap at scale is the MinHash family's job."""
+    posting = (spread(docs)
+               .select(F.col(source_col).alias("src"),
+                       F.explode(shingles(words(F.col(text_col)), shingle_n))
+                        .alias("g"))
+               .select("src", h60(F.col("g")).alias("gh"))
+               .distinct())
+    posting = transient_persist(posting)
+    sizes = posting.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = posting.select(F.col("src").alias("src_a"), "gh")
+    b = posting.select(F.col("src").alias("src_b"), "gh")
+    inter = (a.join(b, "gh")
+             .where(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("inter")))
+    all_pairs = (sizes.select(F.col("src").alias("src_a"),
+                              F.col("n_sh").alias("n_a"))
+                 .join(sizes.select(F.col("src").alias("src_b"),
+                                    F.col("n_sh").alias("n_b")),
+                       F.col("src_a") < F.col("src_b")))
+    return (all_pairs.join(inter, ["src_a", "src_b"], "left")
+            .select("src_a", "src_b",
+                    F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+                    (F.col("n_a") + F.col("n_b")
+                     - F.coalesce("inter", F.lit(0))).cast("long")
+                    .alias("uni"))
+            .withColumn("jaccard6",
+                        F.expr("CASE WHEN uni = 0 THEN 0 "
+                               "ELSE 1000000 * inter div uni END")))

@@ -1,0 +1,92 @@
+"""Lexical retrieval — full BM25 (Robertson/Sparck Jones) top-k over the
+corpus, in EXACT integer arithmetic.
+
+The repo's hybrid RRF query (similarity.hybrid_rrf_search) uses a
+degenerate occurrence-count lexical arm; this is the real scorer a
+production retrieval stack runs, kept engine-exact the same way the
+TF-IDF query is (queries_ml.tfidf_top_terms): every float in the classic
+formula is replaced by an integer-scaled rational, so Spark and any SQL
+engine rank identically — float ln()/division differ in the last ulp
+across runtimes and flip rankings at near-ties.
+
+With k1 = 1.2 and b = 0.75 (the standard defaults), N docs, TL total
+tokens, per-doc length dl and per-(doc,term) frequency tf:
+
+    idf       = ln((N - df + 0.5)/(df + 0.5) + 1)      -- classic, floats
+    idf6      = (1e6 * (2*(N - df) + 1)) div (2*df + 1)
+                 -- the EXACT rational (N-df+0.5)/(df+0.5) scaled 1e6;
+                 -- ln is monotone, and per-term ordering is all the sum
+                 -- needs to stay deterministic, so the rational form
+                 -- keeps BM25's df-ordering without any float
+    tf-part   = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/TL))
+    tfn6      = (1e6 * 22*tf*TL) div (10*TL*tf + 3*TL + 9*dl*N)
+                 -- multiply num/den by 10*TL: every operand integral
+    score     = sum over query terms of idf6 * tfn6    -- decimal(38,0)
+
+The products run in decimal(38,0) (HUGEINT on a DuckDB oracle): at a
+100 TB corpus TL ~ 1e13 pushes the tfn6 numerator past int64, and
+idf6*tfn6 past it again (the embedding_outlier_scores lesson — ADVICE
+r5).  Determinism note: this is a *variant* scoring (rational idf, not
+ln-idf); it is documented as such and identical in both engines, which
+is the property the oracle gate checks.
+
+Scale shape: tokenization is a scan-side explode; tf filters to the
+query's terms BEFORE its (doc,term) aggregate, so the posting shuffle
+carries query-term rows only; df aggregates the (already tiny) tf
+table; N/TL ride along as a broadcast one-row frame (zero driver
+round-trips); the final top-k is a TakeOrderedAndProject after a
+bounded per-doc sum."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import words
+from ..sources.snapshot import spread
+
+BM25_SCALE = 1_000_000
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents for a term query under integer-exact BM25.
+
+    Returns (doc_id, score, rank); ``score`` is decimal(38,0) — the
+    1e12-scaled sum of idf6*tfn6 contributions — ordered descending with
+    doc_id breaking ties."""
+    terms = sorted({t.lower() for t in query_terms})
+    tok = spread(docs).select(F.col(id_col).alias("doc_id"),
+                              F.explode(words(F.col(text_col))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    n_tl = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n")).crossJoin(
+        tok.agg(F.count(F.lit(1)).cast("long").alias("tl")))
+    tf = (tok.where(F.col("term").isin(terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    dec = "decimal(38,0)"
+    idf6 = F.expr(
+        f"CAST({BM25_SCALE} AS {dec}) * CAST(2*(n - df) + 1 AS {dec}) "
+        f"div CAST(2*df + 1 AS {dec})")
+    tfn6 = F.expr(
+        f"CAST({BM25_SCALE} AS {dec}) * CAST(22 AS {dec}) "
+        f"* CAST(tf AS {dec}) * CAST(tl AS {dec}) "
+        f"div (CAST(10 AS {dec})*CAST(tl AS {dec})*CAST(tf AS {dec}) "
+        f"+ CAST(3 AS {dec})*CAST(tl AS {dec}) "
+        f"+ CAST(9 AS {dec})*CAST(dl AS {dec})*CAST(n AS {dec}))")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(n_tl))
+              .withColumn("idf6", idf6)
+              .withColumn("tfn6", tfn6)
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("idf6").cast(dec) * F.col("tfn6").cast(dec))
+                   .cast(dec).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "score", "rank"))

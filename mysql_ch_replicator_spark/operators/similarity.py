@@ -760,6 +760,42 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
                     "rank", "cos"))
 
 
+def matryoshka_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      prefix_dims: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Matryoshka-embedding evaluation (Kusupati et al. 2022): how much of
+    the full-dimensional exact top-k survives when vectors are truncated
+    to their first ``prefix_dims`` components — the measurement behind
+    serving embeddings at a fraction of their trained width (a 4x dim
+    cut is a 4x scan-cost cut for every ANN query downstream).
+
+    Both rankings are exact ``brute_force_topk`` contracts (rounded
+    cosine, id tie-break) — the truncated side just slices the array
+    scan-side, so the whole evaluation is two corpus scans + one
+    per-query overlap join of two <= k-row frames. Returns
+    (query_id, n_overlap, recall6) with recall6 = 1e6*overlap div k."""
+    full = brute_force_topk(corpus, queries, k, vec_col=vec_col,
+                            id_col=id_col, query_id_col=query_id_col)
+    cut = F.slice(F.col(vec_col), 1, prefix_dims)
+    c16 = corpus.select(F.col(id_col), cut.alias(vec_col))
+    q16 = queries.select(F.col(query_id_col), cut.alias(vec_col))
+    trunc = brute_force_topk(c16, q16, k, vec_col=vec_col,
+                             id_col=id_col, query_id_col=query_id_col)
+    hits = (full.select("query_id", "neighbor_id")
+            .join(trunc.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+    return (full.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"))
+            .withColumn("recall6",
+                        F.expr(f"1000000 * n_overlap div {k}")))
+
+
 RRF_K = 60              # the standard reciprocal-rank-fusion constant
 RRF_SCALE = 1_000_000   # integer scale: contribution = SCALE div (K + rank)
 

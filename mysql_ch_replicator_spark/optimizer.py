@@ -79,3 +79,37 @@ class ReplicaOptimizer:
             self.engine.save_meta(db, table, meta)
             done.append((db, table))
         return done
+
+    def vacuum_due_tables(self) -> list[tuple[str, str]]:
+        """Tables with at least one retired generation past the engine's
+        retention window. Without a cadence hook, retired generations are
+        reclaimed only by the NEXT rewrite — a long-lived supervisor whose
+        tables stop churning accumulates them forever (r5 verdict #5).
+        The check is one manifest read per table (same cost class as the
+        ``due_tables`` meta read) and self-clears: once ``vacuum``
+        reclaims the expired entries the table stops being due."""
+        from .engine import _retired_entries, load_gen_manifest
+
+        now = self.clock()
+        due = []
+        for db in self.engine.databases():
+            for table in self.engine.tables(db):
+                if not self._matches(db, table):
+                    continue
+                g = load_gen_manifest(self.engine._table_dir(db, table))
+                if any(now - r["ts"] >= self.engine.generation_retention_s
+                       for r in _retired_entries(g)):
+                    due.append((db, table))
+        return due
+
+    def maybe_vacuum(self) -> list[tuple[str, str]]:
+        """Reclaim expired retired generations on the scheduler cadence —
+        the VACUUM half of the reference's db_optimizer loop (reference
+        db_optimizer.py:71–80 runs OPTIMIZE on a timer; parquet needs the
+        file-reclaim sweep on one too). In-flight readers are unaffected:
+        only generations already past the retention grace are deleted."""
+        done = []
+        for db, table in self.vacuum_due_tables():
+            self.engine.vacuum(db, table, now=self.clock())
+            done.append((db, table))
+        return done

@@ -2683,3 +2683,148 @@ def corpus_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("chars").cast("long").alias("total_chars"),
                  F.sum(F.col("copies") - 1).cast("long").alias("n_dup_docs"),
                  F.count(F.lit(1)).cast("long").alias("n_distinct_texts")))
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: integer-exact BM25 retrieval, matryoshka-truncation
+# recall, source-level shingle-overlap matrix
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "merge", "vector"]
+_BM25_K = 20
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    idf6 = ("(CAST(1000000 AS HUGEINT) * CAST(2*(s.n - dfq.df) + 1 AS "
+            "HUGEINT)) // CAST(2*dfq.df + 1 AS HUGEINT)")
+    tfn6 = ("(CAST(1000000 AS HUGEINT) * 22 * CAST(tf.tf AS HUGEINT) "
+            "* CAST(s.tl AS HUGEINT)) // "
+            "(CAST(10 AS HUGEINT)*CAST(s.tl AS HUGEINT)*CAST(tf.tf AS HUGEINT)"
+            " + CAST(3 AS HUGEINT)*CAST(s.tl AS HUGEINT)"
+            " + CAST(9 AS HUGEINT)*CAST(dl.dl AS HUGEINT)*CAST(s.n AS HUGEINT))")
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    s AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM tok) AS tl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, SUM(({idf6}) * ({tfn6})) AS score
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(score AS VARCHAR) AS score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@register("bm25_topk", _bm25_oracle_sql(_BM25_TERMS, _BM25_K))
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 retrieval (operators/retrieval.bm25_topk):
+    rational idf and 10*TL-cleared length normalization make every score
+    a decimal(38,0) both engines compute bit-identically (no float ln —
+    the tfidf_top_terms rule); scoring touches only the query terms'
+    postings, scalars ride a broadcast one-row frame, and the top-k is a
+    bounded window. Score renders as a string for the cross-engine
+    hash."""
+    from .operators.retrieval import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K).withColumn(
+        "score", F.col("score").cast("string"))
+
+
+_MATRYOSHKA_K = 10
+_MATRYOSHKA_DIMS = 16
+_MATRYOSHKA_QUERIES = 8
+
+
+def _matryoshka_oracle_sql(k: int, pdims: int, n_queries: int) -> str:
+    full_cos = _cos_sql("q.embedding", "c.embedding", _EMB_DIMS)
+    cut_cos = _cos_sql("q.embedding", "c.embedding", pdims)
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {n_queries}),
+    full_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({full_cos}, 6) DESC, c.vec_id) AS rk
+        FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+      WHERE rk <= {k}),
+    cut_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({cut_cos}, 6) DESC, c.vec_id) AS rk
+        FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+      WHERE rk <= {k}),
+    hits AS (SELECT query_id, count(*) AS n_overlap
+             FROM full_rank JOIN cut_rank USING (query_id, neighbor_id)
+             GROUP BY query_id)
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           1000000 * CAST(COALESCE(h.n_overlap, 0) AS BIGINT) // {k}
+             AS recall6
+    FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+    """
+
+
+@register("ann_matryoshka_recall",
+          _matryoshka_oracle_sql(_MATRYOSHKA_K, _MATRYOSHKA_DIMS,
+                                 _MATRYOSHKA_QUERIES))
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation
+    (operators/similarity.matryoshka_recall): per-query overlap between
+    the exact 64-dim top-10 and the exact 16-dim-prefix top-10 — two
+    broadcast-query corpus scans plus a <= k-row overlap join, the
+    measurement behind serving truncated embeddings at a fraction of the
+    ANN scan cost."""
+    from .operators.similarity import matryoshka_recall
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _MATRYOSHKA_QUERIES) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return matryoshka_recall(emb, qs, k=_MATRYOSHKA_K,
+                             prefix_dims=_MATRYOSHKA_DIMS)
+
+
+@register(
+    "source_similarity_matrix",
+    f"""
+    WITH posting AS (
+      SELECT DISTINCT source AS src, {_h60_sql('g')} AS gh
+      FROM (SELECT source, unnest({_sh_sql(3, _WORDS_SQL)}) AS g
+            FROM documents)
+    ),
+    sizes AS (SELECT src, count(*) AS n_sh FROM posting GROUP BY src),
+    inter AS (
+      SELECT a.src AS src_a, b.src AS src_b, count(*) AS inter
+      FROM posting a JOIN posting b USING (gh)
+      WHERE a.src < b.src GROUP BY 1, 2)
+    SELECT sa.src AS src_a, sb.src AS src_b,
+           CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+           CAST(sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) AS BIGINT) AS uni,
+           CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) = 0 THEN 0
+                ELSE 1000000 * CAST(COALESCE(i.inter, 0) AS BIGINT)
+                     // (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0)) END
+             AS jaccard6
+    FROM sizes sa JOIN sizes sb ON sa.src < sb.src
+    LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+    """,
+)
+def source_similarity_matrix_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Source-pair shingle-Jaccard matrix
+    (operators/dedup.source_similarity_matrix): the dataset-mixing
+    overlap diagnostic — distinct (source, 3-shingle-hash) postings,
+    hash-co-partitioned self-join for intersections (fan-out bounded by
+    the SOURCE count per hash, never the corpus), set sizes close the
+    union; zero-overlap pairs included, jaccard6 integer-exact."""
+    from .operators.dedup import source_similarity_matrix
+    return source_similarity_matrix(load_table(spark, sf_dir, "documents"))

@@ -144,10 +144,11 @@ class ReplicationSupervisor:
                 restarted.append(db)
 
         optimized = self.optimizer.maybe_optimize() if self.optimizer else []
+        vacuumed = self.optimizer.maybe_vacuum() if self.optimizer else []
         gc_removed = self._maybe_gc(dbs)
         return {"started": started, "restarted": restarted,
                 "stopped": stopped, "optimized": optimized,
-                "gc_removed": gc_removed,
+                "vacuumed": vacuumed, "gc_removed": gc_removed,
                 "active": sorted(self.queries)}
 
     def _maybe_gc(self, dbs: list[str]) -> list[str]:

@@ -59,3 +59,46 @@ def test_apply_bpe_merges_textbook(spark):
                docs, [("t", "h"), ("th", "e")]).collect()}
     # 'the' -> [the] (1); 'theme' -> [the, m, e] (3); 'tho' -> [th, o] (2)
     assert got == {1: (2, 4), 2: (1, 2)}
+
+
+def test_apply_128_merges_bounded_plan(spark):
+    """r5 verdict #7: a real tokenizer's merge list is 30k+ entries; one
+    projection chaining a replace per merge grows the plan unboundedly.
+    Above ``segment`` merges the encode switches to the vocab-scoped
+    segmented path — this pins (a) a 128-merge apply finishes with
+    bounded analysis time, (b) its output matches the single-chain path
+    exactly, (c) the checkpoint segmentation keeps the executed plan's
+    replace-chain depth <= segment."""
+    import time
+
+    from mysql_ch_replicator_spark.operators.bpe import apply_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the theme of the band and other anthems"),
+         (2, "banana bandana and errands"),
+         (3, "zq xw vk")],                       # untouched by any merge
+        "doc_id long, text string")
+    # 8 real merges + 120 no-op filler merges over glyphs the corpus
+    # can't contain (digits never survive the word tokenizer's lowercase
+    # alpha runs) — priority order still matters for the real ones
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+              ("b", "an"), ("ban", "an"), ("e", "r"), ("o", "th")]
+    merges += [(f"q{i}", f"z{i}") for i in range(120)]
+    assert len(merges) == 128
+
+    want = {tuple(r) for r in
+            apply_bpe_merges(docs, merges, segment=1000).collect()}
+
+    t0 = time.time()
+    got_df = apply_bpe_merges(docs, merges, segment=16)
+    got = {tuple(r) for r in got_df.collect()}
+    elapsed = time.time() - t0
+    assert got == want
+    assert elapsed < 60, f"segmented 128-merge apply took {elapsed:.0f}s"
+    # no single projection carries more than one segment's replaces:
+    # the executed plan ends at the last checkpoint, whose chain depth
+    # is the final segment only
+    # (AdaptiveSparkPlan.toString prints the initial AND final plan, so
+    # each projection's chain appears at most twice)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("replace(") <= 2 * 16
