@@ -690,6 +690,73 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
                   fh)
 
 
+def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
+                     removes: DataFrame | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[int]:
+    """Incremental maintenance of a ``write_ivf_index`` table — the ANN
+    twin of the engine's incremental aggregate views: a CDC batch of new
+    and deleted vectors rewrites ONLY the cell partitions it touches,
+    never the whole index (at 100 TB a full rebuild per batch is the
+    scale-killer; a batch touches at most ``n_cells`` directories).
+
+    Semantics: one atomic-per-cell merge where removes win — the final
+    membership is ``(current ∖ add_ids ∖ remove_ids) ∪ (adds ∖
+    removes)``, so re-adding an id replaces its vector and a remove in
+    the same batch deletes it. Assignment uses the centroids persisted
+    in the index descriptor (``_ivf_meta.json``) — an upsert can never
+    drift from the write-time geometry.
+
+    Mechanics: adds are assigned scan-side; the affected-cell set is the
+    union of add cells and the cells currently holding removed ids (one
+    pushdown-filtered probe of the index — at scale, parquet min/max on
+    vec_id prunes most files); the merged affected-cell rows are
+    localCheckpointed (so the plan no longer reads the target path —
+    Spark refuses to overwrite a path it is reading) and written with
+    DYNAMIC partition overwrite, leaving every untouched cell directory
+    byte-identical. Returns the affected cell ids."""
+    meta = read_ivf_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"upsert_ivf_index: no _ivf_meta.json descriptor at {path} — "
+            f"only write_ivf_index tables (r6+) support incremental upsert")
+    cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
+                            meta["dims"])
+    idx = spark.read.parquet(path)
+    affected: set[int] = set()
+    assigned = None
+    if adds is not None:
+        assigned = (ivf_assign(
+            adds.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding")),
+            "embedding", n_cells, dims, probes=1, centroids=cents)
+            .withColumn("cell", F.element_at("cells", 1)).drop("cells"))
+        affected |= {r.cell for r in
+                     assigned.select("cell").distinct().collect()}
+    if removes is not None:
+        rm = removes.select(F.col(id_col).alias("vec_id"))
+        affected |= {r.cell for r in
+                     idx.join(rm, "vec_id")
+                     .select("cell").distinct().collect()}
+    cells = sorted(affected)
+    if not cells:
+        return []
+    cur = idx.where(F.col("cell").isin(cells))
+    if assigned is not None:
+        cur = cur.join(assigned.select("vec_id"), "vec_id", "left_anti")
+    merged = cur
+    if assigned is not None:
+        merged = merged.unionByName(assigned)
+    if removes is not None:
+        merged = merged.join(removes.select(F.col(id_col).alias("vec_id")),
+                             "vec_id", "left_anti")
+    merged = merged.localCheckpoint(eager=True)
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell").parquet(path))
+    return cells
+
+
 def read_ivf_meta(path: str) -> dict | None:
     """The persisted index descriptor, or None for a pre-r6 index dir."""
     import json
@@ -783,12 +850,12 @@ def matryoshka_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
     trunc = brute_force_topk(c16, q16, k, vec_col=vec_col,
                              id_col=id_col, query_id_col=query_id_col)
     hits = (full.select("query_id", "neighbor_id")
-            .join(trunc.select("query_id", "neighbor_id"),
+            .join(F.broadcast(trunc.select("query_id", "neighbor_id")),
                   ["query_id", "neighbor_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
     return (full.select("query_id").distinct()
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")
             .select("query_id",
                     F.coalesce("n_overlap", F.lit(0)).cast("long")
                      .alias("n_overlap"))

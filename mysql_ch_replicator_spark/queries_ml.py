@@ -2828,3 +2828,139 @@ def source_similarity_matrix_q(spark: SparkSession,
     union; zero-overlap pairs included, jaccard6 integer-exact."""
     from .operators.dedup import source_similarity_matrix
     return source_similarity_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def _ivf_upsert_oracle_sql(k: int, n_queries: int) -> str:
+    """ann_ivf_topk's probe SQL over the post-upsert corpus (all vectors
+    except vec_id % 7 == 0 — the removes win over the adds)."""
+    return f"""
+    WITH cor AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings WHERE vec_id % 7 != 0
+    ),
+    corc AS (
+      SELECT neighbor_id, cv,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+      FROM cor
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    qc AS (
+      SELECT query_id, qv, dl,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, qv, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range(8), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dl[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, qv, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', _EMB_DIMS)}, 6) AS cos
+      FROM corc c JOIN qprobe q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_index_upsert", _ivf_upsert_oracle_sql(5, 8))
+def ann_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance
+    (operators/similarity.upsert_ivf_index): build the cell-partitioned
+    IVF index from 80% of the corpus, apply one CDC batch (the remaining
+    20% added, every vec_id % 7 removed — removes win), then probe. Only
+    the touched cell directories are rewritten (dynamic partition
+    overwrite); the oracle recomputes the probe over the final corpus
+    from scratch, proving the partial rewrites composed to exactly the
+    full-rebuild state."""
+    import os
+
+    from .operators.similarity import (
+        ivf_index_topk, upsert_ivf_index, write_ivf_index,
+    )
+    from .queries import _tmp_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_tmp_root(sf_dir, "ivf_upsert"), "index")
+    write_ivf_index(emb.where(F.col("vec_id") % 5 != 0), path, n_cells=8)
+    upsert_ivf_index(spark, path,
+                     adds=emb.where(F.col("vec_id") % 5 == 0),
+                     removes=emb.where(F.col("vec_id") % 7 == 0))
+    queries = emb.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_index_topk(spark, path, queries, k=5, probes=2)
+
+
+_VOCAB_COVERAGE_V = 15
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (SELECT source, unnest({_WORDS_SQL}) AS term
+                 FROM documents),
+    freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    vocab AS (SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk
+        FROM freq) WHERE rk <= {_VOCAB_COVERAGE_V}),
+    per AS (SELECT source, term, count(*) AS cnt
+            FROM tok GROUP BY source, term)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS total_tok,
+           CAST(SUM(CASE WHEN v.term IS NOT NULL THEN cnt ELSE 0 END)
+                AS BIGINT) AS covered_tok,
+           1000000 * CAST(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END)
+                          AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS oov6
+    FROM per LEFT JOIN vocab v USING (term)
+    GROUP BY source
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per source: fix the vocab at the
+    corpus-wide top-V terms (count desc, term asc — fully tie-broken so
+    the boundary is engine-exact), then measure each source's
+    out-of-vocabulary token rate (oov6 = 1e6-scaled integer div). The
+    pre-training diagnostic for 'does source X blow up my tokenizer':
+    sources with high OOV inflate token counts and training cost.
+
+    Scale shape: one scan explodes tokens; the corpus-wide freq agg and
+    the per-(source,term) agg both combine map-side; the top-V vocab is
+    a TakeOrdered of the (tiny) term table broadcast back onto the
+    source aggregate — nothing corpus-sized ever joins."""
+    from .functions.hashing import words as words_fn
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source",
+                      F.explode(words_fn(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (freq.orderBy(F.col("c").desc(), F.col("term"))
+             .limit(_VOCAB_COVERAGE_V)
+             .select("term", F.lit(1).alias("__in_vocab")))
+    per = (tok.groupBy("source", "term")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return (per.join(F.broadcast(vocab), "term", "left")
+            .groupBy("source")
+            .agg(F.sum("cnt").cast("long").alias("total_tok"),
+                 F.sum(F.when(F.col("__in_vocab").isNotNull(),
+                              F.col("cnt")).otherwise(F.lit(0)))
+                 .cast("long").alias("covered_tok"))
+            .withColumn("oov6",
+                        F.expr("1000000 * (total_tok - covered_tok) "
+                               "div total_tok")))

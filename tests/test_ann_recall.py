@@ -224,6 +224,62 @@ def test_ivf_index_persists_trained_centroids(spark, tmp_path, corpus,
                        dims=DIMS, probes=2)
 
 
+def test_ivf_index_upsert_matches_rebuild(spark, tmp_path, corpus,
+                                          queries_df):
+    """upsert_ivf_index: (current ∖ add_ids ∖ removes) ∪ (adds ∖ removes)
+    through partial cell rewrites must equal a from-scratch
+    write_ivf_index of the final corpus — same membership, same cells,
+    same probe results — and cells untouched by the batch must not be
+    rewritten (their files stay byte-identical)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ivf_index_topk, upsert_ivf_index, write_ivf_index,
+    )
+
+    base = corpus.where(F.col("vec_id") % 5 != 0)
+    adds = corpus.where(F.col("vec_id") % 5 == 0)
+    removes = corpus.where(F.col("vec_id") % 7 == 0).select("vec_id")
+
+    inc = str(tmp_path / "inc")
+    write_ivf_index(base, inc, n_cells=8)
+    before = {}
+    for cell_dir in os.listdir(inc):
+        if cell_dir.startswith("cell="):
+            d = os.path.join(inc, cell_dir)
+            before[cell_dir] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d))
+    touched = upsert_ivf_index(spark, inc, adds=adds, removes=removes)
+    assert touched                    # the batch hits at least one cell
+
+    final = corpus.where(F.col("vec_id") % 7 != 0)
+    full = str(tmp_path / "full")
+    write_ivf_index(final, full, n_cells=8)
+
+    rows_inc = sorted((r.vec_id, r.cell) for r in
+                      spark.read.parquet(inc).select("vec_id", "cell")
+                      .collect())
+    rows_full = sorted((r.vec_id, r.cell) for r in
+                       spark.read.parquet(full).select("vec_id", "cell")
+                       .collect())
+    assert rows_inc == rows_full
+
+    got = ivf_index_topk(spark, inc, queries_df, K, probes=2)
+    want = ivf_index_topk(spark, full, queries_df, K, probes=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    untouched = [c for c in before if int(c.split("=")[1]) not in touched]
+    for cell_dir in untouched:
+        d = os.path.join(inc, cell_dir)
+        now = sorted((f, os.path.getmtime(os.path.join(d, f)))
+                     for f in os.listdir(d))
+        assert now == before[cell_dir], f"{cell_dir} was rewritten"
+
+
 def test_hybrid_rrf_fuses_both_lists(spark):
     """RRF property check on a crafted corpus: a doc ranked top in BOTH
     lists must out-rank docs present in only one; a doc in neither list

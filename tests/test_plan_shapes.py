@@ -586,3 +586,41 @@ def test_corpus_audit_single_scan_two_aggs(spark, queries):
     assert executed.count("FileScan") == 1
     assert "Join" not in executed
     assert executed.count("Exchange") - executed.count("ReusedExchange") <= 3
+
+
+def test_bm25_bounded_topk_and_broadcast_scalars(spark, queries):
+    """bm25_topk: the final ranking must be a distributed top-k
+    (TakeOrderedAndProject), never a corpus-wide single-partition sort;
+    the N/TL scalar frame and the query-term df table ride broadcast
+    joins; no cartesian blowup beyond the 1-row scalar crossJoin."""
+    df = queries["bm25_topk"](spark, SF)
+    executed = executed_plan_of(df)
+    assert "TakeOrderedAndProject" in executed
+    assert "BroadcastHashJoin" in executed or "BroadcastNestedLoopJoin" \
+        in executed   # 1-row scalar frame joins as broadcast NLJ
+    assert "CartesianProduct" not in executed
+
+
+def test_matryoshka_corpus_never_shuffles_before_topk(spark, queries):
+    """ann_matryoshka_recall: both rankings broadcast the query side —
+    the corpus is scanned, never sort-merge-joined; overlap joins touch
+    <= k-row frames only."""
+    executed = executed_plan_of(
+        queries["ann_matryoshka_recall"](spark, SF)) \
+        .split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in executed
+    assert "CartesianProduct" not in executed
+
+
+def test_source_matrix_posting_join_no_cartesian(spark, queries):
+    """source_similarity_matrix: intersections come from the hash-keyed
+    posting self-join (co-partitioned exchange), the only all-pairs join
+    is the SOURCE-level sizes cross (bounded by source count); the text
+    scan reads doc text + source only."""
+    df = queries["source_similarity_matrix"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "source" in read_schema
+    assert "lang" not in read_schema
+    executed = executed_plan_of(df)
+    assert "CartesianProduct" not in executed
