@@ -30,18 +30,20 @@ r5).  Determinism note: this is a *variant* scoring (rational idf, not
 ln-idf); it is documented as such and identical in both engines, which
 is the property the oracle gate checks.
 
-Scale shape: tokenization is a scan-side explode; tf filters to the
-query's terms BEFORE its (doc,term) aggregate, so the posting shuffle
-carries query-term rows only; df aggregates the (already tiny) tf
-table; N/TL ride along as a broadcast one-row frame (zero driver
-round-trips); the final top-k is a TakeOrderedAndProject after a
-bounded per-doc sum."""
+Scale shape: ONE tokenizing explode feeds a single per-doc aggregate
+producing (dl, per-query-term tf) together — the corpus text is read
+and tokenized exactly once, and the shuffle carries one row per doc
+with |terms|+1 longs, not the token stream; df aggregates the (tiny)
+per-term unpivot of that table; N/TL ride along as a broadcast one-row
+frame (zero driver round-trips); the final top-k is a
+TakeOrderedAndProject after a bounded per-doc sum."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import transient_persist
 from ..functions.hashing import words
 from ..sources.snapshot import spread
 
@@ -56,15 +58,29 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     1e12-scaled sum of idf6*tfn6 contributions — ordered descending with
     doc_id breaking ties."""
     terms = sorted({t.lower() for t in query_terms})
+    # ONE explode pass stages (doc_id, dl, query-term tfs) — dl and the
+    # per-term counts come out of the same scan-side aggregate, so the
+    # corpus text is tokenized exactly once; TL derives from the dl table
+    # and N from a pruned count scan (no text read).
     tok = spread(docs).select(F.col(id_col).alias("doc_id"),
                               F.explode(words(F.col(text_col))).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    per_doc = transient_persist(
+        tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("dl"),
+            *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+              .cast("long").alias(f"__tf_{i}")
+              for i, t in enumerate(terms)]))
+    dl = per_doc.select("doc_id", "dl")
     n_tl = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n")).crossJoin(
-        tok.agg(F.count(F.lit(1)).cast("long").alias("tl")))
-    tf = (tok.where(F.col("term").isin(terms))
-          .groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+        per_doc.agg(F.sum("dl").cast("long").alias("tl")))
+    tf = (per_doc.select(
+        "doc_id",
+        F.explode(F.map_from_arrays(
+            F.array(*[F.lit(t) for t in terms]),
+            F.array(*[F.col(f"__tf_{i}") for i in range(len(terms))])))
+        .alias("term", "tf"))
+        .where(F.col("tf") > 0))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     dec = "decimal(38,0)"
