@@ -923,6 +923,70 @@ class ReplicaEngine:
         return dedup_final_ops(self.read_raw(db, table), st.primary_keys,
                                op_col=OP_COL)
 
+    def repair_table(self, db: str, table: str, source: DataFrame,
+                     n_buckets: int = 64) -> dict:
+        """Anti-entropy ranged repair — the DATA twin of
+        ``verify_structure`` (D15): compare the replica's FINAL state to
+        the source table at PK-hash-bucket granularity (Merkle-lite:
+        per-bucket count+checksum digests, B rows per side), then
+        converge ONLY the diverged buckets by appending a synthetic CDC
+        delta through the normal versioned apply path — tombstones for
+        rows the source no longer has, upserts for every source row in a
+        bad bucket. The reference's answer to divergence is a full
+        re-snapshot (db_replicator_initial.py — drop and recopy); at
+        100 TB the honest repair moves O(diverged buckets), not O(table),
+        and readers never see a partial state (latest-wins versioning,
+        same guarantees as any CDC batch).
+
+        Values serialize through ``CAST AS STRING`` — the event-log
+        payload convention — so types whose textual form round-trips
+        (ints, strings, decimals, dates, datetimes) repair losslessly;
+        the repair delta re-enters ``apply_batch`` exactly like an
+        ingested batch. Returns {"buckets", "removed", "upserted"}."""
+        from .operators.replica import bucket_expr, diverged_buckets
+        from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+        st = self.structure(db, table)
+        cols = [f.name for f in st.fields]
+        pks = st.primary_keys
+        replica = self.read_final(db, table).select(*cols)
+        src = source.select(*cols)
+        bad = sorted(r.bucket for r in
+                     diverged_buckets(src, replica, pks, n_buckets)
+                     .collect())
+        if not bad:
+            return {"buckets": [], "removed": 0, "upserted": 0}
+        b = bucket_expr(pks, n_buckets)
+        src_bad = src.where(b.isin(bad))
+        rep_bad = replica.where(b.isin(bad))
+        removes = rep_bad.join(src_bad.select(*pks), pks, "left_anti")
+        base = int(self.load_meta(db, table)["last_seq"]) + 1
+
+        def event_frame(df, seq, etype, payload_cols):
+            payload = F.array(F.array(*[
+                F.coalesce(F.col(c).cast("string"), F.lit(None))
+                for c in payload_cols]))
+            return df.select(
+                F.lit("repair").alias("tx_file"),
+                F.lit(seq).cast("long").alias("tx_pos"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit(db).alias("db"),
+                F.lit(table).alias("table"),
+                F.lit(etype).cast("int").alias("event_type"),
+                payload.alias("payload"),
+                F.lit(None).cast("string").alias("query"))
+
+        # removes first (lower seq): a PK appears in at most one side, so
+        # ordering only matters for determinism of the version stamps
+        delta = event_frame(removes, base, EVENT_TYPE_REMOVE, pks) \
+            .unionByName(event_frame(src_bad, base + 1, EVENT_TYPE_ADD,
+                                     cols))
+        n_removed = removes.count()
+        n_upserted = src_bad.count()
+        self.apply_batch(delta)
+        return {"buckets": bad, "removed": n_removed,
+                "upserted": n_upserted}
+
     def read_asof(self, db: str, table: str, version: int) -> DataFrame:
         """Time travel: the table as it stood when ``last_version`` was
         ``version`` — filter the append-only store to ``_version <= v``

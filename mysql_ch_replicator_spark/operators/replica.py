@@ -291,6 +291,55 @@ def changelog(before_state: DataFrame, batch_ops: DataFrame,
                      .otherwise(F.col("__after")).alias("__after")))
 
 
+def bucket_expr(pk_cols: list[str], n_buckets: int):
+    """Deterministic PK-hash bucket id — the anti-entropy repair unit."""
+    from ..functions.hashing import h60
+
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+             for c in pk_cols]
+    return F.pmod(h60(F.concat_ws("|", *parts)), F.lit(n_buckets)) \
+        .cast("int")
+
+
+def bucket_digests(df: DataFrame, pk_cols: list[str],
+                   n_buckets: int = 64,
+                   cols: list[str] | None = None) -> DataFrame:
+    """Per-bucket order-independent digests: the ``table_checksum`` terms
+    aggregated under a PK-hash bucket key instead of globally, so two
+    tables can be compared at sub-table granularity — B rows out
+    regardless of table size, one map-side-combining aggregate."""
+    from ..functions.hashing import h60
+
+    cols = cols or df.columns
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+             for c in cols]
+    term = h60(F.concat_ws("|", *parts)).cast("decimal(38,0)")
+    return (df.groupBy(bucket_expr(pk_cols, n_buckets).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(term).cast("decimal(38,0)").cast("string")
+                 .alias("checksum")))
+
+
+def diverged_buckets(source: DataFrame, replica: DataFrame,
+                     pk_cols: list[str], n_buckets: int = 64,
+                     cols: list[str] | None = None) -> DataFrame:
+    """Buckets whose (count, checksum) digests differ between source and
+    replica — the Merkle-lite anti-entropy comparison: each side is one
+    digest aggregate, the diff is a full-outer join of two B-row frames
+    (driver-collectable at any corpus size). A bucket present on one
+    side only is diverged by definition."""
+    s = bucket_digests(source, pk_cols, n_buckets, cols) \
+        .withColumnRenamed("n_rows", "s_n").withColumnRenamed("checksum",
+                                                              "s_c")
+    r = bucket_digests(replica, pk_cols, n_buckets, cols) \
+        .withColumnRenamed("n_rows", "r_n").withColumnRenamed("checksum",
+                                                              "r_c")
+    return (s.join(r, "bucket", "full_outer")
+            .where(~(F.col("s_n").eqNullSafe(F.col("r_n"))
+                     & F.col("s_c").eqNullSafe(F.col("r_c"))))
+            .select("bucket"))
+
+
 def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Order-independent data checksum for replica verification — the DATA
     twin of the engine's structure-drift check (engine.verify_structure):

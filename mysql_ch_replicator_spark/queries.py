@@ -2643,3 +2643,56 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data pipeline queries register themselves on import
 from . import queries_ml  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
+
+
+@register(
+    "replica_bucket_repair",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def replica_bucket_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy ranged repair e2e (engine.repair_table): a replica
+    built from a DIVERGED event subset (every user_id % 5 == 3 dropped —
+    missing and stale keys both arise, since some of those users' earlier
+    events survive) is repaired against the true latest-wins source
+    state. Only PK-hash buckets whose Merkle-lite digests differ move:
+    the repair delta re-enters the normal versioned apply path as
+    tombstones + upserts, so readers never see a partial state. The
+    oracle recomputes the final state from the FULL event log — equality
+    proves the bucket diff missed nothing."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .sources.event_log import read_event_log
+
+    root = _tmp_root(sf_dir, "bucket_repair")
+    evdir = os.path.join(root, "event_log")
+    events = load_table(spark, sf_dir, "events")
+    # diverged replica: a slice of the history never arrived
+    _cdc_event_df(events.where(F.col("user_id") % 5 != 3),
+                  "rep", "user_state") \
+        .write.mode("overwrite").json(evdir)
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("rep", _USER_STATE_DDL)
+    engine.apply_batch(read_event_log(spark, evdir, pattern="part-*"))
+
+    # the true source state: latest-wins over the FULL log, typed
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    source = (events.withColumn("rn", F.row_number().over(w))
+              .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+              .select(F.col("user_id").cast("bigint"),
+                      F.col("event_type").alias("last_event"),
+                      F.col("value").cast("decimal(18,2)").alias("value")))
+    engine.repair_table("rep", "user_state", source, n_buckets=32)
+    return engine.read_final("rep", "user_state") \
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))

@@ -1319,3 +1319,50 @@ def test_parallel_apply_partial_failure_replay_converges(engine, spark,
         # replay guard: versions not double-stamped (raw store has exactly
         # one row per key)
         assert engine.read_raw(DB, t).count() == 2, t
+
+
+def test_repair_table_converges_diverged_buckets(engine, spark, tmp_path):
+    """Anti-entropy repair (engine.repair_table): seed a replica that has
+    drifted from the source (missing rows, stale values, phantom rows),
+    then repair. The replica must converge to the source exactly, the
+    delta must be O(diverged buckets) — rows in untouched buckets keep
+    their original _version (they were not rewritten) — and a second
+    repair must be a no-op."""
+    log = EventLogWriter(str(tmp_path / "log"))
+    engine.create_table(DB, USERS_DDL)
+    # replica state: 0..49 at v1, row 7 stale, row 999 phantom, 25 missing
+    rows = [(i, f"u{i}", i % 80) for i in range(50) if i != 25]
+    rows = [(7, "stale", 0) if r[0] == 7 else r for r in rows]
+    rows.append((999, "phantom", 1))
+    log.add(DB, "users", rows)
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    source = spark.createDataFrame(
+        [(i, f"u{i}", i % 80) for i in range(50)],
+        "id int, name string, age int")
+
+    before_v = {r.id: r._version for r in
+                engine.read_raw(DB, "users").collect()}
+    report = engine.repair_table(DB, "users", source, n_buckets=16)
+
+    assert report["buckets"]                       # something diverged
+    assert len(report["buckets"]) < 16             # ...but not everything
+    assert report["removed"] == 1                  # the phantom row
+    got = _final_rows(engine)
+    assert got == {(i, f"u{i}", i % 80) for i in range(50)}
+
+    # untouched-bucket rows were NOT rewritten (same stored version)
+    from mysql_ch_replicator_spark.operators.replica import bucket_expr
+    bucket_py = {r.id: r.b for r in source.select(
+        "id", bucket_expr(["id"], 16).alias("b")).collect()}
+    after_v = {r.id: r._version for r in
+               engine.read_raw(DB, "users").collect()}
+    untouched = [i for i in bucket_py
+                 if bucket_py[i] not in report["buckets"]]
+    assert untouched
+    for i in untouched:
+        assert after_v[i] == before_v[i], i
+
+    # convergence: a second repair finds nothing
+    report2 = engine.repair_table(DB, "users", source, n_buckets=16)
+    assert report2 == {"buckets": [], "removed": 0, "upserted": 0}
