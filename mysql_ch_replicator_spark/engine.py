@@ -957,8 +957,13 @@ class ReplicaEngine:
         if not bad:
             return {"buckets": [], "removed": 0, "upserted": 0}
         b = bucket_expr(pks, n_buckets)
-        src_bad = src.where(b.isin(bad))
-        rep_bad = replica.where(b.isin(bad))
+        # the bucket-filtered frames are diff-sized; eagerly checkpoint
+        # them so the delta construction, the report counts and the
+        # apply below each read cached blocks instead of re-running the
+        # two full table scans per consumer (total source-side cost: one
+        # digest scan + one extract scan, the anti-entropy minimum)
+        src_bad = src.where(b.isin(bad)).localCheckpoint(eager=True)
+        rep_bad = replica.where(b.isin(bad)).localCheckpoint(eager=True)
         removes = rep_bad.join(src_bad.select(*pks), pks, "left_anti")
         base = int(self.load_meta(db, table)["last_seq"]) + 1
 

@@ -735,9 +735,22 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                      assigned.select("cell").distinct().collect()}
     if removes is not None:
         rm = removes.select(F.col(id_col).alias("vec_id"))
-        affected |= {r.cell for r in
-                     idx.join(rm, "vec_id")
-                     .select("cell").distinct().collect()}
+        if vec_col in removes.columns:
+            # fast path: the stored assignment IS the persisted-centroid
+            # assignment, so removes that carry their vectors locate
+            # their cells scan-side — no index read at all
+            affected |= {r.cell for r in ivf_assign(
+                removes.select(F.col(id_col).alias("vec_id"),
+                               F.col(vec_col).alias("embedding")),
+                "embedding", n_cells, dims, probes=1, centroids=cents)
+                .select(F.element_at("cells", 1).alias("cell"))
+                .distinct().collect()}
+        else:
+            # id-only removes: probe the index (parquet min/max on
+            # vec_id prunes most files at scale)
+            affected |= {r.cell for r in
+                         idx.join(rm, "vec_id")
+                         .select("cell").distinct().collect()}
     cells = sorted(affected)
     if not cells:
         return []

@@ -2661,37 +2661,52 @@ from . import queries_tpch  # noqa: E402,F401
 )
 def replica_bucket_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy ranged repair e2e (engine.repair_table): a replica
-    built from a DIVERGED event subset (every user_id % 5 == 3 dropped —
-    missing and stale keys both arise, since some of those users' earlier
-    events survive) is repaired against the true latest-wins source
-    state. Only PK-hash buckets whose Merkle-lite digests differ move:
-    the repair delta re-enters the normal versioned apply path as
-    tombstones + upserts, so readers never see a partial state. The
-    oracle recomputes the final state from the FULL event log — equality
-    proves the bucket diff missed nothing."""
+    with BUCKET-LOCALIZED divergence — the history of two of the 32
+    PK-hash buckets never arrived (bucket 7 fully, bucket 13's newest
+    40%), the realistic lost-shard/lost-tail failure — is repaired
+    against the true latest-wins source state. Only the two buckets
+    whose Merkle-lite digests differ move: the repair delta re-enters
+    the normal versioned apply path as tombstones + upserts (O(diff),
+    where the reference re-snapshots O(table)), and readers never see a
+    partial state. The oracle recomputes the final state from the FULL
+    event log — equality proves the bucket diff missed nothing."""
     import os
 
     from .engine import ReplicaEngine
-    from .sources.event_log import read_event_log
+    from .operators.replica import bucket_expr
 
     root = _tmp_root(sf_dir, "bucket_repair")
-    evdir = os.path.join(root, "event_log")
     events = load_table(spark, sf_dir, "events")
-    # diverged replica: a slice of the history never arrived
-    _cdc_event_df(events.where(F.col("user_id") % 5 != 3),
-                  "rep", "user_state") \
-        .write.mode("overwrite").json(evdir)
     engine = ReplicaEngine(spark, os.path.join(root, "replica"))
     engine.create_table("rep", _USER_STATE_DDL)
-    engine.apply_batch(read_event_log(spark, evdir, pattern="part-*"))
+    b = bucket_expr(["user_id"], 32)
+    cut = events.agg((F.min("event_id")
+                      + (F.max("event_id") - F.min("event_id")) * 3 / 5)
+                     .cast("long").alias("c")).collect()[0].c
 
-    # the true source state: latest-wins over the FULL log, typed
-    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-    source = (events.withColumn("rn", F.row_number().over(w))
-              .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
-              .select(F.col("user_id").cast("bigint"),
-                      F.col("event_type").alias("last_event"),
-                      F.col("value").cast("decimal(18,2)").alias("value")))
+    def state_of(ev):
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        return (ev.withColumn("rn", F.row_number().over(w))
+                .where((F.col("rn") == 1)
+                       & (F.col("event_type") != "error"))
+                .select(F.col("user_id").cast("bigint"),
+                        F.col("event_type").alias("last_event"),
+                        F.col("value").cast("decimal(18,2)")
+                        .alias("value")))
+
+    # the diverged replica is seeded via snapshot (replica CONSTRUCTION
+    # through the CDC path is event_log_replay's subject; repair is this
+    # query's): bucket 7's history never arrived, bucket 13 stopped
+    # applying at the 60% mark
+    diverged = state_of(events.where(
+        ~((b == 7) | ((b == 13) & (F.col("event_id") > cut)))))
+    engine.snapshot_table("rep", "user_state", diverged)
+
+    # the true source state is consumed twice by repair (digest pass +
+    # bucket extract); pin it so the latest-wins window runs once — at
+    # deployment scale this frame is the source TABLE itself, already
+    # materialized
+    source = state_of(events).localCheckpoint()
     engine.repair_table("rep", "user_state", source, n_buckets=32)
     return engine.read_final("rep", "user_state") \
         .select("user_id", "last_event",
