@@ -1142,7 +1142,9 @@ def incremental_minmax_maintenance(spark: SparkSession,
     the final latest-wins state; equality proves the rescan trigger
     never misses an extreme retraction, including group moves and
     delete retractions."""
-    from .operators.incremental_agg import apply_minmax_batch, minmax_of
+    from .operators.incremental_agg import (
+        apply_minmax_batch, checkpoint_pair, minmax_of,
+    )
 
     events = load_table(spark, sf_dir, "events")
     cdc = events.select(
@@ -1170,7 +1172,7 @@ def incremental_minmax_maintenance(spark: SparkSession,
         # to parquet here): eager localCheckpoint pins the partitions AND
         # truncates lineage in one pass — measured 2x faster per round
         # than persist + a forcing count at sf0.1
-        state, agg = state.localCheckpoint(), agg.localCheckpoint()
+        state, agg = checkpoint_pair(state, agg)
     result = agg.select("event_type", "n_rows",
                         F.col("vmin").cast("string").alias("vmin"),
                         F.col("vmax").cast("string").alias("vmax"))
@@ -2212,7 +2214,9 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     changing) and delete retraction. The reference re-reads the replica
     with FINAL for every aggregate (clickhouse_api.py:107); this is the
     form that survives a 100 TB replica with a few-thousand-key batch."""
-    from .operators.incremental_agg import apply_agg_batch, empty_agg
+    from .operators.incremental_agg import (
+        apply_agg_batch, checkpoint_pair, empty_agg,
+    )
 
     events = load_table(spark, sf_dir, "events")
     cdc = events.select(
@@ -2243,7 +2247,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ContextCleaner when the frames drop out of scope on return
         # (weak-ref cleanup; CacheManager-style explicit unpersist does
         # not apply to checkpoint blocks)
-        state, agg = state.localCheckpoint(), agg.localCheckpoint()
+        state, agg = checkpoint_pair(state, agg)
     result = agg.select("event_type", "n_rows",
                         F.col("total").cast("string").alias("total"))
     return _pin_result(result, sf_dir, "incr_agg")

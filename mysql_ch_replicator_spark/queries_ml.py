@@ -1730,7 +1730,9 @@ def incremental_dedup_maintenance(spark: SparkSession,
     wave — the same 4-sequential-batch budget as
     incremental_minmax_maintenance; each extra batch is a fixed job-count
     cost, not a data cost.)"""
-    from .operators.incremental_agg import apply_minmax_batch, minmax_of
+    from .operators.incremental_agg import (
+        apply_minmax_batch, checkpoint_pair, minmax_of,
+    )
     from .operators.replica import (
         OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, collapse_batch,
     )
@@ -1763,7 +1765,7 @@ def incremental_dedup_maintenance(spark: SparkSession,
             state, ops, agg, ["doc_id"], "content_hash", "dup_id")
         # eager localCheckpoint: materialize + lineage-cut in one pass
         # (2x faster per round than persist + forcing count at sf0.1)
-        state, agg = state.localCheckpoint(), agg.localCheckpoint()
+        state, agg = checkpoint_pair(state, agg)
     # the keeper table is corpus-cardinality (one row per distinct hash):
     # pin through scratch parquet, never through the driver (r5 verdict #3)
     result = agg.select(
