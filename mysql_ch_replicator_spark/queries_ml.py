@@ -2966,3 +2966,55 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("oov6",
                         F.expr("1000000 * (total_tok - covered_tok) "
                                "div total_tok")))
+
+
+@register(
+    "ann_ivf_index_stats",
+    f"""
+    WITH cor AS (
+      SELECT vec_id, {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+      FROM cor
+    ),
+    per_cell AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+                 FROM assigned GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS t,
+                   CAST(MAX(n_vectors) AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM per_cell)
+    SELECT p.cell, p.n_vectors,
+           1000000 * p.n_vectors * tot.c // tot.t AS load6
+    FROM per_cell p CROSS JOIN tot
+    """,
+)
+def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health diagnostics for the persisted IVF layout: per-cell
+    vector counts plus load6 = 1e6-scaled (cell size / mean cell size) —
+    the imbalance factor that decides when the codebook needs
+    retraining (a hot cell is a hot partition: probe cost and skew both
+    follow it). Reads the cell-partitioned index written by
+    ``write_ivf_index`` — the listing-only scan never touches vector
+    data (column pruning keeps the parquet read to the partition
+    column); the oracle recomputes the assignment from the source
+    embeddings, proving the stored partitioning still matches the
+    descriptor's centroids."""
+    import os
+
+    from .operators.similarity import write_ivf_index
+    from .queries import _tmp_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_tmp_root(sf_dir, "ivf_stats"), "index")
+    write_ivf_index(emb, path, n_cells=8)
+    idx = spark.read.parquet(path).select("cell")
+    per_cell = idx.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    tot = per_cell.agg(F.sum("n_vectors").cast("long").alias("t"),
+                       F.count(F.lit(1)).cast("long").alias("c"))
+    return (per_cell.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vectors",
+                    F.expr("1000000 * n_vectors * c div t").alias("load6")))
