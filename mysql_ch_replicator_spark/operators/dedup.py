@@ -612,3 +612,53 @@ def source_similarity_matrix(docs: DataFrame, shingle_n: int = 3,
             .withColumn("jaccard6",
                         F.expr("CASE WHEN uni = 0 THEN 0 "
                                "ELSE 1000000 * inter div uni END")))
+
+
+def minhash_calibration(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """Estimator-quality audit for the MinHash family: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (est6 = 1e6·matching-components div k) next to the exact
+    shingle-set Jaccard (true6) and their absolute error — the
+    calibration report that justifies a chosen (k, bands) config
+    before a corpus-wide dedup run, and flags a broken hash family
+    (systematic bias) immediately.
+
+    Integer-exact end to end: component matches and set sizes are
+    counts, both ratios are 1e6-scaled integer divisions. Scale shape:
+    identical to ``minhash_lsh_dedup`` up to the candidate join (the
+    staged signature/banding cache is shared work), then one
+    projection per pair — no extra shuffles over the dedup pipeline
+    it audits. Returns (a, b, est6, true6, err6)."""
+    rows_per_band = num_hashes // bands
+    base = _shingled(docs, text_col, id_col, shingle_n)
+    sigs = base.withColumn("sig",
+                           minhash_signature(F.col("sh"), num_hashes))
+    banded = transient_persist(sigs.select(
+        "doc_id", "sh", "sig",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
+         .alias("bucket")))
+    left = banded.select(F.col("doc_id").alias("a"),
+                         F.col("sh").alias("sh_a"),
+                         F.col("sig").alias("sig_a"), "bucket")
+    right = banded.select(F.col("doc_id").alias("b"),
+                          F.col("sh").alias("sh_b"),
+                          F.col("sig").alias("sig_b"), "bucket")
+    cand = (left.join(right, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand
+            .withColumn("__m", matches.cast("long"))
+            .withColumn("__i", inter.cast("long"))
+            .withColumn("__u", uni.cast("long"))
+            .withColumn("est6", F.expr(f"1000000 * __m div {num_hashes}"))
+            .withColumn("true6", F.expr(
+                "CASE WHEN __u = 0 THEN 0 ELSE 1000000 * __i div __u END"))
+            .withColumn("err6", F.abs(F.col("est6") - F.col("true6")))
+            .select("a", "b", "est6", "true6", "err6"))

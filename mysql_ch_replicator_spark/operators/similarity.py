@@ -714,7 +714,19 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     localCheckpointed (so the plan no longer reads the target path —
     Spark refuses to overwrite a path it is reading) and written with
     DYNAMIC partition overwrite, leaving every untouched cell directory
-    byte-identical. Returns the affected cell ids."""
+    byte-identical. Returns the affected cell ids.
+
+    Crash contract: the per-cell overwrite is atomic per DIRECTORY but
+    not across cells — a failure mid-write can leave some affected
+    cells updated and others not (a torn batch, like any multi-file
+    commit without a manifest). The operation is IDEMPOTENT by
+    construction — every term of ``(current ∖ add_ids ∖ removes) ∪
+    (adds ∖ removes)`` is insensitive to whether a cell already
+    absorbed the batch — so the recovery protocol is simply re-running
+    the same upsert (pinned by the partial-failure test in
+    tests/test_ann_recall.py); replica tables, which need readers
+    isolated during rewrite, use the generation-manifest protocol
+    instead (engine._overwrite_data)."""
     meta = read_ivf_meta(path)
     if meta is None:
         raise ValueError(

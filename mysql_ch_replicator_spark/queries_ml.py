@@ -3018,3 +3018,60 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_cell.crossJoin(F.broadcast(tot))
             .select("cell", "n_vectors",
                     F.expr("1000000 * n_vectors * c div t").alias("load6")))
+
+
+@register(
+    "dedup_minhash_calibration",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM (
+        SELECT doc_id, {_sh_sql(3, _WORDS_SQL)} AS sh FROM documents)
+      WHERE len(sh) > 0
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(12), k ->
+               list_min(list_transform(sh, g -> md5(k || '|' || g)))) AS sig
+      FROM base
+    ),
+    banded AS (
+      SELECT doc_id, sh, sig,
+             unnest(list_transform(range(4), b ->
+               md5(b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')))) AS bucket
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y USING (bucket) WHERE x.doc_id < y.doc_id
+    ),
+    m AS (
+      SELECT c.a, c.b,
+             CAST(len(list_filter(range(12), i ->
+                    sa.sig[CAST(i+1 AS INTEGER)]
+                      = sb.sig[CAST(i+1 AS INTEGER)])) AS BIGINT) AS mm,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS ii,
+             CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uu
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.a
+      JOIN sigs sb ON sb.doc_id = c.b
+    )
+    SELECT a, b,
+           1000000 * mm // 12 AS est6,
+           CASE WHEN uu = 0 THEN 0 ELSE 1000000 * ii // uu END AS true6,
+           abs(1000000 * mm // 12
+               - CASE WHEN uu = 0 THEN 0
+                      ELSE 1000000 * ii // uu END) AS err6
+    FROM m
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration
+    (operators/dedup.minhash_calibration): per LSH candidate pair, the
+    signature-agreement Jaccard estimate vs the exact shingle-set
+    Jaccard and their error — the audit run before trusting a (k,
+    bands) config corpus-wide; integer-exact both engines, shares the
+    dedup pipeline's staged signatures up to the candidate join."""
+    from .operators.dedup import minhash_calibration
+    return minhash_calibration(load_table(spark, sf_dir, "documents"))

@@ -280,6 +280,68 @@ def test_ivf_index_upsert_matches_rebuild(spark, tmp_path, corpus,
         assert now == before[cell_dir], f"{cell_dir} was rewritten"
 
 
+def test_ivf_index_upsert_retry_after_torn_write(spark, tmp_path, corpus):
+    """The upsert's dynamic partition overwrite is atomic per cell, not
+    across cells. Simulate the torn state (one affected cell already
+    holds the post-batch rows, the others don't — built by applying the
+    batch restricted to that cell) and verify the documented recovery:
+    re-running the SAME upsert converges to the full-batch result, and
+    a third run is a no-op on membership."""
+    from pyspark.sql import functions as F
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        upsert_ivf_index, write_ivf_index,
+    )
+
+    base = corpus.where(F.col("vec_id") % 5 != 0)
+    adds = corpus.where(F.col("vec_id") % 5 == 0)
+    removes = corpus.where(F.col("vec_id") % 7 == 0).select("vec_id")
+
+    # the intended final index
+    want_path = str(tmp_path / "want")
+    write_ivf_index(base, want_path, n_cells=8)
+    upsert_ivf_index(spark, want_path, adds=adds, removes=removes)
+    want = sorted((r.vec_id, r.cell) for r in
+                  spark.read.parquet(want_path).select("vec_id", "cell")
+                  .collect())
+
+    # torn state: the batch landed in only ONE of the affected cells
+    torn_path = str(tmp_path / "torn")
+    write_ivf_index(base, torn_path, n_cells=8)
+    affected = upsert_ivf_index(spark, torn_path, adds=adds,
+                                removes=removes)
+    assert len(affected) > 1
+    partial_cell = affected[0]
+    # roll every OTHER affected cell back to its pre-batch contents
+    rollback_cells = [c for c in affected if c != partial_cell]
+    pre_idx_path = str(tmp_path / "pre_idx")
+    write_ivf_index(base, pre_idx_path, n_cells=8)
+    pre_rows = (spark.read.parquet(pre_idx_path)
+                .where(F.col("cell").isin(rollback_cells))
+                .localCheckpoint(eager=True))
+    (pre_rows.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell").parquet(torn_path))
+    torn = sorted((r.vec_id, r.cell) for r in
+                  spark.read.parquet(torn_path).select("vec_id", "cell")
+                  .collect())
+    assert torn != want                       # genuinely torn
+
+    # recovery: the same upsert again
+    upsert_ivf_index(spark, torn_path, adds=adds, removes=removes)
+    got = sorted((r.vec_id, r.cell) for r in
+                 spark.read.parquet(torn_path).select("vec_id", "cell")
+                 .collect())
+    assert got == want
+
+    # and once more: membership stable (idempotent)
+    upsert_ivf_index(spark, torn_path, adds=adds, removes=removes)
+    again = sorted((r.vec_id, r.cell) for r in
+                   spark.read.parquet(torn_path).select("vec_id", "cell")
+                   .collect())
+    assert again == want
+
+
 def test_hybrid_rrf_fuses_both_lists(spark):
     """RRF property check on a crafted corpus: a doc ranked top in BOTH
     lists must out-rank docs present in only one; a doc in neither list

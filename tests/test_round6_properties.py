@@ -102,6 +102,36 @@ def test_source_similarity_matrix_matches_reference(spark):
     assert got[("s1", "s3")][2] < 1_000_000
 
 
+def test_minhash_calibration_properties(spark):
+    """Identical docs must calibrate perfectly (est6 == true6 == 1e6,
+    err6 == 0); a partially-overlapping pair's true6 must equal the
+    python set-Jaccard; est6 always equals floor(1e6*m/12) for an
+    integer match count m."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = t1  # exact clone
+    t3 = "the quick brown fox jumps over a sleepy cat today and forever"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
+    got = {(r.a, r.b): (r.est6, r.true6, r.err6)
+           for r in minhash_calibration(docs).collect()}
+
+    assert got[(1, 2)] == (1_000_000, 1_000_000, 0)
+    for (a, b), (est6, true6, err6) in got.items():
+        assert est6 in {1_000_000 * m // 12 for m in range(13)}
+        assert err6 == abs(est6 - true6)
+    if (1, 3) in got:
+        w1 = _words(t1)
+        w3 = _words(t3)
+        s1 = {" ".join(w1[i:i + 3]) for i in range(len(w1) - 2)}
+        s3 = {" ".join(w3[i:i + 3]) for i in range(len(w3) - 2)}
+        want_true6 = 1_000_000 * len(s1 & s3) // len(s1 | s3)
+        assert got[(1, 3)][1] == want_true6
+
+
 def test_vocab_coverage_matches_reference(spark):
     """OOV rate == python evaluation with the same top-V (count desc,
     term asc) vocabulary; a source written entirely in rare terms shows
