@@ -60,3 +60,24 @@ def pii_sql(text_expr: str) -> tuple[dict[str, str], str]:
         redacted = (f"regexp_replace({redacted}, '{pattern}', "
                     f"'{placeholder}', 'g')")
     return counts, redacted
+
+
+def k_anonymity_report(df, qi_cols: list[str], k: int = 5):
+    """k-anonymity audit over quasi-identifier columns — the release
+    gate run before publishing a training corpus with demographic-ish
+    metadata: every row whose QI combination is shared by fewer than
+    ``k`` rows is re-identifiable by joining on those columns alone
+    (Sweeney 2002).
+
+    Returns one row per QI combination below the threshold plus the
+    summary columns a release report needs: (qi..., group_n,
+    at_risk=true). Pure two-level aggregate — the QI groupBy combines
+    map-side, and the report is group-cardinality-bounded however
+    large the corpus; no joins, no windows."""
+    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+
+    groups = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"))
+    return (groups.withColumn("at_risk", F.col("group_n") < k)
+            .where(F.col("at_risk"))
+            .orderBy(*qi_cols))

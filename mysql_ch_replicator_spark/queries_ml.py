@@ -3075,3 +3075,29 @@ def dedup_minhash_calibration(spark: SparkSession,
     dedup pipeline's staged signatures up to the candidate join."""
     from .operators.dedup import minhash_calibration
     return minhash_calibration(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS group_n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bucket, group_n, TRUE AS at_risk
+    FROM g WHERE group_n < 5
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (functions/pii.k_anonymity_report):
+    documents whose (lang, source, length-bucket) quasi-identifier
+    combination is shared by fewer than k=5 rows are re-identifiable by
+    those columns alone — the privacy gate next to the PII scrub. One
+    map-side-combining aggregate; the report is QI-cardinality-bounded
+    at any corpus size."""
+    from .functions.pii import k_anonymity_report
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.expr("CAST(n_chars div 200 AS BIGINT)").alias("len_bucket"))
+    return k_anonymity_report(docs, ["lang", "source", "len_bucket"], k=5)
