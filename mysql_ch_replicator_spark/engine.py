@@ -969,8 +969,7 @@ class ReplicaEngine:
 
         def event_frame(df, seq, etype, payload_cols):
             payload = F.array(F.array(*[
-                F.coalesce(F.col(c).cast("string"), F.lit(None))
-                for c in payload_cols]))
+                F.col(c).cast("string") for c in payload_cols]))
             return df.select(
                 F.lit("repair").alias("tx_file"),
                 F.lit(seq).cast("long").alias("tx_pos"),

@@ -74,8 +74,6 @@ def k_anonymity_report(df, qi_cols: list[str], k: int = 5):
     at_risk=true). Pure two-level aggregate — the QI groupBy combines
     map-side, and the report is group-cardinality-bounded however
     large the corpus; no joins, no windows."""
-    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
-
     groups = df.groupBy(*qi_cols).agg(
         F.count(F.lit(1)).cast("long").alias("group_n"))
     return (groups.withColumn("at_risk", F.col("group_n") < k)
