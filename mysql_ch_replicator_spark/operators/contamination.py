@@ -53,3 +53,46 @@ def split_contamination(docs: DataFrame, eval_pred: Column, n: int = 8,
     side against the eval side."""
     return ngram_contamination(docs.where(~eval_pred), docs.where(eval_pred),
                                n, id_col, text_col)
+
+
+def semantic_contamination(train: DataFrame, eval_set: DataFrame,
+                           threshold: float = 0.95,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Embedding-space decontamination (the semantic complement of
+    ``ngram_contamination``): a training vector is contaminated when some
+    evaluation vector sits within cosine ``threshold`` — catches
+    paraphrases and translations that share no verbatim n-gram (the gap
+    the GPT-4 / Llama-3 decontamination reports call out for string
+    matching).
+
+    Same scale shape as the n-gram pass: the eval side is benchmark-sized,
+    so it broadcasts and the corpus is scanned ONCE with zero pre-join
+    shuffle; the only exchange is the per-vector argmax keyed by the
+    training id, whose input is bounded by |matches above threshold|, not
+    |corpus| x |eval|. Scores are ranked and emitted at 6 dp (the rounded
+    value is what cross-engine consumers see — same contract as
+    ``similarity.brute_force_topk``).
+
+    Returns ``(id_col, n_matches, eval_id, cos)``: the match count and the
+    highest-scoring eval neighbor (ties broken on the smaller eval id).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_expr
+    from ..sources.snapshot import spread
+
+    ev = eval_set.select(F.col(id_col).alias("eval_id"),
+                         F.col(vec_col).alias("ev"))
+    tr = spread(train).select(F.col(id_col), F.col(vec_col).alias("tv"))
+    scored = (tr.join(F.broadcast(ev), F.lit(True))
+              .withColumn("cos", F.round(cosine_expr("tv", "ev"), 6))
+              .where(F.col("cos") >= threshold))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
+                                           F.col("eval_id"))
+    n = Window.partitionBy(id_col)
+    return (scored
+            .withColumn("n_matches", F.count(F.lit(1)).over(n))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(id_col, "n_matches", "eval_id", "cos"))

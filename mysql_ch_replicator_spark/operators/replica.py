@@ -389,3 +389,39 @@ def scd2_history(events: DataFrame, pk_cols: list[str],
                                    F.lit(2 ** 63 - 1)))
             .withColumn("is_current",
                         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))))
+
+
+def temporal_join(facts: DataFrame, dim_history: DataFrame,
+                  key_cols: list[str], at_col: str,
+                  valid_from: str = "valid_from",
+                  valid_to: str = "valid_to",
+                  how: str = "left") -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks up the dimension
+    version that was in effect at its own timestamp — the read pattern an
+    SCD2 history (``scd2_history``) exists to serve, and one the
+    reference's latest-wins replica cannot answer at all (it would join
+    every fact to today's dimension row, silently rewriting history).
+
+    Join condition: key equality AND ``valid_from <= at < valid_to``.
+    Because ``scd2_history`` intervals partition sequence space per key,
+    at most ONE dimension version matches each fact — the join never fans
+    out. At scale the equality keys carry the shuffle exactly as a plain
+    dimension join would; the range predicate evaluates inside each key
+    group post-match, so there is no interval index to build and no
+    theta-join blowup. Skewed fact keys behave identically to any keyed
+    join (salt or AQE skew-split if needed).
+    """
+    fact_keys = [F.col(f"f.{k}") for k in key_cols]
+    dim_keys = [F.col(f"d.{k}") for k in key_cols]
+    cond = None
+    for fk, dk in zip(fact_keys, dim_keys):
+        eq = fk.eqNullSafe(dk)
+        cond = eq if cond is None else cond & eq
+    at = F.col(f"f.{at_col}")
+    cond = (cond & (at >= F.col(f"d.{valid_from}"))
+            & (at < F.col(f"d.{valid_to}")))
+    dim_payload = [c for c in dim_history.columns if c not in key_cols]
+    return (facts.alias("f")
+            .join(dim_history.alias("d"), cond, how)
+            .select([F.col(f"f.{c}") for c in facts.columns]
+                    + [F.col(f"d.{c}").alias(c) for c in dim_payload]))

@@ -60,3 +60,40 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     return salted_big.join(replicated, on=[key, SALT_COL], how=how) \
         .drop(SALT_COL)
+
+
+def skew_advisor(df: DataFrame, keys: list[str], n_partitions: int = 32,
+                 top: int = 20) -> DataFrame:
+    """Join/agg skew diagnosis: the pre-flight report a pipeline runs on a
+    prospective shuffle key BEFORE committing to a plain groupBy/join at
+    100 TB. For each of the ``top`` heaviest key values: its row count,
+    its share of the table in parts-per-million, and the recommended salt
+    factor — ``ceil(key_rows / (total_rows / n_partitions))``, i.e. how
+    many buckets spread this key's rows back down to an average
+    partition's worth. salt_factor 1 = harmless; 32 = this key alone
+    fills every reducer.
+
+    One map-side-combining aggregate on the candidate key + a top-k
+    TakeOrderedAndProject; the total-count scalar rides a broadcast
+    1-row frame (no driver round-trip). All arithmetic integer (ppm and
+    ceil-by-(a + b - 1) div b), so any SQL engine reproduces the report
+    bit-exactly.
+    """
+    counts = (df.groupBy(*keys)
+              .agg(F.count(F.lit(1)).alias("key_rows")))
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    scored = (counts.join(F.broadcast(total))
+              .withColumn("share_ppm",
+                          F.expr("(1000000 * key_rows) div _total"))
+              .withColumn(
+                  "salt_factor",
+                  F.expr(f"(key_rows * {n_partitions} + _total - 1) "
+                         f"div _total"))
+              .drop("_total"))
+    order = [F.col("key_rows").desc()] + [F.col(k) for k in keys]
+    # distributed top-N (TakeOrderedAndProject) FIRST; the rank window then
+    # sees only ``top`` rows — never a corpus-wide SinglePartition sort
+    shortlist = scored.orderBy(*order).limit(top)
+    from pyspark.sql import Window
+    w = Window.orderBy(*order)
+    return shortlist.withColumn("rank", F.row_number().over(w))

@@ -113,3 +113,42 @@ class ReplicaOptimizer:
             self.engine.vacuum(db, table, now=self.clock())
             done.append((db, table))
         return done
+
+
+def plan_compaction(files, part_cols: list[str], target_bytes: int,
+                    file_col: str = "file_id", bytes_col: str = "bytes"):
+    """Small-file compaction plan: assign each file to a merge bin so every
+    bin's cumulative size lands near ``target_bytes`` — the planner half of
+    the lakehouse small-file problem (Delta OPTIMIZE's binPacking,
+    Iceberg's BinPackStrategy). The scheduler above decides WHEN to
+    compact; this decides WHAT to merge together.
+
+    Next-fit by file ordinal: within each table partition, files are
+    walked in ``file_col`` order and ``bin = (running_total - bytes) div
+    target`` — pure prefix-sum arithmetic, deterministic, and (unlike
+    first-fit-decreasing) expressible as ONE per-partition window with no
+    iterative state. Keeping merge groups doc-id-contiguous also preserves
+    any clustering/z-order the files already have, which FFD would
+    destroy.
+
+    Scale: the window partitions by the table-partition key and orders by
+    file id — input is the FILE LISTING (metadata-cardinality, millions of
+    rows at 100 TB, never data rows), so a per-partition sort is cheap;
+    partitions plan independently and in parallel. Returns one row per
+    merge bin: (part_cols..., bin, n_files, total_bytes, first/last file).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (Window.partitionBy(*part_cols).orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum(bytes_col).over(w) - F.col(bytes_col)
+    planned = (files.withColumn("_cb", cum_before.cast("long"))
+               .withColumn("bin",
+                           F.expr(f"_cb div {target_bytes}").cast("long"))
+               .drop("_cb"))
+    return (planned.groupBy(*part_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(bytes_col).cast("long").alias("total_bytes"),
+                 F.min(file_col).alias("first_file"),
+                 F.max(file_col).alias("last_file")))

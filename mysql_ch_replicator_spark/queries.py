@@ -472,6 +472,41 @@ def q_skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_advisor",
+    """
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS key_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events),
+    scored AS (
+      SELECT user_id, key_rows,
+             (1000000 * key_rows) // t AS share_ppm,
+             (key_rows * 32 + t - 1) // t AS salt_factor
+      FROM counts, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY key_rows DESC, user_id) AS rank
+      FROM scored
+    )
+    SELECT user_id, key_rows, share_ppm, salt_factor, rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators/skew.skew_advisor): the
+    pre-flight report before committing a 100 TB groupBy/join to a key —
+    top-20 heaviest values with integer ppm share and the recommended
+    salt factor ceil(key_rows / avg_partition_rows). One combining
+    aggregate + distributed top-N; the total scalar rides a broadcast
+    1-row frame; rank window sees only the 20-row shortlist."""
+    from .operators.skew import skew_advisor
+
+    events = load_table(spark, sf_dir, "events")
+    return skew_advisor(events, ["user_id"], n_partitions=32, top=20)
+
+
+@register(
     "q_pivot_events_daily",
     """
     SELECT CAST(ts AS DATE) AS day,
@@ -2479,6 +2514,80 @@ def replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feature_backfill",
+    f"""
+    WITH cuts AS (
+      SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+                     TIMESTAMP '2024-01-22 00:00:00']) AS cutoff
+    )
+    SELECT e.user_id, strftime(c.cutoff, '{_TS_FMT_DUCK}') AS cutoff,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (e.event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2)))
+                     FILTER (e.event_type = 'purchase') AS DECIMAL(28,2))
+                AS VARCHAR) AS spend,
+           strftime(max(e.ts), '{_TS_FMT_DUCK}') AS last_seen
+    FROM events e JOIN cuts c ON e.ts < c.cutoff
+    GROUP BY e.user_id, c.cutoff
+    """,
+)
+def feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature backfill
+    (operators/features.feature_backfill): the training matrix for two
+    snapshot dates, each (user, cutoff) row seeing ONLY events strictly
+    before its cutoff — the leakage guard a temporal feature store
+    exists for. One scan-side explode over the cutoff literals into one
+    (entity, cutoff)-keyed combining aggregate."""
+    from .operators.features import feature_backfill as backfill
+
+    events = load_table(spark, sf_dir, "events")
+    out = backfill(events,
+                   ["2024-01-08 00:00:00", "2024-01-22 00:00:00"])
+    return out.select(
+        "user_id", _ts_str("cutoff").alias("cutoff"), "n_events",
+        "n_purchase", F.col("spend").cast("string").alias("spend"),
+        _ts_str("last_seen").alias("last_seen"))
+
+
+@register(
+    "compaction_plan",
+    """
+    WITH files AS (
+      SELECT source, doc_id // 64 AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT source, file_id, bytes,
+             (sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                               ROWS UNBOUNDED PRECEDING) - bytes) // 65536
+               AS bin
+      FROM files
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file
+    FROM planned GROUP BY source, bin
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (optimizer.plan_compaction): next-fit
+    bin assignment of per-source file segments toward a 64 KiB merge
+    target — Delta OPTIMIZE binPacking / Iceberg BinPackStrategy as a
+    deterministic prefix-sum window over the FILE LISTING (metadata
+    cardinality, never data rows). Doc-id-contiguous bins preserve
+    existing clustering; each table partition plans independently."""
+    from .optimizer import plan_compaction
+
+    files = (load_table(spark, sf_dir, "documents")
+             .groupBy("source", F.expr("doc_id div 64").alias("file_id"))
+             .agg(F.sum("n_chars").cast("long").alias("bytes")))
+    return plan_compaction(files, ["source"], 65536)
+
+
+@register(
     "cdc_scd2_history",
     """
     WITH ordered AS (
@@ -2514,6 +2623,55 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("value").cast("decimal(18,2)").cast("string"))
          .alias("value"),
         F.col(SEQ_COL).alias("valid_from"), "valid_to", "is_current")
+
+
+@register(
+    "cdc_temporal_join",
+    """
+    WITH dim AS (
+      SELECT user_id, event_type, value, event_id,
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS next_id
+      FROM events WHERE event_type <> 'error'
+    ),
+    hist AS (
+      SELECT user_id, event_type AS state_type,
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS state_value,
+             event_id AS valid_from,
+             COALESCE(next_id, 9223372036854775807) AS valid_to
+      FROM dim
+    )
+    SELECT f.event_id, f.user_id, h.state_type, h.state_value,
+           h.valid_from AS state_from
+    FROM events f LEFT JOIN hist h
+      ON h.user_id = f.user_id
+     AND f.event_id >= h.valid_from AND f.event_id < h.valid_to
+    WHERE f.event_type = 'error'
+    """,
+)
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time temporal join (operators/replica.temporal_join): every
+    error event picks up the dimension version (the user's last non-error
+    state) in effect at its own sequence position — the SCD2 read pattern
+    the reference's latest-wins replica cannot answer without rewriting
+    history. Key-equality join carries the shuffle; validity intervals
+    partition sequence space so the join never fans out."""
+    from .operators.replica import scd2_history, temporal_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim_src = events.where(F.col("event_type") != "error").select(
+        "user_id", F.col("event_type").alias("state_type"),
+        F.col("value").cast("decimal(18,2)").cast("string")
+         .alias("state_value"),
+        F.col("event_id").alias(SEQ_COL))
+    hist = scd2_history(dim_src, ["user_id"]).select(
+        "user_id", "state_type", "state_value", "valid_from", "valid_to")
+    facts = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("event_id").alias("at_seq"))
+    joined = temporal_join(facts, hist, ["user_id"], "at_seq")
+    return joined.select(
+        "event_id", "user_id", "state_type", "state_value",
+        F.col("valid_from").alias("state_from"))
 
 
 @register(

@@ -973,6 +973,43 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_contamination(docs, F.col("doc_id") % 10 == 0, n=8)
 
 
+@register(
+    "decontaminate_semantic",
+    f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv
+                FROM embeddings WHERE vec_id % 41 = 3),
+    tr AS (SELECT vec_id, embedding AS tvv
+           FROM embeddings WHERE vec_id % 41 <> 3),
+    hit AS (
+      SELECT tr.vec_id, ev.eval_id,
+             round({{cos}}, 6) AS cos
+      FROM tr, ev
+      WHERE round({{cos}}, 6) >= 0.9
+    ),
+    ranked AS (
+      SELECT vec_id, eval_id, cos,
+             count(*) OVER (PARTITION BY vec_id) AS n_matches,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, eval_id) AS rnk
+      FROM hit
+    )
+    SELECT vec_id, n_matches, eval_id, cos FROM ranked WHERE rnk = 1
+    """.format(cos=_cos_sql('tr.tvv', 'ev.evv', _EMB_DIMS)),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (operators/contamination.semantic_contamination): training vectors
+    within cosine 0.9 of the holdout slice (vec_id % 41 == 3) — catches
+    the paraphrase overlap verbatim n-gram matching misses. Eval side
+    broadcasts; corpus scanned once, only the bounded per-vector argmax
+    shuffles."""
+    from .operators.contamination import semantic_contamination
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.where(F.col("vec_id") % 41 != 3),
+        emb.where(F.col("vec_id") % 41 == 3), threshold=0.9)
+
+
 def _pii_query_sql() -> str:
     from .functions.pii import pii_sql
     synth = ("'u' || CAST(doc_id AS VARCHAR) || '@ex' || "
@@ -1246,6 +1283,49 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("doc_id", "term", "tf", "score", "rank"))
+
+
+def _pagerank_oracle_sql(iterations: int) -> str:
+    """Chained-CTE twin of operators/graph.pagerank: r0 → i1 → ... → iN,
+    each iteration the same fixed-point integer update."""
+    scale, base = 10 ** 12, 15 * 10 ** 12 // 100
+    ctes = [
+        f"w AS (SELECT {_WORDS_SQL} AS W FROM documents)",
+        f"g AS (SELECT unnest({_sh_sql(2)}) AS bg FROM w)",
+        "e AS (SELECT string_split(bg, ' ')[1] AS s,"
+        " string_split(bg, ' ')[2] AS t,"
+        " CAST(count(*) AS BIGINT) AS wt FROM g GROUP BY 1, 2)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e)",
+        "o AS (SELECT s, CAST(sum(wt) AS BIGINT) AS ow FROM e GROUP BY s)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        ctes.append(f"""i{k} AS (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(m.acc, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.t, sum(e.wt * (r.rank // o.ow)) AS acc
+        FROM e JOIN {prev} r ON r.node = e.s JOIN o ON o.s = e.s
+        GROUP BY e.t) m ON m.t = n.node)""")
+        prev = f"i{k}"
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT node, rank FROM {prev}")
+
+
+@register("graph_pagerank", _pagerank_oracle_sql(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the token co-occurrence graph
+    (operators/graph.pagerank): 3 exact integer iterations at scale 1e12
+    — the TextRank / domain-authority shape (Common Crawl ranks domains
+    the same way before weighting crawl mixtures). Edge list shuffles
+    once per iteration on its destination key; the vertex-sized rank
+    table rides broadcast joins. Float PR could never be hash-compared;
+    the fixed-point contract makes the oracle bit-exact."""
+    from .operators.graph import pagerank, word_cooccurrence_edges
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return pagerank(word_cooccurrence_edges(docs), iterations=3)
 
 
 # ---------------------------------------------------------------------------
@@ -2738,6 +2818,35 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K).withColumn(
         "score", F.col("score").cast("string"))
+
+
+@register(
+    "lexical_index_build",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents)
+    ),
+    seg AS (
+      SELECT term, doc_id // 256 AS seg, CAST(count(*) AS BIGINT) AS seg_n,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
+      FROM tok GROUP BY term, doc_id // 256
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tok GROUP BY term)
+    SELECT term, seg, seg_n, postings, df FROM seg JOIN dfreq USING (term)
+    """,
+)
+def lexical_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented inverted-index build
+    (operators/retrieval.build_inverted_index): posting lists sharded by
+    doc-id SPAN (seg = doc_id div 256), so a stopword becomes many
+    bounded (term, seg) groups instead of one giant window partition —
+    no per-term global sort anywhere; each segment sorts ≤ span postings
+    scan-locally. df joins back on a term-uniform shuffle."""
+    from .operators.retrieval import build_inverted_index
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return build_inverted_index(docs, span=256)
 
 
 _MATRYOSHKA_K = 10

@@ -624,3 +624,73 @@ def test_source_matrix_posting_join_no_cartesian(spark, queries):
     assert "lang" not in read_schema
     executed = executed_plan_of(df)
     assert "CartesianProduct" not in executed
+
+
+def test_temporal_join_extracts_equality_key(spark, queries):
+    """cdc_temporal_join: the key-equality half of the interval predicate
+    must drive a hash-keyed join (user_id) — never a
+    nested-loop/cartesian over facts x history; the range bounds ride as
+    the join's residual condition."""
+    plan = plan_of(queries["cdc_temporal_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan or "user_id" in plan.split(
+        "Join")[1][:400]
+
+
+def test_pagerank_no_cartesian_mapside_edge_agg(spark, queries):
+    """graph_pagerank: the edge build aggregates with map-side combine;
+    no iteration may degrade to a cartesian (ranks join on node keys)."""
+    df = queries["graph_pagerank"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lexical_index_no_per_term_global_sort(spark, queries):
+    """lexical_index_build: span-based segmentation means NO
+    SinglePartition exchange and NO window over term partitions — hot
+    terms become more (term, seg) groups, never a bigger task; postings
+    sort inside each bounded segment (sort_array, scan-local)."""
+    executed = executed_plan_of(
+        queries["lexical_index_build"](spark, SF)) \
+        .split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in executed
+    assert "Window" not in executed
+
+
+def test_compaction_plan_partitioned_window(spark, queries):
+    """compaction_plan: the prefix-sum window partitions by the table
+    partition key (source) — a SinglePartition window would serialize
+    the whole file listing through one task."""
+    plan = plan_of(queries["compaction_plan"](spark, SF))
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+    assert "hashpartitioning(source" in plan
+
+
+def test_skew_advisor_distributed_topn(spark, queries):
+    """q_skew_advisor: the shortlist comes from TakeOrderedAndProject
+    (distributed top-N); the only SinglePartition stage ranks the <= 20
+    row shortlist; the total-count scalar joins by broadcast."""
+    df = queries["q_skew_advisor"](spark, SF)
+    executed = executed_plan_of(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in executed
+    assert "BroadcastNestedLoopJoin" in executed  # 1-row scalar frame
+
+
+def test_feature_backfill_single_agg_after_explode(spark, queries):
+    """feature_backfill: one combining aggregate keyed (user, cutoff)
+    after the scan-side cutoff explode — no joins, no windows."""
+    plan = plan_of(queries["feature_backfill"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_decontamination_broadcast_eval(spark, queries):
+    """decontaminate_semantic: the eval slice broadcasts (corpus never
+    shuffles before scoring); the argmax window partitions by vec_id."""
+    plan = plan_of(queries["decontaminate_semantic"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" in plan

@@ -1,0 +1,175 @@
+"""Pure-Python cross-checks of the round-6 late additions (temporal join,
+fixed-point PageRank, segmented inverted index, compaction planner, skew
+advisor, feature backfill, semantic decontamination) — the
+oracle-independence layer: DuckDB proves cross-engine agreement, these
+prove the shared semantics are the INTENDED ones."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_temporal_join_point_in_time(spark):
+    """Each fact picks exactly the dim version whose [from, to) interval
+    contains its timestamp; facts before any version get NULLs; the join
+    never fans out (one output row per fact)."""
+    from mysql_ch_replicator_spark.operators.replica import (
+        scd2_history, temporal_join)
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 30), (2, "x", 20)],
+        "k long, payload string, _seq long")
+    hist = scd2_history(dim, ["k"])
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 29), (103, 1, 30),
+         (104, 1, 99), (105, 2, 19), (106, 2, 20), (107, 3, 50)],
+        "fid long, k long, at long")
+    out = {r.fid: r.payload
+           for r in temporal_join(facts, hist.select("k", "payload",
+                                                     "valid_from",
+                                                     "valid_to"),
+                                  ["k"], "at").collect()}
+    assert out == {100: None, 101: "a", 102: "a", 103: "b", 104: "b",
+                   105: None, 106: "x", 107: None}
+    assert temporal_join(facts, hist.select(
+        "k", "payload", "valid_from", "valid_to"), ["k"], "at").count() == 8
+
+
+def test_pagerank_matches_python_fixed_point(spark):
+    """Spark ranks == a literal python run of the documented fixed-point
+    update on a crafted weighted digraph (hub/authority asymmetry)."""
+    from mysql_ch_replicator_spark.operators.graph import SCALE, pagerank
+
+    edge_rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+                 ("c", "a", 1), ("d", "c", 5)]
+    edges = spark.createDataFrame(edge_rows, "s string, t string, wt long")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+
+    nodes = {n for e in edge_rows for n in e[:2]}
+    outw = {}
+    for s, _, w in edge_rows:
+        outw[s] = outw.get(s, 0) + w
+    rank = {n: SCALE for n in nodes}
+    base = 15 * SCALE // 100
+    for _ in range(3):
+        acc = {n: 0 for n in nodes}
+        for s, t, w in edge_rows:
+            acc[t] += w * (rank[s] // outw[s])
+        rank = {n: base + (85 * acc[n]) // 100 for n in nodes}
+    assert got == rank
+    # authority check: c (most in-weight) outranks the pure hub d
+    assert got["c"] > got["d"]
+
+
+def test_inverted_index_segments(spark):
+    """Span-based segmentation: postings land in seg = doc_id div span,
+    sorted in-segment; df counts corpus-wide distinct docs; duplicate
+    occurrences within a doc collapse."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        build_inverted_index)
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog cat"), (1, "cat"), (4, "dog cat"), (5, "cat fish")],
+        "doc_id long, text string")
+    out = {(r.term, r.seg): (r.seg_n, r.postings, r.df)
+           for r in build_inverted_index(docs, span=4).collect()}
+    assert out == {
+        ("cat", 0): (2, "0,1", 4),
+        ("cat", 1): (2, "4,5", 4),
+        ("dog", 0): (1, "0", 2),
+        ("dog", 1): (1, "4", 2),
+        ("fish", 1): (1, "5", 1),
+    }
+
+
+def test_plan_compaction_next_fit(spark):
+    """Bins follow the prefix-sum rule (cum_before div target) per
+    partition; totals and file ranges aggregate per bin."""
+    from mysql_ch_replicator_spark.optimizer import plan_compaction
+
+    rows = [("p", 0, 60), ("p", 1, 60), ("p", 2, 60),  # cum_before 0,60,120
+            ("p", 3, 200),                             # cum_before 180
+            ("q", 0, 500)]
+    files = spark.createDataFrame(rows, "part string, file_id long, bytes long")
+    out = {(r.part, r.bin): (r.n_files, r.total_bytes, r.first_file,
+                             r.last_file)
+           for r in plan_compaction(files, ["part"], 100).collect()}
+    assert out == {
+        ("p", 0): (2, 120, 0, 1),   # cum_before 0 and 60 -> bin 0
+        ("p", 1): (2, 260, 2, 3),   # cum_before 120 and 180 -> bin 1
+        ("q", 0): (1, 500, 0, 0),
+    }
+
+
+def test_skew_advisor_report(spark):
+    """ppm shares and ceil-based salt factors over a crafted hot key."""
+    from mysql_ch_replicator_spark.operators.skew import skew_advisor
+
+    rows = ([("hot",)] * 70) + ([("warm",)] * 20) + ([("cold",)] * 10)
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: (r.key_rows, r.share_ppm, r.salt_factor, r.rank)
+           for r in skew_advisor(df, ["k"], n_partitions=4, top=2).collect()}
+    assert out == {
+        "hot": (70, 700000, 3, 1),   # ceil(70*4/100) = 3
+        "warm": (20, 200000, 1, 2),
+    }
+
+
+def test_feature_backfill_leakage_guard(spark):
+    """Events at or after a cutoff are invisible to it; each cutoff sees
+    its own strict prefix."""
+    from mysql_ch_replicator_spark.operators.features import feature_backfill
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "purchase", 10.0),
+         (1, "2024-01-05 00:00:00", "click", 0.0),
+         (1, "2024-01-10 00:00:00", "purchase", 5.0),
+         (2, "2024-01-12 00:00:00", "click", 0.0)],
+        "user_id long, ts string, event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.user_id, str(r.cutoff)): (r.n_events, r.n_purchase,
+                                        str(r.spend))
+           for r in feature_backfill(
+               events, ["2024-01-05 00:00:00", "2024-01-15 00:00:00"])
+           .collect()}
+    assert out == {
+        (1, "2024-01-05 00:00:00"): (1, 1, "10.00"),
+        (1, "2024-01-15 00:00:00"): (3, 2, "15.00"),
+        (2, "2024-01-15 00:00:00"): (1, 0, "None"),
+    }
+
+
+def test_semantic_contamination_matches_python(spark):
+    """Match counts and best-eval argmax against a literal cosine sweep."""
+    from mysql_ch_replicator_spark.operators.contamination import (
+        semantic_contamination)
+
+    vecs = {1: [1.0, 0.0], 2: [0.9, 0.1], 3: [0.0, 1.0],
+            100: [1.0, 0.05], 101: [0.0, 0.9]}
+    rows = [(k, v) for k, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    train = df.where(F.col("vec_id") < 100)
+    ev = df.where(F.col("vec_id") >= 100)
+    got = {r.vec_id: (r.n_matches, r.eval_id, r.cos)
+           for r in semantic_contamination(train, ev, threshold=0.9)
+           .collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(y * y for y in b))), 6)
+
+    expect = {}
+    for t in (1, 2, 3):
+        hits = [(cos([float(f) for f in map(float, vecs[t])], vecs[e]), e)
+                for e in (100, 101)]
+        hits = [(c, e) for c, e in hits if c >= 0.9]
+        if hits:
+            best = sorted(hits, key=lambda ce: (-ce[0], ce[1]))[0]
+            expect[t] = (len(hits), best[1], best[0])
+    assert set(got) == set(expect)
+    for t in expect:
+        assert got[t][0] == expect[t][0] and got[t][1] == expect[t][1]
+        assert abs(got[t][2] - expect[t][2]) < 2e-6
