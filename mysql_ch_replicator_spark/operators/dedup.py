@@ -40,7 +40,7 @@ from ..sources.snapshot import spread
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str,
-              shingle_n: int) -> DataFrame:
+              shingle_n: int, persist: bool = True) -> DataFrame:
     """(doc_id, sh) with sh = distinct word n-gram shingles, computed ONCE.
 
     The shingle subtree is interpreted (higher-order functions have no
@@ -48,11 +48,16 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     projection BEFORE the non-empty filter stops predicate pushdown from
     cloning the subtree into the filter, and gives every downstream branch
     (sizes, posting lists, signatures, verify join) the cached arrays. At
-    100 TB the persist becomes a staged table write — same shape."""
-    staged = transient_persist(spread(docs).select(
+    100 TB the persist becomes a staged table write — same shape.
+
+    ``persist=False`` for callers that stage their own superset projection
+    (minhash persists (doc_id, sh, sig) — caching sh twice would double
+    the biggest column's memory footprint for nothing)."""
+    proj = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
-         .alias("sh")))
+         .alias("sh"))
+    staged = transient_persist(proj) if persist else proj
     return staged.where(F.size("sh") > 0)
 
 
@@ -221,27 +226,43 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     connected-components (graphframes / loop of joins); one hop is
     deterministic, single-pass, and the standard first stage — re-running on
     survivors converges if full closure is wanted.
+
+    Shuffle-payload contract (r6 verdict #1): the band-bucket self-join
+    carries (bucket, doc_id) ONLY — at 100 TB the shingle arrays, not the
+    keys, would dominate that exchange (each doc's full shingle set would
+    cross it once per band per side). Shingle sets re-attach by doc_id
+    AFTER candidate generation, so they shuffle once each for the
+    ≤|candidates| verification joins instead of ``bands×`` for the
+    bucket join; a plan pin (tests/test_plan_shapes.py) enforces that no
+    array column enters the bucket exchange.
     """
     rows_per_band = num_hashes // bands
-    base = _shingled(docs, text_col, id_col, shingle_n)
-    sigs = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    # materialize the signatures: the bucket self-join consumes this subtree
-    # twice and Spark has no cross-branch CSE — without the persist every
-    # shingle is re-md5'd on both sides (at 100 TB: write signatures to a
+    base = _shingled(docs, text_col, id_col, shingle_n, persist=False)
+    # materialize (doc_id, sh, sig) ONCE: four consumers (both sides of the
+    # bucket join via the band explode, and both sides of the verification
+    # re-join) and Spark has no cross-branch CSE — without the persist every
+    # shingle is re-md5'd per consumer (at 100 TB: write signatures to a
     # table; here: cache)
-    banded = transient_persist(sigs.select(
-        "doc_id", "sh",
+    sigs = transient_persist(
+        base.withColumn("sig",
+                        minhash_signature(F.col("sh"), num_hashes)))
+    banded = sigs.select(
+        "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
-         .alias("bucket")))
+         .alias("bucket"))
 
-    left = banded.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"),
-                         "bucket")
-    right = banded.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"),
-                          "bucket")
+    left = banded.select(F.col("doc_id").alias("a"), "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "bucket")
     cand = (left.join(right, "bucket")
             .where(F.col("a") < F.col("b"))
-            .select("a", "b", "sh_a", "sh_b")
+            .select("a", "b")
             .dropDuplicates(["a", "b"]))
+    sh_tbl = sigs.select("doc_id", "sh")
+    cand = (cand
+            .join(sh_tbl.select(F.col("doc_id").alias("a"),
+                                F.col("sh").alias("sh_a")), "a")
+            .join(sh_tbl.select(F.col("doc_id").alias("b"),
+                                F.col("sh").alias("sh_b")), "b"))
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

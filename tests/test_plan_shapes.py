@@ -694,3 +694,28 @@ def test_semantic_decontamination_broadcast_eval(spark, queries):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" in plan
+
+
+def _plan_nodes(plan: str) -> list[str]:
+    """The formatted plan's per-node detail blocks ('(n) NodeName' +
+    Input/Output/Arguments lines)."""
+    import re
+    body = plan.split("\n\n", 1)[-1]
+    return re.split(r"\n\n(?=\()", body)
+
+
+def test_minhash_bucket_exchange_carries_keys_only(spark, queries):
+    """dedup_minhash_lsh (r6 verdict #1): the band-bucket self-join must
+    shuttle (bucket, doc_id) pairs ONLY — at 100 TB each doc's shingle
+    array crossing that exchange once per band per side is the shuffle's
+    dominant cost. Shingle sets re-attach by doc_id after candidate
+    generation, so every Exchange/BroadcastExchange whose input carries
+    the bucket key must carry NO array column (neither the shingle set
+    nor the minhash signature)."""
+    plan = plan_of(queries["dedup_minhash_lsh"](spark, SF))
+    bucket_nodes = [n for n in _plan_nodes(plan)
+                    if ("Exchange" in n.split("\n")[0])
+                    and "bucket#" in n]
+    assert bucket_nodes, "expected at least one exchange on the bucket key"
+    for n in bucket_nodes:
+        assert "sh#" not in n and "sig#" not in n, n.split("\n")[0]
