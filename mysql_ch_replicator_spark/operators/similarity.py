@@ -653,6 +653,7 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 _IVF_META = "_ivf_meta.json"   # underscore prefix: invisible to parquet scans
+_IVF_PENDING = "_ivf_upsert_pending.json"   # upsert intent manifest
 
 
 def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
@@ -708,18 +709,28 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     drift from the write-time geometry.
 
     Mechanics: adds are assigned scan-side; the affected-cell set is the
-    union of add cells and the cells currently holding removed ids (one
-    pushdown-filtered probe of the index — at scale, parquet min/max on
-    vec_id prunes most files); the merged affected-cell rows are
-    localCheckpointed (so the plan no longer reads the target path —
-    Spark refuses to overwrite a path it is reading) and written with
-    DYNAMIC partition overwrite, leaving every untouched cell directory
-    byte-identical. Returns the affected cell ids.
+    union of (a) the adds' new cells, (b) the cells currently holding the
+    add ids — re-adding an id whose updated embedding assigns to a
+    DIFFERENT cell must rewrite the OLD cell too, else the stale row
+    survives there as a duplicate vec_id (ADVICE r6) — and (c) the cells
+    currently holding removed ids. (b) and (c) share ONE pushdown-
+    filtered probe of the index (at scale, parquet min/max on vec_id
+    prunes most files), and all cell-discovery frames union into a
+    SINGLE collect — one Spark job, not three (r6 verdict #4). The
+    merged affected-cell rows are localCheckpointed (so the plan no
+    longer reads the target path — Spark refuses to overwrite a path it
+    is reading) and written with DYNAMIC partition overwrite, leaving
+    every untouched cell directory byte-identical. Returns the affected
+    cell ids.
 
     Crash contract: the per-cell overwrite is atomic per DIRECTORY but
     not across cells — a failure mid-write can leave some affected
     cells updated and others not (a torn batch, like any multi-file
-    commit without a manifest). The operation is IDEMPOTENT by
+    commit without a manifest). A tiny intent manifest
+    (``_ivf_upsert_pending.json``, written with the affected cell list
+    before the overwrite and removed after it commits) makes the torn
+    state DETECTABLE: ``pending_upsert_cells`` returns the cell ids a
+    crashed batch may have half-applied. The operation is IDEMPOTENT by
     construction — every term of ``(current ∖ add_ids ∖ removes) ∪
     (adds ∖ removes)`` is insensitive to whether a cell already
     absorbed the batch — so the recovery protocol is simply re-running
@@ -727,6 +738,12 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     tests/test_ann_recall.py); replica tables, which need readers
     isolated during rewrite, use the generation-manifest protocol
     instead (engine._overwrite_data)."""
+    import json
+    import os
+    from functools import reduce
+
+    from ..cache import transient_persist
+
     meta = read_ivf_meta(path)
     if meta is None:
         raise ValueError(
@@ -735,35 +752,39 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                             meta["dims"])
     idx = spark.read.parquet(path)
-    affected: set[int] = set()
     assigned = None
+    cell_frames: list[DataFrame] = []   # single-column `cell` frames
+    probe_ids: list[DataFrame] = []     # ids whose CURRENT cells matter
     if adds is not None:
-        assigned = (ivf_assign(
+        assigned = transient_persist(ivf_assign(
             adds.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("embedding")),
             "embedding", n_cells, dims, probes=1, centroids=cents)
             .withColumn("cell", F.element_at("cells", 1)).drop("cells"))
-        affected |= {r.cell for r in
-                     assigned.select("cell").distinct().collect()}
+        cell_frames.append(assigned.select("cell"))
+        probe_ids.append(assigned.select("vec_id"))
     if removes is not None:
         rm = removes.select(F.col(id_col).alias("vec_id"))
         if vec_col in removes.columns:
-            # fast path: the stored assignment IS the persisted-centroid
-            # assignment, so removes that carry their vectors locate
-            # their cells scan-side — no index read at all
-            affected |= {r.cell for r in ivf_assign(
+            # fast path: the stored vector is always the LAST add's
+            # vector, whose stored cell is its persisted-centroid
+            # assignment — so removes carrying the current vector locate
+            # their cells scan-side, no index probe
+            cell_frames.append(ivf_assign(
                 removes.select(F.col(id_col).alias("vec_id"),
                                F.col(vec_col).alias("embedding")),
                 "embedding", n_cells, dims, probes=1, centroids=cents)
-                .select(F.element_at("cells", 1).alias("cell"))
-                .distinct().collect()}
+                .select(F.element_at("cells", 1).alias("cell")))
         else:
-            # id-only removes: probe the index (parquet min/max on
-            # vec_id prunes most files at scale)
-            affected |= {r.cell for r in
-                         idx.join(rm, "vec_id")
-                         .select("cell").distinct().collect()}
-    cells = sorted(affected)
+            probe_ids.append(rm)
+    if probe_ids:
+        ids = reduce(DataFrame.unionByName, probe_ids).distinct()
+        cell_frames.append(idx.join(ids, "vec_id").select("cell"))
+    if not cell_frames:
+        return []
+    cells = sorted({r.cell for r in
+                    reduce(DataFrame.unionByName, cell_frames)
+                    .distinct().collect()})
     if not cells:
         return []
     cur = idx.where(F.col("cell").isin(cells))
@@ -776,10 +797,29 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         merged = merged.join(removes.select(F.col(id_col).alias("vec_id")),
                              "vec_id", "left_anti")
     merged = merged.localCheckpoint(eager=True)
+    pending = os.path.join(path, _IVF_PENDING)
+    with open(pending, "w", encoding="utf-8") as fh:
+        json.dump({"cells": cells}, fh)
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell").parquet(path))
+    os.remove(pending)
     return cells
+
+
+def pending_upsert_cells(path: str) -> list[int] | None:
+    """Cell ids a crashed ``upsert_ivf_index`` batch may have left half-
+    applied (its intent manifest survives the crash), or None when the
+    last upsert committed cleanly. Recovery = re-run the same upsert
+    (idempotent; see the crash contract above)."""
+    import json
+    import os
+
+    pending = os.path.join(path, _IVF_PENDING)
+    if not os.path.exists(pending):
+        return None
+    with open(pending, encoding="utf-8") as fh:
+        return json.load(fh)["cells"]
 
 
 def read_ivf_meta(path: str) -> dict | None:

@@ -375,3 +375,84 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     # doc 0 is the query vector itself: excluded from the vector list but
     # present lexically
     assert by_id[0].vec_rank is None and by_id[0].lex_rank is not None
+
+
+def test_ivf_index_upsert_readd_moves_cell(spark, tmp_path, corpus):
+    """Re-adding an existing vec_id whose UPDATED embedding assigns to a
+    DIFFERENT cell must rewrite the old cell too — the stale row there
+    would otherwise survive as a duplicate vec_id (ADVICE r6). The
+    upserted index must equal a from-scratch rebuild of the updated
+    corpus: one row per id, the new vector, the new cell."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        upsert_ivf_index, write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus, path, n_cells=8)
+    idx = spark.read.parquet(path).select("vec_id", "cell")
+    by_cell = {}
+    for r in idx.collect():
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    cells = sorted(by_cell)
+    assert len(cells) >= 2
+    moved_id = min(by_cell[cells[0]])
+    donor_id = min(by_cell[cells[1]])
+    donor_vec = (corpus.where(F.col("vec_id") == donor_id)
+                 .select("embedding").first()[0])
+
+    adds = spark.createDataFrame(
+        [(moved_id, [float(x) for x in donor_vec])],
+        "vec_id long, embedding array<double>")
+    touched = upsert_ivf_index(spark, path, adds=adds)
+    # both the old and the new cell must be in the affected set
+    assert cells[0] in touched and cells[1] in touched
+
+    got = spark.read.parquet(path)
+    rows = got.where(F.col("vec_id") == moved_id).collect()
+    assert len(rows) == 1, f"duplicate vec_id rows: {rows}"
+    assert rows[0].cell == cells[1]
+    assert [float(x) for x in rows[0].embedding] == \
+        [float(x) for x in donor_vec]
+
+    # equivalence with a from-scratch rebuild of the updated corpus
+    updated = (corpus.select("vec_id", "embedding")
+               .where(F.col("vec_id") != moved_id)
+               .unionByName(adds))
+    full = str(tmp_path / "full")
+    write_ivf_index(updated, full, n_cells=8)
+    assert sorted((r.vec_id, r.cell) for r in
+                  got.select("vec_id", "cell").collect()) == \
+        sorted((r.vec_id, r.cell) for r in
+               spark.read.parquet(full).select("vec_id", "cell").collect())
+
+
+def test_ivf_index_upsert_pending_manifest(spark, tmp_path, corpus):
+    """Torn-batch detectability: the upsert writes an intent manifest
+    with the affected cells before the overwrite and removes it after
+    commit — a crash in between leaves the manifest for
+    pending_upsert_cells to report."""
+    import json
+    import os
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_PENDING, pending_upsert_cells, upsert_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus.where(F.col("vec_id") % 2 == 0), path, n_cells=8)
+    assert pending_upsert_cells(path) is None
+    touched = upsert_ivf_index(
+        spark, path, adds=corpus.where(F.col("vec_id") % 2 == 1))
+    assert touched
+    assert pending_upsert_cells(path) is None   # committed → manifest gone
+
+    # simulate the crash window: manifest present
+    with open(os.path.join(path, _IVF_PENDING), "w", encoding="utf-8") as fh:
+        json.dump({"cells": touched}, fh)
+    assert pending_upsert_cells(path) == touched
+    # recovery is re-running the same upsert; it rewrites the manifest
+    # and clears it on commit
+    upsert_ivf_index(spark, path,
+                     adds=corpus.where(F.col("vec_id") % 2 == 1))
+    assert pending_upsert_cells(path) is None
