@@ -231,9 +231,10 @@ def run_binlog_replicator(args, config: Settings, spark=None,
     engine = _engine(spark, config)
     root = _event_root(config)
 
-    if not any(engine.tables(db) for db in engine.databases()):
-        raise SystemExit("no replicated tables registered — create tables "
-                         "first (DDL events or ReplicaEngine.create_table)")
+    # Zero registered tables is a legal start state (ADVICE r6): the
+    # replicator can run DDL-only until a routed CREATE TABLE bootstraps
+    # the first table — exiting here would contradict the mid-stream
+    # bootstrap path below.
 
     raw = (spark.readStream.schema("value string")
            .text(args.envelope_dir))
@@ -250,17 +251,44 @@ def run_binlog_replicator(args, config: Settings, spark=None,
         # its per-db log so the apply tier can bootstrap it — only the
         # config's db-glob filter applies, same as the reference skipping
         # non-replicated schemas (reference binlog_replicator.py:464–490).
+        #
+        # Job shape (r6 verdict #2): the reference handles every table in
+        # ONE poll loop (binlog_replicator.py:445–527); one Spark write
+        # job per (db, table) per micro-batch is the driver-scheduling
+        # twin of that loop done wrong — at reference-like schema widths
+        # (hundreds of tables) it is hundreds of tiny jobs per 1 s
+        # trigger. Instead: one small discovery job finds the distinct
+        # (db, table) pairs and DDL databases PRESENT in the batch, the
+        # per-table branches (built only for present registered tables —
+        # no structure() read for idle tables, ADVICE r6) union per db,
+        # and each db gets exactly ONE append write. Jobs per batch =
+        # 1 + O(#dbs present), independent of registered table count.
+        from functools import reduce
+
+        from pyspark.sql import DataFrame
+
         batch.persist()
         try:
-            ddl = debezium_schema_events(batch)
-            ddl_dbs = [r.db for r in ddl.select("db").distinct().collect()
-                       if r.db]
-            for db in ddl_dbs:
-                if not (config.is_database_matches(db)
-                        if config is not None else True):
-                    continue
-                (ddl.where(F.col("db") == db).write.mode("append")
-                   .json(os.path.join(root, db)))
+            probe = F.from_json(
+                F.col("value").cast("string"),
+                "op string, ddl string, databaseName string, "
+                "source struct<db: string, table: string>")
+            present_rows: set[tuple[str, str]] = set()
+            ddl_dbs: set[str] = set()
+            for r in (batch.select(
+                    probe["op"].alias("op"), probe["ddl"].alias("ddl"),
+                    F.coalesce(probe["databaseName"],
+                               probe["source"]["db"]).alias("ddl_db"),
+                    probe["source"]["db"].alias("db"),
+                    probe["source"]["table"].alias("table"))
+                    .distinct().collect()):
+                if r.op is not None and r.db and r.table:
+                    present_rows.add((r.db, r.table))
+                if r.ddl is not None and r.ddl.strip() and r.ddl_db:
+                    ddl_dbs.add(r.ddl_db)
+            ddl_dbs = {db for db in ddl_dbs
+                       if config is None or config.is_database_matches(db)}
+
             # the branch set refreshes EVERY micro-batch: once the apply
             # tier executes a routed CREATE TABLE barrier, the new
             # table's row envelopes ingest from the next batch on — no
@@ -268,14 +296,23 @@ def run_binlog_replicator(args, config: Settings, spark=None,
             # CREATE TABLE still need the apply tier to register the
             # structure first; Debezium snapshot-reads the table after
             # DDL, so the re-read covers the gap in production.)
-            for db in engine.databases():
-                for table in engine.tables(db):
+            ddl = debezium_schema_events(batch)
+            registered = {db: [t for t in engine.tables(db)
+                               if (db, t) in present_rows]
+                          for db in engine.databases()}
+            for db in sorted(ddl_dbs
+                             | {d for d, ts in registered.items() if ts}):
+                frames: list[DataFrame] = []
+                if db in ddl_dbs:
+                    frames.append(ddl.where(F.col("db") == db))
+                for table in registered.get(db, []):
                     st = engine.structure(db, table)
-                    ev = debezium_events(batch, st) \
+                    frames.append(
+                        debezium_events(batch, st)
                         .where((F.col("db") == db)
-                               & (F.col("table") == table))
-                    (ev.write.mode("append")
-                       .json(os.path.join(root, db)))
+                               & (F.col("table") == table)))
+                (reduce(DataFrame.unionByName, frames)
+                 .write.mode("append").json(os.path.join(root, db)))
         finally:
             batch.unpersist()
 

@@ -148,12 +148,97 @@ def test_binlog_replicator_converts_envelopes(spark, tmp_path):
     assert got == {(1, "Ivan2")}
 
 
-def test_binlog_replicator_requires_tables(spark, tmp_path):
+def test_binlog_replicator_starts_with_zero_tables(spark, tmp_path):
+    """ADVICE r6: a replicator started before ANY table exists must run
+    in DDL-only mode — the mid-stream bootstrap path depends on a routed
+    CREATE TABLE flowing through for an empty replica, so refusing to
+    start with zero registered tables would deadlock first deployment."""
+    cfg = _config(tmp_path)
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    with open(env_dir / "b1.jsonl", "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(
+            {"source": {"db": "shop", "table": None,
+                        "file": "binlog.1", "pos": 5},
+             "ts_ms": 1, "databaseName": "shop",
+             "ddl": "CREATE TABLE users (id int NOT NULL, name varchar(8),"
+                    " PRIMARY KEY (id))",
+             "tableChanges": []}) + "\n")
     args = build_parser().parse_args(
-        ["binlog_replicator", "--envelope_dir", str(tmp_path)])
-    with pytest.raises(SystemExit, match="no replicated tables"):
-        run_binlog_replicator(args, _config(tmp_path), spark=spark,
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+    q = run_binlog_replicator(args, cfg, spark=spark,
                               await_termination=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from mysql_ch_replicator_spark.sources.event_log import EVENT_SCHEMA
+    log = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(cfg.event_log_dir, "shop"))
+    assert log.count() == 1
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    engine.apply_batch(log)
+    assert "users" in engine.tables("shop")
+
+
+def test_binlog_replicator_one_write_job_per_db(spark, tmp_path,
+                                                monkeypatch):
+    """r6 verdict #2: the ingest micro-batch issues O(#dbs present) write
+    jobs, not O(#registered tables) — per-table frames union into ONE
+    append per db, and structure() is read only for tables that actually
+    appear in the batch (ADVICE r6), so idle tables cost nothing at
+    streaming cadence."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine as RE
+
+    cfg = _config(tmp_path)
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    engine.create_table("shop", DDL)
+    for extra in ("a", "b", "c"):
+        engine.create_table("shop", DDL.replace("users", f"t_{extra}"))
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    with open(env_dir / "dump.jsonl", "w", encoding="utf-8") as fh:
+        for i, table in enumerate(["users", "t_a", "users"], start=1):
+            fh.write(json.dumps(
+                {"op": "c", "after": {"id": i, "name": f"u{i}"},
+                 "before": None, "ts_ms": i,
+                 "source": {"db": "shop", "table": table,
+                            "file": "binlog.1", "pos": i * 10}}) + "\n")
+
+    writes: list[str] = []
+    orig_json = DataFrameWriter.json
+    monkeypatch.setattr(
+        DataFrameWriter, "json",
+        lambda self, path, **kw: (writes.append(path),
+                                  orig_json(self, path, **kw))[1])
+    structures: list[tuple[str, str]] = []
+    orig_structure = RE.structure
+    monkeypatch.setattr(
+        RE, "structure",
+        lambda self, db, table: (structures.append((db, table)),
+                                 orig_structure(self, db, table))[1])
+
+    args = build_parser().parse_args(
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+    q = run_binlog_replicator(args, cfg, spark=spark,
+                              await_termination=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_writes = [p for p in writes if cfg.event_log_dir in p]
+    assert len(batch_writes) == 1, batch_writes   # 4 tables, ONE db write
+    # only the two tables present in the batch had their structure read
+    assert set(structures) == {("shop", "users"), ("shop", "t_a")}
+
+    from mysql_ch_replicator_spark.sources.event_log import EVENT_SCHEMA
+    log = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(cfg.event_log_dir, "shop"))
+    assert log.count() == 3
 
 
 def test_graceful_killer_stops_supervisor_loop(spark, tmp_path):
