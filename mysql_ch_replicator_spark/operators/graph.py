@@ -12,32 +12,55 @@ iterations as chained CTEs — float PR can never be hash-compared).
 Fixed-point contract (scale 1e12, damping 85/100):
 
     rank0(v)   = SCALE
-    contrib(e) = w(e) * (rank(src) div out_w(src))     -- integer div
-    rank'(v)   = (15*SCALE) div 100  +  (85 * sum contrib) div 100
+    contrib(e) = w(e) * (rank(src) idiv out_w(src))    -- integer div
+    rank'(v)   = (15*SCALE) idiv 100 + (85 * sum contrib) idiv 100
 
-Dangling mass (nodes with no out-edges) is dropped, not redistributed —
-documented, deterministic, and standard for ranking use cases where
-only the ORDER matters.
+All arithmetic runs in decimal(38,0) (HUGEINT on a DuckDB oracle):
+Spark's non-ANSI bigint sum WRAPS silently while DuckDB promotes to
+int128, so a large graph (acc → |V|·1e12) would diverge cross-engine —
+the same overflow class embedding_outlier_scores and bm25_topk fixed
+(ADVICE r5/r6). Integer division on decimals is the exact
+remainder-subtracted form (``x div y`` on decimals silently truncates
+back through bigint).
+
+Dangling mass (nodes with no out-edges): ``redistribute=False`` drops
+it — deterministic and standard for ranking where only the ORDER
+matters; ``redistribute=True`` conserves it, adding each iteration's
+dangling rank sum, split evenly (``dang idiv N``), into every node's
+accumulator before damping — the variant mass-conserving uses
+(mixture-weight normalization) need. Both modes stay exactly
+SQL-expressible as chained CTEs.
 
 Scale shape (100 TB): the edge list is the big side and shuffles once
 per iteration on its destination key (the groupBy); the rank table is
 vertex-cardinality. With a token/domain vocabulary the rank side is
 broadcast-sized and AQE turns every rank join into a broadcast — the
 edge list itself never re-partitions, exactly the Pregel cost model.
-Plan depth is ``iterations`` joins; at the 3–10 iterations ranking
-needs, no checkpoint is required (the transitive-closure operator in
+The dangling sum is a one-row frame crossJoined back (a broadcast
+nested-loop over 1 row, the engine's standard scalar pattern). Plan
+depth is ``iterations`` joins; at the 3–10 iterations ranking needs,
+no checkpoint is required (the transitive-closure operator in
 ``dedup.py`` shows the checkpointed variant for unbounded loops).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import shingles, words
 
 SCALE = 10 ** 12
 _BASE = 15 * SCALE // 100  # (1 - d) * SCALE, d = 0.85
+_DEC = "decimal(38,0)"
+
+
+def _idiv(num: Column, den: Column) -> Column:
+    """Exact integer division on decimal(38,0) operands: subtracting the
+    remainder first makes the decimal divide exact (no rounding step),
+    where ``num div den`` would route through bigint and wrap past
+    2^63."""
+    return ((num - num % den) / den).cast(_DEC)
 
 
 def word_cooccurrence_edges(docs: DataFrame,
@@ -54,27 +77,46 @@ def word_cooccurrence_edges(docs: DataFrame,
             .agg(F.count(F.lit(1)).alias("wt")))
 
 
-def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank(edges: DataFrame, iterations: int = 3,
+             redistribute: bool = False) -> DataFrame:
     """Fixed-point PageRank over (s, t, wt) edges: (node, rank) with rank
-    an integer at ``SCALE`` — deterministic, hashable, engine-portable."""
+    a decimal(38,0) integer at ``SCALE`` — deterministic, hashable,
+    engine-portable at any graph size. ``redistribute=True`` conserves
+    dangling mass (see module docstring)."""
     nodes = (edges.select(F.col("s").alias("node"))
              .union(edges.select(F.col("t").alias("node")))
              .distinct())
-    out_w = edges.groupBy("s").agg(F.sum("wt").alias("ow"))
+    out_w = edges.groupBy("s").agg(F.sum("wt").cast(_DEC).alias("ow"))
     contrib_edges = edges.join(out_w, "s")
 
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    ranks = nodes.select("node", F.lit(SCALE).cast(_DEC).alias("rank"))
     for _ in range(iterations):
         acc = (contrib_edges
                .join(ranks, contrib_edges["s"] == ranks["node"])
                .select(F.col("t"),
-                       (F.col("wt")
-                        * F.expr("rank div ow")).alias("c"))
+                       (F.col("wt").cast(_DEC)
+                        * _idiv(F.col("rank"), F.col("ow"))).alias("c"))
                .groupBy("t")
-               .agg(F.sum("c").alias("acc")))
-        ranks = (nodes.join(acc, nodes["node"] == acc["t"], "left")
-                 .select("node",
-                         (F.lit(_BASE)
-                          + F.expr("(85 * coalesce(acc, 0L)) div 100"))
-                         .cast("long").alias("rank")))
+               .agg(F.sum("c").cast(_DEC).alias("acc")))
+        joined = (nodes.join(acc, nodes["node"] == acc["t"], "left")
+                  .select("node",
+                          F.coalesce("acc", F.lit(0).cast(_DEC))
+                          .alias("acc")))
+        if redistribute:
+            dang = (ranks.join(out_w.select(F.col("s").alias("node")),
+                               "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                         .cast(_DEC).alias("dang"))
+                    .crossJoin(nodes.agg(
+                        F.count(F.lit(1)).cast(_DEC).alias("n_nodes"))))
+            joined = (joined.crossJoin(F.broadcast(dang))
+                      .select("node",
+                              (F.col("acc")
+                               + _idiv(F.col("dang"), F.col("n_nodes")))
+                              .alias("acc")))
+        ranks = joined.select(
+            "node",
+            (F.lit(_BASE).cast(_DEC)
+             + _idiv(F.lit(85).cast(_DEC) * F.col("acc"),
+                     F.lit(100).cast(_DEC))).cast(_DEC).alias("rank"))
     return ranks

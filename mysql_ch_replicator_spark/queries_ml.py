@@ -1285,9 +1285,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "term", "tf", "score", "rank"))
 
 
-def _pagerank_oracle_sql(iterations: int) -> str:
+def _pagerank_oracle_sql(iterations: int, redistribute: bool = False) -> str:
     """Chained-CTE twin of operators/graph.pagerank: r0 → i1 → ... → iN,
-    each iteration the same fixed-point integer update."""
+    each iteration the same fixed-point integer update. All arithmetic
+    in HUGEINT — the decimal(38,0) twin of the Spark side (ADVICE r6:
+    bigint sums wrap silently past 2^63 on large graphs); rank renders
+    as VARCHAR for the cross-engine hash."""
     scale, base = 10 ** 12, 15 * 10 ** 12 // 100
     ctes = [
         f"w AS (SELECT {_WORDS_SQL} AS W FROM documents)",
@@ -1296,22 +1299,31 @@ def _pagerank_oracle_sql(iterations: int) -> str:
         " string_split(bg, ' ')[2] AS t,"
         " CAST(count(*) AS BIGINT) AS wt FROM g GROUP BY 1, 2)",
         "nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e)",
-        "o AS (SELECT s, CAST(sum(wt) AS BIGINT) AS ow FROM e GROUP BY s)",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+        "o AS (SELECT s, CAST(sum(wt) AS HUGEINT) AS ow FROM e GROUP BY s)",
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} AS HUGEINT) AS rank FROM nodes)",
     ]
     prev = "r0"
     for k in range(1, iterations + 1):
+        share = ""
+        if redistribute:
+            ctes.append(
+                f"d{k} AS (SELECT CAST(COALESCE(sum(r.rank), 0) AS HUGEINT)"
+                f" AS dang FROM {prev} r"
+                f" WHERE r.node NOT IN (SELECT s FROM e))")
+            share = (f" + (SELECT dang FROM d{k}) // (SELECT n FROM nn)")
         ctes.append(f"""i{k} AS (
       SELECT n.node,
-             CAST({base} + (85 * COALESCE(m.acc, 0)) // 100 AS BIGINT)
+             CAST({base} AS HUGEINT)
+               + (85 * (COALESCE(m.acc, CAST(0 AS HUGEINT)){share})) // 100
                AS rank
       FROM nodes n LEFT JOIN (
-        SELECT e.t, sum(e.wt * (r.rank // o.ow)) AS acc
+        SELECT e.t, sum(CAST(e.wt AS HUGEINT) * (r.rank // o.ow)) AS acc
         FROM e JOIN {prev} r ON r.node = e.s JOIN o ON o.s = e.s
         GROUP BY e.t) m ON m.t = n.node)""")
         prev = f"i{k}"
     return ("WITH " + ",\n    ".join(ctes)
-            + f"\n    SELECT node, rank FROM {prev}")
+            + f"\n    SELECT node, CAST(rank AS VARCHAR) AS rank FROM {prev}")
 
 
 @register("graph_pagerank", _pagerank_oracle_sql(3))
@@ -1322,10 +1334,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way before weighting crawl mixtures). Edge list shuffles
     once per iteration on its destination key; the vertex-sized rank
     table rides broadcast joins. Float PR could never be hash-compared;
-    the fixed-point contract makes the oracle bit-exact."""
+    the fixed-point decimal(38,0) contract (HUGEINT oracle, VARCHAR
+    render) makes the oracle bit-exact at any graph size."""
     from .operators.graph import pagerank, word_cooccurrence_edges
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return pagerank(word_cooccurrence_edges(docs), iterations=3)
+    return pagerank(word_cooccurrence_edges(docs), iterations=3) \
+        .withColumn("rank", F.col("rank").cast("string"))
+
+
+@register("graph_pagerank_conserving", _pagerank_oracle_sql(
+    3, redistribute=True))
+def graph_pagerank_conserving(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Mass-conserving PageRank (r6 verdict #7): each iteration's
+    dangling rank sum redistributes evenly (dang idiv N added to every
+    accumulator before damping) instead of being dropped — the variant
+    required when the rank feeds mixture-weight NORMALIZATION, where
+    total mass must stay (asymptotically) constant, not just the order.
+    The dangling sum is a one-row broadcast frame per iteration; same
+    fixed-point decimal(38,0)/HUGEINT contract as graph_pagerank."""
+    from .operators.graph import pagerank, word_cooccurrence_edges
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return pagerank(word_cooccurrence_edges(docs), iterations=3,
+                    redistribute=True) \
+        .withColumn("rank", F.col("rank").cast("string"))
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,40 @@ def test_semantic_contamination_matches_python(spark):
     for t in expect:
         assert got[t][0] == expect[t][0] and got[t][1] == expect[t][1]
         assert abs(got[t][2] - expect[t][2]) < 2e-6
+
+
+def test_pagerank_redistribute_matches_python_and_conserves_mass(spark):
+    """redistribute=True: each iteration adds dang idiv N to every
+    node's accumulator before damping (python model agreement on a graph
+    WITH a dangling node), and total mass stays within idiv-truncation
+    error of |V|*SCALE — the property the default drop-mode forfeits."""
+    from mysql_ch_replicator_spark.operators.graph import SCALE, pagerank
+
+    edge_rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+                 ("c", "a", 1), ("d", "c", 5), ("c", "e", 2)]
+    edges = spark.createDataFrame(edge_rows, "s string, t string, wt long")
+    got = {r.node: int(r.rank)
+           for r in pagerank(edges, iterations=3,
+                             redistribute=True).collect()}
+
+    nodes = {n for e in edge_rows for n in e[:2]}
+    outw = {}
+    for s, _, w in edge_rows:
+        outw[s] = outw.get(s, 0) + w
+    rank = {n: SCALE for n in nodes}
+    base = 15 * SCALE // 100
+    for _ in range(3):
+        acc = {n: 0 for n in nodes}
+        for s, t, w in edge_rows:
+            acc[t] += w * (rank[s] // outw[s])
+        dang = sum(rank[n] for n in nodes if n not in outw)
+        share = dang // len(nodes)
+        rank = {n: base + (85 * (acc[n] + share)) // 100 for n in nodes}
+    assert got == rank
+    # mass conservation: within per-node idiv truncation of |V|*SCALE
+    total = sum(got.values())
+    assert abs(total - len(nodes) * SCALE) < len(nodes) * 300
+    # and the drop-mode total is strictly smaller on this graph
+    dropped = sum(int(r.rank)
+                  for r in pagerank(edges, iterations=3).collect())
+    assert dropped < total
