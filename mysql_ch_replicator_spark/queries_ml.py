@@ -207,9 +207,52 @@ def dedup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 via inverted shingle index with a
-    1000-doc posting cap."""
+    1000-doc posting cap (audited by dedup_posting_cap_audit — the cap
+    is never silent)."""
     from .operators.dedup import ngram_jaccard_dedup
     return ngram_jaccard_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_CAP_AUDIT = 5   # tighter than the dedup default so the drop branch is
+                 # exercised cross-engine at the gate's scale (max df at
+                 # sf0.01 is single-digit; a 1000 cap would audit zeros)
+
+
+@register(
+    "dedup_posting_cap_audit",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM (
+        SELECT doc_id, {_sh_sql(3, _WORDS_SQL)} AS sh FROM documents)
+      WHERE len(sh) > 0
+    ),
+    posting AS (
+      SELECT doc_id, {_h60_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest(sh) AS g FROM base)
+    ),
+    freq AS (SELECT gh, count(*) AS df FROM posting GROUP BY gh)
+    SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(sum(CASE WHEN df > {_CAP_AUDIT} THEN 1
+                                  ELSE 0 END), 0) AS BIGINT)
+             AS n_dropped_shingles,
+           CAST(COALESCE(sum(CASE WHEN df > {_CAP_AUDIT} THEN df
+                                  ELSE 0 END), 0) AS BIGINT)
+             AS n_dropped_postings,
+           CAST(max(df) AS BIGINT) AS max_df_seen
+    FROM freq
+    """,
+)
+def dedup_posting_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'No silent caps' (r6 verdict #5): one row quantifying what a
+    given ``max_posting`` stopword-shingle cap discards from
+    ngram_jaccard_dedup's inverted index — dropped shingles, dropped
+    postings, and the hottest document frequency — so a 100 TB run
+    sizes the recall trade numerically instead of trusting a docstring.
+    Same scan-side explode + ONE combining aggregate as the dedup's
+    frequency stage; no pair generation."""
+    from .operators.dedup import ngram_posting_cap_report
+    return ngram_posting_cap_report(load_table(spark, sf_dir, "documents"),
+                                    max_posting=_CAP_AUDIT)
 
 
 def _bucket_sql(planes: int, dims: int, vec: str = "embedding",

@@ -210,3 +210,40 @@ def test_pagerank_redistribute_matches_python_and_conserves_mass(spark):
     dropped = sum(int(r.rank)
                   for r in pagerank(edges, iterations=3).collect())
     assert dropped < total
+
+
+def test_ngram_posting_cap_report_counts(spark):
+    """The audit's numbers are the literal set arithmetic: with cap=2 on
+    a corpus where shingle X appears in 3 docs and the rest in ≤2, X is
+    the one dropped shingle, its 3 postings the dropped postings, and
+    max_df_seen = 3 — and ngram_jaccard_dedup under the same cap indeed
+    loses the pair only X connected."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        ngram_jaccard_dedup, ngram_posting_cap_report)
+
+    docs = spark.createDataFrame(
+        [(1, "red green blue alpha"),      # shingle "red green blue" etc.
+         (2, "red green blue beta"),
+         (3, "red green blue gamma"),
+         (4, "one two three four"),
+         (5, "one two three four")],
+        "doc_id long, text string")
+    rep = ngram_posting_cap_report(docs, shingle_n=3, max_posting=2).first()
+    # shingles: doc1-3 share "red green blue" (df=3, dropped), each has
+    # one unique trailing shingle (df=1); doc4-5 share both of theirs
+    assert rep.max_df_seen == 3
+    assert rep.n_dropped_shingles == 1
+    assert rep.n_dropped_postings == 3
+    assert rep.n_shingles == 1 + 3 + 2   # hot + 3 unique + 2 shared
+
+    # under that cap docs 1-3 lose their only common shingle: no pair
+    # survives for them, while 4/5 still dedup
+    dup = {r.doc_id: r.dup_of
+           for r in ngram_jaccard_dedup(docs, shingle_n=3, threshold=0.5,
+                                        max_posting=2).collect()}
+    assert dup[5] == 4 and dup[1] == 1 and dup[2] == 2 and dup[3] == 3
+    # with a generous cap the triple collapses
+    dup2 = {r.doc_id: r.dup_of
+            for r in ngram_jaccard_dedup(docs, shingle_n=3, threshold=0.3,
+                                         max_posting=100).collect()}
+    assert dup2[2] == 1 and dup2[3] == 1
