@@ -64,6 +64,15 @@ def attach_fake_binary(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
+def _parse_header(raw: bytes):
+    """(fmt, width, height, channels) from the 16-byte fake header, or
+    ('unknown', None, None, None) for foreign bytes."""
+    if raw[:4] == MAGIC and len(raw) >= HEADER_LEN:
+        w, h, c = struct.unpack("<III", raw[4:16])
+        return "fake", w, h, c
+    return "unknown", None, None, None
+
+
 def extract_image_metadata(images: DataFrame) -> DataFrame:
     """Decode the header only (cheap metadata pass — the step a pipeline
     runs on everything before deciding what to fully decode)."""
@@ -75,20 +84,84 @@ def extract_image_metadata(images: DataFrame) -> DataFrame:
                 raw = bytes(raw)
                 out["doc_id"].append(int(doc_id))
                 out["n_bytes"].append(len(raw))
-                if raw[:4] == MAGIC and len(raw) >= HEADER_LEN:
-                    w, h, c = struct.unpack("<III", raw[4:16])
-                    out["fmt"].append("fake")
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["channels"].append(c)
-                else:
-                    out["fmt"].append("unknown")
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["channels"].append(None)
+                fmt, w, h, c = _parse_header(raw)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
             yield pd.DataFrame(out)
 
     return images.mapInPandas(meta, IMAGE_META_SCHEMA)
+
+
+FILE_META_SCHEMA = T.StructType([
+    T.StructField("file_name", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_md5", T.StringType()),
+])
+
+
+def ingest_binary_files(spark, path: str,
+                        glob: str | None = None) -> DataFrame:
+    """From-disk multimodal ingestion (r6 verdict #6): Spark's
+    ``binaryFile`` source reads a directory of opaque files into
+    (path, modificationTime, length, content) — the real lake-ingress
+    twin of ``attach_fake_binary``'s synthesized payloads. Returns the
+    engine's multimodal convention (file_name, n_bytes, image) plus
+    mod_time; feed it to extract_image_metadata / decode_images /
+    resize_images / sample_frames by aliasing ``image``.
+
+    Scale shape: binaryFile is a normal file-based DataSource — files
+    split across tasks by size (maxPartitionBytes), pushdown on path
+    via pathGlobFilter, no driver-side listing loops. Payload bytes
+    travel JVM-side; nothing touches Python until a downstream
+    mapInPandas asks."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("image"))
+
+
+def binary_file_metadata(files: DataFrame) -> DataFrame:
+    """Header-metadata pass over ``ingest_binary_files`` output, keyed by
+    file name: ONE partition-preserving mapInPandas emitting (file_name,
+    fmt, width, height, channels, n_bytes, content_md5). The md5 is of
+    the hex rendering (``md5(hex(content))``), the engine's cross-engine
+    binary-digest convention (DuckDB's md5 only accepts VARCHAR)."""
+    from pyspark.sql import functions as F
+
+    staged = files.withColumn("content_md5", F.md5(F.hex("image")))
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"file_name": [], "fmt": [], "width": [], "height": [],
+                   "channels": [], "n_bytes": [], "content_md5": []}
+            for name, raw, md5 in zip(b["file_name"], b["image"],
+                                      b["content_md5"]):
+                raw = bytes(raw)
+                fmt, w, h, c = _parse_header(raw)
+                out["file_name"].append(name)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["n_bytes"].append(len(raw))
+                out["content_md5"].append(md5)
+            yield pd.DataFrame(out)
+
+    return staged.select("file_name", "image", "content_md5") \
+        .mapInPandas(meta, FILE_META_SCHEMA)
 
 
 try:  # the real decoder, wherever one exists (not in this sandbox)

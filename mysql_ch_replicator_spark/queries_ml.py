@@ -837,6 +837,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "frame_off")
 
 
+def _binfix_dir() -> str:
+    """The committed binary-file fixture directory (deterministic fake
+    images generated by pack_fake_image + one foreign text file),
+    resolved relative to the repo so the driver's CWD doesn't matter."""
+    import os
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "binfiles")
+
+
+@register(
+    "multimodal_binary_ingest",
+    f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CASE WHEN filename LIKE '%.fake' THEN 'fake'
+                ELSE 'unknown' END AS fmt,
+           CASE WHEN filename LIKE '%.fake'
+                THEN CAST(CAST(regexp_extract(filename, 'img_(\\d+)', 1)
+                               AS BIGINT) % 640 + 1 AS INTEGER)
+                ELSE NULL END AS width,
+           CASE WHEN filename LIKE '%.fake'
+                THEN CAST(CAST(regexp_extract(filename, 'img_(\\d+)', 1)
+                               AS BIGINT) % 480 + 1 AS INTEGER)
+                ELSE NULL END AS height,
+           CASE WHEN filename LIKE '%.fake'
+                THEN 3 ELSE NULL END AS channels,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{_binfix_dir()}/*')
+    """,
+)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-disk multimodal ingestion (r6 verdict #6): the binaryFile
+    source reads a fixture directory of real files into opaque binary
+    columns, then ONE mapInPandas header pass emits typed metadata plus
+    a JVM-side md5(hex(content)) digest. The Spark side parses the
+    BINARY HEADER; the oracle recomputes the same fields analytically
+    from the deterministic generation rule (doc id in the file name) and
+    hashes the same raw bytes via read_blob — two independent routes to
+    identical rows. The fixture dir stands in for a 100 TB lake prefix;
+    binaryFile splits files across tasks by size and pushes the glob to
+    the listing."""
+    from .operators.multimodal import binary_file_metadata, \
+        ingest_binary_files
+    files = ingest_binary_files(spark, _binfix_dir())
+    return binary_file_metadata(files)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits / quantization
 # ---------------------------------------------------------------------------

@@ -158,3 +158,36 @@ def test_real_decode_slot_runs_either_way(spark):
     got = decode_images(imgs, use_stub=False, max_pixels=4).collect()
     assert sorted(r.doc_id for r in got) == list(range(6))
     assert all(r.n_pixels == 4 for r in got)
+
+
+def test_binary_file_ingestion_feeds_existing_ops(spark):
+    """ingest_binary_files (r6 verdict #6): the binaryFile source reads
+    the committed fixture dir into the engine's (file_name, n_bytes,
+    image) convention; payload bytes are the literal file bytes; the
+    glob option prunes at the listing; and the frames/decode ops consume
+    the ingested binaries unchanged."""
+    import os
+
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        decode_images, ingest_binary_files, sample_frames)
+
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "binfiles")
+    files = ingest_binary_files(spark, d)
+    rows = {r.file_name: r for r in files.collect()}
+    assert len(rows) == 9
+    with open(os.path.join(d, "img_3.fake"), "rb") as fh:
+        assert bytes(rows["img_3.fake"].image) == fh.read()
+    assert rows["notes.txt"].n_bytes == 33
+
+    only_fake = ingest_binary_files(spark, d, glob="*.fake")
+    assert only_fake.count() == 8
+
+    # downstream ops take the ingested frame with an id column aliased on
+    keyed = only_fake.selectExpr(
+        "CAST(regexp_extract(file_name, 'img_([0-9]+)', 1) AS LONG) "
+        "AS doc_id", "image")
+    decoded = {r.doc_id: r.n_pixels
+               for r in decode_images(keyed, max_pixels=4).collect()}
+    assert decoded == {i: 4 for i in range(1, 9)}
+    sampled = sample_frames(keyed, frame_size=8, step=4)
+    assert sampled.where("frame_idx = 0").count() == 8
