@@ -50,15 +50,21 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     (sizes, posting lists, signatures, verify join) the cached arrays. At
     100 TB the persist becomes a staged table write — same shape.
 
-    ``persist=False`` for callers that stage their own superset projection
-    (minhash persists (doc_id, sh, sig) — caching sh twice would double
-    the biggest column's memory footprint for nothing)."""
+    ``persist=False`` returns the RAW UNFILTERED projection for callers
+    that stage their own superset (minhash persists (doc_id, sh, sig) —
+    caching sh twice would double the biggest column's memory footprint)
+    or consume it exactly once (the cap audit). Such callers must either
+    skip the non-empty filter (explode of an empty array emits nothing
+    anyway) or apply it ABOVE their own persist — filtering this
+    projection directly re-triggers the pushdown clone and doubles the
+    shingle compute (seen as a 2.8× cold-run regression in r7)."""
     proj = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(words(F.col(text_col)), shingle_n))
          .alias("sh"))
-    staged = transient_persist(proj) if persist else proj
-    return staged.where(F.size("sh") > 0)
+    if not persist:
+        return proj
+    return transient_persist(proj).where(F.size("sh") > 0)
 
 
 def _pair_min_dup(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
@@ -237,15 +243,19 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     array column enters the bucket exchange.
     """
     rows_per_band = num_hashes // bands
-    base = _shingled(docs, text_col, id_col, shingle_n, persist=False)
+    raw = _shingled(docs, text_col, id_col, shingle_n, persist=False)
     # materialize (doc_id, sh, sig) ONCE: four consumers (both sides of the
     # bucket join via the band explode, and both sides of the verification
     # re-join) and Spark has no cross-branch CSE — without the persist every
     # shingle is re-md5'd per consumer (at 100 TB: write signatures to a
     # table; here: cache)
+    # the non-empty filter sits ABOVE the cache: filtering the raw
+    # projection would clone the shingle subtree into the pushed-down
+    # predicate and evaluate it twice during cache fill
     sigs = transient_persist(
-        base.withColumn("sig",
-                        minhash_signature(F.col("sh"), num_hashes)))
+        raw.withColumn("sig",
+                       minhash_signature(F.col("sh"), num_hashes))) \
+        .where(F.size("sh") > 0)
     banded = sigs.select(
         "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
@@ -360,8 +370,14 @@ def ngram_posting_cap_report(docs: DataFrame, text_col: str = "text",
     Scale shape: the same scan-side shingle explode and ONE map-side-
     combining aggregate on the shingle hash as the dedup operator's
     frequency stage, then a one-row total — no joins, no pair
-    generation, safe to run at any corpus size."""
-    base = _shingled(docs, text_col, id_col, shingle_n, persist=False)
+    generation, safe to run at any corpus size. The shingle arrays are
+    staged through the SHARED ``_shingled`` persist before the explode —
+    Generate's codegen re-evaluates its child expression per emitted
+    element, so exploding the raw projection multiplies the interpreted
+    higher-order shingle compute by average-shingles-per-doc (measured
+    6× at sf0.1); staging also means the audit and the dedup itself
+    share one cache fill when run together."""
+    base = _shingled(docs, text_col, id_col, shingle_n)
     posting = base.select("doc_id", F.explode("sh").alias("g")) \
         .withColumn("gh", h60(F.col("g")))
     freq = posting.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
