@@ -96,3 +96,50 @@ def semantic_contamination(train: DataFrame, eval_set: DataFrame,
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") == 1)
             .select(id_col, "n_matches", "eval_id", "cos"))
+
+
+def containment_contamination(train: DataFrame, eval_set: DataFrame,
+                              n: int = 8, threshold6: int = 0,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """ASYMMETRIC eval-containment decontamination: for each training
+    doc, the eval doc whose distinct n-gram set it contains the largest
+    FRACTION of — ``containment(eval, doc) = |grams(doc) ∩ grams(eval)|
+    / |grams(eval)|``. This is the measure that catches an eval example
+    embedded verbatim inside a much larger training document (a README
+    quoting a benchmark item, a crawl page wrapping it in boilerplate),
+    where symmetric Jaccard dilutes toward 0 and the binary any-shared-
+    gram flag of ``ngram_contamination`` can't rank severity.
+
+    Integer-exact: ``containment6 = n_shared * 1e6 div |grams(eval)|``
+    (the engine's scaled-rational convention — no float division to
+    diverge cross-engine). Returns one row per contaminated training
+    doc: (id, eval_id, n_shared, containment6), the highest-containment
+    eval doc with ties broken on the smaller eval id, filtered to
+    ``containment6 >= threshold6``.
+
+    Scale shape: identical ingress to ``ngram_contamination`` — the
+    benchmark-sized eval gram postings AND the per-eval gram counts
+    broadcast; the corpus explodes scan-locally with ZERO pre-join
+    shuffle; the only exchanges are the per-(doc, eval) match count
+    (bounded by actual shared grams, not |corpus|×|eval|) and the
+    per-doc argmax window."""
+    from pyspark.sql import Window
+
+    eval_grams = _doc_grams(eval_set, n, id_col, text_col) \
+        .select(F.col(id_col).alias("eval_id"), "g")
+    eval_sizes = eval_grams.groupBy("eval_id") \
+        .agg(F.count(F.lit(1)).alias("ev_n"))
+    train_grams = _doc_grams(train, n, id_col, text_col)
+    pair = (train_grams.join(F.broadcast(eval_grams), "g")
+            .groupBy(id_col, "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+    scored = (pair.join(F.broadcast(eval_sizes), "eval_id")
+              .withColumn("containment6",
+                          F.expr("n_shared * 1000000 div ev_n"))
+              .where(F.col("containment6") >= F.lit(threshold6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("containment6").desc(),
+                                           F.col("eval_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(id_col, "eval_id", "n_shared", "containment6"))

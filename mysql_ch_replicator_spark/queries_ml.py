@@ -1065,6 +1065,52 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    s AS (SELECT doc_id, {_sh_sql(8)} AS sh FROM t),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(sh,
+                        x -> {_h60_sql('x')}))) AS g
+          FROM s),
+    e AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+    en AS (SELECT eval_id, count(*) AS ev_n FROM e GROUP BY eval_id),
+    pair AS (
+      SELECT g.doc_id, e.eval_id, count(*) AS n_shared
+      FROM g JOIN e USING (g) WHERE g.doc_id % 10 <> 0
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.doc_id, p.eval_id, p.n_shared,
+             CAST(p.n_shared * 1000000 AS BIGINT) // en.ev_n
+               AS containment6
+      FROM pair p JOIN en USING (eval_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY containment6 DESC, eval_id) AS rnk
+      FROM scored)
+    SELECT doc_id, eval_id, n_shared, containment6
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def decontaminate_containment(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Asymmetric eval-containment decontamination
+    (operators/contamination.containment_contamination): for each
+    training doc the eval doc whose distinct 8-gram set it contains the
+    largest fraction of — the measure that catches a benchmark item
+    embedded in a much larger crawl page, where symmetric Jaccard
+    dilutes toward zero and decontaminate_ngram's any-shared-gram flag
+    can't rank severity. Integer-exact 1e6-scaled scores; eval postings
+    and sizes broadcast, corpus never shuffles before the bounded
+    per-pair count."""
+    from .operators.contamination import containment_contamination
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return containment_contamination(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0), n=8)
+
+
+@register(
     "decontaminate_semantic",
     f"""
     WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv

@@ -719,3 +719,14 @@ def test_minhash_bucket_exchange_carries_keys_only(spark, queries):
     assert bucket_nodes, "expected at least one exchange on the bucket key"
     for n in bucket_nodes:
         assert "sh#" not in n and "sig#" not in n, n.split("\n")[0]
+
+
+def test_containment_eval_broadcast_no_corpus_shuffle(spark, queries):
+    """decontaminate_containment: eval gram postings and sizes ride
+    broadcasts; the corpus explodes scan-locally — the only hash
+    exchanges are the bounded per-(doc, eval) count and the per-doc
+    argmax window."""
+    plan = plan_of(queries["decontaminate_containment"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 3

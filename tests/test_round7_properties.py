@@ -247,3 +247,36 @@ def test_ngram_posting_cap_report_counts(spark):
             for r in ngram_jaccard_dedup(docs, shingle_n=3, threshold=0.3,
                                          max_posting=100).collect()}
     assert dup2[2] == 1 and dup2[3] == 1
+
+
+def test_containment_contamination_asymmetry(spark):
+    """Containment ranks an eval example EMBEDDED in a big training doc
+    at 1e6 (full containment) even though Jaccard is tiny; a doc sharing
+    half the eval grams scores 500000; disjoint docs don't appear; ties
+    break on the smaller eval id."""
+    from mysql_ch_replicator_spark.operators.contamination import (
+        containment_contamination)
+
+    eval_doc = "alpha beta gamma delta epsilon"          # 2 distinct 4-grams
+    train = spark.createDataFrame(
+        [(1, "intro words here " + eval_doc + " trailing boilerplate "
+             "of a much larger crawl page that dilutes jaccard a lot"),
+         (2, "alpha beta gamma delta unrelated tail"),    # 1 of 2 grams
+         (3, "completely different text with no overlap at all")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, eval_doc)], "doc_id long, text string")
+
+    got = {r.doc_id: (r.eval_id, r.n_shared, r.containment6)
+           for r in containment_contamination(train, ev, n=4).collect()}
+    assert got[1] == (100, 2, 1_000_000)
+    assert got[2] == (100, 1, 500_000)
+    assert 3 not in got
+
+    # tie-break: two eval docs fully contained -> smaller eval id wins
+    ev2 = spark.createDataFrame(
+        [(200, "alpha beta gamma delta epsilon"),
+         (150, "intro words here alpha")],
+        "doc_id long, text string")
+    got2 = {r.doc_id: r.eval_id
+            for r in containment_contamination(train, ev2, n=4).collect()}
+    assert got2[1] == 150
