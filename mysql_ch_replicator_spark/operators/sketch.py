@@ -19,7 +19,7 @@ queries join the probe set (small, broadcast) against the sketch table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
@@ -154,3 +154,95 @@ def bloom_contains(bloom: DataFrame, probes: DataFrame, key_col: str,
             .groupBy(*others)
             .agg((F.sum(F.coalesce(F.col("__bl_hit"), F.lit(0)))
                   == F.lit(k)).alias("bloom_positive")))
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch — the fourth canonical mergeable sketch
+# (frequencies: Count-Min; cardinality: HLL; membership: Bloom;
+# QUANTILES: log-bucketed histogram). t-digest/KLL need float centroids or
+# randomized compaction, so they can never be hash-compared cross-engine;
+# the HdrHistogram bucketing (Gil Tene) is pure integer arithmetic: exact
+# same sketch in Spark and any SQL engine, bounded relative error.
+# ---------------------------------------------------------------------------
+
+_HDR_SUB_BITS = 4           # 2^4 sub-buckets per octave → ≤ 1/16 rel. error
+
+
+def _hdr_bucket(v):
+    """Monotone HDR bucket id of a non-negative bigint: values < 16 map
+    exactly to themselves; larger values keep the top 5 bits — bucket =
+    (msb-4)*16 + (v >> (msb-4)) with msb = bit-position of the highest
+    set bit. Buckets are contiguous across octave boundaries, ≤
+    16*(63-4)+32 total. ``length(bin(v))`` is the engine-portable
+    bit-length (identical string in Spark and DuckDB)."""
+    msb = F.length(F.bin(v)) - 1      # floor(log2(v)) for v >= 1
+    shift = msb - _HDR_SUB_BITS
+    # call_function: the SQL shiftright accepts a COLUMN bit count (the
+    # PySpark wrapper insists on a literal int)
+    return F.when(v < (1 << _HDR_SUB_BITS), v.cast("long")).otherwise(
+        (shift * (1 << _HDR_SUB_BITS)
+         + F.call_function("shiftright", v, shift)).cast("long"))
+
+
+def _hdr_lower_bound(bucket):
+    """Inverse: smallest value mapping to ``bucket`` (the quantile
+    ESTIMATE). bucket < 32 is exact; above, msb = bucket div 16 + 3 and
+    lb = (16 + bucket % 16) << (msb - 4)."""
+    q = F.floor(bucket / (1 << _HDR_SUB_BITS)).cast("int")
+    r = (bucket % (1 << _HDR_SUB_BITS)).cast("int")
+    return F.when(bucket < 2 * (1 << _HDR_SUB_BITS),
+                  bucket.cast("long")).otherwise(
+        F.call_function("shiftleft",
+                        (F.lit(1 << _HDR_SUB_BITS) + r).cast("long"),
+                        q - 1).cast("long"))
+
+
+def hdr_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Build the quantile sketch (bucket, cnt) over a non-negative
+    bigint column — ONE map-side-combining aggregate, at most ~1000
+    result rows whatever the input size (the constant-wire property the
+    other three sketches share). Negative values clamp to 0
+    (documented domain: counts, sizes, latencies, token counts)."""
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(0))
+    return (df.select(_hdr_bucket(v).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge partial sketches: cell-wise addition — the same groupBy, so
+    a sketch of a union equals the merge of per-part sketches (law
+    pinned in tests)."""
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionByName, sketches)
+    return (merged.groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def hdr_quantiles(sketch: DataFrame,
+                  permilles: list[int]) -> DataFrame:
+    """(permille, bucket, estimate) for each requested quantile:
+    rank = max(1, ceil(N * permille / 1000)) in integer arithmetic, the
+    answer is the first bucket whose cumulative count reaches the rank,
+    the estimate its lower bound — ≤ 1/16 relative error by
+    construction. All sketch-sized: the window and join touch ≤ ~1000
+    rows regardless of the original input."""
+    cum = sketch.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"))
+    total = sketch.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = sketch.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(permilles)], "permille long")
+    ranked = (qs.crossJoin(F.broadcast(total))
+              .withColumn("rank",
+                          F.greatest(
+                              F.expr("(n * permille + 999) div 1000"),
+                              F.lit(1))))
+    return (ranked.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
+            .groupBy("permille", "n", "rank")
+            .agg(F.min("bucket").alias("bucket"))
+            .withColumn("estimate", _hdr_lower_bound(F.col("bucket")))
+            .select("permille", "bucket", "estimate", "n"))

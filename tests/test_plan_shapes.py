@@ -730,3 +730,14 @@ def test_containment_eval_broadcast_no_corpus_shuffle(spark, queries):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_hdr_sketch_single_combining_aggregate(spark, queries):
+    """sketch_quantile_hdr: the corpus contributes ONE map-side-combined
+    aggregate on the bucket key (constant wire); everything after runs
+    on sketch-sized frames via broadcasts — no extra corpus exchanges,
+    no sort-merge join."""
+    plan = plan_of(queries["sketch_quantile_hdr"](spark, SF))
+    assert plan.count("HashAggregate") >= 2          # partial + final
+    assert "hashpartitioning(bucket" in plan
+    assert "SortMergeJoin" not in plan

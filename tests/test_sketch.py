@@ -179,3 +179,72 @@ def test_probe_columns_named_k_bucket_bit_do_not_collide(spark):
     member = {r.name: r.bloom_positive
               for r in bloom_contains(bl, probes, "name").collect()}
     assert member["key1"] is True
+
+
+def _hdr_bucket_py(v: int, sub_bits: int = 4) -> int:
+    v = max(int(v), 0)
+    if v < (1 << sub_bits):
+        return v
+    msb = v.bit_length() - 1
+    return (msb - sub_bits) * (1 << sub_bits) + (v >> (msb - sub_bits))
+
+
+def _hdr_lb_py(bucket: int, sub_bits: int = 4) -> int:
+    if bucket < 2 * (1 << sub_bits):
+        return bucket
+    q, r = divmod(bucket, 1 << sub_bits)
+    return ((1 << sub_bits) + r) << (q - 1)
+
+
+def test_hdr_sketch_merge_law_and_python_model(spark):
+    """hdr_build == the literal python bucketing; sketch of a union ==
+    cell-wise merge of per-part sketches; bucket count stays bounded."""
+    import random
+
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hdr_build, hdr_merge)
+
+    random.seed(11)
+    vals = ([random.randint(0, 10**6) for _ in range(3000)]
+            + [0, 1, 15, 16, 17, 31, 32, 2**40, -5])
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.bucket: r.cnt for r in hdr_build(df, "v").collect()}
+    want: dict[int, int] = {}
+    for v in vals:
+        b = _hdr_bucket_py(v)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert len(got) <= 16 * 60 + 32          # constant-wire bound
+
+    a = df.where("v % 3 = 0")
+    b = df.where("v % 3 <> 0")
+    merged = {r.bucket: r.cnt
+              for r in hdr_merge(hdr_build(a, "v"),
+                                 hdr_build(b, "v")).collect()}
+    assert merged == want
+
+
+def test_hdr_quantiles_error_bound(spark):
+    """Every estimate is the lower bound of the bucket holding the true
+    rank statistic: estimate <= true < estimate * (1 + 1/16) + 1 — the
+    documented HDR error contract, checked against exact order
+    statistics."""
+    import math
+    import random
+
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hdr_build, hdr_quantiles)
+
+    random.seed(23)
+    vals = [random.randint(1, 200_000) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.permille: (r.estimate, r.bucket, r.n)
+           for r in hdr_quantiles(hdr_build(df, "v"),
+                                  [100, 500, 900, 999]).collect()}
+    vs = sorted(vals)
+    for p, (est, bucket, n) in got.items():
+        assert n == len(vals)
+        true = vs[max(1, math.ceil(len(vs) * p / 1000)) - 1]
+        assert _hdr_bucket_py(true) == bucket     # right bucket exactly
+        assert est == _hdr_lb_py(bucket)
+        assert est <= true <= est * 17 // 16 + 1  # ≤ 1/16 relative error
