@@ -246,3 +246,43 @@ def hdr_quantiles(sketch: DataFrame,
             .agg(F.min("bucket").alias("bucket"))
             .withColumn("estimate", _hdr_lower_bound(F.col("bucket")))
             .select("permille", "bucket", "estimate", "n"))
+
+
+def hdr_build_grouped(df: DataFrame, value_col: str,
+                      group_cols: list[str]) -> DataFrame:
+    """Per-group quantile sketches in ONE aggregate: (group..., bucket,
+    cnt) keyed by (group, bucket) — the production per-domain/per-source
+    stats shape. Wire cost per partition is ≤ |groups|×~1000 counters,
+    still input-size-independent; a group's sketch merges with any other
+    partitioning of the same group by the same cell-wise addition."""
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(0))
+    return (df.select(*group_cols, _hdr_bucket(v).alias("bucket"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def hdr_quantiles_grouped(sketch: DataFrame, group_cols: list[str],
+                          permilles: list[int]) -> DataFrame:
+    """Per-group quantile read-off: same cumulative bucket walk as
+    ``hdr_quantiles`` but windowed PER GROUP (no single-partition sort —
+    the window partitions on the group key), joined to the requested
+    permilles. All frames are sketch-sized."""
+    w = (Window.partitionBy(*group_cols).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = sketch.select(*group_cols, "bucket",
+                        F.sum("cnt").over(w).alias("cum"))
+    totals = sketch.groupBy(*group_cols) \
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    qs = sketch.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(permilles)], "permille long")
+    ranked = (totals.crossJoin(F.broadcast(qs))
+              .withColumn("rank",
+                          F.greatest(
+                              F.expr("(n * permille + 999) div 1000"),
+                              F.lit(1))))
+    joined = ranked.join(cum, group_cols)
+    return (joined.where(F.col("cum") >= F.col("rank"))
+            .groupBy(*group_cols, "permille", "n")
+            .agg(F.min("bucket").alias("bucket"))
+            .withColumn("estimate", _hdr_lower_bound(F.col("bucket")))
+            .select(*group_cols, "permille", "bucket", "estimate", "n"))

@@ -2446,6 +2446,51 @@ def sketch_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_quantile_by_group",
+    f"""
+    WITH v AS (SELECT lang, greatest(n_chars, 0) AS v FROM documents),
+    b AS (SELECT lang, CASE WHEN v < 16 THEN v
+                 ELSE (length(bin(v)) - 1 - 4) * 16
+                      + (v >> (length(bin(v)) - 1 - 4)) END AS bucket
+          FROM v),
+    sk AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY lang, bucket),
+    cum AS (SELECT lang, bucket,
+                   CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                        AS BIGINT) AS cum
+            FROM sk),
+    tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+            FROM sk GROUP BY lang),
+    q AS (SELECT CAST(unnest({_HDR_PERMILLES[:2]}) AS BIGINT) AS permille),
+    r AS (SELECT lang, permille, n,
+                 greatest((n * permille + 999) // 1000, 1) AS rank
+          FROM tot CROSS JOIN q),
+    ans AS (SELECT r.lang, r.permille, r.n, min(c.bucket) AS bucket
+            FROM r JOIN cum c ON c.lang = r.lang AND c.cum >= r.rank
+            GROUP BY 1, 2, 3)
+    SELECT lang, permille, bucket,
+           CAST(CASE WHEN bucket < 32 THEN bucket
+                ELSE (16 + bucket % 16) << (bucket // 16 - 1) END
+                AS BIGINT) AS estimate,
+           n
+    FROM ans
+    """,
+)
+def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketches (operators/sketch.hdr_build_grouped):
+    p50/p90 document length PER LANGUAGE from one (lang, bucket)-keyed
+    combining aggregate — the per-domain/per-source stats shape every
+    corpus report needs, where a global quantile hides a skewed source.
+    Wire stays input-size-independent (≤ |groups|×~1000 counters per
+    partition); the read-off windows PER GROUP, so no single-partition
+    sort exists at any group count."""
+    from .operators.sketch import hdr_build_grouped, hdr_quantiles_grouped
+    docs = load_table(spark, sf_dir, "documents")
+    sk = hdr_build_grouped(docs, "n_chars", ["lang"])
+    return hdr_quantiles_grouped(sk, ["lang"], _HDR_PERMILLES[:2])
+
+
+@register(
     "sketch_heavy_hitters",
     f"""
     WITH w AS (

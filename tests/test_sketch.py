@@ -248,3 +248,36 @@ def test_hdr_quantiles_error_bound(spark):
         assert _hdr_bucket_py(true) == bucket     # right bucket exactly
         assert est == _hdr_lb_py(bucket)
         assert est <= true <= est * 17 // 16 + 1  # ≤ 1/16 relative error
+
+
+def test_hdr_grouped_matches_per_group_global(spark):
+    """Grouped sketch == running the global sketch on each group's slice;
+    grouped quantiles == per-slice hdr_quantiles."""
+    import random
+
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hdr_build, hdr_build_grouped, hdr_quantiles,
+        hdr_quantiles_grouped)
+
+    random.seed(5)
+    rows = [(random.choice(["en", "de", "fr"]),
+             random.randint(0, 50_000)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "lang string, v long")
+    grouped = hdr_build_grouped(df, "v", ["lang"])
+    for lang in ("en", "de", "fr"):
+        part = {r.bucket: r.cnt
+                for r in hdr_build(df.where(F.col("lang") == lang),
+                                   "v").collect()}
+        got = {r.bucket: r.cnt
+               for r in grouped.where(F.col("lang") == lang)
+               .select("bucket", "cnt").collect()}
+        assert got == part
+        want_q = {(r.permille): (r.bucket, r.estimate, r.n)
+                  for r in hdr_quantiles(
+                      hdr_build(df.where(F.col("lang") == lang), "v"),
+                      [500, 900]).collect()}
+        got_q = {(r.permille): (r.bucket, r.estimate, r.n)
+                 for r in hdr_quantiles_grouped(grouped, ["lang"],
+                                                [500, 900])
+                 .where(F.col("lang") == lang).collect()}
+        assert got_q == want_q
