@@ -278,3 +278,79 @@ def token_budget_select(docs: DataFrame, budget_tokens: int,
             .withColumn("selected",
                         F.when(F.col("cum_tokens") <= budget_tokens, 1)
                         .otherwise(0).cast("long")))
+
+
+def mixture_plan(docs: DataFrame, stratum_col: str,
+                 weights: dict[str, int], budget_tokens: int,
+                 text_col: str = "text") -> DataFrame:
+    """Token-budget mixture PLANNING — the step before
+    ``sampling.mixture_sample``/``epoch_upsample`` can run: given target
+    integer mixture weights and a total token budget, compute per
+    stratum what the corpus can actually deliver.
+
+    Per stratum: ``tokens_available`` (whitespace tokens, the shared
+    ``token_count_ws`` contract), ``target_tokens = budget * w div
+    Σw``, the downsampling rate ``rate6 = min(1e6, target*1e6 div
+    available)``, the ``planned_tokens`` that rate yields, the
+    ``deficit_tokens`` a single epoch cannot cover, and ``epochs_x100 =
+    target*100 div available`` (>100 ⇒ the source must repeat — feed it
+    to epoch_upsample). Strata in the corpus but not in ``weights`` get
+    w=0 (explicitly planned to zero, never silently dropped); strata in
+    ``weights`` but absent from the corpus surface with available=0 and
+    full deficit — the plan EXPOSES an unfillable mix instead of letting
+    a 100 TB job discover it.
+
+    Exactness: every division is integer (the scaled-rational
+    convention); the two products that exceed int64 at real corpus sizes
+    (target×1e6, available×rate6 — ~1e21 at a 1e13-token corpus) run in
+    decimal(38,0) (HUGEINT on the oracle). Scale shape: ONE combining
+    token-count aggregate over the corpus; everything after is
+    |strata|-sized with the weight table broadcast."""
+    from ..functions.text import token_count_ws
+
+    spark = docs.sparkSession
+    dec = "decimal(38,0)"
+    sum_w = sum(weights.values())
+    if sum_w <= 0:
+        raise ValueError("mixture_plan: weights must sum to a positive "
+                         "integer")
+    avail = (docs.groupBy(F.col(stratum_col).alias("stratum"))
+             .agg(F.sum(token_count_ws(F.col(text_col)))
+                  .cast("long").alias("tokens_available")))
+    wdf = spark.createDataFrame(sorted(weights.items()),
+                                "stratum string, w long")
+    j = (avail.join(F.broadcast(wdf), "stratum", "full_outer")
+         .select("stratum",
+                 F.coalesce("w", F.lit(0)).cast("long").alias("w"),
+                 F.coalesce("tokens_available", F.lit(0)).cast("long")
+                 .alias("tokens_available")))
+    j = j.withColumn(
+        "target_tokens",
+        F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * w div {sum_w}"))
+    j = j.withColumn(
+        "rate6",
+        F.when(F.col("tokens_available") <= 0, F.lit(0).cast("long"))
+        .when(F.col("target_tokens") >= F.col("tokens_available"),
+              F.lit(1_000_000).cast("long"))
+        .otherwise(F.expr(
+            f"CAST(target_tokens AS {dec}) * 1000000 "
+            f"div CAST(tokens_available AS {dec})")))
+    j = j.withColumn(
+        "planned_tokens",
+        F.when(F.col("rate6") == 1_000_000, F.col("tokens_available"))
+        .otherwise(F.expr(
+            f"CAST(tokens_available AS {dec}) * CAST(rate6 AS {dec}) "
+            f"div 1000000")))
+    return (j.withColumn(
+        "deficit_tokens",
+        F.greatest(F.col("target_tokens") - F.col("planned_tokens"),
+                   F.lit(0).cast("long")))
+        .withColumn(
+            "epochs_x100",
+            F.when(F.col("tokens_available") > 0, F.expr(
+                f"CAST(target_tokens AS {dec}) * 100 "
+                f"div CAST(tokens_available AS {dec})"))
+            .otherwise(F.lit(None).cast("long")))
+        .select("stratum", "w", "tokens_available", "target_tokens",
+                "rate6", "planned_tokens", "deficit_tokens",
+                "epochs_x100"))

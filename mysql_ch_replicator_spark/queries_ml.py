@@ -1679,6 +1679,69 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("passes"))
 
 
+_MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "phantom_source": 1}
+_MIX_BUDGET = 8000
+
+
+@register(
+    "mixture_budget_plan",
+    f"""
+    WITH avail AS (
+      SELECT source AS stratum,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x != ''))) AS BIGINT)
+               AS tokens_available
+      FROM documents GROUP BY source),
+    w AS (SELECT * FROM (VALUES {", ".join(
+        f"('{k}', CAST({v} AS BIGINT))"
+        for k, v in sorted(_MIX_WEIGHTS.items()))})
+          AS t(stratum, w)),
+    j AS (SELECT COALESCE(a.stratum, w.stratum) AS stratum,
+                 CAST(COALESCE(w.w, 0) AS BIGINT) AS w,
+                 CAST(COALESCE(a.tokens_available, 0) AS BIGINT)
+                   AS tokens_available
+          FROM avail a FULL OUTER JOIN w ON a.stratum = w.stratum),
+    t AS (SELECT *, CAST({_MIX_BUDGET} AS BIGINT) * w
+                    // {sum(_MIX_WEIGHTS.values())} AS target_tokens
+          FROM j),
+    r AS (SELECT *, CAST(CASE
+              WHEN tokens_available <= 0 THEN 0
+              WHEN target_tokens >= tokens_available THEN 1000000
+              ELSE CAST(target_tokens AS HUGEINT) * 1000000
+                   // tokens_available END AS BIGINT) AS rate6
+          FROM t),
+    p AS (SELECT *, CAST(CASE WHEN rate6 = 1000000 THEN tokens_available
+              ELSE CAST(tokens_available AS HUGEINT) * rate6
+                   // 1000000 END AS BIGINT) AS planned_tokens
+          FROM r)
+    SELECT stratum, w, tokens_available, target_tokens, rate6,
+           planned_tokens,
+           greatest(target_tokens - planned_tokens, CAST(0 AS BIGINT))
+             AS deficit_tokens,
+           CAST(CASE WHEN tokens_available > 0
+                THEN CAST(target_tokens AS HUGEINT) * 100
+                     // tokens_available
+                ELSE NULL END AS BIGINT) AS epochs_x100
+    FROM p
+    """,
+)
+def mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (operators/selection.mixture_plan):
+    before mixture_sample/epoch_upsample can run, compute per source
+    what the corpus can deliver against target weights and a total
+    budget — downsampling rate, planned yield, deficit, and the epoch
+    multiplier where one pass can't fill the share. A weighted source
+    absent from the corpus ('phantom_source') surfaces with zero
+    available and full deficit instead of a silent shortfall; corpus
+    sources with no weight plan to zero explicitly. One combining
+    token-count aggregate over the corpus; the rest is |sources|-sized
+    integer arithmetic (decimal(38,0)/HUGEINT where products pass
+    2^63)."""
+    from .operators.selection import mixture_plan
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return mixture_plan(docs, "source", _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 @register(
     "token_budget_select",
     f"""

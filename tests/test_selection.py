@@ -280,3 +280,34 @@ def test_transient_cache_is_bounded(spark):
     assert dfs[4].storageLevel.useMemory is True    # newest retained
     assert release_transient_caches() == 3
     assert all(not df.storageLevel.useMemory for df in dfs)
+
+
+def test_mixture_plan_arithmetic_and_exposure(spark):
+    """mixture_plan == the literal integer arithmetic: capped sources
+    keep everything and report epochs>1, uncapped sources get the exact
+    scaled-rational rate, weighted-but-absent sources surface full
+    deficit, unweighted corpus sources plan to zero — never silently
+    dropped."""
+    from mysql_ch_replicator_spark.operators.selection import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "e f g h", "big"),
+         (3, "i j", "small"), (4, "k l m n o p", "unweighted")],
+        "doc_id long, text string, source string")
+    # weights big:3 small:1 ghost:1, sum 5; budget 10 tokens
+    got = {r.stratum: tuple(r)[1:]
+           for r in mixture_plan(docs, "source",
+                                 {"big": 3, "small": 1, "ghost": 1},
+                                 10).collect()}
+    # big: avail 8, target 10*3//5=6 -> rate 750000, planned 6
+    assert got["big"] == (3, 8, 6, 750_000, 6, 0, 75)
+    # small: avail 2, target 2 -> capped, planned 2, exactly 1 epoch
+    assert got["small"] == (1, 2, 2, 1_000_000, 2, 0, 100)
+    # ghost: weighted but absent -> full deficit, epochs NULL
+    assert got["ghost"] == (1, 0, 2, 0, 0, 2, None)
+    # unweighted corpus source: planned to zero, visible in the plan
+    assert got["unweighted"] == (0, 6, 0, 0, 0, 0, 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        mixture_plan(docs, "source", {}, 10)
