@@ -732,3 +732,26 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text",
                 "CASE WHEN __u = 0 THEN 0 ELSE 1000000 * __i div __u END"))
             .withColumn("err6", F.abs(F.col("est6") - F.col("true6")))
             .select("a", "b", "est6", "true6", "err6"))
+
+
+def dedup_cluster_stats(mapping: DataFrame) -> DataFrame:
+    """Cluster-size audit over ANY family's (doc_id, dup_of) survivor
+    mapping — the "what did dedup actually do" report a corpus release
+    ships: one row per cluster size with (cluster_size, n_clusters,
+    n_docs, n_removed = (size-1)·n_clusters). Singletons (size 1) are
+    included, so the rows total the corpus and the removal ratio reads
+    off directly; a pathological giant cluster (a boilerplate page
+    duplicated a million times — the thing that silently eats a crawl)
+    shows up as a heavy tail row instead of vanishing into an average.
+
+    Two combining aggregates (dup_of → size, size → histogram), both
+    map-side combined; output rows ≤ distinct cluster sizes."""
+    sizes = mapping.groupBy("dup_of").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs"),
+                    ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+                    .cast("long").alias("n_removed")))

@@ -1607,6 +1607,40 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_audit",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+      FROM documents
+    ),
+    k AS (SELECT norm_hash, min(doc_id) AS dup_of FROM h
+          GROUP BY norm_hash),
+    m AS (SELECT h.doc_id, k.dup_of FROM h JOIN k USING (norm_hash)),
+    sz AS (SELECT dup_of, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM m GROUP BY dup_of)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removed
+    FROM sz GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size audit (operators/dedup.dedup_cluster_stats) over the
+    normalized-dedup survivor mapping — the release report that shows
+    WHAT dedup did: one row per cluster size with cluster/doc/removal
+    counts, totalling the corpus. A boilerplate page duplicated a
+    million times shows up as a heavy-tail row instead of vanishing
+    into an average; composable over any family's (doc_id, dup_of)
+    mapping. Two map-side-combined aggregates past the dedup itself."""
+    from .operators.dedup import dedup_cluster_stats, normalized_dedup
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dedup_cluster_stats(normalized_dedup(docs))
+
+
+@register(
     "gopher_quality_filter",
     f"""
     WITH t AS (

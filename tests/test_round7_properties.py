@@ -280,3 +280,23 @@ def test_containment_contamination_asymmetry(spark):
     got2 = {r.doc_id: r.eval_id
             for r in containment_contamination(train, ev2, n=4).collect()}
     assert got2[1] == 150
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    """The audit is the literal histogram of the mapping: sizes total
+    the corpus, removals = docs - clusters; composes over any family's
+    (doc_id, dup_of) mapping (exact and closure-mapped inputs agree
+    with the python model)."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        dedup_cluster_stats, exact_dedup)
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"),       # size-3 cluster
+         (4, "bbb"), (5, "bbb"),                   # size-2
+         (6, "ccc"), (7, "ddd")],                  # singletons
+        "doc_id long, text string")
+    got = {r.cluster_size: (r.n_clusters, r.n_docs, r.n_removed)
+           for r in dedup_cluster_stats(exact_dedup(docs)).collect()}
+    assert got == {3: (1, 3, 2), 2: (1, 2, 1), 1: (2, 2, 0)}
+    assert sum(d for _, d, _ in got.values()) == 7          # totals corpus
+    assert sum(r for _, _, r in got.values()) == 7 - 4      # docs - clusters
