@@ -286,3 +286,44 @@ def hdr_quantiles_grouped(sketch: DataFrame, group_cols: list[str],
             .agg(F.min("bucket").alias("bucket"))
             .withColumn("estimate", _hdr_lower_bound(F.col("bucket")))
             .select(*group_cols, "permille", "bucket", "estimate", "n"))
+
+
+# ---------------------------------------------------------------------------
+# Half-life-decayed counters — recency-weighted frequency, the trending /
+# freshness primitive. exp(-λ·age) never hash-compares across engines
+# (libm), so decay is POWER-OF-TWO by half-life: an event aged k
+# half-lives contributes scale >> k — exact integer, mergeable (sums),
+# and within 2× of the continuous exponential everywhere.
+# ---------------------------------------------------------------------------
+
+DECAY_SCALE = 10 ** 12
+
+
+def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
+                   half_life_us: int, as_of_us: int | None = None,
+                   scale: int = DECAY_SCALE) -> DataFrame:
+    """(key, decayed, n_events) with ``decayed = Σ scale >> min(63,
+    age div half_life)`` at ``as_of`` (default: the input's max
+    timestamp, a 1-row broadcast) — events older than 63 half-lives
+    contribute exactly 0, future timestamps clamp to full weight.
+    ONE map-side-combining aggregate over the events; the sum runs in
+    decimal(38,0) (a key with >9.2M fresh events would wrap int64).
+    Deterministic on any partitioning, so the same ranking comes out of
+    a backfill and a streaming refresh."""
+    us = F.unix_micros(F.col(ts_col))
+    staged = df.select(F.col(key_col), us.alias("__us"))
+    if as_of_us is None:
+        asof = staged.agg(F.max("__us").alias("__asof"))
+        staged = staged.crossJoin(F.broadcast(asof))
+    else:
+        staged = staged.withColumn("__asof",
+                                   F.lit(int(as_of_us)).cast("long"))
+    age_hl = F.greatest(
+        F.expr(f"(__asof - __us) div {int(half_life_us)}"),
+        F.lit(0)).cast("int")
+    contrib = F.when(age_hl >= 63, F.lit(0).cast("long")).otherwise(
+        F.call_function("shiftright",
+                        F.lit(int(scale)).cast("long"), age_hl))
+    return (staged.groupBy(key_col)
+            .agg(F.sum(contrib).cast("decimal(38,0)").alias("decayed"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))

@@ -2587,6 +2587,42 @@ def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles_grouped(sk, ["lang"], _HDR_PERMILLES[:2])
 
 
+_DECAY_HL_US = 3 * 86_400_000_000          # 3-day half-life
+
+
+@register(
+    "events_decayed_counts",
+    f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    a AS (SELECT max(us) AS t_ref FROM e),
+    c AS (SELECT event_type,
+                 CASE WHEN greatest((t_ref - us) // {_DECAY_HL_US}, 0) >= 63
+                      THEN CAST(0 AS BIGINT)
+                      ELSE CAST(1000000000000 AS BIGINT)
+                           >> greatest((t_ref - us) // {_DECAY_HL_US}, 0)
+                 END AS contrib
+          FROM e CROSS JOIN a)
+    SELECT event_type,
+           CAST(CAST(sum(contrib) AS HUGEINT) AS VARCHAR) AS decayed,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM c GROUP BY event_type
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed counters (operators/sketch.decayed_counts): per
+    event type, the recency-weighted count at the stream head with a
+    3-day half-life — the trending/freshness ranking primitive.
+    Power-of-two decay (scale >> age-in-half-lives) keeps every
+    contribution exact-integer and cross-engine, where exp(-λ·age)
+    diverges in the last ulp between libms; one combining aggregate,
+    1-row max-ts broadcast, decimal(38,0)/HUGEINT sum rendered as a
+    string."""
+    from .operators.sketch import decayed_counts
+    events = load_table(spark, sf_dir, "events")
+    return decayed_counts(events, "event_type", "ts", _DECAY_HL_US) \
+        .withColumn("decayed", F.col("decayed").cast("string"))
+
+
 @register(
     "sketch_heavy_hitters",
     f"""

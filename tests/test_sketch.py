@@ -281,3 +281,39 @@ def test_hdr_grouped_matches_per_group_global(spark):
                                                 [500, 900])
                  .where(F.col("lang") == lang).collect()}
         assert got_q == want_q
+
+
+def test_decayed_counts_power_of_two_model(spark):
+    """decayed == the literal python model: fresh events full weight,
+    each half-life halves (integer shift), >=63 half-lives contributes
+    zero, future timestamps clamp to full weight, explicit as_of
+    honored."""
+    import datetime as dt
+
+    from mysql_ch_replicator_spark.operators.sketch import (
+        DECAY_SCALE, decayed_counts)
+
+    base = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    hl_us = 3_600_000_000        # 1 hour
+    rows = [
+        ("a", base),                                  # age 0   -> scale
+        ("a", base - dt.timedelta(hours=1)),          # age 1   -> scale>>1
+        ("a", base - dt.timedelta(hours=2, minutes=30)),  # 2.5 -> scale>>2
+        ("a", base + dt.timedelta(minutes=5)),        # future -> clamp 0
+        ("b", base - dt.timedelta(hours=100)),        # >>100 -> 0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    as_of = int(base.timestamp() * 1_000_000)
+    got = {r.k: (int(r.decayed), r.n_events)
+           for r in decayed_counts(df, "k", "ts", hl_us,
+                                   as_of_us=as_of).collect()}
+    want_a = DECAY_SCALE + (DECAY_SCALE >> 1) + (DECAY_SCALE >> 2) \
+        + DECAY_SCALE
+    assert got["a"] == (want_a, 4)
+    assert got["b"] == (0, 1)
+
+    # default as_of = max ts (the future event), ages shift by 5 min
+    got2 = {r.k: int(r.decayed)
+            for r in decayed_counts(df, "k", "ts", hl_us).collect()}
+    assert got2["a"] == DECAY_SCALE * 2 + (DECAY_SCALE >> 1) \
+        + (DECAY_SCALE >> 2)   # the two near-base events still age < 1 hl
