@@ -885,7 +885,26 @@ class ReplicaEngine:
 
     # -- reads (S7) ---------------------------------------------------------
 
-    def read_raw(self, db: str, table: str) -> DataFrame:
+    def list_generations(self, db: str, table: str) -> list[dict]:
+        """The table's readable data generations, newest first:
+        ``[{name, current, retired_ts}]`` — the current generation plus
+        every retired one whose files retention still holds on disk.
+        The time-travel catalog: any listed name is valid for
+        ``read_raw``/``read_final``'s ``generation`` argument."""
+        root = self._table_dir(db, table)
+        g = load_gen_manifest(root)
+        out = []
+        if os.path.isdir(os.path.join(root, g["current"])):
+            out.append({"name": g["current"], "current": True,
+                        "retired_ts": None})
+        for r in sorted(_retired_entries(g), key=lambda r: -r["ts"]):
+            if os.path.isdir(os.path.join(root, r["name"])):
+                out.append({"name": r["name"], "current": False,
+                            "retired_ts": r["ts"]})
+        return out
+
+    def read_raw(self, db: str, table: str,
+                 generation: str | None = None) -> DataFrame:
         # Structure AND file listing are taken atomically under the table
         # lock: the generation resolved here cannot be retired mid-listing,
         # and the column mapping cannot be normalized between structure
@@ -893,15 +912,36 @@ class ReplicaEngine:
         # silently read a renamed column as NULL — review r5). Once built,
         # the frame pins concrete file paths that retention keeps alive
         # for GENERATION_RETENTION_S after any subsequent rewrite.
+        #
+        # ``generation`` reads a RETIRED generation by name (time travel
+        # ACROSS rewrites): read_asof reconstructs any _version from the
+        # current data, but an OPTIMIZE collapses history away — the
+        # retired generation directory is then the only copy of the
+        # pre-rewrite state, readable until retention reclaims it
+        # (list_generations shows what is still on disk). Rows come back
+        # under the CURRENT structure mapping — columns added since read
+        # as NULL, renamed columns resolve through their physical name —
+        # the same contract as reading old files in the live table.
         with self.table_lock(db, table):
             st = self.structure(db, table)
-            if not self._has_data(db, table):
+            if generation is not None:
+                gdir = os.path.join(self._table_dir(db, table), generation)
+                if not os.path.isdir(gdir):
+                    raise ValueError(
+                        f"generation {generation!r} of {db}.{table} is not "
+                        f"on disk (never published, or reclaimed by "
+                        f"retention) — list_generations() shows what is "
+                        f"readable")
+                df = self.spark.read.option("mergeSchema", "true") \
+                    .parquet(gdir)
+            elif not self._has_data(db, table):
                 from .schema.type_mapping import to_struct_type
                 schema = to_struct_type(st, self.types_mapping)
                 schema = schema.add(OP_COL, "integer", False)
                 return self.spark.createDataFrame([], schema)
-            df = self.spark.read.option("mergeSchema", "true") \
-                .parquet(self._data_dir(db, table))
+            else:
+                df = self.spark.read.option("mergeSchema", "true") \
+                    .parquet(self._data_dir(db, table))
         exprs = []
         for f in st.fields:
             target = spark_type_for(f, self.types_mapping).simpleString()
@@ -916,12 +956,15 @@ class ReplicaEngine:
         exprs += [F.col(VERSION_COL), F.col(OP_COL)]
         return df.select(*exprs)
 
-    def read_final(self, db: str, table: str) -> DataFrame:
+    def read_final(self, db: str, table: str,
+                   generation: str | None = None) -> DataFrame:
         """The replica as queries see it: latest version per PK, deletes
-        applied — ClickHouse ``SELECT ... SETTINGS final=1``."""
+        applied — ClickHouse ``SELECT ... SETTINGS final=1``. With
+        ``generation``, the FINAL state of a retired generation (time
+        travel across rewrites — see read_raw)."""
         st = self.structure(db, table)
-        return dedup_final_ops(self.read_raw(db, table), st.primary_keys,
-                               op_col=OP_COL)
+        return dedup_final_ops(self.read_raw(db, table, generation),
+                               st.primary_keys, op_col=OP_COL)
 
     def repair_table(self, db: str, table: str, source: DataFrame,
                      n_buckets: int = 64) -> dict:

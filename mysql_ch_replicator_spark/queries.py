@@ -961,6 +961,52 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").cast("string").alias("value"))
 
 
+@register(
+    "replica_time_travel",
+    """
+    WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM b1
+    )
+    SELECT user_id, event_type AS last_event,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def replica_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation time travel — Delta's `VERSION AS OF` across OPTIMIZE,
+    on the home-grown manifest protocol: batch 1 applies, OPTIMIZE
+    collapses it into a NEW generation (read_asof can no longer
+    reconstruct: the version history is gone from the live files), batch
+    2 then mutates the current generation — and reading the RETIRED
+    generation by name still returns exactly the post-batch-1 final
+    state, because retention holds retired directories on disk for the
+    reader grace window (engine.list_generations is the catalog). The
+    oracle recomputes batch 1's latest-wins state from the source
+    events."""
+    from .engine import ReplicaEngine
+    from .optimizer import ReplicaOptimizer
+
+    root = _tmp_root(sf_dir, "timetravel")
+    engine = ReplicaEngine(spark, root)
+    engine.create_table("rep", _USER_STATE_DDL)
+    events = load_table(spark, sf_dir, "events")
+    cdc = _cdc_event_df(events, "rep", "user_state")
+    engine.apply_batch(cdc.where(F.col("seq") % 2 == 0))
+    opt = ReplicaOptimizer(engine, interval=3600.0)
+    assert opt.maybe_optimize() == [("rep", "user_state")]
+    gens = engine.list_generations("rep", "user_state")
+    retired = [g["name"] for g in gens if not g["current"]]
+    assert retired, "OPTIMIZE must have retired the pre-rewrite generation"
+    engine.apply_batch(cdc.where(F.col("seq") % 2 == 1))  # mutate current
+    return engine.read_final("rep", "user_state", generation=retired[0]) \
+        .select("user_id", "last_event",
+                F.col("value").cast("string").alias("value"))
+
+
 def _zscale_sql(col: str, lo: str, hi: str) -> str:
     """SQL twin of functions/zorder.scale_expr with data-borne bounds."""
     return (f"CAST(floor((CAST({col} AS DOUBLE) - CAST({lo} AS DOUBLE)) * "

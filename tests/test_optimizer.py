@@ -215,3 +215,52 @@ def test_concurrent_apply_optimize_and_read(spark, tmp_path):
         for i in range(100):
             expect = 99 if (b < 5 and i < 50) else b
             assert rows[b * 100 + i] == expect, (b, i, rows[b * 100 + i])
+
+
+def test_generation_time_travel_across_optimize(spark, tmp_path):
+    """read_final(generation=...) returns the pre-OPTIMIZE final state
+    from the retired directory after the live table moved on;
+    list_generations catalogs exactly what is on disk; a reclaimed
+    generation raises instead of returning wrong data."""
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.optimizer import ReplicaOptimizer
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db", """CREATE TABLE t (
+        id bigint NOT NULL, v varchar(16), PRIMARY KEY (id))""")
+
+    def batch(rows, seq0):
+        return spark.createDataFrame(
+            [("f", i + seq0, i + seq0, "db", "t", 1,
+              [[str(i), s]], None) for i, s in rows],
+            "tx_file string, tx_pos long, seq long, db string, "
+            "table string, event_type int, "
+            "payload array<array<string>>, query string")
+
+    engine.apply_batch(batch([(1, "a"), (2, "b")], 100))
+    opt = ReplicaOptimizer(engine, interval=3600.0)
+    assert opt.maybe_optimize() == [("db", "t")]
+
+    gens = engine.list_generations("db", "t")
+    assert gens[0]["current"] and gens[0]["name"].startswith("data.gen")
+    retired = [g for g in gens if not g["current"]]
+    assert len(retired) == 1 and retired[0]["retired_ts"] is not None
+    old = retired[0]["name"]
+
+    engine.apply_batch(batch([(1, "a2"), (3, "c")], 200))  # mutate current
+    now = {(r.id, r.v) for r in engine.read_final("db", "t")
+           .select("id", "v").collect()}
+    then = {(r.id, r.v) for r in engine.read_final("db", "t", generation=old)
+            .select("id", "v").collect()}
+    assert now == {(1, "a2"), (2, "b"), (3, "c")}
+    assert then == {(1, "a"), (2, "b")}
+
+    # reclaim: a second rewrite with zero retention removes the old dir
+    engine.generation_retention_s = 0.0
+    assert ReplicaOptimizer(engine, interval=0.0).maybe_optimize()
+    with _pytest.raises(ValueError, match="not\\s+on disk"):
+        engine.read_raw("db", "t", generation=old).collect()
+    assert old not in [g["name"]
+                       for g in engine.list_generations("db", "t")]
