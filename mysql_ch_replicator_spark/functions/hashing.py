@@ -128,3 +128,13 @@ def simhash64(words_col: Column, bits: int = 60) -> Column:
 def hamming60(a: Column, b: Column) -> Column:
     """Hamming distance between two 60-bit fingerprints (bit_count(xor))."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def h60_py(s: str) -> int:
+    """Driver-side twin of ``h60`` (same md5-prefix arithmetic) for the
+    rare places a plan needs the hash of a LITERAL before Spark runs —
+    e.g. computing which index shards a query's terms live in, so the
+    scan prunes partitions at planning time."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import transient_persist
-from ..functions.hashing import words
+from ..functions.hashing import h60, words
 from ..sources.snapshot import spread
 
 BM25_SCALE = 1_000_000
@@ -147,3 +147,105 @@ def build_inverted_index(docs: DataFrame, span: int = 256,
     dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return seg.join(dfreq, "term").select(
         "term", "seg", "seg_n", "postings", "df")
+
+
+_LEX_META = "_lex_meta.json"
+
+
+def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
+    """Persist the lexical index as a TERM-SHARDED parquet table — the
+    retrieval twin of ``similarity.write_ivf_index``: tokenization and
+    tf/df/dl aggregation are paid ONCE at write, and every query
+    afterwards reads only the ``h60(term) % shards`` partitions its
+    terms hash to (directory pruning at planning time) plus a pushdown
+    term filter inside them. Layout:
+
+    - ``postings/`` — (term, doc_id, tf, df) partitioned by ``shard``,
+      the columnar posting rows a scorer consumes directly,
+    - ``doclen/`` — (doc_id, dl) for length normalization,
+    - ``_lex_meta.json`` — {n, tl, shards}: the corpus scalars BM25
+      needs, persisted WITH the index so probing never touches the
+      corpus (the self-describing-descriptor rule the IVF index
+      follows).
+
+    Scale shape: one tokenizing explode feeds the (doc, term) tf
+    aggregate; df joins term-keyed (term-uniform, no skew
+    amplification); the shard column costs one scan-side hash. Hot
+    terms spread across doc-keyed parquet row groups — no per-term
+    global sort anywhere."""
+    import json
+    import os
+
+    tok = spread(docs).select(F.col(id_col).alias("doc_id"),
+                              F.explode(words(F.col(text_col)))
+                              .alias("term"))
+    per = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    per = transient_persist(per)
+    dl = per.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = per.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    postings = (per.join(dfreq, "term")
+                .withColumn("shard", h60(F.col("term")) % shards))
+    (postings.select("shard", "term", "doc_id", "tf", "df")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(os.path.join(path, "postings")))
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    n = docs.count()
+    tl = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).first()[0]
+    with open(os.path.join(path, _LEX_META), "w", encoding="utf-8") as fh:
+        json.dump({"n": int(n), "tl": int(tl), "shards": int(shards)}, fh)
+
+
+def bm25_indexed_topk(spark, path: str, query_terms: list[str],
+                      k: int = 20) -> DataFrame:
+    """BM25 top-k against a ``write_lexical_index`` table — the corpus is
+    NEVER read: the probe plans a partition filter on the query terms'
+    shards (computed driver-side with ``h60_py``, so pruning happens at
+    planning time), pushes the term IN-filter into those partitions'
+    scans, and scores the surviving posting rows with the SAME
+    integer-exact arithmetic as ``bm25_topk`` (identical idf6/tfn6
+    rationals, decimal(38,0) products) — so indexed and corpus-scan
+    retrieval are bit-identical, which the equivalence test pins. The
+    doc-length join broadcasts the (query-term-bounded) posting side;
+    the full doclen table streams through it unshuffled."""
+    import json
+    import os
+
+    from ..functions.hashing import h60_py
+
+    with open(os.path.join(path, _LEX_META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    n, tl, shards = meta["n"], meta["tl"], meta["shards"]
+    terms = sorted({t.lower() for t in query_terms})
+    shard_ids = sorted({h60_py(t) % shards for t in terms})
+
+    idx = (spark.read.parquet(os.path.join(path, "postings"))
+           .where(F.col("shard").isin(shard_ids))
+           .where(F.col("term").isin(terms))
+           .select("term", "doc_id", "tf", "df"))
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+
+    dec = "decimal(38,0)"
+    idf6 = F.expr(
+        f"CAST({BM25_SCALE} AS {dec}) * CAST(2*({n} - df) + 1 AS {dec}) "
+        f"div CAST(2*df + 1 AS {dec})")
+    tfn6 = F.expr(
+        f"CAST({BM25_SCALE} AS {dec}) * CAST(22 AS {dec}) "
+        f"* CAST(tf AS {dec}) * CAST({tl} AS {dec}) "
+        f"div (CAST(10 AS {dec})*CAST({tl} AS {dec})*CAST(tf AS {dec}) "
+        f"+ CAST(3 AS {dec})*CAST({tl} AS {dec}) "
+        f"+ CAST(9 AS {dec})*CAST(dl AS {dec})*CAST({n} AS {dec}))")
+    scored = (F.broadcast(idx).join(dl, "doc_id")
+              .withColumn("idf6", idf6)
+              .withColumn("tfn6", tfn6)
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("idf6").cast(dec) * F.col("tfn6").cast(dec))
+                   .cast(dec).alias("score")))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "score", "rank"))

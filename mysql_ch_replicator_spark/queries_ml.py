@@ -3216,6 +3216,30 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score", F.col("score").cast("string"))
 
 
+@register("bm25_indexed", _bm25_oracle_sql(_BM25_TERMS, _BM25_K))
+def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a PERSISTED term-sharded index
+    (operators/retrieval.write_lexical_index / bm25_indexed_topk) — the
+    retrieval twin of the persisted IVF path: tokenization and tf/df/dl
+    aggregation are paid once at write; the probe computes its shard set
+    driver-side (h60_py) so partition pruning happens at PLANNING time,
+    pushes the term IN-filter into the pruned scans, and never reads the
+    corpus (n/tl come from the index's own descriptor). Scoring is the
+    same integer-exact arithmetic as bm25_topk, so the SAME oracle
+    gates both — and an equivalence pytest pins indexed == corpus-scan
+    bit-for-bit."""
+    import os
+
+    from .operators.retrieval import bm25_indexed_topk, \
+        write_lexical_index
+    from .queries import _tmp_root
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tmp_root(sf_dir, "lexidx"), "index")
+    write_lexical_index(docs, path)
+    return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
+        .withColumn("score", F.col("score").cast("string"))
+
+
 @register(
     "lexical_index_build",
     f"""

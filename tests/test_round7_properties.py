@@ -300,3 +300,41 @@ def test_dedup_cluster_stats_histogram(spark):
     assert got == {3: (1, 3, 2), 2: (1, 2, 1), 1: (2, 2, 0)}
     assert sum(d for _, d, _ in got.values()) == 7          # totals corpus
     assert sum(r for _, _, r in got.values()) == 7 - 4      # docs - clusters
+
+
+def test_bm25_indexed_equals_corpus_scan_and_prunes(spark, tmp_path):
+    """The persisted lexical index returns bit-identical BM25 results to
+    the corpus-scan scorer for several term sets, its probe plan prunes
+    partitions to the query terms' shards with the term filter pushed
+    into the scan, and the corpus parquet never appears in the probe
+    plan."""
+    import contextlib
+    import io
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, bm25_topk, write_lexical_index)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "lexidx")
+    write_lexical_index(docs, path, shards=8)
+
+    for terms in (["hash", "merge"], ["vector"], ["nosuchterm"],
+                  ["MERGE", "merge"]):
+        a = sorted((r.doc_id, str(r.score), r.rank)
+                   for r in bm25_topk(docs, terms, k=10).collect())
+        b = sorted((r.doc_id, str(r.score), r.rank)
+                   for r in bm25_indexed_topk(spark, path, terms,
+                                              k=10).collect())
+        assert a == b, terms
+
+    probe = bm25_indexed_topk(spark, path, ["hash", "merge"], k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "documents.parquet" not in plan       # corpus never read
+    scans = [b for b in plan.split("\n\n")
+             if "postings" in b and "PartitionFilters" in b]
+    assert scans and "shard" in scans[0].split("PartitionFilters")[1] \
+        .split("\n")[0]
+    assert "In(term" in plan                      # term pushdown
