@@ -150,6 +150,32 @@ def build_inverted_index(docs: DataFrame, span: int = 256,
 
 
 _LEX_META = "_lex_meta.json"
+_LEX_PENDING = "_lex_upsert_pending.json"
+_LEX_DSPAN = 4096          # doclen partition width (doc ids per dir)
+
+
+def _tokenized_tf(docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(doc_id, term, tf) — the per-doc term frequencies, persisted (the
+    dl and df aggregates both consume it)."""
+    tok = spread(docs).select(F.col(id_col).alias("doc_id"),
+                              F.explode(words(F.col(text_col)))
+                              .alias("term"))
+    return transient_persist(
+        tok.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def _doc_lengths(docs: DataFrame, per: DataFrame,
+                 id_col: str) -> DataFrame:
+    """(doc_id, dl) for EVERY doc — zero-token docs get dl=0, so
+    ``count(doclen)`` is the corpus document count n everywhere (the
+    invariant the idempotent upsert meta recomputation relies on)."""
+    sums = per.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return (docs.select(F.col(id_col).alias("doc_id")).distinct()
+            .join(sums, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dl", F.lit(0)).cast("long").alias("dl")))
 
 
 def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
@@ -178,13 +204,8 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     import json
     import os
 
-    tok = spread(docs).select(F.col(id_col).alias("doc_id"),
-                              F.explode(words(F.col(text_col)))
-                              .alias("term"))
-    per = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
-    per = transient_persist(per)
-    dl = per.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    per = _tokenized_tf(docs, id_col, text_col)
+    dl = _doc_lengths(docs, per, id_col)
     dfreq = per.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     postings = (per.join(dfreq, "term")
@@ -192,7 +213,11 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     (postings.select("shard", "term", "doc_id", "tf", "df")
      .write.mode("overwrite").partitionBy("shard")
      .parquet(os.path.join(path, "postings")))
-    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    # doclen partitioned by doc-id span so an incremental upsert rewrites
+    # only the spans holding changed docs (the IVF touched-cells rule)
+    (dl.withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
+     .write.mode("overwrite").partitionBy("dspan")
+     .parquet(os.path.join(path, "doclen")))
     n = docs.count()
     tl = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).first()[0]
     with open(os.path.join(path, _LEX_META), "w", encoding="utf-8") as fh:
@@ -249,3 +274,143 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (top.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "score", "rank"))
+
+
+def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
+                         removes: DataFrame | None = None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> dict:
+    """Incremental maintenance of a ``write_lexical_index`` table — the
+    lexical twin of ``similarity.upsert_ivf_index``: a CDC batch of new
+    and deleted documents rewrites ONLY the term shards and doclen spans
+    it touches, never the whole index.
+
+    Semantics: removes win inside a batch; re-adding a doc_id replaces
+    its postings entirely. Because a term's rows all live in its ONE
+    hash shard, recomputing df over a rewritten shard's merged rows IS
+    the global df — so df stays exact without delta bookkeeping, and a
+    term whose last posting disappears leaves the index.
+
+    Affected-set discovery is ONE collect over the union of (a) shards
+    of the changed docs' CURRENT terms (one pushdown-filtered probe of
+    the postings), (b) shards of the adds' new terms, and (c) doclen
+    spans of the changed doc ids. The corpus scalars (n, tl) are then
+    recomputed from the committed doclen table — stateless, so a crashed
+    batch's recovery is simply re-running the same upsert (the intent
+    manifest ``_lex_upsert_pending.json`` makes the torn window
+    detectable, same contract as the IVF index)."""
+    import json
+    import os
+    import shutil
+    from functools import reduce
+
+    with open(os.path.join(path, _LEX_META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    shards = meta["shards"]
+    postings_path = os.path.join(path, "postings")
+    doclen_path = os.path.join(path, "doclen")
+    postings = spark.read.parquet(postings_path)
+    doclen = spark.read.parquet(doclen_path)
+
+    id_frames = []
+    if adds is not None:
+        id_frames.append(adds.select(F.col(id_col).alias("doc_id"))
+                         .distinct())
+    if removes is not None:
+        id_frames.append(removes.select(F.col(id_col).alias("doc_id"))
+                         .distinct())
+    if not id_frames:
+        return {"shards": [], "dspans": []}
+    changed = transient_persist(
+        reduce(DataFrame.unionByName, id_frames).distinct())
+
+    new_per = None
+    new_dl = None
+    if adds is not None:
+        kept = adds if removes is None else adds.join(
+            removes.select(F.col(id_col).alias(id_col)).distinct(),
+            id_col, "left_anti")
+        new_per = transient_persist(_tokenized_tf(kept, id_col, text_col))
+        new_dl = _doc_lengths(kept, new_per, id_col)
+
+    # ONE discovery job: tagged union of shard ids and doclen spans
+    discovery = [
+        postings.join(changed, "doc_id")
+        .select(F.lit("shard").alias("kind"),
+                F.col("shard").cast("long").alias("v")),
+        changed.select(F.lit("dspan").alias("kind"),
+                       F.expr(f"doc_id div {_LEX_DSPAN}").alias("v")),
+    ]
+    if new_per is not None:
+        discovery.append(new_per.select(
+            F.lit("shard").alias("kind"),
+            (h60(F.col("term")) % shards).cast("long").alias("v")))
+    tagged = reduce(DataFrame.unionByName, discovery).distinct().collect()
+    touched_shards = sorted({int(r.v) for r in tagged
+                             if r.kind == "shard"})
+    touched_spans = sorted({int(r.v) for r in tagged if r.kind == "dspan"})
+
+    pending = os.path.join(path, _LEX_PENDING)
+    with open(pending, "w", encoding="utf-8") as fh:
+        json.dump({"shards": touched_shards, "dspans": touched_spans}, fh)
+
+    if touched_shards:
+        cur = (postings.where(F.col("shard").isin(touched_shards))
+               .join(changed, "doc_id", "left_anti")
+               .select("shard", "term", "doc_id", "tf"))
+        merged = cur
+        if new_per is not None:
+            merged = merged.unionByName(
+                new_per.withColumn("shard",
+                                   (h60(F.col("term")) % shards)
+                                   .cast("int"))
+                .select("shard", "term", "doc_id", "tf"))
+        dfreq = merged.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"))
+        merged = merged.join(dfreq, "term") \
+            .select("shard", "term", "doc_id", "tf", "df") \
+            .localCheckpoint(eager=True)
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(postings_path))
+        # dynamic overwrite never writes (hence never clears) a touched
+        # partition whose merged content is EMPTY — a shard whose every
+        # posting was removed must be deleted explicitly or its stale
+        # rows survive the upsert
+        live = {int(r.shard) for r in
+                merged.select("shard").distinct().collect()}
+        for s in set(touched_shards) - live:
+            shutil.rmtree(os.path.join(postings_path, f"shard={s}"),
+                          ignore_errors=True)
+
+    if touched_spans:
+        cur_dl = (doclen.where(F.col("dspan").isin(touched_spans))
+                  .join(changed, "doc_id", "left_anti")
+                  .select("doc_id", "dl"))
+        merged_dl = cur_dl
+        if new_dl is not None:
+            merged_dl = merged_dl.unionByName(new_dl)
+        merged_dl = (merged_dl
+                     .withColumn("dspan",
+                                 F.expr(f"doc_id div {_LEX_DSPAN}"))
+                     .localCheckpoint(eager=True))
+        (merged_dl.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("dspan").parquet(doclen_path))
+        live_spans = {int(r.dspan) for r in
+                      merged_dl.select("dspan").distinct().collect()}
+        for s in set(touched_spans) - live_spans:
+            shutil.rmtree(os.path.join(doclen_path, f"dspan={s}"),
+                          ignore_errors=True)
+
+    # stateless scalar refresh from the COMMITTED doclen — idempotent
+    # whatever prefix of the batch a crashed run applied
+    stats = spark.read.parquet(doclen_path).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tl")) \
+        .first()
+    with open(os.path.join(path, _LEX_META), "w", encoding="utf-8") as fh:
+        json.dump({"n": int(stats.n), "tl": int(stats.tl),
+                   "shards": int(shards)}, fh)
+    os.remove(pending)
+    return {"shards": touched_shards, "dspans": touched_spans}

@@ -803,6 +803,16 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell").parquet(path))
+    # dynamic overwrite never writes (hence never clears) an affected
+    # cell whose merged content is EMPTY — a cell whose every vector was
+    # removed must be deleted explicitly or its stale rows survive
+    import shutil
+
+    live = {int(r.cell) for r in
+            merged.select("cell").distinct().collect()}
+    for c in set(cells) - live:
+        shutil.rmtree(os.path.join(path, f"cell={c}"),
+                      ignore_errors=True)
     os.remove(pending)
     return cells
 

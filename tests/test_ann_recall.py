@@ -456,3 +456,31 @@ def test_ivf_index_upsert_pending_manifest(spark, tmp_path, corpus):
     upsert_ivf_index(spark, path,
                      adds=corpus.where(F.col("vec_id") % 2 == 1))
     assert pending_upsert_cells(path) is None
+
+
+def test_ivf_index_upsert_clears_emptied_cell(spark, tmp_path, corpus):
+    """Dynamic partition overwrite never writes (hence never clears) an
+    affected cell whose merged content is empty — removing EVERY vector
+    of a cell must delete the cell directory, not leave stale rows."""
+    import os
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        upsert_ivf_index, write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus, path, n_cells=8)
+    idx = spark.read.parquet(path)
+    by_cell = {}
+    for r in idx.select("vec_id", "cell").collect():
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    victim = min(by_cell, key=lambda c: len(by_cell[c]))
+    removes = spark.createDataFrame([(v,) for v in by_cell[victim]],
+                                    "vec_id long")
+    touched = upsert_ivf_index(spark, path, removes=removes)
+    assert victim in touched
+    assert not os.path.isdir(os.path.join(path, f"cell={victim}"))
+    got = spark.read.parquet(path)
+    assert got.where(F.col("cell") == victim).count() == 0
+    assert got.count() == sum(len(v) for v in by_cell.values()) \
+        - len(by_cell[victim])

@@ -338,3 +338,70 @@ def test_bm25_indexed_equals_corpus_scan_and_prunes(spark, tmp_path):
     assert scans and "shard" in scans[0].split("PartitionFilters")[1] \
         .split("\n")[0]
     assert "In(term" in plan                      # term pushdown
+
+
+def test_lexical_index_upsert_matches_rebuild(spark, tmp_path):
+    """upsert_lexical_index == a from-scratch rebuild of the updated
+    corpus: identical postings (df recomputed exactly, a term whose last
+    posting vanishes leaves the index), identical doclen and descriptor
+    scalars, untouched term shards byte-untouched, and a second
+    identical upsert is a no-op on state (idempotent recovery)."""
+    import json
+    import os
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        upsert_lexical_index, write_lexical_index)
+
+    def dump(path):
+        post = sorted(tuple(r) for r in spark.read.parquet(
+            path + "/postings").select("term", "doc_id", "tf", "df")
+            .collect())
+        dl = sorted(tuple(r) for r in spark.read.parquet(
+            path + "/doclen").select("doc_id", "dl").collect())
+        meta = json.load(open(os.path.join(path, "_lex_meta.json")))
+        return post, dl, meta
+
+    # disjoint vocabularies -> the batch touches only its own shards
+    base = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma delta"),
+         (3, "zeta zeta eta"), (4, "theta iota")],
+        "doc_id long, text string")
+    adds = spark.createDataFrame(
+        [(2, "gamma gamma NEW"), (9, "gamma kappa")],  # re-add 2 + new 9
+        "doc_id long, text string")
+    removes = spark.createDataFrame([(3,)], "doc_id long")
+
+    inc = str(tmp_path / "inc")
+    write_lexical_index(base, inc, shards=8)
+    before = {}
+    pdir = os.path.join(inc, "postings")
+    for d in os.listdir(pdir):
+        if d.startswith("shard="):
+            full = os.path.join(pdir, d)
+            before[d] = sorted((f, os.path.getmtime(os.path.join(full, f)))
+                               for f in os.listdir(full))
+    touched = upsert_lexical_index(spark, inc, adds=adds, removes=removes)
+
+    updated = (base.where("doc_id NOT IN (2, 3)")
+               .unionByName(adds))
+    full_path = str(tmp_path / "full")
+    write_lexical_index(updated, full_path, shards=8)
+    assert dump(inc) == dump(full_path)
+
+    # 'zeta'/'eta' (doc 3's only terms) are gone entirely
+    terms = {r.term for r in spark.read.parquet(pdir).collect()}
+    assert "zeta" not in terms and "eta" not in terms
+    assert "new" in terms and "kappa" in terms
+
+    # untouched shards byte-untouched
+    for d, files in before.items():
+        if int(d.split("=")[1]) in touched["shards"]:
+            continue
+        full = os.path.join(pdir, d)
+        assert sorted((f, os.path.getmtime(os.path.join(full, f)))
+                      for f in os.listdir(full)) == files, d
+
+    # idempotent recovery: same upsert again, state unchanged
+    want = dump(inc)
+    upsert_lexical_index(spark, inc, adds=adds, removes=removes)
+    assert dump(inc) == want
