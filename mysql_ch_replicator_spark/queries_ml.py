@@ -3172,7 +3172,8 @@ _BM25_TERMS = ["hash", "merge", "vector"]
 _BM25_K = 20
 
 
-def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+def _bm25_oracle_sql(terms: list[str], k: int,
+                     source: str = "documents") -> str:
     in_list = ", ".join(f"'{t}'" for t in terms)
     idf6 = ("(CAST(1000000 AS HUGEINT) * CAST(2*(s.n - dfq.df) + 1 AS "
             "HUGEINT)) // CAST(2*dfq.df + 1 AS HUGEINT)")
@@ -3182,9 +3183,10 @@ def _bm25_oracle_sql(terms: list[str], k: int) -> str:
             " + CAST(3 AS HUGEINT)*CAST(s.tl AS HUGEINT)"
             " + CAST(9 AS HUGEINT)*CAST(dl.dl AS HUGEINT)*CAST(s.n AS HUGEINT))")
     return f"""
-    WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+    WITH src AS (SELECT * FROM {source}),
+    tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM src),
     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-    s AS (SELECT (SELECT count(*) FROM documents) AS n,
+    s AS (SELECT (SELECT count(*) FROM src) AS n,
                  (SELECT count(*) FROM tok) AS tl),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
            WHERE term IN ({in_list}) GROUP BY doc_id, term),
@@ -3236,6 +3238,34 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     path = os.path.join(_tmp_root(sf_dir, "lexidx"), "index")
     write_lexical_index(docs, path)
+    return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
+        .withColumn("score", F.col("score").cast("string"))
+
+
+@register("lexical_index_upsert", _bm25_oracle_sql(
+    _BM25_TERMS, _BM25_K,
+    source="(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
+def lexical_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index maintenance e2e
+    (operators/retrieval.upsert_lexical_index): build the index on a
+    partial corpus, stream the rest in as a CDC batch that also deletes
+    every 7th doc (removes win, re-adds replace, emptied shards clear),
+    then probe with BM25 — the result must equal the oracle's
+    from-scratch scoring of the FINAL corpus, proving per-shard df
+    recomputation and the stateless (n, tl) descriptor refresh are
+    exact. Only touched term shards and doclen spans rewrite."""
+    import os
+
+    from .operators.retrieval import bm25_indexed_topk, \
+        upsert_lexical_index, write_lexical_index
+    from .queries import _tmp_root
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tmp_root(sf_dir, "lexupsert"), "index")
+    write_lexical_index(docs.where(F.col("doc_id") % 5 != 0), path)
+    upsert_lexical_index(
+        spark, path,
+        adds=docs.where(F.col("doc_id") % 5 == 0),
+        removes=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
     return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
         .withColumn("score", F.col("score").cast("string"))
 
