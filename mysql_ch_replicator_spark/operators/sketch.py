@@ -327,3 +327,41 @@ def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
     return (staged.groupBy(key_col)
             .agg(F.sum(contrib).cast("decimal(38,0)").alias("decayed"),
                  F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
+def hll_registers_grouped(df: DataFrame, key_col: str,
+                          group_cols: list[str],
+                          salt: str = "hll") -> DataFrame:
+    """Per-group HLL register tables in ONE aggregate: (group...,
+    bucket, t) keyed by (group, bucket) — the per-source/per-type
+    distinct-count shape (distinct users per event type, distinct docs
+    per domain). Wire cost ≤ |groups|×m MIN-merged registers per
+    partition at any input size; a group's registers merge with any
+    other partitioning of the same group by the same MIN."""
+    h = h60(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    s = F.shiftright(h, 6) % (1 << HLL_W)
+    staged = df.select(*group_cols, (h % HLL_M).alias("bucket"),
+                       s.alias("s"))
+    t = F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CASE WHEN s > 0 THEN length(bin(s)) ELSE 0 END)")
+    return (staged.select(*group_cols, "bucket", t.alias("t"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.min("t").cast("long").alias("t")))
+
+
+def hll_estimate_grouped(registers: DataFrame,
+                         group_cols: list[str]) -> DataFrame:
+    """Per-group distinct-count estimates from grouped registers — the
+    same exact integer arithmetic as ``hll_estimate``, one row per
+    group."""
+    full = F.lit(1 << (HLL_W + 1)).cast("long")
+    return (registers.groupBy(*group_cols)
+            .agg(F.sum("t").cast("long").alias("sum_t"),
+                 F.count(F.lit(1)).cast("long").alias("used"))
+            .select(*group_cols,
+                    (F.col("sum_t")
+                     + (F.lit(HLL_M) - F.col("used")) * full).alias("den"))
+            .select(*group_cols, F.expr(
+                f"CAST({_ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))} "
+                f"AS BIGINT) div ({_ALPHA_DEN} * den)")
+                .cast("long").alias("est_distinct")))

@@ -2587,6 +2587,67 @@ def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles_grouped(sk, ["lang"], _HDR_PERMILLES[:2])
 
 
+def _hll_grouped_oracle_sql() -> str:
+    from .operators.sketch import _ALPHA_DEN, _ALPHA_NUM, HLL_M, HLL_W
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
+    full = 1 << (HLL_W + 1)
+    mask = 1 << HLL_W
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, h % {HLL_M} AS bucket,
+             MIN(CASE WHEN (h // {HLL_M}) % {mask} > 0
+                      THEN 1 << length(bin((h // {HLL_M}) % {mask}))
+                      ELSE 1 END) AS t
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, CAST(SUM(t) AS BIGINT) AS sum_t,
+             CAST(COUNT(*) AS BIGINT) AS used
+      FROM reg GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CAST({num} // ({_ALPHA_DEN}
+                  * (sum_t + ({HLL_M} - used) * {full})) AS BIGINT)
+               AS est_distinct
+      FROM agg
+    ),
+    tru AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.est_distinct, tru.true_distinct
+    FROM est JOIN tru USING (event_type)
+    """
+
+
+@register("sketch_hll_by_group", _hll_grouped_oracle_sql())
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct counts
+    (operators/sketch.hll_registers_grouped): distinct users PER EVENT
+    TYPE from one (group, bucket)-keyed MIN aggregate — the per-source
+    cardinality shape every corpus/stream report needs, wire-bounded at
+    |groups|×64 registers whatever the input size. Same exact integer
+    estimate arithmetic as the global sketch; the exact distinct count
+    rides along for the accuracy read-off."""
+    from .operators.sketch import hll_estimate_grouped, \
+        hll_registers_grouped
+    events = load_table(spark, sf_dir, "events")
+    reg = hll_registers_grouped(events, "user_id", ["event_type"])
+    est = hll_estimate_grouped(reg, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    return est.join(exact, "event_type") \
+        .select("event_type", "est_distinct", "true_distinct")
+
+
 _DECAY_HL_US = 3 * 86_400_000_000          # 3-day half-life
 
 

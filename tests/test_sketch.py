@@ -317,3 +317,38 @@ def test_decayed_counts_power_of_two_model(spark):
             for r in decayed_counts(df, "k", "ts", hl_us).collect()}
     assert got2["a"] == DECAY_SCALE * 2 + (DECAY_SCALE >> 1) \
         + (DECAY_SCALE >> 2)   # the two near-base events still age < 1 hl
+
+
+def test_hll_grouped_matches_per_group_global(spark):
+    """Grouped registers == running the global sketch on each group's
+    slice; grouped estimates == per-slice hll_estimate; registers of a
+    split corpus MIN-merge to the full-group registers."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hll_estimate, hll_estimate_grouped, hll_registers,
+        hll_registers_grouped)
+
+    rows = [(f"g{i % 3}", i % 97) for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    grouped = hll_registers_grouped(df, "k", ["g"])
+    for g in ("g0", "g1", "g2"):
+        part = {r.bucket: r.t
+                for r in hll_registers(df.where(F.col("g") == g),
+                                       "k").collect()}
+        got = {r.bucket: r.t
+               for r in grouped.where(F.col("g") == g)
+               .select("bucket", "t").collect()}
+        assert got == part
+        want_est = hll_estimate(
+            hll_registers(df.where(F.col("g") == g), "k")) \
+            .first().est_distinct
+        got_est = hll_estimate_grouped(grouped, ["g"]) \
+            .where(F.col("g") == g).first().est_distinct
+        assert got_est == want_est
+
+    # merge law: per-half grouped registers MIN-merge to the full table
+    a = hll_registers_grouped(df.where("k % 2 = 0"), "k", ["g"])
+    b = hll_registers_grouped(df.where("k % 2 = 1"), "k", ["g"])
+    merged = (a.unionByName(b).groupBy("g", "bucket")
+              .agg(F.min("t").alias("t")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, grouped.collect()))
