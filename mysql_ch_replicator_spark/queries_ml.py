@@ -2496,6 +2496,78 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HDR_PERMILLES = [500, 900, 950, 990]
 
 
+def _hdr_quantile_oracle(src: str = "documents") -> str:
+    return f"""
+    WITH v AS (SELECT greatest(n_chars, 0) AS v FROM {src}),
+    b AS (SELECT CASE WHEN v < 16 THEN v
+                 ELSE (length(bin(v)) - 1 - 4) * 16
+                      + (v >> (length(bin(v)) - 1 - 4)) END AS bucket
+          FROM v),
+    sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY bucket),
+    cum AS (SELECT bucket,
+                   CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+            FROM sk),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+    q AS (SELECT CAST(unnest({_HDR_PERMILLES}) AS BIGINT) AS permille),
+    r AS (SELECT permille, n,
+                 greatest((n * permille + 999) // 1000, 1) AS rank
+          FROM q CROSS JOIN tot),
+    ans AS (SELECT r.permille, r.n, r.rank,
+                   min(c.bucket) AS bucket
+            FROM r JOIN cum c ON c.cum >= r.rank
+            GROUP BY 1, 2, 3)
+    SELECT permille, bucket,
+           CAST(CASE WHEN bucket < 32 THEN bucket
+                ELSE (16 + bucket % 16) << (bucket // 16 - 1) END
+                AS BIGINT) AS estimate,
+           n
+    FROM ans
+    """
+
+
+@register("incremental_quantile_maintenance", _hdr_quantile_oracle(
+    "(SELECT * FROM documents WHERE doc_id % 11 <> 0)"))
+def incremental_quantile_maintenance(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The HDR quantile sketch maintained INCREMENTALLY through the CDC
+    batch path (the quantile twin of incremental_sketch_maintenance):
+    3 add waves stream the corpus in, a delete wave retracts every 11th
+    document — histogram cells are SUMS, so deletions subtract exactly
+    and the maintained sketch's quantiles equal the from-scratch
+    quantiles of the surviving corpus (the oracle recomputes those).
+    Per batch the merge is one union + bucket-keyed groupBy over
+    ≤~1000-row frames — constant-size maintenance at any corpus
+    size."""
+    from .operators.sketch import _hdr_bucket, hdr_quantiles
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    b = docs.agg(F.min("doc_id").alias("lo"),
+                 F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    width = (hi - lo) // 3 + 1
+    batches = [
+        (docs.where((F.col("doc_id") >= lo + k * width)
+                    & (F.col("doc_id") < lo + (k + 1) * width)), 1)
+        for k in range(3)
+    ]
+    batches.append((docs.where(F.col("doc_id") % 11 == 0), -1))
+
+    sketch = spark.createDataFrame([], "bucket long, cnt long")
+    for batch, sign in batches:
+        v = F.greatest(F.col("n_chars").cast("long"), F.lit(0))
+        delta = (batch.select(_hdr_bucket(v).alias("bucket"))
+                 .groupBy("bucket")
+                 .agg((F.count(F.lit(1)) * sign).cast("long").alias("cnt")))
+        sketch = (sketch.unionByName(delta)
+                  .groupBy("bucket")
+                  .agg(F.sum("cnt").cast("long").alias("cnt"))
+                  .where(F.col("cnt") != 0)
+                  .localCheckpoint())
+    return hdr_quantiles(sketch, _HDR_PERMILLES)
+
+
 @register(
     "sketch_quantile_hdr",
     f"""
