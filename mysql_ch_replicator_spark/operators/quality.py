@@ -1,0 +1,111 @@
+"""Declarative data-quality constraint checking — the Deequ/dbt-test
+shape, Spark-first: a rule list compiles to the MINIMUM number of scans
+and every verdict is an exact integer count, so the report is
+oracle-comparable and identical on any engine.
+
+A training-data pipeline gates ingestion on exactly these checks
+(null-free keys, unique PKs, categorical domains, value ranges,
+referential coverage between fact and dim); the reference engine has no
+analog (it replicates what arrives) — this is the admission-control
+layer in front of everything else this repo builds.
+
+Rule algebra (each rule is a dict):
+
+    {"rule": "not_null",        "col": c}
+    {"rule": "unique",          "cols": [c, ...]}
+    {"rule": "accepted_values", "col": c, "values": [...]}
+    {"rule": "range",           "col": c, "lo": x, "hi": y}
+    {"rule": "ref",             "col": c, "ref": DataFrame, "ref_col": rc}
+
+Scale shape: ALL row-local rules (not_null / accepted_values / range)
+and every ``unique`` rule fuse into ONE aggregate over a single scan —
+count_distinct shares the pass with the conditional sums — so the table
+is read once however many rules it carries; the 1-row aggregate frame
+is cached and each rule's report row projects from it (no driver
+round-trip, no re-aggregation). Each ``ref`` rule is one join against
+the broadcast (deduplicated, dim-sized) key set of the referenced
+table. Violation semantics: ``accepted_values`` and ``range`` fault
+only NON-NULL out-of-domain values (nulls are ``not_null``'s job);
+``unique`` counts rows beyond the first per key tuple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import transient_persist
+
+
+def _report_row(base: DataFrame, table: str, rule_id: int, rule: str,
+                target: str, v_col: str) -> DataFrame:
+    return base.select(
+        F.lit(table).alias("table"),
+        F.lit(rule_id).cast("long").alias("rule_id"),
+        F.lit(rule).alias("rule"),
+        F.lit(target).alias("target"),
+        F.col("__n").alias("n_rows"),
+        F.col(v_col).alias("n_violations"),
+        (F.col(v_col) == 0).alias("passed"))
+
+
+def constraint_report(df: DataFrame, rules: list[dict],
+                      table: str = "table") -> DataFrame:
+    """One row per rule: (table, rule_id, rule, target, n_rows,
+    n_violations, passed) — rule_id is the rule's position in the input
+    list, so reports are deterministic and diffable across runs."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    meta: list[tuple[int, str, str]] = []
+    ref_rules: list[tuple[int, dict]] = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            aggs.append(F.sum(F.when(F.col(r["col"]).isNull(), 1)
+                              .otherwise(0)).cast("long").alias(f"__v{i}"))
+            meta.append((i, kind, r["col"]))
+        elif kind == "unique":
+            cols = list(r["cols"])
+            aggs.append((F.count(F.lit(1))
+                         - F.countDistinct(*[F.col(c) for c in cols]))
+                        .cast("long").alias(f"__v{i}"))
+            meta.append((i, kind, ",".join(cols)))
+        elif kind == "accepted_values":
+            c = F.col(r["col"])
+            aggs.append(F.sum(F.when(c.isNotNull()
+                                     & ~c.isin(list(r["values"])), 1)
+                              .otherwise(0)).cast("long").alias(f"__v{i}"))
+            meta.append((i, kind, r["col"]))
+        elif kind == "range":
+            c = F.col(r["col"])
+            aggs.append(F.sum(F.when(c.isNotNull()
+                                     & ((c < F.lit(r["lo"]))
+                                        | (c > F.lit(r["hi"]))), 1)
+                              .otherwise(0)).cast("long").alias(f"__v{i}"))
+            meta.append((i, kind, r["col"]))
+        elif kind == "ref":
+            ref_rules.append((i, r))
+        else:
+            raise ValueError(f"constraint_report: unknown rule {kind!r}")
+    if not meta and not ref_rules:
+        raise ValueError("constraint_report: empty rule list")
+
+    frames: list[DataFrame] = []
+    if meta:
+        base = transient_persist(df.agg(*aggs))   # ONE scan, 1-row frame
+        frames += [_report_row(base, table, i, kind, target, f"__v{i}")
+                   for i, kind, target in meta]
+    for i, r in ref_rules:
+        keys = r["ref"].select(F.col(r["ref_col"]).alias("__k")).distinct()
+        stat = (df.select(F.col(r["col"]).alias("__c"))
+                .join(F.broadcast(keys), F.col("__c") == F.col("__k"),
+                      "left")
+                .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                     F.sum(F.when(F.col("__c").isNotNull()
+                                  & F.col("__k").isNull(), 1).otherwise(0))
+                     .cast("long").alias("__v")))
+        frames.append(_report_row(stat, table, i, "ref",
+                                  f"{r['col']}->{r['ref_col']}", "__v"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -2659,6 +2659,86 @@ def sketch_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles_grouped(sk, ["lang"], _HDR_PERMILLES[:2])
 
 
+@register(
+    "data_quality_report",
+    """
+    WITH li AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v0,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                  AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN l_discount IS NOT NULL
+                            AND (l_discount < 0.0 OR l_discount > 0.08)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM lineitem),
+    ref AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                            AND o.o_orderkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('click', 'view', 'purchase', 'signup')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v1
+      FROM events)
+    SELECT 'lineitem' AS "table", CAST(0 AS BIGINT) AS rule_id,
+           'not_null' AS rule, 'l_orderkey' AS target,
+           n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM li
+    UNION ALL SELECT 'lineitem', 1, 'unique', 'l_orderkey,l_linenumber',
+           n, v1, v1 = 0 FROM li
+    UNION ALL SELECT 'lineitem', 2, 'accepted_values', 'l_returnflag',
+           n, v2, v2 = 0 FROM li
+    UNION ALL SELECT 'lineitem', 3, 'range', 'l_discount',
+           n, v3, v3 = 0 FROM li
+    UNION ALL SELECT 'lineitem', 4, 'ref', 'l_orderkey->o_orderkey',
+           n, v, v = 0 FROM ref
+    UNION ALL SELECT 'events', 0, 'not_null', 'user_id',
+           n, v0, v0 = 0 FROM ev
+    UNION ALL SELECT 'events', 1, 'accepted_values', 'event_type',
+           n, v1, v1 = 0 FROM ev
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.
+    constraint_report — the Deequ/dbt-test shape): null checks, PK
+    uniqueness, categorical domains, value ranges and fact→dim
+    referential coverage compile to ONE aggregate per table plus one
+    broadcast join per ref rule, every verdict an exact integer count.
+    The rule set deliberately mixes passing and failing rules (this
+    synthetic lineitem reuses PK tuples and discounts exceed the 0.08
+    policy bound; events contains an undeclared 'error' type), so both
+    verdict paths are oracle-gated."""
+    from .operators.quality import constraint_report
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    rep_li = constraint_report(li, [
+        {"rule": "not_null", "col": "l_orderkey"},
+        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"rule": "accepted_values", "col": "l_returnflag",
+         "values": ["A", "N", "R"]},
+        {"rule": "range", "col": "l_discount", "lo": 0.0, "hi": 0.08},
+        {"rule": "ref", "col": "l_orderkey", "ref": orders,
+         "ref_col": "o_orderkey"},
+    ], table="lineitem")
+    rep_ev = constraint_report(events, [
+        {"rule": "not_null", "col": "user_id"},
+        {"rule": "accepted_values", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup"]},
+    ], table="events")
+    return rep_li.unionByName(rep_ev)
+
+
 def _hll_grouped_oracle_sql() -> str:
     from .operators.sketch import _ALPHA_DEN, _ALPHA_NUM, HLL_M, HLL_W
     num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))

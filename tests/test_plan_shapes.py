@@ -741,3 +741,12 @@ def test_hdr_sketch_single_combining_aggregate(spark, queries):
     assert plan.count("HashAggregate") >= 2          # partial + final
     assert "hashpartitioning(bucket" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_constraint_report_single_scan(spark, queries):
+    """data_quality_report: all row-local rules of a table fuse into ONE
+    aggregate pass — the plan scans lineitem at most twice total (the
+    fused rule aggregate + the ref join), never once per rule."""
+    plan = plan_of(queries["data_quality_report"](spark, SF))
+    assert plan.count("lineitem.parquet") <= 2
+    assert plan.count("events.parquet") <= 1

@@ -405,3 +405,41 @@ def test_lexical_index_upsert_matches_rebuild(spark, tmp_path):
     want = dump(inc)
     upsert_lexical_index(spark, inc, adds=adds, removes=removes)
     assert dump(inc) == want
+
+
+def test_constraint_report_rule_algebra(spark):
+    """Every rule kind against crafted rows with known violation counts;
+    null semantics (accepted_values/range fault only non-null values);
+    rule_ids follow input order; unknown rules and empty lists raise."""
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark.operators.quality import (
+        constraint_report)
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 50.0), (None, "q", None),
+         (2, None, 0.5), (3, "b", -1.0)],
+        "id long, cat string, x double")
+    dim = spark.createDataFrame([(1,), (2,)], "id long")
+    rep = {r.rule_id: (r.rule, r.target, r.n_rows, r.n_violations,
+                       r.passed)
+           for r in constraint_report(df, [
+               {"rule": "not_null", "col": "id"},
+               {"rule": "unique", "cols": ["id"]},
+               {"rule": "accepted_values", "col": "cat",
+                "values": ["a", "b"]},
+               {"rule": "range", "col": "x", "lo": 0.0, "hi": 10.0},
+               {"rule": "ref", "col": "id", "ref": dim,
+                "ref_col": "id"},
+           ], table="t").collect()}
+    assert rep[0] == ("not_null", "id", 5, 1, False)
+    # distinct non-null-excluded tuples: countDistinct skips the null row
+    assert rep[1] == ("unique", "id", 5, 2, False)   # 5 - {1,2,3}
+    assert rep[2] == ("accepted_values", "cat", 5, 1, False)  # 'q' only
+    assert rep[3] == ("range", "x", 5, 2, False)     # 50.0 and -1.0
+    assert rep[4] == ("ref", "id->id", 5, 1, False)  # id=3 unmatched
+
+    with _pytest.raises(ValueError, match="unknown rule"):
+        constraint_report(df, [{"rule": "nope"}]).collect()
+    with _pytest.raises(ValueError, match="empty"):
+        constraint_report(df, [])
