@@ -234,8 +234,11 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
     integer-exact arithmetic as ``bm25_topk`` (identical idf6/tfn6
     rationals, decimal(38,0) products) — so indexed and corpus-scan
     retrieval are bit-identical, which the equivalence test pins. The
-    doc-length join broadcasts the (query-term-bounded) posting side;
-    the full doclen table streams through it unshuffled."""
+    doc-length join leaves the strategy to AQE: for selective terms the
+    (df-bounded) posting side auto-broadcasts and the full doclen table
+    streams through unshuffled; for a stopword-scale probe Spark falls
+    back to a shuffle join instead of force-broadcasting a corpus-sized
+    side into the driver."""
     import json
     import os
 
@@ -263,7 +266,7 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
         f"div (CAST(10 AS {dec})*CAST({tl} AS {dec})*CAST(tf AS {dec}) "
         f"+ CAST(3 AS {dec})*CAST({tl} AS {dec}) "
         f"+ CAST(9 AS {dec})*CAST(dl AS {dec})*CAST({n} AS {dec}))")
-    scored = (F.broadcast(idx).join(dl, "doc_id")
+    scored = (idx.join(dl, "doc_id")
               .withColumn("idf6", idf6)
               .withColumn("tfn6", tfn6)
               .groupBy("doc_id")
@@ -292,9 +295,11 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     term whose last posting disappears leaves the index.
 
     Affected-set discovery is ONE collect over the union of (a) shards
-    of the changed docs' CURRENT terms (one pushdown-filtered probe of
-    the postings), (b) shards of the adds' new terms, and (c) doclen
-    spans of the changed doc ids. The corpus scalars (n, tl) are then
+    of the changed docs' CURRENT terms (one column-pruned scan of the
+    postings joined against the broadcast changed-id set — doc ids are
+    spread across every term shard, so no directory pruning is possible
+    here; only the (shard, doc_id) columns are read), (b) shards of the
+    adds' new terms, and (c) doclen spans of the changed doc ids. The corpus scalars (n, tl) are then
     recomputed from the committed doclen table — stateless, so a crashed
     batch's recovery is simply re-running the same upsert (the intent
     manifest ``_lex_upsert_pending.json`` makes the torn window
