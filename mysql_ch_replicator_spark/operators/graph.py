@@ -86,7 +86,9 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     nodes = (edges.select(F.col("s").alias("node"))
              .union(edges.select(F.col("t").alias("node")))
              .distinct())
-    out_w = edges.groupBy("s").agg(F.sum("wt").cast(_DEC).alias("ow"))
+    # sum IN decimal — sum(long).cast would aggregate in wrapping int64
+    out_w = edges.groupBy("s").agg(
+        F.sum(F.col("wt").cast(_DEC)).cast(_DEC).alias("ow"))
     contrib_edges = edges.join(out_w, "s")
 
     ranks = nodes.select("node", F.lit(SCALE).cast(_DEC).alias("rank"))

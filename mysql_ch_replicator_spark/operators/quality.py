@@ -65,8 +65,14 @@ def constraint_report(df: DataFrame, rules: list[dict],
             meta.append((i, kind, r["col"]))
         elif kind == "unique":
             cols = list(r["cols"])
+            # distinct over the STRUCT, not the column list: countDistinct
+            # with multiple args skips rows where ANY column is null, which
+            # would count a unique null-bearing tuple as a violation; the
+            # struct is never null itself, matching SQL row-value
+            # count(DISTINCT (a, b)) semantics
             aggs.append((F.count(F.lit(1))
-                         - F.countDistinct(*[F.col(c) for c in cols]))
+                         - F.countDistinct(F.struct(*[F.col(c)
+                                                      for c in cols])))
                         .cast("long").alias(f"__v{i}"))
             meta.append((i, kind, ",".join(cols)))
         elif kind == "accepted_values":

@@ -218,10 +218,18 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     (dl.withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
      .write.mode("overwrite").partitionBy("dspan")
      .parquet(os.path.join(path, "doclen")))
-    n = docs.count()
-    tl = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).first()[0]
+    # ONE aggregate over the dl table defines both descriptor scalars —
+    # the SAME convention the upsert's stateless refresh uses
+    # (n = count(doclen) = distinct doc ids; a docs.count() here would
+    # diverge from the first upsert's refresh on duplicate-id inputs and
+    # silently shift every idf6), and no second corpus scan
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tl")) \
+        .first()
     with open(os.path.join(path, _LEX_META), "w", encoding="utf-8") as fh:
-        json.dump({"n": int(n), "tl": int(tl), "shards": int(shards)}, fh)
+        json.dump({"n": int(stats.n), "tl": int(stats.tl),
+                   "shards": int(shards)}, fh)
 
 
 def bm25_indexed_topk(spark, path: str, query_terms: list[str],
@@ -335,7 +343,9 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         kept = adds if removes is None else adds.join(
             removes.select(F.col(id_col).alias(id_col)).distinct(),
             id_col, "left_anti")
-        new_per = transient_persist(_tokenized_tf(kept, id_col, text_col))
+        # _tokenized_tf persists internally — no second wrapper (it would
+        # burn a slot in the bounded cache registry for the same frame)
+        new_per = _tokenized_tf(kept, id_col, text_col)
         new_dl = _doc_lengths(kept, new_per, id_col)
 
     # ONE discovery job: tagged union of shard ids and doclen spans

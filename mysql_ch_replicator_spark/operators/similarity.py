@@ -713,10 +713,12 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     add ids — re-adding an id whose updated embedding assigns to a
     DIFFERENT cell must rewrite the OLD cell too, else the stale row
     survives there as a duplicate vec_id (ADVICE r6) — and (c) the cells
-    currently holding removed ids. (b) and (c) share ONE pushdown-
-    filtered probe of the index (at scale, parquet min/max on vec_id
-    prunes most files), and all cell-discovery frames union into a
-    SINGLE collect — one Spark job, not three (r6 verdict #4). The
+    currently holding removed ids — ALWAYS by probe, never by assigning
+    a carried vector, which would miss the stored row whenever the
+    carried image is stale (out-of-order CDC). (b) and (c) share ONE
+    column-pruned probe of the index (only vec_id and the cell partition
+    column are read), and all cell-discovery frames union into a SINGLE
+    collect — one Spark job, not three (r6 verdict #4). The
     merged affected-cell rows are localCheckpointed (so the plan no
     longer reads the target path — Spark refuses to overwrite a path it
     is reading) and written with DYNAMIC partition overwrite, leaving
@@ -764,19 +766,13 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         cell_frames.append(assigned.select("cell"))
         probe_ids.append(assigned.select("vec_id"))
     if removes is not None:
-        rm = removes.select(F.col(id_col).alias("vec_id"))
-        if vec_col in removes.columns:
-            # fast path: the stored vector is always the LAST add's
-            # vector, whose stored cell is its persisted-centroid
-            # assignment — so removes carrying the current vector locate
-            # their cells scan-side, no index probe
-            cell_frames.append(ivf_assign(
-                removes.select(F.col(id_col).alias("vec_id"),
-                               F.col(vec_col).alias("embedding")),
-                "embedding", n_cells, dims, probes=1, centroids=cents)
-                .select(F.element_at("cells", 1).alias("cell")))
-        else:
-            probe_ids.append(rm)
+        # removes ALWAYS locate their cells by probing the index, even
+        # when they carry a vector: assigning the carried vector would
+        # silently miss the stored row whenever the carried image is
+        # stale (out-of-order CDC, a producer emitting the pre-re-add
+        # embedding) — the same stale-cell class the adds-side fix
+        # closes. The probe shares the adds' single index scan.
+        probe_ids.append(removes.select(F.col(id_col).alias("vec_id")))
     if probe_ids:
         ids = reduce(DataFrame.unionByName, probe_ids).distinct()
         cell_frames.append(idx.join(ids, "vec_id").select("cell"))

@@ -324,8 +324,12 @@ def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
     contrib = F.when(age_hl >= 63, F.lit(0).cast("long")).otherwise(
         F.call_function("shiftright",
                         F.lit(int(scale)).cast("long"), age_hl))
+    # the SUM itself must run in decimal — sum(long).cast(decimal) still
+    # aggregates in int64 and overflows (ANSI) or wraps (non-ANSI) past
+    # 9.2M full-weight events, while the HUGEINT oracle keeps going
     return (staged.groupBy(key_col)
-            .agg(F.sum(contrib).cast("decimal(38,0)").alias("decayed"),
+            .agg(F.sum(contrib.cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").alias("decayed"),
                  F.count(F.lit(1)).cast("long").alias("n_events")))
 
 

@@ -997,10 +997,15 @@ def replica_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = _cdc_event_df(events, "rep", "user_state")
     engine.apply_batch(cdc.where(F.col("seq") % 2 == 0))
     opt = ReplicaOptimizer(engine, interval=3600.0)
-    assert opt.maybe_optimize() == [("rep", "user_state")]
+    # plain raises, not asserts: PYTHONOPTIMIZE strips asserts, and the
+    # OPTIMIZE call is a required side effect, not a debug check
+    if opt.maybe_optimize() != [("rep", "user_state")]:
+        raise RuntimeError("OPTIMIZE did not run for rep.user_state")
     gens = engine.list_generations("rep", "user_state")
     retired = [g["name"] for g in gens if not g["current"]]
-    assert retired, "OPTIMIZE must have retired the pre-rewrite generation"
+    if not retired:
+        raise RuntimeError(
+            "OPTIMIZE must have retired the pre-rewrite generation")
     engine.apply_batch(cdc.where(F.col("seq") % 2 == 1))  # mutate current
     return engine.read_final("rep", "user_state", generation=retired[0]) \
         .select("user_id", "last_event",
@@ -1454,8 +1459,12 @@ def compaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     engine.apply_batch(_cdc_event_df(events, "rep", "user_state"))
     opt = ReplicaOptimizer(engine, interval=3600.0)
-    assert opt.maybe_optimize() == [("rep", "user_state")]
-    assert opt.maybe_optimize() == []   # inside the interval: no rewrite
+    # plain raises, not asserts (PYTHONOPTIMIZE strips asserts and the
+    # first call's side effect is the point of the query)
+    if opt.maybe_optimize() != [("rep", "user_state")]:
+        raise RuntimeError("OPTIMIZE did not run for rep.user_state")
+    if opt.maybe_optimize() != []:      # inside the interval: no rewrite
+        raise RuntimeError("second maybe_optimize was not a no-op")
     # raw read: proves compaction materialized the collapse + dropped deletes
     return engine.read_raw("rep", "user_state") \
         .select("user_id", "last_event",

@@ -2568,36 +2568,7 @@ def incremental_quantile_maintenance(spark: SparkSession,
     return hdr_quantiles(sketch, _HDR_PERMILLES)
 
 
-@register(
-    "sketch_quantile_hdr",
-    f"""
-    WITH v AS (SELECT greatest(n_chars, 0) AS v FROM documents),
-    b AS (SELECT CASE WHEN v < 16 THEN v
-                 ELSE (length(bin(v)) - 1 - 4) * 16
-                      + (v >> (length(bin(v)) - 1 - 4)) END AS bucket
-          FROM v),
-    sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
-           FROM b GROUP BY bucket),
-    cum AS (SELECT bucket,
-                   CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
-            FROM sk),
-    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
-    q AS (SELECT CAST(unnest({_HDR_PERMILLES}) AS BIGINT) AS permille),
-    r AS (SELECT permille, n,
-                 greatest((n * permille + 999) // 1000, 1) AS rank
-          FROM q CROSS JOIN tot),
-    ans AS (SELECT r.permille, r.n, r.rank,
-                   min(c.bucket) AS bucket
-            FROM r JOIN cum c ON c.cum >= r.rank
-            GROUP BY 1, 2, 3)
-    SELECT permille, bucket,
-           CAST(CASE WHEN bucket < 32 THEN bucket
-                ELSE (16 + bucket % 16) << (bucket // 16 - 1) END
-                AS BIGINT) AS estimate,
-           n
-    FROM ans
-    """,
-)
+@register("sketch_quantile_hdr", _hdr_quantile_oracle())
 def sketch_quantile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDR-histogram quantile sketch (operators/sketch.hdr_build/
     hdr_quantiles) — the fourth canonical mergeable sketch (CM =

@@ -433,8 +433,9 @@ def test_constraint_report_rule_algebra(spark):
                 "ref_col": "id"},
            ], table="t").collect()}
     assert rep[0] == ("not_null", "id", 5, 1, False)
-    # distinct non-null-excluded tuples: countDistinct skips the null row
-    assert rep[1] == ("unique", "id", 5, 2, False)   # 5 - {1,2,3}
+    # row-value distinct: the NULL id is its own key tuple (SQL
+    # count(DISTINCT (id)) semantics), so only the duplicated id=2 faults
+    assert rep[1] == ("unique", "id", 5, 1, False)   # 5 - {1,2,3,NULL}
     assert rep[2] == ("accepted_values", "cat", 5, 1, False)  # 'q' only
     assert rep[3] == ("range", "x", 5, 2, False)     # 50.0 and -1.0
     assert rep[4] == ("ref", "id->id", 5, 1, False)  # id=3 unmatched
@@ -443,3 +444,18 @@ def test_constraint_report_rule_algebra(spark):
         constraint_report(df, [{"rule": "nope"}]).collect()
     with _pytest.raises(ValueError, match="empty"):
         constraint_report(df, [])
+
+
+def test_constraint_report_unique_null_tuples(spark):
+    """Row-value distinct semantics for the unique rule: a tuple with a
+    NULL component still counts as a distinct key (SQL
+    count(DISTINCT (a,b)) behavior) — countDistinct over the column
+    LIST would skip it and report a phantom violation."""
+    from mysql_ch_replicator_spark.operators.quality import (
+        constraint_report)
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (5, None)], "a long, b long")
+    r = constraint_report(df, [{"rule": "unique", "cols": ["a", "b"]}],
+                          table="t").first()
+    assert (r.n_rows, r.n_violations, r.passed) == (3, 1, False)

@@ -352,3 +352,22 @@ def test_hll_grouped_matches_per_group_global(spark):
               .agg(F.min("t").alias("t")))
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, grouped.collect()))
+
+
+def test_decayed_counts_sum_exceeds_int64(spark):
+    """The decayed sum aggregates IN decimal(38,0): with a scale near
+    2^62, four full-weight events exceed int64 — the fixed sum returns
+    the exact value where an int64 aggregation would overflow (ANSI) or
+    wrap (legacy)."""
+    import datetime as dt
+
+    from mysql_ch_replicator_spark.operators.sketch import decayed_counts
+
+    base = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    scale = 1 << 62
+    df = spark.createDataFrame([("k", base)] * 4, "k string, ts timestamp")
+    as_of = int(base.timestamp() * 1_000_000)
+    r = decayed_counts(df, "k", "ts", 3_600_000_000, as_of_us=as_of,
+                       scale=scale).first()
+    assert int(r.decayed) == 4 * scale        # 2^64 — past int64
+    assert r.n_events == 4
