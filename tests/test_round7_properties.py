@@ -459,3 +459,58 @@ def test_constraint_report_unique_null_tuples(spark):
     r = constraint_report(df, [{"rule": "unique", "cols": ["a", "b"]}],
                           table="t").first()
     assert (r.n_rows, r.n_violations, r.passed) == (3, 1, False)
+
+
+def test_hdr_bucket_monotone_and_invertible_hypothesis(spark):
+    """Hypothesis sweep of the HDR bucket arithmetic (pure-python twin
+    of the column expressions, already pinned equal to Spark in
+    test_sketch): buckets are monotone in the value, the lower bound
+    inverts into the right bucket, and the relative error bound
+    lb <= v < lb*(1+1/16)+1 holds for every non-negative int64."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_sketch import _hdr_bucket_py, _hdr_lb_py
+
+    @given(st.integers(min_value=0, max_value=2**62),
+           st.integers(min_value=0, max_value=2**62))
+    @settings(max_examples=300, deadline=None)
+    def check(a, b):
+        ba, bb = _hdr_bucket_py(a), _hdr_bucket_py(b)
+        if a <= b:
+            assert ba <= bb
+        lb = _hdr_lb_py(ba)
+        assert _hdr_bucket_py(lb) == ba
+        assert lb <= a <= lb * 17 // 16 + 1
+
+    check()
+
+
+def test_pagerank_idiv_exact_hypothesis(spark):
+    """The remainder-subtracted decimal division is EXACT integer
+    division for arbitrary non-negative operands — including past 2^63,
+    where `div` (bigint) wraps; spot-checked through a real Spark plan
+    over hypothesis-drawn operand pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_ch_replicator_spark.operators.graph import _idiv
+
+    pairs = []
+
+    @given(st.integers(min_value=0, max_value=10**30),
+           st.integers(min_value=1, max_value=10**15))
+    @settings(max_examples=80, deadline=None)
+    def gather(n, d):
+        pairs.append((n, d))
+
+    gather()
+    pairs.append((2**64, 7))             # past int64 by construction
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in pairs], "n string, d string")
+    got = df.select(
+        "n", "d",
+        _idiv(F.col("n").cast("decimal(38,0)"),
+              F.col("d").cast("decimal(38,0)")).alias("q")).collect()
+    for r in got:
+        assert int(r.q) == int(r.n) // int(r.d), (r.n, r.d, r.q)
