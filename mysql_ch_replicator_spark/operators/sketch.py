@@ -318,19 +318,27 @@ def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
     else:
         staged = staged.withColumn("__asof",
                                    F.lit(int(as_of_us)).cast("long"))
-    age_hl = F.greatest(
-        F.expr(f"(__asof - __us) div {int(half_life_us)}"),
-        F.lit(0)).cast("int")
-    contrib = F.when(age_hl >= 63, F.lit(0).cast("long")).otherwise(
+    age_hl = F.least(
+        F.greatest(F.expr(f"(__asof - __us) div {int(half_life_us)}"),
+                   F.lit(0)),
+        F.lit(63)).cast("int")
+    # two-stage exactness without per-row decimal cost: a LONG count per
+    # (key, clamped age bucket) first — row counts cannot overflow and
+    # the hot path stays a codegen'd long aggregate — then ≤64 rows per
+    # key combine as count · (scale >> age) with the SUM in
+    # decimal(38,0), confining decimal arithmetic to O(keys·64) rows.
+    # (A single-stage sum(long).cast(decimal) would aggregate in
+    # wrapping int64 — the overflow class the HUGEINT oracle avoids.)
+    per_bucket = (staged.groupBy(key_col, age_hl.alias("__age"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    weight = F.when(F.col("__age") >= 63, F.lit(0).cast("long")).otherwise(
         F.call_function("shiftright",
-                        F.lit(int(scale)).cast("long"), age_hl))
-    # the SUM itself must run in decimal — sum(long).cast(decimal) still
-    # aggregates in int64 and overflows (ANSI) or wraps (non-ANSI) past
-    # 9.2M full-weight events, while the HUGEINT oracle keeps going
-    return (staged.groupBy(key_col)
-            .agg(F.sum(contrib.cast("decimal(38,0)"))
+                        F.lit(int(scale)).cast("long"), F.col("__age")))
+    return (per_bucket.groupBy(key_col)
+            .agg(F.sum(F.col("__c").cast("decimal(38,0)")
+                       * weight.cast("decimal(38,0)"))
                  .cast("decimal(38,0)").alias("decayed"),
-                 F.count(F.lit(1)).cast("long").alias("n_events")))
+                 F.sum("__c").cast("long").alias("n_events")))
 
 
 def hll_registers_grouped(df: DataFrame, key_col: str,
