@@ -377,3 +377,38 @@ def hll_estimate_grouped(registers: DataFrame,
                 f"CAST({_ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))} "
                 f"AS BIGINT) div ({_ALPHA_DEN} * den)")
                 .cast("long").alias("est_distinct")))
+
+
+def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
+                          depth: int = 4) -> DataFrame:
+    """Equi-join cardinality estimation from two Count-Min sketches
+    (the AMS/CM inner-product estimator, Cormode & Muthukrishnan §4.2):
+    for each depth row k, ``Σ_buckets cmA[k,b]·cmB[k,b]`` over-estimates
+    ``|A ⋈ B| = Σ_key fA(key)·fB(key)``; the reported estimate is the
+    MIN over depth rows — always ≥ the true join size, with collision
+    error bounded by |A|·|B|/width per row. The planning primitive a
+    100 TB engine wants BEFORE committing to a join strategy: both
+    inputs compress to ≤ depth·width counters each, so the estimate
+    costs two sketch builds plus a sketch-sized join — never a pass
+    over the joined data.
+
+    Exactness contract: products and sums run in decimal(38,0)
+    (counts² at corpus scale pass int64), so a SQL oracle computes the
+    bit-identical estimate. Returns one row: (est_join_size)."""
+    dec = "decimal(38,0)"
+    a = sketch_a.select("k", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("k", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (a.join(b, ["k", "bucket"])
+               .groupBy("k")
+               .agg(F.sum(F.col("__ca").cast(dec)
+                          * F.col("__cb").cast(dec))
+                    .cast(dec).alias("__dot")))
+    # a depth row with NO intersecting buckets has dot product 0 — it
+    # must participate in the MIN (disjoint inputs estimate 0), so the
+    # per-row dots left-join the full depth domain instead of letting
+    # the inner join silently drop zero rows and bias the min upward
+    domain = sketch_a.sparkSession.range(depth) \
+        .select(F.col("id").cast("int").alias("k"))
+    full = domain.join(per_row, "k", "left") \
+        .select(F.coalesce("__dot", F.lit(0).cast(dec)).alias("__dot"))
+    return full.agg(F.min("__dot").cast(dec).alias("est_join_size"))

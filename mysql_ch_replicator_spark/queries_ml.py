@@ -2808,6 +2808,70 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_join_cardinality",
+    """
+    WITH a AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    b AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+    ca AS (
+      SELECT t.k,
+             CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || a.key), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM a CROSS JOIN range(0, 4) t(k) GROUP BY 1, 2),
+    cb AS (
+      SELECT t.k,
+             CAST('0x' || substr(md5('cm' || CAST(t.k AS VARCHAR)
+               || '|' || b.key), 1, 15) AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM b CROSS JOIN range(0, 4) t(k) GROUP BY 1, 2),
+    dots AS (
+      SELECT ca.k, sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS dot
+      FROM ca JOIN cb USING (k, bucket) GROUP BY ca.k),
+    dots_full AS (
+      SELECT t.k, COALESCE(d.dot, 0) AS dot
+      FROM range(0, 4) t(k) LEFT JOIN dots d ON d.k = t.k),
+    est AS (SELECT CAST(min(dot) AS VARCHAR) AS est_join_size
+            FROM dots_full),
+    tru AS (
+      SELECT CAST(CAST(COALESCE(sum(CAST(fa.c AS HUGEINT) * fb.c), 0)
+                  AS HUGEINT) AS VARCHAR) AS true_join_size
+      FROM (SELECT key, count(*) AS c FROM a GROUP BY key) fa
+      JOIN (SELECT key, count(*) AS c FROM b GROUP BY key) fb
+        USING (key))
+    SELECT est.est_join_size, tru.true_join_size
+    FROM est CROSS JOIN tru
+    """,
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches
+    (operators/sketch.cm_join_size_estimate — the AMS/CM inner-product
+    estimator): |events ⋈ orders on user key| predicted from two
+    ≤2048-counter sketches and a sketch-sized join, never a pass over
+    the joined data — the planning primitive that decides a join
+    strategy BEFORE committing a 100 TB shuffle. The estimate is always
+    ≥ the true size (reported alongside, exactly); both run in
+    decimal(38,0)/HUGEINT and render as strings."""
+    from .operators.sketch import cm_build, cm_join_size_estimate
+    dec = "decimal(38,0)"
+    a_keys = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"))
+    b_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("key"))
+    est = cm_join_size_estimate(cm_build(a_keys, "key"),
+                                cm_build(b_keys, "key"))
+    fa = a_keys.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    fb = b_keys.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    tru = (fa.join(fb, "key")
+           .agg(F.coalesce(F.sum(fa["c"].cast(dec) * fb["c"].cast(dec)),
+                           F.lit(0)).cast(dec).alias("true_join_size")))
+    return (est.crossJoin(F.broadcast(tru))
+            .select(F.col("est_join_size").cast("string")
+                    .alias("est_join_size"),
+                    F.col("true_join_size").cast("string")
+                    .alias("true_join_size")))
+
+
+@register(
     "sketch_heavy_hitters",
     f"""
     WITH w AS (

@@ -371,3 +371,34 @@ def test_decayed_counts_sum_exceeds_int64(spark):
                        scale=scale).first()
     assert int(r.decayed) == 4 * scale        # 2^64 — past int64
     assert r.n_events == 4
+
+
+def test_cm_join_size_estimate_bounds(spark):
+    """AMS/CM inner-product estimator: always >= the true join size,
+    EXACT when the sketch is wide enough that no two keys collide in
+    any depth row, and python-model-checkable on crafted frequencies."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        cm_build, cm_join_size_estimate)
+
+    a = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 3 + [("only_a",)], "key string")
+    b = spark.createDataFrame(
+        [("x",)] * 2 + [("y",)] * 7 + [("only_b",)] * 4, "key string")
+    true_size = 5 * 2 + 3 * 7                     # 31
+
+    est_wide = int(cm_join_size_estimate(
+        cm_build(a, "key", depth=4, width=4096),
+        cm_build(b, "key", depth=4, width=4096)).first().est_join_size)
+    assert est_wide == true_size                  # no collisions: exact
+
+    est_narrow = int(cm_join_size_estimate(
+        cm_build(a, "key", depth=4, width=4),
+        cm_build(b, "key", depth=4, width=4)).first().est_join_size)
+    assert est_narrow >= true_size                # collisions only inflate
+
+    # disjoint key sets with a wide sketch estimate (near) zero overlap
+    c = spark.createDataFrame([("zzz",)] * 9, "key string")
+    est_disjoint = int(cm_join_size_estimate(
+        cm_build(a, "key", depth=4, width=4096),
+        cm_build(c, "key", depth=4, width=4096)).first().est_join_size)
+    assert est_disjoint == 0
