@@ -579,6 +579,64 @@ def embedding_outlier_scores(embeddings: DataFrame,
                  .cast("decimal(38,0)").alias("dist_q")))
 
 
+def cluster_quality(embeddings: DataFrame,
+                    vec_col: str = "embedding",
+                    group_col: str = "label",
+                    scale: int = OUTLIER_SCALE) -> DataFrame:
+    """Per-cluster compactness + separation report — the silhouette-lite
+    health check on a labeled/clustered embedding table (is a label
+    cohort tight? which other cluster is it closest to?), consumed when
+    deciding whether clusters are clean enough for SemDeDup-style
+    cell-scoped dedup or stratified sampling.
+
+    Exact integer arithmetic end to end: components quantize to
+    ``floor(x·scale)`` longs; each group's centroid is the per-dim
+    TRUNCATING integer division ``s div n`` (Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero — identical on either sign, no
+    float mean); inertia is ``Σ_v Σ_d (x − c_d)²`` accumulated in
+    decimal(38,0) (sum takes decimal INPUT — a long² sum wraps
+    silently); separation is the exact squared distance between centroid
+    integer vectors, with the nearest neighbor tie-broken on group id.
+
+    Scale shape: one posexplode feeds the (group, dim) sums aggregate
+    (map-side combining — |groups|·dims rows out); centroids broadcast
+    back onto the corpus explode so the corpus never shuffles before the
+    final per-group aggregation; the centroid-pair stage is
+    |groups|²·dims rows — dims-bounded, never corpus-sized. Returns
+    (grp, n, inertia_q, nearest_grp, sep2)."""
+    dec = "decimal(38,0)"
+    base = spread(embeddings).select(
+        F.col(group_col).alias("grp"),
+        quantize_expr(vec_col, float(scale)).alias("xq"))
+    exploded = base.select("grp", F.posexplode("xq").alias("d", "x"))
+    sums = (exploded.groupBy("grp", "d")
+            .agg(F.sum("x").alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+    cent = sums.select("grp", "d", "n",
+                       F.expr("s div n").cast("long").alias("c"))
+
+    diff = (F.col("x") - F.col("c")).cast(dec)
+    inertia = (exploded.join(F.broadcast(cent), ["grp", "d"])
+               .groupBy("grp")
+               .agg(F.max("n").cast("long").alias("n"),
+                    F.sum(diff * diff).cast(dec).alias("inertia_q")))
+
+    a = cent.select(F.col("grp").alias("ga"), "d", F.col("c").alias("ca"))
+    b = cent.select(F.col("grp").alias("gb"), "d", F.col("c").alias("cb"))
+    pair = (a.join(b, "d").where(F.col("ga") != F.col("gb"))
+            .groupBy("ga", "gb")
+            .agg(F.sum((F.col("ca") - F.col("cb"))
+                       * (F.col("ca") - F.col("cb")))
+                 .cast("long").alias("dist2")))
+    w = Window.partitionBy("ga").orderBy("dist2", "gb")
+    near = (pair.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("ga").alias("grp"),
+                    F.col("gb").alias("nearest_grp"),
+                    F.col("dist2").alias("sep2")))
+    return inertia.join(near, "grp")
+
+
 def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                shortlist: int = 20, lam: float = 0.5,
                vec_col: str = "embedding", id_col: str = "vec_id",

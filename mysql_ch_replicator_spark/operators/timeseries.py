@@ -1,0 +1,196 @@
+"""Time-series operators: gap-filling resample (last-observation-carried-
+forward), exact rolling-window anomaly detection, and event-sequence
+transition mining.
+
+The reference engine's users run its replica tables through downstream
+OLAP dashboards (reference test queries aggregate `events`-shaped CDC
+output by time bucket); these operators cover the canonical time-series
+follow-ons a training-data / metrics pipeline needs on top of that:
+
+- ``resample_locf``: regularize an irregular event stream onto a dense
+  per-key time grid, carrying the last observation forward into gap
+  buckets. The 100 TB shape matters: we never build the dense grid as a
+  table-to-table join. Each key's observed buckets are range-expanded
+  *from the observation rows themselves* (`lead` gives the gap run
+  length, `sequence` emits the carried buckets), so the plan is one
+  combining aggregate on (key, bucket) + one window on key + one
+  explode — no grid materialization, no second join, and the explode
+  fan-out equals exactly the number of emitted grid rows.
+- ``rolling_anomaly``: per-key rolling z-score over a bounded ROWS
+  frame, computed in exact integer arithmetic (the cross-multiplied
+  form ``(n·v − s)² > K²·(n·ss − s²)`` avoids float mean/stddev whose
+  summation order diverges between engines). One shuffle on the key,
+  shared by the frame window.
+- ``transition_counts``: per-key ordered (state → next state) pair
+  counts with exact ppm shares — the Markov-chain mining primitive for
+  session analysis. One window on the key + one combining aggregate on
+  the (from, to) pair.
+
+All arithmetic is engine-portable: DECIMAL(18,2) value ingestion (the
+same convention as q_running_totals), integer microsecond bucketing,
+and integer `div` ratios — every output hashes bit-identically against
+the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Microseconds per hour / day — integer bucket arithmetic everywhere.
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _bucket(ts_col: str, bucket_us: int) -> Column:
+    """Epoch-aligned integer bucket index: unix_micros(ts) div bucket.
+    Positive timestamps, so truncating (Spark `div`) and flooring
+    (DuckDB `//`) integer division agree."""
+    return F.expr(f"unix_micros({ts_col}) div {bucket_us}")
+
+
+def resample_locf(events: DataFrame, key: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  order_col: str = "event_id",
+                  bucket_us: int = HOUR_US) -> DataFrame:
+    """Dense per-key time grid with last-observation-carried-forward.
+
+    Returns (key, bucket, v, filled): one row per bucket in the key's
+    observed range [first bucket, last bucket]; ``v`` is the value of
+    the latest observation at or before the bucket (latest by (ts,
+    order_col) — deterministic under ties); ``filled`` is 1 for gap
+    buckets whose value was carried, 0 for observed buckets.
+
+    Plan shape (the part that matters at 100 TB): the per-bucket "last
+    observation" is ONE combining aggregate (max_by over a struct key —
+    map-side partials absorb per-bucket multiplicity before the
+    shuffle); the gap run length comes from a single `lead` window on
+    the key; the carried rows are emitted by exploding
+    ``sequence(b, next_b − 1)`` — the dense grid never exists as a
+    join input, so there is no (key, bucket)-keyed second shuffle and
+    no key×span grid materialization ahead of the filter. The sequence
+    array is staged through a projection boundary before the explode
+    (Generate re-evaluates its child per emitted element under
+    codegen — the round-7 cap-audit lesson)."""
+    from ..cache import transient_persist
+
+    v = F.col(value_col).cast("decimal(18,2)")
+    obs = events.select(
+        F.col(key).alias("k"),
+        _bucket(ts_col, bucket_us).alias("b"),
+        v.alias("v"),
+        F.struct(F.col(ts_col), F.col(order_col)).alias("ord"))
+    last = (obs.groupBy("k", "b")
+            .agg(F.max_by("v", "ord").alias("v")))
+    w = Window.partitionBy("k").orderBy("b")
+    ranged = last.withColumn("nb", F.lead("b").over(w))
+    # stage the sequence array behind a persist so the Generate child is
+    # a cheap attribute reference, not a re-evaluated array constructor
+    staged = transient_persist(ranged.select(
+        "k", "b", "v",
+        F.sequence(F.col("b"),
+                   F.coalesce(F.col("nb") - 1, F.col("b"))).alias("bs")))
+    out = staged.select(
+        "k", "b", "v", F.explode("bs").alias("gb"))
+    return out.select(
+        F.col("k").alias(key),
+        F.col("gb").alias("bucket"),
+        F.col("v"),
+        (F.col("gb") > F.col("b")).cast("int").alias("filled"))
+
+
+def rolling_anomaly(events: DataFrame, key: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    order_col: str = "event_id",
+                    frame: int = 6, k_sigma: int = 3) -> DataFrame:
+    """Per-key rolling z-score outliers over a ROWS frame, exact.
+
+    A row is anomalous when its value deviates from the rolling mean of
+    the trailing ``frame + 1`` observations (itself included) by more
+    than ``k_sigma`` population standard deviations. The test is the
+    cross-multiplied integer form
+
+        (n·v − s)² > k²·(n·ss − s²)
+
+    over centi-units (``CAST(value AS DECIMAL(18,2)) · 100`` — exact in
+    both engines), so no float mean/variance ever exists and the verdict
+    is bit-stable at any scale. Sums take decimal(38,0) INPUT (a sum
+    over long wraps silently in Spark's non-ANSI mode while DuckDB
+    promotes to HUGEINT — the round-7 overflow lesson), though the
+    bounded frame keeps magnitudes tiny here.
+
+    Only rows with a FULL frame (n = frame+1) are eligible — a cold
+    start would flag the first points of every key. Returns the flagged
+    rows only: (key, order_col, v100, dev2, bound) with the two sides
+    of the inequality as decimal strings for audit.
+
+    One shuffle on the key, shared by the single window; the aggregate
+    state is 3 numbers per frame position — O(frame) memory per row,
+    independent of data volume."""
+    dec = "decimal(38,0)"
+    v100 = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = (Window.partitionBy("k")
+         .orderBy(F.col(ts_col), F.col("oid"))
+         .rowsBetween(-frame, 0))
+    staged = events.select(
+        F.col(key).alias("k"),
+        F.col(order_col).alias("oid"),
+        F.col(ts_col),
+        v100.alias("v"))
+    framed = staged.select(
+        "k", "oid", "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("v").cast(dec)).over(w).alias("s"),
+        # square AFTER the decimal cast — long·long wraps silently first
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec))
+         .over(w).cast(dec).alias("ss"))
+    n = F.col("n").cast(dec)
+    dev = n * F.col("v").cast(dec) - F.col("s")
+    dev2 = (dev * dev).cast(dec)
+    bound = (F.lit(k_sigma * k_sigma).cast(dec)
+             * (n * F.col("ss") - F.col("s") * F.col("s"))).cast(dec)
+    return (framed
+            .where(F.col("n") == frame + 1)
+            .where(dev2 > bound)
+            .select(F.col("k").alias(key), F.col("oid").alias(order_col),
+                    F.col("v").alias("v100"),
+                    dev2.cast("string").alias("dev2"),
+                    bound.cast("string").alias("bound")))
+
+
+def transition_counts(events: DataFrame, key: str = "user_id",
+                      state_col: str = "event_type",
+                      ts_col: str = "ts",
+                      order_col: str = "event_id") -> DataFrame:
+    """Markov transition matrix over per-key ordered state sequences.
+
+    For each key's events ordered by (ts, order_col), count the
+    (state → next state) adjacent pairs, then report each pair's count
+    and its exact parts-per-million share of all transitions leaving
+    the source state (integer ``div`` — floor on positives in both
+    engines, no float ratio). Terminal events (no successor within the
+    key) contribute no pair.
+
+    One window on the key for `lead`, one combining aggregate on the
+    (from, to) pair — state alphabets are tiny relative to data, so the
+    pair aggregate's map-side partials collapse virtually all rows
+    before the shuffle. The per-source total rides a second window over
+    the AGGREGATED pairs (|states|² rows), not the raw events."""
+    w = Window.partitionBy("k").orderBy(F.col(ts_col), F.col(order_col))
+    seq = events.select(
+        F.col(key).alias("k"),
+        F.col(state_col).alias("from_state"),
+        F.col(ts_col), F.col(order_col))
+    pairs = (seq
+             .withColumn("to_state", F.lead("from_state").over(w))
+             .where(F.col("to_state").isNotNull())
+             .groupBy("from_state", "to_state")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    per_src = Window.partitionBy("from_state")
+    tot = F.sum("n").over(per_src)
+    return pairs.select(
+        "from_state", "to_state", "n",
+        F.expr("1000000 * n").alias("_num"),
+        tot.alias("_tot")).select(
+        "from_state", "to_state", "n",
+        F.expr("_num div _tot").cast("long").alias("share_ppm"))

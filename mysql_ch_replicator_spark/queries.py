@@ -2928,3 +2928,121 @@ def replica_bucket_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.read_final("rep", "user_state") \
         .select("user_id", "last_event",
                 F.col("value").cast("string").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series: gap-filling resample, rolling anomaly, transition mining
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_resample_locf",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+             CAST(value AS DECIMAL(18,2)) AS v, ts, event_id
+      FROM events),
+    last AS (
+      SELECT user_id, b, v FROM (
+        SELECT user_id, b, v,
+               row_number() OVER (PARTITION BY user_id, b
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) t WHERE rn = 1),
+    r AS (
+      SELECT user_id, b, v,
+             lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb
+      FROM last),
+    g AS (
+      SELECT user_id, b, v, unnest(range(b, COALESCE(nb, b + 1))) AS gb
+      FROM r)
+    SELECT user_id, gb // 24 AS day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN gb > b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filled,
+           CAST(CAST(sum(v) AS DECIMAL(28,2)) AS VARCHAR) AS sum_v
+    FROM g GROUP BY 1, 2
+    """,
+)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample (operators/timeseries.resample_locf): each
+    user's irregular event stream lands on a dense hourly grid with the
+    last observation carried forward into gap hours, then rolls up to
+    per-day coverage stats (n_hours, n_filled, LOCF-sum). The dense grid
+    never exists as a join input — gap runs are range-expanded from the
+    observation rows via lead + sequence, so the plan is one combining
+    (user, hour) aggregate, one lead window, one staged explode and the
+    day rollup. DECIMAL(18,2) carry, exact cross-engine."""
+    from .operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = resample_locf(ev)
+    return (grid.groupBy("user_id",
+                         F.expr("bucket div 24").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+                 F.sum("filled").cast("long").alias("n_filled"),
+                 F.sum("v").cast("decimal(28,2)").cast("string")
+                  .alias("sum_v")))
+
+
+@register(
+    "events_rolling_anomaly",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, v,
+             count(*) OVER w AS n,
+             sum(CAST(v AS HUGEINT)) OVER w AS s,
+             sum(CAST(v AS HUGEINT) * v) OVER w AS ss
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, v AS v100,
+           CAST((n*v - s) * (n*v - s) AS VARCHAR) AS dev2,
+           CAST(9 * (n*ss - s*s) AS VARCHAR) AS bound
+    FROM f
+    WHERE n = 7 AND (n*v - s)*(n*v - s) > 9*(n*ss - s*s)
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers (operators/timeseries.rolling_anomaly):
+    a value is anomalous when it deviates from its trailing-7 rolling
+    mean by >3 population sigmas — tested in the cross-multiplied
+    integer form (n·v−s)² > 9·(n·ss−s²) over centi-units, so no float
+    statistic exists and both engines agree bit-for-bit. One shuffle on
+    user_id, O(frame) window state."""
+    from .operators.timeseries import rolling_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(ev, frame=6, k_sigma=3)
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events),
+    p AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE to_state IS NOT NULL GROUP BY from_state, to_state)
+    SELECT from_state, to_state, n,
+           CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_state)
+                AS BIGINT) AS share_ppm
+    FROM p
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix (operators/timeseries.transition_counts):
+    per-user ordered event-type bigrams → (from, to, n, exact ppm share
+    of transitions leaving `from`). One lead window on user_id, one
+    combining pair aggregate (map-side partials collapse the tiny state
+    alphabet), per-source totals windowed over the |states|² aggregate —
+    never the raw events. Integer div share, no float ratio."""
+    from .operators.timeseries import transition_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_counts(ev)

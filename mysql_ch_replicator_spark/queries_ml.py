@@ -3111,6 +3111,59 @@ def embedding_outlier_scores_q(spark: SparkSession,
         "dist_q", F.col("dist_q").cast("string"))
 
 
+@register(
+    "embedding_cluster_quality",
+    """
+    WITH q AS (
+      SELECT label AS grp,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    e AS (
+      SELECT grp, CAST(d AS INTEGER) AS d, xq[CAST(d AS INTEGER)] AS x
+      FROM q, UNNEST(range(1, len(xq) + 1)) AS t(d)
+    ),
+    s AS (SELECT grp, d, CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY grp, d),
+    c AS (SELECT grp, d, n, s // n AS c FROM s),
+    inert AS (
+      SELECT e.grp, CAST(MAX(c.n) AS BIGINT) AS n,
+             CAST(SUM(CAST(e.x - c.c AS HUGEINT)
+                      * CAST(e.x - c.c AS HUGEINT)) AS VARCHAR)
+               AS inertia_q
+      FROM e JOIN c USING (grp, d) GROUP BY e.grp),
+    pair AS (
+      SELECT a.grp AS ga, b.grp AS gb,
+             CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+      FROM c a JOIN c b ON a.d = b.d AND a.grp <> b.grp
+      GROUP BY a.grp, b.grp),
+    near AS (
+      SELECT ga AS grp, gb AS nearest_grp, dist2 AS sep2 FROM (
+        SELECT ga, gb, dist2,
+               row_number() OVER (PARTITION BY ga
+                                  ORDER BY dist2, gb) AS rn
+        FROM pair) t WHERE rn = 1)
+    SELECT i.grp, i.n, i.inertia_q, near.nearest_grp, near.sep2
+    FROM inert i JOIN near USING (grp)
+    """,
+)
+def embedding_cluster_quality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Silhouette-lite cluster health (operators/similarity.
+    cluster_quality): per label, exact-integer inertia against a
+    truncating-division centroid plus the squared distance to the
+    nearest OTHER centroid — the compactness/separation evidence for
+    trusting label cohorts as dedup/sampling cells. (group, dim) sums
+    broadcast; the corpus never shuffles before its final per-group
+    aggregation; the pair stage is |groups|²·dims rows."""
+    from .operators.similarity import cluster_quality
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_quality(emb).withColumn(
+        "inertia_q", F.col("inertia_q").cast("string"))
+
+
 def _mmr_oracle_sql(k: int = 5, shortlist: int = 20, n_queries: int = 3,
                     lam: float = 0.5) -> str:
     """Unrolled MMR greedy loop (same technique as the Lloyd-iteration

@@ -750,3 +750,43 @@ def test_constraint_report_single_scan(spark, queries):
     plan = plan_of(queries["data_quality_report"](spark, SF))
     assert plan.count("lineitem.parquet") <= 2
     assert plan.count("events.parquet") <= 1
+
+
+def test_resample_locf_no_grid_join(spark, queries):
+    """The dense LOCF grid must be range-expanded from the observation
+    rows (lead + staged sequence explode), never materialized and joined
+    back — a (key, bucket)-keyed grid join is the shape that melts at
+    key×span scale."""
+    plan = plan_of(queries["events_resample_locf"](spark, SF))
+    assert "Join" not in plan
+    # explode's child is a staged attribute, not an inline sequence()
+    gen_lines = [ln for ln in plan.splitlines()
+                 if ln.startswith("Arguments: explode(")]
+    assert gen_lines and all("sequence(" not in ln for ln in gen_lines)
+
+
+def test_rolling_anomaly_single_key_shuffle(spark, queries):
+    """One window on user_id: exactly one hash exchange, no join, no
+    global sort."""
+    plan = plan_of(queries["events_rolling_anomaly"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_transition_matrix_pair_agg_combines(spark, queries):
+    """The (from, to) pair aggregate must have map-side partials (two
+    HashAggregates around the exchange), and the per-source total window
+    runs over the aggregated pairs — the plan's window sits above the
+    aggregate, not the raw scan."""
+    plan = plan_of(queries["events_transition_matrix"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_cluster_quality_broadcast_centroids(spark, queries):
+    """Centroids and centroid pairs are |groups|·dims frames — both joins
+    must broadcast; the corpus explode never sort-merge-joins."""
+    plan = plan_of(queries["embedding_cluster_quality"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
