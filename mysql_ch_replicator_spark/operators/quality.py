@@ -115,3 +115,46 @@ def constraint_report(df: DataFrame, rules: list[dict],
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def fd_profile(tables: dict[str, DataFrame],
+               rules: list[tuple[str, list[str], str]]) -> DataFrame:
+    """Functional-dependency / candidate-key DISCOVERY — the profiling
+    twin of ``constraint_report`` (which VERIFIES declared rules): for
+    each candidate dependency ``lhs → rhs``, measure how close it is to
+    holding. Deequ's Uniqueness/Distinctness analyzers and the
+    Metanome/HyFD profiling family compute exactly this shape; a
+    pipeline uses it to discover join keys, pick dedup keys, and catch
+    denormalization drift (an FD that held last release and broke).
+
+    ``rules``: (table, [lhs cols], rhs col). Per rule the report row is
+
+        (rule, n_groups, n_violating, holds)
+
+    where ``n_violating`` counts lhs groups with more than one distinct
+    rhs value and ``holds`` is the exact verdict (1 iff zero violating
+    groups). NULL rhs values follow SQL count-distinct semantics
+    (excluded); lhs tuples group null-safely via the groupBy.
+
+    Scale shape: each rule is one combining aggregate on its lhs (the
+    map side collapses per-group multiplicity before the shuffle) and a
+    1-row summary — no joins, no row explosion; rules over the same
+    table share its scan via the caller-provided frame. The final
+    report is a union of 1-row frames, constant wire whatever the table
+    sizes."""
+    from functools import reduce
+
+    out = []
+    for table, lhs, rhs in rules:
+        df = tables[table]
+        label = f"{table}: {','.join(lhs)} -> {rhs}"
+        grouped = (df.groupBy(*[F.col(c) for c in lhs])
+                   .agg(F.countDistinct(rhs).alias("nd")))
+        summary = grouped.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+             .cast("long").alias("n_violating"))
+        out.append(summary.select(
+            F.lit(label).alias("rule"), "n_groups", "n_violating",
+            (F.col("n_violating") == 0).cast("int").alias("holds")))
+    return reduce(DataFrame.unionByName, out)

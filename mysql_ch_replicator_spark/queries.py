@@ -3046,3 +3046,99 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return transition_counts(ev)
+
+
+@register(
+    "gdpr_erasure_cascade",
+    """
+    WITH victims AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 3)
+    SELECT 'activity' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+    FROM orders o LEFT JOIN victims v ON o.o_custkey = v.c_custkey
+    WHERE v.c_custkey IS NULL
+    UNION ALL
+    SELECT 'profiles' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c.c_custkey) AS BIGINT) AS key_sum
+    FROM customer c LEFT JOIN victims v ON c.c_custkey = v.c_custkey
+    WHERE v.c_custkey IS NULL
+    """,
+)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade through the real CDC engine: erase a
+    subject set from its OWN table (PK tombstones) AND from every table
+    referencing it (FK resolved to PK tombstones via a broadcast lookup
+    — the GDPR Art. 17 flow a replica platform must support; the
+    reference only ever deletes what the binlog tells it to, one table
+    at a time). Both tables' tombstones travel in ONE apply batch, so
+    readers never observe a half-erased subject across tables. The
+    audit returns per-table surviving row counts + exact PK checksums —
+    matched against the oracle's anti-join of the same victim set.
+
+    Scale shape: the victim set is dim-sized and broadcast; the FK
+    resolution never shuffles the fact table; tombstone application is
+    the engine's normal broadcast anti-join delete path."""
+    from .engine import ReplicaEngine
+    from .sources.event_log import EVENT_TYPE_REMOVE
+
+    root = _tmp_root(sf_dir, "gdpr")
+    engine = ReplicaEngine(spark, root)
+    engine.create_table("gdpr", """CREATE TABLE profiles (
+        c_custkey bigint NOT NULL,
+        c_name varchar(64),
+        c_acctbal decimal(18,2),
+        PRIMARY KEY (c_custkey))""")
+    engine.create_table("gdpr", """CREATE TABLE activity (
+        o_orderkey bigint NOT NULL,
+        o_custkey bigint,
+        o_totalprice decimal(18,2),
+        PRIMARY KEY (o_orderkey))""")
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    engine.snapshot_table("gdpr", "profiles", cust.select(
+        "c_custkey", F.col("c_name").cast("string").alias("c_name"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")))
+    engine.snapshot_table("gdpr", "activity", orders.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)")
+         .alias("o_totalprice")))
+
+    victims = cust.where((F.col("c_mktsegment") == "AUTOMOBILE")
+                         & (F.col("c_custkey") % 10 == 3)) \
+        .select("c_custkey")
+    fk_hits = orders.join(F.broadcast(victims),
+                          orders.o_custkey == victims.c_custkey) \
+        .select("o_orderkey")
+
+    def tombstones(df, table, pk, seq):
+        return df.select(
+            F.lit("gdpr-erasure").alias("tx_file"),
+            F.lit(seq).cast("long").alias("tx_pos"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit("gdpr").alias("db"),
+            F.lit(table).alias("table"),
+            F.lit(EVENT_TYPE_REMOVE).cast("int").alias("event_type"),
+            F.array(F.array(F.col(pk).cast("string"))).alias("payload"),
+            F.lit(None).cast("string").alias("query"))
+
+    seq_p = int(engine.load_meta("gdpr", "profiles")["last_seq"]) + 1
+    seq_a = int(engine.load_meta("gdpr", "activity")["last_seq"]) + 1
+    delta = tombstones(victims, "profiles", "c_custkey", seq_p) \
+        .unionByName(tombstones(fk_hits, "activity", "o_orderkey", seq_a))
+    engine.apply_batch(delta)
+
+    prof = engine.read_final("gdpr", "profiles")
+    act = engine.read_final("gdpr", "activity")
+    audit_a = act.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum")) \
+        .select(F.lit("activity").alias("tbl"), "n_rows", "key_sum")
+    audit_p = prof.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum")) \
+        .select(F.lit("profiles").alias("tbl"), "n_rows", "key_sum")
+    return audit_a.unionByName(audit_p)

@@ -2710,6 +2710,50 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_li.unionByName(rep_ev)
 
 
+_FD_RULES = [
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ("lineitem", ["l_orderkey"], "l_suppkey"),
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("orders", ["o_custkey"], "o_orderpriority"),
+    ("customer", ["c_custkey"], "c_nationkey"),
+    ("events", ["user_id"], "event_type"),
+]
+
+
+def _fd_oracle_sql() -> str:
+    parts = []
+    for table, lhs, rhs in _FD_RULES:
+        label = f"{table}: {','.join(lhs)} -> {rhs}"
+        parts.append(f"""
+    SELECT '{label}' AS rule,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS holds
+    FROM (SELECT count(DISTINCT {rhs}) AS nd
+          FROM {table} GROUP BY {', '.join(lhs)}) g""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_functional_deps", _fd_oracle_sql())
+def profile_functional_deps(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (operators/quality.fd_profile):
+    for six candidate dependencies spanning true keys
+    (o_orderkey → o_custkey) and expected violations
+    (o_custkey → o_orderpriority), report how many lhs groups exist and
+    how many carry >1 distinct rhs — the Deequ-analyzer/HyFD profiling
+    shape that discovers join keys and catches denormalization drift.
+    Each rule is one combining lhs aggregate + a 1-row summary; no
+    joins, constant result wire."""
+    from .operators.quality import fd_profile
+
+    tables = {t: load_table(spark, sf_dir, t)
+              for t in {r[0] for r in _FD_RULES}}
+    return fd_profile(tables, _FD_RULES)
+
+
 def _hll_grouped_oracle_sql() -> str:
     from .operators.sketch import _ALPHA_DEN, _ALPHA_NUM, HLL_M, HLL_W
     num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
