@@ -106,9 +106,14 @@ def rolling_anomaly(events: DataFrame, key: str = "user_id",
     """Per-key rolling z-score outliers over a ROWS frame, exact.
 
     A row is anomalous when its value deviates from the rolling mean of
-    the trailing ``frame + 1`` observations (itself included) by more
-    than ``k_sigma`` population standard deviations. The test is the
-    cross-multiplied integer form
+    the ``frame`` PRECEDING observations by more than ``k_sigma``
+    population standard deviations. The frame deliberately EXCLUDES the
+    current row: a self-inclusive frame caps the achievable z at
+    sqrt(n-1) (a lone spike inflates its own sigma), so k=3 over a
+    7-row self-inclusive frame could never fire at all. Against the
+    preceding frame the spike's deviation is unbounded and a
+    zero-variance history flags ANY departure — the behavior an alert
+    actually wants. The test is the cross-multiplied integer form
 
         (n·v − s)² > k²·(n·ss − s²)
 
@@ -119,10 +124,10 @@ def rolling_anomaly(events: DataFrame, key: str = "user_id",
     promotes to HUGEINT — the round-7 overflow lesson), though the
     bounded frame keeps magnitudes tiny here.
 
-    Only rows with a FULL frame (n = frame+1) are eligible — a cold
-    start would flag the first points of every key. Returns the flagged
-    rows only: (key, order_col, v100, dev2, bound) with the two sides
-    of the inequality as decimal strings for audit.
+    Only rows with a FULL preceding frame (n = frame) are eligible — a
+    cold start would flag the first points of every key. Returns the
+    flagged rows only: (key, order_col, v100, dev2, bound) with the two
+    sides of the inequality as decimal strings for audit.
 
     One shuffle on the key, shared by the single window; the aggregate
     state is 3 numbers per frame position — O(frame) memory per row,
@@ -131,7 +136,7 @@ def rolling_anomaly(events: DataFrame, key: str = "user_id",
     v100 = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     w = (Window.partitionBy("k")
          .orderBy(F.col(ts_col), F.col("oid"))
-         .rowsBetween(-frame, 0))
+         .rowsBetween(-frame, -1))
     staged = events.select(
         F.col(key).alias("k"),
         F.col(order_col).alias("oid"),
@@ -150,7 +155,7 @@ def rolling_anomaly(events: DataFrame, key: str = "user_id",
     bound = (F.lit(k_sigma * k_sigma).cast(dec)
              * (n * F.col("ss") - F.col("s") * F.col("s"))).cast(dec)
     return (framed
-            .where(F.col("n") == frame + 1)
+            .where(F.col("n") == frame)
             .where(dev2 > bound)
             .select(F.col("k").alias(key), F.col("oid").alias(order_col),
                     F.col("v").alias("v100"),

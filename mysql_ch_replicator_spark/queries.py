@@ -2997,21 +2997,23 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(v AS HUGEINT) * v) OVER w AS ss
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
     SELECT user_id, event_id, v AS v100,
            CAST((n*v - s) * (n*v - s) AS VARCHAR) AS dev2,
            CAST(9 * (n*ss - s*s) AS VARCHAR) AS bound
     FROM f
-    WHERE n = 7 AND (n*v - s)*(n*v - s) > 9*(n*ss - s*s)
+    WHERE n = 6 AND (n*v - s)*(n*v - s) > 9*(n*ss - s*s)
     """,
 )
 def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score outliers (operators/timeseries.rolling_anomaly):
-    a value is anomalous when it deviates from its trailing-7 rolling
-    mean by >3 population sigmas — tested in the cross-multiplied
-    integer form (n·v−s)² > 9·(n·ss−s²) over centi-units, so no float
-    statistic exists and both engines agree bit-for-bit. One shuffle on
-    user_id, O(frame) window state."""
+    a value is anomalous when it deviates from the mean of its 6
+    PRECEDING observations by >3 population sigmas — the frame excludes
+    the current row (self-inclusion caps z at sqrt(n-1), so a lone spike
+    could never reach 3 sigma). Tested in the cross-multiplied integer
+    form (n·v−s)² > 9·(n·ss−s²) over centi-units, so no float statistic
+    exists and both engines agree bit-for-bit. One shuffle on user_id,
+    O(frame) window state."""
     from .operators.timeseries import rolling_anomaly
 
     ev = load_table(spark, sf_dir, "events")

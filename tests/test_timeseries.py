@@ -1,0 +1,115 @@
+"""Pure-Python cross-checks of the time-series operators (LOCF resample,
+exact rolling anomaly, transition counts) — the oracle-independence
+layer: DuckDB proves cross-engine agreement, these prove the shared
+semantics are the INTENDED ones on crafted edges (gap runs, in-bucket
+ties, single-observation keys, zero-variance frames)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from mysql_ch_replicator_spark.operators.timeseries import (
+    HOUR_US, resample_locf, rolling_anomaly, transition_counts)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def _events(spark, rows):
+    # (event_id, ts, user_id, value)
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_resample_locf_gap_run_and_ties(spark):
+    """A 3-hour gap emits carried rows with filled=1; two observations in
+    one bucket resolve to the latest (ts, event_id); the last bucket
+    never extends past the final observation."""
+    rows = [
+        (1, _ts(0, 10), 7, 1.0),
+        (2, _ts(0, 50), 7, 2.0),   # same hour-bucket, later → wins
+        (3, _ts(4, 0), 7, 9.0),    # hours 1..3 are gaps carrying 2.0
+    ]
+    out = {(r.bucket - rows[0][1].replace(minute=0).timestamp()
+            * 1_000_000 // HOUR_US): (r.v, r.filled)
+           for r in resample_locf(_events(spark, rows)).collect()}
+    vals = sorted(out.items())
+    assert [(int(k), (float(v), f)) for k, (v, f) in vals] == [
+        (0, (2.0, 0)), (1, (2.0, 1)), (2, (2.0, 1)), (3, (2.0, 1)),
+        (4, (9.0, 0))]
+
+
+def test_resample_locf_in_bucket_tiebreak_on_event_id(spark):
+    """Identical timestamps inside one bucket: the higher event_id wins
+    (deterministic under ties)."""
+    rows = [(1, _ts(5), 1, 10.0), (2, _ts(5), 1, 20.0)]
+    out = resample_locf(_events(spark, rows)).collect()
+    assert len(out) == 1 and float(out[0].v) == 20.0
+
+
+def test_resample_locf_single_observation_key(spark):
+    """A key with one event yields exactly its own bucket, unfilled."""
+    rows = [(1, _ts(3), 42, 5.5)]
+    out = resample_locf(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 42 and out[0].filled == 0
+    assert float(out[0].v) == 5.5
+
+
+def test_rolling_anomaly_matches_python_model(spark):
+    """Spark flags == a literal python run of the cross-multiplied test
+    against the 6 PRECEDING rows, over a spike-in-noisy-series fixture.
+    The spike is flagged; the rows after it (whose frames contain the
+    spike) follow whatever the model says; cold-start partial frames
+    never flag."""
+    vals = [10.0, 10.5, 9.5, 10.0, 10.25, 9.75, 10.0,
+            50.0, 10.0, 10.5, 9.5, 10.0, 10.25, 9.75, 10.0]
+    rows = [(i, _ts(i % 24), 1, v) for i, v in enumerate(vals)]
+    got = {r.event_id for r in
+           rolling_anomaly(_events(spark, rows), frame=6,
+                           k_sigma=3).collect()}
+
+    flagged = set()
+    cents = [int(Decimal(str(v)).quantize(Decimal("0.01")) * 100)
+             for v in vals]
+    for i in range(len(cents)):
+        fr = cents[max(0, i - 6):i]
+        n, s, ss = len(fr), sum(fr), sum(c * c for c in fr)
+        if n == 6 and (n * cents[i] - s) ** 2 > 9 * (n * ss - s * s):
+            flagged.add(i)
+    assert 7 in flagged            # the spike is caught
+    assert got == flagged
+
+
+def test_rolling_anomaly_zero_variance_history_flags_departure(spark):
+    """A perfectly flat history gives bound = 0 — ANY departure flags
+    (infinite z), continuation does not."""
+    vals = [5.0] * 8 + [5.01] + [5.0] * 3
+    rows = [(i, _ts(i % 24), 1, v) for i, v in enumerate(vals)]
+    got = {r.event_id for r in
+           rolling_anomaly(_events(spark, rows)).collect()}
+    assert got == {8}
+
+
+def test_rolling_anomaly_flat_series_never_flags(spark):
+    rows = [(i, _ts(i % 24), 1, 3.0) for i in range(20)]
+    assert rolling_anomaly(_events(spark, rows)).count() == 0
+
+
+def test_transition_counts_shares_and_terminals(spark):
+    """Counts follow per-key (ts, order) adjacency; terminal events emit
+    no pair; ppm shares are exact integer division per source state."""
+    rows = [
+        # user 1: a -> b -> a   |  user 2: a -> b
+        (1, _ts(1), 1, "a"), (2, _ts(2), 1, "b"), (3, _ts(3), 1, "a"),
+        (4, _ts(1), 2, "a"), (5, _ts(2), 2, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {(r.from_state, r.to_state): (r.n, r.share_ppm)
+           for r in transition_counts(ev).collect()}
+    assert got == {("a", "b"): (2, 1_000_000),
+                   ("b", "a"): (1, 1_000_000)}
