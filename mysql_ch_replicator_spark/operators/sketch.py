@@ -412,3 +412,55 @@ def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
     full = domain.join(per_row, "k", "left") \
         .select(F.coalesce("__dot", F.lit(0).cast(dec)).alias("__dot"))
     return full.agg(F.min("__dot").cast(dec).alias("est_join_size"))
+
+
+def bloom_bitmap_words(keys: DataFrame, key_col: str,
+                       n_bits: int = 65536, k: int = 3,
+                       salt: str = "bloom") -> list[int]:
+    """The bloom filter as a dense ``n_bits/64``-word bitmap, collected to
+    the driver: ONE map-side-combining bit_or aggregate over the keys'
+    cell positions, then a bounded collect (1024 longs at the 64 Kib
+    default — the same bounded-scalar class as IVF cell lists). The
+    word layout is the broadcast-literal form ``bloom_scan_filter``
+    compiles into a scan predicate."""
+    words = n_bits // 64
+    bits = bloom_build(keys, key_col, n_bits, k, salt)
+    rows = (bits.select(
+        F.expr("bit div 64").cast("int").alias("w"),
+        F.call_function("shiftleft", F.lit(1).cast("long"),
+                        (F.col("bit") % 64).cast("int")).alias("m"))
+        .groupBy("w").agg(F.expr("bit_or(m)").alias("bm"))
+        .collect())
+    arr = [0] * words
+    for r in rows:
+        arr[int(r.w)] = int(r.bm)
+    return arr
+
+
+def bloom_scan_filter(fact: DataFrame, fact_key: str, words: list[int],
+                      n_bits: int = 65536, k: int = 3,
+                      salt: str = "bloom") -> DataFrame:
+    """Semi-join reduction BEFORE the shuffle: filter ``fact`` down to
+    rows whose key tests positive against a driver-held bloom bitmap
+    (``bloom_bitmap_words``), as a pure codegen scalar predicate —
+    ``(words[pos div 64] >> (pos mod 64)) & 1`` for each of the k
+    md5-seeded positions. No join, no exchange, no Python: the filter
+    sits directly on the scan, so a later sort-merge join against a
+    non-broadcastable dimension shuffles only the ~FP-rate survivors
+    instead of the whole fact table (the runtime-filter/semi-join
+    reduction the engine would otherwise need Delta/DPP machinery for).
+    No false negatives — downstream joins stay exact; false positives
+    (rate (1 − e^(−k·n/m))^k) just ride along and drop in the join."""
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    key = F.col(fact_key).cast("string")
+    cond = None
+    for i in range(k):
+        pos = h60(F.concat(F.lit(salt), F.lit(str(i)), F.lit("|"),
+                           key)) % n_bits
+        word = F.element_at(lit_words,
+                            (F.shiftright(pos.cast("int"), 6) + 1))
+        hit = (F.call_function("shiftright", word,
+                               (pos % 64).cast("int"))
+               .bitwiseAND(F.lit(1)) == 1)
+        cond = hit if cond is None else (cond & hit)
+    return fact.where(cond)

@@ -3144,3 +3144,42 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").cast("long").alias("key_sum")) \
         .select(F.lit("profiles").alias("tbl"), "n_rows", "key_sum")
     return audit_a.unionByName(audit_p)
+
+
+@register(
+    "q_bloom_semijoin_prune",
+    """
+    SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(28,2)) AS VARCHAR) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l_linestatus
+    """,
+)
+def q_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a driver-held bloom bitmap
+    (operators/sketch.bloom_bitmap_words / bloom_scan_filter): when the
+    dimension side is too big to broadcast (forced SMJ here to model
+    that), the fact shuffle is the dominant cost — the bloom predicate
+    compiles into the fact SCAN as a pure codegen expression (k md5
+    probes against a 64 Kib literal bitmap), so only ~FP-rate survivors
+    ever reach the exchange. No false negatives, so the join output —
+    and this aggregate — is exactly the plain join's. The build side is
+    one combining bit_or aggregate + a bounded 1024-long collect."""
+    from .operators.sketch import bloom_bitmap_words, bloom_scan_filter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey")
+    words = bloom_bitmap_words(orders, "o_orderkey")
+    pruned = bloom_scan_filter(li.select("l_orderkey", "l_linestatus",
+                                         "l_extendedprice"),
+                               "l_orderkey", words)
+    joined = pruned.join(orders.hint("merge"), pruned.l_orderkey
+                         == orders.o_orderkey)
+    return (joined.groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("decimal(28,2)").cast("string").alias("revenue")))

@@ -4005,3 +4005,35 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source",
         F.expr("CAST(n_chars div 200 AS BIGINT)").alias("len_bucket"))
     return k_anonymity_report(docs, ["lang", "source", "len_bucket"], k=5)
+
+
+@register(
+    "curriculum_length_order",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS position
+    FROM documents
+    """,
+)
+def curriculum_length_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering: materialize every document's
+    global position in (n_chars, doc_id) order — shortest-first training
+    curricula need a TOTAL order over the corpus, and the naive
+    ``row_number() OVER (ORDER BY ...)`` is a single-partition sort that
+    melts at scale. The composite sort key packs into one long
+    (n_chars·2^40 + doc_id) and rides
+    operators/replica.stamp_version_ranged: deterministic arithmetic
+    range buckets, per-bucket counts to the driver (≤ buckets longs),
+    then a bucket-partitioned window — each partition sorts only its own
+    key slice, no global sort anywhere (the versioned-insert K4
+    machinery reused as a training-data primitive)."""
+    from .operators.replica import VERSION_COL, stamp_version_ranged
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (F.col("n_chars") * F.lit(1 << 40) + F.col("doc_id"))
+        .cast("long").alias("__key"))
+    return (stamp_version_ranged(docs, "__key")
+            .select("doc_id", "n_chars",
+                    F.col(VERSION_COL).alias("position")))

@@ -790,3 +790,23 @@ def test_cluster_quality_broadcast_centroids(spark, queries):
     plan = plan_of(queries["embedding_cluster_quality"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_order_no_single_partition_sort(spark, queries):
+    """Global curriculum position must come from the range-bucketed
+    window, never a SinglePartition global sort."""
+    plan = plan_of(queries["curriculum_length_order"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_bloom_prune_filter_below_exchange(spark, queries):
+    """The bloom predicate must sit on the fact scan side BELOW the
+    join exchange (pre-shuffle semi-join reduction), stay whole-stage
+    (no Python eval), and the join must be the forced SMJ."""
+    plan = plan_of(queries["q_bloom_semijoin_prune"](spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bitmap test (md5 probe + word shift) compiles into a plain
+    # Filter node — JVM codegen, part of the pre-exchange scan stage
+    assert "md5" in plan and "shiftright" in plan

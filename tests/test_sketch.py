@@ -402,3 +402,23 @@ def test_cm_join_size_estimate_bounds(spark):
         cm_build(a, "key", depth=4, width=4096),
         cm_build(c, "key", depth=4, width=4096)).first().est_join_size)
     assert est_disjoint == 0
+
+
+def test_bloom_scan_filter_no_false_negatives_and_prunes(spark):
+    """Every true member survives the scan filter; non-members are
+    overwhelmingly pruned (FP rate at 64 Kib / 500 keys / k=3 is far
+    below 1%); an empty build side prunes everything."""
+    from pyspark.sql import functions as F
+
+    from mysql_ch_replicator_spark.operators.sketch import (
+        bloom_bitmap_words, bloom_scan_filter)
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    fact = spark.range(0, 20000).select(F.col("id").alias("fk"))
+    words = bloom_bitmap_words(keys, "k")
+    surv = bloom_scan_filter(fact, "fk", words)
+    assert surv.where(F.col("fk") < 500).count() == 500  # no FNs
+    assert surv.count() < 500 + 200                      # real pruning
+
+    empty = bloom_bitmap_words(keys.where(F.lit(False)), "k")
+    assert bloom_scan_filter(fact, "fk", empty).count() == 0
