@@ -3162,11 +3162,12 @@ def q_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketch.bloom_bitmap_words / bloom_scan_filter): when the
     dimension side is too big to broadcast (forced SMJ here to model
     that), the fact shuffle is the dominant cost — the bloom predicate
-    compiles into the fact SCAN as a pure codegen expression (k md5
-    probes against a 64 Kib literal bitmap), so only ~FP-rate survivors
-    ever reach the exchange. No false negatives, so the join output —
-    and this aggregate — is exactly the plain join's. The build side is
-    one combining bit_or aggregate + a bounded 1024-long collect."""
+    compiles into the fact scan stage as a pure codegen expression
+    (k xxhash64 probes against a broadcast 256 Kib bitmap), so only
+    ~FP-rate survivors ever reach the exchange. No false negatives, so
+    the join output — and this aggregate — is exactly the plain join's.
+    The build side is one combining bit_or aggregate + a bounded
+    4096-long collect."""
     from .operators.sketch import bloom_bitmap_words, bloom_scan_filter
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -807,6 +807,8 @@ def test_bloom_prune_filter_below_exchange(spark, queries):
     plan = plan_of(queries["q_bloom_semijoin_prune"](spark, SF))
     assert "SortMergeJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the bitmap test (md5 probe + word shift) compiles into a plain
-    # Filter node — JVM codegen, part of the pre-exchange scan stage
-    assert "md5" in plan and "shiftright" in plan
+    # the bitmap test (xxhash64 probe + word shift) compiles into a
+    # plain Filter — JVM codegen in the pre-exchange scan stage; the
+    # bitmap itself arrives via the broadcast one-row frame
+    assert "xxhash64" in plan and "shiftright" in plan
+    assert "BroadcastNestedLoopJoin" in plan
