@@ -4037,3 +4037,47 @@ def curriculum_length_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stamp_version_ranged(docs, "__key")
             .select("doc_id", "n_chars",
                     F.col(VERSION_COL).alias("position")))
+
+
+_DRIFT_SRC_A = ("(SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS n_chars FROM events WHERE event_id % 2 = 0)")
+_DRIFT_SRC_B = ("(SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS n_chars FROM events WHERE event_id % 2 = 1)")
+
+
+@register(
+    "sketch_quantile_drift",
+    f"""
+    SELECT a.permille,
+           a.estimate AS est_a,
+           b.estimate AS est_b,
+           CAST(b.estimate - a.estimate AS BIGINT) AS drift
+    FROM ({_hdr_quantile_oracle(_DRIFT_SRC_A)}) a
+    JOIN ({_hdr_quantile_oracle(_DRIFT_SRC_B)}) b USING (permille)
+    """,
+)
+def sketch_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: HDR quantile sketches of two release
+    slices (even / odd event ids standing in for version N / N+1)
+    compared per permille — the ingest-gate check that a new corpus
+    drop hasn't shifted the value distribution. Each side is ONE
+    map-side-combining bucket aggregate (constant ≤~1000-row sketch at
+    any input size); the comparison join touches only the 4 quantile
+    rows. Exact integer bucketing both engines share — drift is
+    bit-comparable, no float percentile anywhere."""
+    from .operators.sketch import hdr_build, hdr_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    half_a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.greatest(v, F.lit(0)).alias("v"))
+    half_b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.greatest(v, F.lit(0)).alias("v"))
+    qa = hdr_quantiles(hdr_build(half_a, "v"), _HDR_PERMILLES) \
+        .select("permille", F.col("estimate").alias("est_a"))
+    qb = hdr_quantiles(hdr_build(half_b, "v"), _HDR_PERMILLES) \
+        .select("permille", F.col("estimate").alias("est_b"))
+    return (qa.join(qb, "permille")
+            .select("permille", "est_a", "est_b",
+                    (F.col("est_b") - F.col("est_a")).cast("long")
+                    .alias("drift")))

@@ -113,3 +113,52 @@ def test_transition_counts_shares_and_terminals(spark):
            for r in transition_counts(ev).collect()}
     assert got == {("a", "b"): (2, 1_000_000),
                    ("b", "a"): (1, 1_000_000)}
+
+
+# --- hypothesis sweep: resample_locf vs a literal python model ----------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 2),            # user
+              st.integers(0, 60),           # hour offset
+              st.integers(0, 59),           # minute
+              st.integers(0, 30000)),       # centi-value
+    min_size=1, max_size=25)
+
+
+@hyp_settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_EVENTS)
+def test_resample_locf_matches_python_model(spark, evs):
+    """For random event sets (duplicate (user, hour, minute) tuples
+    allowed — event_id breaks the tie), the Spark grid equals a literal
+    python LOCF: per user, hourly buckets from first to last observed,
+    value = latest observation at or before the bucket."""
+    rows = [(i, _ts(0) + dt.timedelta(hours=h, minutes=m), u, cv / 100.0)
+            for i, (u, h, m, cv) in enumerate(evs)]
+    got = {(r.user_id, int(r.bucket)): (float(r.v), r.filled)
+           for r in resample_locf(_events(spark, rows)).collect()}
+
+    base = int(_ts(0).replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    model = {}
+    by_user = {}
+    for i, (u, h, m, cv) in enumerate(evs):
+        by_user.setdefault(u, []).append((h, m, i, cv))
+    for u, obs in by_user.items():
+        # latest (ts, event_id) per hour bucket
+        per_bucket = {}
+        for h, m, i, cv in obs:
+            cur = per_bucket.get(h)
+            if cur is None or (m, i) > cur[0]:
+                per_bucket[h] = ((m, i), cv)
+        hours = sorted(per_bucket)
+        last = None
+        for h in range(hours[0], hours[-1] + 1):
+            if h in per_bucket:
+                last = per_bucket[h][1]
+                model[(u, base + h)] = (last / 100.0, 0)
+            else:
+                model[(u, base + h)] = (last / 100.0, 1)
+    assert got == model
