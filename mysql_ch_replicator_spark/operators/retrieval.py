@@ -429,3 +429,41 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                    "shards": int(shards)}, fh)
     os.remove(pending)
     return {"shards": touched_shards, "dspans": touched_spans}
+
+
+def phrase_match_topk(docs: DataFrame, phrase: list[str], k: int = 10,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Positional phrase retrieval: rank documents by exact-adjacency
+    occurrences of ``phrase`` (the quoted-query operator every lexical
+    engine pairs with BM25 — reference users get it from ClickHouse's
+    string search; here it's algebra over positional postings).
+
+    Scale shape: the positional posting table (doc, term, pos) is
+    filtered to the PHRASE'S OWN TERMS before anything joins — the same
+    selectivity rule as the BM25 probes — so the adjacency self-join is
+    bounded by the phrase terms' posting sizes, never the corpus. The
+    join key is (doc_id, expected position): term j must sit at
+    ``p0 + j``, so each further word is one equi-join, no window and no
+    array re-scan. Top-k on (phrase_tf desc, doc_id) — fully
+    tie-broken."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(F.col(text_col))).alias("p", "term"))
+    first = (toks.where(F.col("term") == phrase[0].lower())
+             .select("doc_id", F.col("p").alias("p0")))
+    matched = first
+    for j, term in enumerate(phrase[1:], start=1):
+        nxt = (toks.where(F.col("term") == term.lower())
+               .select("doc_id", (F.col("p") - j).alias("p0")))
+        matched = matched.join(nxt, ["doc_id", "p0"])
+    hits = (matched.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("phrase_tf").desc(), F.col("doc_id"))
+    top = hits.orderBy(F.col("phrase_tf").desc(), F.col("doc_id")) \
+        .limit(k)
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "phrase_tf", "rank"))

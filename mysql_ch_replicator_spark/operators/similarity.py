@@ -55,19 +55,33 @@ def cosine_expr(a, b) -> Column:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     filter_cols: list[str] | None = None) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     The query side is broadcast (ANN workloads have |queries| ≪ |corpus|),
     so the corpus is scanned once with no shuffle; the only exchange is the
     per-query top-k, which AQE keeps small because scores are pre-filtered
-    by the window rank."""
+    by the window rank.
+
+    ``filter_cols``: PRE-filtered search — corpus rows must match the
+    query's value on each named column (the metadata-predicate retrieval
+    shape). The equality lands inside the broadcast join condition, so
+    non-matching candidates drop BEFORE any cosine is computed, and the
+    k results are guaranteed complete under the predicate — unlike
+    post-filtering an unfiltered top-k, which under-returns whenever the
+    predicate is selective."""
+    filter_cols = filter_cols or []
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       *[F.col(c).alias(f"__q_{c}") for c in filter_cols])
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("cv"))
-    scored = c.join(F.broadcast(q),
-                    F.col("neighbor_id") != F.col("query_id")) \
+                              F.col(vec_col).alias("cv"),
+                              *[F.col(c) for c in filter_cols])
+    cond = F.col("neighbor_id") != F.col("query_id")
+    for fc in filter_cols:
+        cond = cond & (F.col(fc) == F.col(f"__q_{fc}"))
+    scored = c.join(F.broadcast(q), cond) \
         .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
     # rank on the ROUNDED score (the value the oracle ranks on and the
     # caller receives): ranking on the raw float while emitting the

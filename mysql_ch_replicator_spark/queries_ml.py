@@ -4081,3 +4081,76 @@ def sketch_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("permille", "est_a", "est_b",
                     (F.col("est_b") - F.col("est_a")).cast("long")
                     .alias("drift")))
+
+
+@register(
+    "ann_filtered_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql('q.qv', 'c.embedding', _EMB_DIMS)}, 6) AS cos
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id AND c.label = q.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate (same
+    label as the query), the RAG/retrieval shape every production
+    vector store needs (pre-filtering, not post-filtering: a post-filter
+    of an unfiltered top-k silently under-returns when the predicate is
+    selective). Expressed as predicate-pushdown + the same broadcast
+    brute-force scan: the corpus-side label equality joins INSIDE the
+    broadcast hash join, so the filter prunes candidates before any
+    scoring, and k survivors are guaranteed when they exist. Exact
+    cosine on the rounded-6dp contract, full tie-break."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    return brute_force_topk(emb, queries, k=10,
+                            filter_cols=["label"])
+
+
+_PHRASE = ["table", "hash"]
+
+
+@register(
+    "phrase_match_topk",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    m AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+      FROM (SELECT doc_id, i
+            FROM w, unnest(range(1, len(W))) t(i)
+            WHERE W[CAST(i AS INTEGER)] = '{_PHRASE[0]}'
+              AND W[CAST(i AS INTEGER) + 1] = '{_PHRASE[1]}') hits
+      GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, phrase_tf,
+             row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS rank
+      FROM m)
+    SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def phrase_match_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval (operators/retrieval.phrase_match_topk):
+    exact-adjacency "table hash" occurrences ranked per document. The
+    positional postings filter to the phrase's own terms BEFORE the
+    adjacency equi-join on (doc_id, expected position) — join width
+    bounded by the two terms' postings, never the corpus; no window over
+    raw positions. Fully tie-broken top-10."""
+    from .operators.retrieval import phrase_match_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_match_topk(docs, _PHRASE, k=10)

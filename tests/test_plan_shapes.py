@@ -812,3 +812,22 @@ def test_bloom_prune_filter_below_exchange(spark, queries):
     # bitmap itself arrives via the broadcast one-row frame
     assert "xxhash64" in plan and "shiftright" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_filtered_ann_broadcast_equality_join(spark, queries):
+    """The metadata predicate turns the broadcast candidate join into a
+    hash join on the filter column — candidates drop before any cosine
+    is computed; the corpus still never shuffles."""
+    plan = plan_of(queries["ann_filtered_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_match_posting_bounded_join(spark, queries):
+    """Positional postings filter to the phrase's own terms BEFORE the
+    adjacency join — the term equality must sit in a Filter, and the
+    join must be an equi-join (no cartesian, no nested loop)."""
+    plan = plan_of(queries["phrase_match_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "table" in plan and "hash" in plan  # pushed term literals
