@@ -442,21 +442,26 @@ def phrase_match_topk(docs: DataFrame, phrase: list[str], k: int = 10,
     Scale shape: the positional posting table (doc, term, pos) is
     filtered to the PHRASE'S OWN TERMS before anything joins — the same
     selectivity rule as the BM25 probes — so the adjacency self-join is
-    bounded by the phrase terms' posting sizes, never the corpus. The
-    join key is (doc_id, expected position): term j must sit at
-    ``p0 + j``, so each further word is one equi-join, no window and no
-    array re-scan. Top-k on (phrase_tf desc, doc_id) — fully
-    tie-broken."""
+    bounded by the phrase terms' posting sizes, never the corpus; and
+    the filtered postings are persisted so the corpus tokenizes ONCE,
+    not once per phrase word (each per-term branch would otherwise
+    re-run the whole explode). The join key is (doc_id, expected
+    position): term j must sit at ``p0 + j``, so each further word is
+    one equi-join, no window and no array re-scan. Top-k on
+    (phrase_tf desc, doc_id) — fully tie-broken."""
     if len(phrase) < 2:
         raise ValueError("phrase needs at least 2 terms")
-    toks = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(F.col(text_col))).alias("p", "term"))
-    first = (toks.where(F.col("term") == phrase[0].lower())
+    wanted = [t.lower() for t in phrase]
+    toks = transient_persist(
+        spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(words(F.col(text_col))).alias("p", "term"))
+        .where(F.col("term").isin(wanted)))
+    first = (toks.where(F.col("term") == wanted[0])
              .select("doc_id", F.col("p").alias("p0")))
     matched = first
-    for j, term in enumerate(phrase[1:], start=1):
-        nxt = (toks.where(F.col("term") == term.lower())
+    for j, term in enumerate(wanted[1:], start=1):
+        nxt = (toks.where(F.col("term") == term)
                .select("doc_id", (F.col("p") - j).alias("p0")))
         matched = matched.join(nxt, ["doc_id", "p0"])
     hits = (matched.groupBy("doc_id")
