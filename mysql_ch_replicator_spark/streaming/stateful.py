@@ -18,6 +18,7 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -66,4 +67,82 @@ def running_key_stats(events: DataFrame, key_col: str = "key",
                 outputStructType=RUNNING_STATS_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ANOMALY_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("oid", T.LongType()),
+    T.StructField("v100", T.LongType()),
+    T.StructField("dev2", T.StringType()),
+    T.StructField("bound", T.StringType()),
+])
+
+_ANOM_STATE_SCHEMA = T.StructType([
+    T.StructField("frame_vals", T.ArrayType(T.LongType())),
+])
+
+
+def _make_anomaly_update(frame: int, k_sigma: int):
+    k2 = k_sigma * k_sigma
+
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "oid"])
+            for oid, v in zip(pdf["oid"], pdf["v100"]):
+                v = int(v)
+                if len(buf) == frame:
+                    # python ints: the same exact arithmetic as the
+                    # batch operator's decimal(38,0) — never wraps
+                    n, s = frame, sum(buf)
+                    ss = sum(c * c for c in buf)
+                    dev2 = (n * v - s) ** 2
+                    bound = k2 * (n * ss - s * s)
+                    if dev2 > bound:
+                        out.append((key[0], int(oid), v,
+                                    str(dev2), str(bound)))
+                buf.append(v)
+                if len(buf) > frame:
+                    buf.pop(0)
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "oid", "v100",
+                                             "dev2", "bound"])
+
+    return _update
+
+
+def streaming_rolling_anomaly(events: DataFrame, key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              value_col: str = "value",
+                              order_col: str = "event_id",
+                              frame: int = 6,
+                              k_sigma: int = 3) -> DataFrame:
+    """The streaming twin of ``operators.timeseries.rolling_anomaly``:
+    per-key rolling z-score outliers across micro-batches, the trailing
+    ``frame`` observations carried in Spark's checkpointed state store
+    (an array of ``frame`` longs per key — constant state whatever the
+    stream length). The update is the SAME exact integer test as the
+    batch operator ((n·v−s)² > k²·(n·ss−s²) over centi-units, python
+    ints — arbitrary precision, never wraps), so an in-order stream
+    flags exactly the rows the batch operator flags (pinned by the
+    parity test). Ordering contract: rows must arrive in (ts, order)
+    order per key ACROSS batches — the CDC event-log reader's seq
+    ordering guarantees this on the engine's own streams; out-of-order
+    sources need a watermark+sort stage first (windows.stream_dedup
+    territory)."""
+    v100 = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    src = events.select(F.col(key_col).alias("key"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(order_col).alias("oid"),
+                        v100.alias("v100"))
+    return (src.groupBy("key")
+            .applyInPandasWithState(
+                _make_anomaly_update(frame, k_sigma),
+                outputStructType=ANOMALY_SCHEMA,
+                stateStructType=_ANOM_STATE_SCHEMA,
+                outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

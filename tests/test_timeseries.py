@@ -162,3 +162,55 @@ def test_resample_locf_matches_python_model(spark, evs):
             else:
                 model[(u, base + h)] = (last / 100.0, 1)
     assert got == model
+
+
+def test_streaming_anomaly_matches_batch(spark, tmp_path):
+    """The stateful streaming detector flags EXACTLY the rows the batch
+    operator flags when the stream arrives in order — the trailing
+    frame survives micro-batch boundaries in the state store (the
+    fixture splits mid-frame on purpose)."""
+    import json as _json
+
+    from mysql_ch_replicator_spark.streaming.stateful import (
+        streaming_rolling_anomaly)
+
+    vals = [10.0, 10.5, 9.5, 10.0, 10.25, 9.75, 10.0,
+            50.0, 10.0, 10.5, 9.5, 10.0, 48.0, 9.75, 10.0]
+    rows = [(i, _ts(i % 24), 1 + (i % 2) * 41, v)
+            for i, v in enumerate(vals)]
+    batch_flags = {(r.user_id, r.event_id) for r in
+                   rolling_anomaly(_events(spark, rows)).collect()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write(fname, chunk):
+        with open(src / fname, "w") as fh:
+            for eid, ts, uid, v in chunk:
+                fh.write(_json.dumps({
+                    "event_id": eid, "ts": ts.isoformat(),
+                    "user_id": uid, "value": v}) + "\n")
+
+    # the second file lands only after trigger 1 commits — two same-mtime
+    # files can list in either order, which would break the in-order
+    # arrival contract the operator documents
+    _write("a.jsonl", rows[:9])
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .json(str(src)))
+    out = streaming_rolling_anomaly(stream)
+    q = (out.writeStream.format("memory").queryName("anom_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        _write("b.jsonl", rows[9:])
+        q.processAllAvailable()
+        stream_flags = {(r.key, r.oid)
+                        for r in spark.table("anom_out").collect()}
+    finally:
+        q.stop()
+    assert stream_flags == batch_flags and batch_flags
