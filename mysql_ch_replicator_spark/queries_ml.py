@@ -4154,3 +4154,49 @@ def phrase_match_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_match_topk(docs, _PHRASE, k=10)
+
+
+def _binfix_dup_dir() -> str:
+    import os
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "binfiles_dup")
+
+
+@register(
+    "multimodal_binary_dedup",
+    f"""
+    WITH f AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             md5(hex(content)) AS content_md5
+      FROM read_blob('{_binfix_dir()}/*')
+      UNION ALL
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             md5(hex(content)) AS content_md5
+      FROM read_blob('{_binfix_dup_dir()}/*')
+    ),
+    keeper AS (SELECT content_md5, min(file_name) AS dup_of
+               FROM f GROUP BY content_md5)
+    SELECT f.file_name, f.content_md5, k.dup_of
+    FROM f JOIN keeper k USING (content_md5)
+    """,
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup across lake prefixes: two binaryFile ingests
+    (the fixture dir + a 'mirrored' prefix holding byte-identical
+    copies under different names — the re-upload/mirror situation every
+    multimodal crawl hits) unioned, keyed by md5(hex(content)) computed
+    JVM-side, min-name keeper per content group — the dedup_exact
+    algebra applied to opaque binary payloads. One shuffle on the
+    digest; payload bytes never leave the scan stage (only the 32-char
+    digest travels)."""
+    from .operators.multimodal import ingest_binary_files
+
+    a = ingest_binary_files(spark, _binfix_dir())
+    b = ingest_binary_files(spark, _binfix_dup_dir())
+    files = a.unionByName(b).select(
+        "file_name", F.md5(F.hex(F.col("image"))).alias("content_md5"))
+    keeper = files.groupBy("content_md5").agg(
+        F.min("file_name").alias("dup_of"))
+    return files.join(keeper, "content_md5") \
+        .select("file_name", "content_md5", "dup_of")
