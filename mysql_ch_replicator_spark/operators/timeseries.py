@@ -199,3 +199,82 @@ def transition_counts(events: DataFrame, key: str = "user_id",
         tot.alias("_tot")).select(
         "from_state", "to_state", "n",
         F.expr("_num div _tot").cast("long").alias("share_ppm"))
+
+
+def ohlc_bars(events: DataFrame, key: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value",
+              order_col: str = "event_id",
+              bucket_us: int = HOUR_US) -> DataFrame:
+    """Open/high/low/close downsampling bars — the canonical time-series
+    compaction (financial bars, metrics rollups; ClickHouse users get it
+    from argMin/argMax over a replica table like the ones this engine
+    maintains, reference clickhouse_api.py's versioned tables are
+    exactly the argMax pattern).
+
+    Per (key, bucket): the first value (by ts, order_col), running max,
+    running min, last value, row count, and the exact value sum. Values
+    ride in centi-units (``CAST(value AS DECIMAL(18,2)) * 100`` → long,
+    the rolling_anomaly convention — exact in both engines); the sum
+    takes decimal(38,0) INPUT so Spark's non-ANSI long sum can never
+    wrap at corpus scale.
+
+    Plan shape: ONE combining aggregate on (key, bucket) — min_by /
+    max_by over a (ts, order) struct have map-side partials, so per-bar
+    multiplicity collapses before the single shuffle. No window, no
+    self-join; at 100 TB the exchange carries one row per bar, not per
+    event."""
+    dec = "decimal(38,0)"
+    v100 = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    obs = events.select(
+        F.col(key).alias("k"),
+        _bucket(ts_col, bucket_us).alias("bucket"),
+        v100.alias("v"),
+        F.struct(F.col(ts_col), F.col(order_col)).alias("ord"))
+    return (obs.groupBy("k", "bucket")
+            .agg(F.min_by("v", "ord").cast("long").alias("open100"),
+                 F.max("v").cast("long").alias("high100"),
+                 F.min("v").cast("long").alias("low100"),
+                 F.max_by("v", "ord").cast("long").alias("close100"),
+                 F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col("v").cast(dec)).cast(dec)
+                  .cast("string").alias("vol100"))
+            .withColumnRenamed("k", key))
+
+
+def activity_streaks(events: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts",
+                     bucket_us: int = DAY_US) -> DataFrame:
+    """Gaps-and-islands consecutive-activity streaks per key.
+
+    A streak is a maximal run of consecutive active buckets (default:
+    days with >= 1 event). Returns one row per key: total active days,
+    number of distinct streaks, the longest streak's length, and the
+    start day of the longest streak (earliest start wins ties — fully
+    deterministic). The classic island id is ``day − row_number()``
+    over each key's distinct active days: constant within a
+    consecutive run, strictly decreasing across gaps.
+
+    Plan shape: the event stream collapses to distinct (key, day) in
+    ONE combining aggregate (map-side partials absorb per-day event
+    multiplicity — at 100 TB the exchange carries active-days, not
+    events); the island window, streak aggregate and per-key rollup all
+    reuse the same key partitioning, so no further full-width shuffle
+    is introduced."""
+    days = (events
+            .select(F.col(key).alias("k"),
+                    _bucket(ts_col, bucket_us).alias("day"))
+            .distinct())
+    w = Window.partitionBy("k").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w))
+    streaks = (islands.groupBy("k", "grp")
+               .agg(F.count(F.lit(1)).cast("long").alias("len"),
+                    F.min("day").cast("long").alias("start")))
+    # longest streak, earliest start on ties: max over (len, -start)
+    best = F.max_by("start", F.struct(F.col("len"), -F.col("start")))
+    return (streaks.groupBy("k")
+            .agg(F.sum("len").cast("long").alias("n_active_days"),
+                 F.count(F.lit(1)).cast("long").alias("n_streaks"),
+                 F.max("len").cast("long").alias("max_streak"),
+                 best.cast("long").alias("longest_start"))
+            .withColumnRenamed("k", key))

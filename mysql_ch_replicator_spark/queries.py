@@ -3051,6 +3051,89 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ohlc_bars",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             ts, event_id
+      FROM events),
+    o AS (
+      SELECT event_type, bucket, v,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, bucket,
+           CAST(MAX(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS open100,
+           CAST(MAX(v) AS BIGINT) AS high100,
+           CAST(MIN(v) AS BIGINT) AS low100,
+           CAST(MAX(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close100,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(v AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
+             AS vol100
+    FROM o GROUP BY event_type, bucket
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars (operators/timeseries.ohlc_bars): per
+    (event_type, hour) the first/max/min/last value plus count and exact
+    sum — the argMin/argMax compaction ClickHouse users run over replica
+    tables (reference clickhouse_api.py's versioned tables are the
+    argMax pattern). Centi-unit longs, sum over decimal(38,0) input.
+    ONE combining aggregate: min_by/max_by over a (ts, event_id) struct
+    have map-side partials, so the single shuffle carries one row per
+    bar, not per event — no window, no self-join."""
+    from .operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev)
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    i AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+    s AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day) AS BIGINT) AS start FROM i GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, len, start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start) AS rn,
+             SUM(len) OVER (PARTITION BY user_id) AS tot,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM s)
+    SELECT user_id, CAST(tot AS BIGINT) AS n_active_days,
+           CAST(cnt AS BIGINT) AS n_streaks,
+           CAST(len AS BIGINT) AS max_streak,
+           CAST(start AS BIGINT) AS longest_start
+    FROM r WHERE rn = 1
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streaks (operators/timeseries.activity_streaks):
+    per user the total active days, streak count, longest consecutive-day
+    run and its start day (earliest wins ties). Island id is
+    day − row_number() per user. The event stream collapses to distinct
+    (user, day) in ONE combining aggregate before any window — at 100 TB
+    the exchange carries active-days, not events; island window, streak
+    aggregate and rollup reuse the same user partitioning."""
+    from .operators.timeseries import activity_streaks
+
+    ev = load_table(spark, sf_dir, "events")
+    return activity_streaks(ev)
+
+
+@register(
     "gdpr_erasure_cascade",
     """
     WITH victims AS (

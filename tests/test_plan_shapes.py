@@ -831,3 +831,31 @@ def test_phrase_match_posting_bounded_join(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "table" in plan and "hash" in plan  # pushed term literals
+
+
+def test_ohlc_bars_single_combining_aggregate(spark, queries):
+    """OHLC is ONE aggregate on (key, bucket): min_by/max_by partials
+    combine map-side, so exactly one hash exchange carries one row per
+    bar — no window, no join, no global sort."""
+    plan = plan_of(queries["events_ohlc_bars"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "rangepartitioning" not in plan
+    # min_by/max_by over a struct ordering plan as SortAggregate (the
+    # struct buffer isn't hash-agg mutable) — still partial + final
+    # around the exchange, i.e. map-side combining
+    assert plan.count("partial_min_by") == 1
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+
+
+def test_activity_streaks_distinct_before_window(spark, queries):
+    """The event stream must collapse to distinct (user, day) BEFORE the
+    island window, and the streak/rollup aggregates reuse the user
+    partitioning: two hash exchanges total ((user, day) distinct, then
+    user window), no join, no range partitioning."""
+    plan = plan_of(queries["events_activity_streaks"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Join" not in plan and "rangepartitioning" not in plan
+    # distinct agg sits below the window in the plan tree: the Window
+    # operator's input is an aggregate, not the raw scan
+    assert plan.index("Window") > plan.index("HashAggregate")

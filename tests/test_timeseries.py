@@ -214,3 +214,77 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert stream_flags == batch_flags and batch_flags
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars
+# ---------------------------------------------------------------------------
+
+def test_ohlc_bars_open_close_by_time_then_id(spark):
+    """Open is the earliest (ts, event_id) value, close the latest; high/
+    low/n/sum are over the whole bar; centi-unit arithmetic is exact."""
+    from mysql_ch_replicator_spark.operators.timeseries import ohlc_bars
+    rows = [
+        (1, _ts(0, 5), 7, 3.25),    # open
+        (2, _ts(0, 20), 7, 9.50),   # high
+        (3, _ts(0, 40), 7, 1.75),   # low
+        (4, _ts(0, 55), 7, 4.00),   # close
+        (5, _ts(2, 0), 7, 8.00),    # separate bar
+    ]
+    out = {r.bucket: r for r in
+           ohlc_bars(_events(spark, rows), key="user_id").collect()}
+    b0 = min(out)
+    bar = out[b0]
+    assert (bar.open100, bar.high100, bar.low100, bar.close100) == \
+        (325, 950, 175, 400)
+    assert bar.n == 4 and bar.vol100 == "1850"
+    lone = out[b0 + 2]
+    assert (lone.open100, lone.close100, lone.n) == (800, 800, 1)
+
+
+def test_ohlc_bars_tie_timestamps_break_on_event_id(spark):
+    """Two observations at the identical timestamp: the lower event_id is
+    the open, the higher the close — deterministic under ties."""
+    from mysql_ch_replicator_spark.operators.timeseries import ohlc_bars
+    rows = [(2, _ts(1), 1, 20.0), (1, _ts(1), 1, 10.0)]
+    out = ohlc_bars(_events(spark, rows), key="user_id").collect()
+    assert len(out) == 1
+    assert out[0].open100 == 1000 and out[0].close100 == 2000
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def _day_events(spark, user_days):
+    rows = [(i, dt.datetime(2024, 1, 1 + d, 12), u, 1.0)
+            for i, (u, d) in enumerate(user_days)]
+    return _events(spark, rows)
+
+
+def test_activity_streaks_islands_and_longest(spark):
+    """Days {0,1,2, 5,6, 10} → 6 active days in 3 streaks, longest 3
+    starting at day 0; multiple events on one day collapse."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        activity_streaks)
+    days = [(7, 0), (7, 0), (7, 1), (7, 2), (7, 5), (7, 6), (7, 10)]
+    out = activity_streaks(_day_events(spark, days)).collect()
+    assert len(out) == 1
+    r = out[0]
+    base = r.longest_start  # epoch day of 2024-01-01
+    assert (r.n_active_days, r.n_streaks, r.max_streak) == (6, 3, 3)
+    # longest streak starts on the FIRST day (2024-01-01)
+    assert base == dt.date(2024, 1, 1).toordinal() - \
+        dt.date(1970, 1, 1).toordinal()
+
+
+def test_activity_streaks_equal_length_tie_earliest_start(spark):
+    """Two streaks of equal maximal length: the EARLIER start is
+    reported — the tie-break is total, so the result is deterministic."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        activity_streaks)
+    days = [(1, 3), (1, 4), (1, 8), (1, 9)]
+    r = activity_streaks(_day_events(spark, days)).collect()[0]
+    assert r.max_streak == 2 and r.n_streaks == 2
+    epoch0 = dt.date(1970, 1, 1).toordinal()
+    assert r.longest_start == dt.date(2024, 1, 4).toordinal() - epoch0
