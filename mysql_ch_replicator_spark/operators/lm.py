@@ -70,3 +70,50 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
                    F.sum(F.expr(f"(c_ab * {scale}L) div c_a"))
                    .cast("long").alias("fluency")))
     return scored
+
+
+def collocation_lift(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, top_k: int = 50,
+                     scale: int = LM_SCALE) -> DataFrame:
+    """PMI-style collocation mining: the corpus bigrams whose observed
+    count most exceeds the independence expectation, scored by exact
+    integer lift
+
+        lift_ppm = scale · N · C(a,b)  div  (C(a,·) · C(·,b))
+
+    (N = total bigram occurrences, C(a,·)/C(·,b) = occurrences of a as
+    first / b as second token). Lift is the ppm-scaled ratio of observed
+    to expected-under-independence — monotone in PMI, but integer-exact
+    so the DuckDB oracle replays it bit-for-bit (log-PMI's float sums
+    diverge across engines). The min_count floor drops hapax noise; the
+    result is the top_k by (lift, a, b) — a full tie-break, so the set
+    is deterministic.
+
+    Scale shape: one persisted bigram explode feeds all three
+    vocab-bounded count tables (map-side combining); the scoring joins
+    run over the C(a,b) AGGREGATE (never the raw occurrences), N rides
+    a broadcast 1-row frame, and top_k is a TakeOrdered — no global
+    sort. Products ride decimal(38,0): N·C(a,b) reaches 10^24 at corpus
+    scale, far past int64."""
+    bg = (spread(docs)
+          .select(F.explode(bigram_pairs(F.col(text_col))).alias("p"))
+          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    bg = transient_persist(bg)
+    c_ab = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab"))
+    c_a = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    c_b = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    tot = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (c_ab.where(F.col("n_ab") >= min_count)
+              .join(c_a, "a").join(c_b, "b")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "a", "b", "n_ab",
+                  F.expr(f"(({scale}L * cast(n as decimal(38,0)) "
+                         "* cast(n_ab as decimal(38,0))) div "
+                         "(cast(n_a as decimal(38,0)) "
+                         "* cast(n_b as decimal(38,0))))")
+                   .cast("long").alias("lift_ppm")))
+    return (scored
+            .orderBy(F.col("lift_ppm").desc(), "a", "b")
+            .limit(top_k))

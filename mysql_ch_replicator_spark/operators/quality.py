@@ -158,3 +158,66 @@ def fd_profile(tables: dict[str, DataFrame],
             F.lit(label).alias("rule"), "n_groups", "n_violating",
             (F.col("n_violating") == 0).cast("int").alias("holds")))
     return reduce(DataFrame.unionByName, out)
+
+
+def ks_drift(df: DataFrame, group_col: str = "source",
+             value_col: str = "n_chars") -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift: each group's value
+    distribution against the REST of the table (its complement), in pure
+    integer arithmetic.
+
+    For group s with n_s rows and complement r with n_r rows, the KS
+    statistic is max_x |F_s(x) − F_r(x)|; cross-multiplied to integers,
+    D_num = max_x |cum_s(x)·n_r − cum_r(x)·n_s| and the reported
+    d_ppm = 10^6 · D_num div (n_s·n_r) — no float ECDF ever exists, so
+    Spark and the SQL oracle agree bit-for-bit. This is the
+    distribution-shift gate a training-data pipeline runs when a new
+    source lands (the HDR-sketch drift monitor tracks quantiles over
+    time; KS is the sharper per-source admission test).
+
+    Scale shape: the table collapses ONCE to (group, value) counts —
+    map-side combining, exchange width bounded by |groups|·|distinct
+    values|, not rows. The ECDF grid is that aggregate crossed with the
+    |groups|-row totals frame (broadcast NLJ — never the raw table), the
+    per-group cumulative is a window on the group key, and the global
+    cumulative at each x reuses the identity cum_g(x) = Σ_s cum_s(x) as
+    a window partitioned by x — NO single-partition global sort
+    anywhere. Products ride decimal(38,0) (cum·n can pass 2^63 at
+    corpus scale; Spark's non-ANSI long product wraps silently).
+
+    Returns one row per group with a nonempty complement:
+    (group, n_s, n_r, d_num decimal-string, d_ppm long)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    counts = (df.groupBy(F.col(group_col).alias("g"),
+                         F.col(value_col).alias("x"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    counts = transient_persist(counts)
+    xs = counts.select("x").distinct()
+    srcs = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_s"))
+    tot = srcs.agg(F.sum("n_s").cast("long").alias("n_g"))
+
+    grid = xs.crossJoin(F.broadcast(srcs))
+    filled = (grid.join(counts, ["g", "x"], "left")
+              .select("g", "n_s", "x",
+                      F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    w_cum = (Window.partitionBy("g").orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cum = filled.withColumn("cum_s", F.sum("cnt").over(w_cum))
+    w_x = Window.partitionBy("x")
+    cg = cum.withColumn("cum_g", F.sum("cum_s").over(w_x))
+    d = (cg.crossJoin(F.broadcast(tot))
+         .select(
+             "g", "n_s",
+             (F.col("n_g") - F.col("n_s")).cast("long").alias("n_r"),
+             F.abs(F.col("cum_s").cast(dec)
+                   * (F.col("n_g") - F.col("n_s")).cast(dec)
+                   - (F.col("cum_g") - F.col("cum_s")).cast(dec)
+                   * F.col("n_s").cast(dec)).cast(dec).alias("dev")))
+    return (d.where(F.col("n_r") > 0)
+            .groupBy(F.col("g").alias(group_col), "n_s", "n_r")
+            .agg(F.max("dev").cast(dec).cast("string").alias("d_num"),
+                 F.expr("(1000000 * max(dev)) div (cast(n_s as "
+                        "decimal(38,0)) * cast(n_r as decimal(38,0)))")
+                  .cast("long").alias("d_ppm")))

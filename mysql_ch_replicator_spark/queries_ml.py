@@ -4200,3 +4200,85 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_name").alias("dup_of"))
     return files.join(keeper, "content_md5") \
         .select("file_name", "content_md5", "dup_of")
+
+
+@register(
+    "documents_ks_drift",
+    """
+    WITH c AS (
+      SELECT source AS g, n_chars AS x, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2),
+    xs AS (SELECT DISTINCT x FROM c),
+    s AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_s FROM c GROUP BY g),
+    t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_g FROM s),
+    grid AS (SELECT s.g, s.n_s, xs.x FROM xs CROSS JOIN s),
+    f AS (
+      SELECT grid.g, grid.n_s, grid.x, COALESCE(c.cnt, 0) AS cnt
+      FROM grid LEFT JOIN c ON c.g = grid.g AND c.x = grid.x),
+    cum AS (
+      SELECT g, n_s, x,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY x) AS cum_s
+      FROM f),
+    cg AS (
+      SELECT g, n_s, x, cum_s,
+             SUM(cum_s) OVER (PARTITION BY x) AS cum_g
+      FROM cum),
+    d AS (
+      SELECT g, n_s, t.n_g - n_s AS n_r,
+             ABS(CAST(cum_s AS HUGEINT) * (t.n_g - n_s)
+                 - CAST(cum_g - cum_s AS HUGEINT) * n_s) AS dev
+      FROM cg CROSS JOIN t)
+    SELECT g AS source, n_s, CAST(n_r AS BIGINT) AS n_r,
+           CAST(CAST(MAX(dev) AS DECIMAL(38,0)) AS VARCHAR) AS d_num,
+           CAST((1000000 * MAX(dev))
+                // (CAST(n_s AS HUGEINT) * n_r) AS BIGINT) AS d_ppm
+    FROM d WHERE n_r > 0 GROUP BY g, n_s, n_r
+    """,
+)
+def documents_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift per source vs its complement
+    (operators/quality.ks_drift): D_num = max_x |cum_s·n_r − cum_r·n_s|
+    in decimal(38,0), d_ppm = 1e6·D_num div (n_s·n_r) — the integer ECDF
+    never becomes a float. One combining (source, value) aggregate is
+    the only corpus-width pass; the grid is aggregate × broadcast
+    totals, cumulative windows on source then x, no global sort."""
+    from .operators.quality import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(docs, group_col="source", value_col="n_chars")
+
+
+@register(
+    "text_collocations",
+    f"""
+    WITH W AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    bg AS (
+      SELECT ws[CAST(i AS INTEGER)] AS a,
+             ws[CAST(i AS INTEGER) + 1] AS b
+      FROM W, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM bg GROUP BY a, b),
+    ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_a FROM bg GROUP BY a),
+    cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM bg GROUP BY b),
+    t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM bg)
+    SELECT a, b, n_ab,
+           CAST((1000000 * t.n * n_ab)
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_ppm
+    FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN t
+    WHERE n_ab >= 5
+    ORDER BY lift_ppm DESC, a, b LIMIT 50
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation mining (operators/lm.collocation_lift):
+    top-50 bigrams by exact integer lift 1e6·N·C(a,b) div
+    (C(a,·)·C(·,b)), min count 5, full (lift, a, b) tie-break. One
+    persisted bigram explode feeds three vocab-bounded count tables;
+    scoring joins run over the aggregate, N broadcasts, top-k is
+    TakeOrdered — the corpus never shuffles. decimal(38,0) products
+    (N·C reaches 1e24 at scale)."""
+    from .operators.lm import collocation_lift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocation_lift(docs, min_count=5, top_k=50)

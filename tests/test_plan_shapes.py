@@ -859,3 +859,26 @@ def test_activity_streaks_distinct_before_window(spark, queries):
     # distinct agg sits below the window in the plan tree: the Window
     # operator's input is an aggregate, not the raw scan
     assert plan.index("Window") > plan.index("HashAggregate")
+
+
+def test_ks_drift_grid_is_broadcast_over_aggregates(spark, queries):
+    """The ECDF grid must be built from AGGREGATES (the persisted
+    (source, value) counts crossed with the broadcast totals frame) —
+    never a cartesian over raw rows; cumulative windows hash-partition
+    on source then value, no global sort."""
+    plan = plan_of(queries["documents_ks_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # |groups|-row cross sides
+    assert "InMemoryTableScan" in plan        # counts computed once
+
+
+def test_collocations_topk_no_global_sort(spark, queries):
+    """Top-k by lift is a TakeOrdered over the vocab-bounded aggregate
+    join — no full sort, no cartesian (N rides a broadcast 1-row
+    frame), and the bigram explode is computed once (persisted)."""
+    plan = plan_of(queries["text_collocations"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "InMemoryTableScan" in plan

@@ -514,3 +514,81 @@ def test_pagerank_idiv_exact_hypothesis(spark):
               F.col("d").cast("decimal(38,0)")).alias("q")).collect()
     for r in got:
         assert int(r.q) == int(r.n) // int(r.d), (r.n, r.d, r.q)
+
+
+# ---------------------------------------------------------------------------
+# Exact KS drift (operators/quality.ks_drift)
+# ---------------------------------------------------------------------------
+
+def test_ks_drift_hand_computed(spark):
+    """A={1,2,3}, B={3,4,5,6}: the integer KS numerator is
+    max|cum_A·4 − cum_B·3| = 9, attained at x=3 (|3·4 − 1·3|) — the
+    classic max-gap right after A's mass ends; symmetric for both
+    groups; d_ppm = 9e6 div 12 = 750000."""
+    from mysql_ch_replicator_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", 3),
+         ("B", 3), ("B", 4), ("B", 5), ("B", 6)],
+        "source string, n_chars long")
+    out = {r.source: r for r in ks_drift(df).collect()}
+    assert out["A"].n_s == 3 and out["A"].n_r == 4
+    assert out["A"].d_num == "9" and out["A"].d_ppm == 750000
+    assert out["B"].n_s == 4 and out["B"].n_r == 3
+    assert out["B"].d_num == "9" and out["B"].d_ppm == 750000
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    """Two groups with identical value multisets → D = 0 exactly."""
+    from mysql_ch_replicator_spark.operators.quality import ks_drift
+
+    rows = [(g, v) for g in ("A", "B") for v in (5, 7, 7, 9)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    for r in ks_drift(df).collect():
+        assert r.d_num == "0" and r.d_ppm == 0
+
+
+def test_ks_drift_single_group_empty(spark):
+    """One group has no complement (n_r = 0) → no report row rather
+    than a divide-by-zero."""
+    from mysql_ch_replicator_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2)], "source string, n_chars long")
+    assert ks_drift(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Collocation lift (operators/lm.collocation_lift)
+# ---------------------------------------------------------------------------
+
+def test_collocation_lift_hand_computed(spark):
+    """Corpus 'x y x y': bigrams (x,y)×2, (y,x)×1 → N=3;
+    lift(x,y) = 1e6·3·2 div (2·2) = 1_500_000,
+    lift(y,x) = 1e6·3·1 div (1·1) = 3_000_000."""
+    from mysql_ch_replicator_spark.operators.lm import collocation_lift
+
+    docs = spark.createDataFrame([(1, "x y x y")],
+                                 "doc_id long, text string")
+    out = {(r.a, r.b): (r.n_ab, r.lift_ppm)
+           for r in collocation_lift(docs, min_count=1, top_k=10)
+           .collect()}
+    assert out[("x", "y")] == (2, 1_500_000)
+    assert out[("y", "x")] == (1, 3_000_000)
+
+
+def test_collocation_min_count_and_tiebreak(spark):
+    """min_count drops rare pairs; equal-lift ties cut by (a, b)
+    ascending so a mid-tie top_k is still deterministic."""
+    from mysql_ch_replicator_spark.operators.lm import collocation_lift
+
+    # two disjoint-vocab pairs, identical counts → identical lift
+    docs = spark.createDataFrame(
+        [(1, "p q"), (2, "p q"), (3, "m n"), (4, "m n"), (5, "z w")],
+        "doc_id long, text string")
+    full = collocation_lift(docs, min_count=2, top_k=10).collect()
+    assert {(r.a, r.b) for r in full} == {("p", "q"), ("m", "n")}
+    lifts = {r.lift_ppm for r in full}
+    assert len(lifts) == 1  # tied
+    cut = collocation_lift(docs, min_count=2, top_k=1).collect()
+    assert [(r.a, r.b) for r in cut] == [("m", "n")]  # (a, b) ascending
