@@ -478,3 +478,71 @@ def bloom_scan_filter(fact: DataFrame, fact_key: str, words: list[int],
         cond = hit if cond is None else (cond & hit)
     return (fact.crossJoin(F.broadcast(bm))
             .where(cond).drop("__bloom_bm"))
+
+
+def hll_set_ops(registers: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise HLL set algebra over grouped registers: for every
+    unordered group pair (g1 < g2), the union estimate from the
+    MIN-merged register table and the inclusion–exclusion intersection
+
+        |A ∪ B| = E(min-merge(reg_A, reg_B))
+        |A ∩ B| = max(|A| + |B| − |A ∪ B|, 0)
+
+    plus the derived Jaccard ppm — the audience-overlap / shared-users
+    report, at sketch cost. The merge law (union of sets == MIN of
+    registers) is exactly the property the HLL merge tests pin; the
+    whole computation is the same exact integer arithmetic as
+    ``hll_estimate``, so the DuckDB oracle replays it bit-for-bit
+    (inclusion–exclusion on a raw estimator can go negative — the
+    estimate clamps at 0, deterministically).
+
+    Scale shape: input is the (group, bucket, t) REGISTER table —
+    ≤ |groups|·m rows however large the corpus — so every join here is
+    sketch-sized; the group list broadcasts into the pair frame and the
+    per-pair merge is one combining MIN aggregate over ≤ 2·m rows per
+    pair. The single corpus-width pass happened upstream in
+    ``hll_registers_grouped``."""
+    from ..cache import transient_persist
+
+    full = F.lit(1 << (HLL_W + 1)).cast("long")
+    # the register table feeds SIX consumers (group list, two pair-join
+    # sides, both single-estimate sides) — without a persist each one
+    # re-runs the corpus-width register build upstream
+    registers = transient_persist(registers)
+    reg = registers.select(F.col(group_col).alias("g"), "bucket", "t")
+    groups = reg.select("g").distinct()
+    pairs = (groups.select(F.col("g").alias("g1"))
+             .crossJoin(F.broadcast(groups.select(F.col("g").alias("g2"))))
+             .where(F.col("g1") < F.col("g2")))
+    merged = (pairs.join(reg, F.col("g") == F.col("g1"))
+              .select("g1", "g2", "bucket", "t")
+              .unionByName(
+                  pairs.join(reg, F.col("g") == F.col("g2"))
+                  .select("g1", "g2", "bucket", "t"))
+              .groupBy("g1", "g2", "bucket")
+              .agg(F.min("t").cast("long").alias("t")))
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
+    union_est = (merged.groupBy("g1", "g2")
+                 .agg(F.sum("t").cast("long").alias("sum_t"),
+                      F.count(F.lit(1)).cast("long").alias("used"))
+                 .select("g1", "g2",
+                         (F.col("sum_t")
+                          + (F.lit(HLL_M) - F.col("used")) * full)
+                         .alias("den"))
+                 .select("g1", "g2", F.expr(
+                     f"CAST({num} AS BIGINT) div ({_ALPHA_DEN} * den)")
+                     .cast("long").alias("est_union")))
+    single = hll_estimate_grouped(registers, [group_col])
+    e1 = single.select(F.col(group_col).alias("g1"),
+                       F.col("est_distinct").alias("est_a"))
+    e2 = single.select(F.col(group_col).alias("g2"),
+                       F.col("est_distinct").alias("est_b"))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0))
+    return (union_est
+            .join(F.broadcast(e1), "g1").join(F.broadcast(e2), "g2")
+            .select("g1", "g2", "est_a", "est_b", "est_union",
+                    inter.cast("long").alias("est_intersection"),
+                    F.expr("(1000000 * greatest(est_a + est_b - est_union,"
+                           " 0)) div est_union")
+                    .cast("long").alias("jaccard_ppm")))

@@ -4282,3 +4282,78 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return collocation_lift(docs, min_count=5, top_k=50)
+
+
+def _hll_set_ops_oracle_sql() -> str:
+    from .operators.sketch import _ALPHA_DEN, _ALPHA_NUM, HLL_M, HLL_W
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
+    full = 1 << (HLL_W + 1)
+    mask = 1 << HLL_W
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, h % {HLL_M} AS bucket,
+             MIN(CASE WHEN (h // {HLL_M}) % {mask} > 0
+                      THEN 1 << length(bin((h // {HLL_M}) % {mask}))
+                      ELSE 1 END) AS t
+      FROM h GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type,
+             CAST({num} // ({_ALPHA_DEN}
+                  * (CAST(SUM(t) AS BIGINT)
+                     + ({HLL_M} - COUNT(*)) * {full})) AS BIGINT) AS e
+      FROM reg GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS g1, b.event_type AS g2
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    merged AS (
+      SELECT p.g1, p.g2, r.bucket, MIN(r.t) AS t
+      FROM pairs p JOIN reg r
+        ON r.event_type = p.g1 OR r.event_type = p.g2
+      GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT g1, g2,
+             CAST({num} // ({_ALPHA_DEN}
+                  * (CAST(SUM(t) AS BIGINT)
+                     + ({HLL_M} - COUNT(*)) * {full})) AS BIGINT)
+               AS est_union
+      FROM merged GROUP BY g1, g2
+    )
+    SELECT u.g1, u.g2,
+           e1.e AS est_a, e2.e AS est_b, u.est_union,
+           CAST(greatest(e1.e + e2.e - u.est_union, 0) AS BIGINT)
+             AS est_intersection,
+           CAST((1000000 * greatest(e1.e + e2.e - u.est_union, 0))
+                // u.est_union AS BIGINT) AS jaccard_ppm
+    FROM uni u
+    JOIN est e1 ON e1.event_type = u.g1
+    JOIN est e2 ON e2.event_type = u.g2
+    """
+
+
+@register("sketch_hll_set_ops", _hll_set_ops_oracle_sql())
+def sketch_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators/sketch.hll_set_ops): for every event-
+    type pair, sketch-estimated |A|, |B|, |A∪B| (MIN-merged registers —
+    the merge law the sketch tests pin), inclusion–exclusion
+    |A∩B| clamped at 0, and the derived Jaccard ppm — shared-audience
+    overlap at constant wire cost. The only corpus-width pass is the
+    grouped register build (one combining aggregate, ≤|groups|·64 rows
+    out); every pairwise merge is sketch-sized and the group list
+    broadcasts."""
+    from .operators.sketch import hll_registers_grouped, hll_set_ops
+
+    events = load_table(spark, sf_dir, "events")
+    reg = hll_registers_grouped(events, "user_id", ["event_type"])
+    return hll_set_ops(reg, "event_type")

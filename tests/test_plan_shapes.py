@@ -882,3 +882,20 @@ def test_collocations_topk_no_global_sort(spark, queries):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_hll_set_ops_sketch_sized_joins(spark, queries):
+    """The corpus is read ONCE (the grouped register build's combining
+    aggregate); every pairwise join runs over register/estimate frames
+    and broadcasts — no second corpus-width exchange, no cartesian."""
+    plan = plan_of(queries["sketch_hll_set_ops"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the grouped register build is persisted: every consumer reads the
+    # same InMemoryRelation, so exactly ONE distinct parquet-scan node
+    # exists (it appears many times in the rendering — once per
+    # InMemoryTableScan's cached-plan subtree — but it is one node)
+    import re
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 1
+    assert plan.count("InMemoryTableScan") >= 6  # all consumers cached
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

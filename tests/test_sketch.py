@@ -422,3 +422,53 @@ def test_bloom_scan_filter_no_false_negatives_and_prunes(spark):
 
     empty = bloom_bitmap_words(keys.where(F.lit(False)), "k")
     assert bloom_scan_filter(fact, "fk", empty).count() == 0
+
+
+def test_hll_set_ops_union_law_and_intersection(spark):
+    """The pairwise union estimate must EQUAL hll_estimate over the
+    physically unioned sets (the merge law, end to end through
+    hll_set_ops), and the inclusion–exclusion intersection must land
+    within HLL error of the true overlap."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hll_estimate, hll_registers, hll_registers_grouped, hll_set_ops,
+    )
+    a = spark.range(0, 3000).select(
+        F.lit("A").alias("g"), F.col("id").cast("string").alias("w"))
+    b = spark.range(2000, 5000).select(
+        F.lit("B").alias("g"), F.col("id").cast("string").alias("w"))
+    df = a.unionByName(b)
+    out = hll_set_ops(
+        hll_registers_grouped(df, "w", ["g"]), "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.g1, r.g2) == ("A", "B")
+    # merge law: pairwise union estimate == estimate of the raw union
+    direct = hll_estimate(
+        hll_registers(df.select("w"), "w")).collect()[0].est_distinct
+    assert r.est_union == direct
+    # true union 5000, true intersection 1000; m=64 → 3σ ≈ 39% each,
+    # inclusion–exclusion compounds — allow a loose band, the DuckDB
+    # oracle pins the exact value
+    assert abs(r.est_union - 5000) / 5000 < 0.39
+    assert 0 <= r.est_intersection < 3000
+    assert r.jaccard_ppm == (1_000_000 * r.est_intersection
+                             ) // r.est_union
+
+
+def test_hll_set_ops_disjoint_groups_clamp(spark):
+    """Disjoint sets: inclusion–exclusion may go negative on raw
+    estimates — the result must clamp to 0, never return a negative
+    intersection."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hll_registers_grouped, hll_set_ops,
+    )
+    a = spark.range(0, 2000).select(
+        F.lit("A").alias("g"), F.col("id").cast("string").alias("w"))
+    b = spark.range(50000, 52000).select(
+        F.lit("B").alias("g"), F.col("id").cast("string").alias("w"))
+    r = hll_set_ops(
+        hll_registers_grouped(a.unionByName(b), "w", ["g"]),
+        "g").collect()[0]
+    assert r.est_intersection >= 0 and r.jaccard_ppm >= 0
+    # disjoint: the (clamped) overlap stays small relative to the union
+    assert r.est_intersection <= 0.3 * r.est_union
