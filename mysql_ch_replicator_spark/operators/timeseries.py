@@ -278,3 +278,96 @@ def activity_streaks(events: DataFrame, key: str = "user_id",
                  F.max("len").cast("long").alias("max_streak"),
                  best.cast("long").alias("longest_start"))
             .withColumnRenamed("k", key))
+
+
+def window_funnel(events: DataFrame, steps: list[str], window_us: int,
+                  key: str = "user_id", state_col: str = "event_type",
+                  ts_col: str = "ts",
+                  order_col: str = "event_id") -> DataFrame:
+    """ClickHouse ``windowFunnel`` parity: per key, the MAXIMUM funnel
+    level reachable by a chain of the given step types occurring in
+    strictly increasing (ts, order_col) order with every step inside
+    ``window_us`` of the chain's FIRST step; returns the level
+    histogram (level, n_users), level 0 = keys with events but no
+    step-1 occurrence.
+
+    Exactness without enumeration: every step-1 event is a candidate
+    chain start, and for a FIXED start the greedy chain — always take
+    the EARLIEST next-step event after the current position — reaches
+    the maximum depth (exchange argument: any feasible chain can be
+    rewritten step-by-step onto the greedy one without shortening it).
+    So the per-key level is exact, not a first-occurrence heuristic
+    (compare q_event_funnel, the cheap approximation).
+
+    Plan shape, all in ONE partitioning family: a per-key row_number
+    linearizes (ts, order) so "earliest next step-k event" becomes a
+    MIN over the FOLLOWING rows frame — one window pass computes every
+    next-pointer; each chain hop is then an equality join on (key, rn)
+    against the persisted pointer table. hashpartitioning(key) satisfies
+    every window and every join here (join keys (key, rn) ⊇ partition
+    key), so the key-width exchange happens once; hop frames only ever
+    shrink. Because rn order equals ts order, a greedy hop whose target
+    misses the window proves NO target is inside it — each hop needs
+    one comparison, no per-key scan-back."""
+    from ..cache import transient_persist
+
+    n_steps = len(steps)
+    base = events.select(
+        F.col(key).alias("k"),
+        F.col(state_col).alias("et"),
+        F.expr(f"unix_micros({ts_col})").alias("us"),
+        F.col(order_col).alias("oid"))
+    w_rn = Window.partitionBy("k").orderBy("us", "oid")
+    base = base.withColumn("rn", F.row_number().over(w_rn))
+    w_follow = (Window.partitionBy("k").orderBy("rn")
+                .rowsBetween(1, Window.unboundedFollowing))
+    for j, s in enumerate(steps[1:], start=2):
+        base = base.withColumn(
+            f"nxt{j}",
+            F.min(F.when(F.col("et") == s, F.col("rn"))).over(w_follow))
+    aug = transient_persist(base)
+
+    # chain hops: cur carries (k, t1, p = rn of the next step's target)
+    cur = (aug.where(F.col("et") == steps[0])
+           .select("k", F.col("us").alias("t1"),
+                   F.col("nxt2").alias("p")
+                   if n_steps >= 2 else F.lit(None).alias("p")))
+    reached = [cur.select("k").distinct()
+               .agg(F.count(F.lit(1)).cast("long").alias("n"))]
+    for j in range(2, n_steps + 1):
+        hop_cols = ["k", "t1"]
+        nxt = f"nxt{j + 1}" if j < n_steps else None
+        right = aug.select(F.col("k").alias("rk"), "rn", "us",
+                           *( [F.col(nxt).alias("np")] if nxt else [] ))
+        cur = (cur.join(right, (F.col("k") == F.col("rk"))
+                        & (F.col("p") == F.col("rn")))
+               .where(F.col("us") <= F.col("t1") + F.lit(window_us))
+               .select("k", "t1",
+                       (F.col("np") if nxt else F.lit(None)).alias("p")))
+        reached.append(cur.select("k").distinct()
+                       .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    total = (events.select(F.col(key).alias("k")).distinct()
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    # histogram rows: level j has reached[j-1] - reached[j] users
+    parts = [total.crossJoin(F.broadcast(
+        reached[0].withColumnRenamed("n", "n1")))
+        .select(F.lit(0).cast("long").alias("level"),
+                (F.col("n") - F.col("n1")).cast("long").alias("n_users"))]
+    for j in range(1, n_steps + 1):
+        cur_n = reached[j - 1]
+        if j < n_steps:
+            parts.append(
+                cur_n.crossJoin(F.broadcast(
+                    reached[j].withColumnRenamed("n", "n2")))
+                .select(F.lit(j).cast("long").alias("level"),
+                        (F.col("n") - F.col("n2")).cast("long")
+                        .alias("n_users")))
+        else:
+            parts.append(cur_n.select(
+                F.lit(j).cast("long").alias("level"),
+                F.col("n").cast("long").alias("n_users")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

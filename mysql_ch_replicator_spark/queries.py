@@ -3133,6 +3133,60 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_streaks(ev)
 
 
+_FUNNEL_W_US = 6 * 3_600_000_000       # 6-hour funnel window
+
+
+@register(
+    "events_window_funnel",
+    f"""
+    WITH b AS (
+      SELECT user_id AS k, event_type AS et, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    a AS (
+      SELECT k, et, us, rn,
+             MIN(CASE WHEN et = 'click' THEN rn END) OVER w AS nxt2,
+             MIN(CASE WHEN et = 'purchase' THEN rn END) OVER w AS nxt3
+      FROM b
+      WINDOW w AS (PARTITION BY k ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    c1 AS (SELECT k, us AS t1, nxt2 AS p FROM a WHERE et = 'view'),
+    c2 AS (SELECT c1.k, c1.t1, a2.nxt3 AS p
+           FROM c1 JOIN a a2 ON a2.k = c1.k AND a2.rn = c1.p
+           WHERE a2.us <= c1.t1 + {_FUNNEL_W_US}),
+    c3 AS (SELECT c2.k
+           FROM c2 JOIN a a3 ON a3.k = c2.k AND a3.rn = c2.p
+           WHERE a3.us <= c2.t1 + {_FUNNEL_W_US}),
+    g1 AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM c1),
+    g2 AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM c2),
+    g3 AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM c3),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+            FROM events)
+    SELECT CAST(0 AS BIGINT) AS level,
+           CAST(tot.n - g1.n AS BIGINT) AS n_users FROM tot, g1
+    UNION ALL SELECT 1, CAST(g1.n - g2.n AS BIGINT) FROM g1, g2
+    UNION ALL SELECT 2, CAST(g2.n - g3.n AS BIGINT) FROM g2, g3
+    UNION ALL SELECT 3, CAST(g3.n AS BIGINT) FROM g3
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel parity (operators/timeseries.
+    window_funnel): per user the EXACT maximum view→click→purchase level
+    reachable with every step inside 6 h of the chain's first step,
+    strictly ordered by (ts, event_id) — every view is a candidate
+    start and the greedy earliest-next chain is provably optimal per
+    start, so this is the true level, not the first-occurrence
+    heuristic of q_event_funnel. One row_number linearization makes
+    "earliest next step" a MIN over the FOLLOWING window frame; chain
+    hops are (user, rn) equality joins against the persisted pointer
+    table, all inside the single user partitioning."""
+    from .operators.timeseries import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return window_funnel(ev, ["view", "click", "purchase"], _FUNNEL_W_US)
+
+
 @register(
     "gdpr_erasure_cascade",
     """

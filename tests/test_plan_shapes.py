@@ -899,3 +899,17 @@ def test_hll_set_ops_sketch_sized_joins(spark, queries):
     assert len(scan_ids) <= 1
     assert plan.count("InMemoryTableScan") >= 6  # all consumers cached
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_window_funnel_single_partitioning_family(spark, queries):
+    """Every exchange in the funnel is keyed by the user: the rn window,
+    the next-pointer window, both chain-hop joins and the distinct
+    counts all reuse hashpartitioning(user) — no range partitioning, no
+    cartesian chain enumeration, pointer table persisted once."""
+    plan = plan_of(queries["events_window_funnel"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    for ln in plan.splitlines():
+        if "Arguments: hashpartitioning" in ln:
+            assert "k#" in ln
+    assert "InMemoryTableScan" in plan

@@ -288,3 +288,59 @@ def test_activity_streaks_equal_length_tie_earliest_start(spark):
     assert r.max_streak == 2 and r.n_streaks == 2
     epoch0 = dt.date(1970, 1, 1).toordinal()
     assert r.longest_start == dt.date(2024, 1, 4).toordinal() - epoch0
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel
+# ---------------------------------------------------------------------------
+
+def test_window_funnel_exact_not_first_occurrence(spark):
+    """The level is the max over ALL candidate starts: a user whose
+    FIRST view leads nowhere but whose second view completes the chain
+    must reach level 3 — exactly what the first-occurrence heuristic
+    (q_event_funnel) gets wrong. Window cutoff and same-timestamp
+    (event_id-ordered) chains are exercised too."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        window_funnel)
+    W = 10_000_000  # 10 s
+    rows = []
+
+    def ev(eid, sec, user, et):
+        rows.append((eid, dt.datetime(2024, 1, 1, 0, 0, sec), user, et))
+
+    # user 1: view@0 click@2 purchase@50 → purchase outside 10 s → lvl 2
+    ev(1, 0, 1, "view"); ev(2, 2, 1, "click"); ev(3, 50, 1, "purchase")
+    # user 2: first view@0 fails, view@40 click@42 purchase@44 → lvl 3
+    ev(4, 0, 2, "view"); ev(5, 40, 2, "view")
+    ev(6, 42, 2, "click"); ev(7, 44, 2, "purchase")
+    # user 3: no view at all → lvl 0
+    ev(8, 5, 3, "click"); ev(9, 6, 3, "purchase")
+    # user 4: view only → lvl 1
+    ev(10, 0, 4, "view")
+    # user 5: all three at the SAME timestamp, ordered by event_id → lvl 3
+    ev(11, 7, 5, "view"); ev(12, 7, 5, "click"); ev(13, 7, 5, "purchase")
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, et string")
+    out = {r.level: r.n_users
+           for r in window_funnel(df, ["view", "click", "purchase"], W,
+                                  state_col="et").collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 2}
+
+
+def test_window_funnel_strictly_ordered_never_reuses_event(spark):
+    """A single event can't satisfy two steps, and steps must move
+    strictly forward in (ts, event_id): click BEFORE the view does not
+    count."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        window_funnel)
+    rows = [
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 1, "click"),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 2), 1, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, et string")
+    out = {r.level: r.n_users
+           for r in window_funnel(df, ["view", "click"], 10_000_000,
+                                  state_col="et").collect()}
+    assert out == {0: 0, 1: 1, 2: 0}
