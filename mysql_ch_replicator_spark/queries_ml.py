@@ -4357,3 +4357,47 @@ def sketch_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     reg = hll_registers_grouped(events, "user_id", ["event_type"])
     return hll_set_ops(reg, "event_type")
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct(sh) AS sh FROM (
+        SELECT doc_id, {_sh_sql(3, _WORDS_SQL)} AS sh FROM documents)
+      WHERE len(sh) > 0
+    ),
+    szs AS (SELECT doc_id, len(sh) AS n FROM base),
+    posting AS (
+      SELECT doc_id, {_h60_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest(sh) AS g FROM base)
+    ),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM posting x JOIN posting y USING (gh)
+      WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+    )
+    SELECT a, b, common,
+           CAST(sa.n + sb.n - common AS BIGINT) AS union_n,
+           CAST((1000000 * common) // (sa.n + sb.n - common) AS BIGINT)
+             AS jacc_ppm
+    FROM pairs
+    JOIN szs sa ON sa.doc_id = a JOIN szs sb ON sb.doc_id = b
+    WHERE 1000000 * common >= 500000 * (sa.n + sb.n - common)
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless prefix-filtered Jaccard self-join (operators/dedup.
+    jaccard_prefix_join, PPJoin's prefix theorem): EVERY 3-gram-shingle
+    pair with Jaccard ≥ 0.5, no posting cap, no all-pairs join — the
+    candidate exchange carries only each doc's |s|−⌈t·|s|⌉+1 RAREST
+    shingles (global (df, hash) order), so hot stopword postings never
+    fan out; exact-recall is guaranteed by the prefix pigeonhole. The
+    oracle is the UNCAPPED full posting join — proving nothing was
+    lost. Integer cross-multiplied verify; (a, b, common, union_n,
+    jacc_ppm) per qualifying pair."""
+    from .operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs)

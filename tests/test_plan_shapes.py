@@ -913,3 +913,15 @@ def test_window_funnel_single_partitioning_family(spark, queries):
         if "Arguments: hashpartitioning" in ln:
             assert "k#" in ln
     assert "InMemoryTableScan" in plan
+
+
+def test_jaccard_prefix_join_bounded_candidates(spark, queries):
+    """The candidate join must run over PREFIX postings (row_number-
+    filtered below the join — a Window under the join inputs), the
+    shared posting table persisted once; no cartesian, no posting cap
+    anywhere (losslessness is the point)."""
+    plan = plan_of(queries["dedup_jaccard_prefix"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "Window" in plan       # the per-doc prefix rank
+    assert "row_number" in plan

@@ -592,3 +592,68 @@ def test_collocation_min_count_and_tiebreak(spark):
     assert len(lifts) == 1  # tied
     cut = collocation_lift(docs, min_count=2, top_k=1).collect()
     assert [(r.a, r.b) for r in cut] == [("m", "n")]  # (a, b) ascending
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard join (operators/dedup.jaccard_prefix_join)
+# ---------------------------------------------------------------------------
+
+def _shingle3(text):
+    ws = [w for w in text.lower().split() if w]
+    return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+
+def test_jaccard_prefix_exact_recall_vs_bruteforce(spark):
+    """The prefix join must return EXACTLY the brute-force J ≥ 0.5 pair
+    set — the lossless claim — on a corpus designed so the prefix
+    filter actually prunes (a hot shingle shared by every doc, plus
+    near-dup pairs and unrelated tails)."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        jaccard_prefix_join)
+
+    hot = "the quick fox"   # one shingle every doc shares
+    docs = []
+    for i in range(12):
+        tail = f"unique{i} tail{i} words{i} extra{i}"
+        docs.append((i, f"{hot} {tail}"))
+    # two near-dup pairs: same tail, tiny difference
+    docs.append((100, f"{hot} shared tail words alpha beta gamma"))
+    docs.append((101, f"{hot} shared tail words alpha beta delta"))
+    docs.append((200, f"{hot} common run of tokens here now"))
+    docs.append((201, f"{hot} common run of tokens here now"))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): (r.common, r.union_n, r.jacc_ppm)
+           for r in jaccard_prefix_join(df).collect()}
+
+    sh = {i: _shingle3(t) for i, t in docs}
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 1_000_000 * inter >= 500_000 * union:
+                want[(a, b)] = (inter, union,
+                                (1_000_000 * inter) // union)
+    assert got == want
+    assert (200, 201) in got and (100, 101) in got
+    assert len(got) >= 2
+
+
+def test_jaccard_prefix_identical_docs_full_score(spark):
+    """Byte-identical docs score jacc_ppm = 1_000_000 with
+    common == union."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        jaccard_prefix_join)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    out = jaccard_prefix_join(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a, r.b) == (1, 2)
+    assert r.common == r.union_n and r.jacc_ppm == 1_000_000
