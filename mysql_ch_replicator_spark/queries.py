@@ -3133,6 +3133,42 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_streaks(ev)
 
 
+@register(
+    "events_new_users_daily",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM f GROUP BY first_day)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum
+    FROM d
+    """,
+)
+def events_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day the count of FIRST-SEEN users and the
+    cumulative user base — the signup/adoption curve every product
+    report opens with. Two combining aggregates (per-user MIN day —
+    map-side partials absorb event multiplicity — then per-day count);
+    the cumulative window runs over the |days| AGGREGATE rows, never
+    the event stream, so its single-partition sort is bounded by the
+    calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.expr("min(unix_micros(ts) div 86400000000)")
+                  .alias("first_day")))
+    daily = (first.groupBy(F.col("first_day").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return daily.select(
+        "day", "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_cum"))
+
+
 _FUNNEL_W_US = 6 * 3_600_000_000       # 6-hour funnel window
 
 
@@ -3321,3 +3357,134 @@ def q_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                   .cast("decimal(28,2)").cast("string").alias("revenue")))
+
+
+_SNAPDIFF_STATE_SQL = """
+    m AS (SELECT (MAX(event_id) * 6) // 10 AS cut FROM events),
+    o AS (SELECT user_id, last_event, value FROM (
+       SELECT user_id, event_type AS last_event,
+              CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+       FROM events, m WHERE event_id <= m.cut) t WHERE rn = 1),
+    n AS (SELECT user_id, last_event, value FROM (
+       SELECT user_id, event_type AS last_event,
+              CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+       FROM events) t WHERE rn = 1)
+"""
+
+
+def _snapdiff_states(spark: SparkSession, sf_dir: str):
+    """(old, new) latest-event-per-user snapshots: old sees only the
+    first 60% of the event-id range — the stale-replica situation a
+    reconciliation diff exists for.
+
+    Each frame gets its OWN table scan (three load_table calls, fresh
+    attribute ids) so the downstream full-outer diff is never a raw
+    self-join: with a shared lineage, Spark's self-join attribute
+    dedup mis-bound a payload column inside the cached full-outer SMJ
+    (event_type evaluated under value's double cast — ANSI cast error
+    on materialization only, count/collect fine). Distinct relations
+    sidestep the dedup entirely; at deployment scale the two sides are
+    different physical tables anyway."""
+    def state(e):
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        return (e.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("user_id").cast("bigint"),
+                        F.col("event_type").alias("last_event"),
+                        F.col("value").cast("decimal(18,2)")
+                        .alias("value")))
+
+    cut = (load_table(spark, sf_dir, "events")
+           .agg(F.expr("(max(event_id) * 6) div 10").alias("cut")))
+    old = state(load_table(spark, sf_dir, "events")
+                .crossJoin(F.broadcast(cut))
+                .where(F.col("event_id") <= F.col("cut")).drop("cut"))
+    return old, state(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "snapshot_diff_cdc",
+    f"""
+    WITH {_SNAPDIFF_STATE_SQL}
+    SELECT CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN n.user_id IS NULL THEN o.last_event
+                ELSE n.last_event END AS last_event,
+           CASE WHEN n.user_id IS NULL THEN o.value
+                ELSE n.value END AS value
+    FROM o FULL JOIN n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.last_event IS DISTINCT FROM n.last_event
+       OR o.value IS DISTINCT FROM n.value
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation diff (operators/replica.snapshot_diff):
+    the typed insert/update/delete delta between a stale snapshot (60%
+    of the event stream) and the current one — O(drift) output, one
+    full-outer PK join, null-safe struct compare, values from the
+    surviving side. The CDC synthesis inverse of apply: feeding this
+    delta through the versioned apply path reconstructs the target
+    exactly (snapshot_reconcile_e2e proves it through the real
+    engine)."""
+    from .operators.replica import snapshot_diff
+
+    old, new = _snapdiff_states(spark, sf_dir)
+    return snapshot_diff(old, new, ["user_id"]).select(
+        "op", "user_id", "last_event",
+        F.col("value").cast("string").alias("value"))
+
+
+@register(
+    "snapshot_reconcile_e2e",
+    f"""
+    WITH {_SNAPDIFF_STATE_SQL}
+    SELECT user_id, last_event, value FROM n
+    """,
+)
+def snapshot_reconcile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reconciliation through the REAL engine: seed a replica
+    with the stale snapshot, synthesize CDC events from snapshot_diff
+    (ADD carries the new row payload, REMOVE the PK tombstone), apply
+    them in ONE batch through the versioned CDC path, and read the
+    replica FINAL — the oracle is the live state computed straight from
+    the event log, so the diff-then-apply loop is proven lossless. The
+    batch is O(drift): unchanged users ship nothing."""
+    from .engine import ReplicaEngine
+    from .operators.replica import snapshot_diff
+    from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+    root = _tmp_root(sf_dir, "snapdiff")
+    engine = ReplicaEngine(spark, root)
+    engine.create_table("rec", _USER_STATE_DDL)
+
+    old, new = _snapdiff_states(spark, sf_dir)
+    engine.snapshot_table("rec", "user_state", old)
+
+    diff = snapshot_diff(old, new, ["user_id"])
+    base = int(engine.load_meta("rec", "user_state")["last_seq"]) + 1
+    events = diff.select(
+        F.lit("reconcile").alias("tx_file"),
+        (F.lit(base) + F.col("user_id")).cast("long").alias("tx_pos"),
+        (F.lit(base) + F.col("user_id")).cast("long").alias("seq"),
+        F.lit("rec").alias("db"),
+        F.lit("user_state").alias("table"),
+        F.when(F.col("op") == "delete", F.lit(EVENT_TYPE_REMOVE))
+         .otherwise(F.lit(EVENT_TYPE_ADD)).cast("int").alias("event_type"),
+        F.when(F.col("op") == "delete",
+               F.array(F.array(F.col("user_id").cast("string"))))
+         .otherwise(F.array(F.array(
+             F.col("user_id").cast("string"),
+             F.col("last_event"),
+             F.col("value").cast("string")))).alias("payload"),
+        F.lit(None).cast("string").alias("query"))
+    engine.apply_batch(events)
+    return engine.read_final("rec", "user_state").select(
+        "user_id", "last_event",
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"))

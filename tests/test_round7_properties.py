@@ -657,3 +657,52 @@ def test_jaccard_prefix_identical_docs_full_score(spark):
     r = out[0]
     assert (r.a, r.b) == (1, 2)
     assert r.common == r.union_n and r.jacc_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation diff (operators/replica.snapshot_diff)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classifies_all_three_ops(spark):
+    """insert/update/delete each classified; unchanged keys emit
+    NOTHING; delete rows carry the OLD payload, insert/update the NEW."""
+    from mysql_ch_replicator_spark.operators.replica import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200), (3, "c", 300)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(2, "b", 200), (3, "c2", 350), (4, "d", 400)],
+        "k long, s string, v long")
+    got = {r.k: (r.op, r.s, r.v)
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("delete", "a", 100),   # old payload survives
+        3: ("update", "c2", 350),  # new payload
+        4: ("insert", "d", 400),
+    }
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    """NULL == NULL for change detection (no spurious updates), and a
+    NULL→value transition IS an update."""
+    from mysql_ch_replicator_spark.operators.replica import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, None), (2, None, 20)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(1, None, None), (2, "x", 20)],
+        "k long, s string, v long")
+    got = {r.k: r.op for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update"}   # key 1 unchanged (null-safe equal)
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark):
+    from mysql_ch_replicator_spark.operators.replica import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                               "k long, s string, v long")
+    same = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                                 "k long, s string, v long")
+    assert snapshot_diff(df, same, ["k"]).count() == 0
