@@ -371,3 +371,49 @@ def window_funnel(events: DataFrame, steps: list[str], window_us: int,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def twap(events: DataFrame, key: str = "user_id", ts_col: str = "ts",
+         value_col: str = "value", order_col: str = "event_id",
+         bucket_us: int = DAY_US) -> DataFrame:
+    """Time-weighted average value per (key, bucket) — the TWAP/OHLC
+    sibling that a plain AVG gets wrong: a value HOLDS from its event
+    until the key's next event (the LOCF reading), so each observation
+    weighs by its holding duration, not by 1. The last observation of a
+    key has no known duration and contributes nothing; zero-length
+    intervals (equal timestamps) contribute zero weight — both edges
+    deterministic.
+
+    Buckets group by the interval's START time. All-integer: centi-unit
+    values, microsecond durations, v·Δt summed over decimal(38,0)
+    (an interval product reaches ~10^15; a day of them times 10^12 keys
+    is far past int64), and the final TWAP is an exact integer div.
+
+    One lead window on the key + one combining (key, bucket) aggregate —
+    the exchange is shared with every other per-key window op."""
+    dec = "decimal(38,0)"
+    v100 = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("k").orderBy("us", "oid")
+    staged = events.select(
+        F.col(key).alias("k"),
+        F.expr(f"unix_micros({ts_col})").alias("us"),
+        v100.alias("v"),
+        F.col(order_col).alias("oid"))
+    iv = (staged
+          .withColumn("nus", F.lead("us").over(w))
+          .where(F.col("nus").isNotNull())
+          .select("k", F.expr(f"us div {bucket_us}").alias("bucket"),
+                  "v", (F.col("nus") - F.col("us")).alias("dt")))
+    agg = (iv.groupBy("k", "bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                F.sum(F.col("dt").cast(dec)).cast(dec).alias("sum_dt"),
+                F.sum(F.col("v").cast(dec) * F.col("dt").cast(dec))
+                 .cast(dec).alias("sum_vdt")))
+    # filter BEFORE the division: a bucket whose every interval is
+    # zero-length would otherwise hit an ANSI divide-by-zero inside the
+    # aggregate projection
+    return (agg.where(F.col("sum_dt") > 0)
+            .select(F.col("k").alias(key), "bucket", "n_intervals",
+                    F.col("sum_dt").cast("long").alias("dur_us"),
+                    F.expr("(sum_vdt div sum_dt)").cast("long")
+                     .alias("twap100")))

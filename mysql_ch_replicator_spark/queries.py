@@ -3134,6 +3134,49 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_twap_daily",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             event_id
+      FROM events),
+    i AS (
+      SELECT user_id, us, v,
+             lead(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS nus
+      FROM e),
+    iv AS (
+      SELECT user_id, us // 86400000000 AS bucket, v, nus - us AS dt
+      FROM i WHERE nus IS NOT NULL),
+    a AS (
+      SELECT user_id, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(CAST(dt AS HUGEINT)) AS HUGEINT) AS sum_dt,
+             SUM(CAST(v AS HUGEINT) * dt) AS sum_vdt
+      FROM iv GROUP BY 1, 2)
+    SELECT user_id, bucket, n_intervals,
+           CAST(sum_dt AS BIGINT) AS dur_us,
+           CAST(sum_vdt // sum_dt AS BIGINT) AS twap100
+    FROM a WHERE sum_dt > 0
+    """,
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/timeseries.twap): per (user,
+    day-of-interval-start) the duration-weighted value under LOCF
+    semantics — each observation holds until the user's next event, so
+    it weighs by its holding time, not by 1 (what a plain AVG gets
+    wrong on irregular streams). Centi-unit × microsecond products
+    summed over decimal(38,0), exact integer div; zero-duration buckets
+    filtered BEFORE the division (ANSI divide-by-zero). One lead window
+    + one combining aggregate on the same user partitioning."""
+    from .operators.timeseries import twap
+
+    ev = load_table(spark, sf_dir, "events")
+    return twap(ev)
+
+
+@register(
     "events_new_users_daily",
     """
     WITH f AS (

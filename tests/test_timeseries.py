@@ -344,3 +344,38 @@ def test_window_funnel_strictly_ordered_never_reuses_event(spark):
            for r in window_funnel(df, ["view", "click"], 10_000_000,
                                   state_col="et").collect()}
     assert out == {0: 0, 1: 1, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# TWAP
+# ---------------------------------------------------------------------------
+
+def test_twap_duration_weighting_beats_plain_avg(spark):
+    """Value 10 held for 9 s then value 100 held for 1 s: TWAP is 19,
+    not the plain average 55. The final observation (no successor)
+    contributes nothing."""
+    from mysql_ch_replicator_spark.operators.timeseries import twap
+    rows = [
+        (1, _ts(0, 0, 0), 7, 10.0),   # holds 9 s
+        (2, _ts(0, 0, 9), 7, 100.0),  # holds 1 s
+        (3, _ts(0, 0, 10), 7, 999.0), # last: no duration, no weight
+    ]
+    out = twap(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_intervals == 2 and r.dur_us == 10_000_000
+    # (1000*9e6 + 10000*1e6) div 10e6 = 1900 centi-units = 19.00
+    assert r.twap100 == 1900
+
+
+def test_twap_zero_duration_and_single_event(spark):
+    """Equal timestamps weigh zero; a key with one event (no interval)
+    emits nothing; an all-zero-duration bucket is filtered, not a
+    divide-by-zero."""
+    from mysql_ch_replicator_spark.operators.timeseries import twap
+    rows = [
+        (1, _ts(1), 1, 5.0), (2, _ts(1), 1, 7.0),   # zero-length only
+        (3, _ts(2), 2, 3.0),                        # single event
+    ]
+    out = twap(_events(spark, rows)).collect()
+    assert out == []
