@@ -417,3 +417,58 @@ def twap(events: DataFrame, key: str = "user_id", ts_col: str = "ts",
                     F.col("sum_dt").cast("long").alias("dur_us"),
                     F.expr("(sum_vdt div sum_dt)").cast("long")
                      .alias("twap100")))
+
+
+def linear_attribution(events: DataFrame, touch_types: list[str],
+                       conversion_type: str, window_us: int,
+                       key: str = "user_id", state_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       order_col: str = "event_id") -> DataFrame:
+    """Multi-touch linear attribution, mass-conserving in exact integers:
+    each conversion's centi-unit value splits across ALL its preceding
+    touch events within ``window_us``, strictly earlier by (ts, order).
+    Floor division leaves a remainder r = v100 mod n — the r most
+    RECENT touches get one extra centi-unit, so per-conversion credits
+    sum to v100 EXACTLY (testable conservation law; ppm-share schemes
+    leak mass by rounding).
+
+    Returns one row per (conversion, touch): conversion id, touch id,
+    touch type, n_touches, credit100. Conversions with no touch in
+    window emit nothing (the unattributed remainder is the caller's
+    count-diff).
+
+    Plan shape: one equality join on the key with the time window as a
+    join filter — fan-out bounded by touches-per-window, never
+    all-pairs; the per-conversion count and recency rank ride one
+    window over the (key-partitioned) joined frame."""
+    v100 = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    conv = (events.where(F.col(state_col) == conversion_type)
+            .select(F.col(key).alias("k"),
+                    F.col(order_col).alias("conv_id"),
+                    F.expr(f"unix_micros({ts_col})").alias("cus"),
+                    v100.alias("v100")))
+    touch = (events.where(F.col(state_col).isin(touch_types))
+             .select(F.col(key).alias("tk"),
+                     F.col(order_col).alias("touch_id"),
+                     F.col(state_col).alias("touch_type"),
+                     F.expr(f"unix_micros({ts_col})").alias("tus")))
+    j = conv.join(
+        touch,
+        (F.col("k") == F.col("tk"))
+        & ((F.col("tus") < F.col("cus"))
+           | ((F.col("tus") == F.col("cus"))
+              & (F.col("touch_id") < F.col("conv_id"))))
+        & (F.col("tus") >= F.col("cus") - F.lit(window_us)))
+    w = Window.partitionBy("k", "conv_id")
+    # recency rank: 1 = most recent touch before the conversion
+    wr = (Window.partitionBy("k", "conv_id")
+          .orderBy(F.col("tus").desc(), F.col("touch_id").desc()))
+    ranked = (j.withColumn("n_touches",
+                           F.count(F.lit(1)).over(w).cast("long"))
+              .withColumn("rk", F.row_number().over(wr).cast("long")))
+    credit = (F.expr("v100 div n_touches")
+              + F.when(F.col("rk") <= F.col("v100") % F.col("n_touches"),
+                       F.lit(1)).otherwise(F.lit(0))).cast("long")
+    return ranked.select(
+        F.col("k").alias(key), "conv_id", "touch_id", "touch_type",
+        "n_touches", credit.alias("credit100"))

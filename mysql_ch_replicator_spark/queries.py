@@ -3134,6 +3134,55 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution_linear",
+    """
+    WITH c AS (
+      SELECT user_id AS k, event_id AS conv_id, epoch_us(ts) AS cus,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id AS k, event_id AS touch_id,
+             event_type AS touch_type, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT c.k, c.conv_id, c.v100, t.touch_id, t.touch_type, t.tus
+      FROM c JOIN t ON t.k = c.k
+       AND (t.tus < c.cus
+            OR (t.tus = c.cus AND t.touch_id < c.conv_id))
+       AND t.tus >= c.cus - 21600000000),
+    r AS (
+      SELECT k, conv_id, v100, touch_id, touch_type,
+             CAST(COUNT(*) OVER (PARTITION BY k, conv_id) AS BIGINT)
+               AS n_touches,
+             CAST(row_number() OVER (PARTITION BY k, conv_id
+                                     ORDER BY tus DESC, touch_id DESC)
+                  AS BIGINT) AS rk
+      FROM j)
+    SELECT k AS user_id, conv_id, touch_id, touch_type, n_touches,
+           CAST(v100 // n_touches
+                + CASE WHEN rk <= v100 % n_touches THEN 1 ELSE 0 END
+                AS BIGINT) AS credit100
+    FROM r
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conserving linear attribution (operators/timeseries.
+    linear_attribution): each purchase's centi-unit value splits across
+    its preceding view/click touches within 6 h (strictly earlier by
+    (ts, id)); floor credits plus one extra centi-unit to the v100 mod n
+    most recent touches, so per-conversion credits sum EXACTLY to the
+    conversion value — no ppm rounding leak. One user-keyed equality
+    join with the window as a join filter (fan-out = touches per
+    window, never all-pairs); count + recency rank share one (user,
+    conversion) window."""
+    from .operators.timeseries import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev, ["view", "click"], "purchase",
+                              6 * 3_600_000_000)
+
+
+@register(
     "events_twap_daily",
     """
     WITH e AS (

@@ -379,3 +379,56 @@ def test_twap_zero_duration_and_single_event(spark):
     ]
     out = twap(_events(spark, rows)).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# Linear attribution
+# ---------------------------------------------------------------------------
+
+def _attr_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_attribution_conserves_mass_and_window(spark):
+    """Credits per conversion sum EXACTLY to v100 (remainder goes to the
+    most recent touches); touches outside the window or after the
+    conversion get nothing."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        linear_attribution)
+    W = 10_000_000  # 10 s
+    rows = [
+        (1, _ts(0, 0, 0), 7, "view", 0.0),    # in window
+        (2, _ts(0, 0, 5), 7, "click", 0.0),   # in window (most recent)
+        (3, _ts(0, 0, 8), 7, "purchase", 1.01),  # v100 = 101
+        (4, _ts(0, 1, 0), 7, "click", 0.0),   # AFTER conversion: ignored
+        (5, _ts(2, 0, 0), 8, "view", 0.0),    # stale for user 8's conv
+        (6, _ts(3, 0, 0), 8, "purchase", 5.0),  # no touch in window
+    ]
+    out = linear_attribution(_attr_events(spark, rows),
+                             ["view", "click"], "purchase", W).collect()
+    by_touch = {r.touch_id: r for r in out}
+    assert set(by_touch) == {1, 2}
+    # 101 div 2 = 50 each, remainder 1 -> most recent touch (id 2)
+    assert by_touch[1].credit100 == 50
+    assert by_touch[2].credit100 == 51
+    assert all(r.n_touches == 2 and r.conv_id == 3 for r in out)
+    assert sum(r.credit100 for r in out) == 101
+
+
+def test_attribution_same_timestamp_strictly_before(spark):
+    """A touch at the conversion's exact timestamp counts only when its
+    event_id is lower (strictly-before in the (ts, id) total order)."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        linear_attribution)
+    rows = [
+        (1, _ts(1), 1, "click", 0.0),
+        (2, _ts(1), 1, "purchase", 2.0),
+        (3, _ts(1), 1, "click", 0.0),   # higher id: NOT before
+    ]
+    out = linear_attribution(_attr_events(spark, rows),
+                             ["view", "click"], "purchase",
+                             10_000_000).collect()
+    assert [r.touch_id for r in out] == [1]
+    assert out[0].credit100 == 200
