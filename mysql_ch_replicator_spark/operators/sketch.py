@@ -504,7 +504,6 @@ def hll_set_ops(registers: DataFrame, group_col: str) -> DataFrame:
     ``hll_registers_grouped``."""
     from ..cache import transient_persist
 
-    full = F.lit(1 << (HLL_W + 1)).cast("long")
     # the register table feeds SIX consumers (group list, two pair-join
     # sides, both single-estimate sides) — without a persist each one
     # re-runs the corpus-width register build upstream
@@ -521,17 +520,11 @@ def hll_set_ops(registers: DataFrame, group_col: str) -> DataFrame:
                   .select("g1", "g2", "bucket", "t"))
               .groupBy("g1", "g2", "bucket")
               .agg(F.min("t").cast("long").alias("t")))
-    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
-    union_est = (merged.groupBy("g1", "g2")
-                 .agg(F.sum("t").cast("long").alias("sum_t"),
-                      F.count(F.lit(1)).cast("long").alias("used"))
-                 .select("g1", "g2",
-                         (F.col("sum_t")
-                          + (F.lit(HLL_M) - F.col("used")) * full)
-                         .alias("den"))
-                 .select("g1", "g2", F.expr(
-                     f"CAST({num} AS BIGINT) div ({_ALPHA_DEN} * den)")
-                     .cast("long").alias("est_union")))
+    # the union register table is just a grouped sketch keyed by the
+    # pair — reuse the ONE estimator implementation so the pairwise
+    # arithmetic can never drift from the single-group one
+    union_est = (hll_estimate_grouped(merged, ["g1", "g2"])
+                 .withColumnRenamed("est_distinct", "est_union"))
     single = hll_estimate_grouped(registers, [group_col])
     e1 = single.select(F.col(group_col).alias("g1"),
                        F.col("est_distinct").alias("est_a"))

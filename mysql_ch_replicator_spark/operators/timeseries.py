@@ -335,7 +335,6 @@ def window_funnel(events: DataFrame, steps: list[str], window_us: int,
     reached = [cur.select("k").distinct()
                .agg(F.count(F.lit(1)).cast("long").alias("n"))]
     for j in range(2, n_steps + 1):
-        hop_cols = ["k", "t1"]
         nxt = f"nxt{j + 1}" if j < n_steps else None
         right = aug.select(F.col("k").alias("rk"), "rn", "us",
                            *( [F.col(nxt).alias("np")] if nxt else [] ))
@@ -415,7 +414,10 @@ def twap(events: DataFrame, key: str = "user_id", ts_col: str = "ts",
     return (agg.where(F.col("sum_dt") > 0)
             .select(F.col("k").alias(key), "bucket", "n_intervals",
                     F.col("sum_dt").cast("long").alias("dur_us"),
-                    F.expr("(sum_vdt div sum_dt)").cast("long")
+                    # floor, not truncate: negative weighted sums
+                    # must match DuckDB's flooring `//`
+                    F.expr("((sum_vdt - pmod(sum_vdt, sum_dt))"
+                           " div sum_dt)").cast("long")
                      .alias("twap100")))
 
 
@@ -466,8 +468,15 @@ def linear_attribution(events: DataFrame, touch_types: list[str],
     ranked = (j.withColumn("n_touches",
                            F.count(F.lit(1)).over(w).cast("long"))
               .withColumn("rk", F.row_number().over(wr).cast("long")))
-    credit = (F.expr("v100 div n_touches")
-              + F.when(F.col("rk") <= F.col("v100") % F.col("n_touches"),
+    # FLOOR semantics throughout so conservation holds for NEGATIVE
+    # conversions (refunds) too: n·floor(v/n) + pmod(v, n) == v for any
+    # sign. Spark `div` truncates toward zero, so floor-divide by
+    # subtracting the positive modulus first (the difference is an exact
+    # multiple, where trunc == floor); DuckDB's `%` follows the dividend
+    # sign while `//` floors, so the oracle uses ((v % n) + n) % n.
+    credit = (F.expr("(v100 - pmod(v100, n_touches)) div n_touches")
+              + F.when(F.col("rk") <= F.pmod(F.col("v100"),
+                                             F.col("n_touches")),
                        F.lit(1)).otherwise(F.lit(0))).cast("long")
     return ranked.select(
         F.col("k").alias(key), "conv_id", "touch_id", "touch_type",

@@ -3160,7 +3160,9 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j)
     SELECT k AS user_id, conv_id, touch_id, touch_type, n_touches,
            CAST(v100 // n_touches
-                + CASE WHEN rk <= v100 % n_touches THEN 1 ELSE 0 END
+                + CASE WHEN rk <= ((v100 % n_touches) + n_touches)
+                               % n_touches
+                       THEN 1 ELSE 0 END
                 AS BIGINT) AS credit100
     FROM r
     """,

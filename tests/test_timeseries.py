@@ -432,3 +432,39 @@ def test_attribution_same_timestamp_strictly_before(spark):
                              10_000_000).collect()
     assert [r.touch_id for r in out] == [1]
     assert out[0].credit100 == 200
+
+
+def test_attribution_conserves_mass_for_refunds(spark):
+    """NEGATIVE conversions (refunds): floor semantics keep the
+    conservation law n·floor(v/n) + pmod(v, n) == v — credits still sum
+    exactly to v100 (the truncating form loses a centi-unit and
+    diverges from the flooring oracle)."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        linear_attribution)
+    rows = [
+        (1, _ts(0, 0, 0), 7, "view", 0.0),
+        (2, _ts(0, 0, 5), 7, "click", 0.0),
+        (3, _ts(0, 0, 8), 7, "purchase", -1.01),   # v100 = -101
+    ]
+    out = linear_attribution(_attr_events(spark, rows),
+                             ["view", "click"], "purchase",
+                             10_000_000).collect()
+    assert sum(r.credit100 for r in out) == -101
+    # floor(-101/2) = -51 each, pmod(-101, 2) = 1 -> most recent +1
+    by_touch = {r.touch_id: r.credit100 for r in out}
+    assert by_touch == {1: -51, 2: -50}
+
+
+def test_twap_floors_negative_weighted_sums(spark):
+    """Negative values: TWAP floors like the oracle's `//`, it does not
+    truncate toward zero."""
+    from mysql_ch_replicator_spark.operators.timeseries import twap
+    rows = [
+        (1, _ts(0, 0, 0), 7, -0.09),   # -9 centi-units for 1 s
+        (2, _ts(0, 0, 1), 7, -0.10),   # -10 for 1 s
+        (3, _ts(0, 0, 2), 7, 0.0),
+    ]
+    out = twap(_events(spark, rows)).collect()
+    assert len(out) == 1
+    # sum_vdt = (-9 - 10) * 1e6, sum_dt = 2e6 -> floor(-9.5) = -10
+    assert out[0].twap100 == -10
