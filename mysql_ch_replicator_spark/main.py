@@ -223,7 +223,9 @@ def run_binlog_replicator(args, config: Settings, spark=None,
     file-sink naming, which read_event_log/stream_event_log accept."""
     from pyspark.sql import functions as F
 
-    from .sources.debezium import debezium_events, debezium_schema_events
+    from .sources.debezium import (
+        PROBE_SCHEMA, debezium_dead_letters, debezium_events,
+        debezium_schema_events)
 
     if not args.envelope_dir:
         raise SystemExit("need to pass --envelope_dir argument")
@@ -269,23 +271,38 @@ def run_binlog_replicator(args, config: Settings, spark=None,
 
         batch.persist()
         try:
-            probe = F.from_json(
-                F.col("value").cast("string"),
-                "op string, ddl string, databaseName string, "
-                "source struct<db: string, table: string>")
+            probe = F.from_json(F.col("value").cast("string"),
+                                PROBE_SCHEMA)
             present_rows: set[tuple[str, str]] = set()
             ddl_dbs: set[str] = set()
+            has_dead = False
             for r in (batch.select(
                     probe["op"].alias("op"), probe["ddl"].alias("ddl"),
                     F.coalesce(probe["databaseName"],
                                probe["source"]["db"]).alias("ddl_db"),
                     probe["source"]["db"].alias("db"),
-                    probe["source"]["table"].alias("table"))
+                    probe["source"]["table"].alias("table"),
+                    (F.col("value").isNotNull() & probe["op"].isNull()
+                     & (probe["ddl"].isNull()
+                        | (F.trim(probe["ddl"]) == ""))
+                     & probe["databaseName"].isNull()
+                     & probe["source"]["db"].isNull()).alias("dead"))
                     .distinct().collect()):
                 if r.op is not None and r.db and r.table:
                     present_rows.add((r.db, r.table))
                 if r.ddl is not None and r.ddl.strip() and r.ddl_db:
                     ddl_dbs.add(r.ddl_db)
+                if r.dead:
+                    has_dead = True
+
+            # "no silent drops": envelopes matching neither contract go
+            # to a counted quarantine, not the void. The write job runs
+            # ONLY when the discovery pass saw a dead row — the clean
+            # path costs nothing extra.
+            if has_dead:
+                (debezium_dead_letters(batch)
+                 .write.mode("append")
+                 .json(os.path.join(root, "_dead_letter")))
             ddl_dbs = {db for db in ddl_dbs
                        if config is None or config.is_database_matches(db)}
 

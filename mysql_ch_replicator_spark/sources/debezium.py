@@ -150,3 +150,46 @@ def debezium_events(df: DataFrame, structure: TableStructure,
                F.lit(None).cast("string").alias("query"),
            ))
     return out
+
+
+#: probe schema shared by the ingest discovery pass and the dead-letter
+#: classifier — the minimal field set that identifies BOTH contracts.
+PROBE_SCHEMA = ("op string, ddl string, databaseName string, "
+                "source struct<db: string, table: string>")
+
+
+def debezium_dead_letters(df: DataFrame,
+                          value_col: str = "value") -> DataFrame:
+    """Quarantine classifier: the envelopes the adapters would otherwise
+    DROP SILENTLY. A record is dead when it is not a tombstone (null
+    value = Kafka compaction marker, legitimately skipped) and matches
+    NEITHER contract:
+
+    - ``malformed-json`` — ``from_json`` returns a null struct, i.e. the
+      bytes are not valid JSON at all (a corrupt producer, a truncated
+      write);
+    - ``unrecognized-envelope`` — valid JSON but no row ``op``, no
+      usable ``ddl``, and no ``databaseName``/``source.db`` to route by.
+
+    Schema-topic control messages (snapshot markers, SET statements —
+    null/empty ddl but a populated databaseName/source) stay
+    non-dead: dropping those is the documented contract
+    (``debezium_schema_events``), not data loss. Returns
+    (raw_value, reason) for the caller to append to a quarantine sink —
+    the "no silent drops" rule applied to ingest: at 100 TB a
+    misbehaving producer must surface as a counted, inspectable
+    quarantine stream, not as rows that never arrive."""
+    env = F.from_json(F.col(value_col).cast("string"), PROBE_SCHEMA)
+    no_op = env["op"].isNull()
+    no_ddl = env["ddl"].isNull() | (F.trim(env["ddl"]) == "")
+    no_route = env["databaseName"].isNull() & env["source"]["db"].isNull()
+    # PERMISSIVE from_json yields an all-null struct for corrupt bytes,
+    # so the malformed/alien distinction needs try_parse_json (null iff
+    # the bytes are not JSON at all)
+    parses = F.expr(f"try_parse_json(cast({value_col} as string))")
+    return (df.where(F.col(value_col).isNotNull())
+            .where(env.isNull() | (no_op & no_ddl & no_route))
+            .select(F.col(value_col).cast("string").alias("raw_value"),
+                    F.when(parses.isNull(), F.lit("malformed-json"))
+                     .otherwise(F.lit("unrecognized-envelope"))
+                     .alias("reason")))

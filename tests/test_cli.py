@@ -399,3 +399,70 @@ def test_binlog_replicator_routes_schema_change_envelopes(spark, tmp_path):
     got = {tuple(r) for r in
            engine.read_final("shop", "users").drop("_version").collect()}
     assert got == {(1, "Ivan", None)}
+
+
+def test_binlog_replicator_quarantines_dead_letters(spark, tmp_path):
+    """Envelopes matching neither contract (corrupt JSON, alien JSON)
+    land in a counted _dead_letter quarantine with a reason, while the
+    valid rows in the SAME batch still convert and apply — the "no
+    silent drops" ingest rule. Tombstones and schema-topic control
+    messages stay legitimately dropped, not quarantined."""
+    cfg = _config(tmp_path)
+    engine = ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+    engine.create_table("shop", DDL)
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    lines = [
+        json.dumps({"op": "c", "after": {"id": 1, "name": "Ivan"},
+                    "before": None, "ts_ms": 1,
+                    "source": {"db": "shop", "table": "users",
+                               "file": "binlog.1", "pos": 10}}),
+        "{{{corrupt bytes",                       # malformed-json
+        json.dumps({"foo": 42}),                  # unrecognized-envelope
+        json.dumps({"databaseName": "shop", "ddl": ""}),  # control: drop
+    ]
+    with open(env_dir / "dump.jsonl", "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    args = build_parser().parse_args(
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+    q = run_binlog_replicator(args, cfg, spark=spark,
+                              await_termination=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from mysql_ch_replicator_spark.sources.event_log import EVENT_SCHEMA
+    log = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(cfg.event_log_dir, "shop"))
+    assert log.count() == 1          # the valid row converted
+    dead = spark.read.json(
+        os.path.join(cfg.event_log_dir, "_dead_letter"))
+    got = {(r.reason, r.raw_value[:3]) for r in dead.collect()}
+    assert got == {("malformed-json", "{{{"),
+                   ("unrecognized-envelope", '{"f')}
+
+
+def test_dead_letter_classifier_contract(spark):
+    """Unit contract: tombstones and control messages are NOT dead;
+    corrupt bytes and alien JSON are, with distinct reasons."""
+    from mysql_ch_replicator_spark.sources.debezium import (
+        debezium_dead_letters)
+    rows = [
+        (json.dumps({"op": "c", "after": {},
+                     "source": {"db": "d", "table": "t",
+                                "file": "f", "pos": 1}}),),
+        (None,),                                     # tombstone
+        (json.dumps({"databaseName": "d", "ddl": ""}),),   # control
+        (json.dumps({"ddl": "CREATE TABLE x (a int)",
+                     "databaseName": "d",
+                     "source": {"file": "f", "pos": 2}}),),
+        ("{{{not json",),
+        (json.dumps({"foo": 42}),),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = {r.reason for r in debezium_dead_letters(df).collect()}
+    assert got == {"malformed-json", "unrecognized-envelope"}
+    assert debezium_dead_letters(df).count() == 2
