@@ -4402,3 +4402,55 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_prefix_join(docs)
+
+
+@register(
+    "entity_resolution_e2e",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+    pairs AS (
+      SELECT a.name AS a, b.name AS b
+      FROM n a JOIN n b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b AS src, a AS dst FROM pairs),
+    reach(id, r) AS (
+      SELECT DISTINCT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    comp AS (SELECT id AS name, min(r) AS canonical
+             FROM reach GROUP BY id),
+    sizes AS (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY canonical)
+    SELECT c.name, c.canonical, s.cluster_size
+    FROM comp c JOIN sizes s USING (canonical)
+    """,
+)
+def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed entity resolution: exact-recall bigram-blocked
+    Levenshtein matching (operators/dedup.fuzzy_name_pairs) → full
+    transitive closure (operators/dedup.connected_components, min-label
+    propagation) → canonical clusters (name, canonical = component min,
+    cluster_size), singletons dropped. The two stages are independently
+    oracle-proven elsewhere (naive exhaustive join; recursive CTE); this
+    query gates their COMPOSITION — A~B, B~C chains must land all three
+    on one canonical even though A≁C directly. Working set is the
+    distinct-name table, orders of magnitude under the fact table; the
+    closure loop's shuffle width scales with the edge count."""
+    from .operators.dedup import connected_components
+    from .operators.dedup import fuzzy_name_pairs as fuzzy_op
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = (fuzzy_op(part, "p_name", max_dist=2)
+             .select(F.col("name_a").alias("a"),
+                     F.col("name_b").alias("b")))
+    ids = part.select(F.col("p_name").alias("doc_id")).distinct()
+    comp = connected_components(pairs, ids)
+    resolved = comp.select(F.col("doc_id").alias("name"),
+                           F.col("dup_of").alias("canonical"))
+    sizes = (resolved.groupBy("canonical")
+             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return (resolved.join(sizes, "canonical")
+            .where(F.col("cluster_size") >= 2)
+            .select("name", "canonical", "cluster_size"))

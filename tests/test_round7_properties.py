@@ -706,3 +706,28 @@ def test_snapshot_diff_identical_snapshots_empty(spark):
     same = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
                                  "k long, s string, v long")
     assert snapshot_diff(df, same, ["k"]).count() == 0
+
+
+def test_entity_resolution_chains_compose(spark):
+    """A~B and B~C (but A≁C directly, distance 4) must resolve to ONE
+    canonical with cluster_size 3 — the composition the e2e query
+    gates; unrelated names stay out."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        connected_components, fuzzy_name_pairs)
+
+    a, b, c = "aaaa bbbb", "aaaa bbcc", "aaee bbcc"
+    # dist(a,b) = 2, dist(b,c) = 2, but dist(a,c) = 4: only the chain
+    # through b connects a and c
+    names = [a, b, c, "navy blue", "navi blue", "chartreuse"]
+    part = spark.createDataFrame([(n,) for n in names], "p_name string")
+    pairs = (fuzzy_name_pairs(part, "p_name", max_dist=2)
+             .select(F.col("name_a").alias("a"),
+                     F.col("name_b").alias("b")))
+    direct = {(r.a, r.b) for r in pairs.collect()}
+    assert (a, c) not in direct and (c, a) not in direct  # truly a chain
+    ids = part.select(F.col("p_name").alias("doc_id")).distinct()
+    comp = {r.doc_id: r.dup_of
+            for r in connected_components(pairs, ids).collect()}
+    assert comp[a] == comp[b] == comp[c] == a
+    assert comp["navy blue"] == comp["navi blue"] == "navi blue"
+    assert comp["chartreuse"] == "chartreuse"
