@@ -925,3 +925,31 @@ def test_jaccard_prefix_join_bounded_candidates(spark, queries):
     assert "InMemoryTableScan" in plan
     assert "Window" in plan       # the per-doc prefix rank
     assert "row_number" in plan
+
+
+def test_twap_single_key_exchange(spark, queries):
+    """One lead window + one combining aggregate, both on the user key:
+    exactly one hash exchange, no join, no global sort."""
+    plan = plan_of(queries["events_twap_daily"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan and "rangepartitioning" not in plan
+
+
+def test_attribution_single_equality_join(spark, queries):
+    """Touches join conversions on user EQUALITY with the time window as
+    a join filter — no cartesian/range explosion; count + recency rank
+    share the (user, conversion) partitioning."""
+    plan = plan_of(queries["events_attribution_linear"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Window" in plan
+
+
+def test_entity_resolution_no_cartesian_blocking(spark, queries):
+    """The matching stage must come from bigram blocking, never an
+    all-pairs name join; the closure loop runs over checkpointed
+    edge/label frames (Scan ExistingRDD), not re-derived lineage."""
+    plan = plan_of(queries["entity_resolution_e2e"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan   # localCheckpoint-backed closure
