@@ -224,8 +224,8 @@ def run_binlog_replicator(args, config: Settings, spark=None,
     from pyspark.sql import functions as F
 
     from .sources.debezium import (
-        PROBE_SCHEMA, debezium_dead_letters, debezium_events,
-        debezium_schema_events)
+        PROBE_SCHEMA, debezium_dead_letters, debezium_dead_predicate,
+        debezium_events, debezium_schema_events)
 
     if not args.envelope_dir:
         raise SystemExit("need to pass --envelope_dir argument")
@@ -282,11 +282,7 @@ def run_binlog_replicator(args, config: Settings, spark=None,
                                probe["source"]["db"]).alias("ddl_db"),
                     probe["source"]["db"].alias("db"),
                     probe["source"]["table"].alias("table"),
-                    (F.col("value").isNotNull() & probe["op"].isNull()
-                     & (probe["ddl"].isNull()
-                        | (F.trim(probe["ddl"]) == ""))
-                     & probe["databaseName"].isNull()
-                     & probe["source"]["db"].isNull()).alias("dead"))
+                    debezium_dead_predicate("value").alias("dead"))
                     .distinct().collect()):
                 if r.op is not None and r.db and r.table:
                     present_rows.add((r.db, r.table))
@@ -300,9 +296,15 @@ def run_binlog_replicator(args, config: Settings, spark=None,
             # ONLY when the discovery pass saw a dead row — the clean
             # path costs nothing extra.
             if has_dead:
+                # one directory per micro-batch id, mode=overwrite: a
+                # foreachBatch REPLAY (at-least-once) rewrites the same
+                # dir instead of appending duplicates — the quarantine
+                # count stays exact, mirroring how seq-versioning
+                # absorbs replays in the per-db logs
                 (debezium_dead_letters(batch)
-                 .write.mode("append")
-                 .json(os.path.join(root, "_dead_letter")))
+                 .write.mode("overwrite")
+                 .json(os.path.join(root, "_dead_letter",
+                                    f"batch={_id}")))
             ddl_dbs = {db for db in ddl_dbs
                        if config is None or config.is_database_matches(db)}
 

@@ -4445,12 +4445,17 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (fuzzy_op(part, "p_name", max_dist=2)
              .select(F.col("name_a").alias("a"),
                      F.col("name_b").alias("b")))
-    ids = part.select(F.col("p_name").alias("doc_id")).distinct()
+    # only pair-participating names enter the closure: every singleton
+    # the full name table would add is discarded below anyway, and the
+    # pair id set is orders of magnitude smaller than a corpus-wide
+    # distinct + join (review r7)
+    ids = (pairs.select(F.col("a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("b").alias("doc_id")))
+           .distinct())
     comp = connected_components(pairs, ids)
     resolved = comp.select(F.col("doc_id").alias("name"),
                            F.col("dup_of").alias("canonical"))
     sizes = (resolved.groupBy("canonical")
              .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
     return (resolved.join(sizes, "canonical")
-            .where(F.col("cluster_size") >= 2)
             .select("name", "canonical", "cluster_size"))

@@ -158,38 +158,58 @@ PROBE_SCHEMA = ("op string, ddl string, databaseName string, "
                 "source struct<db: string, table: string>")
 
 
+def debezium_dead_predicate(value_col: str = "value"):
+    """Boolean Column: this record would be SILENTLY DROPPED by every
+    adapter — the single shared definition of "dead" (the ingest
+    discovery gate and the quarantine classifier must never diverge).
+
+    Dead shapes:
+    - bytes that are not JSON at all;
+    - valid JSON matching neither contract (no ``op``, no usable
+      ``ddl``, nothing to route by);
+    - a ROW envelope (op present) whose ``source.db``/``source.table``
+      is missing — no per-table branch could ever select it;
+    - a DDL envelope (usable ddl) with neither ``databaseName`` nor
+      ``source.db`` — no per-db log could receive it.
+
+    NOT dead: tombstones (null value — Kafka compaction markers) and
+    schema-topic control messages (null/empty ddl but a populated
+    databaseName/source), whose dropping is the documented contract."""
+    env = F.from_json(F.col(value_col).cast("string"), PROBE_SCHEMA)
+    has_op = env["op"].isNotNull()
+    has_ddl = env["ddl"].isNotNull() & (F.trim(env["ddl"]) != "")
+    no_db_route = (env["databaseName"].isNull()
+                   & env["source"]["db"].isNull())
+    alien = ~has_op & ~has_ddl & no_db_route
+    unroutable_row = has_op & (env["source"]["db"].isNull()
+                               | env["source"]["table"].isNull())
+    unroutable_ddl = has_ddl & no_db_route
+    return (F.col(value_col).isNotNull()
+            & (env.isNull() | alien | unroutable_row | unroutable_ddl))
+
+
 def debezium_dead_letters(df: DataFrame,
                           value_col: str = "value") -> DataFrame:
-    """Quarantine classifier: the envelopes the adapters would otherwise
-    DROP SILENTLY. A record is dead when it is not a tombstone (null
-    value = Kafka compaction marker, legitimately skipped) and matches
-    NEITHER contract:
+    """Quarantine stream: the envelopes the adapters would otherwise
+    DROP SILENTLY (see ``debezium_dead_predicate`` for the shared
+    classification). Returns (raw_value, reason) for the caller to
+    write to a quarantine sink — the "no silent drops" rule applied to
+    ingest: at 100 TB a misbehaving producer must surface as a counted,
+    inspectable quarantine stream, not as rows that never arrive.
 
-    - ``malformed-json`` — ``from_json`` returns a null struct, i.e. the
-      bytes are not valid JSON at all (a corrupt producer, a truncated
-      write);
-    - ``unrecognized-envelope`` — valid JSON but no row ``op``, no
-      usable ``ddl``, and no ``databaseName``/``source.db`` to route by.
-
-    Schema-topic control messages (snapshot markers, SET statements —
-    null/empty ddl but a populated databaseName/source) stay
-    non-dead: dropping those is the documented contract
-    (``debezium_schema_events``), not data loss. Returns
-    (raw_value, reason) for the caller to append to a quarantine sink —
-    the "no silent drops" rule applied to ingest: at 100 TB a
-    misbehaving producer must surface as a counted, inspectable
-    quarantine stream, not as rows that never arrive."""
+    Reasons: ``malformed-json`` (bytes are not JSON — detected via
+    try_parse_json, since PERMISSIVE from_json yields an all-null
+    struct, not null), ``unroutable-row`` (op present, source
+    db/table missing), ``unroutable-ddl`` (usable ddl, nothing to
+    route by), else ``unrecognized-envelope``."""
     env = F.from_json(F.col(value_col).cast("string"), PROBE_SCHEMA)
-    no_op = env["op"].isNull()
-    no_ddl = env["ddl"].isNull() | (F.trim(env["ddl"]) == "")
-    no_route = env["databaseName"].isNull() & env["source"]["db"].isNull()
-    # PERMISSIVE from_json yields an all-null struct for corrupt bytes,
-    # so the malformed/alien distinction needs try_parse_json (null iff
-    # the bytes are not JSON at all)
-    parses = F.expr(f"try_parse_json(cast({value_col} as string))")
-    return (df.where(F.col(value_col).isNotNull())
-            .where(env.isNull() | (no_op & no_ddl & no_route))
+    has_op = env["op"].isNotNull()
+    has_ddl = env["ddl"].isNotNull() & (F.trim(env["ddl"]) != "")
+    parses = F.try_parse_json(F.col(value_col).cast("string"))
+    reason = (F.when(parses.isNull(), F.lit("malformed-json"))
+              .when(has_op, F.lit("unroutable-row"))
+              .when(has_ddl, F.lit("unroutable-ddl"))
+              .otherwise(F.lit("unrecognized-envelope")))
+    return (df.where(debezium_dead_predicate(value_col))
             .select(F.col(value_col).cast("string").alias("raw_value"),
-                    F.when(parses.isNull(), F.lit("malformed-json"))
-                     .otherwise(F.lit("unrecognized-envelope"))
-                     .alias("reason")))
+                    reason.alias("reason")))

@@ -461,8 +461,17 @@ def test_dead_letter_classifier_contract(spark):
                      "source": {"file": "f", "pos": 2}}),),
         ("{{{not json",),
         (json.dumps({"foo": 42}),),
+        # row envelope with a truncated source: no branch could route it
+        (json.dumps({"op": "c", "after": {"id": 9}}),),
+        # DDL with nothing to route by: no per-db log could receive it
+        (json.dumps({"ddl": "ALTER TABLE x ADD b int"}),),
     ]
     df = spark.createDataFrame(rows, "value string")
-    got = {r.reason for r in debezium_dead_letters(df).collect()}
-    assert got == {"malformed-json", "unrecognized-envelope"}
-    assert debezium_dead_letters(df).count() == 2
+    got = sorted(r.reason for r in debezium_dead_letters(df).collect())
+    assert got == ["malformed-json", "unrecognized-envelope",
+                   "unroutable-ddl", "unroutable-row"]
+    # the shared predicate and the classifier agree row for row
+    from mysql_ch_replicator_spark.sources.debezium import (
+        debezium_dead_predicate)
+    assert df.where(debezium_dead_predicate("value")).count() == \
+        debezium_dead_letters(df).count() == 4
