@@ -181,7 +181,7 @@ def run_monitoring(args, config: Settings, spark=None,
     JSON line per interval with, per database, the newest event-log file
     number and per-table committed seq — the replication-lag surface the
     reference derives from binlog vs state positions."""
-    from .monitoring import newest_log_file_number
+    from .monitoring import dead_letter_count, newest_log_file_number
 
     spark = spark or _spark("mysql_ch_replicator_spark-monitoring")
     engine = _engine(spark, config)
@@ -189,7 +189,9 @@ def run_monitoring(args, config: Settings, spark=None,
     root = _event_root(config)
     done = 0
     while max_iterations is None or done < max_iterations:
-        report = {"ts": time.time(), "databases": {}}
+        report = {"ts": time.time(),
+                  "dead_letters": dead_letter_count(root),
+                  "databases": {}}
         dbs = [args.db] if args.db else engine.databases()
         for db in dbs:
             tables = {}

@@ -128,3 +128,27 @@ def attach_streaming_metrics(spark, stats: ApplyStats):
     listener = _Listener()
     spark.streams.addListener(listener)
     return listener
+
+
+def dead_letter_count(event_root: str) -> int:
+    """Quarantined-envelope count: lines across the ingest tier's
+    ``_dead_letter/batch=*/*.json`` files. Listing + line count only —
+    no Spark job, same cost class as ``newest_log_file_number``; the
+    number the "no silent drops" rule exists to surface (a healthy
+    pipeline holds it at 0, a misbehaving producer makes it grow —
+    either way it is VISIBLE, unlike the reference's skipped binlog
+    events)."""
+    root = os.path.join(event_root, "_dead_letter")
+    if not os.path.isdir(root):
+        return 0
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(dirpath, name), "rb") as fh:
+                    n += sum(1 for line in fh if line.strip())
+            except OSError:
+                continue
+    return n

@@ -90,6 +90,17 @@ def test_monitoring_reports_lag(spark, tmp_path):
     report = json.loads(buf.getvalue())
     assert report["databases"]["db1"]["newest_log_file"] == 0
     assert report["databases"]["db1"]["table_last_seq"]["users"] == -1
+    assert report["dead_letters"] == 0  # healthy pipeline: visible zero
+
+    # quarantined envelopes surface in the next report
+    dl = tmp_path / "binlog" / "_dead_letter" / "batch=0"
+    dl.mkdir(parents=True)
+    (dl / "part-0000.json").write_text(
+        json.dumps({"raw_value": "{{{", "reason": "malformed-json"})
+        + "\n")
+    buf2 = io.StringIO()
+    run_monitoring(args, cfg, spark=spark, max_iterations=1, out=buf2)
+    assert json.loads(buf2.getvalue())["dead_letters"] == 1
 
 
 def test_db_optimizer_runs_sweep(spark, tmp_path):
