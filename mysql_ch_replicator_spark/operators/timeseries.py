@@ -280,6 +280,71 @@ def activity_streaks(events: DataFrame, key: str = "user_id",
             .withColumnRenamed("k", key))
 
 
+def _funnel_pointer_table(events: DataFrame, steps: list[str],
+                          key: str, state_col: str, ts_col: str,
+                          order_col: str) -> DataFrame:
+    """Shared funnel machinery: (k, et, us, oid, rn, nxt2..nxtS) — a
+    per-key row_number linearizes (ts, order) so "earliest next step-j
+    event" is a MIN over the FOLLOWING rows frame, all pointers from
+    ONE window pass; persisted because every chain hop joins it."""
+    from ..cache import transient_persist
+
+    base = events.select(
+        F.col(key).alias("k"),
+        F.col(state_col).alias("et"),
+        F.expr(f"unix_micros({ts_col})").alias("us"),
+        F.col(order_col).alias("oid"))
+    w_rn = Window.partitionBy("k").orderBy("us", "oid")
+    base = base.withColumn("rn", F.row_number().over(w_rn))
+    w_follow = (Window.partitionBy("k").orderBy("rn")
+                .rowsBetween(1, Window.unboundedFollowing))
+    for j, s in enumerate(steps[1:], start=2):
+        base = base.withColumn(
+            f"nxt{j}",
+            F.min(F.when(F.col("et") == s, F.col("rn"))).over(w_follow))
+    return transient_persist(base)
+
+
+def funnel_latency(events: DataFrame, steps: list[str], window_us: int,
+                   bucket_us: int = 60_000_000,
+                   key: str = "user_id", state_col: str = "event_type",
+                   ts_col: str = "ts",
+                   order_col: str = "event_id") -> DataFrame:
+    """Time-to-convert distribution for COMPLETED funnels: per key the
+    FASTEST full chain (min over candidate starts of last-step time −
+    first-step time, same greedy chains as ``window_funnel`` — greedy
+    minimizes each chain's completion for its start, so the per-key min
+    over starts is the true fastest conversion), bucketed to
+    ``bucket_us`` (default minutes): (dur_bucket, n_users).
+
+    Same plan family as window_funnel: one pointer-table window pass,
+    (key, rn) equality hops carrying (t1, last_us), then one per-key MIN
+    and a bucket histogram over the per-key aggregate — every exchange
+    key-scoped until the final |buckets|-wide count."""
+    n_steps = len(steps)
+    aug = _funnel_pointer_table(events, steps, key, state_col,
+                                ts_col, order_col)
+    cur = (aug.where(F.col("et") == steps[0])
+           .select("k", F.col("us").alias("t1"),
+                   F.col("nxt2").alias("p")))
+    for j in range(2, n_steps + 1):
+        nxt = f"nxt{j + 1}" if j < n_steps else None
+        right = aug.select(F.col("k").alias("rk"), "rn", "us",
+                           *([F.col(nxt).alias("np")] if nxt else []))
+        cur = (cur.join(right, (F.col("k") == F.col("rk"))
+                        & (F.col("p") == F.col("rn")))
+               .where(F.col("us") <= F.col("t1") + F.lit(window_us))
+               .select("k", "t1",
+                       (F.col("np") if nxt else F.col("us")).alias(
+                           "p" if nxt else "last_us")))
+    best = (cur.groupBy("k")
+            .agg(F.min(F.col("last_us") - F.col("t1")).alias("best_us")))
+    return (best
+            .groupBy(F.expr(f"best_us div {bucket_us}")
+                     .alias("dur_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
 def window_funnel(events: DataFrame, steps: list[str], window_us: int,
                   key: str = "user_id", state_col: str = "event_type",
                   ts_col: str = "ts",
@@ -309,23 +374,9 @@ def window_funnel(events: DataFrame, steps: list[str], window_us: int,
     shrink. Because rn order equals ts order, a greedy hop whose target
     misses the window proves NO target is inside it — each hop needs
     one comparison, no per-key scan-back."""
-    from ..cache import transient_persist
-
     n_steps = len(steps)
-    base = events.select(
-        F.col(key).alias("k"),
-        F.col(state_col).alias("et"),
-        F.expr(f"unix_micros({ts_col})").alias("us"),
-        F.col(order_col).alias("oid"))
-    w_rn = Window.partitionBy("k").orderBy("us", "oid")
-    base = base.withColumn("rn", F.row_number().over(w_rn))
-    w_follow = (Window.partitionBy("k").orderBy("rn")
-                .rowsBetween(1, Window.unboundedFollowing))
-    for j, s in enumerate(steps[1:], start=2):
-        base = base.withColumn(
-            f"nxt{j}",
-            F.min(F.when(F.col("et") == s, F.col("rn"))).over(w_follow))
-    aug = transient_persist(base)
+    aug = _funnel_pointer_table(events, steps, key, state_col,
+                                ts_col, order_col)
 
     # chain hops: cur carries (k, t1, p = rn of the next step's target)
     cur = (aug.where(F.col("et") == steps[0])

@@ -3318,6 +3318,50 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_latency",
+    f"""
+    WITH b AS (
+      SELECT user_id AS k, event_type AS et, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    a AS (
+      SELECT k, et, us, rn,
+             MIN(CASE WHEN et = 'click' THEN rn END) OVER w AS nxt2,
+             MIN(CASE WHEN et = 'purchase' THEN rn END) OVER w AS nxt3
+      FROM b
+      WINDOW w AS (PARTITION BY k ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    c1 AS (SELECT k, us AS t1, nxt2 AS p FROM a WHERE et = 'view'),
+    c2 AS (SELECT c1.k, c1.t1, a2.nxt3 AS p
+           FROM c1 JOIN a a2 ON a2.k = c1.k AND a2.rn = c1.p
+           WHERE a2.us <= c1.t1 + {_FUNNEL_W_US}),
+    c3 AS (SELECT c2.k, c2.t1, a3.us AS last_us
+           FROM c2 JOIN a a3 ON a3.k = c2.k AND a3.rn = c2.p
+           WHERE a3.us <= c2.t1 + {_FUNNEL_W_US}),
+    best AS (SELECT k, MIN(last_us - t1) AS best_us FROM c3 GROUP BY k)
+    SELECT CAST(best_us // 60000000 AS BIGINT) AS dur_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (operators/timeseries.
+    funnel_latency): for users completing the full view→click→purchase
+    chain within 6 h, the FASTEST conversion duration (min over
+    candidate starts — the greedy chain minimizes completion per start,
+    so the per-user min is exact), histogrammed to minute buckets.
+    Shares window_funnel's pointer-table machinery: one window pass,
+    key-scoped equality hops carrying (t1, last_us), one per-key MIN,
+    then a |buckets|-wide count."""
+    from .operators.timeseries import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(ev, ["view", "click", "purchase"],
+                          _FUNNEL_W_US)
+
+
+@register(
     "gdpr_erasure_cascade",
     """
     WITH victims AS (

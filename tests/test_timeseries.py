@@ -468,3 +468,27 @@ def test_twap_floors_negative_weighted_sums(spark):
     assert len(out) == 1
     # sum_vdt = (-9 - 10) * 1e6, sum_dt = 2e6 -> floor(-9.5) = -10
     assert out[0].twap100 == -10
+
+
+def test_funnel_latency_fastest_start_wins(spark):
+    """Two completed chains for one user: the reported duration is the
+    FASTEST (min over candidate starts), not the first; users who never
+    complete contribute nothing."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        funnel_latency)
+    rows = []
+
+    def ev(eid, sec, user, et):
+        rows.append((eid, dt.datetime(2024, 1, 1, 0, 0, sec), user, et))
+
+    # user 1: slow chain from view@0 (dur 8 s), fast from view@20 (2 s)
+    ev(1, 0, 1, "view"); ev(2, 4, 1, "click"); ev(3, 8, 1, "purchase")
+    ev(4, 20, 1, "view"); ev(5, 21, 1, "click"); ev(6, 22, 1, "purchase")
+    # user 2: never completes
+    ev(7, 0, 2, "view"); ev(8, 1, 2, "click")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, et string")
+    out = funnel_latency(df, ["view", "click", "purchase"],
+                         window_us=10_000_000, bucket_us=1_000_000,
+                         state_col="et").collect()
+    assert {(r.dur_bucket, r.n_users) for r in out} == {(2, 1)}
