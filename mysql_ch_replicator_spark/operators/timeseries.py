@@ -44,8 +44,8 @@ DAY_US = 86_400_000_000
 
 def _bucket(ts_col: str, bucket_us: int) -> Column:
     """Epoch-aligned integer bucket index: unix_micros(ts) div bucket.
-    Positive timestamps, so truncating (Spark `div`) and flooring
-    (DuckDB `//`) integer division agree."""
+    Positive timestamps, so the truncating integer divisions (both
+    Spark `div` and DuckDB `//` truncate toward zero) equal floor."""
     return F.expr(f"unix_micros({ts_col}) div {bucket_us}")
 
 
@@ -465,8 +465,9 @@ def twap(events: DataFrame, key: str = "user_id", ts_col: str = "ts",
     return (agg.where(F.col("sum_dt") > 0)
             .select(F.col("k").alias(key), "bucket", "n_intervals",
                     F.col("sum_dt").cast("long").alias("dur_us"),
-                    # floor, not truncate: negative weighted sums
-                    # must match DuckDB's flooring `//`
+                    # floor, not truncate, for negative weighted
+                    # sums; the oracle floors the same way (both
+                    # engines' `//`/`div` truncate toward zero)
                     F.expr("((sum_vdt - pmod(sum_vdt, sum_dt))"
                            " div sum_dt)").cast("long")
                      .alias("twap100")))
@@ -523,8 +524,9 @@ def linear_attribution(events: DataFrame, touch_types: list[str],
     # conversions (refunds) too: n·floor(v/n) + pmod(v, n) == v for any
     # sign. Spark `div` truncates toward zero, so floor-divide by
     # subtracting the positive modulus first (the difference is an exact
-    # multiple, where trunc == floor); DuckDB's `%` follows the dividend
-    # sign while `//` floors, so the oracle uses ((v % n) + n) % n.
+    # multiple, where trunc == floor); DuckDB's `//` ALSO truncates and
+    # its `%` follows the dividend sign, so the oracle floors the same
+    # way: (v − ((v%n)+n)%n) // n with the ((v%n)+n)%n remainder.
     credit = (F.expr("(v100 - pmod(v100, n_touches)) div n_touches")
               + F.when(F.col("rk") <= F.pmod(F.col("v100"),
                                              F.col("n_touches")),
@@ -532,3 +534,51 @@ def linear_attribution(events: DataFrame, touch_types: list[str],
     return ranked.select(
         F.col("k").alias(key), "conv_id", "touch_id", "touch_type",
         "n_touches", credit.alias("credit100"))
+
+
+def trend_slope(events: DataFrame, key: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                x_unit_us: int = HOUR_US) -> DataFrame:
+    """Per-key least-squares trend in EXACT integer arithmetic: the OLS
+    slope is the rational
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = hours-since-epoch (integer) and y = centi-unit values, so
+    both numerator and denominator are exact decimal(38,0) integers —
+    no float regression exists and the oracle replays it bit-for-bit.
+    Reported as (n, slope_num, slope_den decimal-strings, slope_milli =
+    floor(1000·num/den) — centi-units per hour, milli-scaled,
+    FLOOR-consistent cross-engine for either sign). Keys with a
+    degenerate x spread (all events in one hour → den = 0) are
+    excluded BEFORE the division.
+
+    ONE combining aggregate over the events — the five sums are
+    map-side partials; magnitudes: x ~ 5·10^5 hours, y ~ 10^4, so
+    Σxy ~ n·5·10^9 and n·Σx² ~ n²·2.5·10^11 — past int64 at modest n,
+    hence every sum takes decimal(38,0) input."""
+    dec = "decimal(38,0)"
+    x = F.expr(f"unix_micros({ts_col}) div {x_unit_us}").cast(dec)
+    y = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long") \
+        .cast(dec)
+    staged = events.select(F.col(key).alias("k"), x.alias("x"),
+                           y.alias("y"))
+    agg = (staged.groupBy("k")
+           .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                F.sum("x").cast(dec).alias("sx"),
+                F.sum("y").cast(dec).alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast(dec)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast(dec)
+    sized = agg.select(F.col("k").alias(key),
+                       F.col("n").cast("long").alias("n"),
+                       num.alias("num"), den.alias("den"))
+    return (sized.where(F.col("den") > 0)
+            .select(key, "n",
+                    F.col("num").cast("string").alias("slope_num"),
+                    F.col("den").cast("string").alias("slope_den"),
+                    F.expr("((1000 * num) - pmod(1000 * num, den)) "
+                           "div den").cast("long").alias("slope_milli")))

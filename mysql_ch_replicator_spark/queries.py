@@ -3134,6 +3134,49 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trend_slope",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM e GROUP BY user_id),
+    s AS (
+      SELECT user_id, n, n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM a)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(CAST(num AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+           CAST(CAST(den AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
+           CAST((1000 * num - ((((1000 * num) % den) + den) % den))
+                // den AS BIGINT) AS slope_milli
+    FROM s WHERE den > 0
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend in exact integers (operators/timeseries.
+    trend_slope): slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) over
+    (hours-since-epoch, centi-unit value) — numerator and denominator
+    are exact decimal(38,0), slope_milli FLOORS for either sign — both
+    engines' integer division truncates toward zero, so BOTH sides
+    subtract the positive modulus first (Spark (a − pmod) div b,
+    DuckDB (a − ((a%b)+b)%b) // b). ONE combining
+    aggregate; degenerate keys (all events in one hour, den = 0)
+    excluded before the division."""
+    from .operators.timeseries import trend_slope
+
+    ev = load_table(spark, sf_dir, "events")
+    return trend_slope(ev)
+
+
+@register(
     "events_attribution_linear",
     """
     WITH c AS (
@@ -3159,7 +3202,8 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS rk
       FROM j)
     SELECT k AS user_id, conv_id, touch_id, touch_type, n_touches,
-           CAST(v100 // n_touches
+           CAST((v100 - (((v100 % n_touches) + n_touches) % n_touches))
+                // n_touches
                 + CASE WHEN rk <= ((v100 % n_touches) + n_touches)
                                % n_touches
                        THEN 1 ELSE 0 END
@@ -3208,7 +3252,8 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM iv GROUP BY 1, 2)
     SELECT user_id, bucket, n_intervals,
            CAST(sum_dt AS BIGINT) AS dur_us,
-           CAST(sum_vdt // sum_dt AS BIGINT) AS twap100
+           CAST((sum_vdt - (((sum_vdt % sum_dt) + sum_dt) % sum_dt))
+                // sum_dt AS BIGINT) AS twap100
     FROM a WHERE sum_dt > 0
     """,
 )

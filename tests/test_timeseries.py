@@ -456,8 +456,9 @@ def test_attribution_conserves_mass_for_refunds(spark):
 
 
 def test_twap_floors_negative_weighted_sums(spark):
-    """Negative values: TWAP floors like the oracle's `//`, it does not
-    truncate toward zero."""
+    """Negative values: TWAP floors (both engines' plain integer
+    division truncates toward zero, so both sides subtract the
+    positive modulus first)."""
     from mysql_ch_replicator_spark.operators.timeseries import twap
     rows = [
         (1, _ts(0, 0, 0), 7, -0.09),   # -9 centi-units for 1 s
@@ -492,3 +493,45 @@ def test_funnel_latency_fastest_start_wins(spark):
                          window_us=10_000_000, bucket_us=1_000_000,
                          state_col="et").collect()
     assert {(r.dur_bucket, r.n_users) for r in out} == {(2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Trend slope
+# ---------------------------------------------------------------------------
+
+def test_trend_slope_matches_hand_ols(spark):
+    """Exact OLS numerator/denominator on a crafted series, including a
+    NEGATIVE trend whose slope_milli must floor (not truncate)."""
+    from mysql_ch_replicator_spark.operators.timeseries import trend_slope
+    # user 7: y100 = [300, 200, 100] at x = hours h, h+1, h+2 (falling)
+    rows = [
+        (1, _ts(0, 30), 7, 3.0),
+        (2, _ts(1, 30), 7, 2.0),
+        (3, _ts(2, 30), 7, 1.0),
+        (4, _ts(0, 0), 8, 5.0),   # single-hour user: den = 0, excluded
+        (5, _ts(0, 59), 8, 9.0),
+    ]
+    out = {r.user_id: r for r in trend_slope(_events(spark, rows))
+           .collect()}
+    assert set(out) == {7}
+    r = out[7]
+    # shifted x is irrelevant to the slope: num/den = -100 per hour
+    assert int(r.slope_num) / int(r.slope_den) == -100.0
+    assert r.slope_milli == -100_000
+    assert r.n == 3
+
+
+def test_trend_slope_floor_on_non_exact_negative(spark):
+    """y100 = [0, 0, -100]: slope = -50 per hour → slope_milli -50000;
+    y100 = [0, -100]: slope = -100. A non-exact case: y100 = [0, 0, -1]
+    → num = -100, den = 200 wait — use [0.00, 0.00, -0.01]: slope =
+    -1/2 centi/hour → milli floor(-500.0) exact; use 2-point uneven:
+    x = 0, 3 h; y = 0, -1 → slope = -1/3 → milli = -334 (floor), not
+    -333 (truncation)."""
+    from mysql_ch_replicator_spark.operators.timeseries import trend_slope
+    rows = [
+        (1, _ts(0, 0), 1, 0.0),
+        (2, _ts(3, 0), 1, -0.01),
+    ]
+    r = trend_slope(_events(spark, rows)).collect()[0]
+    assert r.slope_milli == -334
