@@ -582,3 +582,59 @@ def trend_slope(events: DataFrame, key: str = "user_id",
                     F.col("den").cast("string").alias("slope_den"),
                     F.expr("((1000 * num) - pmod(1000 * num, den)) "
                            "div den").cast("long").alias("slope_milli")))
+
+
+def volume_correlation(events: DataFrame, type_a: str, type_b: str,
+                       state_col: str = "event_type", ts_col: str = "ts",
+                       bucket_us: int = DAY_US) -> DataFrame:
+    """Exact Pearson correlation between two event types' per-bucket
+    volumes, in pure integers: with x/y = the types' daily counts over
+    the shared bucket domain,
+
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    — numerator and denominator are exact decimal(38,0) (r itself needs
+    a square root, which is float and engine-divergent; r² plus the
+    covariance SIGN carries the same decision information). Returns one
+    row: (n_buckets, sign, r2_ppm = floor(10⁶·num²/den), plus the raw
+    num/den decimal strings for audit). Degenerate series (zero
+    variance on either side) yield no row rather than a 0/0.
+
+    Plan: one combining (bucket, type) count over the events, a pivot
+    to (x, y) per bucket (missing type in a bucket counts 0 — the
+    CORRECT reading of "no events"), then a single 1-row aggregate.
+    Nothing wider than |buckets| ever shuffles."""
+    dec = "decimal(38,0)"
+    counts = (events
+              .where(F.col(state_col).isin([type_a, type_b]))
+              .groupBy(_bucket(ts_col, bucket_us).alias("b"))
+              .agg(F.sum(F.when(F.col(state_col) == type_a, 1)
+                         .otherwise(0)).cast(dec).alias("x"),
+                   F.sum(F.when(F.col(state_col) == type_b, 1)
+                         .otherwise(0)).cast(dec).alias("y")))
+    agg = counts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast(dec)
+    den = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))) \
+        .cast(dec)
+    staged = agg.select(
+        F.col("n").cast("long").alias("n_buckets"),
+        num.alias("num"), den.alias("den"))
+    # num² and den are non-negative, so plain truncating div IS floor
+    # here; 10⁶·num² stays inside decimal(38,0) for |num| < 10^16 —
+    # daily volumes to ~10^7 over ~10^3 buckets, far past any real
+    # per-type daily event count
+    return (staged.where(F.col("den") > 0)
+            .select("n_buckets",
+                    F.signum(F.col("num")).cast("long").alias("sign"),
+                    F.expr("(1000000 * num * num) div den")
+                     .cast("long").alias("r2_ppm"),
+                    F.col("num").cast("string").alias("cov_num"),
+                    F.col("den").cast("string").alias("var_den")))

@@ -3134,6 +3134,51 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_volume_correlation",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 86400000000 AS b,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS HUGEINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    a AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM c),
+    s AS (
+      SELECT CAST(n AS BIGINT) AS n_buckets,
+             n * sxy - sx * sy AS num,
+             (n * sxx - sx * sx) * (n * syy - sy * sy) AS den
+      FROM a)
+    SELECT n_buckets,
+           CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS sign,
+           CAST((1000000 * num * num) // den AS BIGINT) AS r2_ppm,
+           CAST(CAST(num AS DECIMAL(38,0)) AS VARCHAR) AS cov_num,
+           CAST(CAST(den AS DECIMAL(38,0)) AS VARCHAR) AS var_den
+    FROM s WHERE den > 0
+    """,
+)
+def events_volume_correlation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Exact Pearson r² between click and purchase daily volumes
+    (operators/timeseries.volume_correlation): covariance numerator and
+    variance-product denominator as exact decimal(38,0) integers (r
+    itself needs a float sqrt; r² + the covariance sign carries the
+    same decision), r2_ppm an exact non-negative div. One combining
+    (day) count pivot — a day missing one type counts 0 — then a 1-row
+    aggregate; nothing wider than |days| shuffles."""
+    from .operators.timeseries import volume_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    return volume_correlation(ev, "click", "purchase")
+
+
+@register(
     "events_trend_slope",
     """
     WITH e AS (

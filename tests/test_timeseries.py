@@ -535,3 +535,38 @@ def test_trend_slope_floor_on_non_exact_negative(spark):
     ]
     r = trend_slope(_events(spark, rows)).collect()[0]
     assert r.slope_milli == -334
+
+
+def test_volume_correlation_perfect_and_degenerate(spark):
+    """Perfectly correlated daily volumes → r² = 1e6 ppm with sign +1;
+    perfectly anti-correlated → sign −1; a zero-variance side yields no
+    row (not 0/0)."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        volume_correlation)
+
+    def mk(day_counts):
+        rows, eid = [], 0
+        for day, (a, b) in enumerate(day_counts):
+            for _ in range(a):
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, 1 + day, 1),
+                             1, "click", 0.0))
+            for _ in range(b):
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, 1 + day, 2),
+                             1, "purchase", 0.0))
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+
+    # y = 2x exactly → r² = 1, positive
+    r = volume_correlation(mk([(1, 2), (2, 4), (3, 6)]),
+                           "click", "purchase").collect()[0]
+    assert (r.sign, r.r2_ppm) == (1, 1_000_000)
+    # anti-correlated
+    r = volume_correlation(mk([(1, 3), (2, 2), (3, 1)]),
+                           "click", "purchase").collect()[0]
+    assert (r.sign, r.r2_ppm) == (-1, 1_000_000)
+    # constant clicks: zero variance → empty
+    assert volume_correlation(mk([(2, 1), (2, 5), (2, 3)]),
+                              "click", "purchase").count() == 0
