@@ -242,6 +242,8 @@ def run_binlog_replicator(args, config: Settings, spark=None,
 
     raw = (spark.readStream.schema("value string")
            .text(args.envelope_dir))
+    import uuid
+    run_token = uuid.uuid4().hex[:12]
 
     def convert(batch, _id):
         # schema-change envelopes (non-null ddl) become QUERY barrier
@@ -298,14 +300,17 @@ def run_binlog_replicator(args, config: Settings, spark=None,
             # ONLY when the discovery pass saw a dead row — the clean
             # path costs nothing extra.
             if has_dead:
-                # one directory per micro-batch id, mode=overwrite: a
-                # foreachBatch REPLAY (at-least-once) rewrites the same
-                # dir instead of appending duplicates — the quarantine
-                # count stays exact, mirroring how seq-versioning
-                # absorbs replays in the per-db logs
+                # one directory per (run, micro-batch id), overwrite: a
+                # foreachBatch REPLAY within the run rewrites its own
+                # dir instead of appending duplicates. The run token
+                # keeps a RESET checkpoint (batch ids restart at 0)
+                # from clobbering an earlier run's evidence — a
+                # restart-replayed batch may then duplicate under a new
+                # token, but bounded duplication beats silent loss.
                 (debezium_dead_letters(batch)
                  .write.mode("overwrite")
                  .json(os.path.join(root, "_dead_letter",
+                                    f"run={run_token}",
                                     f"batch={_id}")))
             ddl_dbs = {db for db in ddl_dbs
                        if config is None or config.is_database_matches(db)}

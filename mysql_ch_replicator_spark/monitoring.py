@@ -132,17 +132,20 @@ def attach_streaming_metrics(spark, stats: ApplyStats):
 
 def dead_letter_count(event_root: str) -> int:
     """Quarantined-envelope count: lines across the ingest tier's
-    ``_dead_letter/batch=*/*.json`` files. Listing + line count only —
-    no Spark job, same cost class as ``newest_log_file_number``; the
-    number the "no silent drops" rule exists to surface (a healthy
-    pipeline holds it at 0, a misbehaving producer makes it grow —
-    either way it is VISIBLE, unlike the reference's skipped binlog
-    events)."""
+    committed ``_dead_letter/**/*.json`` files — the number the "no
+    silent drops" rule exists to surface (a healthy pipeline holds it
+    at 0, a misbehaving producer makes it grow — either way VISIBLE,
+    unlike the reference's skipped binlog events). No Spark job; cost
+    is O(quarantine bytes) per call, which the rule itself keeps near
+    zero on a healthy pipeline. ``_``/``.``-prefixed subdirectories
+    (Spark's in-flight ``_temporary`` attempt files) are pruned so a
+    concurrent quarantine write can't double-count."""
     root = os.path.join(event_root, "_dead_letter")
     if not os.path.isdir(root):
         return 0
     n = 0
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for name in files:
             if not name.endswith(".json"):
                 continue

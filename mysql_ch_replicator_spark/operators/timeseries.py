@@ -322,6 +322,10 @@ def funnel_latency(events: DataFrame, steps: list[str], window_us: int,
     and a bucket histogram over the per-key aggregate — every exchange
     key-scoped until the final |buckets|-wide count."""
     n_steps = len(steps)
+    if n_steps < 2:
+        raise ValueError(
+            "funnel_latency needs >= 2 steps (a single-step funnel has "
+            "no duration); got %r" % (steps,))
     aug = _funnel_pointer_table(events, steps, key, state_col,
                                 ts_col, order_col)
     cur = (aug.where(F.col("et") == steps[0])
@@ -628,9 +632,13 @@ def volume_correlation(events: DataFrame, type_a: str, type_b: str,
         F.col("n").cast("long").alias("n_buckets"),
         num.alias("num"), den.alias("den"))
     # num² and den are non-negative, so plain truncating div IS floor
-    # here; 10⁶·num² stays inside decimal(38,0) for |num| < 10^16 —
-    # daily volumes to ~10^7 over ~10^3 buckets, far past any real
-    # per-type daily event count
+    # here. Range: 10⁶·num² needs |num| < 10^16; num ≈ n²·c² for n
+    # buckets of per-type volume c, so the safe envelope is n·c < 10^8
+    # (e.g. 10³ daily buckets at 10^5 events/type/day). Beyond it,
+    # Spark's non-ANSI decimal multiply NULLs while DuckDB's HUGEINT
+    # errors — callers at that scale pre-divide the bucket counts by a
+    # constant (correlation is scale-invariant up to the integer
+    # truncation of the scaled counts).
     return (staged.where(F.col("den") > 0)
             .select("n_buckets",
                     F.signum(F.col("num")).cast("long").alias("sign"),

@@ -522,12 +522,9 @@ def test_trend_slope_matches_hand_ols(spark):
 
 
 def test_trend_slope_floor_on_non_exact_negative(spark):
-    """y100 = [0, 0, -100]: slope = -50 per hour → slope_milli -50000;
-    y100 = [0, -100]: slope = -100. A non-exact case: y100 = [0, 0, -1]
-    → num = -100, den = 200 wait — use [0.00, 0.00, -0.01]: slope =
-    -1/2 centi/hour → milli floor(-500.0) exact; use 2-point uneven:
-    x = 0, 3 h; y = 0, -1 → slope = -1/3 → milli = -334 (floor), not
-    -333 (truncation)."""
+    """Two points three hours apart, value falling one centi-unit:
+    slope = −1/3 centi-units per hour → slope_milli = floor(−1000/3) =
+    −334; a truncating quotient would report −333."""
     from mysql_ch_replicator_spark.operators.timeseries import trend_slope
     rows = [
         (1, _ts(0, 0), 1, 0.0),
