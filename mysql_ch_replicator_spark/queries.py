@@ -3134,6 +3134,50 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_seasonal_anomaly",
+    """
+    WITH e AS (
+      SELECT user_id AS k,
+             (epoch_us(ts) // 3600000000) % 24 AS phase,
+             event_id AS oid,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events),
+    g AS (
+      SELECT k, phase, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+      FROM e GROUP BY k, phase),
+    j AS (
+      SELECT e.k, e.oid, e.phase, e.v,
+             g.n - 1 AS n1, g.s - e.v AS s1,
+             g.ss - CAST(e.v AS HUGEINT) * e.v AS ss1
+      FROM e JOIN g USING (k, phase))
+    SELECT k AS user_id, oid AS event_id,
+           CAST(phase AS BIGINT) AS phase, v AS v100,
+           CAST(CAST((n1*v - s1) * (n1*v - s1) AS DECIMAL(38,0))
+                AS VARCHAR) AS dev2,
+           CAST(CAST(9 * (n1*ss1 - s1*s1) AS DECIMAL(38,0)) AS VARCHAR)
+             AS bound
+    FROM j
+    WHERE n1 >= 5 AND (n1*v - s1)*(n1*v - s1) > 9*(n1*ss1 - s1*s1)
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal outliers (operators/timeseries.seasonal_anomaly):
+    deviations from the user's OWN hour-of-day profile — the
+    periodicity detector rolling_anomaly's recency window normalizes
+    away. Leave-one-out baseline (each row tests against n−1, Σv−v,
+    Σv²−v² — self-inclusion dampens, the round-7 vacuous-detector
+    lesson), exact cross-multiplied integers, ≥5 other same-phase
+    observations required. One combining (user, phase) aggregate joined
+    back on its own partitioning."""
+    from .operators.timeseries import seasonal_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly(ev)
+
+
+@register(
     "events_volume_correlation",
     """
     WITH c AS (

@@ -567,3 +567,36 @@ def test_volume_correlation_perfect_and_degenerate(spark):
     # constant clicks: zero variance → empty
     assert volume_correlation(mk([(2, 1), (2, 5), (2, 3)]),
                               "click", "purchase").count() == 0
+
+
+def test_seasonal_anomaly_loo_baseline_fires(spark):
+    """A spike at a phase whose OTHER observations are constant must
+    flag (LOO: zero-variance history → any departure fires); the same
+    value tested against a self-INCLUSIVE baseline would dampen. Rows
+    at phases with under min_history other observations never flag."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        seasonal_anomaly)
+    rows = []
+    # user 1, hour-3 history: 10.0 on six days, then one 50.0 spike
+    for d in range(6):
+        rows.append((d, dt.datetime(2024, 1, 1 + d, 3), 1, 10.0))
+    rows.append((99, dt.datetime(2024, 1, 7, 3), 1, 50.0))
+    # user 2: only 3 observations at its phase -> below min_history
+    for d in range(3):
+        rows.append((200 + d, dt.datetime(2024, 1, 1 + d, 5), 2, 9999.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    out = seasonal_anomaly(df).collect()
+    assert [(r.user_id, r.event_id, r.phase) for r in out] == [(1, 99, 3)]
+
+
+def test_seasonal_anomaly_constant_history_never_flags_itself(spark):
+    """All-identical values at a phase: zero deviation for every row —
+    nothing flags (dev2 = 0 is not > bound = 0)."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        seasonal_anomaly)
+    rows = [(d, dt.datetime(2024, 1, 1 + d, 4), 1, 7.0)
+            for d in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    assert seasonal_anomaly(df).count() == 0
