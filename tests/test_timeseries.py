@@ -600,3 +600,68 @@ def test_seasonal_anomaly_constant_history_never_flags_itself(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, value double")
     assert seasonal_anomaly(df).count() == 0
+
+
+# --- hypothesis sweep: window_funnel vs exhaustive chain search ----------
+
+_FUNNEL_EVS = st.lists(
+    st.tuples(st.integers(0, 2),     # user
+              st.integers(0, 120),   # second offset
+              st.integers(0, 2)),    # step index: 0=view 1=click 2=buy
+    min_size=1, max_size=14)
+
+
+def _brute_funnel_level(evs_for_user, window_s, steps=3):
+    """Exhaustive max funnel level: try every strictly-(ts, id)-
+    increasing chain matching the step prefix within window_s of its
+    first element — no greedy assumption anywhere."""
+    # events as (sec, idx, step), ordered arbitrarily; chains ordered by
+    # (sec, idx) strictly increasing
+    best = 0
+
+    def extend(chain_last, next_step, t1):
+        nonlocal best
+        best = max(best, next_step)   # reached next_step steps so far
+        if next_step == steps:
+            return
+        for e in evs_for_user:
+            if e[2] != next_step:
+                continue
+            if not (e[:2] > chain_last):
+                continue
+            if e[0] > t1 + window_s:
+                continue
+            extend(e[:2], next_step + 1, t1)
+
+    for e in evs_for_user:
+        if e[2] == 0:
+            extend(e[:2], 1, e[0])
+    return best
+
+
+@hyp_settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_FUNNEL_EVS, st.integers(5, 90))
+def test_window_funnel_matches_exhaustive_search(spark, evs, window_s):
+    """The operator's greedy-per-start level equals an EXHAUSTIVE
+    search over all valid chains — the optimality argument checked
+    empirically on random event sets, including same-timestamp ties."""
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        window_funnel)
+    names = ["view", "click", "purchase"]
+    rows = [(i, _ts(0) + dt.timedelta(seconds=sec), u, names[stp])
+            for i, (u, sec, stp) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {r.level: r.n_users
+           for r in window_funnel(df, names, window_s * 1_000_000,
+                                  state_col="event_type").collect()}
+
+    by_user = {}
+    for i, (u, sec, stp) in enumerate(evs):
+        by_user.setdefault(u, []).append((sec, i, stp))
+    want = {lvl: 0 for lvl in range(4)}
+    for u, es in by_user.items():
+        want[_brute_funnel_level(es, window_s)] += 1
+    assert {k: v for k, v in got.items()} == want
