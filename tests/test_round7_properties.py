@@ -731,3 +731,46 @@ def test_entity_resolution_chains_compose(spark):
     assert comp[a] == comp[b] == comp[c] == a
     assert comp["navy blue"] == comp["navi blue"] == "navi blue"
     assert comp["chartreuse"] == "chartreuse"
+
+
+# --- hypothesis sweep: prefix Jaccard join vs brute force ---------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+_DOCS = st.lists(
+    st.lists(st.integers(0, len(_VOCAB) - 1), min_size=3, max_size=9),
+    min_size=2, max_size=8)
+
+
+@hyp_settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_DOCS)
+def test_jaccard_prefix_lossless_on_random_corpora(spark, word_lists):
+    """Random tiny-vocab corpora (hot shared shingles, duplicates,
+    short docs): the prefix+positional-filtered join returns EXACTLY
+    the brute-force J >= 0.5 pair set — the lossless claim under
+    adversarially overlapping inputs, not just the crafted corpus."""
+    from mysql_ch_replicator_spark.operators.dedup import (
+        jaccard_prefix_join)
+
+    docs = [(i, " ".join(_VOCAB[w] for w in ws))
+            for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): (r.common, r.union_n)
+           for r in jaccard_prefix_join(df).collect()}
+
+    sh = {i: _shingle3(t) for i, t in docs}
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if 1_000_000 * inter >= 500_000 * union:
+                want[(a, b)] = (inter, union)
+    assert got == want
