@@ -242,9 +242,6 @@ def run_binlog_replicator(args, config: Settings, spark=None,
 
     raw = (spark.readStream.schema("value string")
            .text(args.envelope_dir))
-    import uuid
-    run_token = uuid.uuid4().hex[:12]
-
     def convert(batch, _id):
         # schema-change envelopes (non-null ddl) become QUERY barrier
         # events in the same per-db log; apply orders by binlog pos, so
@@ -300,18 +297,23 @@ def run_binlog_replicator(args, config: Settings, spark=None,
             # ONLY when the discovery pass saw a dead row — the clean
             # path costs nothing extra.
             if has_dead:
-                # one directory per (run, micro-batch id), overwrite: a
-                # foreachBatch REPLAY within the run rewrites its own
-                # dir instead of appending duplicates. The run token
-                # keeps a RESET checkpoint (batch ids restart at 0)
-                # from clobbering an earlier run's evidence — a
-                # restart-replayed batch may then duplicate under a new
-                # token, but bounded duplication beats silent loss.
-                (debezium_dead_letters(batch)
-                 .write.mode("overwrite")
+                # one directory per CONTENT HASH of the batch's dead
+                # rows, overwrite: a foreachBatch replay — within the
+                # run OR after a checkpoint reset (batch ids restart at
+                # 0, which a (run, batch-id) key double-counted forever,
+                # ADVICE r7) — lands in the SAME dir and rewrites it, so
+                # dead_letter_count (the alerting surface) never drifts
+                # up from replays. The hash is one tiny agg over the
+                # dead rows only (order-independent: sorted before
+                # hashing), not the whole batch.
+                dl = debezium_dead_letters(batch)
+                digest = dl.agg(F.md5(F.concat_ws(
+                    "\x1e", F.sort_array(F.collect_list(F.concat_ws(
+                        "\x1f", F.col("raw_value"), F.col("reason"))))
+                )).alias("h")).collect()[0].h
+                (dl.write.mode("overwrite")
                  .json(os.path.join(root, "_dead_letter",
-                                    f"run={run_token}",
-                                    f"batch={_id}")))
+                                    f"content={digest}")))
             ddl_dbs = {db for db in ddl_dbs
                        if config is None or config.is_database_matches(db)}
 

@@ -161,7 +161,8 @@ def fd_profile(tables: dict[str, DataFrame],
 
 
 def ks_drift(df: DataFrame, group_col: str = "source",
-             value_col: str = "n_chars") -> DataFrame:
+             value_col: str = "n_chars",
+             max_grid_cells: int = 50_000_000) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift: each group's value
     distribution against the REST of the table (its complement), in pure
     integer arithmetic.
@@ -185,6 +186,16 @@ def ks_drift(df: DataFrame, group_col: str = "source",
     anywhere. Products ride decimal(38,0) (cum·n can pass 2^63 at
     corpus scale; Spark's non-ANSI long product wraps silently).
 
+    The grid is |groups|·|distinct values| rows: exact KS needs every
+    group's ECDF evaluated at every observed value, so a HIGH-CARDINALITY
+    value column (raw floats, ids) multiplies the grid by the group
+    count. Rather than silently truncating (the repo's no-silent-caps
+    rule), the operator measures both cardinalities on the already-
+    persisted counts (one tiny agg) and raises past ``max_grid_cells``
+    with the fix spelled out: bucket the values first (HDR-style
+    ``value div width``), which keeps KS exact over the bucketed
+    distribution.
+
     Returns one row per group with a nonempty complement:
     (group, n_s, n_r, d_num decimal-string, d_ppm long)."""
     from pyspark.sql import Window
@@ -194,6 +205,18 @@ def ks_drift(df: DataFrame, group_col: str = "source",
                          F.col(value_col).alias("x"))
               .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     counts = transient_persist(counts)
+    dims = counts.agg(
+        F.countDistinct("g").cast("long").alias("gs"),
+        F.countDistinct("x").cast("long").alias("xs")).first()
+    if int(dims.gs) * int(dims.xs) > max_grid_cells:
+        raise ValueError(
+            f"ks_drift: ECDF grid would be {int(dims.gs)} groups × "
+            f"{int(dims.xs)} distinct values = "
+            f"{int(dims.gs) * int(dims.xs)} cells "
+            f"(> max_grid_cells={max_grid_cells}). Bucket the value "
+            f"column first (e.g. F.expr('{value_col} div W')) — KS over "
+            f"bucketed values stays exact for the bucketed distribution "
+            f"— or raise max_grid_cells explicitly.")
     xs = counts.select("x").distinct()
     srcs = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_s"))
     tot = srcs.agg(F.sum("n_s").cast("long").alias("n_g"))

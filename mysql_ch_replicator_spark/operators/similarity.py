@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..cache import transient_persist
 from ..functions.hashing import h60
 from ..sources.snapshot import spread
@@ -758,9 +759,13 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
         "embedding", n_cells, dims, probes=1, centroids=cents)
     (assigned.withColumn("cell", F.element_at("cells", 1)).drop("cells")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
-    with open(os.path.join(path, _IVF_META), "w", encoding="utf-8") as fh:
-        json.dump({"n_cells": n_cells, "dims": dims, "centroids": cents},
-                  fh)
+    # meta rides the Hadoop FS like the parquet it describes — open()
+    # would break on any non-local index path (ADVICE r7)
+    fsutil.write_text(
+        os.path.join(path, _IVF_META),
+        json.dumps({"n_cells": n_cells, "dims": dims,
+                    "centroids": cents}),
+        spark=corpus.sparkSession)
 
 
 def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
@@ -866,22 +871,20 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                              "vec_id", "left_anti")
     merged = merged.localCheckpoint(eager=True)
     pending = os.path.join(path, _IVF_PENDING)
-    with open(pending, "w", encoding="utf-8") as fh:
-        json.dump({"cells": cells}, fh)
+    fsutil.write_text(pending, json.dumps({"cells": cells}), spark=spark)
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell").parquet(path))
     # dynamic overwrite never writes (hence never clears) an affected
     # cell whose merged content is EMPTY — a cell whose every vector was
-    # removed must be deleted explicitly or its stale rows survive
-    import shutil
-
+    # removed must be deleted explicitly or its stale rows survive.
+    # Deletes go through the Hadoop FS (shutil would silently no-op on
+    # s3a://hdfs:// paths and leak the stale cells — ADVICE r7).
     live = {int(r.cell) for r in
             merged.select("cell").distinct().collect()}
     for c in set(cells) - live:
-        shutil.rmtree(os.path.join(path, f"cell={c}"),
-                      ignore_errors=True)
-    os.remove(pending)
+        fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+    fsutil.delete(pending, spark=spark)
     return cells
 
 
@@ -894,10 +897,9 @@ def pending_upsert_cells(path: str) -> list[int] | None:
     import os
 
     pending = os.path.join(path, _IVF_PENDING)
-    if not os.path.exists(pending):
+    if not fsutil.exists(pending):
         return None
-    with open(pending, encoding="utf-8") as fh:
-        return json.load(fh)["cells"]
+    return json.loads(fsutil.read_text(pending))["cells"]
 
 
 def read_ivf_meta(path: str) -> dict | None:
@@ -906,10 +908,9 @@ def read_ivf_meta(path: str) -> dict | None:
     import os
 
     meta = os.path.join(path, _IVF_META)
-    if not os.path.exists(meta):
+    if not fsutil.exists(meta):
         return None
-    with open(meta, encoding="utf-8") as fh:
-        return json.load(fh)
+    return json.loads(fsutil.read_text(meta))
 
 
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,

@@ -418,8 +418,15 @@ def _bloom_word_pos(key, i: int, n_bits: int, salt: str):
     """Hash-i bit position for the dense-bitmap bloom: xxhash64 (one JVM
     hash, ~10× cheaper than the md5-string h60 chain — this bloom never
     crosses engines, so the sketch-table md5 convention isn't needed),
-    pmod'd because xxhash64 is signed."""
-    return F.pmod(F.xxhash64(F.lit(salt), F.lit(i), key), F.lit(n_bits))
+    pmod'd because xxhash64 is signed. The key is canonicalized to its
+    STRING representation first: xxhash64 is type-sensitive (an int 7
+    and a bigint 7 hash to different positions), so building the bitmap
+    from one integer width and probing another would produce silent
+    false negatives — the one failure mode a bloom must never have.
+    String form is width-independent and still whole-stage codegen."""
+    return F.pmod(
+        F.xxhash64(F.lit(salt), F.lit(i), key.cast("string")),
+        F.lit(n_bits))
 
 
 def bloom_bitmap_words(keys: DataFrame, key_col: str,

@@ -366,7 +366,7 @@ def window_funnel(events: DataFrame, steps: list[str], window_us: int,
     the maximum depth (exchange argument: any feasible chain can be
     rewritten step-by-step onto the greedy one without shortening it).
     So the per-key level is exact, not a first-occurrence heuristic
-    (compare q_event_funnel, the cheap approximation).
+    (compare q_event_funnel_firstpass, the cheap approximation).
 
     Plan shape, all in ONE partitioning family: a per-key row_number
     linearizes (ts, order) so "earliest next step-k event" becomes a

@@ -52,21 +52,27 @@ def register(name: str, oracle: str | None):
 
 
 # The driver's correctness harness records at most ~50 entries of
-# ``queries()`` in iteration order.  With 131 registered queries, iteration
+# ``queries()`` in iteration order.  With 192 registered queries, iteration
 # order decides which queries get a driver-verified CORRECTNESS row each
 # round.  Instead of a hand-maintained list (rounds 3–4), the rotation is
-# now COMPUTED from the driver's own ``CORRECTNESS_r*.json`` history at the
-# repo root (round-5 policy, per the r4 verdict):
+# COMPUTED from the driver's own ``CORRECTNESS_r*.json`` history at the
+# repo root (round-5 policy, hardened round 8 after the r7 verdict showed
+# a 45-query registration wave starving the stale tail):
 #   1. a core CDC smoke set is pinned in-window every round,
 #   2. ``_ROTATION_BOOST`` names come next (queries flagged weak/regressed
 #      that need a fresh driver row regardless of staleness),
-#   3. everything else ascends by the round of its newest green driver row
-#      (never-verified first, then oldest), registration order as the
-#      tie-break.
-# This caps row staleness automatically: with 131 queries / 50 slots the
-# oldest cohort always rotates back in, so no query's newest green row ages
-# past ceil(131/50) ≈ 3 rounds, and any red/never-verified query jumps the
-# queue the round after it appears.
+#   3. OVERDUE queries — newest green row ≥ ``_OVERDUE_AGE`` rounds behind
+#      the newest recorded round — preempt everything below (the backstop
+#      that makes tail starvation impossible whatever gets registered),
+#   4. never-verified queries, but at most ``_NEW_QUERY_SLOT_CAP`` of them
+#      per round (registration order; the overflow sorts LAST and enters
+#      through this lane in a later round, FIFO),
+#   5. everything else ascends by the round of its newest green driver
+#      row, registration order as the tie-break.
+# Steady-state staleness at N queries / 50 slots is ~ceil(N/46) rounds
+# (≈5 at N=192 — the 50-slot window minus the 4 pins); the overdue lane
+# guarantees no query's newest green row ever ages past that + the influx
+# round, and any red query jumps the queue the round after it appears.
 _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
     # core CDC smoke set — re-verified EVERY round
     "cdc_final_state",
@@ -81,6 +87,15 @@ _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # the set is empty for round 6; boosts are self-retiring either way (see
 # _ordered_names), so a satisfied entry left here is harmless.
 _ROTATION_BOOST: tuple[str, ...] = ()
+
+# Rotation-fairness knobs (r8, from the r7 verdict's starvation analysis:
+# 45 never-verified entrants legitimately out-sorted the 4 oldest TPC-H
+# rows and pushed their newest driver row to 4 rounds old).  New queries
+# still lead — they have NO driver row at all — but never more than
+# _NEW_QUERY_SLOT_CAP per round, and any query whose newest green row has
+# fallen _OVERDUE_AGE rounds behind preempts even the new lane.
+_NEW_QUERY_SLOT_CAP = 35
+_OVERDUE_AGE = 5
 
 
 def _latest_green_rounds() -> dict[str, int]:
@@ -124,11 +139,14 @@ def _latest_green_rounds() -> dict[str, int]:
 def _ordered_names() -> list[str]:
     """Registry names ordered for the driver's ~50-slot correctness window.
 
-    Pinned smoke set first, then boosted (weak-flagged) queries, then
-    ascending newest-green-driver-round (never-verified = -1, so they lead),
-    registration order breaking ties.  Raises if a pinned/boosted name is
-    missing from the registry so a renamed query fails loudly at import
-    time instead of silently dropping out of the verification window.
+    Pinned smoke set, boosted (weak-flagged) queries, OVERDUE queries
+    (newest green row ``_OVERDUE_AGE``+ rounds behind — the anti-
+    starvation backstop), never-verified queries capped at
+    ``_NEW_QUERY_SLOT_CAP`` (overflow sorts last and drains FIFO in later
+    rounds), then ascending newest-green-driver-round; registration order
+    breaks ties everywhere.  Raises if a pinned/boosted name is missing
+    from the registry so a renamed query fails loudly at import time
+    instead of silently dropping out of the verification window.
     """
     missing = [
         n
@@ -146,9 +164,29 @@ def _ordered_names() -> list[str]:
     newest = max(latest.values(), default=-1)
     boost = {n for n in _ROTATION_BOOST
              if n not in pinned and latest.get(n, -1) < newest}
-    rest = [n for n in _REGISTRY if n not in pinned]
-    rest.sort(key=lambda n: (n not in boost, latest.get(n, -1), reg_index[n]))
-    return list(_DRIVER_WINDOW_PINNED) + rest
+    rest = [n for n in _REGISTRY if n not in pinned and n not in boost]
+    overdue = {n for n in rest
+               if 0 <= latest.get(n, -1) <= newest - _OVERDUE_AGE}
+    never = [n for n in rest if n not in latest]
+    capped = set(never[:_NEW_QUERY_SLOT_CAP])
+    overflow = set(never[_NEW_QUERY_SLOT_CAP:])
+    # lanes: boost → overdue → capped-new → verified-by-staleness →
+    # overflow-new; within each lane (latest, registration) ascending
+    def lane(n: str) -> int:
+        if n in boost:
+            return 0
+        if n in overdue:
+            return 1
+        if n in capped:
+            return 2
+        if n in overflow:
+            return 4
+        return 3
+
+    ordered = sorted(
+        [n for n in _REGISTRY if n not in pinned],
+        key=lambda n: (lane(n), latest.get(n, -1), reg_index[n]))
+    return list(_DRIVER_WINDOW_PINNED) + ordered
 
 
 def spark_queries() -> dict[str, SparkBuilder]:
@@ -2478,7 +2516,7 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_event_funnel",
+    "q_event_funnel_firstpass",
     """
     WITH firsts AS (
       SELECT user_id,
@@ -2497,7 +2535,7 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM firsts GROUP BY 1
     """,
 )
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_funnel_firstpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 — funnel analysis (view → click → purchase in temporal order),
     the sequence-pattern shape every product-analytics engine ships. NOT a
     3-way self-join: one conditional-min aggregate per user (map-side

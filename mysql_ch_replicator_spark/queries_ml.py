@@ -4027,13 +4027,25 @@ def curriculum_length_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     range buckets, per-bucket counts to the driver (≤ buckets longs),
     then a bucket-partitioned window — each partition sorts only its own
     key slice, no global sort anywhere (the versioned-insert K4
-    machinery reused as a training-data primitive)."""
+    machinery reused as a training-data primitive). The packed key is
+    only a total order for 0 ≤ n_chars < 2^23 and 0 ≤ doc_id < 2^40;
+    outside that domain the long arithmetic would wrap silently and
+    corrupt the curriculum, so the projection raises in-flight (a lazy
+    CASE branch — zero extra scan, fires on the first offending row)."""
     from .operators.replica import VERSION_COL, stamp_version_ranged
 
+    packed = F.col("n_chars") * F.lit(1 << 40) + F.col("doc_id")
+    in_domain = (
+        (F.col("n_chars") >= 0) & (F.col("n_chars") < F.lit(1 << 23))
+        & (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(1 << 40)))
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars",
-        (F.col("n_chars") * F.lit(1 << 40) + F.col("doc_id"))
-        .cast("long").alias("__key"))
+        F.when(in_domain, packed).otherwise(F.raise_error(F.format_string(
+            "curriculum_length_order: packed sort key out of domain "
+            "(n_chars=%s must be in [0, 2^23), doc_id=%s in [0, 2^40)); "
+            "use a two-column range key instead",
+            F.col("n_chars"), F.col("doc_id")))).cast("long")
+        .alias("__key"))
     return (stamp_version_ranged(docs, "__key")
             .select("doc_id", "n_chars",
                     F.col(VERSION_COL).alias("position")))

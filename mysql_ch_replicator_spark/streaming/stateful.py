@@ -90,7 +90,16 @@ def _make_anomaly_update(frame: int, k_sigma: int):
                 state: GroupState) -> Iterator[pd.DataFrame]:
         buf = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        for pdf in pdfs:
+        # A key's micro-batch arrives as MULTIPLE Arrow chunks (~10k rows
+        # each) after the groupBy shuffle, and chunk order does not follow
+        # (ts, oid): sorting each chunk independently would feed the state
+        # buffer out of order across chunk boundaries.  Buffer the whole
+        # group, sort ONCE, then run the update loop — state is O(frame)
+        # either way; the group buffer is one micro-batch of one key.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(["ts", "oid"])
             for oid, v in zip(pdf["oid"], pdf["v100"]):
                 v = int(v)

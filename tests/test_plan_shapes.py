@@ -266,7 +266,7 @@ def test_spend_deciles_no_single_partition_sort(spark, queries):
 
 
 def test_funnel_is_two_aggregates_no_join(spark, queries):
-    plan = plan_of(queries["q_event_funnel"](spark, SF))
+    plan = plan_of(queries["q_event_funnel_firstpass"](spark, SF))
     assert "Join" not in plan, "funnel must not self-join"
 
 

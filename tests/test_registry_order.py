@@ -90,3 +90,58 @@ def test_oracle_order_matches_spark_order():
     names = list(spark_queries())
     oracle = oracle_queries()
     assert list(oracle) == [n for n in names if n in oracle]
+
+
+def _synthetic_rotation(monkeypatch, latest: dict, n_new: int):
+    """Run _ordered_names against a synthetic registry/history: the
+    pinned names plus every name in ``latest`` plus ``n_new``
+    never-verified entrants registered last."""
+    import mysql_ch_replicator_spark.queries as q
+
+    fake = {n: (None, None) for n in q._DRIVER_WINDOW_PINNED}
+    for n in latest:
+        fake.setdefault(n, (None, None))
+    for i in range(n_new):
+        fake[f"new_{i:03d}"] = (None, None)
+    full = dict(latest)
+    newest = max(latest.values(), default=-1)
+    for n in q._DRIVER_WINDOW_PINNED:
+        full.setdefault(n, newest)
+    monkeypatch.setattr(q, "_REGISTRY", fake)
+    monkeypatch.setattr(q, "_latest_green_rounds", lambda: full)
+    return q._ordered_names()
+
+
+def test_new_query_wave_cannot_starve_stale_tail(monkeypatch):
+    """The r7 failure mode, pinned dead: 60 never-verified entrants in
+    one round must NOT push queries already _OVERDUE_AGE rounds stale
+    out of the 50-slot window (overdue lane preempts the new lane), and
+    never-verified entrants are capped at _NEW_QUERY_SLOT_CAP."""
+    import mysql_ch_replicator_spark.queries as q
+
+    latest = {f"overdue_{i}": 3 for i in range(10)}
+    latest.update({f"ok_{i}": 7 for i in range(100)})
+    names = _synthetic_rotation(monkeypatch, latest, n_new=60)
+    window = set(names[:DRIVER_WINDOW])
+    # newest recorded = 7, overdue threshold 7-5=2... age of 3-rows = 4 <
+    # _OVERDUE_AGE → NOT overdue: they queue behind the capped new lane
+    # but the cap leaves room: 4 pins + 35 new + 10 stale ≤ 50
+    assert {f"overdue_{i}" for i in range(10)} <= window
+    assert sum(1 for n in window if n.startswith("new_")) \
+        == q._NEW_QUERY_SLOT_CAP
+    # overflow new entrants sort last, FIFO
+    tail = names[-(60 - q._NEW_QUERY_SLOT_CAP):]
+    assert all(n.startswith("new_") for n in tail)
+    assert tail == sorted(tail)
+
+
+def test_overdue_lane_preempts_new_lane(monkeypatch):
+    """A query whose newest green row is _OVERDUE_AGE+ rounds behind the
+    newest recorded round outranks even never-verified entrants — the
+    hard anti-starvation backstop."""
+    latest = {f"ancient_{i}": 1 for i in range(8)}      # age 6 ≥ 5
+    latest.update({f"ok_{i}": 7 for i in range(100)})
+    names = _synthetic_rotation(monkeypatch, latest, n_new=60)
+    import mysql_ch_replicator_spark.queries as q
+    base = len(q._DRIVER_WINDOW_PINNED)
+    assert set(names[base:base + 8]) == {f"ancient_{i}" for i in range(8)}

@@ -1,0 +1,200 @@
+"""Round-8 regression pins: edge cases the r7 ADVICE flagged — bloom
+hash type-width sensitivity, curriculum sort-key overflow, dead-letter
+count self-correction after checkpoint resets, ks_drift grid guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_probe_width_independent(spark):
+    """A bitmap built from an INT key column must be probed correctly by
+    a BIGINT fact key (and vice versa): xxhash64 is type-sensitive, so
+    the positions must hash the canonical string form — a width mismatch
+    producing false negatives silently breaks the 'downstream joins stay
+    exact' contract."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        bloom_bitmap_words, bloom_scan_filter)
+
+    members = spark.range(100).select(F.col("id").cast("int").alias("w"))
+    words = bloom_bitmap_words(members, "w", n_bits=4096, k=3)
+
+    fact = spark.range(200).select(F.col("id").cast("bigint").alias("w"))
+    kept = {r.w for r in bloom_scan_filter(fact, "w", words,
+                                           n_bits=4096, k=3).collect()}
+    # no false negatives across the int→bigint width change
+    assert set(range(100)) <= kept
+    # and the filter still prunes (some true negatives dropped)
+    assert len(kept) < 200
+
+
+def test_curriculum_sort_key_overflow_raises(spark, tmp_path):
+    """curriculum_length_order packs (n_chars, doc_id) into one long;
+    n_chars ≥ 2^23 would wrap the key negative and silently corrupt the
+    global order — the projection must raise instead."""
+    from mysql_ch_replicator_spark.queries_ml import curriculum_length_order
+
+    docs = spark.createDataFrame(
+        [(1, 100, "x", "en", "s")],
+        "doc_id long, n_chars long, content string, lang string, "
+        "source string")
+    docs = docs.withColumn("n_chars", F.lit(1 << 23).cast("long"))
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+    with pytest.raises(Exception, match="out of domain"):
+        curriculum_length_order(spark, str(d)).collect()
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lexical_upsert_discovery_span_pruned(spark, tmp_path):
+    """Affected-shard discovery must read the docshards MEMBERSHIP table
+    with a planning-time dspan partition filter — O(changed docs) IO —
+    and must never scan the postings table at all (the r7 verdict's
+    O(index)-per-CDC-batch scale killer)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        _membership_shard_frame, write_lexical_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(20)],
+        "doc_id long, text string")
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4)
+
+    docshards = spark.read.parquet(path + "/docshards")
+    changed = spark.createDataFrame([(3,)], "doc_id long")
+    plan = _plan_of(_membership_shard_frame(docshards, changed, [0]))
+    assert "PartitionFilters" in plan and "dspan" in plan
+    assert "postings" not in plan
+
+
+def test_lexical_upsert_maintains_membership(spark, tmp_path):
+    """The docshards table after an upsert equals the distinct
+    (doc_id, shard) pairs of the post-upsert postings — the invariant
+    discovery correctness rests on (adds, removes, re-adds, and a doc
+    whose removal empties a span)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        upsert_lexical_index, write_lexical_index)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4)
+
+    adds = spark.createDataFrame(
+        [(2, "epsilon zeta"), (4, "alpha")], "doc_id long, text string")
+    removes = spark.createDataFrame([(3,)], "doc_id long")
+    upsert_lexical_index(spark, path, adds=adds, removes=removes)
+
+    post = {(r.doc_id, int(r.shard)) for r in
+            spark.read.parquet(path + "/postings")
+            .select("doc_id", "shard").distinct().collect()}
+    members = {(r.doc_id, int(r.shard)) for r in
+               spark.read.parquet(path + "/docshards")
+               .select("doc_id", "shard").collect()}
+    assert members == post and post
+
+
+def test_lexical_upsert_migrates_pre_membership_index(spark, tmp_path):
+    """An index written before the membership table existed upserts
+    correctly: the first upsert derives docshards from the postings
+    once, then proceeds O(changed docs)."""
+    import shutil
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, upsert_lexical_index, write_lexical_index)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4)
+    shutil.rmtree(path + "/docshards")   # simulate a pre-r8 index
+
+    adds = spark.createDataFrame([(1, "gamma gamma")],
+                                 "doc_id long, text string")
+    upsert_lexical_index(spark, path, adds=adds)
+
+    # doc 1's old alpha/beta postings must be gone, gamma present
+    post = {(r.term, r.doc_id) for r in
+            spark.read.parquet(path + "/postings")
+            .select("term", "doc_id").collect()}
+    assert post == {("beta", 2), ("gamma", 2), ("gamma", 1)}
+    got = bm25_indexed_topk(spark, path, ["gamma"], k=2).collect()
+    assert [r.doc_id for r in got]
+
+
+def test_ks_drift_grid_cardinality_guard(spark):
+    """ks_drift's ECDF grid is |groups|·|distinct values|; a high-
+    cardinality value column must raise with the bucketing fix named,
+    not silently build a corpus-scale cross product (no-silent-caps)."""
+    from mysql_ch_replicator_spark.operators.quality import ks_drift
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("source"), F.col("id").alias("n_chars"))
+    with pytest.raises(ValueError, match="Bucket the value column"):
+        ks_drift(df, max_grid_cells=100).collect()
+    # the same data passes once bucketed (or with the bound raised)
+    assert ks_drift(df, max_grid_cells=100_000).count() == 4
+
+
+def test_dead_letter_count_survives_checkpoint_reset(spark, tmp_path):
+    """Quarantine dirs are keyed by the CONTENT of the batch's dead rows,
+    not by (run token, batch id): after a checkpoint reset the same
+    envelopes replay under batch id 0 again, and the alerting surface
+    (monitoring.dead_letter_count) must NOT double-count them — the
+    replay overwrites the same content-addressed directory."""
+    import json
+    import os
+    import shutil
+
+    from mysql_ch_replicator_spark.config import Settings
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.main import (
+        build_parser, run_binlog_replicator)
+    from mysql_ch_replicator_spark.monitoring import dead_letter_count
+
+    cfg = Settings.load({
+        "replica": {"root": str(tmp_path / "replica")},
+        "event_log_dir": str(tmp_path / "binlog"),
+    })
+    ReplicaEngine(spark, cfg.replica.root, settings=cfg)
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    with open(env_dir / "dump.jsonl", "w", encoding="utf-8") as fh:
+        fh.write("{{{corrupt bytes\n")
+        fh.write(json.dumps({"foo": 42}) + "\n")
+
+    args = build_parser().parse_args(
+        ["binlog_replicator", "--envelope_dir", str(env_dir)])
+
+    def _ingest_once():
+        q = run_binlog_replicator(args, cfg, spark=spark,
+                                  await_termination=False)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _ingest_once()
+    first = dead_letter_count(str(tmp_path / "binlog"))
+    assert first == 2
+
+    # checkpoint reset: the file source forgets its progress and replays
+    # the same envelope file as batch 0 of a brand-new run
+    shutil.rmtree(os.path.join(str(tmp_path / "binlog"),
+                               "_ingest_checkpoint"))
+    _ingest_once()
+    assert dead_letter_count(str(tmp_path / "binlog")) == first

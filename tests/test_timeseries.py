@@ -216,6 +216,54 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
     assert stream_flags == batch_flags and batch_flags
 
 
+def test_streaming_anomaly_multichunk_group_order():
+    """applyInPandasWithState hands a key's micro-batch to the update
+    function as MULTIPLE Arrow chunks whose order does not follow
+    (ts, oid) — the shuffle that groups the key preserves nothing.  The
+    update must buffer the whole group and sort ONCE; sorting each chunk
+    independently feeds the state buffer out of order across chunk
+    boundaries and diverges from the batch operator.  This drives the
+    update function directly with adversarially-split, shuffled chunks
+    (the streaming harness can't force chunking below ~10k rows)."""
+    import pandas as pd
+
+    from mysql_ch_replicator_spark.streaming.stateful import (
+        _make_anomaly_update)
+
+    class _FakeState:
+        exists = False
+
+        def update(self, value):
+            self.exists = True
+            self.get = value
+
+    vals = [10.0, 10.5, 9.5, 10.0, 10.25, 9.75, 10.0,
+            50.0, 10.0, 10.5, 9.5, 10.0, 48.0, 9.75, 10.0]
+    rows = [(i, pd.Timestamp(2024, 1, 1, i % 24), int(v * 100))
+            for i, v in enumerate(vals)]
+
+    def _run(chunking):
+        upd = _make_anomaly_update(frame=6, k_sigma=3)
+        state = _FakeState()
+        chunks = [pd.DataFrame(chunk, columns=["oid", "ts", "v100"])
+                  for chunk in chunking]
+        flags = set()
+        for out in upd((7,), iter(chunks), state):
+            flags |= {(int(o), int(v)) for o, v in
+                      zip(out["oid"], out["v100"])}
+        return flags, list(state.get[0])
+
+    in_order_flags, in_order_buf = _run([rows])
+    assert in_order_flags  # the fixture must actually flag something
+    # chunks delivered out of order AND each chunk internally shuffled —
+    # only a whole-group sort recovers (ts, oid) order
+    scrambled = [rows[9:12][::-1], [rows[14], rows[12], rows[13]],
+                 rows[4:9][::-1], rows[0:4][::-1]]
+    got_flags, got_buf = _run(scrambled)
+    assert got_flags == in_order_flags
+    assert got_buf == in_order_buf
+
+
 # ---------------------------------------------------------------------------
 # OHLC bars
 # ---------------------------------------------------------------------------
@@ -298,7 +346,7 @@ def test_window_funnel_exact_not_first_occurrence(spark):
     """The level is the max over ALL candidate starts: a user whose
     FIRST view leads nowhere but whose second view completes the chain
     must reach level 3 — exactly what the first-occurrence heuristic
-    (q_event_funnel) gets wrong. Window cutoff and same-timestamp
+    (q_event_funnel_firstpass) gets wrong. Window cutoff and same-timestamp
     (event_id-ordered) chains are exercised too."""
     from mysql_ch_replicator_spark.operators.timeseries import (
         window_funnel)
