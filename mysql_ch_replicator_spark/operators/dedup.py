@@ -293,6 +293,23 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     fp = transient_persist(spread(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash64(words(F.col(text_col))).alias("fp")))
+    verified = _band15_pairs(fp, max_distance)
+    return _resolve(verified, docs.select(F.col(id_col).alias("doc_id")),
+                    closure)
+
+
+def _band15_pairs(fp: DataFrame, max_distance: int) -> DataFrame:
+    """Exact Hamming-≤k pairs over a 60-bit fingerprint frame
+    ``(doc_id, fp)`` via 4×15-bit pigeonhole banding: distance ≤ 3 ⇒ at
+    least one of the 4 chunks matches exactly, so candidates come from
+    one explode+equi-join (never all-pairs), then exact verify.  Shared
+    by text SimHash and image dHash — the fingerprint source differs,
+    the banding algebra is identical."""
+    if max_distance > 3:
+        raise ValueError(
+            "4×15-bit pigeonhole banding guarantees recall only for "
+            f"Hamming distance ≤ 3 (got max_distance={max_distance}); "
+            "add bands before raising the radius")
     chunks = fp.select(
         "doc_id", "fp",
         F.explode(F.array(*[
@@ -308,11 +325,28 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
             .where(F.col("a") < F.col("b"))
             .select("a", "b", "fp_a", "fp_b")
             .dropDuplicates(["a", "b"]))
-    verified = cand.where(
+    return cand.where(
         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_distance) \
         .select("a", "b")
-    return _resolve(verified, docs.select(F.col(id_col).alias("doc_id")),
-                    closure)
+
+
+def image_dhash_dedup(images: DataFrame, id_col: str = "doc_id",
+                      max_distance: int = 3, closure: bool = False,
+                      rows: int = 6, cols: int = 10) -> DataFrame:
+    """Near-duplicate IMAGE detection — the multimodal twin of
+    ``simhash_dedup``: a 60-bit perceptual difference hash per image
+    (``multimodal.dhash_images``, one shuffle-free Arrow pass over the
+    binary column) banded through the SAME 4×15-bit pigeonhole machinery,
+    so a 100 TB image corpus dedups with one explode+equi-join instead of
+    all-pairs pixel comparison.  Input: (doc_id, image binary).  Output:
+    (doc_id, dup_of) per image, min-link or full closure like every
+    other dedup operator."""
+    from .multimodal import dhash_images
+
+    fp = transient_persist(dhash_images(images, rows=rows, cols=cols))
+    verified = _band15_pairs(fp, max_distance)
+    return _resolve(verified,
+                    images.select(F.col(id_col).alias("doc_id")), closure)
 
 
 def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",

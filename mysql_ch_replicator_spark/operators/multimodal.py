@@ -327,6 +327,71 @@ FEATURES_SCHEMA = T.StructType([
 ])
 
 
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fp", T.LongType()),
+])
+
+
+def _dhash_bits(px: list[int], rows: int, cols: int) -> int:
+    """Difference-hash bits over a rows×(cols+1) pixel grid: bit (r,c)
+    set when the right neighbour is strictly brighter — the classic
+    dHash gradient signature, invariant to uniform brightness shifts."""
+    fp = 0
+    for r in range(rows):
+        base = r * (cols + 1)
+        for c in range(cols):
+            if px[base + c + 1] > px[base + c]:
+                fp |= 1 << (r * cols + c)
+    return fp
+
+
+def dhash_images(images: DataFrame, rows: int = 6,
+                 cols: int = 10) -> DataFrame:
+    """Perceptual difference hash (dHash) per image as ONE 60-bit long —
+    the multimodal twin of the text pipeline's SimHash: near-duplicate
+    images land within small Hamming distance, so the SAME 4×15-bit
+    pigeonhole banding dedups a 100 TB image corpus without all-pairs
+    (see ``dedup.image_dhash_dedup``). 60 bits (6 rows × 10 gradients)
+    rather than the classic 64 keeps the fingerprint in signed-long-safe
+    territory on BOTH engines and reuses the SimHash band machinery.
+
+    Grid extraction per format: the deterministic fake payload is its
+    utf-8 text, so the "grayscale resample" is the first
+    ``rows·(cols+1)`` code points (zero-padded) — exactly what a SQL
+    oracle recomputes with ``unicode(substr(text, i, 1))``; real image
+    bytes go through the PIL-guarded slot (grayscale →
+    ``(cols+1)×rows`` resize), which raises NotImplementedError in
+    image-library-free environments (same contract as ``_decode_stub``).
+    One partition-preserving Arrow ``mapInPandas`` pass, no shuffle."""
+    n_px = rows * (cols + 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fps = []
+            for raw in b["image"]:
+                raw = bytes(raw)
+                if raw[:4] == MAGIC:
+                    s = raw[HEADER_LEN:].decode("utf-8")
+                    px = [ord(ch) for ch in s[:n_px]]
+                else:
+                    if _PILImage is None:
+                        raise NotImplementedError(
+                            "dhash of real image bytes requires an image "
+                            "library not present in this environment")
+                    import io
+
+                    with _PILImage.open(io.BytesIO(raw)) as img:
+                        px = list(img.convert("L")
+                                  .resize((cols + 1, rows)).getdata())
+                px = px + [0] * (n_px - len(px))
+                fps.append(_dhash_bits(px, rows, cols))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"), "fp": fps})
+
+    return images.mapInPandas(run, DHASH_SCHEMA)
+
+
 def extract_features(images: DataFrame, max_pixels: int = 16) -> DataFrame:
     """Feature-extraction pass over the decoded pixels (mean/std + the raw
     vector) — numpy-vectorized inside the Arrow batch; the slot where a real

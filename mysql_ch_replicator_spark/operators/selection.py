@@ -41,6 +41,53 @@ from ..functions.hashing import h60, norm_text_hash, shingles, words
 DSIR_SCALE = 1_000_000  # integer weight scale — exact in both engines
 
 
+def linear_quality_score(docs: DataFrame, weights: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         bias_ppm: int = 0,
+                         keep_threshold_ppm: int = 0) -> DataFrame:
+    """Learned linear quality-classifier INFERENCE (fastText-style, the
+    CCNet/LLaMA-pipeline "keep-probability" gate next to the rule-based
+    Gopher filter): score = bias + mean over tokens of the term's learned
+    weight, all in ppm-scaled integers so the dot product is exact in
+    both engines (Spark ``div`` and DuckDB ``//`` both truncate toward
+    zero — parity holds for the negative numerators hostile documents
+    produce).  ``weights`` is a (term, w_ppm long) frame — training
+    happens offline; inference is what the 100 TB pipeline runs.
+
+    Scale shape: the corpus explodes to tokens once and LEFT-joins the
+    BROADCAST vocab (a learned vocab is ~10^5–10^6 rows — always
+    broadcastable; OOV tokens contribute 0 but still count in the mean,
+    exactly like a fastText bag-of-words with a zero vector); ONE
+    doc-keyed aggregate and nothing else — a zero-token doc emits a
+    single NULL token so it survives the explode and scores bias without
+    a corpus-sized rejoin (``count(term)`` skips the null, so its token
+    count stays 0).  The corpus never shuffles before the per-doc
+    aggregate; the plan pin holds the join to broadcast-hash.
+    Returns (doc_id, n_tokens, score_ppm, keep)."""
+    from ..sources.snapshot import spread
+
+    w = words(F.col(text_col))
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.when(F.size(w) > 0, w)
+                  .otherwise(F.array(F.lit(None).cast("string"))))
+        .alias("term"))
+    agg = (toks.join(F.broadcast(weights.select("term", "w_ppm")),
+                     "term", "left")
+           .groupBy("doc_id")
+           .agg(F.count("term").cast("long").alias("n_tokens"),
+                F.coalesce(F.sum("w_ppm"), F.lit(0)).cast("long")
+                 .alias("dot")))
+    score = (F.lit(bias_ppm).cast("long")
+             + F.when(F.col("n_tokens") > 0,
+                      F.expr("dot div n_tokens")).otherwise(F.lit(0)))
+    return (agg.select("doc_id", "n_tokens",
+                       score.cast("long").alias("score_ppm"))
+            .withColumn("keep",
+                        (F.col("score_ppm") >= keep_threshold_ppm)
+                        .cast("int")))
+
+
 def dsir_bucket_weights(docs: DataFrame, target: Column,
                         text_col: str = "text",
                         n_buckets: int = 4096) -> DataFrame:

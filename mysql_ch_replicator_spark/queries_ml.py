@@ -885,6 +885,59 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_file_metadata(files)
 
 
+def _dhash_oracle_sql(rows: int = 6, cols: int = 10) -> str:
+    """DuckDB twin of multimodal.dhash_images over the fake format: the
+    payload is the utf-8 text, so pixel i is the i-th code point
+    (zero-padded to rows·(cols+1)); the 60 gradient bits sum to the same
+    signed-long fingerprint. Pairs are verified by BRUTE-FORCE Hamming
+    over all fingerprint pairs — the oracle deliberately skips the
+    banding, so the pigeonhole's exact-recall claim is checked against
+    an uncapped all-pairs reference every round."""
+    n_px = rows * (cols + 1)
+    px = ", ".join(
+        f"CASE WHEN length(text) > {i} "
+        f"THEN unicode(substr(text, {i + 1}, 1)) ELSE 0 END"
+        for i in range(n_px))
+    bits = " + ".join(
+        f"(CASE WHEN p[{r * (cols + 1) + c + 2}] > "
+        f"p[{r * (cols + 1) + c + 1}] "
+        f"THEN {1 << (r * cols + c)} ELSE 0 END)"
+        for r in range(rows) for c in range(cols))
+    return f"""
+    px AS (SELECT doc_id, [{px}] AS p FROM documents),
+    fps AS (SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM px),
+    verified AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.fp, y.fp)) <= 3
+    )"""
+
+
+@register(
+    "multimodal_dhash_dedup",
+    f"""
+    WITH {_dhash_oracle_sql()},
+    {_DUP_TAIL_SQL}
+    """,
+)
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection (r7 verdict #3): pack
+    the deterministic fake image per doc, fingerprint each binary with a
+    60-bit dHash in one shuffle-free Arrow pass
+    (multimodal.dhash_images), then find Hamming-≤3 pairs with the SAME
+    4×15-bit pigeonhole banding as text SimHash
+    (dedup.image_dhash_dedup) — the multimodal twin of MinHash dedup a
+    100 TB image corpus needs (no all-pairs pixel comparison anywhere).
+    The oracle recomputes the hash analytically from the payload's code
+    points and brute-forces ALL pairs, so banding recall is proven, not
+    assumed."""
+    from .operators.dedup import image_dhash_dedup
+    from .operators.multimodal import attach_fake_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash_dedup(attach_fake_binary(docs))
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits / quantization
 # ---------------------------------------------------------------------------
@@ -1711,6 +1764,67 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_passes(F.col("n_words"), F.col("mwl"), F.col("alpha"),
                       F.col("n_stopwords"), F.col("pr"))
         .cast("long").alias("passes"))
+
+
+# Fixture weights for the learned quality gate: ppm-scaled integer
+# coefficients over the testdata's vocabulary (training happens offline —
+# these stand in for a fastText/logistic model's learned weights; mixed
+# signs so hostile documents produce NEGATIVE dot products, permanently
+# gating the signed-division cross-engine parity).
+_QUALITY_W_PPM = {
+    "data": 420000, "table": 310000, "spark": 500000, "column": 260000,
+    "join": 180000, "window": 240000, "batch": 200000, "order": 150000,
+    "agg": 120000, "hash": 90000, "scan": 70000, "fast": 160000,
+    "key": 50000, "row": 30000,
+    "slow": -520000, "error": -480000, "small": -130000, "line": -90000,
+    "value": -60000, "part": -40000,
+}
+_QUALITY_KEEP_PPM = 50000
+
+
+@register(
+    "quality_classifier_score",
+    f"""
+    WITH wt AS (SELECT * FROM (VALUES {", ".join(
+        f"('{t}', {w})" for t, w in _QUALITY_W_PPM.items())})
+        AS t(term, w_ppm)),
+    toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ),
+    agg AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             COALESCE(sum(wt.w_ppm), 0) AS dot
+      FROM toks t LEFT JOIN wt USING (term) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(CASE WHEN a.n_tokens > 0
+                              THEN a.dot // a.n_tokens
+                              ELSE 0 END, 0) AS BIGINT) AS score_ppm,
+           CAST(COALESCE(CASE WHEN a.n_tokens > 0
+                              THEN a.dot // a.n_tokens
+                              ELSE 0 END, 0) >= {_QUALITY_KEEP_PPM}
+                AS INTEGER) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned linear quality-classifier inference (r7 verdict #4) — the
+    fastText-style gate (CCNet / LLaMA pipelines) beside the rule-based
+    Gopher filter: per-doc score = mean learned term weight over the
+    doc's tokens (ppm integers, OOV = 0), keep = score ≥ threshold.
+    Weights come from a fixture (training is offline); the Spark side is
+    one token explode + BROADCAST vocab join + doc aggregate (plan-
+    pinned), the oracle the same dot product in SQL. Both engines
+    truncate the signed mean toward zero — the negative-dot documents in
+    the fixture keep that parity load-bearing."""
+    from .operators.selection import linear_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        list(_QUALITY_W_PPM.items()), "term string, w_ppm long")
+    return linear_quality_score(
+        docs, weights, keep_threshold_ppm=_QUALITY_KEEP_PPM)
 
 
 _MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "phantom_source": 1}

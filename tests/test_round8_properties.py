@@ -135,6 +135,103 @@ def test_lexical_upsert_migrates_pre_membership_index(spark, tmp_path):
     assert [r.doc_id for r in got]
 
 
+def test_image_dhash_dedup_matches_brute_force(spark):
+    """Banded dHash dedup finds EXACTLY the Hamming-≤3 pairs a brute-
+    force all-pairs comparison finds — pigeonhole recall is exact, and
+    near-dup images (small pixel perturbations that flip ≤3 gradient
+    bits) cluster while distinct images don't."""
+    from mysql_ch_replicator_spark.operators.dedup import image_dhash_dedup
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        _dhash_bits, attach_fake_binary)
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    texts = {
+        0: base,
+        1: base,                                   # exact dup of 0
+        2: base[:20] + "X" + base[21:],            # 1-char flip: near dup
+        3: "completely different content here with other words " * 3,
+        4: "".join(reversed(base)),                # scrambled: far
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {(r.doc_id, r.dup_of) for r in
+           image_dhash_dedup(attach_fake_binary(docs)).collect()}
+
+    # literal python brute force over the same 60-bit hashes
+    def fp(t):
+        px = [ord(ch) for ch in t[:66]]
+        px += [0] * (66 - len(px))
+        return _dhash_bits(px, 6, 10)
+
+    fps = {i: fp(t) for i, t in texts.items()}
+    pairs = {(a, b) for a in fps for b in fps
+             if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert (0, 1) in pairs and (0, 2) in pairs   # the fixture is live
+    dup_of = {i: min([a for a, b in pairs if b == i] + [i])
+              for i in texts}
+    assert got == {(i, dup_of[i]) for i in texts}
+    assert got != {(i, i) for i in texts}        # something clustered
+
+
+def test_image_dhash_banding_radius_guard():
+    """4×15-bit banding only guarantees recall to distance 3 — a wider
+    radius must raise, not silently lose pairs."""
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark.operators.dedup import _band15_pairs
+
+    with _pytest.raises(ValueError, match="distance"):
+        _band15_pairs(None, max_distance=4)
+
+
+def test_image_dhash_dedup_plan_no_all_pairs(spark):
+    """The candidate join is a chunk EQUI-join — no cartesian product /
+    nested-loop all-pairs anywhere in the plan."""
+    from mysql_ch_replicator_spark.operators.dedup import image_dhash_dedup
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        attach_fake_binary)
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(10)],
+        "doc_id long, text string")
+    plan = _plan_of(image_dhash_dedup(attach_fake_binary(docs)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_broadcast_vocab(spark):
+    """The learned-vocab join must BROADCAST (a model vocab is always
+    broadcastable) — the corpus token stream never sort-merge-shuffles
+    before its doc-keyed aggregate."""
+    from mysql_ch_replicator_spark.queries_ml import quality_classifier_score
+
+    plan = _plan_of(quality_classifier_score(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_zero_token_and_negative_docs(spark):
+    """Edge semantics: a zero-token doc scores exactly bias and still
+    appears; an all-negative doc truncates its mean toward zero the same
+    way both engines do."""
+    from mysql_ch_replicator_spark.operators.selection import (
+        linear_quality_score)
+
+    docs = spark.createDataFrame(
+        [(1, "slow slow error"), (2, "...!!!"), (3, "spark data")],
+        "doc_id long, text string")
+    weights = spark.createDataFrame(
+        [("slow", -520000), ("error", -480000),
+         ("spark", 500000), ("data", 420000)], "term string, w_ppm long")
+    got = {r.doc_id: (r.n_tokens, r.score_ppm, r.keep) for r in
+           linear_quality_score(docs, weights,
+                                keep_threshold_ppm=50000).collect()}
+    assert got[2] == (0, 0, 0)                       # bias-only, present
+    # Spark div truncates toward zero, unlike python's flooring //
+    assert got[1] == (3, -((520000 * 2 + 480000) // 3), 0)
+    assert got[3] == (2, (500000 + 420000) // 2, 1)
+
+
 def test_ks_drift_grid_cardinality_guard(spark):
     """ks_drift's ECDF grid is |groups|·|distinct values|; a high-
     cardinality value column must raise with the bucketing fix named,
