@@ -152,7 +152,7 @@ def build_inverted_index(docs: DataFrame, span: int = 256,
 
 _LEX_META = "_lex_meta.json"
 _LEX_PENDING = "_lex_upsert_pending.json"
-_LEX_DSPAN = 4096          # doclen partition width (doc ids per dir)
+_LEX_DSPAN = 4096          # docmeta partition width (doc ids per dir)
 
 
 def _tokenized_tf(docs: DataFrame, id_col: str,
@@ -167,16 +167,26 @@ def _tokenized_tf(docs: DataFrame, id_col: str,
             F.count(F.lit(1)).cast("long").alias("tf")))
 
 
-def _doc_lengths(docs: DataFrame, per: DataFrame,
-                 id_col: str) -> DataFrame:
-    """(doc_id, dl) for EVERY doc — zero-token docs get dl=0, so
-    ``count(doclen)`` is the corpus document count n everywhere (the
-    invariant the idempotent upsert meta recomputation relies on)."""
-    sums = per.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+def _doc_meta(docs: DataFrame, per: DataFrame, id_col: str,
+              shards: int) -> DataFrame:
+    """(doc_id, dl, shards) for EVERY doc — doc length and the SET of
+    term shards holding the doc's postings, from ONE aggregate over the
+    shared tf frame. Zero-token docs get dl=0 / empty shards, so
+    ``count(docmeta)`` is the corpus document count n everywhere (the
+    invariant the idempotent upsert meta recomputation relies on).
+    Fusing length and membership into one table means the incremental
+    upsert pays ONE span-partitioned rewrite per batch for both."""
+    sums = per.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.collect_set((h60(F.col("term")) % shards).cast("int"))
+         .alias("shards"))
     return (docs.select(F.col(id_col).alias("doc_id")).distinct()
             .join(sums, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce("dl", F.lit(0)).cast("long").alias("dl")))
+                    F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+                    F.coalesce("shards",
+                               F.array().cast("array<int>"))
+                     .alias("shards")))
 
 
 def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
@@ -191,17 +201,20 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
 
     - ``postings/`` — (term, doc_id, tf, df) partitioned by ``shard``,
       the columnar posting rows a scorer consumes directly,
-    - ``doclen/`` — (doc_id, dl) for length normalization,
-    - ``docshards/`` — the distinct (doc_id, shard) membership pairs,
-      partitioned by doc-id span: the inverse mapping incremental
-      upserts need. Doc ids spread across every term shard, so "which
-      shards hold this doc's postings" is unanswerable from the
-      postings layout without scanning ALL of them — O(index) IO per
-      CDC batch, the scale-killer the r7 verdict flagged. The
-      membership table answers it with a directory-pruned read of only
-      the changed docs' spans — O(changed docs) whatever the index
-      size (the same reason the reference's realtime loop touches only
-      buffered keys per flush, db_replicator_realtime.py:324–374).
+    - ``docmeta/`` — (doc_id, dl, shards) partitioned by doc-id span:
+      document length for BM25 normalization FUSED with the doc's term-
+      shard membership set — the inverse mapping incremental upserts
+      need. Doc ids spread across every term shard, so "which shards
+      hold this doc's postings" is unanswerable from the postings
+      layout without scanning ALL of them — O(index) IO per CDC batch,
+      the scale-killer the r7 verdict flagged. The membership column
+      answers it with a directory-pruned read of only the changed docs'
+      spans — O(changed docs) whatever the index size (the same reason
+      the reference's realtime loop touches only buffered keys per
+      flush, db_replicator_realtime.py:324–374) — and because it rides
+      the SAME table as dl, the upsert still pays only two
+      span-partitioned rewrites per batch (postings + docmeta), not
+      three.
     - ``_lex_meta.json`` — {n, tl, shards}: the corpus scalars BM25
       needs, persisted WITH the index so probing never touches the
       corpus (the self-describing-descriptor rule the IVF index
@@ -209,14 +222,15 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
 
     Scale shape: one tokenizing explode feeds the (doc, term) tf
     aggregate; df joins term-keyed (term-uniform, no skew
-    amplification); the shard column costs one scan-side hash. Hot
-    terms spread across doc-keyed parquet row groups — no per-term
-    global sort anywhere."""
+    amplification); the shard column costs one scan-side hash; dl and
+    shard membership come from ONE doc-keyed aggregate. Hot terms
+    spread across doc-keyed parquet row groups — no per-term global
+    sort anywhere."""
     import json
     import os
 
     per = _tokenized_tf(docs, id_col, text_col)
-    dl = _doc_lengths(docs, per, id_col)
+    meta_df = _doc_meta(docs, per, id_col, shards)
     dfreq = per.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     postings = (per.join(dfreq, "term")
@@ -224,25 +238,18 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     (postings.select("shard", "term", "doc_id", "tf", "df")
      .write.mode("overwrite").partitionBy("shard")
      .parquet(os.path.join(path, "postings")))
-    # doc→shards membership, span-partitioned: one extra distinct at
-    # build time buys O(changed docs) upsert discovery forever after
-    (per.select("doc_id",
-                (h60(F.col("term")) % shards).cast("int").alias("shard"))
-     .distinct()
-     .withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
+    # docmeta partitioned by doc-id span so an incremental upsert
+    # rewrites only the spans holding changed docs (the IVF
+    # touched-cells rule)
+    (meta_df.withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
      .write.mode("overwrite").partitionBy("dspan")
-     .parquet(os.path.join(path, "docshards")))
-    # doclen partitioned by doc-id span so an incremental upsert rewrites
-    # only the spans holding changed docs (the IVF touched-cells rule)
-    (dl.withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
-     .write.mode("overwrite").partitionBy("dspan")
-     .parquet(os.path.join(path, "doclen")))
-    # ONE aggregate over the dl table defines both descriptor scalars —
-    # the SAME convention the upsert's stateless refresh uses
-    # (n = count(doclen) = distinct doc ids; a docs.count() here would
+     .parquet(os.path.join(path, "docmeta")))
+    # ONE aggregate over the docmeta table defines both descriptor
+    # scalars — the SAME convention the upsert's stateless refresh uses
+    # (n = count(docmeta) = distinct doc ids; a docs.count() here would
     # diverge from the first upsert's refresh on duplicate-id inputs and
     # silently shift every idf6), and no second corpus scan
-    stats = dl.agg(
+    stats = meta_df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tl")) \
         .first()
@@ -285,7 +292,9 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
            .where(F.col("shard").isin(shard_ids))
            .where(F.col("term").isin(terms))
            .select("term", "doc_id", "tf", "df"))
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    # column pruning keeps the shards membership array out of this scan
+    dl = spark.read.parquet(os.path.join(path, "docmeta")) \
+        .select("doc_id", "dl")
 
     dec = "decimal(38,0)"
     idf6 = F.expr(
@@ -310,17 +319,18 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
             .select("doc_id", "score", "rank"))
 
 
-def _membership_shard_frame(docshards: DataFrame, changed: DataFrame,
+def _membership_shard_frame(docmeta: DataFrame, changed: DataFrame,
                             spans: list[int]) -> DataFrame:
     """Shards currently holding the changed docs' postings, from the
-    span-partitioned membership table: the ``dspan`` IN-filter prunes to
-    the changed docs' directories at PLANNING time (PartitionFilters in
-    the scan — pinned by test_plan_shapes), so discovery IO is
-    O(changed docs) whatever the index size. Factored out so the plan
-    pin tests exactly what the upsert runs."""
-    return (docshards.where(F.col("dspan").isin([int(s) for s in spans]))
+    span-partitioned docmeta table's membership column: the ``dspan``
+    IN-filter prunes to the changed docs' directories at PLANNING time
+    (PartitionFilters in the scan — pinned by test_plan_shapes), so
+    discovery IO is O(changed docs) whatever the index size. Factored
+    out so the plan pin tests exactly what the upsert runs."""
+    return (docmeta.where(F.col("dspan").isin([int(s) for s in spans]))
             .join(changed, "doc_id")
-            .select(F.col("shard").cast("long").alias("v")))
+            .select(F.explode("shards").alias("s"))
+            .select(F.col("s").cast("long").alias("v")))
 
 
 def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
@@ -340,22 +350,29 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
 
     Affected-set discovery is ONE collect over the union of (a) shards
     of the changed docs' CURRENT terms, answered by the span-partitioned
-    ``docshards`` membership table with a directory-pruned read of ONLY
+    ``docmeta`` membership column with a directory-pruned read of ONLY
     the changed docs' spans — O(changed docs) IO per batch, never
     O(index) (the r7 verdict's scale note: a (shard, doc_id) scan of the
     full postings per 1 s CDC batch would dominate the index's
-    incremental story at 100 TB), (b) shards of the adds' new terms, and
-    (c) doclen spans of the changed doc ids. The membership table is
-    rewritten in the SAME batch (span-partitioned dynamic overwrite,
-    after the postings commit — so a torn batch leaves it a SUPERSET of
-    the postings' membership and recovery re-rewrites idempotently).
-    The corpus scalars (n, tl) are then recomputed from the committed
-    doclen table — stateless, so a crashed batch's recovery is simply
-    re-running the same upsert (the intent manifest
-    ``_lex_upsert_pending.json`` makes the torn window detectable, same
-    contract as the IVF index). All side-files and directory deletes go
-    through the Hadoop FS (fsutil) so the index may live on any scheme
-    Spark can write."""
+    incremental story at 100 TB), and (b) shards of the adds' new terms.
+    The batch then pays exactly TWO span/shard-partitioned dynamic
+    overwrites: the touched postings shards and the touched docmeta
+    spans (dl and membership ride the same table). Docmeta rewrites
+    AFTER the postings commit — a torn batch leaves its membership a
+    SUPERSET of the postings' real membership, so recovery re-discovers
+    at worst a few already-clean shards, never misses one. The corpus
+    scalars (n, tl) are then recomputed from the committed docmeta —
+    stateless, so a crashed batch's recovery is simply re-running the
+    same upsert (the intent manifest ``_lex_upsert_pending.json`` makes
+    the torn window detectable, same contract as the IVF index). That
+    refresh is the one remaining O(corpus-doc-count) read in the batch
+    path — column-pruned to two longs per doc, so bounded, but a
+    per-span stats side table maintained in the same rewrite would make
+    it O(changed spans) if it ever dominates a profile. All
+    side-files and directory deletes go through the Hadoop FS (fsutil)
+    so the index may live on any scheme Spark can write. A pre-r8 index
+    (separate ``doclen/``, no membership) migrates on first upsert with
+    one final full-postings scan."""
     import json
     import os
     from functools import reduce
@@ -364,19 +381,25 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                                        spark=spark))
     shards = meta["shards"]
     postings_path = os.path.join(path, "postings")
-    doclen_path = os.path.join(path, "doclen")
-    docshards_path = os.path.join(path, "docshards")
+    docmeta_path = os.path.join(path, "docmeta")
     postings = spark.read.parquet(postings_path)
-    doclen = spark.read.parquet(doclen_path)
-    if not fsutil.exists(docshards_path, spark=spark):
-        # pre-r8 index: derive the membership table once from the full
-        # postings — the LAST full-index discovery scan this index pays
-        (postings.select("doc_id", F.col("shard").cast("int").alias("shard"))
-         .distinct()
+    if not fsutil.exists(docmeta_path, spark=spark):
+        # pre-r8 layout (doclen only): fuse length + membership once
+        # from the full postings — the LAST full-index scan this index
+        # pays for discovery
+        old_dl = spark.read.parquet(os.path.join(path, "doclen"))
+        memb = (postings
+                .select("doc_id", F.col("shard").cast("int").alias("s"))
+                .groupBy("doc_id").agg(F.collect_set("s").alias("shards")))
+        (old_dl.select("doc_id", "dl").join(memb, "doc_id", "left")
+         .select("doc_id", "dl",
+                 F.coalesce("shards", F.array().cast("array<int>"))
+                  .alias("shards"))
          .withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
          .write.mode("overwrite").partitionBy("dspan")
-         .parquet(docshards_path))
-    docshards = spark.read.parquet(docshards_path)
+         .parquet(docmeta_path))
+        fsutil.delete(os.path.join(path, "doclen"), spark=spark)
+    docmeta = spark.read.parquet(docmeta_path)
 
     id_frames = []
     if adds is not None:
@@ -391,7 +414,7 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         reduce(DataFrame.unionByName, id_frames).distinct())
 
     new_per = None
-    new_dl = None
+    new_meta = None
     if adds is not None:
         kept = adds if removes is None else adds.join(
             removes.select(F.col(id_col).alias(id_col)).distinct(),
@@ -399,7 +422,7 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         # _tokenized_tf persists internally — no second wrapper (it would
         # burn a slot in the bounded cache registry for the same frame)
         new_per = _tokenized_tf(kept, id_col, text_col)
-        new_dl = _doc_lengths(kept, new_per, id_col)
+        new_meta = _doc_meta(kept, new_per, id_col, shards)
 
     # changed ids' spans — collected FIRST (bounded by the batch size)
     # so the membership read can prune directories at planning time
@@ -413,7 +436,7 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     discovery = []
     if touched_spans:
         discovery.append(_membership_shard_frame(
-            docshards, changed, touched_spans))
+            docmeta, changed, touched_spans))
     if new_per is not None:
         discovery.append(new_per.select(
             (h60(F.col("term")) % shards).cast("long").alias("v")))
@@ -458,57 +481,33 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                           spark=spark)
 
     if touched_spans:
-        # membership rewrite AFTER the postings commit: a crash between
-        # the two leaves docshards a SUPERSET of the postings' real
-        # membership, so re-running the batch re-discovers (at worst) a
-        # few already-clean shards — never misses one
-        cur_ds = (docshards.where(F.col("dspan").isin(touched_spans))
-                  .join(changed, "doc_id", "left_anti")
-                  .select("doc_id",
-                          F.col("shard").cast("int").alias("shard")))
-        merged_ds = cur_ds
-        if new_per is not None:
-            merged_ds = merged_ds.unionByName(
-                new_per.select(
-                    "doc_id",
-                    (h60(F.col("term")) % shards).cast("int")
-                    .alias("shard")).distinct())
-        merged_ds = (merged_ds
-                     .withColumn("dspan",
-                                 F.expr(f"doc_id div {_LEX_DSPAN}"))
-                     .localCheckpoint(eager=True))
-        (merged_ds.write.mode("overwrite")
+        # ONE docmeta rewrite covers dl AND membership, AFTER the
+        # postings commit: a crash between the two leaves membership a
+        # SUPERSET of the postings' real state, so re-running the batch
+        # re-discovers (at worst) a few already-clean shards — never
+        # misses one
+        cur_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
+                    .join(changed, "doc_id", "left_anti")
+                    .select("doc_id", "dl", "shards"))
+        merged_meta = cur_meta
+        if new_meta is not None:
+            merged_meta = merged_meta.unionByName(new_meta)
+        merged_meta = (merged_meta
+                       .withColumn("dspan",
+                                   F.expr(f"doc_id div {_LEX_DSPAN}"))
+                       .localCheckpoint(eager=True))
+        (merged_meta.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("dspan").parquet(docshards_path))
-        live_ds = {int(r.dspan) for r in
-                   merged_ds.select("dspan").distinct().collect()}
-        for s in set(touched_spans) - live_ds:
-            fsutil.delete(os.path.join(docshards_path, f"dspan={s}"),
-                          spark=spark)
-
-    if touched_spans:
-        cur_dl = (doclen.where(F.col("dspan").isin(touched_spans))
-                  .join(changed, "doc_id", "left_anti")
-                  .select("doc_id", "dl"))
-        merged_dl = cur_dl
-        if new_dl is not None:
-            merged_dl = merged_dl.unionByName(new_dl)
-        merged_dl = (merged_dl
-                     .withColumn("dspan",
-                                 F.expr(f"doc_id div {_LEX_DSPAN}"))
-                     .localCheckpoint(eager=True))
-        (merged_dl.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("dspan").parquet(doclen_path))
+         .partitionBy("dspan").parquet(docmeta_path))
         live_spans = {int(r.dspan) for r in
-                      merged_dl.select("dspan").distinct().collect()}
+                      merged_meta.select("dspan").distinct().collect()}
         for s in set(touched_spans) - live_spans:
-            fsutil.delete(os.path.join(doclen_path, f"dspan={s}"),
+            fsutil.delete(os.path.join(docmeta_path, f"dspan={s}"),
                           spark=spark)
 
-    # stateless scalar refresh from the COMMITTED doclen — idempotent
+    # stateless scalar refresh from the COMMITTED docmeta — idempotent
     # whatever prefix of the batch a crashed run applied
-    stats = spark.read.parquet(doclen_path).agg(
+    stats = spark.read.parquet(docmeta_path).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tl")) \
         .first()

@@ -3712,7 +3712,7 @@ def lexical_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     then probe with BM25 — the result must equal the oracle's
     from-scratch scoring of the FINAL corpus, proving per-shard df
     recomputation and the stateless (n, tl) descriptor refresh are
-    exact. Only touched term shards and doclen spans rewrite."""
+    exact. Only touched term shards and docmeta spans rewrite."""
     import os
 
     from .operators.retrieval import bm25_indexed_topk, \

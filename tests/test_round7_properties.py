@@ -357,9 +357,12 @@ def test_lexical_index_upsert_matches_rebuild(spark, tmp_path):
             path + "/postings").select("term", "doc_id", "tf", "df")
             .collect())
         dl = sorted(tuple(r) for r in spark.read.parquet(
-            path + "/doclen").select("doc_id", "dl").collect())
+            path + "/docmeta").select("doc_id", "dl").collect())
+        memb = sorted((r.doc_id, tuple(sorted(r.shards)))
+                      for r in spark.read.parquet(
+                          path + "/docmeta").collect())
         meta = json.load(open(os.path.join(path, "_lex_meta.json")))
-        return post, dl, meta
+        return post, dl, memb, meta
 
     # disjoint vocabularies -> the batch touches only its own shards
     base = spark.createDataFrame(

@@ -59,7 +59,7 @@ def _plan_of(df) -> str:
 
 
 def test_lexical_upsert_discovery_span_pruned(spark, tmp_path):
-    """Affected-shard discovery must read the docshards MEMBERSHIP table
+    """Affected-shard discovery must read the docmeta MEMBERSHIP column
     with a planning-time dspan partition filter — O(changed docs) IO —
     and must never scan the postings table at all (the r7 verdict's
     O(index)-per-CDC-batch scale killer)."""
@@ -72,18 +72,19 @@ def test_lexical_upsert_discovery_span_pruned(spark, tmp_path):
     path = str(tmp_path / "lex")
     write_lexical_index(docs, path, shards=4)
 
-    docshards = spark.read.parquet(path + "/docshards")
+    docmeta = spark.read.parquet(path + "/docmeta")
     changed = spark.createDataFrame([(3,)], "doc_id long")
-    plan = _plan_of(_membership_shard_frame(docshards, changed, [0]))
+    plan = _plan_of(_membership_shard_frame(docmeta, changed, [0]))
     assert "PartitionFilters" in plan and "dspan" in plan
     assert "postings" not in plan
 
 
 def test_lexical_upsert_maintains_membership(spark, tmp_path):
-    """The docshards table after an upsert equals the distinct
-    (doc_id, shard) pairs of the post-upsert postings — the invariant
-    discovery correctness rests on (adds, removes, re-adds, and a doc
-    whose removal empties a span)."""
+    """The docmeta membership column after an upsert equals the distinct
+    (doc_id, shard) pairs of the post-upsert postings, and dl equals the
+    post-upsert doc lengths — the invariants discovery correctness and
+    BM25 normalization rest on (adds, removes, re-adds, and a doc whose
+    removal empties a span)."""
     from mysql_ch_replicator_spark.operators.retrieval import (
         upsert_lexical_index, write_lexical_index)
 
@@ -101,26 +102,35 @@ def test_lexical_upsert_maintains_membership(spark, tmp_path):
     post = {(r.doc_id, int(r.shard)) for r in
             spark.read.parquet(path + "/postings")
             .select("doc_id", "shard").distinct().collect()}
-    members = {(r.doc_id, int(r.shard)) for r in
-               spark.read.parquet(path + "/docshards")
-               .select("doc_id", "shard").collect()}
+    meta_rows = spark.read.parquet(path + "/docmeta").collect()
+    members = {(r.doc_id, int(s)) for r in meta_rows for s in r.shards}
     assert members == post and post
+    assert {r.doc_id: r.dl for r in meta_rows} == {1: 2, 2: 2, 4: 1}
 
 
 def test_lexical_upsert_migrates_pre_membership_index(spark, tmp_path):
-    """An index written before the membership table existed upserts
-    correctly: the first upsert derives docshards from the postings
-    once, then proceeds O(changed docs)."""
+    """An index written with the pre-r8 layout (separate doclen/, no
+    membership) upserts correctly: the first upsert fuses doclen +
+    postings membership into docmeta once, then proceeds
+    O(changed docs)."""
     import shutil
 
+    from pyspark.sql import functions as SF
+
     from mysql_ch_replicator_spark.operators.retrieval import (
-        bm25_indexed_topk, upsert_lexical_index, write_lexical_index)
+        _LEX_DSPAN, bm25_indexed_topk, upsert_lexical_index,
+        write_lexical_index)
 
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
     path = str(tmp_path / "lex")
     write_lexical_index(docs, path, shards=4)
-    shutil.rmtree(path + "/docshards")   # simulate a pre-r8 index
+    # reconstruct the pre-r8 layout: doclen dir from docmeta, no docmeta
+    (spark.read.parquet(path + "/docmeta").select("doc_id", "dl")
+     .withColumn("dspan", SF.expr(f"doc_id div {_LEX_DSPAN}"))
+     .write.mode("overwrite").partitionBy("dspan")
+     .parquet(path + "/doclen"))
+    shutil.rmtree(path + "/docmeta")
 
     adds = spark.createDataFrame([(1, "gamma gamma")],
                                  "doc_id long, text string")
@@ -133,6 +143,8 @@ def test_lexical_upsert_migrates_pre_membership_index(spark, tmp_path):
     assert post == {("beta", 2), ("gamma", 2), ("gamma", 1)}
     got = bm25_indexed_topk(spark, path, ["gamma"], k=2).collect()
     assert [r.doc_id for r in got]
+    import os
+    assert not os.path.exists(path + "/doclen")   # migrated away
 
 
 def test_image_dhash_dedup_matches_brute_force(spark):
@@ -171,6 +183,83 @@ def test_image_dhash_dedup_matches_brute_force(spark):
               for i in texts}
     assert got == {(i, dup_of[i]) for i in texts}
     assert got != {(i, i) for i in texts}        # something clustered
+
+
+def test_image_dhash_dedup_random_corpora_match_brute_force(spark):
+    """Hypothesis-style sweep without per-example Spark jobs: ONE corpus
+    of seeded random near-dup families (base strings + 0–2 char
+    perturbations + unrelated docs) must cluster exactly as the literal
+    python brute force says — banding recall/precision holds on
+    arbitrary content, not just the crafted fixture."""
+    import random
+
+    from mysql_ch_replicator_spark.operators.dedup import image_dhash_dedup
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        _dhash_bits, attach_fake_binary)
+
+    rng = random.Random(0xD45)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    texts = {}
+    did = 0
+    for fam in range(12):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(5, 90)))
+        for _ in range(rng.randint(1, 4)):
+            t = list(base)
+            for _ in range(rng.randint(0, 2)):
+                if t:
+                    t[rng.randrange(len(t))] = rng.choice(alpha)
+            texts[did] = "".join(t)
+            did += 1
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {(r.doc_id, r.dup_of) for r in
+           image_dhash_dedup(attach_fake_binary(docs)).collect()}
+
+    def fp(t):
+        px = [ord(ch) for ch in t[:66]]
+        px += [0] * (66 - len(px))
+        return _dhash_bits(px, 6, 10)
+
+    fps = {i: fp(t) for i, t in texts.items()}
+    pairs = {(a, b) for a in fps for b in fps
+             if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert pairs  # perturbation families must produce near-dups
+    dup_of = {i: min([a for a, b in pairs if b == i] + [i]) for i in texts}
+    assert got == {(i, dup_of[i]) for i in texts}
+
+
+def test_quality_classifier_matches_python_model(spark):
+    """Random corpora + random signed vocab: Spark scores equal a literal
+    python bag-of-words model with truncating division — including docs
+    that are all-OOV, empty, or punctuation-only."""
+    import random
+    import re
+
+    from mysql_ch_replicator_spark.operators.selection import (
+        linear_quality_score)
+
+    rng = random.Random(0xC1A)
+    vocab = {f"w{i}": rng.randint(-600000, 600000) for i in range(30)}
+    pool = list(vocab) + ["oov1", "oov2", "zzz"]
+    texts = {}
+    for i in range(40):
+        n = rng.randint(0, 12)
+        texts[i] = " ".join(rng.choice(pool) for _ in range(n)) \
+            if n else rng.choice(["", "...", "!!! ???"])
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    weights = spark.createDataFrame(
+        list(vocab.items()), "term string, w_ppm long")
+    got = {r.doc_id: (r.n_tokens, r.score_ppm, r.keep) for r in
+           linear_quality_score(docs, weights,
+                                keep_threshold_ppm=25000).collect()}
+
+    for i, t in texts.items():
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        dot = sum(vocab.get(w, 0) for w in toks)
+        # truncation toward zero, like Spark div / DuckDB //
+        score = int(dot / len(toks)) if toks else 0
+        assert got[i] == (len(toks), score, int(score >= 25000)), (i, t)
 
 
 def test_image_dhash_banding_radius_guard():
