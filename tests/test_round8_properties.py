@@ -321,6 +321,73 @@ def test_quality_classifier_zero_token_and_negative_docs(spark):
     assert got[3] == (2, (500000 + 420000) // 2, 1)
 
 
+def test_streaming_anomaly_real_multichunk_e2e(spark, tmp_path):
+    """End-to-end twin of the direct-chunks unit test: shrink Arrow's
+    maxRecordsPerBatch to 3 so applyInPandasWithState REALLY delivers
+    each key's micro-batch as multiple chunks, and assert the streaming
+    flags still equal the batch operator's — the r7 ADVICE failure mode
+    (per-chunk sorting corrupting state order) cannot reappear
+    unnoticed."""
+    import json as _json
+
+    from mysql_ch_replicator_spark.operators.timeseries import (
+        rolling_anomaly)
+    from mysql_ch_replicator_spark.streaming.stateful import (
+        streaming_rolling_anomaly)
+
+    vals = [10.0, 10.5, 9.5, 10.0, 10.25, 9.75, 10.0,
+            50.0, 10.0, 10.5, 9.5, 10.0, 48.0, 9.75, 10.0,
+            10.1, 9.9, 47.0, 10.0, 10.2]
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1, i % 24), 7, v)
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    batch_flags = {(r.user_id, r.event_id)
+                   for r in rolling_anomaly(ev).collect()}
+    assert batch_flags
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # write the rows OUT of (ts, oid) order: with 3-row Arrow chunks a
+    # per-chunk sort then disagrees with the whole-group sort, so the
+    # old bug would flip the flag set (verified by mutating the operator)
+    import random
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+    with open(src / "all.jsonl", "w") as fh:
+        for eid, ts, uid, v in shuffled:
+            fh.write(_json.dumps({"event_id": eid, "ts": ts.isoformat(),
+                                  "user_id": uid, "value": v}) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "value double")
+                  .json(str(src)))
+        out = streaming_rolling_anomaly(stream)
+        q = (out.writeStream.format("memory").queryName("anom_mc")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            stream_flags = {(r.key, r.oid)
+                            for r in spark.table("anom_mc").collect()}
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert stream_flags == batch_flags
+
+
 def test_ks_drift_grid_cardinality_guard(spark):
     """ks_drift's ECDF grid is |groups|·|distinct values|; a high-
     cardinality value column must raise with the bucketing fix named,
