@@ -727,6 +727,8 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 _IVF_META = "_ivf_meta.json"   # underscore prefix: invisible to parquet scans
 _IVF_PENDING = "_ivf_upsert_pending.json"   # upsert intent manifest
+_IVF_MEMBERS = "_vecmeta"      # id-span-partitioned vec_id→cell membership
+_IVF_VSPAN = 4096              # membership partition width (vec ids per dir)
 
 
 def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
@@ -759,13 +761,39 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
         "embedding", n_cells, dims, probes=1, centroids=cents)
     (assigned.withColumn("cell", F.element_at("cells", 1)).drop("cells")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
+    # vec_id→cell membership, id-span-partitioned, derived from the
+    # COMMITTED index (a 2-column read-back — no second assignment
+    # pass): the inverse mapping incremental upserts need. Vec ids
+    # spread across every cell, so "which cell holds this id" is
+    # unanswerable from the cell layout without scanning the whole
+    # index per CDC batch; the membership table answers it with a
+    # directory-pruned read of the changed ids' spans — O(batch). The
+    # underscore prefix keeps the subdir out of the index's own scans.
+    spark = corpus.sparkSession
+    (spark.read.parquet(path)
+     .select("vec_id", F.col("cell").cast("int").alias("cell"))
+     .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+     .write.mode("overwrite").partitionBy("vspan")
+     .parquet(os.path.join(path, _IVF_MEMBERS)))
     # meta rides the Hadoop FS like the parquet it describes — open()
     # would break on any non-local index path (ADVICE r7)
     fsutil.write_text(
         os.path.join(path, _IVF_META),
         json.dumps({"n_cells": n_cells, "dims": dims,
                     "centroids": cents}),
-        spark=corpus.sparkSession)
+        spark=spark)
+
+
+def _ivf_membership_cells(members: DataFrame, ids: DataFrame,
+                          spans: list[int]) -> DataFrame:
+    """Cells currently holding the changed ids, from the span-partitioned
+    ``_vecmeta`` membership table: the ``vspan`` IN-filter prunes to the
+    changed ids' directories at PLANNING time, so discovery IO is
+    O(batch) whatever the index size. Factored out so the plan pin tests
+    exactly what the upsert runs."""
+    return (members.where(F.col("vspan").isin([int(s) for s in spans]))
+            .join(ids, "vec_id")
+            .select("cell"))
 
 
 def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
@@ -793,9 +821,17 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     currently holding removed ids — ALWAYS by probe, never by assigning
     a carried vector, which would miss the stored row whenever the
     carried image is stale (out-of-order CDC). (b) and (c) share ONE
-    column-pruned probe of the index (only vec_id and the cell partition
-    column are read), and all cell-discovery frames union into a SINGLE
-    collect — one Spark job, not three (r6 verdict #4). The
+    probe of the id-span-partitioned ``_vecmeta`` membership table
+    (vec_id→cell, maintained in the same batch), directory-pruned to the
+    changed ids' spans — O(batch) IO, never a scan of the index itself
+    (the same O(changed)-discovery protocol as the lexical index's
+    docmeta, r8; previously this probed the full index per batch). All
+    cell-discovery frames union into a SINGLE collect (r6 verdict #4)
+    after one tiny span-collect over the batch ids. The membership
+    spans rewrite AFTER the cells commit, so a torn batch leaves
+    membership a SUPERSET of the real state and recovery re-discovers
+    at worst a few already-clean cells. A pre-r8 index (no ``_vecmeta``)
+    migrates on first upsert with one final full-index scan. The
     merged affected-cell rows are localCheckpointed (so the plan no
     longer reads the target path — Spark refuses to overwrite a path it
     is reading) and written with DYNAMIC partition overwrite, leaving
@@ -831,6 +867,15 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                             meta["dims"])
     idx = spark.read.parquet(path)
+    members_path = os.path.join(path, _IVF_MEMBERS)
+    if not fsutil.exists(members_path, spark=spark):
+        # pre-r8 index: derive the membership table once from the full
+        # index — the LAST full-index scan this index pays for discovery
+        (idx.select("vec_id", F.col("cell").cast("int").alias("cell"))
+         .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+         .write.mode("overwrite").partitionBy("vspan")
+         .parquet(members_path))
+    members = spark.read.parquet(members_path)
     assigned = None
     cell_frames: list[DataFrame] = []   # single-column `cell` frames
     probe_ids: list[DataFrame] = []     # ids whose CURRENT cells matter
@@ -850,9 +895,18 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         # embedding) — the same stale-cell class the adds-side fix
         # closes. The probe shares the adds' single index scan.
         probe_ids.append(removes.select(F.col(id_col).alias("vec_id")))
+    ids = None
+    spans: list[int] = []
     if probe_ids:
-        ids = reduce(DataFrame.unionByName, probe_ids).distinct()
-        cell_frames.append(idx.join(ids, "vec_id").select("cell"))
+        ids = transient_persist(
+            reduce(DataFrame.unionByName, probe_ids).distinct())
+        # changed ids' spans — collected FIRST (bounded by the batch)
+        # so the membership read prunes directories at planning time
+        spans = sorted({int(r.v) for r in ids.select(
+            F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
+            .distinct().collect()})
+        if spans:
+            cell_frames.append(_ivf_membership_cells(members, ids, spans))
     if not cell_frames:
         return []
     cells = sorted({r.cell for r in
@@ -871,7 +925,9 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                              "vec_id", "left_anti")
     merged = merged.localCheckpoint(eager=True)
     pending = os.path.join(path, _IVF_PENDING)
-    fsutil.write_text(pending, json.dumps({"cells": cells}), spark=spark)
+    fsutil.write_text(pending,
+                      json.dumps({"cells": cells, "vspans": spans}),
+                      spark=spark)
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell").parquet(path))
@@ -884,6 +940,38 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
             merged.select("cell").distinct().collect()}
     for c in set(cells) - live:
         fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+
+    if spans:
+        # membership rewrite AFTER the cells commit (superset-on-crash;
+        # see the docstring's crash contract): changed ids out, the
+        # batch's surviving assignments in — one span-partitioned
+        # dynamic overwrite
+        cur_m = (members.where(F.col("vspan").isin(spans))
+                 .join(ids, "vec_id", "left_anti")
+                 .select("vec_id",
+                         F.col("cell").cast("int").alias("cell")))
+        merged_m = cur_m
+        if assigned is not None:
+            new_m = assigned.select(
+                "vec_id", F.col("cell").cast("int").alias("cell"))
+            if removes is not None:
+                new_m = new_m.join(
+                    removes.select(F.col(id_col).alias("vec_id"))
+                    .distinct(), "vec_id", "left_anti")
+            merged_m = merged_m.unionByName(new_m)
+        merged_m = (merged_m
+                    .withColumn("vspan",
+                                F.expr(f"vec_id div {_IVF_VSPAN}"))
+                    .localCheckpoint(eager=True))
+        (merged_m.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("vspan").parquet(members_path))
+        live_spans = {int(r.vspan) for r in
+                      merged_m.select("vspan").distinct().collect()}
+        for s in set(spans) - live_spans:
+            fsutil.delete(os.path.join(members_path, f"vspan={s}"),
+                          spark=spark)
+
     fsutil.delete(pending, spark=spark)
     return cells
 

@@ -402,6 +402,85 @@ def test_ks_drift_grid_cardinality_guard(spark):
     assert ks_drift(df, max_grid_cells=100_000).count() == 4
 
 
+def _ivf_corpus(spark, n=60, dims=8):
+    import math
+    rows = [(i, [math.sin(i * (d + 1)) for d in range(dims)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_upsert_discovery_span_pruned(spark, tmp_path):
+    """IVF affected-cell discovery must read the _vecmeta membership
+    table with a planning-time vspan partition filter — O(batch) IO —
+    and never scan the index's cell partitions (the same O(index)
+    pattern the lexical docmeta fix killed)."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_MEMBERS, _ivf_membership_cells, write_ivf_index)
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(_ivf_corpus(spark), path, n_cells=4)
+    members = spark.read.parquet(path + "/" + _IVF_MEMBERS)
+    ids = spark.createDataFrame([(3,)], "vec_id long")
+    plan = _plan_of(_ivf_membership_cells(members, ids, [0]))
+    assert "PartitionFilters" in plan and "vspan" in plan
+    assert "cell=" not in plan      # the index itself is never scanned
+
+
+def test_ivf_upsert_maintains_membership(spark, tmp_path):
+    """_vecmeta after an upsert equals the (vec_id, cell) pairs of the
+    post-upsert index — adds, removes, and a re-add that moves cells."""
+    from pyspark.sql import functions as SF
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_MEMBERS, upsert_ivf_index, write_ivf_index)
+
+    corpus = _ivf_corpus(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus.where(SF.col("vec_id") % 3 != 0), path,
+                    n_cells=4)
+    upsert_ivf_index(
+        spark, path,
+        adds=corpus.where(SF.col("vec_id") % 3 == 0),
+        removes=corpus.where(SF.col("vec_id") % 5 == 0)
+        .select("vec_id"))
+    idx_pairs = {(r.vec_id, int(r.cell)) for r in
+                 spark.read.parquet(path).select("vec_id", "cell")
+                 .collect()}
+    mem_pairs = {(r.vec_id, int(r.cell)) for r in
+                 spark.read.parquet(path + "/" + _IVF_MEMBERS)
+                 .select("vec_id", "cell").collect()}
+    assert mem_pairs == idx_pairs and idx_pairs
+
+
+def test_ivf_upsert_migrates_pre_membership_index(spark, tmp_path):
+    """A pre-r8 index (no _vecmeta) upserts correctly: the first upsert
+    derives the membership once from the index, then proceeds O(batch)."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_MEMBERS, upsert_ivf_index, write_ivf_index)
+
+    corpus = _ivf_corpus(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus.where(SF.col("vec_id") < 40), path, n_cells=4)
+    shutil.rmtree(path + "/" + _IVF_MEMBERS)   # simulate pre-r8
+
+    upsert_ivf_index(spark, path,
+                     adds=corpus.where(SF.col("vec_id") >= 40),
+                     removes=corpus.where(SF.col("vec_id") < 5)
+                     .select("vec_id"))
+    idx_pairs = {(r.vec_id, int(r.cell)) for r in
+                 spark.read.parquet(path).select("vec_id", "cell")
+                 .collect()}
+    assert {v for v, _ in idx_pairs} == set(range(5, 60))
+    mem_pairs = {(r.vec_id, int(r.cell)) for r in
+                 spark.read.parquet(path + "/" + _IVF_MEMBERS)
+                 .select("vec_id", "cell").collect()}
+    assert mem_pairs == idx_pairs
+
+
 def test_dead_letter_count_survives_checkpoint_reset(spark, tmp_path):
     """Quarantine dirs are keyed by the CONTENT of the batch's dead rows,
     not by (run token, batch id): after a checkpoint reset the same
