@@ -262,6 +262,39 @@ def test_quality_classifier_matches_python_model(spark):
         assert got[i] == (len(toks), score, int(score >= 25000)), (i, t)
 
 
+def test_image_dhash_real_bytes_pil_guarded(spark):
+    """Real (non-fake) image bytes route through the PIL slot: without
+    Pillow the operator must raise NotImplementedError (never silently
+    hash garbage); with Pillow (skipped here, runs where installed) a
+    uniform gradient PNG produces the all-ones-per-row gradient hash."""
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        dhash_images)
+
+    png_magic = bytes([0x89]) + b"PNG\r\n\x1a\n" + b"\x00" * 32
+    imgs = spark.createDataFrame([(1, bytearray(png_magic))],
+                                 "doc_id long, image binary")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception) as ei:
+            dhash_images(imgs).collect()
+        assert "NotImplementedError" in str(ei.value) or \
+            "image library" in str(ei.value)
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    img = Image.new("L", (22, 12))
+    img.putdata([min(255, x * 10) for _ in range(12) for x in range(22)])
+    img.save(buf, format="PNG")
+    imgs = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                                 "doc_id long, image binary")
+    fp = dhash_images(imgs).collect()[0].fp
+    assert fp == (1 << 60) - 1   # strictly increasing rows → all bits set
+
+
 def test_image_dhash_banding_radius_guard():
     """4×15-bit banding only guarantees recall to distance 3 — a wider
     radius must raise, not silently lose pairs."""
@@ -400,6 +433,43 @@ def test_ks_drift_grid_cardinality_guard(spark):
         ks_drift(df, max_grid_cells=100).collect()
     # the same data passes once bucketed (or with the bound raised)
     assert ks_drift(df, max_grid_cells=100_000).count() == 4
+
+
+def test_persisted_indexes_work_with_scheme_qualified_paths(spark, tmp_path):
+    """Both persisted indexes round-trip through an explicit file:// URI:
+    proves no local-only filesystem call (open/os.remove/shutil) remains
+    on the index paths — everything rides Spark's Hadoop FS layer, so an
+    s3a:// or hdfs:// index path differs only in scheme (ADVICE r7)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, upsert_lexical_index, write_lexical_index)
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ivf_index_topk, upsert_ivf_index, write_ivf_index)
+
+    lex = "file://" + str(tmp_path / "lex")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "delta")],
+        "doc_id long, text string")
+    write_lexical_index(docs, lex, shards=4)
+    upsert_lexical_index(
+        spark, lex,
+        adds=spark.createDataFrame([(4, "beta beta")],
+                                   "doc_id long, text string"),
+        removes=spark.createDataFrame([(3,)], "doc_id long"))
+    got = bm25_indexed_topk(spark, lex, ["beta"], k=4).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2, 4]
+
+    ivf = "file://" + str(tmp_path / "ivf")
+    corpus = _ivf_corpus(spark, n=30)
+    write_ivf_index(corpus.where("vec_id < 20"), ivf, n_cells=4)
+    upsert_ivf_index(spark, ivf,
+                     adds=corpus.where("vec_id >= 20"),
+                     removes=corpus.where("vec_id < 3").select("vec_id"))
+    left = {r.vec_id for r in
+            spark.read.parquet(ivf).select("vec_id").collect()}
+    assert left == set(range(3, 30))
+    q = corpus.where("vec_id = 10").selectExpr(
+        "vec_id AS query_id", "embedding")
+    assert ivf_index_topk(spark, ivf, q, k=3).count() == 3
 
 
 def _ivf_corpus(spark, n=60, dims=8):
