@@ -135,6 +135,59 @@ def test_new_query_wave_cannot_starve_stale_tail(monkeypatch):
     assert tail == sorted(tail)
 
 
+def test_rotation_staleness_bounded_under_continuous_influx(monkeypatch):
+    """Multi-round simulation of the r7 failure dynamics: starting from
+    a 192-query registry with the real r8 staleness distribution and
+    adding 10 new queries EVERY round, no verified query's newest green
+    row ever falls more than _OVERDUE_AGE rounds behind — the overdue
+    lane guarantees the tail always cycles back in, whatever the influx
+    (the r7 policy let new waves starve it unboundedly). Never-verified
+    entrants queue FIFO once the registry outgrows the window's
+    arithmetic capacity — a physical limit of 50 slots, not a policy
+    choice — so the oldest entrant is always next in line."""
+    import mysql_ch_replicator_spark.queries as q
+
+    latest = {}
+    i = 0
+    for rnd, count in [(3, 4), (4, 46), (5, 46), (6, 46), (7, 46)]:
+        for _ in range(count):
+            latest[f"q{i:03d}"] = rnd
+            i += 1
+    born = {}
+    new_counter = [0]
+
+    worst_lag = 0
+    for rnd in range(8, 30):
+        for _ in range(10):
+            name = f"fresh_{new_counter[0]:03d}"
+            latest.setdefault(name, -1)
+            born[name] = rnd
+            new_counter[0] += 1
+        known = {k: v for k, v in latest.items() if v >= 0}
+        names = _synthetic_rotation(
+            monkeypatch, known,
+            n_new=sum(1 for v in latest.values() if v < 0))
+        # map synthetic never-verified names back: _synthetic_rotation
+        # names them new_XXX in registration order == our fresh_XXX order
+        fresh = sorted(k for k, v in latest.items() if v < 0)
+        alias = {f"new_{j:03d}": fresh[j] for j in range(len(fresh))}
+        window = [alias.get(n, n) for n in names[:DRIVER_WINDOW]]
+        verified_new = [n for n in window if n.startswith("fresh_")
+                        and latest[n] < 0]
+        # FIFO: the entrants verified this round are exactly the oldest
+        # waiting ones
+        waiting = sorted(k for k, v in latest.items()
+                         if k.startswith("fresh_") and v < 0)
+        assert verified_new == waiting[:len(verified_new)]
+        for n in window:          # the driver turns the window green
+            if n in latest:
+                latest[n] = rnd
+        lag = max(rnd - v for k, v in latest.items()
+                  if v >= 0 and not k.startswith("fresh_"))
+        worst_lag = max(worst_lag, lag)
+    assert worst_lag <= q._OVERDUE_AGE, worst_lag
+
+
 def test_overdue_lane_preempts_new_lane(monkeypatch):
     """A query whose newest green row is _OVERDUE_AGE+ rounds behind the
     newest recorded round outranks even never-verified entrants — the

@@ -551,6 +551,39 @@ def test_ivf_upsert_migrates_pre_membership_index(spark, tmp_path):
     assert mem_pairs == idx_pairs
 
 
+def test_ks_drift_matches_python_model_random(spark):
+    """Random group/value corpora: the distributed KS statistic (cum·n
+    cross-multiplication over the x-partitioned grid) equals a literal
+    python two-sample KS of each group against its complement — exact
+    integers end to end, including single-row groups, groups sharing all
+    values, and values unique to one group."""
+    import random
+    from fractions import Fraction
+
+    from mysql_ch_replicator_spark.operators.quality import ks_drift
+
+    rng = random.Random(0x8D)
+    rows = [(rng.randrange(4), rng.randrange(12)) for _ in range(300)]
+    rows += [(9, 5)]                     # single-row group
+    df = spark.createDataFrame(rows, "source long, n_chars long")
+    got = {r.source: (r.n_s, r.n_r, int(r.d_num), r.d_ppm)
+           for r in ks_drift(df).collect()}
+
+    by_g = {}
+    for g, x in rows:
+        by_g.setdefault(g, []).append(x)
+    xs = sorted({x for _, x in rows})
+    for g, vals in by_g.items():
+        rest = [x for gg, xx in rows if gg != g for x in [xx]]
+        n_s, n_r = len(vals), len(rest)
+        d_num = max(abs(sum(1 for v in vals if v <= x) * n_r
+                        - sum(1 for v in rest if v <= x) * n_s)
+                    for x in xs)
+        want = (n_s, n_r, d_num, (1_000_000 * d_num) // (n_s * n_r))
+        assert got[g] == want, (g, got[g], want)
+    assert set(got) == set(by_g)
+
+
 def test_dead_letter_count_survives_checkpoint_reset(spark, tmp_path):
     """Quarantine dirs are keyed by the CONTENT of the batch's dead rows,
     not by (run token, batch id): after a checkpoint reset the same
