@@ -398,6 +398,10 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
          .withColumn("dspan", F.expr(f"doc_id div {_LEX_DSPAN}"))
          .write.mode("overwrite").partitionBy("dspan")
          .parquet(docmeta_path))
+    # the old doclen dir is deleted only AFTER docmeta exists — and
+    # re-checked here so a crash between the migration write and this
+    # delete can't leave it behind forever
+    if fsutil.exists(os.path.join(path, "doclen"), spark=spark):
         fsutil.delete(os.path.join(path, "doclen"), spark=spark)
     docmeta = spark.read.parquet(docmeta_path)
 
