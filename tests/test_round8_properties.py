@@ -76,6 +76,9 @@ def test_lexical_upsert_discovery_span_pruned(spark, tmp_path):
     changed = spark.createDataFrame([(3,)], "doc_id long")
     plan = _plan_of(_membership_shard_frame(docmeta, changed, [0]))
     assert "PartitionFilters" in plan and "dspan" in plan
+    # the scan location IS the docmeta subdir; the postings path (the
+    # old O(index) discovery's scan target) never appears
+    assert "docmeta" in plan
     assert "postings" not in plan
 
 
@@ -493,7 +496,11 @@ def test_ivf_upsert_discovery_span_pruned(spark, tmp_path):
     ids = spark.createDataFrame([(3,)], "vec_id long")
     plan = _plan_of(_ivf_membership_cells(members, ids, [0]))
     assert "PartitionFilters" in plan and "vspan" in plan
-    assert "cell=" not in plan      # the index itself is never scanned
+    # the scan location IS the membership subdir — the index's own
+    # files never appear (the old discovery's scan located the index
+    # root; 'cell=' never shows in formatted plans, so pin the path)
+    assert "_vecmeta" in plan
+    assert plan.count("Location") == 1
 
 
 def test_ivf_upsert_maintains_membership(spark, tmp_path):
