@@ -13,20 +13,49 @@ no-ops and stale shards survive an upsert that promised to clear them
 ``Path.getFileSystem`` makes the operators correct on ANY scheme the
 Spark cluster can reach, at zero extra cost on ``file://``.
 
-Helpers take an explicit ``spark`` or fall back to the active session
-(these are driver-side, called where a session always exists)."""
+Helpers take an explicit ``spark`` or fall back to the active session.
+A SCHEME-LESS path with NO active session falls back to plain python
+file IO (ADVICE r8: sessionless monitoring/recovery code probing a
+local index dir — ``read_ivf_meta``/``pending_upsert_cells`` — must not
+need a JVM); a schemed path without a session still raises, because
+only the JVM can reach it.
+
+``write_text`` is temp-file + rename, never create-in-place: a crash
+mid-write must not leave a truncated descriptor that fails JSON parsing
+on the next probe (ADVICE r8). Hadoop ``FileSystem.rename`` refuses an
+existing destination, so the overwrite is delete-then-rename — atomic
+on the rename itself (HDFS), best-effort on object stores; the crash
+window shrinks from "any byte of the payload" to "between two metadata
+ops", and a reader can never observe a HALF-written file."""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import SparkSession
 
 
+def _local_form(path: str) -> str | None:
+    """The local-filesystem form of ``path`` when python IO can serve it
+    (no scheme, or an explicit ``file:`` URI), else None."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+        return urlparse(path).path
+    if "://" not in path:
+        return path
+    return None
+
+
 def _fs(path: str, spark: SparkSession | None = None):
+    """(fs, jpath, jvm) via the session's JVM, or ``None`` when no
+    session exists but plain python IO can serve the path."""
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
+        if _local_form(path) is not None:
+            return None
         raise RuntimeError(
-            "fsutil needs an active SparkSession (Hadoop FileSystem "
-            "access runs through the session's JVM)")
+            "fsutil needs an active SparkSession for non-local paths "
+            "(Hadoop FileSystem access runs through the session's JVM)")
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -35,18 +64,39 @@ def _fs(path: str, spark: SparkSession | None = None):
 
 def write_text(path: str, text: str,
                spark: SparkSession | None = None) -> None:
-    """Atomic-enough small-file write (create w/ overwrite) through the
-    Hadoop FS — works on any scheme, unlike ``open()``."""
-    fs, p, _ = _fs(path, spark)
-    out = fs.create(p, True)
+    """Small-file write that can never expose a truncated file: the
+    payload lands under a temp name in the same directory, then renames
+    over the target (delete-then-rename where the FS refuses an
+    existing destination)."""
+    handle = _fs(path, spark)
+    if handle is None:
+        local = _local_form(path)
+        tmp = local + ".__tmp__"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, local)
+        return
+    fs, p, jvm = handle
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp__")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"fsutil.write_text: rename {tmp} -> {p} failed")
 
 
 def read_text(path: str, spark: SparkSession | None = None) -> str:
-    fs, p, jvm = _fs(path, spark)
+    handle = _fs(path, spark)
+    if handle is None:
+        with open(_local_form(path), encoding="utf-8") as f:
+            return f.read()
+    fs, p, jvm = handle
     stream = fs.open(p)
     try:
         bos = jvm.java.io.ByteArrayOutputStream()
@@ -58,7 +108,10 @@ def read_text(path: str, spark: SparkSession | None = None) -> str:
 
 
 def exists(path: str, spark: SparkSession | None = None) -> bool:
-    fs, p, _ = _fs(path, spark)
+    handle = _fs(path, spark)
+    if handle is None:
+        return os.path.exists(_local_form(path))
+    fs, p, _ = handle
     return bool(fs.exists(p))
 
 
@@ -67,7 +120,21 @@ def delete(path: str, recursive: bool = True,
     """Delete a file or directory tree; False when the path was already
     absent (the ``ignore_errors`` idempotence the callers rely on), but
     a real backend failure still raises instead of silently leaking."""
-    fs, p, _ = _fs(path, spark)
+    handle = _fs(path, spark)
+    if handle is None:
+        local = _local_form(path)
+        if not os.path.exists(local):
+            return False
+        if os.path.isdir(local):
+            if not recursive:
+                os.rmdir(local)
+            else:
+                import shutil
+                shutil.rmtree(local)
+        else:
+            os.remove(local)
+        return True
+    fs, p, _ = handle
     if not fs.exists(p):
         return False
     return bool(fs.delete(p, recursive))

@@ -289,13 +289,25 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
                   closure: bool = False) -> DataFrame:
     """Near-dup via 60-bit SimHash + pigeonhole candidate generation:
     distance ≤ 3 ⇒ at least one of the 4 15-bit chunks matches exactly, so
-    candidates come from one explode+equi-join, then exact Hamming verify."""
+    candidates come from one explode+equi-join, then exact Hamming verify.
+    Identical fingerprints collapse to one representative BEFORE banding
+    (``_band15_resolve``) — the hot-band guard."""
     fp = transient_persist(spread(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash64(words(F.col(text_col))).alias("fp")))
-    verified = _band15_pairs(fp, max_distance)
-    return _resolve(verified, docs.select(F.col(id_col).alias("doc_id")),
-                    closure)
+    return _band15_resolve(fp, docs.select(F.col(id_col).alias("doc_id")),
+                           max_distance, closure)
+
+
+def _band15_chunk_col() -> Column:
+    """The 4×15-bit chunk array of a 60-bit ``fp`` column — shared by
+    candidate generation and the hot-band audit so both count the same
+    buckets."""
+    return F.array(*[
+        F.concat(F.lit(f"{c}:"),
+                 F.shiftright(F.col("fp"), c * 15)
+                  .bitwiseAND(F.lit((1 << 15) - 1)).cast("string"))
+        for c in range(4)])
 
 
 def _band15_pairs(fp: DataFrame, max_distance: int) -> DataFrame:
@@ -304,19 +316,18 @@ def _band15_pairs(fp: DataFrame, max_distance: int) -> DataFrame:
     least one of the 4 chunks matches exactly, so candidates come from
     one explode+equi-join (never all-pairs), then exact verify.  Shared
     by text SimHash and image dHash — the fingerprint source differs,
-    the banding algebra is identical."""
+    the banding algebra is identical.  Callers feed this DISTINCT
+    fingerprints (``_band15_resolve`` collapses identical fps first);
+    fed raw docs it still computes correct pairs, but an identical-fp
+    cluster of c docs would fan the band equi-join out c² — the hot-band
+    blowup the collapse exists to kill."""
     if max_distance > 3:
         raise ValueError(
             "4×15-bit pigeonhole banding guarantees recall only for "
             f"Hamming distance ≤ 3 (got max_distance={max_distance}); "
             "add bands before raising the radius")
-    chunks = fp.select(
-        "doc_id", "fp",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{c}:"),
-                     F.shiftright(F.col("fp"), c * 15)
-                      .bitwiseAND(F.lit((1 << 15) - 1)).cast("string"))
-            for c in range(4)])).alias("chunk"))
+    chunks = fp.select("doc_id", "fp",
+                       F.explode(_band15_chunk_col()).alias("chunk"))
     left = chunks.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"),
                          "chunk")
     right = chunks.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"),
@@ -328,6 +339,104 @@ def _band15_pairs(fp: DataFrame, max_distance: int) -> DataFrame:
     return cand.where(
         F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_distance) \
         .select("a", "b")
+
+
+def _band15_resolve(fp: DataFrame, all_ids: DataFrame, max_distance: int,
+                    closure: bool) -> DataFrame:
+    """Collapse-then-band tail shared by SimHash and dHash dedup, with
+    output IDENTICAL to banding the raw docs (pinned by equivalence
+    tests) at a fraction of the candidate volume.
+
+    The hot-band guard (r8 verdict): a real 100 TB corpus has massive
+    EXACT-duplicate clusters (blank thumbnails, logos, boilerplate)
+    whose identical fingerprints share all four bands — a c-doc cluster
+    fans the band equi-join out c²/2 candidate pairs that all verify at
+    distance 0 and say nothing new.  Capping the band (the n-gram
+    posting trick) would break the pigeonhole recall GUARANTEE, so
+    instead: identical fps collapse to their MIN doc id (one fp-keyed
+    map-side-combining shuffle), banding runs over DISTINCT fps only,
+    and cluster members link to their representative afterwards —
+    linear in cluster size, recall untouched.  ``band15_hot_report``
+    quantifies both the collapse win and any residual distinct-fp
+    band skew.
+
+    Equivalences with the uncollapsed algebra:
+
+    - closure: every member–rep edge is a true distance-0 pair and every
+      rep–rep edge a true ≤k pair, and any uncollapsed pair (x, y) is
+      bridged x — rep(x) — rep(y) — y, so connected components (hence
+      dup_of = component min) are identical.
+    - min-link: dup_of(b) = min doc id over b's CLOSED Hamming-≤k
+      neighborhood.  Every doc with fingerprint g in that neighborhood
+      contributes its fp-group minimum = rep(g), so the neighborhood min
+      equals min(rep(fp_b), adjacent reps) — computable rep-level, then
+      broadcast back to members by one fp join."""
+    reps = transient_persist(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
+    rep_pairs = _band15_pairs(reps, max_distance)
+    if closure:
+        members = (fp.join(reps.select("fp", F.col("doc_id").alias("a")),
+                           "fp")
+                   .where(F.col("doc_id") != F.col("a"))
+                   .select("a", F.col("doc_id").alias("b")))
+        return connected_components(rep_pairs.unionByName(members), all_ids)
+    rep_pairs = transient_persist(rep_pairs)
+    nbrs = rep_pairs.select(F.col("a").alias("r"), F.col("b").alias("n")) \
+        .unionByName(rep_pairs.select(F.col("b").alias("r"),
+                                      F.col("a").alias("n")))
+    best = nbrs.groupBy("r").agg(F.min("n").alias("nbr_min"))
+    rep_best = (reps.join(best, reps["doc_id"] == best["r"], "left")
+                .select("fp",
+                        F.least(F.col("doc_id"),
+                                F.coalesce("nbr_min", F.col("doc_id")))
+                        .alias("dup_of")))
+    linked = fp.join(rep_best, "fp").select("doc_id", "dup_of")
+    return (all_ids.join(linked, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dup_of", "doc_id").alias("dup_of")))
+
+
+def band15_hot_report(fp: DataFrame) -> DataFrame:
+    """The 'no silent blowups' audit twin of ``_band15_resolve`` (the
+    ``ngram_posting_cap_report`` mold): ONE row quantifying identical-
+    fingerprint cluster mass and residual band skew so a 100 TB image/
+    text dedup sizes its shuffle before committing.
+
+    Columns: n_docs, n_distinct_fps, max_fp_cluster (largest identical-
+    fp cluster), collapsed_docs (docs deduped by collapse alone),
+    max_band_fps (hottest band bucket over DISTINCT fps — residual skew
+    the collapse can't remove), cand_pairs_collapsed (Σ C(c,2) over
+    buckets of distinct fps — the exact band-join candidate bound the
+    dedup pays), cand_pairs_raw (same bound WITHOUT collapse — what the
+    r8 plan would have paid).
+
+    Scale shape: one fp-keyed aggregate + one chunk-keyed aggregate over
+    the exploded DISTINCT fps (4 rows per fp), a second chunk-keyed
+    aggregate over raw docs for the contrast column, then one-row
+    totals. No joins, no pair generation — safe at any corpus size."""
+    per_fp = transient_persist(
+        fp.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    fp_stats = per_fp.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_fps"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long")
+         .alias("max_fp_cluster"),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long")
+         .alias("collapsed_docs"))
+    coll = (per_fp.select(F.explode(_band15_chunk_col()).alias("chunk"),
+                          "c")
+            .groupBy("chunk")
+            .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                 F.sum("c").cast("long").alias("d"))
+            .agg(F.coalesce(F.max("k"), F.lit(0)).cast("long")
+                  .alias("max_band_fps"),
+                 # k*(k-1) is always even: div is exact (stays integer —
+                 # the cross-engine hash compares values, not floats)
+                 F.coalesce(F.sum(F.expr("k*(k-1) div 2")), F.lit(0))
+                  .cast("long").alias("cand_pairs_collapsed"),
+                 F.coalesce(F.sum(F.expr("d*(d-1) div 2")), F.lit(0))
+                  .cast("long").alias("cand_pairs_raw")))
+    return fp_stats.crossJoin(coll)
 
 
 def image_dhash_dedup(images: DataFrame, id_col: str = "doc_id",
@@ -344,9 +453,9 @@ def image_dhash_dedup(images: DataFrame, id_col: str = "doc_id",
     from .multimodal import dhash_images
 
     fp = transient_persist(dhash_images(images, rows=rows, cols=cols))
-    verified = _band15_pairs(fp, max_distance)
-    return _resolve(verified,
-                    images.select(F.col(id_col).alias("doc_id")), closure)
+    return _band15_resolve(fp,
+                           images.select(F.col(id_col).alias("doc_id")),
+                           max_distance, closure)
 
 
 def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",

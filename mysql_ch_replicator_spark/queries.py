@@ -83,10 +83,13 @@ _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 
 # Queries the last verdict marked weak (perf regression or flaky measure):
 # force a fresh driver row this round even if their last row is recent.
-# r5 verdict cleared text_pii_scrub (0.78s -> 0.36s, re-measured green), so
-# the set is empty for round 6; boosts are self-retiring either way (see
-# _ordered_names), so a satisfied entry left here is harmless.
-_ROTATION_BOOST: tuple[str, ...] = ()
+# Round 9: the r8 verdict's one weak flag was lexical_index_upsert's
+# O(corpus) scalar refresh — the descriptor now carries per-span stats
+# (O(changed spans) refresh), which changes the index meta format AND the
+# probe's doclen fallback, so both lexical-index queries need fresh driver
+# rows on the new code path. Boosts are self-retiring (see _ordered_names),
+# so satisfied entries left here are harmless.
+_ROTATION_BOOST: tuple[str, ...] = ("lexical_index_upsert", "bm25_indexed")
 
 # Rotation-fairness knobs (r8, from the r7 verdict's starvation analysis:
 # 45 never-verified entrants legitimately out-sorted the 4 oldest TPC-H

@@ -104,7 +104,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
 
 
-_SIMHASH_PAIRS_SQL = f"""w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+_SIMHASH_FP_SQL = f"""w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
     hs AS (SELECT doc_id,
                   list_transform(ws, x -> {_h60_sql('x')}) AS hl FROM w),
     fp AS (
@@ -114,7 +114,9 @@ _SIMHASH_PAIRS_SQL = f"""w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
                       CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
                     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS fp
       FROM hs
-    ),
+    )"""
+
+_SIMHASH_PAIRS_SQL = f"""{_SIMHASH_FP_SQL},
     chunks AS (
       SELECT doc_id, fp,
              unnest(list_transform(range(4), c ->
@@ -144,6 +146,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash + 4-chunk pigeonhole candidates + Hamming ≤ 3."""
     from .operators.dedup import simhash_dedup
     return simhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_band_audit",
+    f"""
+    WITH {_SIMHASH_FP_SQL},
+    per_fp AS (SELECT t.fp AS f, CAST(count(*) AS BIGINT) AS c
+               FROM fp t GROUP BY t.fp),
+    fp_stats AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_distinct_fps,
+             CAST(max(c) AS BIGINT) AS max_fp_cluster,
+             CAST(sum(c - 1) AS BIGINT) AS collapsed_docs
+      FROM per_fp),
+    buckets AS (
+      SELECT unnest(list_transform(range(4), ch ->
+               ch || ':' || CAST(((f >> CAST(ch*15 AS INT)) & 32767)
+                                 AS VARCHAR))) AS chunk,
+             c
+      FROM per_fp),
+    per_bucket AS (SELECT chunk, CAST(count(*) AS BIGINT) AS k,
+                          CAST(sum(c) AS BIGINT) AS d
+                   FROM buckets GROUP BY chunk),
+    band_stats AS (
+      SELECT CAST(max(k) AS BIGINT) AS max_band_fps,
+             CAST(sum(k*(k-1) // 2) AS BIGINT) AS cand_pairs_collapsed,
+             CAST(sum(d*(d-1) // 2) AS BIGINT) AS cand_pairs_raw
+      FROM per_bucket)
+    SELECT * FROM fp_stats CROSS JOIN band_stats
+    """,
+)
+def simhash_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-band audit for the pigeonhole dedup family
+    (operators/dedup.band15_hot_report, the ngram_posting_cap_report
+    mold): identical-fingerprint cluster mass (what the r9 collapse
+    guard absorbs — blank-thumbnail/logo/boilerplate clusters whose c
+    docs would otherwise fan the band join out c²/2) and residual
+    distinct-fp band skew, as ONE row of exact integers. cand_pairs_raw
+    vs cand_pairs_collapsed is the quantified win; max_band_fps is the
+    skew an operator watches before a 100 TB run."""
+    from .functions.hashing import simhash64, words
+    from .operators.dedup import band15_hot_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.col("doc_id"),
+                     simhash64(words(F.col("text"))).alias("fp"))
+    return band15_hot_report(fp)
 
 
 @register(

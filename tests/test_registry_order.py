@@ -55,18 +55,42 @@ def test_boosted_queries_inside_window():
 
 
 def test_rotation_prefers_stalest_rows():
-    """Every query in the window must be at least as stale (older newest
-    green driver row; never-verified = -1) as every non-pinned, non-boosted
-    query outside it — the staleness-cap invariant the r4 verdict asked for."""
+    """Among VERIFIED queries (those with a green driver row), everyone
+    in the window must be at least as stale as everyone outside it — the
+    staleness-cap invariant the r4 verdict asked for, restated per-lane
+    after r8 (r8 ADVICE): never-verified entrants have their own
+    capped/overflow lanes whose FIFO order is pinned separately
+    (test_new_query_wave_cannot_starve_stale_tail), so during a
+    registration wave bigger than _NEW_QUERY_SLOT_CAP the overflow
+    (latest = -1, nominally "stalest") legitimately sorts LAST — a
+    global min/max over both populations would go red exactly when the
+    cap does its job."""
     latest = _latest_green_rounds()
     names = _ordered_names()
     special = set(_DRIVER_WINDOW_PINNED) | set(_ROTATION_BOOST)
-    inside = [n for n in names[:DRIVER_WINDOW] if n not in special]
-    outside = [n for n in names[DRIVER_WINDOW:] if n not in special]
+    inside = [n for n in names[:DRIVER_WINDOW]
+              if n not in special and n in latest]
+    outside = [n for n in names[DRIVER_WINDOW:]
+               if n not in special and n in latest]
     if inside and outside:
-        assert max(latest.get(n, -1) for n in inside) <= min(
-            latest.get(n, -1) for n in outside
+        assert max(latest[n] for n in inside) <= min(
+            latest[n] for n in outside
         )
+
+
+def test_overdue_queries_always_in_window():
+    """The anti-starvation backstop on the REAL history: any verified
+    query whose newest green row is _OVERDUE_AGE+ rounds behind the
+    newest recorded round must be inside the window, whatever else got
+    registered this round."""
+    from mysql_ch_replicator_spark.queries import _OVERDUE_AGE
+
+    latest = _latest_green_rounds()
+    newest = max(latest.values(), default=-1)
+    overdue = {n for n in _REGISTRY
+               if 0 <= latest.get(n, -1) <= newest - _OVERDUE_AGE}
+    window = set(_ordered_names()[:DRIVER_WINDOW])
+    assert overdue <= window
 
 
 def test_never_verified_queries_lead_rotation():
@@ -109,6 +133,9 @@ def _synthetic_rotation(monkeypatch, latest: dict, n_new: int):
         full.setdefault(n, newest)
     monkeypatch.setattr(q, "_REGISTRY", fake)
     monkeypatch.setattr(q, "_latest_green_rounds", lambda: full)
+    # the lane dynamics under test are independent of whatever real
+    # queries happen to be boosted this round
+    monkeypatch.setattr(q, "_ROTATION_BOOST", ())
     return q._ordered_names()
 
 
