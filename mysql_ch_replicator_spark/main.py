@@ -209,6 +209,21 @@ def run_monitoring(args, config: Settings, spark=None,
             time.sleep(interval_seconds)
 
 
+def _dead_letter_digest(dl) -> str:
+    """Order-independent content hash of a dead-letter frame
+    (raw_value, reason): rows render as to_json(struct(...)) — the
+    JSON escaping makes the framing unforgeable, so no raw_value byte
+    sequence can make two DIFFERENT dead-row sets collide (ADVICE r8;
+    a raw separator-byte concat was forgeable) — then sort + join +
+    md5. One tiny aggregate over the dead rows only."""
+    from pyspark.sql import functions as F
+
+    return dl.agg(F.md5(F.concat_ws(
+        "\x1e", F.sort_array(F.collect_list(F.to_json(
+            F.struct(F.col("raw_value"), F.col("reason"))))))
+    ).alias("h")).collect()[0].h
+
+
 def run_binlog_replicator(args, config: Settings, spark=None,
                           await_termination: bool = True):
     """Ingest tier: continuously convert a Debezium-envelope JSON stream
@@ -305,15 +320,28 @@ def run_binlog_replicator(args, config: Settings, spark=None,
                 # dead_letter_count (the alerting surface) never drifts
                 # up from replays. The hash is one tiny agg over the
                 # dead rows only (order-independent: sorted before
-                # hashing), not the whole batch.
+                # hashing), not the whole batch. Each row hashes as its
+                # to_json(struct(...)) rendering — JSON-escaped, so
+                # raw_value bytes can never forge the row/record framing
+                # and make two DIFFERENT dead-row sets collide (ADVICE
+                # r8; the old \x1f/\x1e concat framing was forgeable).
+                # DELIBERATE trade (ADVICE r8, option accepted +
+                # documented on dead_letter_count): a producer
+                # re-emitting byte-identical garbage in later batches is
+                # indistinguishable BY CONTENT from a replay of the
+                # batch that already quarantined it, so identical dead
+                # content counts ONCE. Keying by (content, batch id)
+                # would count re-emissions — and reintroduce the
+                # checkpoint-reset double-count the content key exists
+                # to prevent (batch ids restart; the same rows would
+                # land under a fresh epoch forever). Replay safety is
+                # the harder guarantee; distinct malformed payloads
+                # (the realistic misbehaving-producer signature) still
+                # grow the count.
                 dl = debezium_dead_letters(batch)
-                digest = dl.agg(F.md5(F.concat_ws(
-                    "\x1e", F.sort_array(F.collect_list(F.concat_ws(
-                        "\x1f", F.col("raw_value"), F.col("reason"))))
-                )).alias("h")).collect()[0].h
                 (dl.write.mode("overwrite")
                  .json(os.path.join(root, "_dead_letter",
-                                    f"content={digest}")))
+                                    f"content={_dead_letter_digest(dl)}")))
             ddl_dbs = {db for db in ddl_dbs
                        if config is None or config.is_database_matches(db)}
 

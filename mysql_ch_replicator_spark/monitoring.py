@@ -135,11 +135,19 @@ def dead_letter_count(event_root: str) -> int:
     committed ``_dead_letter/**/*.json`` files — the number the "no
     silent drops" rule exists to surface (a healthy pipeline holds it
     at 0, a misbehaving producer makes it grow — either way VISIBLE,
-    unlike the reference's skipped binlog events). No Spark job; cost
-    is O(quarantine bytes) per call, which the rule itself keeps near
-    zero on a healthy pipeline. ``_``/``.``-prefixed subdirectories
-    (Spark's in-flight ``_temporary`` attempt files) are pruned so a
-    concurrent quarantine write can't double-count."""
+    unlike the reference's skipped binlog events). Counting contract
+    (ADVICE r8, deliberate): quarantine dirs are keyed by dead-row
+    CONTENT so foreachBatch replays and checkpoint resets can never
+    drift the count upward — the flip side is that BYTE-IDENTICAL
+    garbage re-emitted across distinct batches counts once (it is
+    indistinguishable by content from a replay). DISTINCT malformed
+    payloads — the realistic misbehaving-producer signature, since real
+    envelopes carry varying keys/positions/timestamps — each get their
+    own dir and the count grows. No Spark job; cost is O(quarantine
+    bytes) per call, which the rule itself keeps near zero on a healthy
+    pipeline. ``_``/``.``-prefixed subdirectories (Spark's in-flight
+    ``_temporary`` attempt files) are pruned so a concurrent quarantine
+    write can't double-count."""
     root = os.path.join(event_root, "_dead_letter")
     if not os.path.isdir(root):
         return 0

@@ -1337,6 +1337,32 @@ def _tmp_root(sf_dir: str, tag: str) -> str:
     return root
 
 
+_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def _session_fixture(sf_dir: str, tag: str, build) -> str:
+    """Path to a session-scoped READ-ONLY artifact shared across registry
+    queries (r8 verdict #5: index-family queries each rebuilt identical
+    persisted indexes from scratch — at 194 bench queries the repeated
+    builds were ~10% of the wall clock). ``build(path)`` runs on the
+    FIRST request per (sf_dir, tag) in this process; later requests
+    reuse the path. Sharing rules: only queries needing byte-identical
+    artifact CONTENT may share a tag, and consumers must never mutate
+    the fixture (mutating queries — the upsert e2e family — build their
+    own private copies via ``_tmp_root``). Each query still verifies
+    its own contract against its own oracle; only the initial write is
+    shared — and a solo run of any consumer still builds exactly what
+    it needs."""
+    import os
+
+    key = (os.path.abspath(sf_dir), tag)
+    if key not in _FIXTURES:
+        path = os.path.join(_tmp_root(sf_dir, f"fixture_{tag}"), "data")
+        build(path)
+        _FIXTURES[key] = path
+    return _FIXTURES[key]
+
+
 _USER_STATE_DDL = """CREATE TABLE user_state (
     user_id bigint NOT NULL,
     last_event varchar(32),

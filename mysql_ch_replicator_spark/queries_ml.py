@@ -934,14 +934,13 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_file_metadata(files)
 
 
-def _dhash_oracle_sql(rows: int = 6, cols: int = 10) -> str:
-    """DuckDB twin of multimodal.dhash_images over the fake format: the
-    payload is the utf-8 text, so pixel i is the i-th code point
-    (zero-padded to rows·(cols+1)); the 60 gradient bits sum to the same
-    signed-long fingerprint. Pairs are verified by BRUTE-FORCE Hamming
-    over all fingerprint pairs — the oracle deliberately skips the
-    banding, so the pigeonhole's exact-recall claim is checked against
-    an uncapped all-pairs reference every round."""
+def _dhash_fp_sql(rows: int = 6, cols: int = 10,
+                  source: str = "documents") -> str:
+    """The px/fps CTEs: analytic dHash fingerprints over the fake-image
+    format — the payload is the utf-8 text, so pixel i is the i-th code
+    point (zero-padded to rows·(cols+1)); the 60 gradient bits sum to
+    the same signed-long fingerprint multimodal.dhash_images decodes
+    from the binary."""
     n_px = rows * (cols + 1)
     px = ", ".join(
         f"CASE WHEN length(text) > {i} "
@@ -953,8 +952,16 @@ def _dhash_oracle_sql(rows: int = 6, cols: int = 10) -> str:
         f"THEN {1 << (r * cols + c)} ELSE 0 END)"
         for r in range(rows) for c in range(cols))
     return f"""
-    px AS (SELECT doc_id, [{px}] AS p FROM documents),
-    fps AS (SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM px),
+    px AS (SELECT doc_id, [{px}] AS p FROM {source}),
+    fps AS (SELECT doc_id, CAST({bits} AS BIGINT) AS fp FROM px)"""
+
+
+def _dhash_oracle_sql(rows: int = 6, cols: int = 10) -> str:
+    """Fingerprints + pairs verified by BRUTE-FORCE Hamming over all
+    fingerprint pairs — the oracle deliberately skips the banding, so
+    the pigeonhole's exact-recall claim is checked against an uncapped
+    all-pairs reference every round."""
+    return f"""{_dhash_fp_sql(rows, cols)},
     verified AS (
       SELECT x.doc_id AS a, y.doc_id AS b
       FROM fps x JOIN fps y ON x.doc_id < y.doc_id
@@ -985,6 +992,74 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return image_dhash_dedup(attach_fake_binary(docs))
+
+
+@register(
+    "incremental_image_dedup_maintenance",
+    f"""
+    WITH {_dhash_fp_sql(source="(SELECT doc_id, text FROM documents "
+                               "WHERE doc_id % 11 <> 0)")}
+    SELECT fp, COUNT(*) AS n_copies, CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM fps GROUP BY fp
+    """,
+)
+def incremental_image_dedup_maintenance(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """The IMAGE twin of incremental_dedup_maintenance (r8 verdict #4):
+    an exact-duplicate keeper table keyed by the 60-bit perceptual dHash
+    of the binary column, maintained INCREMENTALLY through the CDC apply
+    machinery — images arrive in 3 add batches, then a delete wave
+    retracts every doc_id % 11 == 0 INCLUDING group keepers, the
+    non-invertible case: only fingerprint groups whose stored minimum is
+    touched pay the bounded rescan (incremental_agg.apply_minmax_batch),
+    vanished single-copy groups drop via the count delta. Fingerprints
+    come from ONE shuffle-free Arrow pass per batch
+    (multimodal.dhash_images) — at 100 TB the replica of decoded
+    fingerprints advances per batch and the image corpus is never
+    re-fingerprinted. The oracle recomputes the keeper table from
+    scratch (analytic dHash over the final corpus); equality proves the
+    retraction rescan never misses a keeper. Identical-fp groups here
+    are EXACT perceptual duplicates — the same clusters the r9 hot-band
+    collapse absorbs in the pairwise path."""
+    from .operators.incremental_agg import (
+        apply_minmax_batch, checkpoint_pair, minmax_of,
+    )
+    from .operators.multimodal import attach_fake_binary, dhash_images
+    from .operators.replica import OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, \
+        collapse_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dhash_images(attach_fake_binary(docs))
+    rows = fps.select("doc_id", "fp", F.col("doc_id").alias("dup_id"))
+    b = rows.agg(F.min("doc_id").alias("lo"),
+                 F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = int(b.lo), int(b.hi)
+    width = (hi - lo) // 3 + 1
+
+    state = spark.createDataFrame(
+        [], "doc_id bigint, fp bigint, dup_id bigint")
+    agg = minmax_of(state, "fp", "dup_id")
+    batches = [
+        rows.where((F.col("doc_id") >= lo + k * width)
+                   & (F.col("doc_id") < lo + (k + 1) * width))
+        .withColumn(SEQ_COL, F.col("doc_id"))
+        .withColumn(OP_COL, F.lit(OP_ADD))
+        for k in range(3)
+    ]
+    batches.append(
+        rows.where(F.col("doc_id") % 11 == 0)
+        .withColumn(SEQ_COL, F.col("doc_id") + F.lit(hi + 1))
+        .withColumn(OP_COL, F.lit(OP_REMOVE)))
+    for batch in batches:
+        ops = collapse_batch(batch, ["doc_id"])
+        state, agg = apply_minmax_batch(
+            state, ops, agg, ["doc_id"], "fp", "dup_id")
+        state, agg = checkpoint_pair(state, agg)
+    result = agg.select(
+        "fp",
+        F.col("n_rows").alias("n_copies"),
+        F.col("vmin").cast("bigint").alias("keeper"))
+    return _pin_result(result, sf_dir, "incr_img_dedup")
 
 
 # ---------------------------------------------------------------------------
@@ -3737,17 +3812,39 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (n/tl come from the index's own descriptor). Scoring is the
     same integer-exact arithmetic as bm25_topk, so the SAME oracle
     gates both — and an equivalence pytest pins indexed == corpus-scan
-    bit-for-bit."""
-    import os
+    bit-for-bit. The full-corpus index is a shared read-only session
+    fixture (``_LEX_FULL_FIXTURE``) — the probe's contract doesn't care
+    who paid for the build."""
+    from .operators.retrieval import bm25_indexed_topk
 
-    from .operators.retrieval import bm25_indexed_topk, \
-        write_lexical_index
-    from .queries import _tmp_root
-    docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_tmp_root(sf_dir, "lexidx"), "index")
-    write_lexical_index(docs, path)
+    path = _lex_full_fixture(spark, sf_dir)
     return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
         .withColumn("score", F.col("score").cast("string"))
+
+
+def _lex_full_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared full-corpus lexical index (shards=16, span_width=256 —
+    narrow spans so the membership-stats query sees a real span
+    population at test scale; probe semantics are width-independent)."""
+    from .operators.retrieval import write_lexical_index
+    from .queries import _session_fixture
+
+    return _session_fixture(
+        sf_dir, "lex_full",
+        lambda p: write_lexical_index(
+            load_table(spark, sf_dir, "documents"), p, shards=16,
+            span_width=256))
+
+
+def _ivf8_full_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared full-corpus IVF index (n_cells=8, fixed grid)."""
+    from .operators.similarity import write_ivf_index
+    from .queries import _session_fixture
+
+    return _session_fixture(
+        sf_dir, "ivf8_full",
+        lambda p: write_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), p, n_cells=8))
 
 
 @register("lexical_index_upsert", _bm25_oracle_sql(
@@ -4068,15 +4165,9 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     data (column pruning keeps the parquet read to the partition
     column); the oracle recomputes the assignment from the source
     embeddings, proving the stored partitioning still matches the
-    descriptor's centroids."""
-    import os
-
-    from .operators.similarity import write_ivf_index
-    from .queries import _tmp_root
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(_tmp_root(sf_dir, "ivf_stats"), "index")
-    write_ivf_index(emb, path, n_cells=8)
+    descriptor's centroids. The index is the shared read-only session
+    fixture (same build index_membership_stats consumes)."""
+    path = _ivf8_full_fixture(spark, sf_dir)
     idx = spark.read.parquet(path).select("cell")
     per_cell = idx.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"))
@@ -4085,6 +4176,70 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_cell.crossJoin(F.broadcast(tot))
             .select("cell", "n_vectors",
                     F.expr("1000000 * n_vectors * c div t").alias("load6")))
+
+
+def _membership_span_frames(spark, lex_path: str, ivf_path: str):
+    """(tbl, span) rows from the two index MEMBERSHIP tables, reading
+    ONLY the partition column (ReadSchema struct<> — pinned): docmeta's
+    dspan and _vecmeta's vspan. Factored out so the plan pin tests
+    exactly what the health query scans."""
+    import os
+
+    dm = (spark.read.parquet(os.path.join(lex_path, "docmeta"))
+          .select(F.lit("docmeta").alias("tbl"),
+                  F.col("dspan").cast("long").alias("span")))
+    vm = (spark.read.parquet(os.path.join(ivf_path, "_vecmeta"))
+          .select(F.lit("_vecmeta").alias("tbl"),
+                  F.col("vspan").cast("long").alias("span")))
+    return dm.unionByName(vm)
+
+
+@register(
+    "index_membership_stats",
+    """
+    WITH per AS (
+      SELECT 'docmeta' AS tbl, CAST(doc_id // 256 AS BIGINT) AS span,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY doc_id // 256
+      UNION ALL
+      SELECT '_vecmeta' AS tbl, CAST(vec_id // 4096 AS BIGINT) AS span,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM embeddings GROUP BY vec_id // 4096
+    ),
+    tot AS (SELECT tbl, CAST(sum(n_rows) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM per GROUP BY tbl)
+    SELECT p.tbl, p.span, p.n_rows,
+           1000000 * p.n_rows * tot.c // tot.t AS load6
+    FROM per p JOIN tot ON p.tbl = tot.tbl
+    """,
+)
+def index_membership_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health stats for the two incremental-index MEMBERSHIP tables (r8
+    verdict #7): per-span row counts and load6 = 1e6·(span size / mean)
+    for the lexical index's span-partitioned ``docmeta`` and the IVF
+    index's ``_vecmeta``. Their span layout is both a correctness AND a
+    performance contract — O(changed docs) upsert discovery reads prune
+    on these directories — so skew must be visible BEFORE it hurts: a
+    hot span is a hot discovery read. The scan touches ONLY the
+    partition column (ReadSchema struct<>, plan-pinned — no postings,
+    vectors, lengths or membership arrays are read); the oracle
+    recomputes the span assignment analytically from the source tables,
+    proving the stored partitioning matches the id→span rule. Both
+    indexes are shared read-only session fixtures — the monitoring
+    surface inspects what the retrieval queries built, exactly as it
+    would in production."""
+    lex_path = _lex_full_fixture(spark, sf_dir)
+    ivf_path = _ivf8_full_fixture(spark, sf_dir)
+    per = (_membership_span_frames(spark, lex_path, ivf_path)
+           .groupBy("tbl", "span")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    tot = per.groupBy("tbl").agg(
+        F.sum("n_rows").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return (per.join(F.broadcast(tot), "tbl")
+            .select("tbl", "span", "n_rows",
+                    F.expr("1000000 * n_rows * c div t").alias("load6")))
 
 
 @register(

@@ -726,7 +726,7 @@ def test_incremental_agg_random_sequences(spark):
     import random
 
     from mysql_ch_replicator_spark.operators.incremental_agg import (
-        agg_of, apply_agg_batch, empty_agg)
+        agg_of, apply_agg_batch, checkpoint_pair, empty_agg)
     from mysql_ch_replicator_spark.operators.replica import (
         OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, collapse_batch)
 
@@ -756,7 +756,10 @@ def test_incremental_agg_random_sequences(spark):
                       f"{SEQ_COL} long, {OP_COL} int"), ["user_id"])
             state, agg = apply_agg_batch(state, b, agg,
                                          ["user_id"], "event_type", "value")
-            state, agg = state.persist(), agg.persist()
+            # eager checkpoint (the production per-batch pattern): a lazy
+            # persist leaves the nested plan to be re-ANALYZED per batch,
+            # which dominated this sweep's runtime
+            state, agg = checkpoint_pair(state, agg)
 
         got = {r.event_type: (r.n_rows, str(r.total))
                for r in agg.collect()}

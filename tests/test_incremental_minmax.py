@@ -7,7 +7,7 @@ state (the repair-path definition is the oracle)."""
 from pyspark.sql import functions as F
 
 from mysql_ch_replicator_spark.operators.incremental_agg import (
-    apply_minmax_batch, minmax_of,
+    apply_minmax_batch, checkpoint_pair, minmax_of,
 )
 from mysql_ch_replicator_spark.operators.replica import (
     OP_COL, SEQ_COL, collapse_batch,
@@ -29,6 +29,9 @@ def _view(agg):
 
 
 def _check(state, agg, grp="grp", val="val"):
+    # (callers checkpoint after each batch - the production per-batch
+    # pattern - so this from-scratch oracle does not re-derive the
+    # whole batch chain per assert)
     assert _view(agg) == _view(minmax_of(state, grp, val))
 
 
@@ -44,6 +47,7 @@ def test_minmax_maintenance_hard_cases(spark):
         (4, "b", 2.0, 4, EVENT_TYPE_ADD),
     ])
     state, agg = apply_minmax_batch(state, b1, agg, ["id"], "grp", "val")
+    state, agg = checkpoint_pair(state, agg)
     assert _view(agg) == {"a": (3, "5.00", "9.00"), "b": (1, "2.00", "2.00")}
 
     # batch 2: retract ONE copy of a's min (update id=1 upward) — the
@@ -55,6 +59,7 @@ def test_minmax_maintenance_hard_cases(spark):
         (5, "c", 1.0, 12, EVENT_TYPE_ADD),
     ])
     state, agg = apply_minmax_batch(state, b2, agg, ["id"], "grp", "val")
+    state, agg = checkpoint_pair(state, agg)
     assert _view(agg) == {"a": (3, "5.00", "9.00"), "c": (1, "1.00", "1.00")}
     _check(state, agg)
 
@@ -62,6 +67,7 @@ def test_minmax_maintenance_hard_cases(spark):
     # a must rescan down to 7.00, c tightens up to 9.00
     b3 = _batch(spark, [(2, "c", 9.0, 20, EVENT_TYPE_ADD)])
     state, agg = apply_minmax_batch(state, b3, agg, ["id"], "grp", "val")
+    state, agg = checkpoint_pair(state, agg)
     assert _view(agg) == {"a": (2, "5.00", "7.00"), "c": (2, "1.00", "9.00")}
     _check(state, agg)
 
@@ -69,6 +75,7 @@ def test_minmax_maintenance_hard_cases(spark):
     # extremes unchanged
     b4 = _batch(spark, [(1, "a", 6.0, 30, EVENT_TYPE_ADD)])
     state, agg = apply_minmax_batch(state, b4, agg, ["id"], "grp", "val")
+    state, agg = checkpoint_pair(state, agg)
     assert _view(agg) == {"a": (2, "5.00", "6.00"), "c": (2, "1.00", "9.00")}
     _check(state, agg)
 
@@ -83,8 +90,10 @@ def test_minmax_null_group_bucket(spark):
         (2, None, 8.0, 2, EVENT_TYPE_ADD),
     ])
     state, agg = apply_minmax_batch(state, b1, agg, ["id"], "grp", "val")
+    state, agg = checkpoint_pair(state, agg)
     assert _view(agg) == {None: (2, "4.00", "8.00")}
     b2 = _batch(spark, [(1, None, 6.0, 10, EVENT_TYPE_ADD)])  # retract min
     state, agg = apply_minmax_batch(state, b2, agg, ["id"], "grp", "val")
+    state, agg = checkpoint_pair(state, agg)
     assert _view(agg) == {None: (2, "6.00", "8.00")}
     _check(state, agg)

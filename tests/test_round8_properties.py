@@ -558,6 +558,7 @@ def test_ivf_upsert_migrates_pre_membership_index(spark, tmp_path):
     assert mem_pairs == idx_pairs
 
 
+@pytest.mark.heavy
 def test_ks_drift_matches_python_model_random(spark):
     """Random group/value corpora: the distributed KS statistic (cum·n
     cross-multiplication over the x-partitioned grid) equals a literal

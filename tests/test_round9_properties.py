@@ -292,3 +292,113 @@ def test_band15_candidates_linear_in_identical_cluster(spark):
            for r in _band15_resolve(fp, fp.select("doc_id"), 3,
                                     False).collect()}
     assert got == _brute_links(rows, 3, False)
+
+
+def test_dead_letter_digest_injection_safe(spark):
+    """Two DIFFERENT dead-row sets whose raw bytes straddle the framing
+    must hash differently: under the old \\x1f-concat framing,
+    {("a\\x1fb","c")} and {("a","b\\x1fc")} rendered identically and a
+    later batch silently OVERWROTE a dir holding different quarantined
+    evidence (r8 ADVICE). to_json escaping makes the framing
+    unforgeable — and the digest stays order-independent."""
+    from mysql_ch_replicator_spark.main import _dead_letter_digest
+
+    schema = "raw_value string, reason string"
+    a = spark.createDataFrame([("a\x1fb", "c")], schema)
+    b = spark.createDataFrame([("a", "b\x1fc")], schema)
+    assert _dead_letter_digest(a) != _dead_letter_digest(b)
+    # replay idempotence: same rows, any order -> same digest
+    two = [("x", "malformed-json"), ("y", "unroutable-row")]
+    fwd = spark.createDataFrame(two, schema)
+    rev = spark.createDataFrame(list(reversed(two)), schema)
+    assert _dead_letter_digest(fwd) == _dead_letter_digest(rev)
+
+
+def test_membership_stats_reads_partition_column_only(spark, tmp_path):
+    """The index-health query's scans must read ZERO data columns — span
+    comes from the partition directory, so the parquet read schema is
+    empty (struct<>) and neither postings nor vectors nor the membership
+    arrays are touched (r8 verdict #7: listing-only health stats)."""
+    import contextlib
+    import io
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        write_lexical_index)
+    from mysql_ch_replicator_spark.operators.similarity import (
+        write_ivf_index)
+    from mysql_ch_replicator_spark.queries_ml import (
+        _membership_span_frames)
+
+    docs = _lex_docs(spark, 30)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    lex, ivf = str(tmp_path / "lex"), str(tmp_path / "ivf")
+    write_lexical_index(docs, lex, shards=4, span_width=8)
+    write_ivf_index(emb, ivf, n_cells=2)
+
+    frame = _membership_span_frames(spark, lex, ivf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frame.groupBy("tbl", "span").count().explain("formatted")
+    plan = buf.getvalue()
+    assert "docmeta" in plan and "_vecmeta" in plan
+    assert "postings" not in plan
+    # every parquet scan in the plan reads no data columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert line.strip().endswith("struct<>"), line
+    assert sum(1 for r in frame.collect()) == 50
+
+
+def test_lex_upsert_crash_between_docmeta_and_meta_recovers(spark,
+                                                            tmp_path):
+    """Torn-batch contract for the per-span stats refresh: a crash AFTER
+    the docmeta rewrite but BEFORE the descriptor write leaves the old
+    meta + new table; recovery = re-running the SAME upsert must produce
+    a descriptor identical to a from-scratch rebuild (per-span entries
+    are functions of each span's FINAL state, so the re-run regenerates
+    them from the already-updated table — the idempotence the old
+    stateless full recount had)."""
+    import pytest
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        _LEX_META, upsert_lexical_index, write_lexical_index)
+
+    docs = _lex_docs(spark, 40)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_lexical_index(docs, inc, shards=4, span_width=8)
+
+    adds = spark.createDataFrame([(40, "omega psi"), (3, "replaced doc")],
+                                 "doc_id long, text string")
+    removes = spark.createDataFrame([(32,), (7,)], "doc_id long")
+
+    orig = fsutil.write_text
+    def crash_on_meta(path, text, spark=None):
+        if path.endswith(_LEX_META):
+            raise RuntimeError("injected crash before descriptor write")
+        return orig(path, text, spark=spark)
+
+    fsutil.write_text = crash_on_meta
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_lexical_index(spark, inc, adds=adds, removes=removes)
+    finally:
+        fsutil.write_text = orig
+
+    # the torn window is detectable (intent manifest survives the crash)
+    import os
+    assert os.path.exists(os.path.join(inc, "_lex_upsert_pending.json"))
+
+    # recovery: re-run the SAME batch
+    upsert_lexical_index(spark, inc, adds=adds, removes=removes)
+    assert not os.path.exists(os.path.join(inc, "_lex_upsert_pending.json"))
+
+    final = (docs.where(~F.col("doc_id").isin(32, 7, 3))
+             .unionByName(spark.createDataFrame(
+                 [(40, "omega psi"), (3, "replaced doc")],
+                 "doc_id long, text string")))
+    write_lexical_index(final, full, shards=4, span_width=8)
+    assert (json.load(open(os.path.join(inc, "_lex_meta.json")))
+            == json.load(open(os.path.join(full, "_lex_meta.json"))))

@@ -7,6 +7,8 @@ ties, single-observation keys, zero-variance frames)."""
 from __future__ import annotations
 
 import datetime as dt
+
+import pytest
 from decimal import Decimal
 
 from mysql_ch_replicator_spark.operators.timeseries import (
@@ -687,6 +689,7 @@ def _brute_funnel_level(evs_for_user, window_s, steps=3):
     return best
 
 
+@pytest.mark.heavy
 @hyp_settings(max_examples=10, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_FUNNEL_EVS, st.integers(5, 90))
