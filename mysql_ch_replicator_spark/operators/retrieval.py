@@ -247,21 +247,43 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     import json
     import os
 
+    from concurrent.futures import ThreadPoolExecutor
+
     per = _tokenized_tf(docs, id_col, text_col)
-    meta_df = _doc_meta(docs, per, id_col, shards)
+    # persisted: the docmeta write AND the descriptor's span-stats
+    # aggregate both consume it — without the persist the doc-keyed
+    # join/aggregate would run twice
+    meta_df = transient_persist(
+        _doc_meta(docs, per, id_col, shards)
+        .withColumn("dspan", F.expr(f"doc_id div {span_width}")))
     dfreq = per.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     postings = (per.join(dfreq, "term")
                 .withColumn("shard", h60(F.col("term")) % shards))
-    (postings.select("shard", "term", "doc_id", "tf", "df")
-     .write.mode("overwrite").partitionBy("shard")
-     .parquet(os.path.join(path, "postings")))
-    # docmeta partitioned by doc-id span so an incremental upsert
-    # rewrites only the spans holding changed docs (the IVF
-    # touched-cells rule)
-    (meta_df.withColumn("dspan", F.expr(f"doc_id div {span_width}"))
-     .write.mode("overwrite").partitionBy("dspan")
-     .parquet(os.path.join(path, "docmeta")))
+
+    def _write_postings():
+        (postings.select("shard", "term", "doc_id", "tf", "df")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(path, "postings")))
+
+    def _write_docmeta():
+        # docmeta partitioned by doc-id span so an incremental upsert
+        # rewrites only the spans holding changed docs (the IVF
+        # touched-cells rule)
+        (meta_df.write.mode("overwrite").partitionBy("dspan")
+         .parquet(os.path.join(path, "docmeta")))
+
+    # the two table writes are independent at BUILD time (no reader sees
+    # the dir until the descriptor lands last), and both hang off the
+    # same persisted tf frame — submit concurrently like checkpoint_pair
+    # so the second doesn't pay scheduling + IO latency serially (the
+    # UPSERT path must stay ordered: its docmeta commits strictly after
+    # postings for the torn-batch superset contract)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(_write_postings)
+        f2 = pool.submit(_write_docmeta)
+        f1.result()
+        f2.result()
     # ONE per-span aggregate over the docmeta frame defines the
     # descriptor: spans[s] = (count, sum dl), with (n, tl) their sums —
     # the SAME state-based convention the upsert's O(changed spans)
@@ -270,8 +292,7 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     # on duplicate-id inputs and silently shift every idf6), and no
     # second corpus scan. The collect is bounded by the span COUNT,
     # which span_width keeps ~1e4 at any corpus size.
-    spans_map = _span_stats_map(
-        meta_df.withColumn("dspan", F.expr(f"doc_id div {span_width}")))
+    spans_map = _span_stats_map(meta_df.select("dl", "dspan"))
     # descriptor rides the Hadoop FS like the parquet it describes —
     # open() breaks on any non-local index path (ADVICE r7)
     fsutil.write_text(
@@ -518,35 +539,63 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         json.dumps({"shards": touched_shards, "dspans": touched_spans}),
         spark=spark)
 
-    if touched_shards:
-        cur = (postings.where(F.col("shard").isin(touched_shards))
-               .join(changed, "doc_id", "left_anti")
-               .select("shard", "term", "doc_id", "tf"))
-        merged = cur
-        if new_per is not None:
-            merged = merged.unionByName(
-                new_per.withColumn("shard",
-                                   (h60(F.col("term")) % shards)
-                                   .cast("int"))
-                .select("shard", "term", "doc_id", "tf"))
-        dfreq = merged.groupBy("term").agg(
-            F.count(F.lit(1)).cast("long").alias("df"))
-        merged = merged.join(dfreq, "term") \
-            .select("shard", "term", "doc_id", "tf", "df") \
-            .localCheckpoint(eager=True)
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("shard").parquet(postings_path))
-        # dynamic overwrite never writes (hence never clears) a touched
-        # partition whose merged content is EMPTY — a shard whose every
-        # posting was removed must be deleted explicitly or its stale
-        # rows survive the upsert (Hadoop-FS delete: shutil silently
-        # no-ops on non-local schemes and leaks the shard)
-        live = {int(r.shard) for r in
-                merged.select("shard").distinct().collect()}
-        for s in set(touched_shards) - live:
-            fsutil.delete(os.path.join(postings_path, f"shard={s}"),
-                          spark=spark)
+    # The WRITE ordering is the crash contract (docmeta strictly after
+    # postings, so a torn batch leaves membership a SUPERSET); the MERGE
+    # computations are independent of each other and of either write, so
+    # the docmeta merge materializes on a second scheduler thread while
+    # the postings stage runs — same overlap trick as checkpoint_pair,
+    # same commit order as the serial code.
+    from concurrent.futures import ThreadPoolExecutor
+
+    merged_meta_f = None
+    pool = ThreadPoolExecutor(max_workers=1)
+    if touched_spans:
+        cur_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
+                    .join(changed, "doc_id", "left_anti")
+                    .select("doc_id", "dl", "shards"))
+        mm = cur_meta
+        if new_meta is not None:
+            mm = mm.unionByName(new_meta)
+        mm = mm.withColumn("dspan", F.expr(f"doc_id div {dspan_w}"))
+        merged_meta_f = pool.submit(
+            lambda: mm.localCheckpoint(eager=True))
+
+    try:
+        if touched_shards:
+            cur = (postings.where(F.col("shard").isin(touched_shards))
+                   .join(changed, "doc_id", "left_anti")
+                   .select("shard", "term", "doc_id", "tf"))
+            merged = cur
+            if new_per is not None:
+                merged = merged.unionByName(
+                    new_per.withColumn("shard",
+                                       (h60(F.col("term")) % shards)
+                                       .cast("int"))
+                    .select("shard", "term", "doc_id", "tf"))
+            dfreq = merged.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("df"))
+            merged = merged.join(dfreq, "term") \
+                .select("shard", "term", "doc_id", "tf", "df") \
+                .localCheckpoint(eager=True)
+            (merged.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(postings_path))
+            # dynamic overwrite never writes (hence never clears) a
+            # touched partition whose merged content is EMPTY — a shard
+            # whose every posting was removed must be deleted explicitly
+            # or its stale rows survive the upsert (Hadoop-FS delete:
+            # shutil silently no-ops on non-local schemes and leaks the
+            # shard)
+            live = {int(r.shard) for r in
+                    merged.select("shard").distinct().collect()}
+            for s in set(touched_shards) - live:
+                fsutil.delete(os.path.join(postings_path, f"shard={s}"),
+                              spark=spark)
+    except BaseException:
+        if merged_meta_f is not None:
+            merged_meta_f.cancel()
+        pool.shutdown(wait=True)
+        raise
 
     if touched_spans:
         # ONE docmeta rewrite covers dl AND membership, AFTER the
@@ -554,25 +603,11 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         # SUPERSET of the postings' real state, so re-running the batch
         # re-discovers (at worst) a few already-clean shards — never
         # misses one
-        cur_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
-                    .join(changed, "doc_id", "left_anti")
-                    .select("doc_id", "dl", "shards"))
-        merged_meta = cur_meta
-        if new_meta is not None:
-            merged_meta = merged_meta.unionByName(new_meta)
-        merged_meta = (merged_meta
-                       .withColumn("dspan",
-                                   F.expr(f"doc_id div {dspan_w}"))
-                       .localCheckpoint(eager=True))
+        merged_meta = merged_meta_f.result()
+        pool.shutdown(wait=True)
         (merged_meta.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("dspan").parquet(docmeta_path))
-        live_spans = {int(r.dspan) for r in
-                      merged_meta.select("dspan").distinct().collect()}
-        for s in set(touched_spans) - live_spans:
-            fsutil.delete(os.path.join(docmeta_path, f"dspan={s}"),
-                          spark=spark)
-
         # O(changed spans) scalar refresh: the touched spans' descriptor
         # entries are replaced with stats aggregated from the SAME
         # checkpointed frame the rewrite just committed (no post-write
@@ -580,13 +615,20 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         # entries are carried verbatim, and (n, tl) are re-derived as
         # sums. State-based, so a crashed batch's re-run writes the
         # identical map — the idempotence the old full recount had.
+        # The stats keys double as the LIVE span set (one job covers
+        # both the emptied-directory sweep and the refresh).
         fresh = _span_stats_map(merged_meta.select("dl", "dspan"))
+        for s in set(touched_spans) - {int(k) for k in fresh}:
+            fsutil.delete(os.path.join(docmeta_path, f"dspan={s}"),
+                          spark=spark)
         for s in touched_spans:
             key = str(int(s))
             if key in fresh:
                 spans_map[key] = fresh[key]
             else:
                 spans_map.pop(key, None)
+    else:
+        pool.shutdown(wait=True)
 
     fsutil.write_text(
         os.path.join(path, _LEX_META),

@@ -1028,8 +1028,13 @@ def incremental_image_dedup_maintenance(spark: SparkSession,
     from .operators.replica import OP_ADD, OP_COL, OP_REMOVE, SEQ_COL, \
         collapse_batch
 
+    from .cache import transient_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    fps = dhash_images(attach_fake_binary(docs))
+    # ONE Arrow fingerprint pass: every batch below filters this frame,
+    # and without the persist each of the 4 batch branches (plus the
+    # remove wave) would re-decode the whole corpus through mapInPandas
+    fps = transient_persist(dhash_images(attach_fake_binary(docs)))
     rows = fps.select("doc_id", "fp", F.col("doc_id").alias("dup_id"))
     b = rows.agg(F.min("doc_id").alias("lo"),
                  F.max("doc_id").alias("hi")).collect()[0]
@@ -3823,9 +3828,13 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lex_full_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Shared full-corpus lexical index (shards=16, span_width=256 —
-    narrow spans so the membership-stats query sees a real span
-    population at test scale; probe semantics are width-independent)."""
+    """Shared full-corpus lexical index (shards=16, span_width=1024 —
+    narrower than the 4096 default so the membership-stats query sees a
+    real span population at test scale, but wide enough that the span
+    DIRECTORY count stays small — 256-wide spans put 235 tiny docmeta
+    partitions on disk at sf0.1 and measurably slowed both the build
+    and the probe's doclen read; probe semantics are
+    width-independent)."""
     from .operators.retrieval import write_lexical_index
     from .queries import _session_fixture
 
@@ -3833,7 +3842,7 @@ def _lex_full_fixture(spark: SparkSession, sf_dir: str) -> str:
         sf_dir, "lex_full",
         lambda p: write_lexical_index(
             load_table(spark, sf_dir, "documents"), p, shards=16,
-            span_width=256))
+            span_width=1024))
 
 
 def _ivf8_full_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -4198,9 +4207,9 @@ def _membership_span_frames(spark, lex_path: str, ivf_path: str):
     "index_membership_stats",
     """
     WITH per AS (
-      SELECT 'docmeta' AS tbl, CAST(doc_id // 256 AS BIGINT) AS span,
+      SELECT 'docmeta' AS tbl, CAST(doc_id // 1024 AS BIGINT) AS span,
              CAST(count(*) AS BIGINT) AS n_rows
-      FROM documents GROUP BY doc_id // 256
+      FROM documents GROUP BY doc_id // 1024
       UNION ALL
       SELECT '_vecmeta' AS tbl, CAST(vec_id // 4096 AS BIGINT) AS span,
              CAST(count(*) AS BIGINT) AS n_rows
