@@ -923,29 +923,17 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     if removes is not None:
         merged = merged.join(removes.select(F.col(id_col).alias("vec_id")),
                              "vec_id", "left_anti")
-    merged = merged.localCheckpoint(eager=True)
-    pending = os.path.join(path, _IVF_PENDING)
-    fsutil.write_text(pending,
-                      json.dumps({"cells": cells, "vspans": spans}),
-                      spark=spark)
-    (merged.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("cell").parquet(path))
-    # dynamic overwrite never writes (hence never clears) an affected
-    # cell whose merged content is EMPTY — a cell whose every vector was
-    # removed must be deleted explicitly or its stale rows survive.
-    # Deletes go through the Hadoop FS (shutil would silently no-op on
-    # s3a://hdfs:// paths and leak the stale cells — ADVICE r7).
-    live = {int(r.cell) for r in
-            merged.select("cell").distinct().collect()}
-    for c in set(cells) - live:
-        fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+    # The membership MERGE is independent of the cell rewrite (it reads
+    # the OLD spans + the batch's own persisted frames), so it
+    # materializes on a second scheduler thread while the cells commit —
+    # same overlap as the lexical upsert (r9); only the membership WRITE
+    # must wait for the cells + emptied-cell deletes (superset-on-crash
+    # contract in the docstring).
+    from concurrent.futures import ThreadPoolExecutor
 
+    merged_m_f = None
+    pool = ThreadPoolExecutor(max_workers=1)
     if spans:
-        # membership rewrite AFTER the cells commit (superset-on-crash;
-        # see the docstring's crash contract): changed ids out, the
-        # batch's surviving assignments in — one span-partitioned
-        # dynamic overwrite
         cur_m = (members.where(F.col("vspan").isin(spans))
                  .join(ids, "vec_id", "left_anti")
                  .select("vec_id",
@@ -959,10 +947,42 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                     removes.select(F.col(id_col).alias("vec_id"))
                     .distinct(), "vec_id", "left_anti")
             merged_m = merged_m.unionByName(new_m)
-        merged_m = (merged_m
-                    .withColumn("vspan",
-                                F.expr(f"vec_id div {_IVF_VSPAN}"))
-                    .localCheckpoint(eager=True))
+        mm = merged_m.withColumn("vspan",
+                                 F.expr(f"vec_id div {_IVF_VSPAN}"))
+        merged_m_f = pool.submit(lambda: mm.localCheckpoint(eager=True))
+
+    try:
+        merged = merged.localCheckpoint(eager=True)
+        pending = os.path.join(path, _IVF_PENDING)
+        fsutil.write_text(pending,
+                          json.dumps({"cells": cells, "vspans": spans}),
+                          spark=spark)
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell").parquet(path))
+        # dynamic overwrite never writes (hence never clears) an
+        # affected cell whose merged content is EMPTY — a cell whose
+        # every vector was removed must be deleted explicitly or its
+        # stale rows survive. Deletes go through the Hadoop FS (shutil
+        # would silently no-op on s3a://hdfs:// paths and leak the
+        # stale cells — ADVICE r7).
+        live = {int(r.cell) for r in
+                merged.select("cell").distinct().collect()}
+        for c in set(cells) - live:
+            fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+    except BaseException:
+        if merged_m_f is not None:
+            merged_m_f.cancel()
+        pool.shutdown(wait=True)
+        raise
+
+    if spans:
+        # membership rewrite AFTER the cells commit (superset-on-crash;
+        # see the docstring's crash contract): changed ids out, the
+        # batch's surviving assignments in — one span-partitioned
+        # dynamic overwrite
+        merged_m = merged_m_f.result()
+        pool.shutdown(wait=True)
         (merged_m.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("vspan").parquet(members_path))
@@ -971,6 +991,8 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         for s in set(spans) - live_spans:
             fsutil.delete(os.path.join(members_path, f"vspan={s}"),
                           spark=spark)
+    else:
+        pool.shutdown(wait=True)
 
     fsutil.delete(pending, spark=spark)
     return cells
