@@ -228,3 +228,81 @@ def apply_minmax_batch(state: DataFrame, batch_ops: DataFrame,
         group_col, value_col)
 
     return new_state, fast.unionByName(rescanned)
+
+
+# -- TOP-K maintenance (bounded rescan when a stored top-k row churns) -------
+
+
+def topk_of(state: DataFrame, group_col: str, value_col: str,
+            pk_cols: list[str], k: int) -> DataFrame:
+    """From-scratch per-group top-k view (init / repair / rescan path):
+    ``(group, pk…, v, rnk)`` with rank = row_number over (value desc
+    nulls-last, pk… asc) — fully tie-broken so the k boundary is
+    engine-exact. The window partitions by group, so the rescan caller
+    can prune the input to touched groups and pay only their rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("v").desc_nulls_last(), *[F.col(c) for c in pk_cols])
+    return (state.select(group_col, *pk_cols,
+                         F.col(value_col).cast(_VAL_T).alias("v"))
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k))
+
+
+def apply_topk_batch(state: DataFrame, batch_ops: DataFrame,
+                     view: DataFrame, pk_cols: list[str], group_col: str,
+                     value_col: str, k: int) -> tuple[DataFrame, DataFrame]:
+    """Advance a per-group top-k view ``(group, pk…, v, rnk)`` by one
+    collapsed CDC batch. The reference recomputes every leaderboard-style
+    query from the FINAL-deduped table (clickhouse_api.py:107); here the
+    view's change is computed from (batch rows + the stored top-k).
+
+    The maintenance splits on the same asymmetry as MIN/MAX, generalized
+    from "the extreme" to "the top k":
+
+    - FAST groups — no stored top-k row was touched by the batch. The new
+      top-k is exactly the re-rank of (stored top-k ∪ batch adds): a state
+      row outside the old top-k can only enter the view if some old
+      top-k row leaves, and in a fast group all k of them survive with
+      unchanged values, so they still outrank it. The window runs over
+      ≤ k + |group's adds| rows.
+    - RESCAN groups — a stored top-k pk was retracted or updated (its
+      runner-up is unknown, exactly the MIN/MAX forgetting problem):
+      recompute from the post-batch state pruned to those groups via a
+      broadcast semi-join.
+
+    At 100 TB the rescan working set is |groups whose actual top-k rows
+    churn| — ordinary traffic below the leaderboard never rescans. Any
+    add whose pk already sits in the view routes its group to the rescan
+    side, so the fast candidate union can never hold two rows of one pk."""
+    keys = batch_ops.select(pk_cols)
+    adds = batch_ops.where(F.col(OP_COL) == OP_ADD)
+
+    rescan_groups = (view.join(F.broadcast(keys), pk_cols, "left_semi")
+                     .select(F.col(group_col).alias("g")).distinct())
+
+    survivors = state.join(F.broadcast(keys), pk_cols, "left_anti")
+    new_state = survivors.unionByName(adds.select(state.columns))
+
+    from pyspark.sql.window import Window
+
+    cand = (view.select(group_col, *pk_cols, "v")
+            .unionByName(adds.select(
+                group_col, *pk_cols,
+                F.col(value_col).cast(_VAL_T).alias("v"))))
+    fast_cand = cand.join(
+        F.broadcast(rescan_groups),
+        cand[group_col].eqNullSafe(rescan_groups["g"]), "left_anti")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("v").desc_nulls_last(), *[F.col(c) for c in pk_cols])
+    fast = (fast_cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k))
+
+    rescanned = topk_of(
+        new_state.join(F.broadcast(rescan_groups),
+                       new_state[group_col].eqNullSafe(rescan_groups["g"]),
+                       "left_semi"),
+        group_col, value_col, pk_cols, k)
+
+    return new_state, fast.unionByName(rescanned)

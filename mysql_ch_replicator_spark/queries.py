@@ -1306,6 +1306,72 @@ def incremental_minmax_maintenance(spark: SparkSession,
     return _pin_result(result, sf_dir, "incr_minmax")
 
 
+@register(
+    "incremental_topk_maintenance",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    fin AS (SELECT user_id, event_type,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'),
+    tk AS (SELECT event_type, user_id, v,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v DESC NULLS LAST,
+                                              user_id) AS rnk
+           FROM fin)
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id,
+           CAST(v AS VARCHAR) AS value
+    FROM tk WHERE rnk <= 3
+    """,
+)
+def incremental_topk_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-group TOP-K (leaderboard) materialized-view maintenance across
+    4 sequential CDC batches (operators/incremental_agg.apply_topk_batch)
+    — the MIN/MAX asymmetry generalized to the top k: adds re-rank
+    against the stored board for free (a row outside the old top-k can
+    only enter when a board row leaves); only groups whose STORED board
+    rows are retracted or updated pay a bounded rescan, broadcast-pruned
+    to exactly those groups. The oracle recomputes the board from scratch
+    over the final latest-wins state; equality proves the rescan trigger
+    never misses a board churn, including group moves and delete
+    retractions, and that the fast-path candidate union is exact."""
+    from .operators.incremental_agg import (
+        apply_topk_batch, checkpoint_pair, topk_of,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cdc = events.select(
+        "user_id", "event_type", "value",
+        F.col("event_id").alias(SEQ_COL),
+        F.when(F.col("event_type") == "error", F.lit(OP_REMOVE))
+         .otherwise(F.lit(OP_ADD)).alias(OP_COL))
+
+    bounds = cdc.agg(F.min(SEQ_COL).alias("lo"),
+                     F.max(SEQ_COL).alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    width = (hi - lo) // 4 + 1
+
+    state = spark.createDataFrame(
+        [], "user_id bigint, event_type string, value double")
+    view = topk_of(state, "event_type", "value", ["user_id"], 3)
+    for b in range(4):
+        batch = cdc.where(
+            (F.col(SEQ_COL) >= lo + b * width)
+            & (F.col(SEQ_COL) < lo + (b + 1) * width))
+        ops = collapse_batch(batch, ["user_id"])
+        state, view = apply_topk_batch(
+            state, ops, view, ["user_id"], "event_type", "value", 3)
+        state, view = checkpoint_pair(state, view)
+    result = view.select("event_type", "rnk", "user_id",
+                         F.col("v").cast("string").alias("value"))
+    return _pin_result(result, sf_dir, "incr_topk")
+
+
 def _pin_result(result: DataFrame, sf_dir: str, tag: str) -> DataFrame:
     """Pin a maintained view's FINAL frame through scratch parquet and
     return the scan — stable across the comparator's repeated actions
