@@ -50,6 +50,30 @@ def hash_split(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       weights: dict[str, float] | None = None,
+                       salt: str = "split") -> DataFrame:
+    """Dedup-cluster-aware train/val/test split: the hash decision is made
+    on the CLUSTER REPRESENTATIVE (min doc id of the normalized-dup
+    cluster) and every member inherits it, so two re-punctuated copies of
+    one document can never straddle train and test — the eval-leakage
+    guard a plain per-id ``hash_split`` does not give (near-dups of an
+    eval doc in the training set inflate benchmark scores; Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better").
+
+    Scale shape: inherits ``normalized_dedup``'s single hash-shuffle
+    (norm-hash aggregate + co-partitioned join back); the split itself is
+    a scan-side expression on ``dup_of`` — no extra exchange. Returns
+    ``(doc_id, dup_of, n_copies, split)``; filtering members to
+    ``doc_id == dup_of`` afterwards yields a deduplicated split."""
+    from .dedup import normalized_dedup
+
+    clusters = normalized_dedup(docs, text_col, id_col)
+    return hash_split(clusters.select("doc_id", "dup_of", "n_copies"),
+                      "dup_of", weights, salt)
+
+
 def stratified_sample(df: DataFrame, id_col: str, fraction: float,
                       salt: str = "sample") -> DataFrame:
     """Deterministic ~``fraction`` sample: keep rows whose hash bucket falls

@@ -1098,6 +1098,41 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+      FROM documents
+    ),
+    k AS (SELECT norm_hash, min(doc_id) AS dup_of,
+                 COUNT(*) AS n_copies
+          FROM h GROUP BY norm_hash),
+    m AS (SELECT h.doc_id, k.dup_of, k.n_copies
+          FROM h JOIN k USING (norm_hash))
+    SELECT doc_id, dup_of, n_copies,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, {_SPLIT_B_SQL.format(salt='split', id='dup_of')} AS b
+          FROM m)
+    """,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware 90/5/5 split (operators/sampling.
+    leakage_safe_split): the hash decision rides the normalized-dup
+    cluster REPRESENTATIVE, so near-identical copies can never land on
+    opposite sides of the train/test fence — the guard that keeps eval
+    benchmarks honest (a per-id split leaks ~dup_rate of the eval set
+    into training). One hash shuffle (the dedup aggregate); the split
+    expression itself is scan-side on dup_of."""
+    from .operators.sampling import leakage_safe_split
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs)
+
+
+@register(
     "sample_10pct",
     f"""
     SELECT doc_id, lang

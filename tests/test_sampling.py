@@ -330,3 +330,28 @@ def test_epoch_upsample_rates_and_materialization(spark):
     exploded = out.where(F.col("repeat_count") > 0).select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.col("repeat_count"))))
     assert exploded.count() == sum(t for t, _ in per.values())
+
+
+def test_leakage_safe_split_cluster_invariant(spark):
+    """Every member of a normalized-dup cluster must share the rep's
+    split — crafted re-punctuated copies can never straddle the fence."""
+    from mysql_ch_replicator_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    rows = [(i, f"unique document number {i}", ) for i in range(200)]
+    # ids 500/501/502: three re-punctuated copies of one text
+    rows += [(500, "The  Quick,, brown FOX!"), (501, "the quick brown fox"),
+             (502, "THE QUICK... BROWN-FOX")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs)
+    got = {r.doc_id: (r.dup_of, r.n_copies, r.split) for r in out.collect()}
+    assert len(got) == 203
+    assert got[500] == got[501] == got[502]
+    assert got[500][0] == 500 and got[500][1] == 3
+    # cluster decision == hash_split of the REP id (the inheritance
+    # contract: member split is a function of dup_of alone)
+    from mysql_ch_replicator_spark.operators.sampling import hash_split
+    rep_split = {r.doc_id: r.split for r in hash_split(
+        docs.select("doc_id"), "doc_id").collect()}
+    for d, (rep, _, split) in got.items():
+        assert split == rep_split[rep]
