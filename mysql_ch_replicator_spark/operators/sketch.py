@@ -379,6 +379,30 @@ def hll_estimate_grouped(registers: DataFrame,
                 .cast("long").alias("est_distinct")))
 
 
+def hll_sliding_estimate(registers: DataFrame, day_col: str,
+                         window_days: int) -> DataFrame:
+    """Trailing-``window_days`` distinct estimate per day from per-day
+    grouped HLL registers — the mergeable-sketch answer to "distinct
+    users over the last 7 days, every day". The events stream is
+    aggregated ONCE into ≤ 64 registers per day
+    (``hll_registers_grouped``); each output day then MIN-merges the
+    registers of its trailing window. Every frame past the register
+    aggregate is sketch-sized (|days| × m rows), so the range join is a
+    broadcast over the tiny day dimension and the whole sliding pass
+    costs O(|days| · window · m) — it never re-touches an event, where
+    the exact form (COUNT(DISTINCT) per overlapping window) re-scans
+    every event ``window_days`` times. Output: (day, est_distinct)."""
+    days = registers.select(F.col(day_col).alias("out_day")).distinct()
+    joined = registers.join(
+        F.broadcast(days),
+        (F.col(day_col) > F.col("out_day") - window_days)
+        & (F.col(day_col) <= F.col("out_day")))
+    merged = (joined.groupBy("out_day", "bucket")
+              .agg(F.min("t").cast("long").alias("t")))
+    return hll_estimate_grouped(merged, ["out_day"]) \
+        .withColumnRenamed("out_day", day_col)
+
+
 def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame,
                           depth: int = 4) -> DataFrame:
     """Equi-join cardinality estimation from two Count-Min sketches

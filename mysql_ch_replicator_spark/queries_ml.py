@@ -3073,6 +3073,63 @@ def _hll_grouped_oracle_sql() -> str:
     """
 
 
+def _hll_sliding_oracle_sql(window_days: int) -> str:
+    from .operators.sketch import _ALPHA_DEN, _ALPHA_NUM, HLL_M, HLL_W
+    num = _ALPHA_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))
+    full = 1 << (HLL_W + 1)
+    mask = 1 << HLL_W
+    return f"""
+    WITH b AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT day, h % {HLL_M} AS bucket,
+             MIN(CASE WHEN (h // {HLL_M}) % {mask} > 0
+                      THEN 1 << length(bin((h // {HLL_M}) % {mask}))
+                      ELSE 1 END) AS t
+      FROM b GROUP BY day, h % {HLL_M}
+    ),
+    days AS (SELECT DISTINCT day AS out_day FROM reg),
+    win AS (SELECT o.out_day, r.bucket, MIN(r.t) AS t
+            FROM days o JOIN reg r
+              ON r.day > o.out_day - {window_days} AND r.day <= o.out_day
+            GROUP BY o.out_day, r.bucket),
+    agg AS (SELECT out_day, CAST(SUM(t) AS BIGINT) AS sum_t,
+                   CAST(COUNT(*) AS BIGINT) AS used
+            FROM win GROUP BY out_day)
+    SELECT out_day AS day,
+           CAST({num} // ({_ALPHA_DEN}
+                * (sum_t + ({HLL_M} - used) * {full})) AS BIGINT)
+             AS est_distinct
+    FROM agg
+    """
+
+
+@register("events_sliding_distinct_hll", _hll_sliding_oracle_sql(7))
+def events_sliding_distinct_hll(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via MERGEABLE per-day HLL
+    sketches (operators/sketch.hll_sliding_estimate) — the sliding
+    COUNT(DISTINCT) that exact engines answer by re-scanning every event
+    7 times (one per overlapping window). Here events aggregate ONCE
+    into ≤64 registers per day; the sliding merge is a broadcast range
+    join over the day dimension and MIN-merges register rows, so the
+    per-day cost after the single scan is O(days·window·64) — constant
+    wire at any corpus size, and the registers double as the incremental
+    state for tomorrow's update. Same exact integer estimate arithmetic
+    as the global HLL sketch, gated by the same SQL-replicated oracle."""
+    from .operators.sketch import hll_registers_grouped, \
+        hll_sliding_estimate
+    events = load_table(spark, sf_dir, "events")
+    per_day = events.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id")
+    regs = hll_registers_grouped(per_day, "user_id", ["day"])
+    return hll_sliding_estimate(regs, "day", 7)
+
+
 @register("sketch_hll_by_group", _hll_grouped_oracle_sql())
 def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL distinct counts

@@ -472,3 +472,25 @@ def test_hll_set_ops_disjoint_groups_clamp(spark):
     assert r.est_intersection >= 0 and r.jaccard_ppm >= 0
     # disjoint: the (clamped) overlap stays small relative to the union
     assert r.est_intersection <= 0.3 * r.est_union
+
+
+def test_hll_sliding_merge_equals_window_union(spark):
+    """The sliding MIN-merge of per-day registers must equal the sketch
+    built directly from the window's union of keys — the mergeability
+    contract that lets the sliding pass never re-touch an event."""
+    from mysql_ch_replicator_spark.operators.sketch import (
+        hll_estimate, hll_registers, hll_registers_grouped,
+        hll_sliding_estimate,
+    )
+    rows = [(d, f"u{(d * 7 + i) % 23}") for d in range(10)
+            for i in range(d + 1)]
+    df = spark.createDataFrame(rows, "day long, user_id string")
+    regs = hll_registers_grouped(df, "user_id", ["day"])
+    got = {r.day: r.est_distinct
+           for r in hll_sliding_estimate(regs, "day", 3).collect()}
+    assert set(got) == set(range(10))
+    for d in range(10):
+        window = df.where((F.col("day") > d - 3) & (F.col("day") <= d))
+        direct = hll_estimate(
+            hll_registers(window, "user_id")).collect()[0].est_distinct
+        assert got[d] == direct, d
