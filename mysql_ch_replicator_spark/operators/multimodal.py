@@ -297,6 +297,53 @@ def sample_frames(videos: DataFrame, frame_size: int = 8,
     return videos.mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("win_idx", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("energy", T.LongType()),
+])
+
+
+def audio_energy_windows(audio: DataFrame, frame: int = 32,
+                         id_col: str = "doc_id",
+                         bin_col: str = "image") -> DataFrame:
+    """Fixed-frame audio feature extraction over the opaque binary column
+    (the container is modality-agnostic — the payload after the 16-byte
+    header is read as 8-bit unsigned PCM; foreign bytes with no header
+    are taken whole). Emits one row per non-overlapping ``frame``-sample
+    window with its exact integer energy Σ s² — the feature a VAD /
+    silence-trim / loudness-normalization stage runs on everything
+    before any model sees a waveform. A real decoder (torchaudio/ffmpeg)
+    slots in exactly like the image path's ``_decode_stub``.
+
+    Plumbing is the one-to-many mapInPandas fan-out (``sample_frames``'s
+    shape): Arrow batches in, numpy-vectorized energies out, constant
+    memory per task, no shuffle — embarrassingly parallel at any corpus
+    size. The tail window keeps its true ``n_samples`` so downstream
+    means stay exact."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "win_idx": [], "n_samples": [],
+                   "energy": []}
+            for doc_id, raw in zip(b[id_col], b[bin_col]):
+                raw = bytes(raw)
+                payload = raw[HEADER_LEN:] if raw[:4] == MAGIC else raw
+                arr = np.frombuffer(payload, np.uint8).astype(np.int64)
+                sq = arr * arr
+                for w in range(0, len(arr), frame):
+                    chunk = sq[w:w + frame]
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(w // frame)
+                    out["n_samples"].append(int(chunk.size))
+                    out["energy"].append(int(chunk.sum()))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
 def pack_and_sample_frames(docs: DataFrame, frame_size: int = 8,
                            step: int = 4, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:

@@ -886,6 +886,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "frame_off")
 
 
+_AUDIO_FRAME = 32
+_AUDIO_LOUD = 300_000
+
+
+@register(
+    "multimodal_audio_energy",
+    f"""
+    WITH c AS (
+      SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text
+      FROM documents
+    ),
+    v AS (SELECT doc_id, i,
+                 CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+          FROM c),
+    w AS (SELECT doc_id, (i-1)//{_AUDIO_FRAME} AS win_idx,
+                 CAST(SUM(v*v) AS BIGINT) AS energy
+          FROM v GROUP BY doc_id, (i-1)//{_AUDIO_FRAME})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS max_energy,
+           CAST(SUM(CASE WHEN energy > {_AUDIO_LOUD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_loud
+    FROM w GROUP BY doc_id
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature pass (operators/multimodal.
+    audio_energy_windows): payload bytes as 8-bit PCM, one-to-many
+    mapInPandas fan-out to {_AUDIO_FRAME}-sample windows with exact
+    integer energies, then a per-doc loudness profile (window count,
+    total/max energy, count of loud windows) — the stats a VAD /
+    silence-trim / loudness-normalization stage gates on. The oracle
+    recomputes every window energy analytically from the text the fake
+    container packs (pure-ASCII corpus: byte == codepoint). One scan,
+    one doc-keyed aggregate; the Arrow fan-out never shuffles."""
+    from .operators.multimodal import attach_fake_binary, \
+        audio_energy_windows
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wins = audio_energy_windows(attach_fake_binary(docs),
+                                frame=_AUDIO_FRAME)
+    return (wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("energy").cast("long").alias("total_energy"),
+        F.max("energy").cast("long").alias("max_energy"),
+        F.sum(F.when(F.col("energy") > _AUDIO_LOUD, 1).otherwise(0))
+         .cast("long").alias("n_loud")))
+
+
 def _binfix_dir() -> str:
     """The committed binary-file fixture directory (deterministic fake
     images generated by pack_fake_image + one foreign text file),

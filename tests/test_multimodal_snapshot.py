@@ -191,3 +191,28 @@ def test_binary_file_ingestion_feeds_existing_ops(spark):
     assert decoded == {i: 4 for i in range(1, 9)}
     sampled = sample_frames(keyed, frame_size=8, step=4)
     assert sampled.where("frame_idx = 0").count() == 8
+
+
+def test_audio_energy_windows_crafted(spark):
+    """Exact window energies on crafted payloads: header skip, tail
+    window with true n_samples, foreign (headerless) bytes, empty
+    payload emitting nothing."""
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        HEADER_LEN, MAGIC, audio_energy_windows, pack_fake_image,
+    )
+    import struct
+    fake = pack_fake_image(7, "ab" * 3)          # payload = 6 bytes
+    foreign = b"\x02\x03"                        # no header: taken whole
+    empty = MAGIC + struct.pack("<III", 1, 1, 3)  # header, no payload
+    df = spark.createDataFrame(
+        [(7, bytearray(fake)), (8, bytearray(foreign)),
+         (9, bytearray(empty))],
+        "doc_id long, image binary")
+    rows = {(r.doc_id, r.win_idx): (r.n_samples, r.energy)
+            for r in audio_energy_windows(df, frame=4).collect()}
+    a, b = ord("a"), ord("b")
+    assert rows[(7, 0)] == (4, 2 * (a * a + b * b))
+    assert rows[(7, 1)] == (2, a * a + b * b)        # tail keeps true size
+    assert rows[(8, 0)] == (2, 4 + 9)                # foreign bytes whole
+    assert all(d != 9 for d, _ in rows)              # empty -> no rows
+    assert len(rows) == 3
