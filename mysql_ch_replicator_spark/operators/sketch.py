@@ -391,7 +391,16 @@ def hll_sliding_estimate(registers: DataFrame, day_col: str,
     broadcast over the tiny day dimension and the whole sliding pass
     costs O(|days| · window · m) — it never re-touches an event, where
     the exact form (COUNT(DISTINCT) per overlapping window) re-scans
-    every event ``window_days`` times. Output: (day, est_distinct)."""
+    every event ``window_days`` times. Output: (day, est_distinct).
+
+    The register frame is persisted before fan-out: the day dimension
+    and the merge both consume it, and without the pin Catalyst clones
+    the whole scan+aggregate subtree into the day branch — a second
+    full pass over the events at 100 TB just to list the calendar
+    (plan-pinned in test_plan_shapes)."""
+    from ..cache import transient_persist
+
+    registers = transient_persist(registers)
     days = registers.select(F.col(day_col).alias("out_day")).distinct()
     joined = registers.join(
         F.broadcast(days),

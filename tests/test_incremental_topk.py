@@ -118,3 +118,26 @@ def test_topk_null_group_bucket(spark):
                                          EVENT_TYPE_REMOVE)]))
     assert _view(view) == {(None, 1): (3, "6.00"), (None, 2): (1, "4.00")}
     _check(state, view)
+
+
+def test_topk_batch_joins_all_broadcast(spark):
+    """Every join in the maintenance step is broadcast-keyed (batch keys
+    or rescan groups) — the full state must never sort-merge or shuffle
+    for the view's sake; the only hash exchanges are the bounded
+    candidate/rescan windows."""
+    import contextlib
+    import io
+
+    state = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(50)],
+        "id bigint, grp string, val double")
+    view = topk_of(state, "grp", "val", ["id"], K)
+    b = _batch(spark, [(1, "g", 99.0, 1, EVENT_TYPE_ADD)])
+    _, new_view = apply_topk_batch(state, b, view, ["id"], "grp", "val", K)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        new_view.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

@@ -953,3 +953,44 @@ def test_entity_resolution_no_cartesian_blocking(spark, queries):
     plan = plan_of(queries["entity_resolution_e2e"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan   # localCheckpoint-backed closure
+
+
+def test_leakage_split_single_hash_shuffle(spark, queries):
+    """The split inherits normalized_dedup's one shuffle pair on
+    norm_hash; the split decision itself is a scan-side expression on
+    dup_of — no additional exchange may appear on any other key."""
+    plan = plan_of(queries["leakage_safe_split"](spark, SF))
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "norm_hash" in line, line
+
+
+def test_sliding_hll_scans_events_once(spark, queries):
+    """The sliding merge must ride the per-day registers: events are
+    scanned exactly once (the register aggregate); the trailing-window
+    join broadcasts the tiny day dimension; nothing event-sized crosses
+    a second exchange."""
+    import re
+
+    plan = plan_of(queries["events_sliding_distinct_hll"](spark, SF))
+    # one parquet scan NODE (formatted output lists each node twice:
+    # tree line + detail header — count distinct "(n) Scan parquet" ids);
+    # the register frame is persisted, so the day branch reads the
+    # InMemoryRelation instead of cloning the scan subtree
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_energy_single_doc_aggregate(spark, queries):
+    """Arrow fan-out is shuffle-free; the per-doc profile is one
+    map-side-combined aggregate — a single hash exchange on doc_id."""
+    import re
+
+    plan = plan_of(queries["multimodal_audio_energy"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "doc_id" in line, line
