@@ -998,6 +998,140 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     return cells
 
 
+_IVF_SPLIT_PENDING = "_ivf_split_pending.json"   # split intent manifest
+
+
+def split_ivf_cell(spark, path: str, cell: int | None = None,
+                   iters: int = 2,
+                   sample_fraction: float | None = None) -> tuple[int, int]:
+    """Split one overgrown IVF cell IN PLACE — the index-health ACTION
+    behind ``ann_ivf_index_stats``: under CDC traffic cells drift hot
+    (every new vector near a popular region lands in the same
+    directory), and a hot cell makes every probe that touches it scan
+    its whole membership. The fix is the standard local split: train a
+    deterministic 2-means sub-codebook on the cell's members
+    (``train_ivf_centroids`` — exact quantized Lloyd, so the whole
+    operation stays SQL-oracle-expressible), reassign ONLY those members
+    between the two sub-centroids, and rewrite exactly two cell
+    directories; every other cell stays byte-identical (pinned). The
+    descriptor's centroid list grows by one (sub0 replaces the split
+    cell's centroid, sub1 becomes cell ``n_cells+1``), so later probes
+    and upserts see the finer geometry. Splitting is LOCAL, as in FAISS:
+    other cells' assignments are not revisited against the new
+    centroid, so membership — not global nearest-centroid consistency —
+    defines probe candidates (which is already ``ivf_index_topk``'s
+    contract).
+
+    Cost model: choosing the hottest cell reads the 2-int membership
+    table only; training + reassignment read the one cell directory
+    (partition-pruned); the membership rewrite touches the cell's ids'
+    vspans. Everything is O(cell), never O(index) — at 100 TB you
+    ``sample_fraction`` the training scan and the rest is unchanged.
+
+    Crash contract: the intent manifest (``_ivf_split_pending.json``,
+    written before any mutation, removed after the descriptor commits)
+    makes a torn split detectable; re-running ``split_ivf_cell`` with no
+    arguments RESUMES it — the trainer reads the union of the two split
+    directories (invariant under any partial commit of the rewrite), so
+    the re-run recomputes the identical sub-codebook and converges to
+    the same final state (pinned by the crash test). Data commits before
+    the descriptor: a crash in between leaves moved vectors invisible to
+    probes (bounded recall loss, never wrong results) until the re-run.
+    Returns ``(split_cell, new_cell)``."""
+    import json
+    import os
+
+    meta = read_ivf_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"split_ivf_cell: no _ivf_meta.json descriptor at {path}")
+    cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
+                            meta["dims"])
+    members_path = os.path.join(path, _IVF_MEMBERS)
+    pend_path = os.path.join(path, _IVF_SPLIT_PENDING)
+    pending = None
+    if fsutil.exists(pend_path, spark=spark):
+        pending = json.loads(fsutil.read_text(pend_path, spark=spark))
+    if pending is not None:
+        if cell is not None and cell != pending["cell"]:
+            raise ValueError(
+                f"split_ivf_cell: unfinished split of cell "
+                f"{pending['cell']} pending at {path} — resume it "
+                f"(cell=None) before splitting another")
+        cell, new_cell = int(pending["cell"]), int(pending["new_cell"])
+    else:
+        if cell is None:
+            members = spark.read.parquet(members_path)
+            top = (members.groupBy("cell")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .orderBy(F.col("n").desc(), F.col("cell")).first())
+            cell = int(top.cell)
+        new_cell = n_cells + 1
+
+    idx = spark.read.parquet(path)
+    # union of both split directories: empty new side on a fresh split,
+    # the torn remainder on a resume — the TRAINING INPUT SET is the
+    # same either way, which is what makes recovery idempotent
+    cellrows = idx.where(F.col("cell").isin([cell, new_cell]))
+    sub = train_ivf_centroids(
+        cellrows, "embedding", 2, dims, iters=iters,
+        sample_fraction=sample_fraction,
+        id_col="vec_id" if sample_fraction is not None else None,
+        prefix="ivf-split", salt="ivf-split")
+
+    fsutil.write_text(pend_path,
+                      json.dumps({"cell": cell, "new_cell": new_cell}),
+                      spark=spark)
+
+    d = _sq_dists(_as_double(F.col("embedding")), sub)
+    reassigned = (cellrows.withColumn(
+        "cell",
+        F.when(F.array_position(d, F.array_min(d)) == 1, F.lit(cell))
+         .otherwise(F.lit(new_cell)))
+        .localCheckpoint(eager=True))
+    (reassigned.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell").parquet(path))
+    live = {int(r.cell) for r in
+            reassigned.select("cell").distinct().collect()}
+    for c in {cell, new_cell} - live:
+        fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+
+    # membership rewrite for the split members' spans (their final cell
+    # comes from the committed reassignment, never a second training)
+    members = spark.read.parquet(members_path)
+    final_m = reassigned.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"))
+    spans = sorted({int(r.v) for r in reassigned.select(
+        F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
+        .distinct().collect()})
+    if spans:
+        merged_m = (members.where(F.col("vspan").isin(spans))
+                    .join(final_m.select("vec_id"), "vec_id", "left_anti")
+                    .select("vec_id",
+                            F.col("cell").cast("int").alias("cell"))
+                    .unionByName(final_m)
+                    .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+                    .localCheckpoint(eager=True))
+        (merged_m.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("vspan").parquet(members_path))
+
+    cents2 = [list(c) for c in cents]
+    cents2[cell - 1] = [float(x) for x in sub[0]]
+    if len(cents2) >= new_cell:        # torn run already grew the list
+        cents2[new_cell - 1] = [float(x) for x in sub[1]]
+    else:
+        cents2.append([float(x) for x in sub[1]])
+    fsutil.write_text(
+        os.path.join(path, _IVF_META),
+        json.dumps({"n_cells": len(cents2), "dims": dims,
+                    "centroids": cents2}),
+        spark=spark)
+    fsutil.delete(pend_path, spark=spark)
+    return cell, new_cell
+
+
 def pending_upsert_cells(path: str) -> list[int] | None:
     """Cell ids a crashed ``upsert_ivf_index`` batch may have left half-
     applied (its intent manifest survives the crash), or None when the

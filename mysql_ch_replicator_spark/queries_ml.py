@@ -644,6 +644,123 @@ def _ivf_kmeans_oracle_sql(n_cells: int, dims: int, iters: int,
     """
 
 
+def _ivf_split_oracle_sql(n_cells: int, dims: int, iters: int,
+                          scale: float) -> str:
+    """DuckDB oracle for the in-place IVF cell split: recompute the base
+    assignment (fixed centroids), pick the hottest cell (count desc,
+    cell asc), unroll the 2-means sub-training over exactly that cell's
+    members (same exact quantized Lloyd stages as the kmeans oracle),
+    then reassign those members between the two float sub-centroids with
+    the same left-to-right distance chain the Spark reassignment folds.
+    Output is the FINAL membership (vec_id, cell) — the contract the
+    rewritten index + its _vecmeta table must satisfy."""
+    from .operators.similarity import ivf_centroids, quantize_centroids
+
+    init_q = quantize_centroids(ivf_centroids(2, dims, "ivf-split"), scale)
+    s0_rows = ",\n             ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c + 1, ", ".join(f"{v}e0" for v in init_q[c]))
+        for c in range(2))
+    qdist = (f"list_sum(list_transform(range({dims}), i -> "
+             f"(v.q[i + 1] - s.cq[i + 1]) * (v.q[i + 1] - s.cq[i + 1])))")
+    lloyd = ""
+    for k in range(1, iters + 1):
+        lloyd += f"""
+    a{k} AS (
+      SELECT vec_id, q, scell FROM (
+        SELECT v.vec_id, v.q, s.scell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {qdist}, s.scell) AS rn
+        FROM tr v CROSS JOIN s{k - 1} s)
+      WHERE rn = 1
+    ),
+    u{k} AS (
+      SELECT scell, list(m ORDER BY pos) AS cq FROM (
+        SELECT scell, t.i AS pos,
+               floor(CAST(sum(q[t.i + 1]) AS DOUBLE) / count(*)) AS m
+        FROM a{k}, range({dims}) t(i)
+        GROUP BY scell, t.i) GROUP BY scell
+    ),
+    s{k} AS (
+      SELECT p.scell, COALESCE(u.cq, p.cq) AS cq
+      FROM s{k - 1} p LEFT JOIN u{k} u USING (scell)
+    ),"""
+    return f"""
+    WITH cor AS (
+      SELECT vec_id, embedding,
+             {_ivf_dl_sql('embedding', n_cells, dims)} AS dl
+      FROM embeddings
+    ),
+    base AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+      FROM cor
+    ),
+    hot AS (
+      SELECT cell FROM (SELECT cell, count(*) AS n FROM base
+                        GROUP BY cell)
+      ORDER BY n DESC, cell LIMIT 1
+    ),
+    tr AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * {scale!r})) AS q
+      FROM base JOIN hot USING (cell)
+    ),
+    s0(scell, cq) AS (
+      VALUES {s0_rows}
+    ),{lloyd}
+    sd AS (
+      SELECT scell, list_transform(cq, x -> x / {scale!r}) AS cl
+      FROM s{iters}
+    ),
+    fin AS (
+      SELECT vec_id, scell FROM (
+        SELECT b.vec_id, s.scell,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_sqdist_arr_sql('b.embedding', 's.cl', dims)},
+                          s.scell) AS rn
+        FROM base b JOIN hot USING (cell) CROSS JOIN sd s)
+      WHERE rn = 1
+    )
+    SELECT b.vec_id,
+           CAST(CASE WHEN f.vec_id IS NULL THEN b.cell
+                     WHEN f.scell = 1 THEN b.cell
+                     ELSE {n_cells + 1} END AS INTEGER) AS cell
+    FROM base b LEFT JOIN fin f ON b.vec_id = f.vec_id
+    """
+
+
+@register("ann_ivf_split_rebalance",
+          _ivf_split_oracle_sql(n_cells=8, dims=_EMB_DIMS, iters=2,
+                                scale=4_194_304.0))
+def ann_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place split of the hottest IVF cell (operators/similarity.
+    split_ivf_cell) — the index-health ACTION the stats queries inform:
+    build the cell-partitioned index, split its most loaded cell with a
+    deterministic quantized 2-means sub-codebook, and return the FINAL
+    membership read back from the maintained ``_vecmeta`` table. The
+    oracle recomputes base assignment, hottest-cell choice, the unrolled
+    Lloyd sub-training, and the float reassignment from scratch —
+    equality proves the two-directory rewrite, the membership
+    maintenance, and the descriptor growth composed to exactly the
+    declared local-split semantics. Everything is O(cell), never
+    O(index): hottest-cell choice reads the 2-int membership table, the
+    trainer and rewrite read one partition-pruned directory."""
+    import os
+
+    from .operators.similarity import _IVF_MEMBERS, split_ivf_cell, \
+        write_ivf_index
+    from .queries import _tmp_root
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_tmp_root(sf_dir, "ivfsplit"), "index")
+    write_ivf_index(emb, path, n_cells=8)
+    split_ivf_cell(spark, path, iters=2)
+    return (spark.read.parquet(os.path.join(path, _IVF_MEMBERS))
+            .select("vec_id", F.col("cell").cast("int").alias("cell")))
+
+
 @register("ann_ivf_kmeans_topk",
           _ivf_kmeans_oracle_sql(n_cells=8, dims=_EMB_DIMS, iters=3,
                                  scale=4_194_304.0, sample_pct=2500,

@@ -484,3 +484,106 @@ def test_ivf_index_upsert_clears_emptied_cell(spark, tmp_path, corpus):
     assert got.where(F.col("cell") == victim).count() == 0
     assert got.count() == sum(len(v) for v in by_cell.values()) \
         - len(by_cell[victim])
+
+
+def _split_state(spark, path):
+    import json
+    import os
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.similarity import _IVF_MEMBERS
+    rows = sorted((r.vec_id, int(r.cell)) for r in
+                  spark.read.parquet(path).select("vec_id", "cell")
+                  .collect())
+    mem = sorted((r.vec_id, int(r.cell)) for r in
+                 spark.read.parquet(os.path.join(path, _IVF_MEMBERS))
+                 .select("vec_id", "cell").collect())
+    meta = json.loads(fsutil.read_text(os.path.join(path, "_ivf_meta.json"),
+                                       spark=spark))
+    return rows, mem, meta
+
+
+def test_split_ivf_cell_local_semantics(spark, tmp_path, corpus):
+    """Split rewrites exactly two directories (every other cell
+    byte-identical), membership matches the index, the descriptor grows
+    by one centroid, and the split members' union is preserved."""
+    import os
+
+    from mysql_ch_replicator_spark.operators.similarity import (
+        split_ivf_cell, write_ivf_index,
+    )
+
+    def _cell_bytes(c):
+        d = os.path.join(path, f"cell={c}")
+        if not os.path.isdir(d):
+            return None
+        return {f: open(os.path.join(d, f), "rb").read()
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus, path, n_cells=8)
+    before = {(r.vec_id, int(r.cell)) for r in
+              spark.read.parquet(path).select("vec_id", "cell").collect()}
+    pre_bytes = {c: _cell_bytes(c) for c in range(1, 9)}
+    cell, new_cell = split_ivf_cell(spark, path, iters=2)
+    assert new_cell == 9
+    rows, mem, meta = _split_state(spark, path)
+    assert mem == rows                      # membership == index
+    assert meta["n_cells"] == 9 and len(meta["centroids"]) == 9
+    # only the hot cell's members moved, and only between cell/new_cell
+    moved = {(v, c) for v, c in rows} - before
+    assert moved and all(c in (cell, new_cell) for _, c in moved)
+    assert all((v, c) in rows for v, c in before if c != cell)
+    assert {v for v, c in rows} == {v for v, c in before}
+    # untouched cell directories byte-identical before vs after the split
+    for c in range(1, 9):
+        if c == cell:
+            continue
+        assert _cell_bytes(c) == pre_bytes[c], c
+
+
+def test_split_ivf_cell_crash_resume(spark, tmp_path, corpus):
+    """A crash between the data commit and the descriptor commit leaves
+    the pending manifest; re-running split_ivf_cell() resumes and
+    converges to the clean split's exact state. While pending, splitting
+    a DIFFERENT cell is refused."""
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.similarity import (
+        split_ivf_cell, write_ivf_index,
+    )
+
+    want_path = str(tmp_path / "want")
+    write_ivf_index(corpus, want_path, n_cells=8)
+    split_ivf_cell(spark, want_path, iters=2)
+    want = _split_state(spark, want_path)
+
+    crash_path = str(tmp_path / "crash")
+    write_ivf_index(corpus, crash_path, n_cells=8)
+    real_write = fsutil.write_text
+    boom = {"armed": True}
+
+    def crashing_write(p, text, spark=None):
+        if boom["armed"] and p.endswith("_ivf_meta.json"):
+            raise RuntimeError("injected crash before descriptor commit")
+        return real_write(p, text, spark=spark)
+
+    fsutil.write_text = crashing_write
+    try:
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            split_ivf_cell(spark, crash_path, iters=2)
+    finally:
+        fsutil.write_text = real_write
+    import json
+    import os
+    pend = os.path.join(crash_path, "_ivf_split_pending.json")
+    assert fsutil.exists(pend, spark=spark)
+    hot = json.loads(fsutil.read_text(pend, spark=spark))["cell"]
+    other = next(c for c in range(1, 9) if c != hot)
+    with _pytest.raises(ValueError, match="unfinished split"):
+        split_ivf_cell(spark, crash_path, cell=other)
+    # resume converges to the clean state and clears the manifest
+    split_ivf_cell(spark, crash_path, iters=2)
+    assert _split_state(spark, crash_path) == want
+    assert not fsutil.exists(pend, spark=spark)
