@@ -344,6 +344,47 @@ def audio_energy_windows(audio: DataFrame, frame: int = 32,
     return audio.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
 
 
+SCENE_CUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("dist", T.LongType()),
+])
+
+
+def scene_cut_frames(videos: DataFrame, frame_size: int = 8,
+                     id_col: str = "doc_id",
+                     bin_col: str = "image") -> DataFrame:
+    """Inter-frame change signal for video-style payloads: consecutive
+    complete ``frame_size``-byte frames, one row per transition with the
+    exact integer L1 distance Σ|f_t − f_{t−1}| — the raw signal a
+    scene-cut / shot-boundary detector thresholds (and the sampling
+    policy 'keep one frame per scene' consumes downstream). A real
+    decoder's per-frame features slot into the same shape.
+
+    numpy does the whole doc in two vector ops (reshape + abs-diff sum);
+    Arrow batches in, no shuffle, constant memory per task."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "frame_idx": [], "dist": []}
+            for doc_id, raw in zip(b[id_col], b[bin_col]):
+                raw = bytes(raw)
+                payload = raw[HEADER_LEN:] if raw[:4] == MAGIC else raw
+                nf = len(payload) // frame_size
+                if nf < 2:
+                    continue
+                a = (np.frombuffer(payload, np.uint8)[:nf * frame_size]
+                     .astype(np.int64).reshape(nf, frame_size))
+                d = np.abs(a[1:] - a[:-1]).sum(axis=1)
+                out["doc_id"].extend([int(doc_id)] * (nf - 1))
+                out["frame_idx"].extend(range(1, nf))
+                out["dist"].extend(int(x) for x in d)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, SCENE_CUT_SCHEMA)
+
+
 def pack_and_sample_frames(docs: DataFrame, frame_size: int = 8,
                            step: int = 4, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:

@@ -1429,6 +1429,20 @@ def _session_fixture(sf_dir: str, tag: str, build) -> str:
     return _FIXTURES[key]
 
 
+def _mutable_copy(src_path: str, sf_dir: str, tag: str) -> str:
+    """Private writable copy of a session fixture for MUTATING queries:
+    the fixture stays read-only (its other consumers depend on that),
+    the mutator gets a byte-identical starting state for the cost of a
+    local file copy instead of a full Spark rebuild. Only valid when the
+    mutator's contract starts from exactly the fixture's content."""
+    import os
+    import shutil
+
+    dst = os.path.join(_tmp_root(sf_dir, tag), "data")
+    shutil.copytree(src_path, dst)
+    return dst
+
+
 _USER_STATE_DDL = """CREATE TABLE user_state (
     user_id bigint NOT NULL,
     last_event varchar(32),

@@ -746,16 +746,17 @@ def ann_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance, and the descriptor growth composed to exactly the
     declared local-split semantics. Everything is O(cell), never
     O(index): hottest-cell choice reads the 2-int membership table, the
-    trainer and rewrite read one partition-pruned directory."""
+    trainer and rewrite read one partition-pruned directory. The
+    starting index is a byte-identical private copy of the shared
+    full-corpus fixture (the split mutates it, so it can't share the
+    read-only artifact in place)."""
     import os
 
-    from .operators.similarity import _IVF_MEMBERS, split_ivf_cell, \
-        write_ivf_index
-    from .queries import _tmp_root
+    from .operators.similarity import _IVF_MEMBERS, split_ivf_cell
+    from .queries import _mutable_copy
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(_tmp_root(sf_dir, "ivfsplit"), "index")
-    write_ivf_index(emb, path, n_cells=8)
+    path = _mutable_copy(_ivf8_full_fixture(spark, sf_dir),
+                         sf_dir, "ivfsplit")
     split_ivf_cell(spark, path, iters=2)
     return (spark.read.parquet(os.path.join(path, _IVF_MEMBERS))
             .select("vec_id", F.col("cell").cast("int").alias("cell")))
@@ -1049,6 +1050,58 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("energy").cast("long").alias("max_energy"),
         F.sum(F.when(F.col("energy") > _AUDIO_LOUD, 1).otherwise(0))
          .cast("long").alias("n_loud")))
+
+
+_SCENE_FRAME = 8
+_SCENE_CUT_T = 320
+
+
+@register(
+    "multimodal_scene_cuts",
+    f"""
+    WITH c AS (
+      SELECT doc_id, unnest(range(1, length(text)+1)) AS i, text,
+             length(text)//{_SCENE_FRAME} AS nf
+      FROM documents
+    ),
+    v AS (SELECT doc_id, i, nf,
+                 CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                   AS v
+          FROM c),
+    l AS (SELECT doc_id, i, nf, v,
+                 lag(v, {_SCENE_FRAME}) OVER (PARTITION BY doc_id
+                                              ORDER BY i) AS pv
+          FROM v),
+    f AS (SELECT doc_id, (i-1)//{_SCENE_FRAME} AS frame_idx,
+                 CAST(SUM(abs(v - pv)) AS BIGINT) AS dist
+          FROM l WHERE (i-1)//{_SCENE_FRAME} >= 1
+                   AND (i-1)//{_SCENE_FRAME} < nf
+          GROUP BY doc_id, (i-1)//{_SCENE_FRAME})
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN dist > {_SCENE_CUT_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(MAX(dist) AS BIGINT) AS max_dist
+    FROM f GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality shot-boundary profile (operators/multimodal.
+    scene_cut_frames): consecutive {_SCENE_FRAME}-byte frames, exact
+    integer L1 inter-frame distances from a two-vector-op numpy pass,
+    then a per-doc cut profile (frame count, cuts above threshold, max
+    change) — what a 'sample one frame per scene' curation policy keys
+    on. The oracle recomputes every transition with a lag window over
+    the packed payload's characters. One scan, shuffle-free fan-out,
+    one doc-keyed aggregate."""
+    from .operators.multimodal import attach_fake_binary, scene_cut_frames
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dists = scene_cut_frames(attach_fake_binary(docs), _SCENE_FRAME)
+    return (dists.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_frames"),
+        F.sum(F.when(F.col("dist") > _SCENE_CUT_T, 1).otherwise(0))
+         .cast("long").alias("n_cuts"),
+        F.max("dist").cast("long").alias("max_dist")))
 
 
 def _binfix_dir() -> str:

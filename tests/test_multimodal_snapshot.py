@@ -216,3 +216,21 @@ def test_audio_energy_windows_crafted(spark):
     assert rows[(8, 0)] == (2, 4 + 9)                # foreign bytes whole
     assert all(d != 9 for d, _ in rows)              # empty -> no rows
     assert len(rows) == 3
+
+
+def test_scene_cut_frames_crafted(spark):
+    """Exact L1 transitions on crafted payloads: a flat run then a jump,
+    partial tail bytes ignored, <2 complete frames emit nothing."""
+    from mysql_ch_replicator_spark.operators.multimodal import (
+        pack_fake_image, scene_cut_frames,
+    )
+    # frames of size 4: "aaaa","aaaa","zzzz" + tail "q" (ignored)
+    fake = pack_fake_image(1, "aaaa" "aaaa" "zzzz" "q")
+    short = pack_fake_image(2, "abcd")      # one frame: no transition
+    df = spark.createDataFrame(
+        [(1, bytearray(fake)), (2, bytearray(short))],
+        "doc_id long, image binary")
+    rows = {(r.doc_id, r.frame_idx): r.dist
+            for r in scene_cut_frames(df, frame_size=4).collect()}
+    jump = 4 * (ord("z") - ord("a"))
+    assert rows == {(1, 1): 0, (1, 2): jump}
