@@ -594,6 +594,47 @@ def embedding_outlier_scores(embeddings: DataFrame,
                  .cast("decimal(38,0)").alias("dist_q")))
 
 
+def embedding_group_drift(embeddings: DataFrame,
+                          vec_col: str = "embedding",
+                          group_col: str = "label",
+                          scale: float = QUANT_SCALE) -> DataFrame:
+    """Per-group embedding-distribution drift vs the corpus: squared L2
+    distance between the group's quantized mean vector and the GLOBAL
+    quantized mean — the embedding-space twin of ``ks_drift`` (a source
+    whose vectors drift from the corpus signals a scraper change, a
+    language shift, or an encoder version mix BEFORE any downstream
+    model sees it). All arithmetic is exact: component sums of
+    ``floor(x·scale)`` integers stay below 2^53, means are
+    ``floor(sum/count)`` (the Lloyd update rule, cross-engine
+    floor-identical), and the final squared distance of two quantized
+    means is an exact int64. Returns (group, n_vectors, drift_q).
+
+    Scale shape: ONE posexplode + map-side-combining aggregate builds
+    the (group, dim) sums (|groups|×dims rows); the global mean derives
+    from re-aggregating those partials — never a second corpus scan —
+    and joins back by dim position as a broadcast. The corpus shuffles
+    nothing but the skinny (group, pos, component) explode."""
+    qcol = quantize_expr(F.col(vec_col), scale)
+    per = transient_persist(
+        spread(embeddings)
+        .select(F.col(group_col).alias("grp"), F.posexplode(qcol))
+        .groupBy("grp", "pos")
+        .agg(F.sum("col").alias("s"), F.count("col").alias("n")))
+    gmean = (per.groupBy("pos")
+             .agg(F.floor(F.sum("s").cast("double") / F.sum("n"))
+                  .cast("long").alias("gm")))
+    lmean = per.select(
+        "grp", "pos", "n",
+        F.floor(F.col("s").cast("double") / F.col("n"))
+         .cast("long").alias("m"))
+    return (lmean.join(F.broadcast(gmean), "pos")
+            .groupBy("grp")
+            .agg(F.max("n").cast("long").alias("n_vectors"),
+                 F.sum((F.col("m") - F.col("gm"))
+                       * (F.col("m") - F.col("gm")))
+                  .cast("long").alias("drift_q")))
+
+
 def cluster_quality(embeddings: DataFrame,
                     vec_col: str = "embedding",
                     group_col: str = "label",

@@ -3669,6 +3669,43 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_label_drift",
+    f"""
+    WITH qs AS (
+      SELECT label, t.i AS pos,
+             CAST(SUM(floor(CAST(embedding[t.i+1] AS DOUBLE)
+                            * 4194304e0)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings, range({_EMB_DIMS}) t(i)
+      GROUP BY label, t.i
+    ),
+    lm AS (SELECT label, pos, n,
+                  CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) AS m
+           FROM qs),
+    gm AS (SELECT pos,
+                  CAST(floor(CAST(SUM(s) AS DOUBLE)/SUM(n)) AS BIGINT)
+                    AS gm
+           FROM qs GROUP BY pos)
+    SELECT lm.label AS grp, MAX(lm.n) AS n_vectors,
+           CAST(SUM((lm.m - gm.gm)*(lm.m - gm.gm)) AS BIGINT) AS drift_q
+    FROM lm JOIN gm USING (pos) GROUP BY lm.label
+    """,
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-distribution drift vs the corpus mean
+    (operators/similarity.embedding_group_drift) — the embedding-space
+    twin of documents_ks_drift: exact squared L2 between the group's
+    quantized mean and the global quantized mean, flagging cohorts whose
+    vector distribution wandered (scraper change, encoder version mix)
+    before a model trains on them. Quantized sums keep every step
+    integer-exact cross-engine; the global mean re-aggregates the
+    per-group partials, so the corpus is scanned ONCE."""
+    from .operators.similarity import embedding_group_drift
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_group_drift(emb)
+
+
+@register(
     "embedding_outlier_scores",
     """
     WITH q AS (

@@ -994,3 +994,15 @@ def test_audio_energy_single_doc_aggregate(spark, queries):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "doc_id" in line, line
+
+
+def test_embedding_drift_scans_corpus_once(spark, queries):
+    """The global mean re-aggregates the persisted per-group partials —
+    a second corpus scan (Catalyst cloning the explode subtree into the
+    global branch) is the 100 TB failure mode."""
+    import re
+
+    plan = plan_of(queries["embedding_label_drift"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan      # dim-position join back
