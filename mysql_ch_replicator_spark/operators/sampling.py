@@ -74,6 +74,63 @@ def leakage_safe_split(docs: DataFrame, text_col: str = "text",
                       "dup_of", weights, salt)
 
 
+def raked_mixture(docs: DataFrame, row_col: str = "lang",
+                  col_col: str = "source", id_col: str = "doc_id",
+                  budget_num: int = 6, budget_den: int = 10,
+                  iters: int = 2,
+                  salt: str = "rake") -> tuple[DataFrame, DataFrame]:
+    """Two-way mixture balancing by iterative proportional fitting
+    (raking / IPF, Deming & Stephan 1940): fit per-cell keep-rates so the
+    sampled corpus's ROW marginals (languages) and COLUMN marginals
+    (sources) both approach balanced targets of ``budget_num/budget_den``
+    of the corpus — the standard answer to "downsample so no language or
+    source dominates" when the two constraints interact (per-axis caps
+    fight each other; IPF alternates row and column scalings).
+
+    Everything is integer-exact and SQL-oracle-expressible: cell weights
+    live in micro-docs (count × 1e6), each scaling step is
+    ``floor(w · target·1e6 / marginal_sum)`` (floor on non-negative
+    integers — truncating and flooring agree cross-engine), and the
+    final keep-rate is ``min(w div n, 1e6)`` ppm, capped because a
+    filter cannot upsample. Selection is the scan-side deterministic
+    hash threshold every sampler here uses.
+
+    Scale shape: the contingency table is |rows|×|cols| cells — the
+    IPF loop runs on the COLLECTED table driver-side (bounded like a
+    centroid codebook, never corpus-sized); rates broadcast back onto
+    one corpus scan. Returns ``(selected_docs, rates)`` where rates is
+    (row, col, n_docs, rate_ppm)."""
+    spark = docs.sparkSession
+    cells = {(r.r, r.c): int(r.n) for r in
+             docs.groupBy(F.col(row_col).alias("r"),
+                          F.col(col_col).alias("c"))
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(cells.values())
+    rows = sorted({r for r, _ in cells})
+    cols = sorted({c for _, c in cells})
+    t_row = (budget_num * total) // (budget_den * len(rows))
+    t_col = (budget_num * total) // (budget_den * len(cols))
+    w = {k: n * 1_000_000 for k, n in cells.items()}
+    for _ in range(iters):
+        rs = {r: sum(w[k] for k in w if k[0] == r) for r in rows}
+        w = {k: (v * t_row * 1_000_000) // rs[k[0]]
+             for k, v in w.items()}
+        cs = {c: sum(w[k] for k in w if k[1] == c) for c in cols}
+        w = {k: (v * t_col * 1_000_000) // cs[k[1]]
+             for k, v in w.items()}
+    rate_rows = [(r, c, cells[(r, c)],
+                  min(w[(r, c)] // cells[(r, c)], 1_000_000))
+                 for (r, c) in sorted(cells)]
+    rates = spark.createDataFrame(
+        rate_rows, f"{row_col} string, {col_col} string, "
+                   f"n_docs bigint, rate_ppm bigint")
+    bucket = h60(F.concat(F.lit(f"{salt}|"),
+                          F.col(id_col).cast("string"))) % 1_000_000
+    selected = (docs.join(F.broadcast(rates), [row_col, col_col])
+                .where(bucket < F.col("rate_ppm")))
+    return selected, rates
+
+
 def stratified_sample(df: DataFrame, id_col: str, fraction: float,
                       salt: str = "sample") -> DataFrame:
     """Deterministic ~``fraction`` sample: keep rows whose hash bucket falls

@@ -1350,6 +1350,75 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs)
 
 
+def _rake_oracle_sql(iters: int, budget_num: int = 6,
+                     budget_den: int = 10) -> str:
+    """DuckDB oracle for the raked mixture: the IPF row/column scaling
+    steps UNROLLED as CTE stages in HUGEINT arithmetic — expressible
+    because every step is floor(w · t·1e6 / marginal) on non-negative
+    integers (truncating ``//`` == floor), mirroring the operator's
+    exact-int Python loop bit for bit."""
+    steps = ""
+    prev = "w0"
+    for k in range(1, iters + 1):
+        steps += f"""
+    r{k} AS (SELECT lang, SUM(w) AS rs FROM {prev} GROUP BY lang),
+    wr{k} AS (SELECT p.lang, p.source, p.n,
+                     (p.w * (SELECT t FROM tl) * 1000000) // r.rs AS w
+              FROM {prev} p JOIN r{k} r USING (lang)),
+    c{k} AS (SELECT source, SUM(w) AS cs FROM wr{k} GROUP BY source),
+    w{k} AS (SELECT p.lang, p.source, p.n,
+                    (p.w * (SELECT t FROM ts) * 1000000) // c.cs AS w
+             FROM wr{k} p JOIN c{k} c USING (source)),"""
+        prev = f"w{k}"
+    return f"""
+    WITH c AS (SELECT lang, source, CAST(count(*) AS HUGEINT) AS n
+               FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS N,
+                   CAST(count(DISTINCT lang) AS HUGEINT) AS nl,
+                   CAST(count(DISTINCT source) AS HUGEINT) AS ns
+            FROM c),
+    tl AS (SELECT ({budget_num} * N) // ({budget_den} * nl) AS t FROM tot),
+    ts AS (SELECT ({budget_num} * N) // ({budget_den} * ns) AS t FROM tot),
+    w0 AS (SELECT lang, source, n, n * 1000000 AS w FROM c),{steps}
+    rates AS (SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+                     CAST(LEAST(w // n, 1000000) AS BIGINT) AS rate_ppm
+              FROM {prev}),
+    sel AS (SELECT d.lang, d.source,
+                   CASE WHEN CAST('0x' || substr(md5('rake|' ||
+                          CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 1000000 < r.rate_ppm
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN rates r USING (lang, source))
+    SELECT r.lang, r.source, r.n_docs, r.rate_ppm,
+           CAST(SUM(s.keep) AS BIGINT) AS n_selected
+    FROM rates r JOIN sel s USING (lang, source)
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("sample_raked_mixture", _rake_oracle_sql(iters=2))
+def sample_raked_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way balanced downsampling by raking / IPF
+    (operators/sampling.raked_mixture): per-(lang, source) keep-rates
+    fitted so language AND source marginals both approach a balanced
+    60% budget — the mixture-design step per-axis caps can't do (they
+    fight over shared cells; IPF alternates the scalings). The IPF loop
+    runs driver-side on the collected contingency table (|langs|×
+    |sources| cells, codebook-sized) in exact Python ints; the oracle
+    unrolls the same steps in HUGEINT CTEs; selection is the
+    deterministic scan-side ppm hash threshold. Returns per-cell
+    (n_docs, rate_ppm, n_selected)."""
+    from .operators.sampling import raked_mixture
+    docs = load_table(spark, sf_dir, "documents")
+    selected, rates = raked_mixture(docs, iters=2)
+    counts = (selected.groupBy("lang", "source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_selected")))
+    return (rates.join(counts, ["lang", "source"], "left")
+            .select("lang", "source", "n_docs", "rate_ppm",
+                    F.coalesce("n_selected", F.lit(0)).cast("long")
+                     .alias("n_selected")))
+
+
 @register(
     "sample_10pct",
     f"""

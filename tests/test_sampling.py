@@ -355,3 +355,37 @@ def test_leakage_safe_split_cluster_invariant(spark):
         docs.select("doc_id"), "doc_id").collect()}
     for d, (rep, _, split) in got.items():
         assert split == rep_split[rep]
+
+
+def test_raked_mixture_balances_both_marginals(spark):
+    """IPF keep-rates must pull BOTH marginals toward balance: a corpus
+    with one dominant language and one dominant source ends up with a
+    smaller max/min marginal ratio on each axis after selection."""
+    from mysql_ch_replicator_spark.operators.sampling import raked_mixture
+    rows = []
+    i = 0
+    for lang, source, n in [("en", "web", 600), ("en", "books", 80),
+                            ("de", "web", 90), ("de", "books", 60),
+                            ("fr", "web", 70), ("fr", "books", 50)]:
+        for _ in range(n):
+            rows.append((i, lang, source))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "source string")
+    selected, rates = raked_mixture(docs, iters=2)
+
+    def spread_ratio(df, col):
+        counts = [r.n for r in df.groupBy(col)
+                  .agg(F.count(F.lit(1)).alias("n")).collect()]
+        return max(counts) / min(counts)
+
+    assert spread_ratio(selected, "lang") < spread_ratio(docs, "lang")
+    assert spread_ratio(selected, "source") < spread_ratio(docs, "source")
+    # rates are ppm-capped and deterministic across evaluations
+    rs = {(r.lang, r.source): r.rate_ppm for r in rates.collect()}
+    assert all(0 <= v <= 1_000_000 for v in rs.values())
+    again = raked_mixture(docs, iters=2)[1]
+    assert {(r.lang, r.source): r.rate_ppm
+            for r in again.collect()} == rs
+    # the dominant cell is throttled hardest
+    assert rs[("en", "web")] == min(rs.values())
