@@ -332,13 +332,16 @@ def audio_energy_windows(audio: DataFrame, frame: int = 32,
                 raw = bytes(raw)
                 payload = raw[HEADER_LEN:] if raw[:4] == MAGIC else raw
                 arr = np.frombuffer(payload, np.uint8).astype(np.int64)
+                if arr.size == 0:
+                    continue
                 sq = arr * arr
-                for w in range(0, len(arr), frame):
-                    chunk = sq[w:w + frame]
-                    out["doc_id"].append(int(doc_id))
-                    out["win_idx"].append(w // frame)
-                    out["n_samples"].append(int(chunk.size))
-                    out["energy"].append(int(chunk.sum()))
+                starts = np.arange(0, arr.size, frame)
+                energies = np.add.reduceat(sq, starts)
+                sizes = np.diff(np.append(starts, arr.size))
+                out["doc_id"].extend([int(doc_id)] * starts.size)
+                out["win_idx"].extend(range(starts.size))
+                out["n_samples"].extend(int(s) for s in sizes)
+                out["energy"].extend(int(e) for e in energies)
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

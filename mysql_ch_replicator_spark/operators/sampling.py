@@ -106,10 +106,22 @@ def raked_mixture(docs: DataFrame, row_col: str = "lang",
                           F.col(col_col).alias("c"))
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     total = sum(cells.values())
-    rows = sorted({r for r, _ in cells})
-    cols = sorted({c for _, c in cells})
+    # NULL keys sort behind real values (None breaks plain sorted());
+    # their rate rows are computed like any cell, but note the final
+    # equi-join is null-UNSAFE in both engines, so NULL-keyed docs are
+    # never selected — bucket them upstream if they must participate
+    nkey = (lambda x: (x is None, x))
+    rows = sorted({r for r, _ in cells}, key=nkey)
+    cols = sorted({c for _, c in cells}, key=nkey)
     t_row = (budget_num * total) // (budget_den * len(rows))
     t_col = (budget_num * total) // (budget_den * len(cols))
+    if t_row == 0 or t_col == 0:
+        raise ValueError(
+            f"raked_mixture: integer marginal target floors to zero "
+            f"(t_row={t_row}, t_col={t_col} from {total} docs over "
+            f"{len(rows)}x{len(cols)} cells at budget "
+            f"{budget_num}/{budget_den}) — every keep-rate would "
+            f"collapse to 0; raise the budget or coarsen the keys")
     w = {k: n * 1_000_000 for k, n in cells.items()}
     for _ in range(iters):
         rs = {r: sum(w[k] for k in w if k[0] == r) for r in rows}
@@ -120,7 +132,8 @@ def raked_mixture(docs: DataFrame, row_col: str = "lang",
              for k, v in w.items()}
     rate_rows = [(r, c, cells[(r, c)],
                   min(w[(r, c)] // cells[(r, c)], 1_000_000))
-                 for (r, c) in sorted(cells)]
+                 for (r, c) in sorted(cells, key=lambda k: (nkey(k[0]),
+                                                            nkey(k[1])))]
     rates = spark.createDataFrame(
         rate_rows, f"{row_col} string, {col_col} string, "
                    f"n_docs bigint, rate_ppm bigint")

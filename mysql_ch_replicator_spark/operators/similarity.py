@@ -1107,13 +1107,28 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
                    .agg(F.count(F.lit(1)).alias("n"))
                    .orderBy(F.col("n").desc(), F.col("cell")).first())
             cell = int(top.cell)
+        elif not 1 <= cell <= n_cells:
+            # validated BEFORE the pending manifest exists — a bogus id
+            # must not wedge the split machinery behind a manifest whose
+            # resume crashes at the same bad id forever
+            raise ValueError(
+                f"split_ivf_cell: cell {cell} not in [1, {n_cells}]")
         new_cell = n_cells + 1
 
     idx = spark.read.parquet(path)
-    # union of both split directories: empty new side on a fresh split,
-    # the torn remainder on a resume — the TRAINING INPUT SET is the
-    # same either way, which is what makes recovery idempotent
-    cellrows = idx.where(F.col("cell").isin([cell, new_cell]))
+    # union of both split directories — deduped on vec_id: a fresh split
+    # sees the empty new side, a resume sees the torn remainder, and a
+    # crash inside the two-directory commit can leave a member present
+    # in BOTH dirs (the vector rows are identical — the split never
+    # changes a vector, only its cell), so the dedup is what makes the
+    # TRAINING INPUT SET invariant under any partial commit and the
+    # recovery idempotent
+    cellrows = idx.where(F.col("cell").isin([cell, new_cell])) \
+        .dropDuplicates(["vec_id"])
+    if pending is None and cellrows.isEmpty():
+        raise ValueError(
+            f"split_ivf_cell: cell {cell} holds no vectors — splitting "
+            f"it would replace its centroid with the untrained init")
     sub = train_ivf_centroids(
         cellrows, "embedding", 2, dims, iters=iters,
         sample_fraction=sample_fraction,

@@ -587,3 +587,47 @@ def test_split_ivf_cell_crash_resume(spark, tmp_path, corpus):
     split_ivf_cell(spark, crash_path, iters=2)
     assert _split_state(spark, crash_path) == want
     assert not fsutil.exists(pend, spark=spark)
+
+
+def test_split_ivf_cell_resume_after_torn_data_commit(spark, tmp_path,
+                                                      corpus):
+    """The nastier torn state: the data commit created the NEW cell dir
+    while the old cell dir still holds the same members (a crash between
+    the dynamic overwrite and the emptied-dir delete, or mid-commit) —
+    every split member is present in BOTH directories. The resume must
+    dedup the union, never write duplicate vec_ids, and still converge
+    to the clean split's state. Bogus cell ids are refused BEFORE the
+    manifest exists."""
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.similarity import (
+        split_ivf_cell, write_ivf_index,
+    )
+
+    want_path = str(tmp_path / "want")
+    write_ivf_index(corpus, want_path, n_cells=8)
+    hot, new = split_ivf_cell(spark, want_path, iters=2)
+    want = _split_state(spark, want_path)
+
+    torn = str(tmp_path / "torn")
+    write_ivf_index(corpus, torn, n_cells=8)
+    with _pytest.raises(ValueError, match="not in"):
+        split_ivf_cell(spark, torn, cell=99)
+    # forge the duplicate torn state: copy the hot cell dir to the new
+    # cell id wholesale (both dirs now hold every member), plus the
+    # pending manifest a crashed run would leave
+    shutil.copytree(os.path.join(torn, f"cell={hot}"),
+                    os.path.join(torn, f"cell={new}"))
+    fsutil.write_text(os.path.join(torn, "_ivf_split_pending.json"),
+                      json.dumps({"cell": hot, "new_cell": new}),
+                      spark=spark)
+    split_ivf_cell(spark, torn)            # resume
+    got = _split_state(spark, torn)
+    assert got == want
+    rows = got[0]
+    assert len({v for v, _ in rows}) == len(rows)   # no duplicate ids

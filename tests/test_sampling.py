@@ -389,3 +389,16 @@ def test_raked_mixture_balances_both_marginals(spark):
             for r in again.collect()} == rs
     # the dominant cell is throttled hardest
     assert rs[("en", "web")] == min(rs.values())
+
+
+def test_raked_mixture_degenerate_budget_raises(spark):
+    """An integer marginal target that floors to zero must raise loudly
+    (naming the knob), not ZeroDivisionError three CTEs deep."""
+    import pytest as _pytest
+
+    from mysql_ch_replicator_spark.operators.sampling import raked_mixture
+    docs = spark.createDataFrame(
+        [(i, f"l{i}", "s") for i in range(6)] + [(9, "l0", "s")],
+        "doc_id long, lang string, source string")
+    with _pytest.raises(ValueError, match="floors to zero"):
+        raked_mixture(docs)
