@@ -918,6 +918,42 @@ def _lang_sql() -> str:
     """
 
 
+@register(
+    "lang_label_confusion",
+    f"""
+    WITH pred AS ({_lang_sql()})
+    SELECT lang, pred_lang, n_docs,
+           CAST(1000000 * n_docs // SUM(n_docs) OVER (PARTITION BY lang)
+                AS BIGINT) AS share6
+    FROM (
+      SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY d.lang, p.pred_lang)
+    """,
+)
+def lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: confusion matrix of the DECLARED ``lang``
+    column against the heuristic stopword classifier, with each cell's
+    ppm share of its declared language — the standard estimate of how
+    dirty a metadata column is before anyone filters or stratifies on
+    it (a source whose declared 'en' docs classify 30% 'und' has a
+    scraper problem, and languages outside the classifier's stopword
+    lists surface as a solid und column, quantifying its coverage).
+    One classify pass + one (lang, pred) aggregate; the share window
+    runs over the |langs|×|preds| AGGREGATE rows, never the corpus."""
+    from .functions.text import lang_id
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cells = (docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+             .groupBy("lang", "pred_lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = Window.partitionBy("lang")
+    return (cells
+            .withColumn("den", F.sum("n_docs").over(w).cast("long"))
+            .select("lang", "pred_lang", "n_docs",
+                    F.expr("(1000000 * n_docs) div den")
+                     .cast("long").alias("share6")))
+
+
 @register("text_lang_id", _lang_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-coverage language ID (en/de/es/fr/und)."""
