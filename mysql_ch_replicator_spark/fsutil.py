@@ -26,7 +26,9 @@ on the next probe (ADVICE r8). Hadoop ``FileSystem.rename`` refuses an
 existing destination, so the overwrite is delete-then-rename — atomic
 on the rename itself (HDFS), best-effort on object stores; the crash
 window shrinks from "any byte of the payload" to "between two metadata
-ops", and a reader can never observe a HALF-written file."""
+ops", and a reader can never observe a HALF-written file —
+``read_text`` retries briefly through that not-found gap so concurrent
+descriptor probes see old-or-new content, never a spurious miss."""
 
 from __future__ import annotations
 
@@ -91,20 +93,47 @@ def write_text(path: str, text: str,
         raise IOError(f"fsutil.write_text: rename {tmp} -> {p} failed")
 
 
-def read_text(path: str, spark: SparkSession | None = None) -> str:
-    handle = _fs(path, spark)
-    if handle is None:
-        with open(_local_form(path), encoding="utf-8") as f:
-            return f.read()
-    fs, p, jvm = handle
-    stream = fs.open(p)
-    try:
-        bos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536,
-                                                   False)
-        return bos.toString("UTF-8")
-    finally:
-        stream.close()
+def read_text(path: str, spark: SparkSession | None = None,
+              retries: int = 5, retry_delay_s: float = 0.05) -> str:
+    """Small-file read that tolerates the overwrite window of
+    ``write_text``: on Hadoop FSes that refuse rename-over-existing, an
+    overwrite is delete-then-rename, so a concurrent reader can observe
+    the target MISSING for an instant even though a valid version exists
+    before and after (ADVICE r9 — sessionless descriptor probes racing
+    an index upsert). A not-found here retries briefly before raising,
+    converting the metadata-op gap into a short wait; a genuinely absent
+    file still raises after ``retries`` attempts. Content is never torn
+    either way — the payload always lands under a temp name first."""
+    import time
+
+    for attempt in range(retries + 1):
+        try:
+            handle = _fs(path, spark)
+            if handle is None:
+                with open(_local_form(path), encoding="utf-8") as f:
+                    return f.read()
+            fs, p, jvm = handle
+            stream = fs.open(p)
+            try:
+                bos = jvm.java.io.ByteArrayOutputStream()
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    stream, bos, 65536, False)
+                return bos.toString("UTF-8")
+            finally:
+                stream.close()
+        except Exception as e:                   # noqa: BLE001
+            if attempt >= retries or not _is_not_found(e):
+                raise
+            time.sleep(retry_delay_s)
+
+
+def _is_not_found(e: Exception) -> bool:
+    """True for a missing-file error from either IO stack: python's
+    FileNotFoundError, or Hadoop's FileNotFoundException surfacing
+    through py4j (whose message embeds the Java class name)."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    return "FileNotFoundException" in str(e)
 
 
 def exists(path: str, spark: SparkSession | None = None) -> bool:

@@ -74,10 +74,49 @@ def leakage_safe_split(docs: DataFrame, text_col: str = "text",
                       "dup_of", weights, salt)
 
 
+def _ipf_weights(w: dict, rows: list, cols: list, t_row: int, t_col: int,
+                 iters: int) -> dict:
+    """The raking loop itself, factored pure so the degenerate-marginal
+    guard is directly testable. Natural inputs (positive counts, targets
+    above the floor guard) self-correct — IPF rescales a starved cell
+    back up on the next pass — but the floor arithmetic makes a zero
+    marginal CONCEIVABLE, and dividing by it would surface as a cryptic
+    ZeroDivisionError three frames deep (ADVICE r9); the guard names the
+    fix instead."""
+    for _ in range(iters):
+        rs = {r: sum(w[k] for k in w if k[0] == r) for r in rows}
+        _ipf_check_marginals(rs, "row")
+        w = {k: (v * t_row * 1_000_000) // rs[k[0]]
+             for k, v in w.items()}
+        cs = {c: sum(w[k] for k in w if k[1] == c) for c in cols}
+        _ipf_check_marginals(cs, "column")
+        w = {k: (v * t_col * 1_000_000) // cs[k[1]]
+             for k, v in w.items()}
+    return w
+
+
+def _ipf_check_marginals(marginals: dict, axis: str) -> None:
+    zero = sorted((k for k, v in marginals.items() if v == 0),
+                  key=lambda x: (x is None, x))
+    if zero:
+        raise ValueError(
+            f"raked_mixture: {axis} marginal(s) {zero!r} floored to zero "
+            f"mid-raking (extreme cell skew starved every cell of the "
+            f"{axis}) — raise the budget, lower iters, or coarsen the "
+            f"keys so no {axis} is vanishingly small next to the rest")
+
+
+# Bound on the collected contingency table: the IPF loop is driver-side
+# BY DESIGN (codebook-sized for lang × source), and this is what keeps a
+# caller from feeding it a corpus-cardinality key — the same loud-guard
+# mold as ks_drift's grid bound (operators/quality.py, r8).
+_RAKE_MAX_CELLS = 10_000
+
+
 def raked_mixture(docs: DataFrame, row_col: str = "lang",
                   col_col: str = "source", id_col: str = "doc_id",
                   budget_num: int = 6, budget_den: int = 10,
-                  iters: int = 2,
+                  iters: int = 2, max_cells: int = _RAKE_MAX_CELLS,
                   salt: str = "rake") -> tuple[DataFrame, DataFrame]:
     """Two-way mixture balancing by iterative proportional fitting
     (raking / IPF, Deming & Stephan 1940): fit per-cell keep-rates so the
@@ -97,14 +136,29 @@ def raked_mixture(docs: DataFrame, row_col: str = "lang",
 
     Scale shape: the contingency table is |rows|×|cols| cells — the
     IPF loop runs on the COLLECTED table driver-side (bounded like a
-    centroid codebook, never corpus-sized); rates broadcast back onto
-    one corpus scan. Returns ``(selected_docs, rates)`` where rates is
-    (row, col, n_docs, rate_ppm)."""
+    centroid codebook, never corpus-sized, and ENFORCED: more than
+    ``max_cells`` cells raises with the coarsen-the-keys fix named
+    before anything large reaches the driver); rates broadcast back
+    onto one corpus scan. Returns ``(selected_docs, rates)`` where
+    rates is (row, col, n_docs, rate_ppm)."""
     spark = docs.sparkSession
-    cells = {(r.r, r.c): int(r.n) for r in
-             docs.groupBy(F.col(row_col).alias("r"),
-                          F.col(col_col).alias("c"))
-             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # cardinality guard BEFORE the table reaches the driver: limit(N+1)
+    # bounds the collect itself (a LIMIT past the true count returns the
+    # whole table, so a passing collect IS the complete contingency) —
+    # a high-cardinality key raises with the fix named instead of OOMing
+    # the driver
+    cell_rows = (docs.groupBy(F.col(row_col).alias("r"),
+                              F.col(col_col).alias("c"))
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .limit(max_cells + 1).collect())
+    if len(cell_rows) > max_cells:
+        raise ValueError(
+            f"raked_mixture: contingency table exceeds {max_cells} cells "
+            f"({row_col} x {col_col}) — the IPF loop is driver-side by "
+            f"design and sized for codebook-scale keys (lang x source); "
+            f"coarsen the keys (bucket rare values into an 'other' "
+            f"class) or raise max_cells if the table truly is bounded")
+    cells = {(r.r, r.c): int(r.n) for r in cell_rows}
     total = sum(cells.values())
     # NULL keys sort behind real values (None breaks plain sorted());
     # their rate rows are computed like any cell, but note the final
@@ -122,21 +176,22 @@ def raked_mixture(docs: DataFrame, row_col: str = "lang",
             f"{len(rows)}x{len(cols)} cells at budget "
             f"{budget_num}/{budget_den}) — every keep-rate would "
             f"collapse to 0; raise the budget or coarsen the keys")
-    w = {k: n * 1_000_000 for k, n in cells.items()}
-    for _ in range(iters):
-        rs = {r: sum(w[k] for k in w if k[0] == r) for r in rows}
-        w = {k: (v * t_row * 1_000_000) // rs[k[0]]
-             for k, v in w.items()}
-        cs = {c: sum(w[k] for k in w if k[1] == c) for c in cols}
-        w = {k: (v * t_col * 1_000_000) // cs[k[1]]
-             for k, v in w.items()}
+    w = _ipf_weights({k: n * 1_000_000 for k, n in cells.items()},
+                     rows, cols, t_row, t_col, iters)
     rate_rows = [(r, c, cells[(r, c)],
                   min(w[(r, c)] // cells[(r, c)], 1_000_000))
                  for (r, c) in sorted(cells, key=lambda k: (nkey(k[0]),
                                                             nkey(k[1])))]
+    # the rates frame's key columns carry the INPUT's types — hardcoding
+    # string broke createDataFrame for any non-string key (ADVICE r9)
+    from pyspark.sql.types import LongType, StructField, StructType
     rates = spark.createDataFrame(
-        rate_rows, f"{row_col} string, {col_col} string, "
-                   f"n_docs bigint, rate_ppm bigint")
+        rate_rows,
+        StructType([
+            StructField(row_col, docs.schema[row_col].dataType, True),
+            StructField(col_col, docs.schema[col_col].dataType, True),
+            StructField("n_docs", LongType(), False),
+            StructField("rate_ppm", LongType(), False)]))
     bucket = h60(F.concat(F.lit(f"{salt}|"),
                           F.col(id_col).cast("string"))) % 1_000_000
     selected = (docs.join(F.broadcast(rates), [row_col, col_col])

@@ -893,7 +893,11 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     the same upsert (pinned by the partial-failure test in
     tests/test_ann_recall.py); replica tables, which need readers
     isolated during rewrite, use the generation-manifest protocol
-    instead (engine._overwrite_data)."""
+    instead (engine._overwrite_data). A pending SPLIT manifest found at
+    entry is auto-resumed before the batch applies: a torn split's
+    membership maps moved vectors to their pre-split cell, and an upsert
+    trusting it could leave live rows a later split resume resurrects
+    (ADVICE r9)."""
     import json
     import os
     from functools import reduce
@@ -907,6 +911,17 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
             f"only write_ivf_index tables (r6+) support incremental upsert")
     cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                             meta["dims"])
+    if fsutil.exists(os.path.join(path, _IVF_SPLIT_PENDING), spark=spark):
+        # A torn split leaves ``_vecmeta`` mapping moved vectors to their
+        # PRE-split cell: an upsert removing such a vector would rewrite
+        # only the old cell and a later split resume (which unions both
+        # split dirs) would resurrect the deleted row (ADVICE r9). The
+        # split resume is idempotent and O(cell), so finish it here
+        # rather than wedging an unattended CDC pipeline behind a raise.
+        split_ivf_cell(spark, path)
+        meta = read_ivf_meta(path)   # the descriptor grew by one cell
+        cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
+                                meta["dims"])
     idx = spark.read.parquet(path)
     members_path = os.path.join(path, _IVF_MEMBERS)
     if not fsutil.exists(members_path, spark=spark):
@@ -1106,6 +1121,12 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
             top = (members.groupBy("cell")
                    .agg(F.count(F.lit(1)).alias("n"))
                    .orderBy(F.col("n").desc(), F.col("cell")).first())
+            if top is None:
+                # an empty index has no hottest cell — a clean error, not
+                # an AttributeError off the None row (ADVICE r9)
+                raise ValueError(
+                    f"split_ivf_cell: membership table at {members_path} "
+                    f"has no rows — an empty index has nothing to split")
             cell = int(top.cell)
         elif not 1 <= cell <= n_cells:
             # validated BEFORE the pending manifest exists — a bogus id
@@ -1186,6 +1207,22 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         spark=spark)
     fsutil.delete(pend_path, spark=spark)
     return cell, new_cell
+
+
+def pending_split(path: str) -> dict | None:
+    """``{"cell": int, "new_cell": int}`` of a torn ``split_ivf_cell``
+    run (its intent manifest survives the crash), or None when no split
+    is pending — the split twin of ``pending_upsert_cells``. Recovery =
+    ``split_ivf_cell(spark, path)`` with no cell argument (resumes), and
+    ``upsert_ivf_index`` auto-resumes it before applying a batch."""
+    import json
+    import os
+
+    pend = os.path.join(path, _IVF_SPLIT_PENDING)
+    if not fsutil.exists(pend):
+        return None
+    doc = json.loads(fsutil.read_text(pend))
+    return {"cell": int(doc["cell"]), "new_cell": int(doc["new_cell"])}
 
 
 def pending_upsert_cells(path: str) -> list[int] | None:

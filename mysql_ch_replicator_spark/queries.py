@@ -1404,6 +1404,16 @@ def _tmp_root(sf_dir: str, tag: str) -> str:
 
 
 _FIXTURES: dict[tuple[str, str], str] = {}
+# Registry queries execute serially under the driver/bench, but nothing
+# ENFORCED that: two concurrent consumers of one fixture key would both
+# miss the cache and build into the same path simultaneously (and
+# _tmp_root's rmtree could delete a half-built artifact out from under
+# the other thread) — ADVICE r9. A per-key build lock serializes exactly
+# the racing builds; distinct keys still build concurrently.
+import threading as _threading
+
+_FIXTURES_GUARD = _threading.Lock()
+_FIXTURE_BUILD_LOCKS: dict[tuple[str, str], _threading.Lock] = {}
 
 
 def _session_fixture(sf_dir: str, tag: str, build) -> str:
@@ -1422,10 +1432,20 @@ def _session_fixture(sf_dir: str, tag: str, build) -> str:
     import os
 
     key = (os.path.abspath(sf_dir), tag)
-    if key not in _FIXTURES:
+    with _FIXTURES_GUARD:
+        if key in _FIXTURES:
+            return _FIXTURES[key]
+        lock = _FIXTURE_BUILD_LOCKS.setdefault(key, _threading.Lock())
+    with lock:
+        # double-check after winning the build lock: the loser of a race
+        # reuses the winner's artifact instead of rebuilding over it
+        with _FIXTURES_GUARD:
+            if key in _FIXTURES:
+                return _FIXTURES[key]
         path = os.path.join(_tmp_root(sf_dir, f"fixture_{tag}"), "data")
         build(path)
-        _FIXTURES[key] = path
+        with _FIXTURES_GUARD:
+            _FIXTURES[key] = path
     return _FIXTURES[key]
 
 

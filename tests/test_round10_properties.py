@@ -1,0 +1,212 @@
+"""Round-10 properties: the r9 ADVICE fixes (raked_mixture guards,
+split-pending safety on the IVF upsert path, fsutil read-through-rename
+window, session-fixture build race) plus the r9 verdict's quick asks."""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# raked_mixture guards (ADVICE r9 + verdict #5)
+# ---------------------------------------------------------------------------
+
+def test_raked_mixture_cardinality_guard(spark):
+    """A corpus-cardinality key must raise BEFORE the contingency table
+    reaches the driver — the ks_drift-grid guard mold."""
+    from mysql_ch_replicator_spark.operators.sampling import raked_mixture
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("lang"),     # 100 distinct rows
+        (F.col("id") % 3).cast("string").alias("source"))
+    with pytest.raises(ValueError, match="contingency.*coarsen"):
+        raked_mixture(docs, max_cells=50)
+    # a bounded table still rakes fine under the same knob
+    sel, rates = raked_mixture(
+        docs.withColumn("lang", (F.col("doc_id") % 2).cast("string")),
+        max_cells=50)
+    assert rates.count() == 6
+
+
+def test_raked_mixture_nonstring_keys(spark):
+    """The rates frame's key columns carry the input's types — integer
+    keys used to crash createDataFrame against the hardcoded string
+    schema (ADVICE r9)."""
+    from mysql_ch_replicator_spark.operators.sampling import raked_mixture
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).alias("lang"),          # bigint key
+        (F.col("id") % 3).cast("int").alias("source"))   # int key
+    sel, rates = raked_mixture(docs)
+    schema = {f.name: f.dataType.simpleString() for f in rates.schema}
+    assert schema["lang"] == "bigint" and schema["source"] == "int"
+    assert sel.count() > 0
+
+
+def test_ipf_zero_marginal_guard():
+    """A floored-to-zero marginal raises the named error, never a bare
+    ZeroDivisionError (ADVICE r9). Natural count tables self-correct, so
+    the guard is exercised on the factored pure loop directly."""
+    from mysql_ch_replicator_spark.operators.sampling import _ipf_weights
+
+    with pytest.raises(ValueError, match="row marginal"):
+        _ipf_weights({("a", "x"): 0, ("b", "x"): 5_000_000},
+                     ["a", "b"], ["x"], t_row=10, t_col=10, iters=1)
+    with pytest.raises(ValueError, match="column marginal"):
+        _ipf_weights({("a", "x"): 0, ("a", "y"): 5_000_000},
+                     ["a"], ["x", "y"], t_row=10, t_col=10, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# IVF split-pending safety (ADVICE r9 medium)
+# ---------------------------------------------------------------------------
+
+def test_split_ivf_cell_empty_index_raises(spark, tmp_path):
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_MEMBERS, split_ivf_cell,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    fsutil.write_text(os.path.join(path, "_ivf_meta.json"),
+                      json.dumps({"n_cells": 4, "dims": 2,
+                                  "centroids": [[0.0, 0.0]] * 4}),
+                      spark=spark)
+    spark.createDataFrame([], "vec_id long, cell int, vspan long") \
+        .write.parquet(os.path.join(path, _IVF_MEMBERS))
+    with pytest.raises(ValueError, match="nothing to split"):
+        split_ivf_cell(spark, path)
+
+
+def test_upsert_auto_resumes_pending_split(spark, tmp_path, corpus):
+    """A torn split (data committed, descriptor not) must not let a
+    subsequent upsert resurrect deleted vectors: the upsert auto-resumes
+    the split first, then applies the batch against the POST-split
+    geometry (ADVICE r9 medium). Also covers the pending_split helper."""
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_MEMBERS, pending_split, split_ivf_cell, upsert_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus, path, n_cells=8)
+    assert pending_split(path) is None
+
+    # tear a split exactly like the r9 crash test: everything commits
+    # except the descriptor, so _vecmeta/descriptor lag the moved rows
+    real_write = fsutil.write_text
+
+    def crashing_write(p, text, spark=None):
+        if p.endswith("_ivf_meta.json"):
+            raise RuntimeError("injected crash before descriptor commit")
+        return real_write(p, text, spark=spark)
+
+    fsutil.write_text = crashing_write
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            split_ivf_cell(spark, path, iters=2)
+    finally:
+        fsutil.write_text = real_write
+    pend = pending_split(path)
+    assert pend is not None and pend["new_cell"] == 9
+
+    # remove a vector that the torn split MOVED to the new cell — the
+    # pre-fix behavior rewrote only its stale pre-split cell and left
+    # the live row behind
+    moved = spark.read.parquet(path).where(F.col("cell") == 9) \
+        .select("vec_id").first()
+    assert moved is not None
+    victim = int(moved.vec_id)
+    removes = spark.createDataFrame([(victim,)], "vec_id long")
+    upsert_ivf_index(spark, path, removes=removes)
+
+    assert pending_split(path) is None                 # split completed
+    meta = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_meta.json"), spark=spark))
+    assert meta["n_cells"] == 9                        # descriptor grew
+    got = spark.read.parquet(path)
+    assert got.where(F.col("vec_id") == victim).count() == 0
+    mem = spark.read.parquet(os.path.join(path, _IVF_MEMBERS))
+    assert mem.where(F.col("vec_id") == victim).count() == 0
+    # membership and data agree exactly after the combined recovery
+    rows = sorted((r.vec_id, int(r.cell)) for r in
+                  got.select("vec_id", "cell").collect())
+    mrows = sorted((r.vec_id, int(r.cell)) for r in
+                   mem.select("vec_id", "cell").collect())
+    assert rows == mrows
+
+
+# ---------------------------------------------------------------------------
+# fsutil: read through the overwrite window (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+def test_read_text_retries_transient_absence(spark, tmp_path):
+    """A reader racing write_text's delete-then-rename overwrite sees
+    old-or-new content after a short retry, never a spurious miss; a
+    genuinely absent file still raises."""
+    from mysql_ch_replicator_spark import fsutil
+
+    target = str(tmp_path / "desc.json")
+    fsutil.write_text(target, "v1", spark=spark)
+    os.remove(target)        # simulate the delete→rename gap
+
+    def _restore():
+        time.sleep(0.15)
+        fsutil.write_text(target, "v2", spark=spark)
+
+    t = threading.Thread(target=_restore)
+    t.start()
+    try:
+        got = fsutil.read_text(target, spark=spark,
+                               retries=20, retry_delay_s=0.05)
+    finally:
+        t.join()
+    assert got == "v2"
+    with pytest.raises(Exception, match="FileNotFound|No such file"):
+        fsutil.read_text(str(tmp_path / "never.json"), spark=spark,
+                         retries=1, retry_delay_s=0.01)
+
+
+# ---------------------------------------------------------------------------
+# session-fixture build race (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+def test_session_fixture_concurrent_build_once(tmp_path):
+    from mysql_ch_replicator_spark import queries
+
+    builds = []
+    barrier = threading.Barrier(2)
+    results = []
+
+    def build(path):
+        builds.append(path)
+        time.sleep(0.1)           # widen the race window
+        os.makedirs(path, exist_ok=True)
+
+    def consume():
+        barrier.wait()
+        results.append(queries._session_fixture(
+            str(tmp_path), "r10_race_probe", build))
+
+    threads = [threading.Thread(target=consume) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1, "racing consumers must build exactly once"
+    assert len(set(results)) == 1
