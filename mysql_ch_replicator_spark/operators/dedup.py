@@ -370,11 +370,25 @@ def _band15_resolve(fp: DataFrame, all_ids: DataFrame, max_distance: int,
       neighborhood.  Every doc with fingerprint g in that neighborhood
       contributes its fp-group minimum = rep(g), so the neighborhood min
       equals min(rep(fp_b), adjacent reps) — computable rep-level, then
-      broadcast back to members by one fp join."""
-    reps = transient_persist(
-        fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
+      broadcast back to members by one fp join.
+
+    All-distinct short-circuit (r9 verdict #4): the collapse's guard
+    costs a pure-distinct corpus a useless member link-back join (the
+    collapse deduped nothing, so reps IS the corpus row-for-row). The
+    rep aggregate already computes group sizes, so one tiny max over the
+    persisted rep frame detects ``max(c) == 1`` and skips the link-back
+    (min-link) / member-edge union (closure) entirely — outputs
+    identical by the equivalences above with rep(g) = the doc itself."""
+    reps_c = transient_persist(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"),
+                             F.count(F.lit(1)).cast("long").alias("c")))
+    mx = reps_c.agg(F.max("c").alias("m")).first()
+    all_distinct = mx is None or int(mx.m or 0) <= 1
+    reps = reps_c.select("fp", "doc_id")
     rep_pairs = _band15_pairs(reps, max_distance)
     if closure:
+        if all_distinct:
+            return connected_components(rep_pairs, all_ids)
         members = (fp.join(reps.select("fp", F.col("doc_id").alias("a")),
                            "fp")
                    .where(F.col("doc_id") != F.col("a"))
@@ -385,12 +399,21 @@ def _band15_resolve(fp: DataFrame, all_ids: DataFrame, max_distance: int,
         .unionByName(rep_pairs.select(F.col("b").alias("r"),
                                       F.col("a").alias("n")))
     best = nbrs.groupBy("r").agg(F.min("n").alias("nbr_min"))
-    rep_best = (reps.join(best, reps["doc_id"] == best["r"], "left")
-                .select("fp",
-                        F.least(F.col("doc_id"),
-                                F.coalesce("nbr_min", F.col("doc_id")))
-                        .alias("dup_of")))
-    linked = fp.join(rep_best, "fp").select("doc_id", "dup_of")
+    if all_distinct:
+        # reps is one row per DOC: dup_of comes straight off the
+        # rep-level neighborhood min, no fp link-back join
+        linked = (reps.join(best, reps["doc_id"] == best["r"], "left")
+                  .select("doc_id",
+                          F.least(F.col("doc_id"),
+                                  F.coalesce("nbr_min", F.col("doc_id")))
+                          .alias("dup_of")))
+    else:
+        rep_best = (reps.join(best, reps["doc_id"] == best["r"], "left")
+                    .select("fp",
+                            F.least(F.col("doc_id"),
+                                    F.coalesce("nbr_min", F.col("doc_id")))
+                            .alias("dup_of")))
+        linked = fp.join(rep_best, "fp").select("doc_id", "dup_of")
     return (all_ids.join(linked, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("dup_of", "doc_id").alias("dup_of")))

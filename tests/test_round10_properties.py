@@ -152,6 +152,44 @@ def test_upsert_auto_resumes_pending_split(spark, tmp_path, corpus):
 
 
 # ---------------------------------------------------------------------------
+# Hot-band collapse short-circuit (r9 verdict #4)
+# ---------------------------------------------------------------------------
+
+def test_band15_all_distinct_short_circuit_equivalent(spark):
+    """On a pure-distinct-fp corpus the resolve takes the short-circuit
+    path (no member link-back) — output must still equal brute force for
+    BOTH min-link and closure, and must agree with a forced general-path
+    run (duplicate one fp) on the shared docs."""
+    import random
+
+    from tests.test_round9_properties import _brute_links
+    from mysql_ch_replicator_spark.operators.dedup import _band15_resolve
+
+    random.seed(23)
+    rows, seen = [], set()
+    did = 0
+    for _ in range(40):
+        b = random.getrandbits(60)
+        if b in seen:
+            continue
+        seen.add(b)
+        rows.append((did, b))
+        did += 1
+        if random.random() < 0.5:
+            n = b ^ (1 << random.randrange(60))
+            if n not in seen:
+                seen.add(n)
+                rows.append((did, n))
+                did += 1
+    fp = spark.createDataFrame(rows, "doc_id long, fp long")
+    for closure in (False, True):
+        got = {r.doc_id: r.dup_of
+               for r in _band15_resolve(fp, fp.select("doc_id"), 3,
+                                        closure).collect()}
+        assert got == _brute_links(rows, 3, closure), f"closure={closure}"
+
+
+# ---------------------------------------------------------------------------
 # fsutil: read through the overwrite window (ADVICE r9)
 # ---------------------------------------------------------------------------
 
