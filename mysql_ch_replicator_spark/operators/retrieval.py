@@ -198,7 +198,8 @@ def _doc_meta(docs: DataFrame, per: DataFrame, id_col: str,
 def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        span_width: int = _LEX_DSPAN) -> None:
+                        span_width: int = _LEX_DSPAN,
+                        positions: bool = False) -> None:
     """Persist the lexical index as a TERM-SHARDED parquet table — the
     retrieval twin of ``similarity.write_ivf_index``: tokenization and
     tf/df/dl aggregation are paid ONCE at write, and every query
@@ -208,6 +209,15 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
 
     - ``postings/`` — (term, doc_id, tf, df) partitioned by ``shard``,
       the columnar posting rows a scorer consumes directly,
+    - ``positions/`` (only with ``positions=True``) — (term, doc_id,
+      pos) partitioned by the SAME term-hash ``shard``: the positional
+      posting table quoted-phrase retrieval probes
+      (``phrase_match_indexed``), so a phrase query prunes to its own
+      terms' shard directories at planning time instead of re-tokenizing
+      the corpus per query (the r9 verdict's last O(corpus)-per-query
+      retrieval shape). Token-stream-sized, hence opt-in; when enabled
+      the build derives tf from the SAME posexplode pass, so the corpus
+      still tokenizes exactly once,
     - ``docmeta/`` — (doc_id, dl, shards) partitioned by doc-id span:
       document length for BM25 normalization FUSED with the doc's term-
       shard membership set — the inverse mapping incremental upserts
@@ -249,7 +259,14 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    per = _tokenized_tf(docs, id_col, text_col)
+    pos_tok = None
+    if positions:
+        pos_tok = _tokenized_positions(docs, id_col, text_col)
+        per = transient_persist(
+            pos_tok.groupBy("doc_id", "term").agg(
+                F.count(F.lit(1)).cast("long").alias("tf")))
+    else:
+        per = _tokenized_tf(docs, id_col, text_col)
     # persisted: the docmeta write AND the descriptor's span-stats
     # aggregate both consume it — without the persist the doc-keyed
     # join/aggregate would run twice
@@ -273,17 +290,25 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
         (meta_df.write.mode("overwrite").partitionBy("dspan")
          .parquet(os.path.join(path, "docmeta")))
 
-    # the two table writes are independent at BUILD time (no reader sees
-    # the dir until the descriptor lands last), and both hang off the
-    # same persisted tf frame — submit concurrently like checkpoint_pair
-    # so the second doesn't pay scheduling + IO latency serially (the
+    def _write_positions():
+        (pos_tok.withColumn("shard", (h60(F.col("term")) % shards)
+                            .cast("int"))
+         .select("shard", "term", "doc_id", "pos")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(path, "positions")))
+
+    # the table writes are independent at BUILD time (no reader sees
+    # the dir until the descriptor lands last), and all hang off the
+    # same persisted tokenize — submit concurrently like checkpoint_pair
+    # so the later ones don't pay scheduling + IO latency serially (the
     # UPSERT path must stay ordered: its docmeta commits strictly after
     # postings for the torn-batch superset contract)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f1 = pool.submit(_write_postings)
-        f2 = pool.submit(_write_docmeta)
-        f1.result()
-        f2.result()
+    writers = [_write_postings, _write_docmeta]
+    if positions:
+        writers.append(_write_positions)
+    with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+        for f in [pool.submit(w) for w in writers]:
+            f.result()
     # ONE per-span aggregate over the docmeta frame defines the
     # descriptor: spans[s] = (count, sum dl), with (n, tl) their sums —
     # the SAME state-based convention the upsert's O(changed spans)
@@ -297,8 +322,19 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     # open() breaks on any non-local index path (ADVICE r7)
     fsutil.write_text(
         os.path.join(path, _LEX_META),
-        json.dumps(_lex_meta_doc(spans_map, shards, span_width)),
+        json.dumps(_lex_meta_doc(spans_map, shards, span_width,
+                                 positions=positions)),
         spark=docs.sparkSession)
+
+
+def _tokenized_positions(docs: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """(doc_id, pos, term) — the positional token stream, persisted
+    (the tf aggregate and the positions write both consume it)."""
+    return transient_persist(
+        spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(words(F.col(text_col))).alias("pos", "term")))
 
 
 def _span_stats_map(meta_rows: DataFrame) -> dict[str, list[int]]:
@@ -314,12 +350,16 @@ def _span_stats_map(meta_rows: DataFrame) -> dict[str, list[int]]:
 
 
 def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
-                  span_width: int) -> dict:
+                  span_width: int, positions: bool = False) -> dict:
     """The descriptor document: (n, tl) are DERIVED as sums over the
-    per-span stats, so the two representations can never disagree."""
+    per-span stats, so the two representations can never disagree.
+    ``positions`` records whether the index carries the positional
+    posting table (upserts must maintain it; phrase probes require
+    it)."""
     return {"n": sum(v[0] for v in spans_map.values()),
             "tl": sum(v[1] for v in spans_map.values()),
             "shards": int(shards), "dspan": int(span_width),
+            "positions": bool(positions),
             "spans": spans_map}
 
 
@@ -448,7 +488,12 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     Spark can write. A pre-r8 index (separate ``doclen/``, no
     membership) migrates on first upsert with one final full-postings
     scan; a pre-r9 descriptor (no ``spans`` map) migrates with one
-    final full-docmeta aggregate."""
+    final full-docmeta aggregate. An index built with positional
+    postings (descriptor ``positions: true``) maintains ``positions/``
+    in the same batch: identical touched-shard set (a doc's positions
+    live in exactly the shards its terms hash to), identical merge
+    algebra, committed in the data phase before docmeta — pinned by the
+    upsert==rebuild equivalence test."""
     import json
     import os
     from functools import reduce
@@ -502,15 +547,27 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     changed = transient_persist(
         reduce(DataFrame.unionByName, id_frames).distinct())
 
+    has_positions = bool(meta.get("positions", False))
     new_per = None
     new_meta = None
+    new_pos = None
     if adds is not None:
         kept = adds if removes is None else adds.join(
             removes.select(F.col(id_col).alias(id_col)).distinct(),
             id_col, "left_anti")
-        # _tokenized_tf persists internally — no second wrapper (it would
-        # burn a slot in the bounded cache registry for the same frame)
-        new_per = _tokenized_tf(kept, id_col, text_col)
+        if has_positions:
+            # positional index: ONE posexplode pass feeds both the
+            # positions merge and (via aggregation) the tf merge — the
+            # batch never tokenizes twice
+            new_pos = _tokenized_positions(kept, id_col, text_col)
+            new_per = transient_persist(
+                new_pos.groupBy("doc_id", "term").agg(
+                    F.count(F.lit(1)).cast("long").alias("tf")))
+        else:
+            # _tokenized_tf persists internally — no second wrapper (it
+            # would burn a slot in the bounded cache registry for the
+            # same frame)
+            new_per = _tokenized_tf(kept, id_col, text_col)
         new_meta = _doc_meta(kept, new_per, id_col, shards)
 
     # changed ids' spans — collected FIRST (bounded by the batch size)
@@ -591,6 +648,34 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             for s in set(touched_shards) - live:
                 fsutil.delete(os.path.join(postings_path, f"shard={s}"),
                               spark=spark)
+            if has_positions:
+                # positional twin of the postings rewrite: same touched
+                # shards (a doc's positions live in exactly the shards
+                # its terms hash to), same merge algebra. A (term, doc)
+                # has a posting iff it has ≥1 position, so the postings
+                # LIVE set is the positions live set too — the emptied-
+                # dir sweep reuses it, no extra collect.
+                positions_path = os.path.join(path, "positions")
+                pos_tbl = spark.read.parquet(positions_path)
+                cur_pos = (pos_tbl
+                           .where(F.col("shard").isin(touched_shards))
+                           .join(changed, "doc_id", "left_anti")
+                           .select("shard", "term", "doc_id", "pos"))
+                merged_pos = cur_pos
+                if new_pos is not None:
+                    merged_pos = merged_pos.unionByName(
+                        new_pos.withColumn("shard",
+                                           (h60(F.col("term")) % shards)
+                                           .cast("int"))
+                        .select("shard", "term", "doc_id", "pos"))
+                merged_pos = merged_pos.localCheckpoint(eager=True)
+                (merged_pos.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("shard").parquet(positions_path))
+                for s in set(touched_shards) - live:
+                    fsutil.delete(
+                        os.path.join(positions_path, f"shard={s}"),
+                        spark=spark)
     except BaseException:
         if merged_meta_f is not None:
             merged_meta_f.cancel()
@@ -632,7 +717,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
 
     fsutil.write_text(
         os.path.join(path, _LEX_META),
-        json.dumps(_lex_meta_doc(spans_map, shards, dspan_w)),
+        json.dumps(_lex_meta_doc(spans_map, shards, dspan_w,
+                                 positions=has_positions)),
         spark=spark)
     fsutil.delete(pending, spark=spark)
     return {"shards": touched_shards, "dspans": touched_spans}
@@ -673,9 +759,70 @@ def phrase_match_topk(docs: DataFrame, phrase: list[str], k: int = 10,
         matched = matched.join(nxt, ["doc_id", "p0"])
     hits = (matched.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf")))
+    return _phrase_rank(hits, k)
+
+
+def _phrase_rank(hits: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail of both phrase retrievals: fully tie-broken on
+    (phrase_tf desc, doc_id)."""
     from pyspark.sql import Window
+
     w = Window.orderBy(F.col("phrase_tf").desc(), F.col("doc_id"))
     top = hits.orderBy(F.col("phrase_tf").desc(), F.col("doc_id")) \
         .limit(k)
     return (top.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "phrase_tf", "rank"))
+
+
+def phrase_match_indexed(spark, path: str, phrase: list[str],
+                         k: int = 10) -> DataFrame:
+    """Phrase retrieval against a ``write_lexical_index`` table built
+    with ``positions=True`` — the corpus is NEVER read or re-tokenized:
+    the probe prunes the positional posting table to the phrase terms'
+    shards at PLANNING time (driver-side ``h60_py``, same protocol as
+    ``bm25_indexed_topk``), pushes each term's equality filter into its
+    pruned scan, and runs the identical adjacency algebra as
+    ``phrase_match_topk`` (term j at position ``p0 + j`` via (doc_id,
+    expected-position) equi-joins) — so indexed and corpus-scan phrase
+    retrieval are bit-identical, which the equivalence test pins.
+
+    This closes the r9 verdict's last O(corpus)-per-query retrieval
+    shape: ``phrase_match_topk`` posexplodes every document per phrase
+    (fine for ad-hoc frames, a corpus scan per quoted query at 100 TB);
+    here a phrase costs the phrase terms' postings only — the same
+    reason reference users push ``position``/``hasSubsequence`` to the
+    ClickHouse server instead of streaming rows out
+    (reference clickhouse_api.py query passthrough)."""
+    import json
+    import os
+
+    from ..functions.hashing import h60_py
+
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                       spark=spark))
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"phrase_match_indexed: index at {path} was written without "
+            f"positional postings — rebuild with positions=True (or use "
+            f"phrase_match_topk for an ad-hoc corpus scan)")
+    wanted = [t.lower() for t in phrase]
+    shards = meta["shards"]
+    shard_ids = sorted({h60_py(t) % shards for t in wanted})
+    # NOT persisted: each per-term branch re-reads the shard-pruned
+    # parquet with its own term equality pushed into the scan — tighter
+    # IO than materializing all terms' rows once (and the scans prune to
+    # the same few directories either way; plan-pinned)
+    pos = (spark.read.parquet(os.path.join(path, "positions"))
+           .where(F.col("shard").isin(shard_ids))
+           .select("term", "doc_id", "pos"))
+    matched = (pos.where(F.col("term") == wanted[0])
+               .select("doc_id", F.col("pos").alias("p0")))
+    for j, term in enumerate(wanted[1:], start=1):
+        nxt = (pos.where(F.col("term") == term)
+               .select("doc_id", (F.col("pos") - j).alias("p0")))
+        matched = matched.join(nxt, ["doc_id", "p0"])
+    hits = (matched.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("phrase_tf")))
+    return _phrase_rank(hits, k)

@@ -4294,7 +4294,7 @@ def _lex_full_fixture(spark: SparkSession, sf_dir: str) -> str:
         sf_dir, "lex_full",
         lambda p: write_lexical_index(
             load_table(spark, sf_dir, "documents"), p, shards=16,
-            span_width=1024))
+            span_width=1024, positions=True))
 
 
 def _ivf8_full_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -4945,6 +4945,40 @@ def phrase_match_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_match_topk(docs, _PHRASE, k=10)
+
+
+@register(
+    "phrase_match_indexed",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS W FROM documents),
+    m AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+      FROM (SELECT doc_id, i
+            FROM w, unnest(range(1, len(W))) t(i)
+            WHERE W[CAST(i AS INTEGER)] = '{_PHRASE[0]}'
+              AND W[CAST(i AS INTEGER) + 1] = '{_PHRASE[1]}') hits
+      GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, phrase_tf,
+             row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS rank
+      FROM m)
+    SELECT doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def phrase_match_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed phrase retrieval
+    (operators/retrieval.phrase_match_indexed): the SAME quoted query as
+    ``phrase_match_topk`` answered from the persisted lexical index's
+    positional posting table — the corpus is never read or re-tokenized;
+    the probe prunes to the phrase terms' shard directories at planning
+    time and joins adjacency over their postings only (the r9 verdict's
+    last O(corpus)-per-query retrieval shape, closed). Identical oracle
+    as the corpus-scan form, so the gate proves indexed == from-scratch
+    bit-for-bit."""
+    from .operators.retrieval import phrase_match_indexed
+
+    path = _lex_full_fixture(spark, sf_dir)
+    return phrase_match_indexed(spark, path, _PHRASE, k=10)
 
 
 def _binfix_dup_dir() -> str:

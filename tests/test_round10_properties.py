@@ -190,8 +190,112 @@ def test_band15_all_distinct_short_circuit_equivalent(spark):
 
 
 # ---------------------------------------------------------------------------
-# fsutil: read through the overwrite window (ADVICE r9)
+# Positional postings + indexed phrase retrieval (r9 verdict #3)
 # ---------------------------------------------------------------------------
+
+PHRASE = ["table", "hash"]
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.phrase_tf, r.rank) for r in df.collect())
+
+
+def test_phrase_indexed_equals_corpus_scan(spark, tmp_path, documents):
+    """Indexed phrase retrieval must be bit-identical to the corpus-scan
+    form — same adjacency algebra, same tie-breaks."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        phrase_match_indexed, phrase_match_topk, write_lexical_index,
+    )
+
+    path = str(tmp_path / "lex")
+    write_lexical_index(documents, path, shards=4, positions=True)
+    want = _rows(phrase_match_topk(documents, PHRASE, k=10))
+    got = _rows(phrase_match_indexed(spark, path, PHRASE, k=10))
+    assert want and got == want
+    # a 3-term phrase exercises the chained adjacency joins
+    want3 = _rows(phrase_match_topk(documents, ["a", "b", "c"], k=5))
+    got3 = _rows(phrase_match_indexed(spark, path, ["a", "b", "c"], k=5))
+    assert got3 == want3
+
+
+def test_phrase_indexed_requires_positions(spark, tmp_path, documents):
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        phrase_match_indexed, write_lexical_index,
+    )
+
+    path = str(tmp_path / "lex_nopos")
+    write_lexical_index(documents.limit(50), path, shards=4)
+    with pytest.raises(ValueError, match="without positional postings"):
+        phrase_match_indexed(spark, path, PHRASE)
+    with pytest.raises(ValueError, match="at least 2 terms"):
+        phrase_match_indexed(spark, path, ["solo"])
+
+
+def test_lexical_upsert_maintains_positions(spark, tmp_path, documents):
+    """Upserting a positional index must converge to the from-scratch
+    build of the final corpus: positions table row-identical, descriptor
+    flag preserved, phrase probe identical — extends the upsert==rebuild
+    contract to the positional twin."""
+    import json
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        phrase_match_indexed, upsert_lexical_index, write_lexical_index,
+    )
+
+    want_path = str(tmp_path / "want")
+    final = documents.where(F.col("doc_id") % 7 != 0)
+    write_lexical_index(final, want_path, shards=4, positions=True)
+
+    got_path = str(tmp_path / "got")
+    write_lexical_index(documents.where(F.col("doc_id") % 5 != 0),
+                        got_path, shards=4, positions=True)
+    upsert_lexical_index(
+        spark, got_path,
+        adds=documents.where(F.col("doc_id") % 5 == 0),
+        removes=documents.where(F.col("doc_id") % 7 == 0)
+        .select("doc_id"))
+
+    def _pos_rows(p):
+        return sorted(
+            (int(r.shard), r.term, int(r.doc_id), int(r.pos)) for r in
+            spark.read.parquet(os.path.join(p, "positions")).collect())
+
+    assert _pos_rows(got_path) == _pos_rows(want_path)
+    meta = json.loads(fsutil.read_text(
+        os.path.join(got_path, "_lex_meta.json"), spark=spark))
+    assert meta["positions"] is True
+    assert _rows(phrase_match_indexed(spark, got_path, PHRASE, k=10)) \
+        == _rows(phrase_match_indexed(spark, want_path, PHRASE, k=10))
+
+
+def test_phrase_indexed_plan_shard_pruned(spark, tmp_path, documents):
+    """The probe's scans must carry a planning-time shard partition
+    filter and a pushed term filter, and the corpus must never appear in
+    the plan — the whole point of the positional index."""
+    from mysql_ch_replicator_spark.functions.hashing import h60_py
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        phrase_match_indexed, write_lexical_index,
+    )
+    from tests.test_round8_properties import _plan_of
+
+    path = str(tmp_path / "lex_plan")
+    write_lexical_index(documents, path, shards=4, positions=True)
+    plan = _plan_of(phrase_match_indexed(spark, path, PHRASE, k=10))
+    assert "documents.parquet" not in plan
+    shard_ids = sorted({h60_py(t) % 4 for t in PHRASE})
+    seg = plan.split("PartitionFilters")
+    assert len(seg) >= 3, "both term branches must prune on shard"
+    for part in seg[1:]:
+        head = part.split("]")[0]
+        assert "shard" in head and all(
+            str(s) in head for s in shard_ids), head
+    assert "PushedFilters" in plan and "isnotnull(term" in plan
 
 def test_read_text_retries_transient_absence(spark, tmp_path):
     """A reader racing write_text's delete-then-rename overwrite sees
