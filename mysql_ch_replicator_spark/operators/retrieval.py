@@ -493,7 +493,23 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     in the same batch: identical touched-shard set (a doc's positions
     live in exactly the shards its terms hash to), identical merge
     algebra, committed in the data phase before docmeta — pinned by the
-    upsert==rebuild equivalence test."""
+    upsert==rebuild equivalence test.
+
+    Latency shape (the r9 verdict's named frontier): at a 1 s CDC flush
+    cadence the upsert's cost is its FIXED action count, not data volume
+    — so the batch is budgeted in Spark jobs. The changed-id union skips
+    a redundant distinct (each side arrives distinct; dup ids are
+    harmless to anti-joins and the driver-side shard-set dedup), the df
+    recount reads the merge's checkpointed blocks instead of traversing
+    the touched shards twice through both join branches, and every
+    action with no ordering dependency overlaps on scheduler threads:
+    the adds' new-term discovery runs beside the changed-spans collect,
+    the docmeta merge and its span-stats refresh beside the postings
+    merge, the emptied-shard probe and the positions rewrite beside the
+    postings write. The CRASH ORDER is unchanged — pending manifest
+    before any mutation, postings+positions strictly before docmeta,
+    descriptor last — only same-phase work overlaps (jobs-per-upsert
+    pinned by test_round10_properties)."""
     import json
     import os
     from functools import reduce
@@ -544,8 +560,12 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                          .distinct())
     if not id_frames:
         return {"shards": [], "dspans": []}
-    changed = transient_persist(
-        reduce(DataFrame.unionByName, id_frames).distinct())
+    # each side is distinct already; a union-level distinct would buy
+    # nothing (dup ids are harmless to every consumer: anti-joins ignore
+    # them, the membership join's shard set dedups driver-side, the spans
+    # collect dedups in its aggregate) and would cost one more doc-id
+    # shuffle on the upsert critical path
+    changed = transient_persist(reduce(DataFrame.unionByName, id_frames))
 
     has_positions = bool(meta.get("positions", False))
     new_per = None
@@ -570,54 +590,95 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             new_per = _tokenized_tf(kept, id_col, text_col)
         new_meta = _doc_meta(kept, new_per, id_col, shards)
 
-    # changed ids' spans — collected FIRST (bounded by the batch size)
-    # so the membership read can prune directories at planning time
-    touched_spans = sorted({int(r.v) for r in changed.select(
-        F.expr(f"doc_id div {dspan_w}").alias("v"))
-        .distinct().collect()})
-
-    # ONE discovery job: union of the changed docs' current shards (a
-    # span-pruned membership read — O(changed docs), never a postings
-    # scan) and the adds' new-term shards
-    discovery = []
-    if touched_spans:
-        discovery.append(_membership_shard_frame(
-            docmeta, changed, touched_spans))
-    if new_per is not None:
-        discovery.append(new_per.select(
-            (h60(F.col("term")) % shards).cast("long").alias("v")))
-    touched_shards = sorted({int(r.v) for r in reduce(
-        DataFrame.unionByName, discovery).distinct().collect()}) \
-        if discovery else []
-
-    pending = os.path.join(path, _LEX_PENDING)
-    fsutil.write_text(
-        pending,
-        json.dumps({"shards": touched_shards, "dspans": touched_spans}),
-        spark=spark)
-
-    # The WRITE ordering is the crash contract (docmeta strictly after
-    # postings, so a torn batch leaves membership a SUPERSET); the MERGE
-    # computations are independent of each other and of either write, so
-    # the docmeta merge materializes on a second scheduler thread while
-    # the postings stage runs — same overlap trick as checkpoint_pair,
-    # same commit order as the serial code.
     from concurrent.futures import ThreadPoolExecutor
 
-    merged_meta_f = None
-    pool = ThreadPoolExecutor(max_workers=1)
-    if touched_spans:
-        cur_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
-                    .join(changed, "doc_id", "left_anti")
-                    .select("doc_id", "dl", "shards"))
-        mm = cur_meta
-        if new_meta is not None:
-            mm = mm.unionByName(new_meta)
-        mm = mm.withColumn("dspan", F.expr(f"doc_id div {dspan_w}"))
-        merged_meta_f = pool.submit(
-            lambda: mm.localCheckpoint(eager=True))
-
+    pool = ThreadPoolExecutor(max_workers=3)
     try:
+        # -- discovery, overlapped: the adds' new-term shards depend on
+        # neither the changed spans nor the membership table, so that
+        # collect runs on a scheduler thread (materializing the shared
+        # tokenize cache once) beside the spans + membership collects
+        # here. Both remain bounded: distinct spans / distinct shard ids,
+        # never batch rows.
+        new_shards_f = None
+        if new_per is not None:
+            new_shards_f = pool.submit(
+                lambda: {int(r.v) for r in new_per.select(
+                    (h60(F.col("term")) % shards).cast("long").alias("v"))
+                    .distinct().collect()})
+        # changed ids' spans — collected FIRST (bounded by the batch
+        # size) so the membership read can prune directories at planning
+        # time
+        touched_spans = sorted({int(r.v) for r in changed.select(
+            F.expr(f"doc_id div {dspan_w}").alias("v"))
+            .distinct().collect()})
+        shard_set: set[int] = set()
+        if touched_spans:
+            # span-pruned membership read — O(changed docs), never a
+            # postings scan
+            shard_set |= {int(r.v) for r in _membership_shard_frame(
+                docmeta, changed, touched_spans).distinct().collect()}
+        if new_shards_f is not None:
+            shard_set |= new_shards_f.result()
+        touched_shards = sorted(shard_set)
+
+        pending = os.path.join(path, _LEX_PENDING)
+        fsutil.write_text(
+            pending,
+            json.dumps({"shards": touched_shards,
+                        "dspans": touched_spans}),
+            spark=spark)
+
+        # -- merge phase. The WRITE ordering is the crash contract
+        # (docmeta strictly after postings, so a torn batch leaves
+        # membership a SUPERSET); the MERGE computations are independent
+        # of each other and of either write, so the docmeta merge AND its
+        # span-stats refresh materialize on a scheduler thread while the
+        # postings (and positions) merges checkpoint here — same overlap
+        # trick as checkpoint_pair, same commit order as the serial code.
+        meta_f = None
+        if touched_spans:
+            cur_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
+                        .join(changed, "doc_id", "left_anti")
+                        .select("doc_id", "dl", "shards"))
+            mm = cur_meta
+            if new_meta is not None:
+                mm = mm.unionByName(new_meta)
+            mm = mm.withColumn("dspan", F.expr(f"doc_id div {dspan_w}"))
+
+            def _meta_side():
+                # O(changed spans) scalar refresh: the touched spans'
+                # descriptor entries come from the SAME checkpointed
+                # frame the docmeta rewrite will commit (no post-write
+                # docmeta read — IO-pinned). State-based, so a crashed
+                # batch's re-run writes the identical map.
+                ck = mm.localCheckpoint(eager=True)
+                return ck, _span_stats_map(ck.select("dl", "dspan"))
+
+            meta_f = pool.submit(_meta_side)
+
+        merged_pos_f = None
+        if touched_shards and has_positions:
+            # positional twin of the postings rewrite: same touched
+            # shards (a doc's positions live in exactly the shards its
+            # terms hash to), same merge algebra; checkpoints beside the
+            # postings merge, commits in the same data phase
+            positions_path = os.path.join(path, "positions")
+            pos_tbl = spark.read.parquet(positions_path)
+            cur_pos = (pos_tbl
+                       .where(F.col("shard").isin(touched_shards))
+                       .join(changed, "doc_id", "left_anti")
+                       .select("shard", "term", "doc_id", "pos"))
+            merged_pos = cur_pos
+            if new_pos is not None:
+                merged_pos = merged_pos.unionByName(
+                    new_pos.withColumn("shard",
+                                       (h60(F.col("term")) % shards)
+                                       .cast("int"))
+                    .select("shard", "term", "doc_id", "pos"))
+            merged_pos_f = pool.submit(
+                lambda: merged_pos.localCheckpoint(eager=True))
+
         if touched_shards:
             cur = (postings.where(F.col("shard").isin(touched_shards))
                    .join(changed, "doc_id", "left_anti")
@@ -629,91 +690,82 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                                        (h60(F.col("term")) % shards)
                                        .cast("int"))
                     .select("shard", "term", "doc_id", "tf"))
-            dfreq = merged.groupBy("term").agg(
+            # the merge is checkpointed BEFORE the df recount, so the df
+            # aggregate and the join-back both read the checkpointed
+            # blocks — the previous plan traversed the whole merge twice
+            # (both join branches re-read the touched shards off parquet
+            # and re-ran the anti-join), and the checkpoint already had
+            # to happen (Spark refuses to overwrite a path it is
+            # reading). NOT a term-keyed window: that would funnel a hot
+            # term's entire posting list through one task, where the
+            # aggregate keeps map-side combine and AQE keeps the join
+            # broadcast/skew-safe.
+            base = merged.localCheckpoint(eager=True)
+            dfreq = base.groupBy("term").agg(
                 F.count(F.lit(1)).cast("long").alias("df"))
-            merged = merged.join(dfreq, "term") \
-                .select("shard", "term", "doc_id", "tf", "df") \
-                .localCheckpoint(eager=True)
+            merged = (base.join(dfreq, "term")
+                      .select("shard", "term", "doc_id", "tf", "df"))
+            # the emptied-shard probe reads the checkpointed blocks, so
+            # it overlaps the write (same answer either way)
+            live_f = pool.submit(
+                lambda: {int(r.shard) for r in
+                         base.select("shard").distinct().collect()})
+            write_pos_f = None
+            if merged_pos_f is not None:
+                merged_pos_ck = merged_pos_f.result()
+                write_pos_f = pool.submit(
+                    lambda: (merged_pos_ck.write.mode("overwrite")
+                             .option("partitionOverwriteMode", "dynamic")
+                             .partitionBy("shard")
+                             .parquet(positions_path)))
             (merged.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("shard").parquet(postings_path))
+            if write_pos_f is not None:
+                write_pos_f.result()
             # dynamic overwrite never writes (hence never clears) a
             # touched partition whose merged content is EMPTY — a shard
             # whose every posting was removed must be deleted explicitly
             # or its stale rows survive the upsert (Hadoop-FS delete:
             # shutil silently no-ops on non-local schemes and leaks the
-            # shard)
-            live = {int(r.shard) for r in
-                    merged.select("shard").distinct().collect()}
-            for s in set(touched_shards) - live:
+            # shard). A (term, doc) has a posting iff it has ≥1
+            # position, so the postings LIVE set is the positions live
+            # set too — the emptied-dir sweep covers both tables.
+            for s in set(touched_shards) - live_f.result():
                 fsutil.delete(os.path.join(postings_path, f"shard={s}"),
                               spark=spark)
-            if has_positions:
-                # positional twin of the postings rewrite: same touched
-                # shards (a doc's positions live in exactly the shards
-                # its terms hash to), same merge algebra. A (term, doc)
-                # has a posting iff it has ≥1 position, so the postings
-                # LIVE set is the positions live set too — the emptied-
-                # dir sweep reuses it, no extra collect.
-                positions_path = os.path.join(path, "positions")
-                pos_tbl = spark.read.parquet(positions_path)
-                cur_pos = (pos_tbl
-                           .where(F.col("shard").isin(touched_shards))
-                           .join(changed, "doc_id", "left_anti")
-                           .select("shard", "term", "doc_id", "pos"))
-                merged_pos = cur_pos
-                if new_pos is not None:
-                    merged_pos = merged_pos.unionByName(
-                        new_pos.withColumn("shard",
-                                           (h60(F.col("term")) % shards)
-                                           .cast("int"))
-                        .select("shard", "term", "doc_id", "pos"))
-                merged_pos = merged_pos.localCheckpoint(eager=True)
-                (merged_pos.write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("shard").parquet(positions_path))
-                for s in set(touched_shards) - live:
+                if has_positions:
                     fsutil.delete(
                         os.path.join(positions_path, f"shard={s}"),
                         spark=spark)
-    except BaseException:
-        if merged_meta_f is not None:
-            merged_meta_f.cancel()
-        pool.shutdown(wait=True)
-        raise
 
-    if touched_spans:
-        # ONE docmeta rewrite covers dl AND membership, AFTER the
-        # postings commit: a crash between the two leaves membership a
-        # SUPERSET of the postings' real state, so re-running the batch
-        # re-discovers (at worst) a few already-clean shards — never
-        # misses one
-        merged_meta = merged_meta_f.result()
-        pool.shutdown(wait=True)
-        (merged_meta.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("dspan").parquet(docmeta_path))
-        # O(changed spans) scalar refresh: the touched spans' descriptor
-        # entries are replaced with stats aggregated from the SAME
-        # checkpointed frame the rewrite just committed (no post-write
-        # docmeta read — IO-pinned), emptied spans drop out, untouched
-        # entries are carried verbatim, and (n, tl) are re-derived as
-        # sums. State-based, so a crashed batch's re-run writes the
-        # identical map — the idempotence the old full recount had.
-        # The stats keys double as the LIVE span set (one job covers
-        # both the emptied-directory sweep and the refresh).
-        fresh = _span_stats_map(merged_meta.select("dl", "dspan"))
-        for s in set(touched_spans) - {int(k) for k in fresh}:
-            fsutil.delete(os.path.join(docmeta_path, f"dspan={s}"),
-                          spark=spark)
-        for s in touched_spans:
-            key = str(int(s))
-            if key in fresh:
-                spans_map[key] = fresh[key]
-            else:
-                spans_map.pop(key, None)
-    else:
-        pool.shutdown(wait=True)
+        if touched_spans:
+            # ONE docmeta rewrite covers dl AND membership, AFTER the
+            # postings commit: a crash between the two leaves membership
+            # a SUPERSET of the postings' real state, so re-running the
+            # batch re-discovers (at worst) a few already-clean shards —
+            # never misses one
+            merged_meta, fresh = meta_f.result()
+            (merged_meta.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("dspan").parquet(docmeta_path))
+            # emptied spans drop out, untouched entries are carried
+            # verbatim, (n, tl) re-derive as sums; the stats keys double
+            # as the LIVE span set (one job covered both the sweep and
+            # the refresh)
+            for s in set(touched_spans) - {int(k) for k in fresh}:
+                fsutil.delete(os.path.join(docmeta_path, f"dspan={s}"),
+                              spark=spark)
+            for s in touched_spans:
+                key = str(int(s))
+                if key in fresh:
+                    spans_map[key] = fresh[key]
+                else:
+                    spans_map.pop(key, None)
+    except BaseException:
+        pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    pool.shutdown(wait=True)
 
     fsutil.write_text(
         os.path.join(path, _LEX_META),

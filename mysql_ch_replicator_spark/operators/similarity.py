@@ -866,9 +866,14 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     (vec_id→cell, maintained in the same batch), directory-pruned to the
     changed ids' spans — O(batch) IO, never a scan of the index itself
     (the same O(changed)-discovery protocol as the lexical index's
-    docmeta, r8; previously this probed the full index per batch). All
-    cell-discovery frames union into a SINGLE collect (r6 verdict #4)
-    after one tiny span-collect over the batch ids. The membership
+    docmeta, r8; previously this probed the full index per batch).
+    Discovery stays two bounded collects — the batch ids' spans, then
+    the membership cells — with the adds' new-cell collect overlapped on
+    a scheduler thread (it needs neither), the same jobs-not-data budget
+    as the lexical upsert (r10): at a 1 s CDC cadence the upsert's cost
+    is its fixed action count, so independent actions overlap and the
+    emptied-cell/live-span probes read checkpointed blocks beside the
+    writes, while the CRASH ORDER is unchanged. The membership
     spans rewrite AFTER the cells commit, so a torn batch leaves
     membership a SUPERSET of the real state and recovery re-discovers
     at worst a few already-clean cells. A pre-r8 index (no ``_vecmeta``)
@@ -951,24 +956,44 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         # embedding) — the same stale-cell class the adds-side fix
         # closes. The probe shares the adds' single index scan.
         probe_ids.append(removes.select(F.col(id_col).alias("vec_id")))
-    ids = None
-    spans: list[int] = []
-    if probe_ids:
-        ids = transient_persist(
-            reduce(DataFrame.unionByName, probe_ids).distinct())
-        # changed ids' spans — collected FIRST (bounded by the batch)
-        # so the membership read prunes directories at planning time
-        spans = sorted({int(r.v) for r in ids.select(
-            F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
-            .distinct().collect()})
-        if spans:
-            cell_frames.append(_ivf_membership_cells(members, ids, spans))
-    if not cell_frames:
-        return []
-    cells = sorted({r.cell for r in
-                    reduce(DataFrame.unionByName, cell_frames)
-                    .distinct().collect()})
+    from concurrent.futures import ThreadPoolExecutor
+
+    # -- discovery, overlapped (the lexical upsert's job-budget rule,
+    # r10): the adds' new-cell collect depends on neither the changed
+    # spans nor the membership table, so it runs on a scheduler thread
+    # (materializing the assignment cache once) beside the spans +
+    # membership collects here. The id union skips a redundant distinct —
+    # dup ids are harmless to anti-joins and the driver-side cell-set
+    # dedup, and the distinct cost one more shuffle on the critical path.
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        new_cells_f = None
+        if assigned is not None:
+            new_cells_f = pool.submit(
+                lambda: {int(r.cell) for r in
+                         assigned.select("cell").distinct().collect()})
+        ids = None
+        spans: list[int] = []
+        cell_set: set[int] = set()
+        if probe_ids:
+            ids = transient_persist(
+                reduce(DataFrame.unionByName, probe_ids))
+            # changed ids' spans — collected FIRST (bounded by the batch)
+            # so the membership read prunes directories at planning time
+            spans = sorted({int(r.v) for r in ids.select(
+                F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
+                .distinct().collect()})
+            if spans:
+                cell_set |= {int(r.cell) for r in _ivf_membership_cells(
+                    members, ids, spans).distinct().collect()}
+        if new_cells_f is not None:
+            cell_set |= new_cells_f.result()
+    except BaseException:
+        pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    cells = sorted(cell_set)
     if not cells:
+        pool.shutdown(wait=True)
         return []
     cur = idx.where(F.col("cell").isin(cells))
     if assigned is not None:
@@ -980,39 +1005,48 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         merged = merged.join(removes.select(F.col(id_col).alias("vec_id")),
                              "vec_id", "left_anti")
     # The membership MERGE is independent of the cell rewrite (it reads
-    # the OLD spans + the batch's own persisted frames), so it
-    # materializes on a second scheduler thread while the cells commit —
-    # same overlap as the lexical upsert (r9); only the membership WRITE
-    # must wait for the cells + emptied-cell deletes (superset-on-crash
-    # contract in the docstring).
-    from concurrent.futures import ThreadPoolExecutor
-
-    merged_m_f = None
-    pool = ThreadPoolExecutor(max_workers=1)
-    if spans:
-        cur_m = (members.where(F.col("vspan").isin(spans))
-                 .join(ids, "vec_id", "left_anti")
-                 .select("vec_id",
-                         F.col("cell").cast("int").alias("cell")))
-        merged_m = cur_m
-        if assigned is not None:
-            new_m = assigned.select(
-                "vec_id", F.col("cell").cast("int").alias("cell"))
-            if removes is not None:
-                new_m = new_m.join(
-                    removes.select(F.col(id_col).alias("vec_id"))
-                    .distinct(), "vec_id", "left_anti")
-            merged_m = merged_m.unionByName(new_m)
-        mm = merged_m.withColumn("vspan",
-                                 F.expr(f"vec_id div {_IVF_VSPAN}"))
-        merged_m_f = pool.submit(lambda: mm.localCheckpoint(eager=True))
-
+    # the OLD spans + the batch's own persisted frames), so it — and the
+    # live-span probe over its checkpointed blocks — materializes on a
+    # scheduler thread while the cells commit, same overlap as the
+    # lexical upsert; only the membership WRITE must wait for the cells
+    # + emptied-cell deletes (superset-on-crash contract in the
+    # docstring).
     try:
+        memb_f = None
+        if spans:
+            cur_m = (members.where(F.col("vspan").isin(spans))
+                     .join(ids, "vec_id", "left_anti")
+                     .select("vec_id",
+                             F.col("cell").cast("int").alias("cell")))
+            merged_m = cur_m
+            if assigned is not None:
+                new_m = assigned.select(
+                    "vec_id", F.col("cell").cast("int").alias("cell"))
+                if removes is not None:
+                    new_m = new_m.join(
+                        removes.select(F.col(id_col).alias("vec_id"))
+                        .distinct(), "vec_id", "left_anti")
+                merged_m = merged_m.unionByName(new_m)
+            mm = merged_m.withColumn("vspan",
+                                     F.expr(f"vec_id div {_IVF_VSPAN}"))
+
+            def _memb_side():
+                ck = mm.localCheckpoint(eager=True)
+                return ck, {int(r.vspan) for r in
+                            ck.select("vspan").distinct().collect()}
+
+            memb_f = pool.submit(_memb_side)
+
         merged = merged.localCheckpoint(eager=True)
         pending = os.path.join(path, _IVF_PENDING)
         fsutil.write_text(pending,
                           json.dumps({"cells": cells, "vspans": spans}),
                           spark=spark)
+        # the emptied-cell probe reads the checkpointed blocks — it
+        # overlaps the write (same answer either way)
+        live_f = pool.submit(
+            lambda: {int(r.cell) for r in
+                     merged.select("cell").distinct().collect()})
         (merged.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell").parquet(path))
@@ -1022,33 +1056,25 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         # stale rows survive. Deletes go through the Hadoop FS (shutil
         # would silently no-op on s3a://hdfs:// paths and leak the
         # stale cells — ADVICE r7).
-        live = {int(r.cell) for r in
-                merged.select("cell").distinct().collect()}
-        for c in set(cells) - live:
+        for c in set(cells) - live_f.result():
             fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
-    except BaseException:
-        if merged_m_f is not None:
-            merged_m_f.cancel()
-        pool.shutdown(wait=True)
-        raise
 
-    if spans:
-        # membership rewrite AFTER the cells commit (superset-on-crash;
-        # see the docstring's crash contract): changed ids out, the
-        # batch's surviving assignments in — one span-partitioned
-        # dynamic overwrite
-        merged_m = merged_m_f.result()
-        pool.shutdown(wait=True)
-        (merged_m.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("vspan").parquet(members_path))
-        live_spans = {int(r.vspan) for r in
-                      merged_m.select("vspan").distinct().collect()}
-        for s in set(spans) - live_spans:
-            fsutil.delete(os.path.join(members_path, f"vspan={s}"),
-                          spark=spark)
-    else:
-        pool.shutdown(wait=True)
+        if spans:
+            # membership rewrite AFTER the cells commit (superset-on-
+            # crash; see the docstring's crash contract): changed ids
+            # out, the batch's surviving assignments in — one span-
+            # partitioned dynamic overwrite
+            merged_m, live_spans = memb_f.result()
+            (merged_m.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("vspan").parquet(members_path))
+            for s in set(spans) - live_spans:
+                fsutil.delete(os.path.join(members_path, f"vspan={s}"),
+                              spark=spark)
+    except BaseException:
+        pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    pool.shutdown(wait=True)
 
     fsutil.delete(pending, spark=spark)
     return cells

@@ -352,3 +352,65 @@ def test_session_fixture_concurrent_build_once(tmp_path):
         t.join()
     assert len(builds) == 1, "racing consumers must build exactly once"
     assert len(set(results)) == 1
+
+
+# ---------------------------------------------------------------------------
+# index-upsert job budget (r9 verdict #1: the upserts' cost at a 1 s CDC
+# cadence is their FIXED action count, not data volume)
+# ---------------------------------------------------------------------------
+
+def _jobs_run(spark) -> int:
+    """Total Spark jobs the app has run, from the status store — AQE
+    stage materializations included, which is exactly the fixed overhead
+    being budgeted."""
+    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+
+def test_lexical_upsert_job_budget(spark, tmp_path):
+    """A warm lexical upsert stays under its job ceiling. The absolute
+    number is AQE-plan-dependent (~37 today); the pin catches the
+    regression class that matters — an extra corpus traversal, a
+    reintroduced union-level distinct, or a merge plan whose join
+    branches re-read the touched shards — each of which adds several
+    jobs at ANY batch size and therefore lands straight on the 1 s CDC
+    cadence."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        upsert_lexical_index, write_lexical_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 11} gamma") for i in range(60)],
+        "doc_id long, text string")
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4, span_width=16)
+    adds = spark.createDataFrame(
+        [(100 + i, f"delta epsilon w{i}") for i in range(5)],
+        "doc_id long, text string")
+    upsert_lexical_index(spark, path, adds=adds)   # warm the session
+    before = _jobs_run(spark)
+    upsert_lexical_index(
+        spark, path,
+        adds=adds.withColumn("doc_id", F.col("doc_id") + 10),
+        removes=spark.createDataFrame([(3,), (5,)], "doc_id long"))
+    assert _jobs_run(spark) - before <= 44
+
+
+def test_ivf_upsert_job_budget(spark, tmp_path):
+    """IVF twin of the lexical job budget (~26 jobs today)."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        upsert_ivf_index, write_ivf_index)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_cells=4)
+    adds = spark.createDataFrame(
+        [(100 + i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    upsert_ivf_index(spark, path, adds=adds)       # warm the session
+    before = _jobs_run(spark)
+    upsert_ivf_index(
+        spark, path,
+        adds=adds.withColumn("vec_id", F.col("vec_id") + 10),
+        removes=spark.createDataFrame([(3,), (7,)], "vec_id long"))
+    assert _jobs_run(spark) - before <= 32
