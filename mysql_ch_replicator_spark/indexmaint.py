@@ -1,0 +1,325 @@
+"""Coalescing maintenance for persisted secondary indexes — the answer
+to the 1 s CDC-cadence frontier (r9 verdict #1b).
+
+The replica applies CDC micro-batches on the reference's 1 s flush
+cadence (reference db_replicator_realtime.py:22–23); the persisted
+lexical/IVF indexes' upserts, however cheap per datum, carry a fixed
+multi-second action cost (see upsert_lexical_index's latency-shape
+note), so maintaining them inline per micro-batch would stall the apply
+loop — the index would structurally lag the replica anyway, just with
+the replica dragged down too. This module makes the lag an EXPLICIT,
+bounded, monitored contract instead:
+
+- CDC batches flow to the REPLICA at full cadence, untouched.
+- A ``MaintainedIndex`` binds one index to its source table and
+  remembers the replica version it last absorbed
+  (``_maint_state.json`` in the index directory, atomic via fsutil).
+- On the scheduler cadence (``ReplicaOptimizer.maybe_maintain_indexes``
+  — the reference's periodic db_optimizer loop, db_optimizer.py:71–80,
+  is exactly this shape) the maintainer coalesces EVERYTHING the
+  replica committed since that watermark into ONE upsert: the fixed
+  action cost is paid once per maintenance window, not once per second.
+
+Staleness contract: between applies, probes against the index see the
+replica's FINAL state as of ``applied_version`` — never a torn or
+partial batch, possibly an old one. ``due()`` bounds how old: the
+maintainer catches up whenever the index has been stale longer than
+``max_lag_seconds`` or is more than ``max_versions_behind`` CDC batches
+behind, both decided from table METADATA (no scan). ``status()`` (and
+``monitoring.index_freshness``) exposes the actual lag beside
+``event_log_lag``.
+
+Delta derivation is O(changes), never O(table): replica rows carry a
+monotone ``_version``, the store is append-only, and parquet keeps
+min/max column statistics per file — so ``_version > applied_version``
+prunes to the files the recent batches appended. Any PK touched after
+the watermark necessarily has its globally-newest row inside that
+delta (versions are monotone), so latest-wins over the delta alone
+yields the touched keys' final state: live winners re-add (the upserts'
+re-add-replaces semantics make updates free), REMOVE winners delete.
+
+One rewrite hazard: ``engine.optimize`` (compaction) collapses
+tombstones away, so a delete committed after the watermark can vanish
+from the raw read before the maintainer sees it. Every history rewrite
+— compaction, schema swap, repair — publishes a NEW generation name, so
+the state file records the generation it applied against; when the
+current generation differs, the maintainer falls back to RECONCILE
+deletes: index ids ∖ replica live ids, an ids-only anti-join (index
+membership listing vs one replica id column — never a re-tokenize /
+re-embed of anything), while adds still come from the version delta
+(live rows keep their ``_version`` through a rewrite).
+
+Crash contract: the upserts are idempotent and state-based; the
+watermark commits strictly AFTER the upsert. A crash in between means
+the next ``apply`` re-derives a superset delta from the old watermark
+and re-runs the same upsert to the same final state (pinned by
+tests/test_indexmaint.py). The reconcile path is idempotent for the
+same reason — already-deleted ids simply stop appearing in the
+anti-join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import fsutil
+from .operators.replica import (OP_COL, OP_REMOVE, VERSION_COL,
+                                dedup_final_agg)
+
+MAINT_STATE = "_maint_state.json"
+
+
+class MaintainedIndex:
+    """One persisted index (lexical or IVF) bound to one replica table,
+    maintained by coalescing CDC windows — see the module docstring for
+    the staleness and crash contracts.
+
+    ``payload_expr`` optionally transforms the replica column into the
+    indexed payload (e.g. ``from_json(col, 'array<float>')`` for an
+    embedding stored as a JSON string — MySQL-shaped tables have no
+    array type); default is the raw column. ``index_opts`` pass through
+    to ``write_*_index`` at build time (shards, span_width, positions,
+    n_cells...). ``split_load_factor`` arms ``maybe_split`` for IVF
+    indexes (None = never split)."""
+
+    def __init__(self, engine, db: str, table: str, index_path: str,
+                 kind: str, payload_col: str,
+                 id_col: str | None = None,
+                 payload_expr=None,
+                 max_lag_seconds: float = 30.0,
+                 max_versions_behind: int | None = None,
+                 split_load_factor: float | None = None,
+                 split_min_rows: int = 256,
+                 clock=time.time,
+                 **index_opts):
+        if kind not in ("lexical", "ivf"):
+            raise ValueError(f"MaintainedIndex: unknown kind {kind!r}")
+        st = engine.structure(db, table)
+        if id_col is None:
+            if len(st.primary_keys) != 1:
+                raise ValueError(
+                    f"MaintainedIndex: {db}.{table} has composite PK "
+                    f"{st.primary_keys} — pass id_col explicitly")
+            id_col = st.primary_keys[0]
+        self.engine = engine
+        self.db = db
+        self.table = table
+        self.index_path = index_path
+        self.kind = kind
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.payload_expr = payload_expr
+        self.max_lag_seconds = float(max_lag_seconds)
+        self.max_versions_behind = max_versions_behind
+        self.split_load_factor = split_load_factor
+        self.split_min_rows = int(split_min_rows)
+        self.clock = clock
+        self.index_opts = dict(index_opts)
+
+    # -- state ----------------------------------------------------------
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.index_path, MAINT_STATE)
+
+    def _state(self) -> dict:
+        spark = self.engine.spark
+        if not fsutil.exists(self._state_path, spark=spark):
+            raise ValueError(
+                f"MaintainedIndex: no {MAINT_STATE} at {self.index_path} "
+                f"— call build() once before apply()/due()")
+        return json.loads(fsutil.read_text(self._state_path, spark=spark))
+
+    def _write_state(self, version: int, seq: int, generation: str) -> None:
+        fsutil.write_text(
+            self._state_path,
+            json.dumps({"applied_version": int(version),
+                        "applied_seq": int(seq),
+                        "applied_ts": float(self.clock()),
+                        "generation": generation}),
+            spark=self.engine.spark)
+
+    def _generation(self) -> str:
+        from .engine import load_gen_manifest
+        return load_gen_manifest(
+            self.engine._table_dir(self.db, self.table))["current"]
+
+    def _payload(self):
+        e = self.payload_expr if self.payload_expr is not None \
+            else F.col(self.payload_col)
+        return e.alias(self.payload_col)
+
+    # -- lifecycle ------------------------------------------------------
+
+    def build(self) -> None:
+        """Initial index build from the replica's FINAL state, then stamp
+        the watermark. One full scan — everything after is O(changes)."""
+        meta = self.engine.load_meta(self.db, self.table)
+        gen = self._generation()
+        frame = (self.engine.read_final(self.db, self.table)
+                 .select(F.col(self.id_col), self._payload()))
+        if self.kind == "lexical":
+            from .operators.retrieval import write_lexical_index
+            write_lexical_index(frame, self.index_path,
+                                id_col=self.id_col,
+                                text_col=self.payload_col,
+                                **self.index_opts)
+        else:
+            from .operators.similarity import write_ivf_index
+            write_ivf_index(frame, self.index_path,
+                            id_col=self.id_col,
+                            vec_col=self.payload_col,
+                            **self.index_opts)
+        self._write_state(int(meta["last_version"]),
+                          int(meta.get("last_seq", -1)), gen)
+
+    def status(self) -> dict:
+        """The staleness contract, as numbers: what the index reflects vs
+        where the replica is — metadata reads only, no scan."""
+        st = self._state()
+        meta = self.engine.load_meta(self.db, self.table)
+        now = float(self.clock())
+        return {
+            "db": self.db, "table": self.table, "kind": self.kind,
+            "index_path": self.index_path,
+            "applied_version": int(st["applied_version"]),
+            "replica_version": int(meta["last_version"]),
+            "versions_behind": (int(meta["last_version"])
+                                - int(st["applied_version"])),
+            "applied_seq": int(st["applied_seq"]),
+            "replica_seq": int(meta.get("last_seq", -1)),
+            "age_seconds": max(0.0, now - float(st["applied_ts"])),
+        }
+
+    def due(self) -> bool:
+        s = self.status()
+        if s["versions_behind"] <= 0:
+            return False
+        if (self.max_versions_behind is not None
+                and s["versions_behind"] >= self.max_versions_behind):
+            return True
+        return s["age_seconds"] >= self.max_lag_seconds
+
+    # -- the coalesced apply ---------------------------------------------
+
+    def apply(self) -> dict:
+        """Absorb every replica version in (applied_version, last_version]
+        with ONE index upsert. Returns what happened."""
+        st = self._state()
+        meta = self.engine.load_meta(self.db, self.table)
+        w = int(st["applied_version"])
+        target_v = int(meta["last_version"])
+        target_seq = int(meta.get("last_seq", -1))
+        if target_v <= w:
+            return {"applied": False, "versions": 0}
+        gen_now = self._generation()
+        spark = self.engine.spark
+
+        raw = self.engine.read_raw(self.db, self.table)
+        # file-level minmax stats on the monotone _version prune the
+        # append-only store to the windows' own files — O(delta) IO
+        delta = raw.where(F.col(VERSION_COL) > F.lit(w))
+        final = dedup_final_agg(delta, [self.id_col]) \
+            .localCheckpoint(eager=True)
+        adds = (final.where(F.col(OP_COL) != OP_REMOVE)
+                .select(F.col(self.id_col), self._payload()))
+        reconciled = gen_now != st.get("generation")
+        if not reconciled:
+            removes = (final.where(F.col(OP_COL) == OP_REMOVE)
+                       .select(self.id_col))
+        else:
+            # history was rewritten since the last apply (compaction /
+            # schema swap / repair): tombstones in the window may be
+            # collapsed away — reconcile deletes as index ids ∖ replica
+            # live ids. Ids-only: the index membership listing against
+            # one replica id column, never a re-tokenize/re-embed.
+            live = self.engine.read_final(self.db, self.table) \
+                .select(F.col(self.id_col))
+            # checkpointed: this frame reads the index's OWN membership
+            # table, which the upsert below rewrites — hand the upsert
+            # materialized ids, not a plan over its write target
+            removes = (self._index_ids()
+                       .join(live, self.id_col, "left_anti")
+                       .localCheckpoint(eager=True))
+
+        if self.kind == "lexical":
+            from .operators.retrieval import upsert_lexical_index
+            upsert_lexical_index(spark, self.index_path, adds=adds,
+                                 removes=removes, id_col=self.id_col,
+                                 text_col=self.payload_col)
+        else:
+            from .operators.similarity import upsert_ivf_index
+            upsert_ivf_index(spark, self.index_path, adds=adds,
+                             removes=removes, id_col=self.id_col,
+                             vec_col=self.payload_col)
+        # watermark strictly AFTER the upsert: a crash in between re-runs
+        # the same (idempotent) upsert from the old watermark
+        self._write_state(target_v, target_seq, gen_now)
+        return {"applied": True, "versions": target_v - w,
+                "reconciled": reconciled}
+
+    def maybe_apply(self) -> dict:
+        if not self.due():
+            return {"applied": False, "versions": 0}
+        return self.apply()
+
+    def _index_ids(self) -> DataFrame:
+        """The ids the index currently holds, from its membership table
+        (a listing-scale 1-column read — docmeta / _vecmeta)."""
+        spark = self.engine.spark
+        if self.kind == "lexical":
+            return (spark.read.parquet(
+                os.path.join(self.index_path, "docmeta"))
+                .select(F.col("doc_id").alias(self.id_col)))
+        from .operators.similarity import _IVF_MEMBERS
+        return (spark.read.parquet(
+            os.path.join(self.index_path, _IVF_MEMBERS))
+            .select(F.col("vec_id").alias(self.id_col)))
+
+    # -- IVF load-factor policy (r9 verdict #6) ---------------------------
+
+    def maybe_split(self) -> tuple[int, int] | None:
+        """Split the hottest IVF cell when its membership exceeds
+        ``split_load_factor`` × the mean cell size (and
+        ``split_min_rows``) — the reference's periodic OPTIMIZE shape
+        applied to index geometry. Bounded to ONE split per poll so a
+        skewed index rebalances incrementally across maintenance windows
+        instead of stalling one. A torn split left by a crash is resumed
+        first (``split_ivf_cell`` with no cell resumes the pending
+        manifest); that resume counts as this poll's split."""
+        if self.kind != "ivf" or self.split_load_factor is None:
+            return None
+        from .operators.similarity import (_IVF_MEMBERS,
+                                           _IVF_SPLIT_PENDING,
+                                           read_ivf_meta, split_ivf_cell)
+        spark = self.engine.spark
+        if fsutil.exists(os.path.join(self.index_path, _IVF_SPLIT_PENDING),
+                         spark=spark):
+            return split_ivf_cell(spark, self.index_path)
+        meta = read_ivf_meta(self.index_path)
+        rows = (spark.read.parquet(
+            os.path.join(self.index_path, _IVF_MEMBERS))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .collect())          # bounded: one row per cell
+        if not rows:
+            return None
+        total = sum(int(r.n) for r in rows)
+        hottest = max(rows, key=lambda r: (int(r.n), -int(r.cell)))
+        mean = total / max(1, int(meta["n_cells"]))
+        if (int(hottest.n) >= self.split_min_rows
+                and int(hottest.n) >= self.split_load_factor * mean):
+            try:
+                return split_ivf_cell(spark, self.index_path,
+                                      cell=int(hottest.cell))
+            except ValueError as e:
+                if "identical" in str(e):
+                    # a cell of identical vectors is hot but
+                    # un-splittable; leave it rather than wedge the poll
+                    return None
+                raise
+        return None

@@ -102,6 +102,23 @@ def event_log_lag(log_dir: str, last_processed_seq: int,
     return {"files_lag": files_lag, "approx_events_lag": events_lag}
 
 
+def index_freshness(indexes) -> list[dict]:
+    """Per-index applied-watermark vs replica position, beside
+    ``event_log_lag`` — the operating number the coalescing maintenance
+    mode (indexmaint) turns index staleness into. Each row is one
+    ``MaintainedIndex.status()``: ``applied_version``/``applied_seq``
+    (what the index reflects), ``replica_version``/``replica_seq``
+    (where the table is), ``versions_behind`` (CDC batches the index has
+    not absorbed) and ``age_seconds`` since the last apply.
+
+    Staleness contract: probes against the index see the replica's
+    FINAL state as of ``applied_version`` — never a torn batch, possibly
+    an old one, with the age bounded by the maintainer's
+    ``max_lag_seconds``/``max_versions_behind`` thresholds. Metadata
+    reads only (state file + table meta); safe on any poll cadence."""
+    return [ix.status() for ix in indexes]
+
+
 def attach_streaming_metrics(spark, stats: ApplyStats):
     """Register a StreamingQueryListener feeding Spark's own progress events
     into ``stats`` (the reference's monitoring loop, monitoring.py:27–56;

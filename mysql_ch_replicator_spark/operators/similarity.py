@@ -203,7 +203,9 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int,
                         sample_fraction: float | None = None,
                         prefix: str = "ivf", id_col: str | None = None,
                         salt: str = "ivf-train",
-                        quant_scale: float = QUANT_SCALE) -> list[list[float]]:
+                        quant_scale: float = QUANT_SCALE,
+                        init_centroids: list[list[float]] | None = None
+                        ) -> list[list[float]]:
     """Lloyd's k-means refinement of the IVF codebook, run as Spark jobs —
     in EXACT quantized arithmetic, so the whole training is reproducible
     bit-for-bit on any engine (it unrolls to plain SQL; see the
@@ -245,8 +247,13 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_cells: int,
                               F.col(id_col).cast("string"))) % 10_000
         vecs = vecs.where(bucket < F.lit(thresh))
     q = vecs.select(quantize_expr(vec_col, quant_scale).alias("q")).persist()
-    cents_q = quantize_centroids(ivf_centroids(n_cells, dims, prefix),
-                                 quant_scale)
+    # init_centroids (float space, exact under quantize round-trip —
+    # q/scale back to q for power-of-two scales) lets a caller seed from
+    # the DATA (the split's farthest-point seeding) instead of the fixed
+    # pseudo-random codebook
+    cents_q = quantize_centroids(
+        init_centroids if init_centroids is not None
+        else ivf_centroids(n_cells, dims, prefix), quant_scale)
     for _ in range(iters):
         d = _sq_dists_quant(F.col("q"), cents_q)
         assigned = q.withColumn(
@@ -1083,6 +1090,26 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
 _IVF_SPLIT_PENDING = "_ivf_split_pending.json"   # split intent manifest
 
 
+def _split_seed_centroids(cellrows: DataFrame, vec_col: str,
+                          quant_scale: float = QUANT_SCALE
+                          ) -> tuple[list[list[float]], float]:
+    """Deterministic farthest-point seeds for the 2-means sub-codebook:
+    seed 0 is the min-id member's vector, seed 1 the member maximizing
+    exact quantized squared distance to it (ties to the lower id).
+    Returns (seeds in float space, that max distance) — a zero distance
+    means every member is identical and the split cannot rebalance."""
+    q = cellrows.select("vec_id",
+                        quantize_expr(vec_col, quant_scale).alias("q"))
+    r0 = q.orderBy("vec_id").first()
+    s0q = [int(x) for x in r0.q]
+    d = F.element_at(_sq_dists_quant(F.col("q"), [s0q]), 1)
+    r1 = (q.withColumn("d", d)
+          .orderBy(F.col("d").desc(), "vec_id").first())
+    s1q = [int(x) for x in r1.q]
+    return ([[x / quant_scale for x in s0q],
+             [x / quant_scale for x in s1q]], float(r1.d))
+
+
 def split_ivf_cell(spark, path: str, cell: int | None = None,
                    iters: int = 2,
                    sample_fraction: float | None = None) -> tuple[int, int]:
@@ -1176,11 +1203,26 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         raise ValueError(
             f"split_ivf_cell: cell {cell} holds no vectors — splitting "
             f"it would replace its centroid with the untrained init")
+    # Farthest-point seeding FROM THE CELL'S OWN MEMBERS (r10): the old
+    # fixed pseudo-random init sat near the origin, so a hot cell whose
+    # mass lies far out assigned every member to one sub-centroid and
+    # the "split" degenerated into a cell rename — no rebalance, and a
+    # load-factor policy would re-split the same mass every poll. Seeds:
+    # the min-id member, then the member farthest from it (exact
+    # quantized distances, ties to the lower id) — deterministic,
+    # resume-invariant (computed over the same union-deduped input), and
+    # still two SQL rows, so the split oracle follows. O(cell) like the
+    # trainer itself.
+    seeds, max_d = _split_seed_centroids(cellrows, "embedding")
+    if pending is None and max_d == 0.0:
+        raise ValueError(
+            f"split_ivf_cell: every member of cell {cell} is identical — "
+            f"a split cannot rebalance it")
     sub = train_ivf_centroids(
         cellrows, "embedding", 2, dims, iters=iters,
         sample_fraction=sample_fraction,
         id_col="vec_id" if sample_fraction is not None else None,
-        prefix="ivf-split", salt="ivf-split")
+        salt="ivf-split", init_centroids=seeds)
 
     fsutil.write_text(pend_path,
                       json.dumps({"cell": cell, "new_cell": new_cell}),

@@ -27,16 +27,20 @@ from .engine import ReplicaEngine
 class ReplicaOptimizer:
     def __init__(self, engine: ReplicaEngine,
                  interval: float | None = None,
-                 clock=time.time):
+                 clock=time.time,
+                 indexes: list | None = None):
         """``interval`` defaults to the engine settings'
         ``optimize_interval`` (reference config.py:135: 86400 s).
-        ``clock`` is injectable for tests."""
+        ``clock`` is injectable for tests. ``indexes`` are
+        ``indexmaint.MaintainedIndex`` bindings the scheduler also
+        services (coalesced upserts + IVF load-factor splits)."""
         self.engine = engine
         if interval is None:
             interval = (engine.settings.optimize_interval
                         if engine.settings is not None else 86_400.0)
         self.interval = float(interval)
         self.clock = clock
+        self.indexes = list(indexes) if indexes else []
 
     def _matches(self, db: str, table: str) -> bool:
         s = self.engine.settings
@@ -101,6 +105,28 @@ class ReplicaOptimizer:
                        for r in _retired_entries(g)):
                     due.append((db, table))
         return due
+
+    def maybe_maintain_indexes(self) -> list[tuple[str, str]]:
+        """Service every registered MaintainedIndex once: coalesce the
+        CDC window since its watermark into one upsert if it is due
+        (staleness contract in indexmaint), then give an armed IVF index
+        its one split-per-poll load-factor check. Runs index maintenance
+        BEFORE this scheduler's own ``maybe_optimize`` would compact
+        (compaction collapses tombstones; applying first keeps the fast
+        version-delta delete path — after a compaction the maintainer
+        still converges via its generation-aware reconcile, just at
+        ids-anti-join cost). Returns (index_path, action) pairs."""
+        done = []
+        for ix in self.indexes:
+            r = ix.maybe_apply()
+            if r.get("applied"):
+                done.append((ix.index_path,
+                             "reconcile" if r.get("reconciled")
+                             else "apply"))
+            s = ix.maybe_split()
+            if s is not None:
+                done.append((ix.index_path, f"split:{s[0]}->{s[1]}"))
+        return done
 
     def maybe_vacuum(self) -> list[tuple[str, str]]:
         """Reclaim expired retired generations on the scheduler cadence —

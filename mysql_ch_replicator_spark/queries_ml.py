@@ -648,19 +648,16 @@ def _ivf_split_oracle_sql(n_cells: int, dims: int, iters: int,
                           scale: float) -> str:
     """DuckDB oracle for the in-place IVF cell split: recompute the base
     assignment (fixed centroids), pick the hottest cell (count desc,
-    cell asc), unroll the 2-means sub-training over exactly that cell's
-    members (same exact quantized Lloyd stages as the kmeans oracle),
-    then reassign those members between the two float sub-centroids with
-    the same left-to-right distance chain the Spark reassignment folds.
+    cell asc), seed the 2-means from the cell's own members (min-id
+    member, then the member farthest from it in exact quantized space,
+    ties to the lower id — the r10 farthest-point seeding that keeps a
+    far-out hot cell from degenerating into a rename), unroll the
+    2-means sub-training over exactly that cell's members (same exact
+    quantized Lloyd stages as the kmeans oracle), then reassign those
+    members between the two float sub-centroids with the same
+    left-to-right distance chain the Spark reassignment folds.
     Output is the FINAL membership (vec_id, cell) — the contract the
     rewritten index + its _vecmeta table must satisfy."""
-    from .operators.similarity import ivf_centroids, quantize_centroids
-
-    init_q = quantize_centroids(ivf_centroids(2, dims, "ivf-split"), scale)
-    s0_rows = ",\n             ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            c + 1, ", ".join(f"{v}e0" for v in init_q[c]))
-        for c in range(2))
     qdist = (f"list_sum(list_transform(range({dims}), i -> "
              f"(v.q[i + 1] - s.cq[i + 1]) * (v.q[i + 1] - s.cq[i + 1])))")
     lloyd = ""
@@ -707,8 +704,17 @@ def _ivf_split_oracle_sql(n_cells: int, dims: int, iters: int,
                             x -> floor(CAST(x AS DOUBLE) * {scale!r})) AS q
       FROM base JOIN hot USING (cell)
     ),
+    sd0 AS (
+      SELECT q AS cq FROM tr ORDER BY vec_id LIMIT 1
+    ),
+    sd1 AS (
+      SELECT v.q AS cq FROM tr v CROSS JOIN sd0 s
+      ORDER BY {qdist} DESC, v.vec_id LIMIT 1
+    ),
     s0(scell, cq) AS (
-      VALUES {s0_rows}
+      SELECT 1, list_transform(cq, x -> CAST(x AS DOUBLE)) FROM sd0
+      UNION ALL
+      SELECT 2, list_transform(cq, x -> CAST(x AS DOUBLE)) FROM sd1
     ),{lloyd}
     sd AS (
       SELECT scell, list_transform(cq, x -> x / {scale!r}) AS cl
@@ -4332,6 +4338,75 @@ def lexical_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path,
         adds=docs.where(F.col("doc_id") % 5 == 0),
         removes=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
+        .withColumn("score", F.col("score").cast("string"))
+
+
+@register("index_coalesced_maintenance", _bm25_oracle_sql(
+    _BM25_TERMS, _BM25_K,
+    source="(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
+def index_coalesced_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Coalescing index maintenance e2e (indexmaint.MaintainedIndex —
+    the r9 verdict's 1 s-CDC-cadence answer): the REPLICA absorbs three
+    CDC batches at full cadence while the persisted lexical index sits
+    at its watermark; the maintainer is polled once too early (not due —
+    the bounded-staleness contract) and once after the lag threshold,
+    where it coalesces the whole window into ONE upsert driven off the
+    replica's version delta (parquet minmax stats on the monotone
+    _version prune discovery to the window's own files — O(changes),
+    never O(table)). The BM25 probe of the maintained index must equal
+    the oracle's from-scratch scoring of the replica's FINAL state —
+    proving delta derivation (latest-wins over the delta, REMOVE winners
+    delete, re-adds replace), the coalesced upsert, and the watermark
+    advance composed exactly. Freshness numbers ride
+    monitoring.index_freshness; crash/compaction contracts are pinned in
+    tests/test_indexmaint.py."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .indexmaint import MaintainedIndex
+    from .operators.retrieval import bm25_indexed_topk
+    from .queries import _tmp_root
+    from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+    root = _tmp_root(sf_dir, "idxmaint")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("drv", """CREATE TABLE docs (
+        doc_id bigint NOT NULL,
+        body text,
+        PRIMARY KEY (doc_id))""")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ev(df, seq, etype, cols):
+        return df.select(
+            F.lit("binlog.000001").alias("tx_file"),
+            F.lit(seq).cast("long").alias("tx_pos"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit("drv").alias("db"),
+            F.lit("docs").alias("table"),
+            F.lit(etype).cast("int").alias("event_type"),
+            F.array(F.array(*[F.col(c).cast("string") for c in cols]))
+             .alias("payload"),
+            F.lit(None).cast("string").alias("query"))
+
+    body = docs.select("doc_id", F.col("text").alias("body"))
+    engine.apply_batch(ev(body.where(F.col("doc_id") % 5 != 0),
+                          1, EVENT_TYPE_ADD, ["doc_id", "body"]))
+    t = [0.0]
+    path = os.path.join(root, "lexidx")
+    ix = MaintainedIndex(engine, "drv", "docs", path, "lexical",
+                         payload_col="body", max_lag_seconds=30.0,
+                         clock=lambda: t[0])
+    ix.build()
+    engine.apply_batch(ev(body.where(F.col("doc_id") % 5 == 0),
+                          2, EVENT_TYPE_ADD, ["doc_id", "body"]))
+    engine.apply_batch(ev(docs.where(F.col("doc_id") % 7 == 0)
+                          .select("doc_id"),
+                          3, EVENT_TYPE_REMOVE, ["doc_id"]))
+    ix.maybe_apply()            # too early: not due, index untouched
+    t[0] += 31.0
+    ix.maybe_apply()            # due: both batches coalesce into one upsert
     return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
         .withColumn("score", F.col("score").cast("string"))
 
