@@ -84,8 +84,8 @@ class MaintainedIndex:
     embedding stored as a JSON string — MySQL-shaped tables have no
     array type); default is the raw column. ``index_opts`` pass through
     to ``write_*_index`` at build time (shards, span_width, positions,
-    n_cells...). ``split_load_factor`` arms ``maybe_split`` for IVF
-    indexes (None = never split)."""
+    n_cells...). ``split_load_factor`` arms ``maybe_split`` — hot IVF
+    cells and hot lexical term shards alike (None = never split)."""
 
     def __init__(self, engine, db: str, table: str, index_path: str,
                  kind: str, payload_col: str,
@@ -284,42 +284,64 @@ class MaintainedIndex:
     # -- IVF load-factor policy (r9 verdict #6) ---------------------------
 
     def maybe_split(self) -> tuple[int, int] | None:
-        """Split the hottest IVF cell when its membership exceeds
-        ``split_load_factor`` × the mean cell size (and
+        """Split the index's hottest partition when its row count exceeds
+        ``split_load_factor`` × the mean partition size (and
         ``split_min_rows``) — the reference's periodic OPTIMIZE shape
-        applied to index geometry. Bounded to ONE split per poll so a
+        applied to index geometry, for BOTH index families: IVF cells
+        (``split_ivf_cell``) and lexical term shards
+        (``split_lexical_shard``). Bounded to ONE split per poll so a
         skewed index rebalances incrementally across maintenance windows
         instead of stalling one. A torn split left by a crash is resumed
-        first (``split_ivf_cell`` with no cell resumes the pending
-        manifest); that resume counts as this poll's split."""
-        if self.kind != "ivf" or self.split_load_factor is None:
+        first (the split with no target resumes the pending manifest);
+        that resume counts as this poll's split. A hot-but-unsplittable
+        partition (identical vectors / a single hot term) is left alone
+        rather than wedging the poll. Cost per poll: the IVF trigger
+        reads the 2-int membership table; the lexical trigger a
+        column-pruned ``shard`` scan of postings — both on the
+        scheduler's optimize cadence, never the CDC path."""
+        if self.split_load_factor is None:
             return None
-        from .operators.similarity import (_IVF_MEMBERS,
-                                           _IVF_SPLIT_PENDING,
-                                           read_ivf_meta, split_ivf_cell)
         spark = self.engine.spark
-        if fsutil.exists(os.path.join(self.index_path, _IVF_SPLIT_PENDING),
-                         spark=spark):
-            return split_ivf_cell(spark, self.index_path)
-        meta = read_ivf_meta(self.index_path)
-        rows = (spark.read.parquet(
-            os.path.join(self.index_path, _IVF_MEMBERS))
-            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-            .collect())          # bounded: one row per cell
+        if self.kind == "ivf":
+            from .operators.similarity import (_IVF_MEMBERS,
+                                               _IVF_SPLIT_PENDING,
+                                               read_ivf_meta,
+                                               split_ivf_cell)
+            if fsutil.exists(
+                    os.path.join(self.index_path, _IVF_SPLIT_PENDING),
+                    spark=spark):
+                return split_ivf_cell(spark, self.index_path)
+            rows = (spark.read.parquet(
+                os.path.join(self.index_path, _IVF_MEMBERS))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                .collect())      # bounded: one row per cell
+            n_parts = int(read_ivf_meta(self.index_path)["n_cells"])
+            key, action = "cell", split_ivf_cell
+        else:
+            from .operators.retrieval import (pending_lexical_split,
+                                              split_lexical_shard)
+            if pending_lexical_split(self.index_path) is not None:
+                return split_lexical_shard(spark, self.index_path)
+            meta = json.loads(fsutil.read_text(
+                os.path.join(self.index_path, "_lex_meta.json"),
+                spark=spark))
+            rows = (spark.read.parquet(
+                os.path.join(self.index_path, "postings"))
+                .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                .collect())      # bounded: one row per shard
+            n_parts = int(meta["shards"]) + len(meta.get("splits", []))
+            key, action = "shard", split_lexical_shard
         if not rows:
             return None
         total = sum(int(r.n) for r in rows)
-        hottest = max(rows, key=lambda r: (int(r.n), -int(r.cell)))
-        mean = total / max(1, int(meta["n_cells"]))
+        hottest = max(rows, key=lambda r: (int(r.n), -int(r[key])))
+        mean = total / max(1, n_parts)
         if (int(hottest.n) >= self.split_min_rows
                 and int(hottest.n) >= self.split_load_factor * mean):
             try:
-                return split_ivf_cell(spark, self.index_path,
-                                      cell=int(hottest.cell))
+                return action(spark, self.index_path, int(hottest[key]))
             except ValueError as e:
-                if "identical" in str(e):
-                    # a cell of identical vectors is hot but
-                    # un-splittable; leave it rather than wedge the poll
+                if "identical" in str(e) or "one side" in str(e):
                     return None
                 raise
         return None

@@ -152,6 +152,7 @@ def build_inverted_index(docs: DataFrame, span: int = 256,
 
 _LEX_META = "_lex_meta.json"
 _LEX_PENDING = "_lex_upsert_pending.json"
+_LEX_SPLIT_PENDING = "_lex_split_pending.json"   # shard-split intent manifest
 # Default docmeta partition width (doc ids per dir). A layout knob, not
 # a constant of the format: the descriptor records the width the index
 # was built with, and it should be sized so the SPAN COUNT stays ~1e4
@@ -159,6 +160,38 @@ _LEX_PENDING = "_lex_upsert_pending.json"
 # stats map in the descriptor and the partition-directory listing are
 # both O(span count).
 _LEX_DSPAN = 4096
+
+
+def _shard_expr(term_col, shards: int, splits: list[dict]):
+    """Column: the shard holding ``term``'s postings under the index's
+    split chain. Base placement is ``h60(term) % shards``; each recorded
+    hot-shard split then moves the half of its source shard's terms
+    whose salted secondary hash is odd to the split's new shard id.
+    Applied IN RECORDED ORDER, so a split of a previously-split shard
+    composes (the extendible-hashing shape, restated as a bounded
+    deterministic chain any engine can follow). A term's postings always
+    live in exactly ONE shard — the invariant every df recount and
+    every probe relies on — because terms move wholesale, never rows."""
+    e = (h60(term_col) % shards).cast("int")
+    for sp in splits:
+        moved = (h60(F.concat(F.lit(sp["salt"] + "|"), term_col))
+                 % 2 == 1)
+        e = F.when((e == int(sp["src"])) & moved,
+                   F.lit(int(sp["dst"]))).otherwise(e)
+    return e.cast("int")
+
+
+def _term_shard_py(term: str, shards: int, splits: list[dict]) -> int:
+    """Driver-side twin of ``_shard_expr`` — probes compute their shard
+    sets at PLANNING time, so pruning never costs a Spark job."""
+    from ..functions.hashing import h60_py
+
+    s = h60_py(term) % shards
+    for sp in splits:
+        if s == int(sp["src"]) and \
+                h60_py(f"{sp['salt']}|{term}") % 2 == 1:
+            s = int(sp["dst"])
+    return s
 
 
 def _tokenized_tf(docs: DataFrame, id_col: str,
@@ -174,7 +207,7 @@ def _tokenized_tf(docs: DataFrame, id_col: str,
 
 
 def _doc_meta(docs: DataFrame, per: DataFrame, id_col: str,
-              shards: int) -> DataFrame:
+              shards: int, splits: list[dict] | None = None) -> DataFrame:
     """(doc_id, dl, shards) for EVERY doc — doc length and the SET of
     term shards holding the doc's postings, from ONE aggregate over the
     shared tf frame. Zero-token docs get dl=0 / empty shards, so
@@ -184,7 +217,7 @@ def _doc_meta(docs: DataFrame, per: DataFrame, id_col: str,
     upsert pays ONE span-partitioned rewrite per batch for both."""
     sums = per.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("dl"),
-        F.collect_set((h60(F.col("term")) % shards).cast("int"))
+        F.collect_set(_shard_expr(F.col("term"), shards, splits or []))
          .alias("shards"))
     return (docs.select(F.col(id_col).alias("doc_id")).distinct()
             .join(sums, "doc_id", "left")
@@ -350,16 +383,20 @@ def _span_stats_map(meta_rows: DataFrame) -> dict[str, list[int]]:
 
 
 def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
-                  span_width: int, positions: bool = False) -> dict:
+                  span_width: int, positions: bool = False,
+                  splits: list[dict] | None = None) -> dict:
     """The descriptor document: (n, tl) are DERIVED as sums over the
     per-span stats, so the two representations can never disagree.
     ``positions`` records whether the index carries the positional
-    posting table (upserts must maintain it; phrase probes require
-    it)."""
+    posting table (upserts must maintain it; phrase probes require it).
+    ``splits`` is the hot-shard split chain (``split_lexical_shard``) —
+    term placement is a pure function of (shards, splits), so the
+    descriptor fully determines where every term lives."""
     return {"n": sum(v[0] for v in spans_map.values()),
             "tl": sum(v[1] for v in spans_map.values()),
             "shards": int(shards), "dspan": int(span_width),
             "positions": bool(positions),
+            "splits": list(splits or []),
             "spans": spans_map}
 
 
@@ -381,13 +418,12 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
     import json
     import os
 
-    from ..functions.hashing import h60_py
-
     meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                        spark=spark))
     n, tl, shards = meta["n"], meta["tl"], meta["shards"]
+    splits = meta.get("splits", [])
     terms = sorted({t.lower() for t in query_terms})
-    shard_ids = sorted({h60_py(t) % shards for t in terms})
+    shard_ids = sorted({_term_shard_py(t, shards, splits) for t in terms})
 
     idx = (spark.read.parquet(os.path.join(path, "postings"))
            .where(F.col("shard").isin(shard_ids))
@@ -516,7 +552,17 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
 
     meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                        spark=spark))
+    if fsutil.exists(os.path.join(path, _LEX_SPLIT_PENDING), spark=spark):
+        # a torn shard split leaves term placement ambiguous between the
+        # descriptor (old) and the data (partially moved); the resume is
+        # idempotent and O(shard), so finish it here rather than wedge an
+        # unattended CDC pipeline — the same contract as the IVF upsert's
+        # split auto-resume
+        split_lexical_shard(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
     shards = meta["shards"]
+    splits = meta.get("splits", [])
     dspan_w = int(meta.get("dspan", _LEX_DSPAN))
     postings_path = os.path.join(path, "postings")
     docmeta_path = os.path.join(path, "docmeta")
@@ -588,7 +634,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # would burn a slot in the bounded cache registry for the
             # same frame)
             new_per = _tokenized_tf(kept, id_col, text_col)
-        new_meta = _doc_meta(kept, new_per, id_col, shards)
+        new_meta = _doc_meta(kept, new_per, id_col, shards,
+                             splits=splits)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -604,7 +651,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         if new_per is not None:
             new_shards_f = pool.submit(
                 lambda: {int(r.v) for r in new_per.select(
-                    (h60(F.col("term")) % shards).cast("long").alias("v"))
+                    _shard_expr(F.col("term"), shards, splits)
+                    .cast("long").alias("v"))
                     .distinct().collect()})
         # changed ids' spans — collected FIRST (bounded by the batch
         # size) so the membership read can prune directories at planning
@@ -672,9 +720,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             merged_pos = cur_pos
             if new_pos is not None:
                 merged_pos = merged_pos.unionByName(
-                    new_pos.withColumn("shard",
-                                       (h60(F.col("term")) % shards)
-                                       .cast("int"))
+                    new_pos.withColumn(
+                        "shard", _shard_expr(F.col("term"), shards, splits))
                     .select("shard", "term", "doc_id", "pos"))
             merged_pos_f = pool.submit(
                 lambda: merged_pos.localCheckpoint(eager=True))
@@ -686,9 +733,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             merged = cur
             if new_per is not None:
                 merged = merged.unionByName(
-                    new_per.withColumn("shard",
-                                       (h60(F.col("term")) % shards)
-                                       .cast("int"))
+                    new_per.withColumn(
+                        "shard", _shard_expr(F.col("term"), shards, splits))
                     .select("shard", "term", "doc_id", "tf"))
             # the merge is checkpointed BEFORE the df recount, so the df
             # aggregate and the join-back both read the checkpointed
@@ -770,10 +816,237 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     fsutil.write_text(
         os.path.join(path, _LEX_META),
         json.dumps(_lex_meta_doc(spans_map, shards, dspan_w,
-                                 positions=has_positions)),
+                                 positions=has_positions, splits=splits)),
         spark=spark)
     fsutil.delete(pending, spark=spark)
     return {"shards": touched_shards, "dspans": touched_spans}
+
+
+def pending_lexical_split(path: str) -> dict | None:
+    """``{"src": int, "dst": int, "salt": str}`` of a torn
+    ``split_lexical_shard`` run, or None — the lexical twin of
+    ``similarity.pending_split``. Recovery = ``split_lexical_shard(
+    spark, path)`` with no shard argument; ``upsert_lexical_index``
+    auto-resumes it before applying a batch."""
+    import json
+    import os
+
+    pend = os.path.join(path, _LEX_SPLIT_PENDING)
+    if not fsutil.exists(pend):
+        return None
+    doc = json.loads(fsutil.read_text(pend))
+    return {"src": int(doc["src"]), "dst": int(doc["dst"]),
+            "salt": doc["salt"]}
+
+
+def split_lexical_shard(spark, path: str,
+                        shard: int | None = None) -> tuple[int, int]:
+    """Split one overgrown lexical term shard IN PLACE — the lexical
+    twin of ``similarity.split_ivf_cell``, and the ACTION behind the
+    shard half of ``index_membership_stats``: term-hash sharding is
+    uniform over VOCABULARY, not posting mass, so under real corpora a
+    shard that happens to hold several stopwords outweighs its peers and
+    every probe or upsert touching it pays that whole directory.
+
+    Mechanics: the shard's TERMS (never individual postings) are
+    repartitioned by a salted secondary hash — terms whose
+    ``h60(salt|term)`` is odd move wholesale to a NEW shard id, the rest
+    stay. Moving terms wholesale preserves the one-shard-per-term
+    invariant that keeps df recomputation exact and probes
+    single-directory per term; the flip side is the honest limitation
+    that a single mega-hot TERM cannot be split this way (its postings
+    must stay together — posting-level splits would break the df
+    algebra). The split chain lives in the descriptor (``splits``:
+    ordered ``{src, dst, salt}`` entries), making term placement a pure
+    function of (shards, splits) that probes evaluate driver-side
+    (``_term_shard_py``) and upserts evaluate scan-side
+    (``_shard_expr``); splitting an already-split shard composes.
+
+    Cost: O(shard) — the source (∪ torn-destination) directory rewrite,
+    the positions twin when present, plus a membership rewrite of ONLY
+    the spans holding the shard's documents (their ``shards`` arrays are
+    recomputed state-based from the reassignment: old entries for
+    {src, dst} out, the doc's fresh shard set in). Per-span dl stats are
+    untouched, so the descriptor's spans map carries over verbatim.
+
+    Crash contract (the IVF split's, verbatim): intent manifest written
+    before any mutation, data dirs first, membership next, descriptor
+    last, manifest deleted after. A torn split leaves moved postings
+    invisible to probes (the descriptor still routes their terms to the
+    src shard) — bounded recall loss, never wrong results — until the
+    idempotent resume: the rewrite input is the union of BOTH split
+    directories deduped on (term, doc_id), invariant under any partial
+    commit, and the membership recompute is state-based.
+    ``upsert_lexical_index`` auto-resumes a pending split before
+    applying a batch, so CDC traffic cannot apply against ambiguous
+    placement. Salt selection walks a deterministic ladder in ONE
+    bounded aggregate and takes the first salt that actually separates
+    the shard's terms; a shard no salt can separate (a single hot term)
+    raises before the manifest exists instead of committing a useless
+    descriptor entry the load-factor policy would then stack forever.
+    Returns ``(src_shard, new_shard)``."""
+    import json
+    import os
+
+    meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                       spark=spark))
+    shards = int(meta["shards"])
+    splits = list(meta.get("splits", []))
+    has_positions = bool(meta.get("positions", False))
+    dspan_w = int(meta.get("dspan", _LEX_DSPAN))
+    postings_path = os.path.join(path, "postings")
+    docmeta_path = os.path.join(path, "docmeta")
+    pend_path = os.path.join(path, _LEX_SPLIT_PENDING)
+
+    pending = None
+    if fsutil.exists(pend_path, spark=spark):
+        pending = json.loads(fsutil.read_text(pend_path, spark=spark))
+    postings = spark.read.parquet(postings_path)
+    if pending is not None:
+        if shard is not None and shard != int(pending["src"]):
+            raise ValueError(
+                f"split_lexical_shard: unfinished split of shard "
+                f"{pending['src']} pending at {path} — resume it "
+                f"(shard=None) before splitting another")
+        src, dst, salt = (int(pending["src"]), int(pending["dst"]),
+                          pending["salt"])
+    else:
+        if shard is None:
+            top = (postings.groupBy("shard")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .orderBy(F.col("n").desc(), F.col("shard")).first())
+            if top is None:
+                raise ValueError(
+                    f"split_lexical_shard: postings at {postings_path} "
+                    f"have no rows — an empty index has nothing to split")
+            src = int(top.shard)
+        else:
+            live_ids = set(range(shards)) | {int(sp["dst"])
+                                             for sp in splits}
+            if shard not in live_ids:
+                # validated BEFORE the manifest exists — a bogus id must
+                # not wedge the split machinery (the IVF split's rule)
+                raise ValueError(
+                    f"split_lexical_shard: shard {shard} is not a "
+                    f"placement target of this index (base shards "
+                    f"0..{shards - 1} plus split destinations)")
+            src = int(shard)
+        dst = shards + len(splits)    # next free id, never reused
+        salt = None                   # chosen below, before the manifest
+
+    # union of both split directories, deduped on (term, doc_id): a
+    # fresh split sees the empty new side, a resume the torn remainder —
+    # the rewrite input is invariant under any partial commit (the IVF
+    # split's recovery algebra). df rides along unchanged: terms move
+    # wholesale, so every term's posting count is placement-independent.
+    rows = (postings.where(F.col("shard").isin([src, dst]))
+            .dropDuplicates(["term", "doc_id"]))
+    if salt is None:
+        # salt selection, ONE bounded aggregate: a shard holding few
+        # terms can land them all on one side of a given salted hash —
+        # a committed no-op split the load-factor policy would then
+        # stack forever. Try a deterministic salt ladder and take the
+        # first that actually separates; only a shard whose terms NEVER
+        # separate (single hot term) raises — before the manifest
+        # exists, so nothing is committed.
+        candidates = [f"lexsplit{dst}"] + [f"lexsplit{dst}#{i}"
+                                           for i in range(1, 8)]
+        movers = [F.sum((h60(F.concat(F.lit(c + "|"), F.col("term")))
+                         % 2).cast("long")).alias(f"m{i}")
+                  for i, c in enumerate(candidates)]
+        stat = (rows.select("term").distinct()
+                .agg(F.count(F.lit(1)).alias("nt"), *movers).first())
+        if int(stat.nt) == 0:
+            raise ValueError(
+                f"split_lexical_shard: shard {src} holds no postings — "
+                f"nothing to split")
+        for i, c in enumerate(candidates):
+            if 0 < int(stat[f"m{i}"]) < int(stat.nt):
+                salt = c
+                break
+        if salt is None:
+            raise ValueError(
+                f"split_lexical_shard: no salt separates the terms of "
+                f"shard {src} — every candidate moved them all to one "
+                f"side (a single hot term cannot be rebalanced by term "
+                f"movement; posting mass per TERM cannot be split "
+                f"without breaking the one-shard-per-term df invariant)")
+    moved = h60(F.concat(F.lit(salt + "|"), F.col("term"))) % 2 == 1
+    reassigned = (rows.withColumn(
+        "shard", F.when(moved, F.lit(dst)).otherwise(F.lit(src))
+        .cast("int"))
+        .localCheckpoint(eager=True))
+
+    fsutil.write_text(pend_path,
+                      json.dumps({"src": src, "dst": dst, "salt": salt}),
+                      spark=spark)
+
+    (reassigned.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("shard").parquet(postings_path))
+    live = {int(r.shard) for r in
+            reassigned.select("shard").distinct().collect()}
+    for s in {src, dst} - live:
+        fsutil.delete(os.path.join(postings_path, f"shard={s}"),
+                      spark=spark)
+    if has_positions:
+        positions_path = os.path.join(path, "positions")
+        pos_rows = (spark.read.parquet(positions_path)
+                    .where(F.col("shard").isin([src, dst]))
+                    .dropDuplicates(["term", "doc_id", "pos"])
+                    .withColumn(
+                        "shard",
+                        F.when(moved, F.lit(dst)).otherwise(F.lit(src))
+                        .cast("int"))
+                    .localCheckpoint(eager=True))
+        (pos_rows.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(positions_path))
+        for s in {src, dst} - live:
+            fsutil.delete(os.path.join(positions_path, f"shard={s}"),
+                          spark=spark)
+
+    # membership rewrite, AFTER the data commits: only the spans holding
+    # the shard's documents; each touched doc's shards array is
+    # recomputed state-based — {src, dst} entries out, the doc's fresh
+    # shard set from the committed reassignment in
+    doc_sets = (reassigned.groupBy("doc_id")
+                .agg(F.collect_set("shard").alias("fresh")))
+    touched_spans = sorted({int(r.v) for r in reassigned.select(
+        F.expr(f"doc_id div {dspan_w}").alias("v"))
+        .distinct().collect()})
+    if touched_spans:
+        docmeta = spark.read.parquet(docmeta_path)
+        merged_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
+                       .join(doc_sets, "doc_id", "left")
+                       .select(
+                           "doc_id", "dl",
+                           F.when(
+                               F.col("fresh").isNotNull(),
+                               F.array_union(
+                                   F.array_except(
+                                       F.col("shards"),
+                                       F.array(F.lit(src), F.lit(dst))
+                                       .cast("array<int>")),
+                                   F.col("fresh")))
+                           .otherwise(F.col("shards")).alias("shards"),
+                           "dspan")
+                       .localCheckpoint(eager=True))
+        (merged_meta.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("dspan").parquet(docmeta_path))
+
+    # descriptor last; dl/span stats are untouched by design, so the
+    # whole meta carries over with just the split appended (idempotent:
+    # a resume after the descriptor committed must not append twice)
+    sp = {"src": src, "dst": dst, "salt": salt}
+    if sp not in splits:
+        splits.append(sp)
+    meta["splits"] = splits
+    fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta),
+                      spark=spark)
+    fsutil.delete(pend_path, spark=spark)
+    return src, dst
 
 
 def phrase_match_topk(docs: DataFrame, phrase: list[str], k: int = 10,
@@ -848,8 +1121,6 @@ def phrase_match_indexed(spark, path: str, phrase: list[str],
     import json
     import os
 
-    from ..functions.hashing import h60_py
-
     if len(phrase) < 2:
         raise ValueError("phrase needs at least 2 terms")
     meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
@@ -861,7 +1132,8 @@ def phrase_match_indexed(spark, path: str, phrase: list[str],
             f"phrase_match_topk for an ad-hoc corpus scan)")
     wanted = [t.lower() for t in phrase]
     shards = meta["shards"]
-    shard_ids = sorted({h60_py(t) % shards for t in wanted})
+    shard_ids = sorted({_term_shard_py(t, shards, meta.get("splits", []))
+                        for t in wanted})
     # NOT persisted: each per-term branch re-reads the shard-pruned
     # parquet with its own term equality pushed into the scan — tighter
     # IO than materializing all terms' rows once (and the scans prune to

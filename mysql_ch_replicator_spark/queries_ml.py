@@ -4412,6 +4412,50 @@ def index_coalesced_maintenance(spark: SparkSession,
 
 
 @register(
+    "lexical_shard_split",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tok GROUP BY term)
+    SELECT term, doc_id, tf, df FROM tok JOIN dfreq USING (term)
+    """,
+)
+def lexical_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place hot-shard split of the lexical index
+    (operators/retrieval.split_lexical_shard) — the lexical twin of
+    ann_ivf_split_rebalance and the ACTION behind the shard half of
+    index_membership_stats: term-hash sharding is uniform over
+    vocabulary, not posting mass, so a shard that drew the stopwords
+    outweighs its peers; the split moves half its TERMS (salted
+    secondary hash, wholesale — the one-shard-per-term df invariant
+    survives) to a new shard directory, rewrites exactly two shard dirs
+    plus the affected docs' membership spans, and records the move in
+    the descriptor's split chain so probes and upserts route terms
+    driver-side/scan-side with zero extra IO. The returned table is the
+    ENTIRE postings relation read back after the split — equality with
+    the oracle's from-scratch (term, doc_id, tf, df) recomputation
+    proves no posting was lost, duplicated, or re-counted by the move;
+    placement itself is pinned by plan/mtime tests
+    (tests/test_round10_properties.py)."""
+    import os
+
+    from .operators.retrieval import split_lexical_shard, \
+        write_lexical_index
+    from .queries import _tmp_root
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_tmp_root(sf_dir, "lexsplit"), "index")
+    write_lexical_index(docs, path, shards=16, span_width=1024)
+    split_lexical_shard(spark, path)
+    return (spark.read.parquet(os.path.join(path, "postings"))
+            .select("term", "doc_id", "tf", "df"))
+
+
+@register(
     "lexical_index_build",
     f"""
     WITH tok AS (

@@ -307,3 +307,38 @@ def test_optimizer_drives_hot_cell_split_once_per_poll(spark, tmp_path):
     assert any(a[1].startswith("split:") for a in acts)
     assert pending_split(path) is None
     assert read_ivf_meta(path)["n_cells"] == 6
+
+
+def test_optimizer_drives_lexical_shard_split(spark, tmp_path):
+    """The load-factor policy covers the lexical index too: a shard-mass
+    imbalance trips one shard split per poll through the scheduler, and
+    probes are bit-identical across it (placement is not semantics)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk)
+
+    rig = _docs_rig(spark, tmp_path)
+    clock = FakeClock()
+    path = str(tmp_path / "lexidx")
+    ix = MaintainedIndex(rig.engine, "db1", "docs", path, "lexical",
+                         payload_col="body", max_lag_seconds=0.0,
+                         clock=clock, split_load_factor=1.3,
+                         split_min_rows=8, shards=4, span_width=8)
+    ix.build()
+
+    def probe():
+        return sorted(tuple(r) for r in
+                      bm25_indexed_topk(spark, path,
+                                        ["alpha", "w1", "gamma2"],
+                                        k=30).collect())
+
+    before = probe()
+    opt = ReplicaOptimizer(rig.engine, interval=600.0, clock=clock,
+                           indexes=[ix])
+    acts = opt.maybe_maintain_indexes()
+    assert len(acts) == 1 and acts[0][1].startswith("split:")
+    meta = json.loads(fsutil.read_text(os.path.join(path,
+                                                    "_lex_meta.json")))
+    assert len(meta["splits"]) == 1
+    assert probe() == before
+    # bounded one action per poll, whatever the residual skew
+    assert len(opt.maybe_maintain_indexes()) <= 1

@@ -414,3 +414,166 @@ def test_ivf_upsert_job_budget(spark, tmp_path):
         adds=adds.withColumn("vec_id", F.col("vec_id") + 10),
         removes=spark.createDataFrame([(3,), (7,)], "vec_id long"))
     assert _jobs_run(spark) - before <= 32
+
+
+# ---------------------------------------------------------------------------
+# Lexical hot-shard split (r10: the lexical twin of split_ivf_cell)
+# ---------------------------------------------------------------------------
+
+def _probe_all(spark, path):
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, phrase_match_indexed)
+    bm = sorted(tuple(r) for r in
+                bm25_indexed_topk(spark, path,
+                                  ["alpha", "beta", "w3"], k=40).collect())
+    ph = sorted(tuple(r) for r in
+                phrase_match_indexed(spark, path,
+                                     ["alpha", "beta"], k=40).collect())
+    return bm, ph
+
+
+def _split_docs(spark):
+    rows = [(i, f"alpha beta w{i % 9} tail{i % 4}") for i in range(48)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lexical_shard_split_probe_invariant(spark, tmp_path, documents):
+    """Splitting the hottest shard must leave every probe bit-identical
+    (placement is not semantics), rewrite ONLY the two shard dirs, keep
+    descriptor scalars/span stats untouched, and update the docmeta
+    membership so later upserts discover the moved terms' new home."""
+    import glob
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        _term_shard_py, split_lexical_shard, write_lexical_index)
+
+    path = str(tmp_path / "lex")
+    write_lexical_index(_split_docs(spark), path, shards=4, span_width=8,
+                        positions=True)
+    before = _probe_all(spark, path)
+    meta0 = json.load(open(os.path.join(path, "_lex_meta.json")))
+    mtimes = {d: os.path.getmtime(d)
+              for d in glob.glob(os.path.join(path, "postings", "shard=*"))}
+
+    src, dst = split_lexical_shard(spark, path)
+    meta1 = json.load(open(os.path.join(path, "_lex_meta.json")))
+    (sp,) = meta1["splits"]
+    assert (sp["src"], sp["dst"]) == (src, dst)
+    assert sp["salt"].startswith(f"lexsplit{dst}")
+    for k in ("n", "tl", "spans", "shards"):
+        assert meta1[k] == meta0[k]
+    assert _probe_all(spark, path) == before
+    # untouched shard dirs are byte-stable (mtime pin, the IVF rule)
+    for d, t in mtimes.items():
+        s = int(d.rsplit("=", 1)[1])
+        if s != src:
+            assert os.path.getmtime(d) == t, f"shard {s} was rewritten"
+    # placement function routes moved terms to dst and membership agrees
+    post = spark.read.parquet(os.path.join(path, "postings"))
+    got = {(r.term, int(r.shard)) for r in
+           post.select("term", "shard").distinct().collect()}
+    for term, s in got:
+        assert s == _term_shard_py(term, meta1["shards"], meta1["splits"])
+    memb = spark.read.parquet(os.path.join(path, "docmeta")) \
+        .select("doc_id", F.explode("shards").alias("s"))
+    want = {(int(r.doc_id), int(r.shard)) for r in
+            post.select("doc_id", "shard").distinct().collect()}
+    assert {(int(r.doc_id), int(r.s)) for r in memb.collect()} == want
+
+
+def test_lexical_split_then_upsert_equals_rebuild(spark, tmp_path):
+    """The critical composition: an upsert AFTER a split must place new
+    postings with the split-aware hash and discover moved terms through
+    the rewritten membership — final index equals a rebuild probe-for-
+    probe, and a second split composes on the chain."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        split_lexical_shard, upsert_lexical_index, write_lexical_index)
+
+    docs = _split_docs(spark)
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4, span_width=8, positions=True)
+    split_lexical_shard(spark, path)
+
+    adds = spark.createDataFrame(
+        [(100 + i, f"alpha w{i % 9} fresh{i}") for i in range(6)],
+        "doc_id long, text string")
+    removes = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    upsert_lexical_index(spark, path, adds=adds, removes=removes)
+    split_lexical_shard(spark, path)            # second split composes
+
+    full = str(tmp_path / "full")
+    write_lexical_index(
+        docs.where(~F.col("doc_id").isin(3, 7)).unionByName(adds), full,
+        shards=4, span_width=8, positions=True)
+    assert _probe_all(spark, path) == _probe_all(spark, full)
+    m = json.load(open(os.path.join(path, "_lex_meta.json")))
+    mf = json.load(open(os.path.join(full, "_lex_meta.json")))
+    assert (m["n"], m["tl"], m["spans"]) == (mf["n"], mf["tl"], mf["spans"])
+
+
+def test_lexical_split_crash_resume_and_upsert_autoresume(spark, tmp_path):
+    """Tear a shard split before the membership/descriptor commit; the
+    pending manifest survives, a direct resume OR the next upsert
+    finishes it, and the result equals the untorn split."""
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        pending_lexical_split, split_lexical_shard, upsert_lexical_index,
+        write_lexical_index)
+
+    docs = _split_docs(spark)
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4, span_width=8)
+    # df is recomputed by the upsert below (doc 200 adds "alpha"), so
+    # the survival check compares (term, doc_id, tf) only
+    before = sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(path, "postings"))
+        .select("term", "doc_id", "tf").collect())
+
+    real_write = fsutil.write_text
+
+    def crashing(p, text, spark=None):
+        if p.endswith("_lex_meta.json"):
+            raise RuntimeError("injected crash before descriptor commit")
+        return real_write(p, text, spark=spark)
+
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            split_lexical_shard(spark, path)
+    finally:
+        fsutil.write_text = real_write
+    pend = pending_lexical_split(path)
+    assert pend is not None and pend["dst"] == 4
+
+    # the next CDC batch auto-resumes the split, then applies
+    adds = spark.createDataFrame([(200, "alpha beta resumed")],
+                                 "doc_id long, text string")
+    upsert_lexical_index(spark, path, adds=adds)
+    assert pending_lexical_split(path) is None
+    meta = json.load(open(os.path.join(path, "_lex_meta.json")))
+    assert len(meta["splits"]) == 1
+    # every original posting survived the torn split + resume (plus the
+    # new doc's), and placement matches the split-aware function
+    after = sorted(tuple(r) for r in spark.read.parquet(
+        os.path.join(path, "postings"))
+        .where(F.col("doc_id") != 200)
+        .select("term", "doc_id", "tf").collect())
+    assert after == before
+
+
+def test_lexical_split_degenerate_raises_before_manifest(spark, tmp_path):
+    """A shard whose terms all land on one side of the salted hash (here:
+    a single hot term) must raise BEFORE the intent manifest exists —
+    committing the split would add a useless descriptor entry the
+    load-factor policy would stack forever."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        pending_lexical_split, split_lexical_shard, write_lexical_index)
+
+    docs = spark.createDataFrame(
+        [(i, "sameword " * 5) for i in range(30)],
+        "doc_id long, text string")
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4, span_width=8)
+    with pytest.raises(ValueError, match="one side"):
+        split_lexical_shard(spark, path)
+    assert pending_lexical_split(path) is None
