@@ -216,6 +216,43 @@ def normalized_dedup(docs: DataFrame, text_col: str = "text",
         .select("doc_id", "dup_of", "n_copies", "norm_hash")
 
 
+def quality_keeper_dedup(docs: DataFrame, score_expr,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Normalization-aware dedup that keeps the HIGHEST-QUALITY copy per
+    cluster instead of the first-seen: pretraining pipelines that
+    collapse duplicates want the cleanest surviving copy (the CCNet /
+    RefinedWeb convention — dedup keeps the best-scored instance), and a
+    min-id keeper silently prefers whichever copy was crawled first.
+
+    ``score_expr`` is a Column evaluated AT THE SCAN (a pure function of
+    the row — e.g. the linear quality classifier's token-weight mean
+    folded into one ``aggregate`` over the shared tokenizer), so the
+    whole operator keeps ``normalized_dedup``'s shape: hash + score
+    projection at the scan, ONE map-side-combined aggregate on the norm
+    hash (``max_by`` on (score, -doc_id) — highest score wins, ties to
+    the lower id), and a hash-co-partitioned join back. No second
+    shuffle, no window (a window would funnel a viral doc's whole
+    cluster through one task).
+
+    Returns (doc_id, dup_of, n_copies, kept, norm_hash) for every doc —
+    ``kept`` marks the cluster representative."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm_text_hash(F.col(text_col)).alias("norm_hash"),
+        score_expr.cast("long").alias("__s"))
+    keeper = hashed.groupBy("norm_hash").agg(
+        F.max_by("doc_id",
+                 F.struct(F.col("__s"), (-F.col("doc_id")).alias("nid")))
+         .alias("dup_of"),
+        F.count(F.lit(1)).alias("n_copies"))
+    return (hashed.join(keeper, "norm_hash")
+            .select("doc_id", "dup_of", "n_copies",
+                    (F.col("doc_id") == F.col("dup_of"))
+                    .cast("int").alias("kept"),
+                    "norm_hash"))
+
+
 def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_n: int = 3,
                       num_hashes: int = 12, bands: int = 4,

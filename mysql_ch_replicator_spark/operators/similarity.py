@@ -57,7 +57,8 @@ def cosine_expr(a, b) -> Column:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str = "query_id",
-                     filter_cols: list[str] | None = None) -> DataFrame:
+                     filter_cols: list[str] | None = None,
+                     exclude_cols: list[str] | None = None) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     The query side is broadcast (ANN workloads have |queries| ≪ |corpus|),
@@ -71,17 +72,27 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     non-matching candidates drop BEFORE any cosine is computed, and the
     k results are guaranteed complete under the predicate — unlike
     post-filtering an unfiltered top-k, which under-returns whenever the
-    predicate is selective."""
+    predicate is selective.
+
+    ``exclude_cols``: the inequality twin — corpus rows must DIFFER from
+    the query's value on each named column. The canonical use is hard-
+    negative mining for contrastive training (nearest neighbors that do
+    NOT share the query's label); same completeness guarantee, same
+    pre-cosine placement in the join condition."""
     filter_cols = filter_cols or []
+    exclude_cols = exclude_cols or []
+    carried = list(dict.fromkeys(filter_cols + exclude_cols))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       *[F.col(c).alias(f"__q_{c}") for c in filter_cols])
+                       *[F.col(c).alias(f"__q_{c}") for c in carried])
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("cv"),
-                              *[F.col(c) for c in filter_cols])
+                              *[F.col(c) for c in carried])
     cond = F.col("neighbor_id") != F.col("query_id")
     for fc in filter_cols:
         cond = cond & (F.col(fc) == F.col(f"__q_{fc}"))
+    for fc in exclude_cols:
+        cond = cond & (F.col(fc) != F.col(f"__q_{fc}"))
     scored = c.join(F.broadcast(q), cond) \
         .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6))
     # rank on the ROUNDED score (the value the oracle ranks on and the

@@ -795,6 +795,42 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_hard_negatives",
+    f"""
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql('q.embedding', 'c.embedding', _EMB_DIMS)}, 6)
+               AS cos
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 16) q
+      WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 10
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the data-side half
+    of every embedding-model pipeline: the most useful negatives are the
+    nearest neighbors that do NOT share the anchor's label — random
+    negatives are too easy to teach a margin). One corpus scan with the
+    anchors broadcast; the label INEQUALITY lands inside the join
+    condition (``brute_force_topk exclude_cols``), so same-label
+    candidates drop before any cosine is computed and the top-10 is
+    complete under the predicate — post-filtering an unfiltered top-k
+    under-returns whenever a label dominates a neighborhood. At 100 TB
+    the scan arm swaps for the IVF index probe; the mining predicate and
+    ranking contract are unchanged."""
+    from .operators.similarity import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 16) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    return brute_force_topk(emb, anchors, k=10, exclude_cols=["label"])
+
+
+@register(
     "ann_knn_classify",
     f"""
     WITH cand AS (
@@ -2318,6 +2354,67 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_QUALITY_W_PPM.items()), "term string, w_ppm long")
     return linear_quality_score(
         docs, weights, keep_threshold_ppm=_QUALITY_KEEP_PPM)
+
+
+_KEEPER_SOURCE_PRIO = {"src0": 3, "src1": 2, "src2": 1}
+
+
+@register(
+    "dedup_quality_keeper",
+    f"""
+    WITH prio AS (SELECT * FROM (VALUES {", ".join(
+        f"('{s}', {p})" for s, p in sorted(_KEEPER_SOURCE_PRIO.items()))})
+        AS t(source, p)),
+    sc AS (
+      SELECT d.doc_id,
+             md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ',
+                                     'g'))) AS norm_hash,
+             CAST(COALESCE(p.p, 0) AS BIGINT) * 1000000000 + d.n_chars AS s
+      FROM documents d LEFT JOIN prio p USING (source)
+    ),
+    keep AS (
+      SELECT norm_hash, doc_id AS dup_of FROM (
+        SELECT norm_hash, doc_id,
+               row_number() OVER (PARTITION BY norm_hash
+                                  ORDER BY s DESC, doc_id) AS rn
+        FROM sc) WHERE rn = 1
+    ),
+    cnt AS (SELECT norm_hash, CAST(count(*) AS BIGINT) AS n_copies
+            FROM sc GROUP BY norm_hash)
+    SELECT sc.doc_id, k.dup_of, c.n_copies,
+           CAST(sc.doc_id = k.dup_of AS INTEGER) AS kept, sc.norm_hash
+    FROM sc JOIN keep k USING (norm_hash) JOIN cnt c USING (norm_hash)
+    """,
+)
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup that keeps the BEST copy, not the first
+    (operators/dedup.quality_keeper_dedup): clusters are the shared
+    normalization contract (norm_text_hash); the representative is the
+    member with the highest METADATA score — source trust tier, then raw
+    length (a longer raw copy of the same normalized text kept its
+    casing/formatting), ties to the lower doc_id — the CCNet/RefinedWeb
+    convention where collapsing duplicates must not silently prefer
+    whichever copy was crawled first. The score is deliberately NOT a
+    text-derived quality signal: members of a normalization-exact
+    cluster share their token stream by construction, so any tokenizer-
+    based score is constant within the cluster and the choice would
+    silently degrade to min-id; what DOES differ between copies is
+    their provenance metadata, which is exactly what the operator's
+    scan-side score_expr consumes (for NEAR-dup clusters, where texts
+    genuinely differ, compose the same keeper with the MinHash cluster
+    key and a text score). Single norm-hash shuffle, max_by keeper —
+    no window (a viral doc's cluster would funnel through one task)."""
+    from .operators.dedup import quality_keeper_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    entries = ", ".join(f"'{s}', {p}L" for s, p in
+                        sorted(_KEEPER_SOURCE_PRIO.items()))
+    score = (F.coalesce(F.element_at(F.expr(f"map({entries})"),
+                                     F.col("source")),
+                        F.lit(0).cast("long"))
+             * F.lit(1_000_000_000).cast("long")
+             + F.col("n_chars").cast("long"))
+    return quality_keeper_dedup(docs, score)
 
 
 _MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "phantom_source": 1}
