@@ -143,12 +143,20 @@ class ReplicationSupervisor:
                 self.restarts[db] = self.restarts.get(db, 0) + 1
                 restarted.append(db)
 
+        # index maintenance BEFORE compaction: compaction collapses
+        # tombstones, so applying first keeps the maintainers on the
+        # cheap version-delta delete path (after a compaction they still
+        # converge via the generation-aware reconcile, at ids-anti-join
+        # cost — see indexmaint)
+        indexes = (self.optimizer.maybe_maintain_indexes()
+                   if self.optimizer else [])
         optimized = self.optimizer.maybe_optimize() if self.optimizer else []
         vacuumed = self.optimizer.maybe_vacuum() if self.optimizer else []
         gc_removed = self._maybe_gc(dbs)
         return {"started": started, "restarted": restarted,
                 "stopped": stopped, "optimized": optimized,
-                "vacuumed": vacuumed, "gc_removed": gc_removed,
+                "vacuumed": vacuumed, "indexes": indexes,
+                "gc_removed": gc_removed,
                 "active": sorted(self.queries)}
 
     def _maybe_gc(self, dbs: list[str]) -> list[str]:
