@@ -810,7 +810,16 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
     import json
     import os
 
-    dims = len(corpus.select(vec_col).first()[0])
+    probe = corpus.select(vec_col).first()
+    if probe is None:
+        # the dims probe on an empty corpus would die with a cryptic
+        # NoneType subscript; a maintained index built off a not-yet-
+        # populated replica hits this first
+        raise ValueError(
+            "write_ivf_index: corpus has no rows — the vector dimension "
+            "cannot be inferred from an empty table (populate the source "
+            "first, or build later from the maintainer)")
+    dims = len(probe[0])
     cents = centroids if centroids is not None \
         else ivf_centroids(n_cells, dims, "ivf")
     cents = [[float(x) for x in c] for c in cents]

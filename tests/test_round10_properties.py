@@ -601,3 +601,15 @@ def test_shard_placement_python_spark_parity(spark):
     # the chain composes: at least one term should have taken the
     # two-hop route 1 -> 4 -> 5 for the test to mean anything
     assert any(v == 5 for v in want.values())
+
+
+def test_write_ivf_index_empty_corpus_raises(spark, tmp_path):
+    """Building an IVF index over an empty corpus (a maintained index
+    bound to a not-yet-populated replica) raises a named error instead
+    of a NoneType subscript in the dims probe."""
+    from mysql_ch_replicator_spark.operators.similarity import \
+        write_ivf_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        write_ivf_index(empty, str(tmp_path / "ivf"), n_cells=4)
