@@ -822,6 +822,24 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     return {"shards": touched_shards, "dspans": touched_spans}
 
 
+def pending_lexical_upsert(path: str) -> dict | None:
+    """``{"shards": [...], "dspans": [...]}`` a crashed
+    ``upsert_lexical_index`` batch may have left half-applied (its
+    intent manifest survives the crash), or None when the last upsert
+    committed cleanly — the lexical twin of
+    ``similarity.pending_upsert_cells``. Recovery = re-run the same
+    upsert (idempotent; see the crash contract above)."""
+    import json
+    import os
+
+    pend = os.path.join(path, _LEX_PENDING)
+    if not fsutil.exists(pend):
+        return None
+    doc = json.loads(fsutil.read_text(pend))
+    return {"shards": [int(s) for s in doc["shards"]],
+            "dspans": [int(s) for s in doc["dspans"]]}
+
+
 def pending_lexical_split(path: str) -> dict | None:
     """``{"src": int, "dst": int, "salt": str}`` of a torn
     ``split_lexical_shard`` run, or None — the lexical twin of

@@ -4422,21 +4422,38 @@ def lexical_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     then probe with BM25 — the result must equal the oracle's
     from-scratch scoring of the FINAL corpus, proving per-shard df
     recomputation and the stateless (n, tl) descriptor refresh are
-    exact. Only touched term shards and docmeta spans rewrite."""
-    import os
-
+    exact. Only touched term shards and docmeta spans rewrite. The
+    partial starting index is a byte-identical private copy of a shared
+    read-only session fixture (the ann_ivf_split_rebalance rule: the
+    upsert mutates it, so it can't share the artifact in place — but
+    re-tokenizing the 80% corpus per run measured the BUILD, not the
+    upsert under test)."""
     from .operators.retrieval import bm25_indexed_topk, \
-        upsert_lexical_index, write_lexical_index
-    from .queries import _tmp_root
+        upsert_lexical_index
+    from .queries import _mutable_copy
+
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_tmp_root(sf_dir, "lexupsert"), "index")
-    write_lexical_index(docs.where(F.col("doc_id") % 5 != 0), path)
+    path = _mutable_copy(_lex_partial_fixture(spark, sf_dir),
+                         sf_dir, "lexupsert")
     upsert_lexical_index(
         spark, path,
         adds=docs.where(F.col("doc_id") % 5 == 0),
         removes=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
     return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
         .withColumn("score", F.col("score").cast("string"))
+
+
+def _lex_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared 80%-corpus lexical index (docs with doc_id % 5 != 0,
+    default layout) — the starting state of the upsert e2e."""
+    from .operators.retrieval import write_lexical_index
+    from .queries import _session_fixture
+
+    return _session_fixture(
+        sf_dir, "lex_partial",
+        lambda p: write_lexical_index(
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 != 0), p))
 
 
 @register("index_coalesced_maintenance", _bm25_oracle_sql(

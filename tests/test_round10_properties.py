@@ -613,3 +613,40 @@ def test_write_ivf_index_empty_corpus_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no rows"):
         write_ivf_index(empty, str(tmp_path / "ivf"), n_cells=4)
+
+
+def test_pending_lexical_upsert_helper(spark, tmp_path):
+    """pending_lexical_upsert mirrors pending_upsert_cells: None after a
+    clean batch, the touched shard/span manifest after a torn one."""
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        pending_lexical_upsert, upsert_lexical_index, write_lexical_index)
+
+    path = str(tmp_path / "lex")
+    write_lexical_index(_split_docs(spark), path, shards=4, span_width=8)
+    adds = spark.createDataFrame([(100, "alpha zeta")],
+                                 "doc_id long, text string")
+    upsert_lexical_index(spark, path, adds=adds)
+    assert pending_lexical_upsert(path) is None
+
+    real = fsutil.delete
+
+    def no_delete(p, spark=None):
+        if p.endswith("_lex_upsert_pending.json"):
+            raise RuntimeError("injected crash before manifest delete")
+        return real(p, spark=spark)
+
+    fsutil.delete = no_delete
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_lexical_index(
+                spark, path,
+                adds=adds.withColumn("doc_id", F.col("doc_id") + 1))
+    finally:
+        fsutil.delete = real
+    pend = pending_lexical_upsert(path)
+    assert pend is not None and pend["shards"]
+    # recovery = re-run; the manifest clears
+    upsert_lexical_index(
+        spark, path, adds=adds.withColumn("doc_id", F.col("doc_id") + 1))
+    assert pending_lexical_upsert(path) is None
