@@ -263,7 +263,15 @@ class MaintainedIndex:
         return {"applied": True, "versions": target_v - w,
                 "reconciled": reconciled}
 
+    def built(self) -> bool:
+        return fsutil.exists(self._state_path, spark=self.engine.spark)
+
     def maybe_apply(self) -> dict:
+        if not self.built():
+            # a registered-but-unbuilt index must not crash the
+            # scheduler poll; the build (a full corpus scan) stays an
+            # EXPLICIT call, never an implicit side effect of a 1 s loop
+            return {"applied": False, "versions": 0, "unbuilt": True}
         if not self.due():
             return {"applied": False, "versions": 0}
         return self.apply()
@@ -299,7 +307,7 @@ class MaintainedIndex:
         reads the 2-int membership table; the lexical trigger a
         column-pruned ``shard`` scan of postings — both on the
         scheduler's optimize cadence, never the CDC path."""
-        if self.split_load_factor is None:
+        if self.split_load_factor is None or not self.built():
             return None
         spark = self.engine.spark
         if self.kind == "ivf":

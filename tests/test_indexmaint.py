@@ -342,3 +342,60 @@ def test_optimizer_drives_lexical_shard_split(spark, tmp_path):
     assert probe() == before
     # bounded one action per poll, whatever the residual skew
     assert len(opt.maybe_maintain_indexes()) <= 1
+
+
+def test_streaming_supervisor_services_maintained_index(spark, tmp_path):
+    """The full production wiring: CDC flows through the REAL streaming
+    path (supervisor-managed foreachBatch apply) at full cadence; the
+    maintained index lags at its watermark until a supervisor poll whose
+    optimizer finds it due, which coalesces the whole window into one
+    upsert — then index_freshness reads zero behind and the probe sees
+    the streamed docs."""
+    import os as _os
+
+    from mysql_ch_replicator_spark.runner import ReplicationSupervisor
+    from mysql_ch_replicator_spark.sources.event_log import EventLogWriter
+
+    event_root = str(tmp_path / "events")
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", DOCS_DDL)
+    log = EventLogWriter(_os.path.join(event_root, "db1"))
+    log.add("db1", "docs", [(i, f"alpha beta w{i % 5}") for i in range(12)])
+    log.rotate()
+
+    clock = FakeClock()
+    path = str(tmp_path / "lexidx")
+    ix = MaintainedIndex(engine, "db1", "docs", path, "lexical",
+                         payload_col="body", max_lag_seconds=30.0,
+                         clock=clock, shards=4, span_width=8)
+    opt = ReplicaOptimizer(engine, interval=600.0, clock=clock,
+                           indexes=[ix])
+    sup = ReplicationSupervisor(engine, event_root,
+                                str(tmp_path / "ckpt"),
+                                trigger_seconds=0.2, optimizer=opt)
+    try:
+        sup.poll()
+        sup.process_all_available()
+        ix.build()
+
+        # stream two more batches at full cadence — index stays put
+        log.add("db1", "docs", [(100, "delta omicron"), (101, "delta pi")])
+        log.rotate()
+        log.remove("db1", "docs", [(3,)])
+        log.rotate()
+        sup.process_all_available()
+        assert ix.status()["versions_behind"] >= 1
+        r = sup.poll()
+        assert r["indexes"] == []           # not due: inside the lag bound
+
+        clock.t += 31
+        r = sup.poll()
+        assert r["indexes"] == [(path, "apply")]
+        s = ix.status()
+        assert s["versions_behind"] == 0
+        got = {int(x.doc_id) for x in
+               spark.read.parquet(_os.path.join(path, "docmeta"))
+               .select("doc_id").collect()}
+        assert 100 in got and 101 in got and 3 not in got
+    finally:
+        sup.stop_all()
