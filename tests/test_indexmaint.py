@@ -399,3 +399,78 @@ def test_streaming_supervisor_services_maintained_index(spark, tmp_path):
         assert 100 in got and 101 in got and 3 not in got
     finally:
         sup.stop_all()
+
+
+def test_randomized_windows_converge_to_rebuild(spark, tmp_path):
+    """Seeded-random stress over the full contract: four maintenance
+    windows of random adds/updates/deletes, a compaction thrown between
+    two of them (forcing the reconcile path) and one simulated crash
+    (watermark rolled back, window re-applied) — after every apply the
+    maintained index must equal a from-scratch build of the replica's
+    FINAL state, descriptor and probe alike."""
+    import random
+
+    from mysql_ch_replicator_spark.operators.retrieval import \
+        write_lexical_index
+
+    rnd = random.Random(1009)
+    vocab = ["alpha", "beta", "gamma", "delta", "w1", "w2", "w3", "zeta"]
+
+    def text(i):
+        return " ".join(rnd.choice(vocab)
+                        for _ in range(3 + (i % 5)))
+
+    rig = _Rig(spark, tmp_path, DOCS_DDL, "docs")
+    live = {}
+    first = {i: text(i) for i in range(20)}
+    live.update(first)
+    rig.apply(adds=list(first.items()))
+
+    clock = FakeClock()
+    path = str(tmp_path / "lexidx")
+    ix = MaintainedIndex(rig.engine, "db1", "docs", path, "lexical",
+                         payload_col="body", max_lag_seconds=1.0,
+                         clock=clock, shards=4, span_width=8)
+    ix.build()
+    next_id = 100
+
+    for window in range(4):
+        # 1-3 replica batches per window
+        for _ in range(rnd.randint(1, 3)):
+            adds, removes = [], []
+            for _ in range(rnd.randint(1, 5)):
+                op = rnd.random()
+                if op < 0.5 or not live:              # insert
+                    adds.append((next_id, text(next_id)))
+                    live[next_id] = adds[-1][1]
+                    next_id += 1
+                elif op < 0.8:                        # update
+                    k = rnd.choice(sorted(live))
+                    adds.append((k, text(k + 7_000)))
+                    live[k] = adds[-1][1]
+                else:                                 # delete
+                    k = rnd.choice(sorted(live))
+                    removes.append(k)
+                    live.pop(k)
+            rig.apply(adds=adds, removes=removes)
+        if window == 1:
+            rig.engine.optimize("db1", "docs")        # tombstones vanish
+        pre_state = fsutil.read_text(os.path.join(path, MAINT_STATE))
+        clock.t += 2
+        assert ix.maybe_apply()["applied"]
+        if window == 2:                               # crash: re-apply
+            fsutil.write_text(os.path.join(path, MAINT_STATE), pre_state)
+            assert ix.apply()["applied"]
+
+        full = str(tmp_path / f"full{window}")
+        write_lexical_index(
+            rig.engine.read_final("db1", "docs")
+            .select("doc_id", "body"),
+            full, id_col="doc_id", text_col="body", shards=4, span_width=8)
+        assert (json.loads(fsutil.read_text(
+                    os.path.join(path, "_lex_meta.json")))
+                == json.loads(fsutil.read_text(
+                    os.path.join(full, "_lex_meta.json")))), \
+            f"descriptor diverged in window {window}"
+        assert _lex_probe(spark, path) == _lex_probe(spark, full), \
+            f"probe diverged in window {window}"
