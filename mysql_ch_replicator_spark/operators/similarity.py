@@ -784,6 +784,65 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return sel
 
 
+def semi_hard_triplets(corpus: DataFrame, anchors: DataFrame,
+                       margin: float = 0.05,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       query_id_col: str = "query_id",
+                       label_col: str = "label") -> DataFrame:
+    """Semi-hard triplet mining (Schroff et al. 2015, FaceNet): for each
+    anchor, the hardest same-label POSITIVE (max cosine, excluding self)
+    and the hardest SEMI-HARD different-label negative — one farther
+    than the positive but inside the margin band,
+    ``pos_cos - margin < neg_cos < pos_cos`` — the regime that trains a
+    metric without the collapse risk of fully-hard negatives. The
+    data-mining half of contrastive training, beside
+    ``exclude_cols``-based hard-negative retrieval.
+
+    Scale shape: ONE corpus scan computes every (anchor, candidate)
+    cosine with the anchors broadcast; the slim projected candidate
+    frame (ids, label match flag, rounded cos) is staged once and feeds
+    both the positive argmax and the negative band filter — the corpus
+    text/vectors never shuffle and never scan twice. At 100 TB the
+    candidate generation swaps for IVF-probed shortlists per anchor;
+    the mining algebra on top is unchanged. Anchors without a same-label
+    peer, or without a negative inside their band, yield no row (the
+    standard in-batch mining behavior). Cosines are rounded to 6 dp
+    BEFORE every comparison, so Spark and a SQL oracle rank and band
+    identically. Returns (query_id, pos_id, neg_id, pos_cos, neg_cos)."""
+    from ..cache import transient_persist
+
+    a = anchors.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.col(label_col).alias("__q_label"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv"),
+                              F.col(label_col).alias("__c_label"))
+    cand = transient_persist(
+        c.join(F.broadcast(a), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (F.col("__c_label") == F.col("__q_label")).alias("same"),
+                F.round(cosine_expr("qv", "cv"), 6).alias("cos")))
+    pos = (cand.where(F.col("same"))
+           .groupBy("query_id")
+           .agg(F.max_by("neighbor_id",
+                         F.struct(F.col("cos"),
+                                  (-F.col("neighbor_id")).alias("nid")))
+                .alias("pos_id"),
+                F.max("cos").alias("pos_cos")))
+    neg = (cand.where(~F.col("same"))
+           .join(pos, "query_id")
+           .where((F.col("cos") < F.col("pos_cos"))
+                  & (F.col("cos") > F.col("pos_cos") - F.lit(margin)))
+           .groupBy("query_id")
+           .agg(F.max_by("neighbor_id",
+                         F.struct(F.col("cos"),
+                                  (-F.col("neighbor_id")).alias("nid")))
+                .alias("neg_id"),
+                F.max("cos").alias("neg_cos")))
+    return (pos.join(neg, "query_id")
+            .select("query_id", "pos_id", "neg_id", "pos_cos", "neg_cos"))
+
+
 _IVF_META = "_ivf_meta.json"   # underscore prefix: invisible to parquet scans
 _IVF_PENDING = "_ivf_upsert_pending.json"   # upsert intent manifest
 _IVF_MEMBERS = "_vecmeta"      # id-span-partitioned vec_id→cell membership

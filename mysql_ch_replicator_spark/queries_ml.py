@@ -830,6 +830,59 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, anchors, k=10, exclude_cols=["label"])
 
 
+_TRIPLET_MARGIN = 0.05
+
+
+@register(
+    "ann_triplet_mining",
+    f"""
+    WITH a AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < 12),
+    cand AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label = a.label AS same,
+             round({_cos_sql('a.embedding', 'c.embedding', _EMB_DIMS)}, 6)
+               AS cos
+      FROM embeddings c, a WHERE c.vec_id <> a.vec_id
+    ),
+    pos AS (
+      SELECT query_id, neighbor_id AS pos_id, cos AS pos_cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM cand WHERE same) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id AS neg_id, cos AS neg_cos FROM (
+        SELECT n.query_id, n.neighbor_id, n.cos,
+               row_number() OVER (PARTITION BY n.query_id
+                                  ORDER BY n.cos DESC, n.neighbor_id) AS rn
+        FROM cand n JOIN pos USING (query_id)
+        WHERE NOT n.same AND n.cos < pos_cos
+          AND n.cos > pos_cos - {_TRIPLET_MARGIN}) WHERE rn = 1
+    )
+    SELECT query_id, pos_id, neg_id, pos_cos, neg_cos
+    FROM pos JOIN neg USING (query_id)
+    """,
+)
+def ann_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard triplet mining (operators/similarity.semi_hard_triplets,
+    FaceNet): per anchor, the hardest same-label positive and the
+    hardest different-label negative inside the semi-hard band
+    (pos_cos - margin, pos_cos) — the regime that trains a contrastive
+    metric without the collapse risk of fully-hard negatives. One corpus
+    scan with the anchors broadcast feeds both the positive argmax and
+    the negative band filter through a slim staged candidate frame;
+    cosines round to 6 dp before every comparison so both engines band
+    identically. Anchors with an empty band yield no triplet (standard
+    mining behavior — the oracle's inner join replicates it)."""
+    from .operators.similarity import semi_hard_triplets
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 12) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    return semi_hard_triplets(emb, anchors, margin=_TRIPLET_MARGIN)
+
+
 @register(
     "ann_knn_classify",
     f"""
