@@ -829,8 +829,11 @@ def semi_hard_triplets(corpus: DataFrame, anchors: DataFrame,
                                   (-F.col("neighbor_id")).alias("nid")))
                 .alias("pos_id"),
                 F.max("cos").alias("pos_cos")))
+    # pos/neg are anchor-sized by construction (one row per anchor) —
+    # broadcast them explicitly rather than trusting AQE stats on the
+    # cached candidate frame
     neg = (cand.where(~F.col("same"))
-           .join(pos, "query_id")
+           .join(F.broadcast(pos), "query_id")
            .where((F.col("cos") < F.col("pos_cos"))
                   & (F.col("cos") > F.col("pos_cos") - F.lit(margin)))
            .groupBy("query_id")
@@ -839,7 +842,7 @@ def semi_hard_triplets(corpus: DataFrame, anchors: DataFrame,
                                   (-F.col("neighbor_id")).alias("nid")))
                 .alias("neg_id"),
                 F.max("cos").alias("neg_cos")))
-    return (pos.join(neg, "query_id")
+    return (pos.join(F.broadcast(neg), "query_id")
             .select("query_id", "pos_id", "neg_id", "pos_cos", "neg_cos"))
 
 

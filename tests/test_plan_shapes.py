@@ -1006,3 +1006,42 @@ def test_embedding_drift_scans_corpus_once(spark, queries):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "InMemoryTableScan" in plan
     assert "BroadcastExchange" in plan      # dim-position join back
+
+
+def test_quality_keeper_single_norm_hash_shuffle(spark, queries):
+    """dedup_quality_keeper: the keeper argmax is a max_by AGGREGATE on
+    the norm hash — never a window (a viral doc's cluster would funnel
+    through one task) and never a doc-keyed exchange (the score is
+    computed at the scan, not joined in)."""
+    plan = plan_of(queries["dedup_quality_keeper"](spark, SF))
+    assert "Window" not in plan
+    for n in _plan_nodes(plan):
+        head = n.split("\n")[0]
+        if "Exchange" in head and "hashpartitioning" in n:
+            assert "norm_hash" in n, f"non-cluster-key exchange:\n{n}"
+
+
+def test_triplet_mining_broadcast_and_staged_candidates(spark, queries):
+    """ann_triplet_mining: anchors broadcast against ONE corpus scan; the
+    positive argmax and the negative band filter both read the staged
+    slim candidate frame (InMemoryTableScan), so the corpus vectors are
+    scanned at most twice (candidates + the tiny anchor filter) and
+    never shuffled."""
+    df = queries["ann_triplet_mining"](spark, SF)
+    plan = executed_plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # both mining branches consume the staged candidates (the cache's
+    # embedded build-plan string repeats the FileScan text, so the pin
+    # counts cache CONSUMERS, not scan substrings)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_hard_negatives_prefilter_in_join(spark, queries):
+    """ann_hard_negatives: the label inequality lives in the broadcast
+    join condition (candidates drop before any cosine), the corpus side
+    never shuffles before ranking."""
+    df = queries["ann_hard_negatives"](spark, SF)
+    plan = executed_plan_of(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
