@@ -167,3 +167,49 @@ def delete(path: str, recursive: bool = True,
     if not fs.exists(p):
         return False
     return bool(fs.delete(p, recursive))
+
+
+def list_names(path: str, spark: SparkSession | None = None) -> list[str]:
+    """Names of the directory's direct children, [] when absent — the
+    bounded listing partition-emptiness checks need (a directory of
+    partition subdirs is metadata-cardinality, never data)."""
+    handle = _fs(path, spark)
+    if handle is None:
+        local = _local_form(path)
+        try:
+            return sorted(os.listdir(local))
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+    fs, p, _ = handle
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def read_parquet_or_empty(spark: SparkSession, root: str,
+                          schema_json: str | None):
+    """Read a partition-directory parquet table that may have had EVERY
+    partition deleted: a remove-everything CDC window legitimately
+    sweeps all ``key=value`` subdirs, and parquet schema inference then
+    dies on the bare root ('Unable to infer schema'), permanently
+    wedging every later upsert and probe. When no partition subdir
+    remains, the table reads as an EMPTY frame with the schema the index
+    descriptor captured at build time; a pre-r10 descriptor that carries
+    no schema raises a named rebuild error instead of the inference
+    crash."""
+    import json as _json
+
+    # readable content = partition subdirs or plain data files; metadata
+    # side-files (_SUCCESS, _vecmeta, .crc) don't count
+    if any(not n.startswith(("_", "."))
+           for n in list_names(root, spark=spark)):
+        return spark.read.parquet(root)
+    if not schema_json:
+        raise ValueError(
+            f"read_parquet_or_empty: {root} has no partition directories "
+            f"left (every row was removed) and its descriptor predates "
+            f"the r10 schema capture — rebuild the index from the "
+            f"replica's final state")
+    from pyspark.sql.types import StructType
+    return spark.createDataFrame(
+        [], StructType.fromJson(_json.loads(schema_json)))

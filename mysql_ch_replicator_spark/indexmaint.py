@@ -120,6 +120,10 @@ class MaintainedIndex:
         self.split_min_rows = int(split_min_rows)
         self.clock = clock
         self.index_opts = dict(index_opts)
+        # version the load-factor check last ran against: the hottest
+        # partition can only change when an apply or split mutates the
+        # index, so idle polls skip the O(partition-stats) scan entirely
+        self._split_checked_version: int | None = None
 
     # -- state ----------------------------------------------------------
 
@@ -307,9 +311,12 @@ class MaintainedIndex:
         reads the 2-int membership table; the lexical trigger a
         column-pruned ``shard`` scan of postings — both on the
         scheduler's optimize cadence, never the CDC path."""
+        from .operators import UnsplittablePartition
+
         if self.split_load_factor is None or not self.built():
             return None
         spark = self.engine.spark
+        applied_v = int(self._state()["applied_version"])
         if self.kind == "ivf":
             from .operators.similarity import (_IVF_MEMBERS,
                                                _IVF_SPLIT_PENDING,
@@ -319,27 +326,37 @@ class MaintainedIndex:
                     os.path.join(self.index_path, _IVF_SPLIT_PENDING),
                     spark=spark):
                 return split_ivf_cell(spark, self.index_path)
-            rows = (spark.read.parquet(
-                os.path.join(self.index_path, _IVF_MEMBERS))
+            if self._split_checked_version == applied_v:
+                # nothing mutated the index since the last load check —
+                # an idle poll stays metadata-only
+                return None
+            meta = read_ivf_meta(self.index_path)
+            rows = (fsutil.read_parquet_or_empty(
+                spark, os.path.join(self.index_path, _IVF_MEMBERS),
+                (meta or {}).get("schemas", {}).get("members"))
                 .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
                 .collect())      # bounded: one row per cell
-            n_parts = int(read_ivf_meta(self.index_path)["n_cells"])
+            n_parts = int(meta["n_cells"])
             key, action = "cell", split_ivf_cell
         else:
             from .operators.retrieval import (pending_lexical_split,
                                               split_lexical_shard)
             if pending_lexical_split(self.index_path) is not None:
                 return split_lexical_shard(spark, self.index_path)
+            if self._split_checked_version == applied_v:
+                return None
             meta = json.loads(fsutil.read_text(
                 os.path.join(self.index_path, "_lex_meta.json"),
                 spark=spark))
-            rows = (spark.read.parquet(
-                os.path.join(self.index_path, "postings"))
+            rows = (fsutil.read_parquet_or_empty(
+                spark, os.path.join(self.index_path, "postings"),
+                meta.get("schemas", {}).get("postings"))
                 .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
                 .collect())      # bounded: one row per shard
             n_parts = int(meta["shards"]) + len(meta.get("splits", []))
             key, action = "shard", split_lexical_shard
         if not rows:
+            self._split_checked_version = applied_v
             return None
         total = sum(int(r.n) for r in rows)
         hottest = max(rows, key=lambda r: (int(r.n), -int(r[key])))
@@ -348,8 +365,14 @@ class MaintainedIndex:
                 and int(hottest.n) >= self.split_load_factor * mean):
             try:
                 return action(spark, self.index_path, int(hottest[key]))
-            except ValueError as e:
-                if "identical" in str(e) or "one side" in str(e):
-                    return None
-                raise
+                # NB: after a split fires, the checked-version mark is
+                # deliberately NOT set — residual skew re-checks on the
+                # next poll (one split per poll stays the bound)
+            except UnsplittablePartition:
+                # hot but un-rebalanceable (identical vectors / a single
+                # hot term): leave it rather than wedge the poll, and
+                # mark checked so idle polls stop re-paying the scan
+                self._split_checked_version = applied_v
+                return None
+        self._split_checked_version = applied_v
         return None

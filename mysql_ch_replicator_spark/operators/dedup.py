@@ -237,10 +237,14 @@ def quality_keeper_dedup(docs: DataFrame, score_expr,
 
     Returns (doc_id, dup_of, n_copies, kept, norm_hash) for every doc —
     ``kept`` marks the cluster representative."""
+    # the score keeps its native type — a silent cast("long") here would
+    # truncate fractional scores to ties and quietly degrade the keeper
+    # to min-id, the exact bias this operator exists to remove; use
+    # integer (ppm-scaled) scores when cross-engine exactness matters
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         norm_text_hash(F.col(text_col)).alias("norm_hash"),
-        score_expr.cast("long").alias("__s"))
+        score_expr.alias("__s"))
     keeper = hashed.groupBy("norm_hash").agg(
         F.max_by("doc_id",
                  F.struct(F.col("__s"), (-F.col("doc_id")).alias("nid")))

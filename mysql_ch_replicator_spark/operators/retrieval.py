@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from . import UnsplittablePartition
 from ..cache import transient_persist
 from ..functions.hashing import h60, words
 from ..sources.snapshot import spread
@@ -351,13 +352,20 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     # second corpus scan. The collect is bounded by the span COUNT,
     # which span_width keeps ~1e4 at any corpus size.
     spans_map = _span_stats_map(meta_df.select("dl", "dspan"))
+    # read-back schemas (one footer read per table): what keeps the
+    # index READABLE after a remove-everything CDC window sweeps every
+    # partition directory — see fsutil.read_parquet_or_empty
+    spark = docs.sparkSession
+    schemas = {t: spark.read.parquet(os.path.join(path, t)).schema.json()
+               for t in (["postings", "docmeta"]
+                         + (["positions"] if positions else []))}
     # descriptor rides the Hadoop FS like the parquet it describes —
     # open() breaks on any non-local index path (ADVICE r7)
     fsutil.write_text(
         os.path.join(path, _LEX_META),
         json.dumps(_lex_meta_doc(spans_map, shards, span_width,
-                                 positions=positions)),
-        spark=docs.sparkSession)
+                                 positions=positions, schemas=schemas)),
+        spark=spark)
 
 
 def _tokenized_positions(docs: DataFrame, id_col: str,
@@ -384,7 +392,8 @@ def _span_stats_map(meta_rows: DataFrame) -> dict[str, list[int]]:
 
 def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
                   span_width: int, positions: bool = False,
-                  splits: list[dict] | None = None) -> dict:
+                  splits: list[dict] | None = None,
+                  schemas: dict[str, str] | None = None) -> dict:
     """The descriptor document: (n, tl) are DERIVED as sums over the
     per-span stats, so the two representations can never disagree.
     ``positions`` records whether the index carries the positional
@@ -392,12 +401,18 @@ def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
     ``splits`` is the hot-shard split chain (``split_lexical_shard``) —
     term placement is a pure function of (shards, splits), so the
     descriptor fully determines where every term lives."""
-    return {"n": sum(v[0] for v in spans_map.values()),
-            "tl": sum(v[1] for v in spans_map.values()),
-            "shards": int(shards), "dspan": int(span_width),
-            "positions": bool(positions),
-            "splits": list(splits or []),
-            "spans": spans_map}
+    doc = {"n": sum(v[0] for v in spans_map.values()),
+           "tl": sum(v[1] for v in spans_map.values()),
+           "shards": int(shards), "dspan": int(span_width),
+           "positions": bool(positions),
+           "splits": list(splits or []),
+           "spans": spans_map}
+    if schemas:
+        # read-back schemas captured at build: what lets a table whose
+        # every partition was removed read as an EMPTY frame instead of
+        # dying in parquet schema inference (fsutil.read_parquet_or_empty)
+        doc["schemas"] = dict(schemas)
+    return doc
 
 
 def bm25_indexed_topk(spark, path: str, query_terms: list[str],
@@ -425,7 +440,9 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
     terms = sorted({t.lower() for t in query_terms})
     shard_ids = sorted({_term_shard_py(t, shards, splits) for t in terms})
 
-    idx = (spark.read.parquet(os.path.join(path, "postings"))
+    idx = (fsutil.read_parquet_or_empty(
+               spark, os.path.join(path, "postings"),
+               meta.get("schemas", {}).get("postings"))
            .where(F.col("shard").isin(shard_ids))
            .where(F.col("term").isin(terms))
            .select("term", "doc_id", "tf", "df"))
@@ -435,7 +452,9 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
     # happens on first UPSERT, probes must work either way)
     docmeta_path = os.path.join(path, "docmeta")
     if fsutil.exists(docmeta_path, spark=spark):
-        dl = spark.read.parquet(docmeta_path).select("doc_id", "dl")
+        dl = fsutil.read_parquet_or_empty(
+            spark, docmeta_path,
+            meta.get("schemas", {}).get("docmeta")).select("doc_id", "dl")
     else:
         dl = spark.read.parquet(os.path.join(path, "doclen")) \
             .select("doc_id", "dl")
@@ -563,10 +582,12 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                                            spark=spark))
     shards = meta["shards"]
     splits = meta.get("splits", [])
+    schemas = meta.get("schemas", {})
     dspan_w = int(meta.get("dspan", _LEX_DSPAN))
     postings_path = os.path.join(path, "postings")
     docmeta_path = os.path.join(path, "docmeta")
-    postings = spark.read.parquet(postings_path)
+    postings = fsutil.read_parquet_or_empty(spark, postings_path,
+                                            schemas.get("postings"))
     if not fsutil.exists(docmeta_path, spark=spark):
         # pre-r8 layout (doclen only): fuse length + membership once
         # from the full postings — the LAST full-index scan this index
@@ -587,7 +608,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     # delete can't leave it behind forever
     if fsutil.exists(os.path.join(path, "doclen"), spark=spark):
         fsutil.delete(os.path.join(path, "doclen"), spark=spark)
-    docmeta = spark.read.parquet(docmeta_path)
+    docmeta = fsutil.read_parquet_or_empty(spark, docmeta_path,
+                                           schemas.get("docmeta"))
     if "spans" in meta:
         spans_map = {k: [int(v[0]), int(v[1])]
                      for k, v in meta["spans"].items()}
@@ -712,7 +734,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # terms hash to), same merge algebra; checkpoints beside the
             # postings merge, commits in the same data phase
             positions_path = os.path.join(path, "positions")
-            pos_tbl = spark.read.parquet(positions_path)
+            pos_tbl = fsutil.read_parquet_or_empty(
+                spark, positions_path, schemas.get("positions"))
             cur_pos = (pos_tbl
                        .where(F.col("shard").isin(touched_shards))
                        .join(changed, "doc_id", "left_anti")
@@ -813,10 +836,19 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         raise
     pool.shutdown(wait=True)
 
+    if not schemas and touched_shards:
+        # pre-r10 descriptor: capture the read-back schemas on this
+        # first upsert (the migration moment every other descriptor
+        # field already uses)
+        schemas = {t: spark.read.parquet(os.path.join(path, t))
+                   .schema.json()
+                   for t in (["postings", "docmeta"]
+                             + (["positions"] if has_positions else []))}
     fsutil.write_text(
         os.path.join(path, _LEX_META),
         json.dumps(_lex_meta_doc(spans_map, shards, dspan_w,
-                                 positions=has_positions, splits=splits)),
+                                 positions=has_positions, splits=splits,
+                                 schemas=schemas)),
         spark=spark)
     fsutil.delete(pending, spark=spark)
     return {"shards": touched_shards, "dspans": touched_spans}
@@ -919,7 +951,8 @@ def split_lexical_shard(spark, path: str,
     pending = None
     if fsutil.exists(pend_path, spark=spark):
         pending = json.loads(fsutil.read_text(pend_path, spark=spark))
-    postings = spark.read.parquet(postings_path)
+    postings = fsutil.read_parquet_or_empty(
+        spark, postings_path, meta.get("schemas", {}).get("postings"))
     if pending is not None:
         if shard is not None and shard != int(pending["src"]):
             raise ValueError(
@@ -975,7 +1008,7 @@ def split_lexical_shard(spark, path: str,
         stat = (rows.select("term").distinct()
                 .agg(F.count(F.lit(1)).alias("nt"), *movers).first())
         if int(stat.nt) == 0:
-            raise ValueError(
+            raise UnsplittablePartition(
                 f"split_lexical_shard: shard {src} holds no postings — "
                 f"nothing to split")
         for i, c in enumerate(candidates):
@@ -983,7 +1016,7 @@ def split_lexical_shard(spark, path: str,
                 salt = c
                 break
         if salt is None:
-            raise ValueError(
+            raise UnsplittablePartition(
                 f"split_lexical_shard: no salt separates the terms of "
                 f"shard {src} — every candidate moved them all to one "
                 f"side (a single hot term cannot be rebalanced by term "
@@ -1009,7 +1042,9 @@ def split_lexical_shard(spark, path: str,
                       spark=spark)
     if has_positions:
         positions_path = os.path.join(path, "positions")
-        pos_rows = (spark.read.parquet(positions_path)
+        pos_rows = (fsutil.read_parquet_or_empty(
+                        spark, positions_path,
+                        meta.get("schemas", {}).get("positions"))
                     .where(F.col("shard").isin([src, dst]))
                     .dropDuplicates(["term", "doc_id", "pos"])
                     .withColumn(
@@ -1034,7 +1069,8 @@ def split_lexical_shard(spark, path: str,
         F.expr(f"doc_id div {dspan_w}").alias("v"))
         .distinct().collect()})
     if touched_spans:
-        docmeta = spark.read.parquet(docmeta_path)
+        docmeta = fsutil.read_parquet_or_empty(
+            spark, docmeta_path, meta.get("schemas", {}).get("docmeta"))
         merged_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
                        .join(doc_sets, "doc_id", "left")
                        .select(
@@ -1156,7 +1192,9 @@ def phrase_match_indexed(spark, path: str, phrase: list[str],
     # parquet with its own term equality pushed into the scan — tighter
     # IO than materializing all terms' rows once (and the scans prune to
     # the same few directories either way; plan-pinned)
-    pos = (spark.read.parquet(os.path.join(path, "positions"))
+    pos = (fsutil.read_parquet_or_empty(
+               spark, os.path.join(path, "positions"),
+               meta.get("schemas", {}).get("positions"))
            .where(F.col("shard").isin(shard_ids))
            .select("term", "doc_id", "pos"))
     matched = (pos.where(F.col("term") == wanted[0])

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from . import UnsplittablePartition
 from ..cache import transient_persist
 from ..functions.hashing import h60
 from ..sources.snapshot import spread
@@ -907,10 +908,17 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
      .parquet(os.path.join(path, _IVF_MEMBERS)))
     # meta rides the Hadoop FS like the parquet it describes — open()
     # would break on any non-local index path (ADVICE r7)
+    # read-back schemas (one footer read per table): what keeps the
+    # index READABLE after a remove-everything CDC window sweeps every
+    # cell/vspan directory — see fsutil.read_parquet_or_empty
+    schemas = {
+        "index": spark.read.parquet(path).schema.json(),
+        "members": spark.read.parquet(
+            os.path.join(path, _IVF_MEMBERS)).schema.json()}
     fsutil.write_text(
         os.path.join(path, _IVF_META),
         json.dumps({"n_cells": n_cells, "dims": dims,
-                    "centroids": cents}),
+                    "centroids": cents, "schemas": schemas}),
         spark=spark)
 
 
@@ -1016,7 +1024,8 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
         meta = read_ivf_meta(path)   # the descriptor grew by one cell
         cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                                 meta["dims"])
-    idx = spark.read.parquet(path)
+    schemas = meta.get("schemas", {})
+    idx = fsutil.read_parquet_or_empty(spark, path, schemas.get("index"))
     members_path = os.path.join(path, _IVF_MEMBERS)
     if not fsutil.exists(members_path, spark=spark):
         # pre-r8 index: derive the membership table once from the full
@@ -1025,9 +1034,9 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
          .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
          .write.mode("overwrite").partitionBy("vspan")
          .parquet(members_path))
-    members = spark.read.parquet(members_path)
+    members = fsutil.read_parquet_or_empty(spark, members_path,
+                                           schemas.get("members"))
     assigned = None
-    cell_frames: list[DataFrame] = []   # single-column `cell` frames
     probe_ids: list[DataFrame] = []     # ids whose CURRENT cells matter
     if adds is not None:
         assigned = transient_persist(ivf_assign(
@@ -1035,7 +1044,6 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                         F.col(vec_col).alias("embedding")),
             "embedding", n_cells, dims, probes=1, centroids=cents)
             .withColumn("cell", F.element_at("cells", 1)).drop("cells"))
-        cell_frames.append(assigned.select("cell"))
         probe_ids.append(assigned.select("vec_id"))
     if removes is not None:
         # removes ALWAYS locate their cells by probing the index, even
@@ -1084,23 +1092,27 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     if not cells:
         pool.shutdown(wait=True)
         return []
-    cur = idx.where(F.col("cell").isin(cells))
-    if assigned is not None:
-        cur = cur.join(assigned.select("vec_id"), "vec_id", "left_anti")
-    merged = cur
-    if assigned is not None:
-        merged = merged.unionByName(assigned)
-    if removes is not None:
-        merged = merged.join(removes.select(F.col(id_col).alias("vec_id")),
-                             "vec_id", "left_anti")
     # The membership MERGE is independent of the cell rewrite (it reads
     # the OLD spans + the batch's own persisted frames), so it — and the
     # live-span probe over its checkpointed blocks — materializes on a
     # scheduler thread while the cells commit, same overlap as the
     # lexical upsert; only the membership WRITE must wait for the cells
     # + emptied-cell deletes (superset-on-crash contract in the
-    # docstring).
+    # docstring). Plan CONSTRUCTION sits inside the try too: an analysis
+    # error (an adds frame whose schema drifted) must release the pool
+    # like any other failure.
     try:
+        cur = idx.where(F.col("cell").isin(cells))
+        if assigned is not None:
+            cur = cur.join(assigned.select("vec_id"), "vec_id",
+                           "left_anti")
+        merged = cur
+        if assigned is not None:
+            merged = merged.unionByName(assigned)
+        if removes is not None:
+            merged = merged.join(
+                removes.select(F.col(id_col).alias("vec_id")),
+                "vec_id", "left_anti")
         memb_f = None
         if spans:
             cur_m = (members.where(F.col("vspan").isin(spans))
@@ -1252,7 +1264,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         cell, new_cell = int(pending["cell"]), int(pending["new_cell"])
     else:
         if cell is None:
-            members = spark.read.parquet(members_path)
+            members = fsutil.read_parquet_or_empty(
+                spark, members_path, meta.get("schemas", {}).get("members"))
             top = (members.groupBy("cell")
                    .agg(F.count(F.lit(1)).alias("n"))
                    .orderBy(F.col("n").desc(), F.col("cell")).first())
@@ -1271,7 +1284,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
                 f"split_ivf_cell: cell {cell} not in [1, {n_cells}]")
         new_cell = n_cells + 1
 
-    idx = spark.read.parquet(path)
+    idx = fsutil.read_parquet_or_empty(spark, path,
+                                       meta.get("schemas", {}).get("index"))
     # union of both split directories — deduped on vec_id: a fresh split
     # sees the empty new side, a resume sees the torn remainder, and a
     # crash inside the two-directory commit can leave a member present
@@ -1282,7 +1296,7 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     cellrows = idx.where(F.col("cell").isin([cell, new_cell])) \
         .dropDuplicates(["vec_id"])
     if pending is None and cellrows.isEmpty():
-        raise ValueError(
+        raise UnsplittablePartition(
             f"split_ivf_cell: cell {cell} holds no vectors — splitting "
             f"it would replace its centroid with the untrained init")
     # Farthest-point seeding FROM THE CELL'S OWN MEMBERS (r10): the old
@@ -1297,7 +1311,7 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     # trainer itself.
     seeds, max_d = _split_seed_centroids(cellrows, "embedding")
     if pending is None and max_d == 0.0:
-        raise ValueError(
+        raise UnsplittablePartition(
             f"split_ivf_cell: every member of cell {cell} is identical — "
             f"a split cannot rebalance it")
     sub = train_ivf_centroids(
@@ -1326,7 +1340,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
 
     # membership rewrite for the split members' spans (their final cell
     # comes from the committed reassignment, never a second training)
-    members = spark.read.parquet(members_path)
+    members = fsutil.read_parquet_or_empty(
+        spark, members_path, meta.get("schemas", {}).get("members"))
     final_m = reassigned.select(
         "vec_id", F.col("cell").cast("int").alias("cell"))
     spans = sorted({int(r.v) for r in reassigned.select(
@@ -1350,11 +1365,14 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         cents2[new_cell - 1] = [float(x) for x in sub[1]]
     else:
         cents2.append([float(x) for x in sub[1]])
-    fsutil.write_text(
-        os.path.join(path, _IVF_META),
-        json.dumps({"n_cells": len(cents2), "dims": dims,
-                    "centroids": cents2}),
-        spark=spark)
+    # carry every other descriptor field (schemas, future keys) through
+    # the rewrite — dropping them here would undo the r10 empty-table
+    # readability on the first split
+    meta2 = dict(meta)
+    meta2.update({"n_cells": len(cents2), "dims": dims,
+                  "centroids": cents2})
+    fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
+                      spark=spark)
     fsutil.delete(pend_path, spark=spark)
     return cell, new_cell
 
@@ -1445,7 +1463,10 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
     qcells = q.select("query_id", "qv", F.explode("cells").alias("cell"))
     probe_cells = sorted({r.cell for r in
                           qcells.select("cell").distinct().collect()})
-    index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    index = fsutil.read_parquet_or_empty(
+        spark, path,
+        (meta or {}).get("schemas", {}).get("index")) \
+        .where(F.col("cell").isin(probe_cells))
     scored = (index.join(F.broadcast(qcells), "cell")
               .where(F.col("vec_id") != F.col("query_id"))
               .withColumn("cos", F.round(cosine_expr("qv", "embedding"),

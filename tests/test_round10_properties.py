@@ -650,3 +650,55 @@ def test_pending_lexical_upsert_helper(spark, tmp_path):
     upsert_lexical_index(
         spark, path, adds=adds.withColumn("doc_id", F.col("doc_id") + 1))
     assert pending_lexical_upsert(path) is None
+
+
+# ---------------------------------------------------------------------------
+# Remove-everything windows must not wedge the indexes (r10 review #2)
+# ---------------------------------------------------------------------------
+
+def test_lexical_index_survives_remove_everything(spark, tmp_path):
+    """A CDC window that deletes EVERY doc sweeps all shard and span
+    directories; the next probe must read empty (schema from the
+    descriptor, not parquet inference over a bare root) and the next
+    upsert must repopulate the index to a state equal to a rebuild."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, upsert_lexical_index, write_lexical_index)
+
+    docs = _split_docs(spark)
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=4, span_width=8, positions=True)
+    upsert_lexical_index(spark, path, removes=docs.select("doc_id"))
+
+    assert bm25_indexed_topk(spark, path, ["alpha"], k=5).count() == 0
+    meta = json.load(open(os.path.join(path, "_lex_meta.json")))
+    assert meta["n"] == 0 and meta["tl"] == 0 and meta["spans"] == {}
+
+    re_adds = docs.where(F.col("doc_id") < 10)
+    upsert_lexical_index(spark, path, adds=re_adds)
+    full = str(tmp_path / "full")
+    write_lexical_index(re_adds, full, shards=4, span_width=8,
+                        positions=True)
+    assert _probe_all(spark, path) == _probe_all(spark, full)
+
+
+def test_ivf_index_survives_remove_everything(spark, tmp_path, corpus):
+    """IVF twin: removing every vector sweeps all cell and vspan dirs;
+    probes read empty from the descriptor schema and a later upsert
+    repopulates."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        _IVF_MEMBERS, ivf_index_topk, upsert_ivf_index, write_ivf_index)
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_cells=4)
+    upsert_ivf_index(spark, path, removes=corpus.select("vec_id"))
+
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    assert ivf_index_topk(spark, path, queries, k=3, probes=4).count() == 0
+
+    re_adds = corpus.where(F.col("vec_id") < 10)
+    upsert_ivf_index(spark, path, adds=re_adds)
+    got = sorted(int(r.vec_id) for r in spark.read.parquet(
+        os.path.join(path, _IVF_MEMBERS)).select("vec_id").collect())
+    assert got == sorted(int(r.vec_id) for r in
+                         re_adds.select("vec_id").collect())
