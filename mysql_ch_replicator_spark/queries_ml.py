@@ -4579,6 +4579,84 @@ def index_coalesced_maintenance(spark: SparkSession,
 
 
 @register(
+    "ivf_coalesced_maintenance",
+    f"""
+    WITH fin AS (
+      SELECT vec_id, embedding,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings WHERE vec_id % 7 <> 0
+    )
+    SELECT vec_id,
+           CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+    FROM fin
+    """,
+)
+def ivf_coalesced_maintenance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """IVF twin of index_coalesced_maintenance: embeddings replicate
+    through the MySQL-shaped engine as JSON strings (to_json/from_json
+    round-trips float32 exactly — shortest-repr rendering — so the
+    quantized assignment cannot drift at cell boundaries), three CDC
+    batches land at full cadence, and the maintainer coalesces the
+    window since its watermark into ONE cell-scoped upsert driven off
+    the replica's version delta. The returned ``_vecmeta`` membership
+    must equal the oracle's from-scratch nearest-centroid assignment of
+    the FINAL vector set — proving delta derivation, the re-add-replaces
+    merge, tombstone deletes, and the membership maintenance composed
+    exactly."""
+    import os
+
+    from .engine import ReplicaEngine
+    from .indexmaint import MaintainedIndex
+    from .operators.similarity import _IVF_MEMBERS
+    from .queries import _tmp_root
+    from .sources.event_log import EVENT_TYPE_ADD, EVENT_TYPE_REMOVE
+
+    root = _tmp_root(sf_dir, "ivfmaint")
+    engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+    engine.create_table("drv", """CREATE TABLE vecs (
+        vec_id bigint NOT NULL,
+        emb text,
+        PRIMARY KEY (vec_id))""")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ev(df, seq, etype, cols):
+        return df.select(
+            F.lit("binlog.000001").alias("tx_file"),
+            F.lit(seq).cast("long").alias("tx_pos"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit("drv").alias("db"),
+            F.lit("vecs").alias("table"),
+            F.lit(etype).cast("int").alias("event_type"),
+            F.array(F.array(*[F.col(c).cast("string") for c in cols]))
+             .alias("payload"),
+            F.lit(None).cast("string").alias("query"))
+
+    rows = emb.select("vec_id", F.to_json(F.col("embedding")).alias("emb"))
+    engine.apply_batch(ev(rows.where(F.col("vec_id") % 5 != 0),
+                          1, EVENT_TYPE_ADD, ["vec_id", "emb"]))
+    t = [0.0]
+    path = os.path.join(root, "ivfidx")
+    ix = MaintainedIndex(engine, "drv", "vecs", path, "ivf",
+                         payload_col="emb",
+                         payload_expr=F.from_json(F.col("emb"),
+                                                  "array<float>"),
+                         max_lag_seconds=30.0, clock=lambda: t[0],
+                         n_cells=8)
+    ix.build()
+    engine.apply_batch(ev(rows.where(F.col("vec_id") % 5 == 0),
+                          2, EVENT_TYPE_ADD, ["vec_id", "emb"]))
+    engine.apply_batch(ev(emb.where(F.col("vec_id") % 7 == 0)
+                          .select("vec_id"),
+                          3, EVENT_TYPE_REMOVE, ["vec_id"]))
+    ix.maybe_apply()            # too early: not due, index untouched
+    t[0] += 31.0
+    ix.maybe_apply()            # due: both batches coalesce into one upsert
+    return (spark.read.parquet(os.path.join(path, _IVF_MEMBERS))
+            .select("vec_id", F.col("cell").cast("int").alias("cell")))
+
+
+@register(
     "lexical_shard_split",
     f"""
     WITH tok AS (
