@@ -1956,6 +1956,81 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packing_efficiency_report",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 16 AS pack_bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, pack_bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_bucket
+                                 ORDER BY doc_id) AS running
+      FROM t
+    ),
+    p AS (
+      SELECT pack_bucket, n_tokens,
+             CAST((GREATEST(running, 1) - 1) // 512 AS BIGINT) AS seq_id
+      FROM r
+    )
+    SELECT pack_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(count(DISTINCT seq_id) * 512 AS BIGINT) AS capacity,
+           CAST(1000000 * sum(n_tokens)
+                // (count(DISTINCT seq_id) * 512) AS BIGINT) AS fill_ppm,
+           CAST(sum((n_tokens + 511) // 512) * 512 AS BIGINT)
+             AS naive_capacity,
+           CAST(CASE WHEN sum((n_tokens + 511) // 512) > 0 THEN
+                  1000000 * (sum((n_tokens + 511) // 512) * 512
+                             - count(DISTINCT seq_id) * 512)
+                  // (sum((n_tokens + 511) // 512) * 512)
+                ELSE 0 END AS BIGINT) AS saved_ppm
+    FROM p GROUP BY pack_bucket
+    """,
+)
+def packing_efficiency_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The packing audit every training-data pipeline wants beside the
+    packer itself: per pack bucket, how full the 512-token sequences
+    actually are (fill_ppm — boundary-crossing docs can push a sequence
+    past nominal capacity, so >1e6 is a real reading, not an error) and
+    how much capacity greedy packing saved vs padding each document to
+    its own 512-boundary (saved_ppm). Pure integer arithmetic over the
+    SAME packing algebra the pack_sequences oracle gates — one extra
+    aggregate over the packed frame, no new scan of the corpus text."""
+    from .functions.text import token_count_bpe
+    from .operators.packing import pack_sequences as pack
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    packed = pack(docs, "doc_id", token_count_bpe(F.col("text")),
+                  max_tokens=512, num_buckets=16)
+    naive = F.sum(F.expr("(n_tokens + 511) div 512")).cast("long")
+    return (packed.groupBy("pack_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 F.countDistinct("seq_id").cast("long").alias("n_seqs"),
+                 (F.countDistinct("seq_id") * 512).cast("long")
+                 .alias("capacity"),
+                 F.expr("1000000 * sum(n_tokens) "
+                        "div (count(DISTINCT seq_id) * 512)")
+                 .cast("long").alias("fill_ppm"),
+                 (naive * 512).alias("naive_capacity"),
+                 # integer div on BOTH engines — a double quotient cast
+                 # to long can round across the truncation boundary
+                 F.expr(
+                     "CASE WHEN sum((n_tokens + 511) div 512) > 0 THEN "
+                     "1000000 * (sum((n_tokens + 511) div 512) * 512 "
+                     "- count(DISTINCT seq_id) * 512) "
+                     "div (sum((n_tokens + 511) div 512) * 512) "
+                     "ELSE 0 END").cast("long").alias("saved_ppm")))
+
+
+@register(
     "sample_source_cap",
     f"""
     SELECT doc_id, source FROM (
