@@ -89,7 +89,22 @@ _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # probe's doclen fallback, so both lexical-index queries need fresh driver
 # rows on the new code path. Boosts are self-retiring (see _ordered_names),
 # so satisfied entries left here are harmless.
-_ROTATION_BOOST: tuple[str, ...] = ("lexical_index_upsert", "bm25_indexed")
+# name -> the newest RECORDED round when the boost was flagged: the boost
+# stays active until a green row NEWER than that round lands, then
+# self-retires. (The previous form retired on "green in the newest
+# recorded round", which could never re-verify a query that was green in
+# that round and changed AFTER it — exactly the r10 situation.)
+_ROTATION_BOOST: dict[str, int] = {
+    # r10 implementation changes that deserve a fresh driver row: the
+    # overlapped upserts + fixture re-base (lexical_index_upsert), the
+    # empty-safe descriptor-schema read path behind every index probe,
+    # the data-seeded split, and the hot-band short-circuit family.
+    "lexical_index_upsert": 9, "bm25_indexed": 9,
+    "ann_ivf_index_upsert": 9, "ann_ivf_split_rebalance": 9,
+    "ann_ivf_topk": 9, "dedup_simhash": 9,
+    "multimodal_dhash_dedup": 9, "dedup_minhash_calibration": 9,
+    "sample_raked_mixture": 9,
+}
 
 # Rotation-fairness knobs (r8, from the r7 verdict's starvation analysis:
 # 45 never-verified entrants legitimately out-sorted the 4 oldest TPC-H
@@ -161,12 +176,12 @@ def _ordered_names() -> list[str]:
     latest = _latest_green_rounds()
     reg_index = {n: i for i, n in enumerate(_REGISTRY)}
     pinned = set(_DRIVER_WINDOW_PINNED)
-    # a boost is self-retiring: once the flagged query has a green row in
-    # the NEWEST recorded round it has been re-verified, and the slot goes
-    # back to the ordinary staleness rotation
+    # a boost is self-retiring: once the flagged query has a green row
+    # NEWER than the round it was flagged in, it has been re-verified and
+    # the slot goes back to the ordinary staleness rotation
     newest = max(latest.values(), default=-1)
-    boost = {n for n in _ROTATION_BOOST
-             if n not in pinned and latest.get(n, -1) < newest}
+    boost = {n for n, flagged in _ROTATION_BOOST.items()
+             if n not in pinned and latest.get(n, -1) <= int(flagged)}
     rest = [n for n in _REGISTRY if n not in pinned and n not in boost]
     overdue = {n for n in rest
                if 0 <= latest.get(n, -1) <= newest - _OVERDUE_AGE}

@@ -41,15 +41,16 @@ def test_core_smoke_set_leads_window():
 
 
 def test_boosted_queries_inside_window():
-    """Boosts are self-retiring (r5 policy): once a boosted query has a
-    green row in the NEWEST recorded round it returns to ordinary staleness
-    rotation, so only *unsatisfied* boosts are guaranteed in-window.  The
-    retired set is computed exactly as ``_ordered_names`` computes it —
-    asserting unconditional membership was the r5 verdict's one red (the
-    test went stale the moment the driver wrote CORRECTNESS_r05.json)."""
+    """Boosts are self-retiring (r5 policy, flag-round form since r10):
+    once a boosted query has a green row NEWER than the round it was
+    flagged in it returns to ordinary staleness rotation, so only
+    *unsatisfied* boosts are guaranteed in-window.  The retired set is
+    computed exactly as ``_ordered_names`` computes it — asserting
+    unconditional membership was the r5 verdict's one red (the test went
+    stale the moment the driver wrote CORRECTNESS_r05.json)."""
     latest = _latest_green_rounds()
-    newest = max(latest.values(), default=-1)
-    active = {n for n in _ROTATION_BOOST if latest.get(n, -1) < newest}
+    active = {n for n, flagged in _ROTATION_BOOST.items()
+              if latest.get(n, -1) <= flagged}
     window = set(list(spark_queries())[:DRIVER_WINDOW])
     assert active <= window
 
@@ -135,7 +136,7 @@ def _synthetic_rotation(monkeypatch, latest: dict, n_new: int):
     monkeypatch.setattr(q, "_latest_green_rounds", lambda: full)
     # the lane dynamics under test are independent of whatever real
     # queries happen to be boosted this round
-    monkeypatch.setattr(q, "_ROTATION_BOOST", ())
+    monkeypatch.setattr(q, "_ROTATION_BOOST", {})
     return q._ordered_names()
 
 
