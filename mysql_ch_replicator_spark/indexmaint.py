@@ -282,15 +282,23 @@ class MaintainedIndex:
 
     def _index_ids(self) -> DataFrame:
         """The ids the index currently holds, from its membership table
-        (a listing-scale 1-column read — docmeta / _vecmeta)."""
+        (a listing-scale 1-column read — docmeta / _vecmeta; empty-safe
+        via the descriptor schema, so a reconcile after a
+        remove-everything window cannot wedge on schema inference)."""
         spark = self.engine.spark
         if self.kind == "lexical":
-            return (spark.read.parquet(
-                os.path.join(self.index_path, "docmeta"))
+            meta = json.loads(fsutil.read_text(
+                os.path.join(self.index_path, "_lex_meta.json"),
+                spark=spark))
+            return (fsutil.read_parquet_or_empty(
+                spark, os.path.join(self.index_path, "docmeta"),
+                meta.get("schemas", {}).get("docmeta"))
                 .select(F.col("doc_id").alias(self.id_col)))
-        from .operators.similarity import _IVF_MEMBERS
-        return (spark.read.parquet(
-            os.path.join(self.index_path, _IVF_MEMBERS))
+        from .operators.similarity import _IVF_MEMBERS, read_ivf_meta
+        meta = read_ivf_meta(self.index_path) or {}
+        return (fsutil.read_parquet_or_empty(
+            spark, os.path.join(self.index_path, _IVF_MEMBERS),
+            meta.get("schemas", {}).get("members"))
             .select(F.col("vec_id").alias(self.id_col)))
 
     # -- IVF load-factor policy (r9 verdict #6) ---------------------------
@@ -331,9 +339,13 @@ class MaintainedIndex:
                 # an idle poll stays metadata-only
                 return None
             meta = read_ivf_meta(self.index_path)
+            if meta is None:
+                raise ValueError(
+                    f"MaintainedIndex.maybe_split: no _ivf_meta.json at "
+                    f"{self.index_path} — not a write_ivf_index table")
             rows = (fsutil.read_parquet_or_empty(
                 spark, os.path.join(self.index_path, _IVF_MEMBERS),
-                (meta or {}).get("schemas", {}).get("members"))
+                meta.get("schemas", {}).get("members"))
                 .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
                 .collect())      # bounded: one row per cell
             n_parts = int(meta["n_cells"])

@@ -610,6 +610,18 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         fsutil.delete(os.path.join(path, "doclen"), spark=spark)
     docmeta = fsutil.read_parquet_or_empty(spark, docmeta_path,
                                            schemas.get("docmeta"))
+    if not schemas:
+        # pre-r10 descriptor: capture the schemas NOW, from the frames
+        # already loaded (and a one-time positions footer read) — the
+        # end of the batch is too late, because a remove-everything
+        # batch sweeps every partition dir first and a post-sweep
+        # read-back would crash in schema inference with the pending
+        # manifest still on disk (r10 review)
+        schemas = {"postings": postings.schema.json(),
+                   "docmeta": docmeta.schema.json()}
+        if meta.get("positions", False):
+            schemas["positions"] = spark.read.parquet(
+                os.path.join(path, "positions")).schema.json()
     if "spans" in meta:
         spans_map = {k: [int(v[0]), int(v[1])]
                      for k, v in meta["spans"].items()}
@@ -836,14 +848,6 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         raise
     pool.shutdown(wait=True)
 
-    if not schemas and touched_shards:
-        # pre-r10 descriptor: capture the read-back schemas on this
-        # first upsert (the migration moment every other descriptor
-        # field already uses)
-        schemas = {t: spark.read.parquet(os.path.join(path, t))
-                   .schema.json()
-                   for t in (["postings", "docmeta"]
-                             + (["positions"] if has_positions else []))}
     fsutil.write_text(
         os.path.join(path, _LEX_META),
         json.dumps(_lex_meta_doc(spans_map, shards, dspan_w,

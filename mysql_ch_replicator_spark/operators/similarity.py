@@ -1036,6 +1036,18 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
          .parquet(members_path))
     members = fsutil.read_parquet_or_empty(spark, members_path,
                                            schemas.get("members"))
+    if not schemas:
+        # pre-r10 descriptor: back-fill the schemas NOW from the loaded
+        # frames (the lexical upsert's migration moment) — captured at
+        # entry while the tables are still non-empty, committed before
+        # any mutation (the write is atomic and purely additive), so a
+        # later remove-everything window cannot wedge this index either
+        schemas = {"index": idx.schema.json(),
+                   "members": members.schema.json()}
+        meta = dict(meta)
+        meta["schemas"] = schemas
+        fsutil.write_text(os.path.join(path, _IVF_META),
+                          json.dumps(meta), spark=spark)
     assigned = None
     probe_ids: list[DataFrame] = []     # ids whose CURRENT cells matter
     if adds is not None:
