@@ -1956,6 +1956,49 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_report",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS words,
+           CAST(sum(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS tokens,
+           CAST(CASE WHEN sum(len({_WORDS_SQL})) > 0 THEN
+                  1000000 * sum(len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')))
+                  // sum(len({_WORDS_SQL}))
+                ELSE 0 END AS BIGINT) AS fertility_ppm
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — tokens produced per word, the
+    standard multilingual-budget diagnostic (a language whose fertility
+    runs high pays more sequence length per sentence, which skews any
+    token-denominated mixture): per lang, doc/word/token totals and the
+    ppm tokens-per-word ratio from the SAME two shared tokenizers every
+    text operator uses (words() and the BPE-ish proxy). ONE scan-side
+    aggregate with map-side combine, integer div on both engines; group
+    count is language-cardinality, never corpus-scale."""
+    from .functions.hashing import words
+    from .functions.text import token_count_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(words(F.col("text"))).cast("long")
+    t = token_count_bpe(F.col("text")).cast("long")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(w).alias("words"),
+                 F.sum(t).alias("tokens"))
+            .select("lang", "n_docs", "words", "tokens",
+                    F.expr("CASE WHEN words > 0 THEN "
+                           "1000000 * tokens div words "
+                           "ELSE 0 END").cast("long")
+                    .alias("fertility_ppm")))
+
+
+@register(
     "packing_efficiency_report",
     """
     WITH t AS (
