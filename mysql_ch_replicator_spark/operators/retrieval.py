@@ -561,10 +561,14 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     the adds' new-term discovery runs beside the changed-spans collect,
     the docmeta merge and its span-stats refresh beside the postings
     merge, the emptied-shard probe and the positions rewrite beside the
-    postings write. The CRASH ORDER is unchanged — pending manifest
-    before any mutation, postings+positions strictly before docmeta,
-    descriptor last — only same-phase work overlaps (jobs-per-upsert
-    pinned by test_round10_properties)."""
+    postings write. CRASH ORDER: pending manifest before any mutation,
+    the DATA phase (postings and positions — these two commit
+    CONCURRENTLY within the phase, in either order) strictly before
+    docmeta, descriptor last. A crash inside the data phase can land
+    positions ahead of postings or vice versa; recovery via the pending
+    manifest re-merges both tables from the same state-based algebra,
+    so either torn order converges (jobs-per-upsert pinned by
+    test_round10_properties)."""
     import json
     import os
     from functools import reduce
@@ -622,6 +626,18 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         if meta.get("positions", False):
             schemas["positions"] = spark.read.parquet(
                 os.path.join(path, "positions")).schema.json()
+        # ...and PERSIST the back-fill immediately (atomic, purely
+        # additive), mirroring upsert_ivf_index: deferring it to the
+        # final descriptor write left a crash window — after a
+        # remove-everything batch's emptied-shard sweep but before the
+        # descriptor commit — where a schema-less _lex_meta.json sat
+        # over fully-swept postings dirs and the documented re-run
+        # recovery died in read_parquet_or_empty instead of converging
+        # (ADVICE r10)
+        meta = dict(meta)
+        meta["schemas"] = schemas
+        fsutil.write_text(os.path.join(path, _LEX_META),
+                          json.dumps(meta), spark=spark)
     if "spans" in meta:
         spans_map = {k: [int(v[0]), int(v[1])]
                      for k, v in meta["spans"].items()}
