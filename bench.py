@@ -129,6 +129,106 @@ def bench_streaming(spark) -> dict:
     return best
 
 
+def bench_maintained_streaming(spark) -> dict:
+    """Steady-state CDC apply WITH a maintained index attached (r10
+    verdict #8): the supervisor e2e proves the wiring; this measures
+    what it costs. A 66k-row-event log drains through the real
+    streaming path while a lexical MaintainedIndex (due on EVERY poll —
+    max_lag_seconds=0) is serviced on a concurrent scheduler thread,
+    the production layout: maintenance coalesces windows off the apply
+    path, so throughput should degrade only by scheduler contention,
+    never by per-batch index work. Reports apply rows/s under
+    maintenance and the worst staleness the poller observed.
+    Expectation (documented): apply must stay above ~2x the reference's
+    20k events/s floor; staleness is bounded by window length, not by
+    queue depth."""
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.optimizer import ReplicaOptimizer
+    from mysql_ch_replicator_spark.sources.event_log import EventLogWriter
+
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".scratch", "bench_maint_streaming")
+    shutil.rmtree(scratch, ignore_errors=True)
+    engine = ReplicaEngine(spark, os.path.join(scratch, "replica"))
+    engine.create_table("bench", """CREATE TABLE t (
+      id int NOT NULL, body varchar(255), PRIMARY KEY (id))""")
+
+    def body(j):
+        return f"alpha w{j % 97} beta gamma{j % 11} tail{j % 5}"
+
+    log_dir = os.path.join(scratch, "log")
+    log = EventLogWriter(log_dir, live=True)
+    n, per_event = 60_000, 2_000
+    # seed batch (indexed at build), then the timed stream
+    log.add("bench", "t", [(j, body(j)) for j in range(10_000)])
+    log.rotate()
+    eng_ckpt = os.path.join(scratch, "ckpt")
+    q = engine.start_streaming(log_dir, eng_ckpt, trigger_seconds=0.01,
+                               max_files_per_trigger=4)
+    q.processAllAvailable()
+
+    path = os.path.join(scratch, "lexidx")
+    ix = MaintainedIndex(engine, "bench", "t", path, "lexical",
+                         payload_col="body", max_lag_seconds=0.0,
+                         shards=8)
+    ix.build()
+    opt = ReplicaOptimizer(engine, interval=1e9, indexes=[ix])
+
+    for i in range(10_000, n, per_event):
+        log.add("bench", "t",
+                [(j, body(j)) for j in range(i, i + per_event)])
+        if (i // per_event) % 5 == 4:
+            log.rotate()
+    log.add("bench", "t", [(j, body(j) + " upd") for j in range(3_000)])
+    log.remove("bench", "t", [(j,) for j in range(n - 3_000, n)])
+    log.rotate()
+    streamed_rows = (n - 10_000) + 3_000 + 3_000
+
+    worst_behind = [0]
+    stop = threading.Event()
+
+    def maintain():
+        while not stop.is_set():
+            try:
+                worst_behind[0] = max(worst_behind[0],
+                                      ix.status()["versions_behind"])
+                opt.maybe_maintain_indexes()
+            except Exception:      # noqa: BLE001 — keep polling
+                pass
+            stop.wait(0.25)
+
+    poller = threading.Thread(target=maintain, daemon=True)
+    t0 = time.perf_counter()
+    poller.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        stop.set()
+        poller.join(timeout=10)
+        q.stop()
+    wall = time.perf_counter() - t0
+    opt.maybe_maintain_indexes()            # converge for the check
+    final_behind = ix.status()["versions_behind"]
+    final_rows = engine.read_final("bench", "t").count()
+    out = {
+        "row_events": streamed_rows,
+        "wall_s": round(wall, 2),
+        "rows_per_sec": round(streamed_rows / wall),
+        "worst_versions_behind": int(worst_behind[0]),
+        "final_versions_behind": int(final_behind),
+        "final_rows": final_rows,
+        "final_rows_expected": n - 3_000,
+    }
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def bench_snapshot(spark, sf_dir: str) -> dict:
     """Initial-replication throughput, the analog of the reference's
     snapshot perf harness (tests/test_performance.py:173–291, 300k rows
@@ -220,6 +320,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     streaming = bench_streaming(spark)
+    maintained = bench_maintained_streaming(spark)
     snapshot = bench_snapshot(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
@@ -234,6 +335,7 @@ def main() -> None:
         "sf": sf,
         "top": top,
         "streaming": streaming,
+        "maintained_streaming": maintained,
         "snapshot": snapshot,
         "metric": "total_query_time",
         "value": total,

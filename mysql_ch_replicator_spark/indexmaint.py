@@ -95,6 +95,7 @@ class MaintainedIndex:
                  max_versions_behind: int | None = None,
                  split_load_factor: float | None = None,
                  split_min_rows: int = 256,
+                 merge_load_factor: float | None = None,
                  clock=time.time,
                  **index_opts):
         if kind not in ("lexical", "ivf"):
@@ -118,12 +119,14 @@ class MaintainedIndex:
         self.max_versions_behind = max_versions_behind
         self.split_load_factor = split_load_factor
         self.split_min_rows = int(split_min_rows)
+        self.merge_load_factor = merge_load_factor
         self.clock = clock
         self.index_opts = dict(index_opts)
         # version the load-factor check last ran against: the hottest
         # partition can only change when an apply or split mutates the
         # index, so idle polls skip the O(partition-stats) scan entirely
         self._split_checked_version: int | None = None
+        self._merge_checked_version: int | None = None
 
     # -- state ----------------------------------------------------------
 
@@ -303,6 +306,21 @@ class MaintainedIndex:
 
     # -- IVF load-factor policy (r9 verdict #6) ---------------------------
 
+    def maybe_rebalance(self) -> str | None:
+        """The scheduler-facing geometry action: one split OR one merge
+        per poll, as a labeled string for the optimizer's action log
+        (``split:a->b`` / ``merge:b->a``), or None when the load factors
+        are healthy. Split wins when both trigger — a hot partition
+        hurts every probe touching it, a sparse pair only wastes probe
+        slots."""
+        s = self.maybe_split()
+        if s is not None:
+            return f"split:{s[0]}->{s[1]}"
+        m = self.maybe_merge()
+        if m is not None:
+            return f"merge:{m[0]}->{m[1]}"
+        return None
+
     def maybe_split(self) -> tuple[int, int] | None:
         """Split the index's hottest partition when its row count exceeds
         ``split_load_factor`` × the mean partition size (and
@@ -316,9 +334,11 @@ class MaintainedIndex:
         that resume counts as this poll's split. A hot-but-unsplittable
         partition (identical vectors / a single hot term) is left alone
         rather than wedging the poll. Cost per poll: the IVF trigger
-        reads the 2-int membership table; the lexical trigger a
-        column-pruned ``shard`` scan of postings — both on the
-        scheduler's optimize cadence, never the CDC path."""
+        reads the 2-int membership table; the lexical trigger the
+        descriptor's incrementally-maintained ``shard_rows`` map (no
+        data scan — ADVICE r10) — both on the scheduler's optimize
+        cadence, never the CDC path. Mean load is over LIVE partitions
+        only (merged-away cells/shards excluded)."""
         from .operators import UnsplittablePartition
 
         if self.split_load_factor is None or not self.built():
@@ -326,9 +346,7 @@ class MaintainedIndex:
         spark = self.engine.spark
         applied_v = int(self._state()["applied_version"])
         if self.kind == "ivf":
-            from .operators.similarity import (_IVF_MEMBERS,
-                                               _IVF_SPLIT_PENDING,
-                                               read_ivf_meta,
+            from .operators.similarity import (_IVF_SPLIT_PENDING,
                                                split_ivf_cell)
             if fsutil.exists(
                     os.path.join(self.index_path, _IVF_SPLIT_PENDING),
@@ -338,18 +356,8 @@ class MaintainedIndex:
                 # nothing mutated the index since the last load check —
                 # an idle poll stays metadata-only
                 return None
-            meta = read_ivf_meta(self.index_path)
-            if meta is None:
-                raise ValueError(
-                    f"MaintainedIndex.maybe_split: no _ivf_meta.json at "
-                    f"{self.index_path} — not a write_ivf_index table")
-            rows = (fsutil.read_parquet_or_empty(
-                spark, os.path.join(self.index_path, _IVF_MEMBERS),
-                meta.get("schemas", {}).get("members"))
-                .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-                .collect())      # bounded: one row per cell
-            n_parts = int(meta["n_cells"])
-            key, action = "cell", split_ivf_cell
+            counts = self._ivf_load()
+            action = split_ivf_cell
         else:
             from .operators.retrieval import (pending_lexical_split,
                                               split_lexical_shard)
@@ -357,26 +365,18 @@ class MaintainedIndex:
                 return split_lexical_shard(spark, self.index_path)
             if self._split_checked_version == applied_v:
                 return None
-            meta = json.loads(fsutil.read_text(
-                os.path.join(self.index_path, "_lex_meta.json"),
-                spark=spark))
-            rows = (fsutil.read_parquet_or_empty(
-                spark, os.path.join(self.index_path, "postings"),
-                meta.get("schemas", {}).get("postings"))
-                .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
-                .collect())      # bounded: one row per shard
-            n_parts = int(meta["shards"]) + len(meta.get("splits", []))
-            key, action = "shard", split_lexical_shard
-        if not rows:
+            counts = self._lexical_load()
+            action = split_lexical_shard
+        if not counts:
             self._split_checked_version = applied_v
             return None
-        total = sum(int(r.n) for r in rows)
-        hottest = max(rows, key=lambda r: (int(r.n), -int(r[key])))
-        mean = total / max(1, n_parts)
-        if (int(hottest.n) >= self.split_min_rows
-                and int(hottest.n) >= self.split_load_factor * mean):
+        total = sum(counts.values())
+        hottest = max(counts, key=lambda c: (counts[c], -c))
+        mean = total / max(1, len(counts))
+        if (counts[hottest] >= self.split_min_rows
+                and counts[hottest] >= self.split_load_factor * mean):
             try:
-                return action(spark, self.index_path, int(hottest[key]))
+                return action(spark, self.index_path, int(hottest))
                 # NB: after a split fires, the checked-version mark is
                 # deliberately NOT set — residual skew re-checks on the
                 # next poll (one split per poll stays the bound)
@@ -387,4 +387,109 @@ class MaintainedIndex:
                 self._split_checked_version = applied_v
                 return None
         self._split_checked_version = applied_v
+        return None
+
+    def _ivf_load(self) -> dict[int, int]:
+        """Rows per LIVE cell (dead/merged cells excluded; empty live
+        cells report 0) from the 2-int membership table — the bounded
+        load snapshot both policy branches share."""
+        from .operators.similarity import _IVF_MEMBERS, read_ivf_meta
+
+        spark = self.engine.spark
+        meta = read_ivf_meta(self.index_path)
+        if meta is None:
+            raise ValueError(
+                f"MaintainedIndex: no _ivf_meta.json at "
+                f"{self.index_path} — not a write_ivf_index table")
+        dead = {int(c) for c in meta.get("dead", [])}
+        counts = {c: 0 for c in range(1, int(meta["n_cells"]) + 1)
+                  if c not in dead}
+        for r in (fsutil.read_parquet_or_empty(
+                spark, os.path.join(self.index_path, _IVF_MEMBERS),
+                meta.get("schemas", {}).get("members"))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                .collect()):     # bounded: one row per cell
+            if int(r.cell) in counts:
+                counts[int(r.cell)] = int(r.n)
+        return counts
+
+    def _lexical_load(self) -> dict[int, int]:
+        """Posting rows per LIVE shard. Descriptor-only when the index
+        carries ``shard_rows`` (maintained incrementally by
+        upsert/split/merge — ADVICE r10: the old per-poll postings
+        groupBy was O(index rows)); one bounded postings aggregate for
+        a pre-r11 index that has never been upserted since."""
+        from .operators.retrieval import _live_shards
+
+        spark = self.engine.spark
+        meta = json.loads(fsutil.read_text(
+            os.path.join(self.index_path, "_lex_meta.json"), spark=spark))
+        live = _live_shards(int(meta["shards"]),
+                            meta.get("splits", []))
+        counts = {c: 0 for c in sorted(live)}
+        if "shard_rows" in meta:
+            for k, v in meta["shard_rows"].items():
+                if int(k) in counts:
+                    counts[int(k)] = int(v)
+            return counts
+        for r in (fsutil.read_parquet_or_empty(
+                spark, os.path.join(self.index_path, "postings"),
+                meta.get("schemas", {}).get("postings"))
+                .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                .collect()):     # bounded: one row per shard
+            if int(r.shard) in counts:
+                counts[int(r.shard)] = int(r.n)
+        return counts
+
+    def maybe_merge(self) -> tuple[int, int] | None:
+        """Merge the two COLDEST live partitions when BOTH hold fewer
+        than ``merge_load_factor`` × the mean — the shrink half of the
+        load-factor policy (r10 verdict #3): without it a delete-heavy
+        window fragments the index monotonically (splits only add
+        partitions; emptied ones drop, half-empty ones accumulate)
+        until a full rebuild. One merge per poll, same incremental-
+        rebalance bound as the split; a torn merge left by a crash is
+        resumed first and counts as this poll's action. The same
+        checked-version mark keeps idle polls metadata-only. Cost: the
+        IVF trigger reads the 2-int membership table; the lexical
+        trigger reads the descriptor's shard_rows map — no data scan
+        on either family."""
+        from .operators import UnsplittablePartition
+
+        if self.merge_load_factor is None or not self.built():
+            return None
+        spark = self.engine.spark
+        applied_v = int(self._state()["applied_version"])
+        if self.kind == "ivf":
+            from .operators.similarity import merge_ivf_cells, \
+                pending_merge
+            if pending_merge(self.index_path) is not None:
+                return merge_ivf_cells(spark, self.index_path)
+            if self._merge_checked_version == applied_v:
+                return None
+            counts, action = self._ivf_load(), merge_ivf_cells
+        else:
+            from .operators.retrieval import merge_lexical_shards, \
+                pending_lexical_merge
+            if pending_lexical_merge(self.index_path) is not None:
+                return merge_lexical_shards(spark, self.index_path)
+            if self._merge_checked_version == applied_v:
+                return None
+            counts, action = self._lexical_load(), merge_lexical_shards
+        if len(counts) > 2:
+            total = sum(counts.values())
+            mean = total / max(1, len(counts))
+            a, b = sorted(counts, key=lambda c: (counts[c], c))[:2]
+            if (counts[a] < self.merge_load_factor * mean
+                    and counts[b] < self.merge_load_factor * mean):
+                try:
+                    # the operator re-derives the same two coldest from
+                    # the same snapshot — no argument plumbing to drift
+                    return action(spark, self.index_path)
+                    # checked-version deliberately NOT set after a
+                    # merge fires: residual sparsity re-checks next poll
+                except UnsplittablePartition:
+                    self._merge_checked_version = applied_v
+                    return None
+        self._merge_checked_version = applied_v
         return None

@@ -172,9 +172,19 @@ def _shard_expr(term_col, shards: int, splits: list[dict]):
     composes (the extendible-hashing shape, restated as a bounded
     deterministic chain any engine can follow). A term's postings always
     live in exactly ONE shard — the invariant every df recount and
-    every probe relies on — because terms move wholesale, never rows."""
+    every probe relies on — because terms move wholesale, never rows.
+
+    A chain entry with ``salt`` None is a MERGE (``merge_lexical_
+    shards``): every term placed on ``src`` moves unconditionally to
+    ``dst`` — the degenerate split, which is what lets splits and
+    merges interleave in ONE ordered chain (placement must replay the
+    operations in the order they happened)."""
     e = (h60(term_col) % shards).cast("int")
     for sp in splits:
+        if sp.get("salt") is None:
+            e = F.when(e == int(sp["src"]),
+                       F.lit(int(sp["dst"]))).otherwise(e)
+            continue
         moved = (h60(F.concat(F.lit(sp["salt"] + "|"), term_col))
                  % 2 == 1)
         e = F.when((e == int(sp["src"])) & moved,
@@ -189,8 +199,10 @@ def _term_shard_py(term: str, shards: int, splits: list[dict]) -> int:
 
     s = h60_py(term) % shards
     for sp in splits:
-        if s == int(sp["src"]) and \
-                h60_py(f"{sp['salt']}|{term}") % 2 == 1:
+        if s != int(sp["src"]):
+            continue
+        if sp.get("salt") is None \
+                or h60_py(f"{sp['salt']}|{term}") % 2 == 1:
             s = int(sp["dst"])
     return s
 
@@ -352,6 +364,14 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     # second corpus scan. The collect is bounded by the span COUNT,
     # which span_width keeps ~1e4 at any corpus size.
     spans_map = _span_stats_map(meta_df.select("dl", "dspan"))
+    # per-shard posting-row counts seed the descriptor (one bounded
+    # aggregate over the already-persisted tokenize — postings rows ==
+    # per rows, the df join never changes the count), so the load-factor
+    # poll starts descriptor-only from day one (ADVICE r10)
+    shard_rows = {int(r.shard): int(r.n) for r in
+                  per.groupBy((h60(F.col("term")) % shards).cast("int")
+                              .alias("shard"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
     # read-back schemas (one footer read per table): what keeps the
     # index READABLE after a remove-everything CDC window sweeps every
     # partition directory — see fsutil.read_parquet_or_empty
@@ -364,7 +384,8 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     fsutil.write_text(
         os.path.join(path, _LEX_META),
         json.dumps(_lex_meta_doc(spans_map, shards, span_width,
-                                 positions=positions, schemas=schemas)),
+                                 positions=positions, schemas=schemas,
+                                 shard_rows=shard_rows)),
         spark=spark)
 
 
@@ -390,10 +411,24 @@ def _span_stats_map(meta_rows: DataFrame) -> dict[str, list[int]]:
     return {str(int(r.dspan)): [int(r.n_s), int(r.tl_s)] for r in rows}
 
 
+def _live_shards(shards: int, splits: list[dict]) -> set[int]:
+    """Shard ids that are placement targets under the chain: the base
+    range plus every split destination, minus every merged-away source
+    (a merge entry — ``salt`` None — retires its src forever; ids are
+    never reused)."""
+    live = set(range(int(shards)))
+    for sp in splits:
+        live.add(int(sp["dst"]))
+        if sp.get("salt") is None:
+            live.discard(int(sp["src"]))
+    return live
+
+
 def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
                   span_width: int, positions: bool = False,
                   splits: list[dict] | None = None,
-                  schemas: dict[str, str] | None = None) -> dict:
+                  schemas: dict[str, str] | None = None,
+                  shard_rows: dict | None = None) -> dict:
     """The descriptor document: (n, tl) are DERIVED as sums over the
     per-span stats, so the two representations can never disagree.
     ``positions`` records whether the index carries the positional
@@ -407,6 +442,14 @@ def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
            "positions": bool(positions),
            "splits": list(splits or []),
            "spans": spans_map}
+    if shard_rows is not None:
+        # per-shard posting-row counts, maintained INCREMENTALLY by the
+        # upsert/split/merge (each already aggregates the touched
+        # shards' merged rows) — what lets the load-factor poll read
+        # the descriptor instead of a full postings groupBy per window
+        # (ADVICE r10)
+        doc["shard_rows"] = {str(int(k)): int(v)
+                             for k, v in shard_rows.items() if int(v) > 0}
     if schemas:
         # read-back schemas captured at build: what lets a table whose
         # every partition was removed read as an EMPTY frame instead of
@@ -416,7 +459,8 @@ def _lex_meta_doc(spans_map: dict[str, list[int]], shards: int,
 
 
 def bm25_indexed_topk(spark, path: str, query_terms: list[str],
-                      k: int = 20) -> DataFrame:
+                      k: int = 20,
+                      doc_filter: DataFrame | None = None) -> DataFrame:
     """BM25 top-k against a ``write_lexical_index`` table — the corpus is
     NEVER read: the probe plans a partition filter on the query terms'
     shards (computed driver-side with ``h60_py``, so pruning happens at
@@ -429,7 +473,21 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
     (df-bounded) posting side auto-broadcasts and the full doclen table
     streams through unshuffled; for a stopword-scale probe Spark falls
     back to a shuffle join instead of force-broadcasting a corpus-sized
-    side into the driver."""
+    side into the driver.
+
+    ``doc_filter`` — FILTERED retrieval, the metadata-predicate probe
+    ("top-k matches WHERE lang='en'"): a one-column frame of allowed
+    ``doc_id``s (typically the replica's FINAL state under the user's
+    predicate, where parquet pushdown does the filtering). Semantics are
+    the standard filtered-search contract: scores keep the CORPUS-level
+    statistics (n, avgdl, df — ranking must not change because the view
+    narrowed), but only allowed docs are scored and returned, and the
+    top-k is complete under the predicate — the semi-join lands on the
+    shard-pruned posting rows BEFORE scoring, never as a post-filter of
+    an unfiltered top-k (which under-returns whenever the predicate is
+    selective). AQE broadcasts the allowed side when it is small; a
+    corpus-scale allow-list degrades to one shuffle of the df-bounded
+    posting rows, never of the corpus."""
     import json
     import os
 
@@ -446,6 +504,9 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
            .where(F.col("shard").isin(shard_ids))
            .where(F.col("term").isin(terms))
            .select("term", "doc_id", "tf", "df"))
+    if doc_filter is not None:
+        idx = idx.join(doc_filter.select("doc_id").distinct(),
+                       "doc_id", "left_semi")
     # column pruning keeps the shards membership array out of this scan;
     # a pre-r8 index that has never been upserted still carries the old
     # doclen/ layout — read that rather than fail (ADVICE r8: migration
@@ -584,6 +645,14 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         split_lexical_shard(spark, path)
         meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                            spark=spark))
+    if fsutil.exists(os.path.join(path, _LEX_MERGE_PENDING), spark=spark):
+        # same reasoning for a torn MERGE: the descriptor still routes
+        # the moved terms to the deleted src shard, so a batch applied
+        # now would rewrite (and dynamically resurrect) the wrong
+        # directory. O(2 shards), idempotent.
+        merge_lexical_shards(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
     shards = meta["shards"]
     splits = meta.get("splits", [])
     schemas = meta.get("schemas", {})
@@ -646,6 +715,18 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         # per-span stats map — the LAST O(corpus) read this index pays
         # for scalar maintenance (bounded: two longs per doc, once)
         spans_map = _span_stats_map(docmeta.select("dl", "dspan"))
+    if "shard_rows" in meta:
+        shard_rows = {int(k): int(v)
+                      for k, v in meta["shard_rows"].items()}
+    else:
+        # pre-r11 descriptor: seed the per-shard posting counts once
+        # from the full postings — the LAST O(index) scan the
+        # load-factor poll ever pays (ADVICE r10; afterwards the counts
+        # ride the descriptor and this upsert maintains them from the
+        # touched shards' merged rows it aggregates anyway)
+        shard_rows = {int(r.shard): int(r.n) for r in
+                      postings.groupBy("shard")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
 
     id_frames = []
     if adds is not None:
@@ -803,10 +884,14 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             merged = (base.join(dfreq, "term")
                       .select("shard", "term", "doc_id", "tf", "df"))
             # the emptied-shard probe reads the checkpointed blocks, so
-            # it overlaps the write (same answer either way)
-            live_f = pool.submit(
-                lambda: {int(r.shard) for r in
-                         base.select("shard").distinct().collect()})
+            # it overlaps the write (same answer either way); counting
+            # rows per shard instead of a bare distinct costs the same
+            # job and is what keeps the descriptor's shard_rows map
+            # maintained without any postings re-read
+            counts_f = pool.submit(
+                lambda: {int(r.shard): int(r.n) for r in
+                         base.groupBy("shard")
+                         .agg(F.count(F.lit(1)).alias("n")).collect()})
             write_pos_f = None
             if merged_pos_f is not None:
                 merged_pos_ck = merged_pos_f.result()
@@ -828,13 +913,19 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # shard). A (term, doc) has a posting iff it has ≥1
             # position, so the postings LIVE set is the positions live
             # set too — the emptied-dir sweep covers both tables.
-            for s in set(touched_shards) - live_f.result():
+            counts = counts_f.result()
+            for s in set(touched_shards) - set(counts):
                 fsutil.delete(os.path.join(postings_path, f"shard={s}"),
                               spark=spark)
                 if has_positions:
                     fsutil.delete(
                         os.path.join(positions_path, f"shard={s}"),
                         spark=spark)
+            for s in touched_shards:
+                if s in counts:
+                    shard_rows[s] = counts[s]
+                else:
+                    shard_rows.pop(s, None)
 
         if touched_spans:
             # ONE docmeta rewrite covers dl AND membership, AFTER the
@@ -868,7 +959,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         os.path.join(path, _LEX_META),
         json.dumps(_lex_meta_doc(spans_map, shards, dspan_w,
                                  positions=has_positions, splits=splits,
-                                 schemas=schemas)),
+                                 schemas=schemas,
+                                 shard_rows=shard_rows)),
         spark=spark)
     fsutil.delete(pending, spark=spark)
     return {"shards": touched_shards, "dspans": touched_spans}
@@ -971,6 +1063,18 @@ def split_lexical_shard(spark, path: str,
     pending = None
     if fsutil.exists(pend_path, spark=spark):
         pending = json.loads(fsutil.read_text(pend_path, spark=spark))
+    if pending is None and fsutil.exists(
+            os.path.join(path, _LEX_MERGE_PENDING), spark=spark):
+        # finish a torn merge before splitting (only one manifest can
+        # exist at a time — each action resumes the other before writing
+        # its own — so this cannot recurse back here)
+        merge_lexical_shards(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
+        shards = int(meta["shards"])
+        splits = list(meta.get("splits", []))
+        has_positions = bool(meta.get("positions", False))
+        dspan_w = int(meta.get("dspan", _LEX_DSPAN))
     postings = fsutil.read_parquet_or_empty(
         spark, postings_path, meta.get("schemas", {}).get("postings"))
     if pending is not None:
@@ -992,8 +1096,7 @@ def split_lexical_shard(spark, path: str,
                     f"have no rows — an empty index has nothing to split")
             src = int(top.shard)
         else:
-            live_ids = set(range(shards)) | {int(sp["dst"])
-                                             for sp in splits}
+            live_ids = _live_shards(shards, splits)
             if shard not in live_ids:
                 # validated BEFORE the manifest exists — a bogus id must
                 # not wedge the split machinery (the IVF split's rule)
@@ -1055,8 +1158,13 @@ def split_lexical_shard(spark, path: str,
     (reassigned.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("shard").parquet(postings_path))
-    live = {int(r.shard) for r in
-            reassigned.select("shard").distinct().collect()}
+    # counting instead of a bare distinct: same bounded job, and the
+    # result keeps the descriptor's shard_rows map exact for the two
+    # rewritten shards (ADVICE r10)
+    counts = {int(r.shard): int(r.n) for r in
+              reassigned.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    live = set(counts)
     for s in {src, dst} - live:
         fsutil.delete(os.path.join(postings_path, f"shard={s}"),
                       spark=spark)
@@ -1117,10 +1225,214 @@ def split_lexical_shard(spark, path: str,
     if sp not in splits:
         splits.append(sp)
     meta["splits"] = splits
+    if "shard_rows" in meta:
+        # state-based refresh of the two rewritten shards' counts
+        for s in (src, dst):
+            if counts.get(s):
+                meta["shard_rows"][str(s)] = counts[s]
+            else:
+                meta["shard_rows"].pop(str(s), None)
     fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
     return src, dst
+
+
+_LEX_MERGE_PENDING = "_lex_merge_pending.json"   # shard-merge intent
+
+
+def pending_lexical_merge(path: str) -> dict | None:
+    """``{"src": int, "dst": int}`` of a torn ``merge_lexical_shards``
+    run, or None. Recovery = ``merge_lexical_shards(spark, path)`` with
+    no arguments; the upsert and the split auto-resume it."""
+    import json
+    import os
+
+    pend = os.path.join(path, _LEX_MERGE_PENDING)
+    if not fsutil.exists(pend):
+        return None
+    doc = json.loads(fsutil.read_text(pend))
+    return {"src": int(doc["src"]), "dst": int(doc["dst"])}
+
+
+def merge_lexical_shards(spark, path: str, src: int | None = None,
+                         dst: int | None = None) -> tuple[int, int]:
+    """Merge one sparse term shard into another IN PLACE — the inverse
+    of ``split_lexical_shard`` and the lexical half of the merge policy
+    (r10 verdict #3): after a delete-heavy window the load-factor
+    machinery could only fragment; sparse shards accumulated until a
+    full rebuild. The merge moves BOTH shards' terms wholesale to
+    ``dst`` and records the move as a chain entry with ``salt`` None —
+    the degenerate split — so term placement stays a pure function of
+    (shards, splits) that probes evaluate driver-side and upserts
+    scan-side, splits and merges interleaving in one ordered chain.
+    ``src`` is retired forever (ids are never reused). The df algebra
+    is untouched: terms move wholesale, so every term still lives in
+    exactly ONE shard.
+
+    With no arguments, merges the two COLDEST live shards (fewest
+    posting rows — from the descriptor's ``shard_rows`` map when
+    present, one bounded postings aggregate otherwise; ties to the
+    lower id); the fuller one becomes ``dst``. Refuses to drop the live
+    count below 2 (a 1-shard index defeats every probe's pruning).
+    Cost: O(two shard directories) — rewrite + positions twin + a
+    membership rewrite of only the spans holding the merged docs.
+
+    Crash contract (the split's, verbatim): intent manifest before any
+    mutation, data dirs first (dst rewrite, then the src delete),
+    membership next, descriptor last, manifest deleted after. The
+    rewrite input is the union of both directories deduped on
+    (term, doc_id), invariant under any partial commit, so the resume
+    is idempotent; ``upsert_lexical_index`` auto-resumes a pending
+    merge before applying a batch. Returns ``(src, dst)``."""
+    import json
+    import os
+
+    meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                       spark=spark))
+    if fsutil.exists(os.path.join(path, _LEX_SPLIT_PENDING), spark=spark):
+        # ambiguous placement: finish the torn split first (idempotent,
+        # O(shard)); only one manifest can exist at a time, so this
+        # cannot recurse
+        split_lexical_shard(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
+    shards = int(meta["shards"])
+    splits = list(meta.get("splits", []))
+    has_positions = bool(meta.get("positions", False))
+    dspan_w = int(meta.get("dspan", _LEX_DSPAN))
+    postings_path = os.path.join(path, "postings")
+    docmeta_path = os.path.join(path, "docmeta")
+    pend_path = os.path.join(path, _LEX_MERGE_PENDING)
+
+    postings = fsutil.read_parquet_or_empty(
+        spark, postings_path, meta.get("schemas", {}).get("postings"))
+    pending = None
+    if fsutil.exists(pend_path, spark=spark):
+        pending = json.loads(fsutil.read_text(pend_path, spark=spark))
+    if pending is not None:
+        if src is not None and src != int(pending["src"]):
+            raise ValueError(
+                f"merge_lexical_shards: unfinished merge of shard "
+                f"{pending['src']} pending at {path} — resume it "
+                f"(src=None) before merging another")
+        src, dst = int(pending["src"]), int(pending["dst"])
+    else:
+        live = _live_shards(shards, splits)
+        if len(live) <= 2:
+            raise UnsplittablePartition(
+                f"merge_lexical_shards: index at {path} has {len(live)} "
+                f"live shards — merging would leave fewer than 2")
+        if src is None:
+            if "shard_rows" in meta:
+                counts = {c: 0 for c in live}
+                counts.update({int(k): int(v)
+                               for k, v in meta["shard_rows"].items()
+                               if int(k) in live})
+            else:
+                counts = {c: 0 for c in live}
+                for r in (postings.groupBy("shard")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()):
+                    if int(r.shard) in counts:
+                        counts[int(r.shard)] = int(r.n)
+            a, b = sorted(live, key=lambda c: (counts[c], c))[:2]
+            if (counts[a], -a) >= (counts[b], -b):
+                src, dst = b, a
+            else:
+                src, dst = a, b
+        else:
+            if dst is None:
+                raise ValueError(
+                    "merge_lexical_shards: src given without dst")
+            for name, c in (("src", src), ("dst", dst)):
+                if c not in live:
+                    raise ValueError(
+                        f"merge_lexical_shards: {name} shard {c} is not "
+                        f"a live placement target of the index at {path}")
+            if src == dst:
+                raise ValueError("merge_lexical_shards: src == dst")
+
+    rows = (postings.where(F.col("shard").isin([src, dst]))
+            .dropDuplicates(["term", "doc_id"])
+            .withColumn("shard", F.lit(int(dst)).cast("int"))
+            .localCheckpoint(eager=True))
+
+    fsutil.write_text(pend_path, json.dumps({"src": src, "dst": dst}),
+                      spark=spark)
+
+    if rows.isEmpty():
+        # both shards already empty — descriptor-only merge
+        fsutil.delete(os.path.join(postings_path, f"shard={dst}"),
+                      spark=spark)
+    else:
+        (rows.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(postings_path))
+    fsutil.delete(os.path.join(postings_path, f"shard={src}"),
+                  spark=spark)
+    if has_positions:
+        positions_path = os.path.join(path, "positions")
+        pos_rows = (fsutil.read_parquet_or_empty(
+                        spark, positions_path,
+                        meta.get("schemas", {}).get("positions"))
+                    .where(F.col("shard").isin([src, dst]))
+                    .dropDuplicates(["term", "doc_id", "pos"])
+                    .withColumn("shard", F.lit(int(dst)).cast("int"))
+                    .localCheckpoint(eager=True))
+        if not pos_rows.isEmpty():
+            (pos_rows.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(positions_path))
+        fsutil.delete(os.path.join(positions_path, f"shard={src}"),
+                      spark=spark)
+
+    # membership rewrite AFTER the data commits — each merged doc's
+    # shards array drops {src, dst} and gains {dst} (state-based from
+    # the committed rows, the split's recompute verbatim)
+    doc_sets = (rows.groupBy("doc_id")
+                .agg(F.collect_set("shard").alias("fresh")))
+    touched_spans = sorted({int(r.v) for r in rows.select(
+        F.expr(f"doc_id div {dspan_w}").alias("v"))
+        .distinct().collect()})
+    if touched_spans:
+        docmeta = fsutil.read_parquet_or_empty(
+            spark, docmeta_path, meta.get("schemas", {}).get("docmeta"))
+        merged_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
+                       .join(doc_sets, "doc_id", "left")
+                       .select(
+                           "doc_id", "dl",
+                           F.when(
+                               F.col("fresh").isNotNull(),
+                               F.array_union(
+                                   F.array_except(
+                                       F.col("shards"),
+                                       F.array(F.lit(src), F.lit(dst))
+                                       .cast("array<int>")),
+                                   F.col("fresh")))
+                           .otherwise(F.col("shards")).alias("shards"),
+                           "dspan")
+                       .localCheckpoint(eager=True))
+        (merged_meta.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("dspan").parquet(docmeta_path))
+
+    # descriptor last (idempotent on resume: set/chain semantics)
+    entry = {"src": int(src), "dst": int(dst), "salt": None}
+    if entry not in splits:
+        splits.append(entry)
+    meta["splits"] = splits
+    if "shard_rows" in meta:
+        moved = meta["shard_rows"].pop(str(src), 0)
+        kept = meta["shard_rows"].pop(str(dst), 0)
+        # a resume after the data committed must not double-count: the
+        # union-dedup row count is authoritative when available
+        total = rows.count() if pending is not None else moved + kept
+        if total:
+            meta["shard_rows"][str(dst)] = int(total)
+    fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta),
+                      spark=spark)
+    fsutil.delete(pend_path, spark=spark)
+    return int(src), int(dst)
 
 
 def phrase_match_topk(docs: DataFrame, phrase: list[str], k: int = 10,

@@ -115,17 +115,28 @@ class ReplicaOptimizer:
         (compaction collapses tombstones; applying first keeps the fast
         version-delta delete path — after a compaction the maintainer
         still converges via its generation-aware reconcile, just at
-        ids-anti-join cost). Returns (index_path, action) pairs."""
+        ids-anti-join cost). Returns (index_path, action) pairs.
+
+        One index's failure (a missing descriptor, a wedged rebuild
+        error) is recorded as an ``error:...`` action and does NOT abort
+        maintenance for the remaining indexes — or the supervisor's own
+        optimize/vacuum/GC duties in the same poll (ADVICE r10): a
+        single broken index must not starve every other index's
+        staleness contract until an operator intervenes."""
         done = []
         for ix in self.indexes:
-            r = ix.maybe_apply()
-            if r.get("applied"):
+            try:
+                r = ix.maybe_apply()
+                if r.get("applied"):
+                    done.append((ix.index_path,
+                                 "reconcile" if r.get("reconciled")
+                                 else "apply"))
+                s = ix.maybe_rebalance()
+                if s is not None:
+                    done.append((ix.index_path, s))
+            except Exception as e:   # noqa: BLE001 — isolation boundary
                 done.append((ix.index_path,
-                             "reconcile" if r.get("reconciled")
-                             else "apply"))
-            s = ix.maybe_split()
-            if s is not None:
-                done.append((ix.index_path, f"split:{s[0]}->{s[1]}"))
+                             f"error:{type(e).__name__}: {e}"))
         return done
 
     def maybe_vacuum(self) -> list[tuple[str, str]]:

@@ -95,15 +95,20 @@ _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # recorded round", which could never re-verify a query that was green in
 # that round and changed AFTER it — exactly the r10 situation.)
 _ROTATION_BOOST: dict[str, int] = {
-    # r10 implementation changes that deserve a fresh driver row: the
-    # overlapped upserts + fixture re-base (lexical_index_upsert), the
-    # empty-safe descriptor-schema read path behind every index probe,
-    # the data-seeded split, and the hot-band short-circuit family.
-    "lexical_index_upsert": 9, "bm25_indexed": 9,
-    "ann_ivf_index_upsert": 9, "ann_ivf_split_rebalance": 9,
-    "ann_ivf_topk": 9, "dedup_simhash": 9,
-    "multimodal_dhash_dedup": 9, "dedup_minhash_calibration": 9,
-    "sample_raked_mixture": 9,
+    # r11 implementation changes that deserve a fresh driver row: both
+    # upsert paths changed (lexical: early schema persist + shard_rows
+    # accounting + merge auto-resume; IVF: meta_cols carry + dead-cell
+    # masking + merge auto-resume), both splits (counts, merge-resume
+    # entry, _live_shards validation), the placement chain grew merge
+    # entries (every lexical probe evaluates it), and bm25_indexed_topk
+    # gained the doc_filter arm. Budget note: 4 pins + 6 boosts + 4 new
+    # + the 35-query r6-stale cohort = 49 ≤ 50 — do NOT add a boost or
+    # a new registration without retiring one, or the stale cohort
+    # loses its window slot (test_r11_window_covers_entire_r6_stale_
+    # cohort pins this).
+    "lexical_index_upsert": 10, "bm25_indexed": 10,
+    "phrase_match_indexed": 10, "lexical_shard_split": 10,
+    "ann_ivf_index_upsert": 10, "ann_ivf_split_rebalance": 10,
 }
 
 # Rotation-fairness knobs (r8, from the r7 verdict's starvation analysis:
@@ -1468,13 +1473,29 @@ def _mutable_copy(src_path: str, sf_dir: str, tag: str) -> str:
     """Private writable copy of a session fixture for MUTATING queries:
     the fixture stays read-only (its other consumers depend on that),
     the mutator gets a byte-identical starting state for the cost of a
-    local file copy instead of a full Spark rebuild. Only valid when the
-    mutator's contract starts from exactly the fixture's content."""
+    directory-tree HARDLINK instead of a byte copy (r10 verdict #5: the
+    maintenance e2es were byte-copying multi-hundred-MB indexes per
+    bench run). Hardlinking is safe because nothing in the mutation
+    paths writes a file IN PLACE: parquet rewrites create new files and
+    unlink old directory entries (the fixture's inodes keep their other
+    link), and every descriptor/manifest goes through fsutil.write_text,
+    which lands under a temp name and renames over the target —
+    generations are immutable-by-contract once published. Falls back to
+    a byte copy when the scratch dir sits on another filesystem. Only
+    valid when the mutator's contract starts from exactly the fixture's
+    content."""
     import os
     import shutil
 
     dst = os.path.join(_tmp_root(sf_dir, tag), "data")
-    shutil.copytree(src_path, dst)
+
+    def _link(src, d, **kw):
+        try:
+            os.link(src, d)
+        except OSError:          # cross-device / FS without hardlinks
+            shutil.copy2(src, d)
+
+    shutil.copytree(src_path, dst, copy_function=_link)
     return dst
 
 

@@ -4487,7 +4487,12 @@ _BM25_K = 20
 
 
 def _bm25_oracle_sql(terms: list[str], k: int,
-                     source: str = "documents") -> str:
+                     source: str = "documents",
+                     allowed: str | None = None) -> str:
+    """BM25 oracle; ``allowed`` (a doc_id subquery) restricts which docs
+    may be SCORED/returned while n/tl/df stay corpus-level — the filtered-
+    retrieval contract (ranking must not change because the view
+    narrowed)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     idf6 = ("(CAST(1000000 AS HUGEINT) * CAST(2*(s.n - dfq.df) + 1 AS "
             "HUGEINT)) // CAST(2*dfq.df + 1 AS HUGEINT)")
@@ -4508,6 +4513,7 @@ def _bm25_oracle_sql(terms: list[str], k: int,
     scored AS (
       SELECT tf.doc_id, SUM(({idf6}) * ({tfn6})) AS score
       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+      {f'WHERE tf.doc_id IN ({allowed})' if allowed else ''}
       GROUP BY tf.doc_id)
     SELECT doc_id, CAST(score AS VARCHAR) AS score, rank FROM (
       SELECT doc_id, score,
@@ -4550,6 +4556,34 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _lex_full_fixture(spark, sf_dir)
     return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
+        .withColumn("score", F.col("score").cast("string"))
+
+
+@register(
+    "bm25_indexed_filtered",
+    _bm25_oracle_sql(_BM25_TERMS, _BM25_K,
+                     allowed="SELECT doc_id FROM documents "
+                             "WHERE lang = 'en'"),
+)
+def bm25_indexed_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED retrieval against the persisted lexical index
+    (operators/retrieval.bm25_indexed_topk ``doc_filter`` — r10 verdict
+    #1): "top-k matches WHERE lang='en'", the default production probe.
+    The allowed set is the documents table under a pushed-down predicate
+    (in production: the replica's FINAL state — the reference pushes
+    WHERE into the replica read the same way, clickhouse_api.py:417-430);
+    it semi-joins the shard-pruned posting rows BEFORE scoring, so the
+    top-k is complete under the predicate, while n/tl/df stay
+    corpus-level (ranking is view-independent — the oracle encodes the
+    same contract). Same shared read-only fixture as ``bm25_indexed``:
+    the filter is probe-time state, not index state."""
+    from .operators.retrieval import bm25_indexed_topk
+
+    path = _lex_full_fixture(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K,
+                             doc_filter=allowed) \
         .withColumn("score", F.col("score").cast("string"))
 
 
@@ -5065,6 +5099,220 @@ def ann_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_index_topk(spark, path, queries, k=5, probes=2)
+
+
+_IVF_MERGE_SRC, _IVF_MERGE_DST = 7, 3
+
+
+def _ivf_merged_oracle_sql(k: int, n_queries: int) -> str:
+    """Probe SQL over a merged index: stored rows keep their write-time
+    assignment with the merged cell REMAPPED (src -> dst — the merge
+    moves rows wholesale, membership defines candidates); queries
+    assign over the same centroids with the DEAD cell masked to +inf
+    (the descriptor's dead list), so no probe slot lands on the retired
+    directory."""
+    src, dst = _IVF_MERGE_SRC, _IVF_MERGE_DST
+    mask = (f"list_transform(range(8), i -> CASE WHEN i + 1 = {src} "
+            f"THEN 'infinity'::DOUBLE ELSE dl[i + 1] END)")
+    return f"""
+    WITH cor AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings
+    ),
+    corc AS (
+      SELECT neighbor_id, cv,
+             CASE WHEN CAST(list_position(dl, list_min(dl)) AS INTEGER)
+                       = {src} THEN {dst}
+                  ELSE CAST(list_position(dl, list_min(dl)) AS INTEGER)
+             END AS cell
+      FROM cor
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {mask} AS dlm
+      FROM (SELECT vec_id, embedding,
+                   {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+            FROM embeddings WHERE vec_id < {n_queries})
+    ),
+    qc AS (
+      SELECT query_id, qv, dlm,
+             CAST(list_position(dlm, list_min(dlm)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, qv, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range(8), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dlm[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, qv, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', _EMB_DIMS)}, 6) AS cos
+      FROM corc c JOIN qprobe q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_merge_rebalance", _ivf_merged_oracle_sql(5, 8))
+def ann_ivf_merge_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-cell MERGE e2e (operators/similarity.merge_ivf_cells —
+    r10 verdict #3, the inverse of ann_ivf_split_rebalance): merge cell
+    {src} into {dst} on a private copy of the full-corpus index — the
+    src directory disappears, its rows move wholesale to dst, the
+    descriptor marks src DEAD (centroid slot kept, masked to +inf in
+    every later assignment) — then probe. The oracle recomputes the
+    probe from scratch with the same remap + mask, proving the local
+    merge preserved exact candidate membership. Post-merge upserts and
+    crash-resume are pinned in tests/test_round11_properties.py."""
+    from .operators.similarity import ivf_index_topk, merge_ivf_cells
+    from .queries import _mutable_copy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _mutable_copy(_ivf8_full_fixture(spark, sf_dir),
+                         sf_dir, "ivf_merge")
+    merge_ivf_cells(spark, path, src=_IVF_MERGE_SRC, dst=_IVF_MERGE_DST)
+    queries = emb.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_index_topk(spark, path, queries, k=5, probes=2)
+
+
+@register("lexical_shard_merge", _bm25_oracle_sql(
+    _BM25_TERMS, _BM25_K,
+    source="(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
+def lexical_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-shard MERGE e2e (operators/retrieval.merge_lexical_shards
+    — r10 verdict #3): merge the two coldest term shards on a private
+    copy of the full index (recorded as a salt-less chain entry — the
+    degenerate split, so placement stays a pure function of the
+    descriptor), then run a CDC batch THROUGH the merged placement
+    (re-adds + deletes of every 7th doc) and probe. BM25 scores are
+    placement-independent, so the standard from-scratch oracle over the
+    final corpus gates the whole composition: merge + post-merge upsert
+    + shard-pruned probe must be bit-identical to never having merged."""
+    from .operators.retrieval import (bm25_indexed_topk,
+                                      merge_lexical_shards,
+                                      upsert_lexical_index)
+    from .queries import _mutable_copy
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _mutable_copy(_lex_full_fixture(spark, sf_dir),
+                         sf_dir, "lex_merge")
+    merge_lexical_shards(spark, path)
+    upsert_lexical_index(
+        spark, path,
+        adds=docs.where(F.col("doc_id") % 5 == 0),
+        removes=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
+        .withColumn("score", F.col("score").cast("string"))
+
+
+def _ivf8_meta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared full-corpus IVF index CARRYING metadata (meta_cols=
+    ['label']): built from 80% of the corpus, the rest streamed in via
+    ``upsert_ivf_index`` — so the fixture also proves metadata columns
+    survive the incremental path (the upsert reads meta_cols from the
+    descriptor and carries them from the adds frame)."""
+    from .operators.similarity import upsert_ivf_index, write_ivf_index
+    from .queries import _session_fixture
+
+    def build(p):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb.where(F.col("vec_id") % 5 != 0), p,
+                        n_cells=8, meta_cols=["label"])
+        upsert_ivf_index(spark, p,
+                         adds=emb.where(F.col("vec_id") % 5 == 0))
+
+    return _session_fixture(sf_dir, "ivf8_meta", build)
+
+
+def _ivf_filtered_oracle_sql(k: int, n_queries: int) -> str:
+    """The filtered probe's exact semantics in SQL: same probed-cell
+    geometry as ``_ivf_upsert_oracle_sql``, same exact cosine ranking,
+    plus the per-query label equality applied to the candidates BEFORE
+    ranking — the completeness-correct pre-filter, not a post-filter of
+    an unfiltered top-k."""
+    return f"""
+    WITH cor AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings
+    ),
+    corc AS (
+      SELECT neighbor_id, cv, label,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+      FROM cor
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel,
+             {_ivf_dl_sql('embedding', 8, _EMB_DIMS)} AS dl
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    qc AS (
+      SELECT query_id, qv, qlabel, dl,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, qv, qlabel, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range(8), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dl[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, qv, qlabel, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', _EMB_DIMS)}, 6) AS cos
+      FROM corc c JOIN qprobe q USING (cell)
+      WHERE c.neighbor_id <> q.query_id AND c.label = q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_index_filtered", _ivf_filtered_oracle_sql(5, 12))
+def ann_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search against the persisted IVF index
+    (operators/similarity.ivf_index_topk ``filter_cols`` — r10 verdict
+    #1): "nearest neighbors sharing the query's label", the default
+    production RAG probe. The label rides IN the index rows
+    (write_ivf_index meta_cols, carried through the incremental upsert
+    by the shared fixture), so the equality lands inside the probed
+    cells' broadcast join — before any cosine — and partition pruning
+    to the probed cells is untouched (plan pin in
+    tests/test_round11_properties.py). Recall contract: exact within
+    the probed cells; a selective filter calls for more probes."""
+    from .operators.similarity import ivf_index_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf8_meta_fixture(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 12) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    return ivf_index_topk(spark, path, queries, k=5, probes=2,
+                          filter_cols=["label"])
 
 
 _VOCAB_COVERAGE_V = 15

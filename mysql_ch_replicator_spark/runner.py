@@ -254,8 +254,24 @@ class ReplicationSupervisor:
 
             def do_GET(self):
                 if self.path == "/status":
+                    # per-index staleness beside the active queries — the
+                    # reference's monitoring surface prints per-DB lag
+                    # (reference monitoring.py:27–56); ours adds the
+                    # maintained indexes' bounded-staleness contract as
+                    # numbers (r10 verdict #6). Metadata reads only; an
+                    # unbuilt or broken index reports its error instead
+                    # of taking /status down.
+                    idx = []
+                    if sup.optimizer is not None:
+                        for ix in sup.optimizer.indexes:
+                            try:
+                                idx.append(ix.status())
+                            except Exception as e:  # noqa: BLE001
+                                idx.append({"index_path": ix.index_path,
+                                            "error": str(e)})
                     self._send(200, {"active": sorted(sup.queries),
-                                     "restarts": sup.restarts})
+                                     "restarts": sup.restarts,
+                                     "indexes": idx})
                 elif self.path == "/restart_replication":
                     sup.request_restart()
                     self._send(200, {"restart_scheduled": True})

@@ -397,6 +397,26 @@ def test_streaming_supervisor_services_maintained_index(spark, tmp_path):
                spark.read.parquet(_os.path.join(path, "docmeta"))
                .select("doc_id").collect()}
         assert 100 in got and 101 in got and 3 not in got
+
+        # the HTTP control plane surfaces the staleness contract
+        # (r10 verdict #6): /status carries per-index freshness numbers
+        import json as _json
+        import urllib.request
+
+        server = sup.serve_control(port=0)
+        try:
+            with urllib.request.urlopen(
+                    "http://127.0.0.1:"
+                    f"{server.server_address[1]}/status") as resp:
+                st = _json.loads(resp.read())
+            assert len(st["indexes"]) == 1
+            info = st["indexes"][0]
+            assert info["index_path"] == path
+            assert info["versions_behind"] == 0
+            assert info["applied_version"] == info["replica_version"]
+            assert info["age_seconds"] >= 0.0
+        finally:
+            server.shutdown()
     finally:
         sup.stop_all()
 

@@ -5,6 +5,8 @@ policy: window composition is COMPUTED from the driver's own
 the front automatically) so a refactor can't silently strand a query
 outside the verification gate."""
 
+import pytest
+
 from mysql_ch_replicator_spark.queries import (
     _DRIVER_WINDOW_PINNED,
     _REGISTRY,
@@ -214,6 +216,62 @@ def test_rotation_staleness_bounded_under_continuous_influx(monkeypatch):
                   if v >= 0 and not k.startswith("fresh_"))
         worst_lag = max(worst_lag, lag)
     assert worst_lag <= q._OVERDUE_AGE, worst_lag
+
+
+def test_rotation_staleness_bounded_at_r10_scale(monkeypatch):
+    """The r10 verdict's capacity question, answered by simulation: at
+    the REAL post-r10 registry size and staleness distribution (215
+    queries: 35@r6, 44@r7, 45@r8, 41@r9, 50@r10) with a bounded influx
+    of 6 new queries EVERY round for 22 rounds (the r11 registration
+    budget — new entrants must stay ≤ 50 − 4 pins − |stalest cohort|),
+    no verified query's newest green row ever falls more than
+    _OVERDUE_AGE rounds behind. At 46 free slots/round the steady-state
+    cycle over ~345 queries is ~7.5 rounds of arithmetic capacity, so
+    the bound holds ONLY because the overdue lane preempts the new
+    lane — which is exactly what this pins."""
+    import mysql_ch_replicator_spark.queries as q
+
+    latest = {}
+    i = 0
+    for rnd, count in [(6, 35), (7, 44), (8, 45), (9, 41), (10, 50)]:
+        for _ in range(count):
+            latest[f"q{i:03d}"] = rnd
+            i += 1
+    new_counter = [0]
+    worst_lag = 0
+    for rnd in range(11, 33):
+        for _ in range(6):
+            latest.setdefault(f"fresh_{new_counter[0]:03d}", -1)
+            new_counter[0] += 1
+        known = {k: v for k, v in latest.items() if v >= 0}
+        names = _synthetic_rotation(
+            monkeypatch, known,
+            n_new=sum(1 for v in latest.values() if v < 0))
+        fresh = sorted(k for k, v in latest.items() if v < 0)
+        alias = {f"new_{j:03d}": fresh[j] for j in range(len(fresh))}
+        window = [alias.get(n, n) for n in names[:DRIVER_WINDOW]]
+        for n in window:
+            if n in latest:
+                latest[n] = rnd
+        lag = max(rnd - v for v in latest.values() if v >= 0)
+        worst_lag = max(worst_lag, lag)
+    assert worst_lag <= q._OVERDUE_AGE, worst_lag
+
+
+def test_r11_window_covers_entire_r6_stale_cohort():
+    """The r10 verdict's task #2, pinned on the REAL history: every
+    query whose newest green row is round 6 (the 35-query cohort at the
+    overdue bound) must be inside the round-11 window — the staleness
+    lane must not be crowded out by this round's boosts + new
+    registrations. Registration budget check: if this fails, retire a
+    boost or fold a new query into an existing name."""
+    latest = _latest_green_rounds()
+    newest = max(latest.values(), default=-1)
+    if newest != 10:      # only meaningful while r10 is the newest row
+        pytest.skip("history has moved past round 10")
+    r6 = {n for n in _REGISTRY if latest.get(n) == 6}
+    window = set(_ordered_names()[:DRIVER_WINDOW])
+    assert r6 <= window, sorted(r6 - window)
 
 
 def test_overdue_lane_preempts_new_lane(monkeypatch):
