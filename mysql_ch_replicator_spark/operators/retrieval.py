@@ -799,6 +799,18 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                 docmeta, changed, touched_spans).distinct().collect()}
         if new_shards_f is not None:
             shard_set |= new_shards_f.result()
+        # a surviving pending manifest means THIS batch already half-ran:
+        # its data phase may have committed (membership included), so
+        # discovery-from-membership can MISS shards that only held this
+        # batch's removed docs — harmless for the data (the merge algebra
+        # is idempotent) but their descriptor shard_rows entries would
+        # keep pre-batch counts forever. Folding the manifest's shard
+        # list back in makes the re-run recompute those counts from the
+        # final state (bounded: the crashed batch's own touched set).
+        if fsutil.exists(os.path.join(path, _LEX_PENDING), spark=spark):
+            prev = json.loads(fsutil.read_text(
+                os.path.join(path, _LEX_PENDING), spark=spark))
+            shard_set |= {int(s) for s in prev.get("shards", [])}
         touched_shards = sorted(shard_set)
 
         pending = os.path.join(path, _LEX_PENDING)
