@@ -1113,9 +1113,10 @@ def split_lexical_shard(spark, path: str,
                 # validated BEFORE the manifest exists — a bogus id must
                 # not wedge the split machinery (the IVF split's rule)
                 raise ValueError(
-                    f"split_lexical_shard: shard {shard} is not a "
+                    f"split_lexical_shard: shard {shard} is not a live "
                     f"placement target of this index (base shards "
-                    f"0..{shards - 1} plus split destinations)")
+                    f"0..{shards - 1} plus split destinations, minus "
+                    f"merged-away sources)")
             src = int(shard)
         dst = shards + len(splits)    # next free id, never reused
         salt = None                   # chosen below, before the manifest

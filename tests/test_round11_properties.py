@@ -512,3 +512,107 @@ def test_maintained_index_merge_policy_fires_after_delete_wave(
                               "query_id long, embedding array<float>")
     got = ivf_index_topk(spark, path, q, k=3, probes=2)
     assert got.count() > 0
+
+
+def test_placement_parity_with_interleaved_merges(spark):
+    """_term_shard_py and _shard_expr must agree under a chain that
+    INTERLEAVES splits and merges (merge = salt-less entry applied in
+    recorded order): a term can route base->split dst->merged away->
+    re-split — any disagreement means probes read a different directory
+    than upserts write."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        _live_shards, _shard_expr, _term_shard_py,
+    )
+
+    shards = 4
+    chain = [{"src": 1, "dst": 4, "salt": "lexsplit4"},
+             {"src": 4, "dst": 2, "salt": None},        # merge 4 -> 2
+             {"src": 2, "dst": 6, "salt": "lexsplit6"},  # re-split
+             {"src": 0, "dst": 3, "salt": None}]         # merge 0 -> 3
+    terms = [f"w{i}" for i in range(300)] + ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string") \
+        .select("term", _shard_expr(F.col("term"), shards, chain)
+                .alias("s"))
+    got = {r.term: int(r.s) for r in df.collect()}
+    want = {t: _term_shard_py(t, shards, chain) for t in terms}
+    assert got == want
+    live = _live_shards(shards, chain)
+    assert live == {1, 2, 3, 6}
+    assert set(want.values()) <= live          # nothing routes to dead
+    assert any(v == 6 for v in want.values())  # the re-split engaged
+
+
+def test_split_of_merged_away_shard_raises(spark, tmp_path):
+    """A merged-away shard is retired forever: asking the split to
+    target it must raise BEFORE any manifest exists (same rule as a
+    bogus id — a wedged manifest would crash every resume)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        merge_lexical_shards, pending_lexical_split, split_lexical_shard,
+        write_lexical_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs, path, shards=8)
+    src, dst = merge_lexical_shards(spark, path)
+    with pytest.raises(ValueError, match="not a live placement target"):
+        split_lexical_shard(spark, path, shard=src)
+    assert pending_lexical_split(path) is None    # nothing committed
+
+
+def test_optimizer_isolates_broken_index(spark, tmp_path):
+    """One index's failure must not starve the rest of the poll
+    (ADVICE r10): a MaintainedIndex pointing at a nonexistent replica
+    table records an error: action while the healthy index in the SAME
+    poll is still applied."""
+    import json
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.optimizer import ReplicaOptimizer
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE docs (
+      doc_id bigint NOT NULL, body varchar(2000), PRIMARY KEY (doc_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "docs", [(i, f"alpha w{i % 5}") for i in range(12)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    class Clock:
+        t = 1000.0
+
+        def __call__(self):
+            return self.t
+
+    clock = Clock()
+    healthy = MaintainedIndex(engine, "db1", "docs",
+                              str(tmp_path / "ok"), "lexical",
+                              payload_col="body", max_lag_seconds=0.0,
+                              clock=clock, shards=4)
+    healthy.build()
+    broken = MaintainedIndex(engine, "db1", "docs",
+                             str(tmp_path / "broken"), "lexical",
+                             payload_col="body", max_lag_seconds=0.0,
+                             clock=clock, shards=4)
+    broken.build()
+    # wedge the broken one: sweep its index dir but leave the state
+    # file claiming it is built — the next apply dies reading it
+    import shutil
+    for sub in ("postings", "docmeta"):
+        shutil.rmtree(str(tmp_path / "broken" / sub), ignore_errors=True)
+    (tmp_path / "broken" / "_lex_meta.json").write_text(
+        json.dumps({"n": 0, "tl": 0}))   # schema-less, shardless junk
+
+    log.add("db1", "docs", [(100, "delta omega")])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    clock.t += 1
+
+    opt = ReplicaOptimizer(engine, interval=600.0, clock=clock,
+                           indexes=[broken, healthy])
+    acts = dict(opt.maybe_maintain_indexes())
+    assert acts[str(tmp_path / "broken")].startswith("error:")
+    assert acts[str(tmp_path / "ok")] == "apply"
+    assert healthy.status()["versions_behind"] == 0
