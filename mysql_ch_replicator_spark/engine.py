@@ -1475,8 +1475,21 @@ class ReplicaEngine:
         checkpoint + the per-table seq replay guard."""
         stream = stream_event_log(self.spark, event_dir,
                                   max_files_per_trigger)
-        return (stream.writeStream
-                .foreachBatch(lambda batch, _id: self.apply_batch(batch))
-                .option("checkpointLocation", checkpoint_dir)
-                .trigger(processingTime=f"{trigger_seconds} seconds")
-                .start())
+        sc = self.spark.sparkContext
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+        # the stream-execution thread inherits the pool from the thread
+        # that calls start() (Spark's documented way to pin a streaming
+        # query to a scheduler pool): micro-batch apply jobs land in the
+        # weighted `apply` pool so a concurrent index-maintenance job
+        # (pool `maintenance`) can never stall the 1 s flush cadence —
+        # no-op under the default FIFO scheduler of a foreign session
+        sc.setLocalProperty("spark.scheduler.pool", "apply")
+        try:
+            return (stream.writeStream
+                    .foreachBatch(lambda batch, _id:
+                                  self.apply_batch(batch))
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(processingTime=f"{trigger_seconds} seconds")
+                    .start())
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev_pool)

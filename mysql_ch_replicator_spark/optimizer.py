@@ -122,21 +122,34 @@ class ReplicaOptimizer:
         maintenance for the remaining indexes — or the supervisor's own
         optimize/vacuum/GC duties in the same poll (ADVICE r10): a
         single broken index must not starve every other index's
-        staleness contract until an operator intervenes."""
+        staleness contract until an operator intervenes.
+
+        All index work runs in the `maintenance` scheduler pool
+        (fairscheduler.xml): a coalesced upsert is a multi-second job,
+        and under the default FIFO scheduler it would stall every
+        streaming apply micro-batch submitted behind it — FAIR pools
+        keep the replica's 1 s flush cadence while maintenance soaks up
+        the remaining task slots."""
         done = []
-        for ix in self.indexes:
-            try:
-                r = ix.maybe_apply()
-                if r.get("applied"):
+        sc = self.engine.spark.sparkContext
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", "maintenance")
+        try:
+            for ix in self.indexes:
+                try:
+                    r = ix.maybe_apply()
+                    if r.get("applied"):
+                        done.append((ix.index_path,
+                                     "reconcile" if r.get("reconciled")
+                                     else "apply"))
+                    s = ix.maybe_rebalance()
+                    if s is not None:
+                        done.append((ix.index_path, s))
+                except Exception as e:  # noqa: BLE001 — isolation boundary
                     done.append((ix.index_path,
-                                 "reconcile" if r.get("reconciled")
-                                 else "apply"))
-                s = ix.maybe_rebalance()
-                if s is not None:
-                    done.append((ix.index_path, s))
-            except Exception as e:   # noqa: BLE001 — isolation boundary
-                done.append((ix.index_path,
-                             f"error:{type(e).__name__}: {e}"))
+                                 f"error:{type(e).__name__}: {e}"))
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev_pool)
         return done
 
     def maybe_vacuum(self) -> list[tuple[str, str]]:

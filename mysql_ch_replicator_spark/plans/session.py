@@ -43,6 +43,20 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Scheduler pools (fairscheduler.xml beside this module): the
+    # streaming apply is pinned to the `apply` pool and index
+    # maintenance to `maintenance` (no-ops under FIFO). FAIR mode is
+    # OPT-IN via SPARK_GRAFT_SCHEDULER=FAIR: on a real cluster a
+    # coalesced index upsert is a multi-minute job and FIFO would stall
+    # every 1 s CDC micro-batch behind it — but a measured local[32]
+    # A/B (bench_maintained_streaming, warm) showed FIFO 11.8k rows/s
+    # vs FAIR 8.5k: at test scale the pipeline is DRIVER-bound, never
+    # waits on task slots, and FAIR's interleaving only adds scheduling
+    # thrash. Don't enable it below the scale that needs it.
+    "spark.scheduler.mode": os.environ.get("SPARK_GRAFT_SCHEDULER",
+                                           "FIFO"),
+    "spark.scheduler.allocation.file": os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"),
 }
 
 
