@@ -1351,6 +1351,10 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
             # resume crashes at the same bad id forever
             raise ValueError(
                 f"split_ivf_cell: cell {cell} not in [1, {n_cells}]")
+        elif cell in {int(c) for c in meta.get("dead", [])}:
+            raise ValueError(
+                f"split_ivf_cell: cell {cell} was merged away and is "
+                f"not a live cell of the index at {path}")
         new_cell = n_cells + 1
 
     idx = fsutil.read_parquet_or_empty(spark, path,

@@ -616,3 +616,18 @@ def test_optimizer_isolates_broken_index(spark, tmp_path):
     assert acts[str(tmp_path / "broken")].startswith("error:")
     assert acts[str(tmp_path / "ok")] == "apply"
     assert healthy.status()["versions_behind"] == 0
+
+
+def test_split_of_dead_ivf_cell_raises(spark, emb, tmp_path):
+    """The IVF twin of the retired-shard rule: splitting a merged-away
+    cell raises a named error before any manifest exists."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        merge_ivf_cells, pending_split, write_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, n_cells=8)
+    src, dst = merge_ivf_cells(spark, path)
+    with pytest.raises(ValueError, match="merged away"):
+        split_ivf_cell(spark, path, cell=src)
+    assert pending_split(path) is None
