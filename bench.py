@@ -151,8 +151,6 @@ def bench_maintained_streaming(spark) -> dict:
     import shutil
     import threading
 
-    from pyspark.sql import functions as F
-
     from mysql_ch_replicator_spark.engine import ReplicaEngine
     from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
     from mysql_ch_replicator_spark.optimizer import ReplicaOptimizer
