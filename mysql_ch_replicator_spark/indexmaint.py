@@ -96,10 +96,27 @@ class MaintainedIndex:
                  split_load_factor: float | None = None,
                  split_min_rows: int = 256,
                  merge_load_factor: float | None = None,
+                 retrain_after: int | None = None,
                  clock=time.time,
                  **index_opts):
         if kind not in ("lexical", "ivf"):
             raise ValueError(f"MaintainedIndex: unknown kind {kind!r}")
+        if (split_load_factor is not None and merge_load_factor is not None
+                and 2 * float(merge_load_factor) > float(split_load_factor)):
+            # ping-pong guard (ADVICE r11): merging two partitions each
+            # just under merge_load_factor × mean yields up to
+            # 2·merge_load_factor × mean — if that exceeds the split
+            # threshold, the next poll splits the merged partition, whose
+            # halves can re-trip the merge: an O(partition) rewrite every
+            # poll, forever. With 2·merge ≤ split the combined size stays
+            # strictly under split × post-merge mean (the mean only grows
+            # when the live count shrinks), so the cycle cannot start.
+            raise ValueError(
+                f"MaintainedIndex: merge_load_factor={merge_load_factor} "
+                f"and split_load_factor={split_load_factor} can ping-pong "
+                f"(a merge of two <{merge_load_factor}x-mean partitions "
+                f"can exceed the split trigger); require "
+                f"2*merge_load_factor <= split_load_factor")
         st = engine.structure(db, table)
         if id_col is None:
             if len(st.primary_keys) != 1:
@@ -117,9 +134,15 @@ class MaintainedIndex:
         self.payload_expr = payload_expr
         self.max_lag_seconds = float(max_lag_seconds)
         self.max_versions_behind = max_versions_behind
+        if retrain_after is not None and kind != "ivf":
+            raise ValueError(
+                "MaintainedIndex: retrain_after is IVF-only — the lexical "
+                "index has no trained codebook to retrain (term-hash "
+                "placement is already a pure function of the chain)")
         self.split_load_factor = split_load_factor
         self.split_min_rows = int(split_min_rows)
         self.merge_load_factor = merge_load_factor
+        self.retrain_after = retrain_after
         self.clock = clock
         self.index_opts = dict(index_opts)
         # version the load-factor check last ran against: the hottest
@@ -191,7 +214,7 @@ class MaintainedIndex:
         st = self._state()
         meta = self.engine.load_meta(self.db, self.table)
         now = float(self.clock())
-        return {
+        out = {
             "db": self.db, "table": self.table, "kind": self.kind,
             "index_path": self.index_path,
             "applied_version": int(st["applied_version"]),
@@ -201,6 +224,36 @@ class MaintainedIndex:
             "applied_seq": int(st["applied_seq"]),
             "replica_seq": int(meta.get("last_seq", -1)),
             "age_seconds": max(0.0, now - float(st["applied_ts"])),
+        }
+        out.update(self._geometry())
+        return out
+
+    def _geometry(self) -> dict:
+        """Geometry-drift accounting (r11 verdict #6): dead slots and
+        split/merge chain length — the two signals the retrain trigger
+        thresholds on and an operator watches. Descriptor-only reads."""
+        spark = self.engine.spark
+        if self.kind == "ivf":
+            from .operators.similarity import read_ivf_meta
+            imeta = read_ivf_meta(self.index_path) or {}
+            return {
+                "n_dead_cells": len(imeta.get("dead", [])),
+                "chain_length": int(imeta.get("geometry_actions", 0)),
+                "retrains": int(imeta.get("retrains", 0)),
+            }
+        from .operators.retrieval import _live_shards
+        lex = os.path.join(self.index_path, "_lex_meta.json")
+        if not fsutil.exists(lex, spark=spark):
+            return {"n_dead_cells": 0, "chain_length": 0}
+        lmeta = json.loads(fsutil.read_text(lex, spark=spark))
+        chain = lmeta.get("splits", [])
+        live = _live_shards(int(lmeta["shards"]), chain)
+        splits = sum(1 for e in chain if e.get("salt") is not None)
+        return {
+            # shards ever created (base + one per split) minus live =
+            # merged-away placement-chain slots
+            "n_dead_cells": int(lmeta["shards"]) + splits - len(live),
+            "chain_length": len(chain),
         }
 
     def due(self) -> bool:
@@ -307,18 +360,51 @@ class MaintainedIndex:
     # -- IVF load-factor policy (r9 verdict #6) ---------------------------
 
     def maybe_rebalance(self) -> str | None:
-        """The scheduler-facing geometry action: one split OR one merge
-        per poll, as a labeled string for the optimizer's action log
-        (``split:a->b`` / ``merge:b->a``), or None when the load factors
-        are healthy. Split wins when both trigger — a hot partition
-        hurts every probe touching it, a sparse pair only wastes probe
-        slots."""
+        """The scheduler-facing geometry action: one retrain OR split OR
+        merge per poll, as a labeled string for the optimizer's action
+        log (``retrain:k`` / ``split:a->b`` / ``merge:b->a``), or None
+        when the load factors are healthy. Retrain (the escalation — see
+        ``maybe_retrain``) preempts both incremental actions: once the
+        chain is long enough to trigger it, another local action would
+        only drift the codebook further before the rebuild. Below the
+        threshold, split wins over merge — a hot partition hurts every
+        probe touching it, a sparse pair only wastes probe slots."""
+        r = self.maybe_retrain()
+        if r is not None:
+            return f"retrain:{r}"
         s = self.maybe_split()
         if s is not None:
             return f"split:{s[0]}->{s[1]}"
         m = self.maybe_merge()
         if m is not None:
             return f"merge:{m[0]}->{m[1]}"
+        return None
+
+    def maybe_retrain(self) -> int | None:
+        """Codebook-retrain escalation ABOVE split/merge (r11 verdict
+        #3): every split seeds a LOCAL sub-codebook and every merge
+        leaves a dead slot — the descriptor's ``geometry_actions`` chain
+        counts that drift, and once it reaches ``retrain_after`` the
+        maintainer rebuilds the global codebook
+        (``retrain_ivf_index`` — the index's OPTIMIZE FINAL analog:
+        reference db_optimizer.py:71–80, the periodic full compaction
+        behind the incremental actions). The trigger is descriptor-only
+        (no scan); a torn retrain left by a crash is resumed first and
+        counts as this poll's action. IVF-only by construction
+        (validated in __init__). Returns the new live-cell count."""
+        if (self.retrain_after is None or self.kind != "ivf"
+                or not self.built()):
+            return None
+        from .operators.similarity import (pending_retrain,
+                                           read_ivf_meta,
+                                           retrain_ivf_index)
+
+        spark = self.engine.spark
+        if pending_retrain(self.index_path) is not None:
+            return retrain_ivf_index(spark, self.index_path)
+        imeta = read_ivf_meta(self.index_path) or {}
+        if int(imeta.get("geometry_actions", 0)) >= int(self.retrain_after):
+            return retrain_ivf_index(spark, self.index_path)
         return None
 
     def maybe_split(self) -> tuple[int, int] | None:

@@ -312,13 +312,25 @@ def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
     re-argmin references it repeatedly, and inlined (CollapseProject) the
     O(n_cells × dims) subtree would be cloned per reference — exploding
     both driver-side planning time and per-row work. At 100 TB the stage
-    is a written table; here, a cache."""
+    is a written table; here, a cache.
+
+    ``probes`` is clamped to the LIVE cell count (cells minus
+    ``dead_cells``): once every live cell is chosen, the masked distance
+    array is all +inf and ``array_position`` degenerates to cell 1 —
+    possibly dead, possibly already chosen — so the same cell would
+    occupy two probe slots and, downstream, the same neighbor two top-k
+    ranks (ADVICE r11). Unreachable before merges existed (probes ≤
+    n_cells always found a fresh finite cell); reachable now on an index
+    that organically merged down to few live cells, exactly when the
+    filtered-search docstring advises widening probes."""
     vec = F.col(vec_col)
     vec_d = F.transform(vec, lambda x: x.cast("double"))
     cents = centroids if centroids is not None \
         else ivf_centroids(n_cells, dims, prefix)
-    d = _sq_dists(vec_d, cents,
-                  dead=set(dead_cells) if dead_cells else None)
+    dead_set = {int(c) for c in dead_cells
+                if 1 <= int(c) <= n_cells} if dead_cells else set()
+    probes = max(1, min(probes, n_cells - len(dead_set)))
+    d = _sq_dists(vec_d, cents, dead=dead_set or None)
     staged = transient_persist(df.withColumn("__d", d))
 
     cells: list[Column] = []
@@ -1040,6 +1052,14 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
             f"only write_ivf_index tables (r6+) support incremental upsert")
     cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                             meta["dims"])
+    if fsutil.exists(os.path.join(path, _IVF_RETRAIN_PENDING), spark=spark):
+        # a torn RETRAIN left the whole geometry ambiguous (old
+        # descriptor over partially re-assigned directories): finish it
+        # with the manifest's trained codebook before touching anything
+        retrain_ivf_index(spark, path)
+        meta = read_ivf_meta(path)
+        cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
+                                meta["dims"])
     if fsutil.exists(os.path.join(path, _IVF_SPLIT_PENDING), spark=spark):
         # A torn split leaves ``_vecmeta`` mapping moved vectors to their
         # PRE-split cell: an upsert removing such a vector would rewrite
@@ -1324,6 +1344,14 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         meta = read_ivf_meta(path)
         cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                                 meta["dims"])
+    if pending is None and fsutil.exists(
+            os.path.join(path, _IVF_RETRAIN_PENDING), spark=spark):
+        # a torn retrain leaves the whole geometry ambiguous — finish it
+        # (manifest codebook, idempotent) before splitting anything
+        retrain_ivf_index(spark, path)
+        meta = read_ivf_meta(path)
+        cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
+                                meta["dims"])
     if pending is not None:
         if cell is not None and cell != pending["cell"]:
             raise ValueError(
@@ -1444,6 +1472,12 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     meta2 = dict(meta)
     meta2.update({"n_cells": len(cents2), "dims": dims,
                   "centroids": cents2})
+    if len(cents) < new_cell:
+        # chain accounting for the retrain escalation (r12): every
+        # geometry action drifts the codebook a little. Not re-bumped on
+        # a resume whose first run already committed the descriptor
+        # (centroid list already grown).
+        meta2["geometry_actions"] = int(meta.get("geometry_actions", 0)) + 1
     fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
@@ -1502,6 +1536,12 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
         # ambiguous geometry: finish the torn split first (idempotent,
         # O(cell) — same contract as the upsert's auto-resume)
         split_ivf_cell(spark, path)
+        meta = read_ivf_meta(path)
+    if fsutil.exists(os.path.join(path, _IVF_RETRAIN_PENDING),
+                     spark=spark):
+        # a torn retrain leaves the whole geometry ambiguous — finish it
+        # (manifest codebook, idempotent) before merging anything
+        retrain_ivf_index(spark, path)
         meta = read_ivf_meta(path)
     n_cells = int(meta["n_cells"])
     dead = {int(c) for c in meta.get("dead", [])}
@@ -1595,13 +1635,174 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("vspan").parquet(members_path))
 
-    # descriptor last; idempotent on resume (set semantics)
+    # descriptor last; idempotent on resume (set semantics; the chain
+    # counter is NOT re-bumped when the dead set already contains src)
     meta2 = dict(meta)
+    already = src in {int(c) for c in meta.get("dead", [])}
     meta2["dead"] = sorted({int(c) for c in meta.get("dead", [])} | {src})
+    if not already:
+        meta2["geometry_actions"] = int(meta.get("geometry_actions", 0)) + 1
     fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
     return src, dst
+
+
+_IVF_RETRAIN_PENDING = "_ivf_retrain_pending.json"  # retrain intent manifest
+
+
+def retrain_ivf_index(spark, path: str, iters: int = 2,
+                      sample_fraction: float | None = None,
+                      salt: str = "ivf-retrain",
+                      force: bool = False) -> int | None:
+    """Full codebook retrain — the escalation ABOVE split/merge and the
+    index's OPTIMIZE FINAL analog (reference db_optimizer.py:71–80: the
+    periodic full compaction behind the incremental actions). A long
+    split/merge chain degrades centroid quality monotonically: splits
+    seed LOCAL 2-means sub-codebooks (good for the split cell, blind to
+    the rest), merges leave DEAD centroid slots that waste a distance
+    term in every assignment — nothing in the one-action-per-poll policy
+    ever revisits the global geometry. The retrain rebuilds it: train a
+    fresh ``n_live``-cell codebook over the index's CURRENT corpus
+    (``train_ivf_centroids`` — exact quantized Lloyd, so the whole
+    operation stays SQL-oracle-expressible), re-assign every vector,
+    compact the dead slots away, and reset the chain counter.
+
+    This is deliberately O(index) — the point is a bounded periodic full
+    pass that caps how far the incremental actions can drift, exactly
+    like OPTIMIZE FINAL vs per-batch merges. At 100 TB you
+    ``sample_fraction`` the TRAINING scan (the standard practice — FAISS
+    trains on a sample); the re-assignment pass is one scan + one
+    partitioned write, the same cost as the initial build.
+
+    No-op guard: with no dead slots and an empty action chain
+    (``geometry_actions == 0``) the geometry has not drifted and the
+    retrain returns None WITHOUT touching the index — probes before and
+    after are byte-identical (``force=True`` overrides, for an explicit
+    operator-initiated rebuild).
+
+    Crash contract (the split's, escalated): the intent manifest
+    (``_ivf_retrain_pending.json``) persists the TRAINED centroids
+    before any mutation — a resume must re-assign with the codebook the
+    torn run trained, never retrain over torn data (training input
+    would differ mid-rewrite). Data first (dynamic cell overwrite +
+    stale-directory deletes), membership next, descriptor last, manifest
+    deleted after. A crash between data and descriptor leaves probes on
+    the OLD geometry over partially moved rows — bounded recall loss,
+    never wrong results (membership, not global consistency, defines
+    candidates — ``ivf_index_topk``'s standing contract) — until the
+    idempotent resume: the re-assignment input is the union of every
+    cell directory deduped on vec_id, invariant under any partial
+    commit. ``upsert_ivf_index`` / ``split_ivf_cell`` /
+    ``merge_ivf_cells`` auto-resume a pending retrain before mutating.
+    Returns the new live-cell count, or None for the no-op."""
+    import json
+    import os
+
+    meta = read_ivf_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"retrain_ivf_index: no _ivf_meta.json descriptor at {path}")
+    pend_path = os.path.join(path, _IVF_RETRAIN_PENDING)
+    pending = None
+    if fsutil.exists(pend_path, spark=spark):
+        pending = json.loads(fsutil.read_text(pend_path, spark=spark))
+    if pending is None:
+        # finish any torn incremental action first (each is O(cells
+        # touched) and idempotent); only one manifest can exist at a
+        # time — every action resumes the others before writing its own
+        if fsutil.exists(os.path.join(path, _IVF_SPLIT_PENDING),
+                         spark=spark):
+            split_ivf_cell(spark, path)
+            meta = read_ivf_meta(path)
+        if fsutil.exists(os.path.join(path, _IVF_MERGE_PENDING),
+                         spark=spark):
+            merge_ivf_cells(spark, path)
+            meta = read_ivf_meta(path)
+    n_cells, dims = int(meta["n_cells"]), int(meta["dims"])
+    dead = {int(c) for c in meta.get("dead", [])}
+    chain = int(meta.get("geometry_actions", 0))
+    if pending is None and not force and not dead and chain == 0:
+        return None                     # geometry never drifted: no-op
+    idx = fsutil.read_parquet_or_empty(
+        spark, path, meta.get("schemas", {}).get("index"))
+    # union of every cell directory deduped on vec_id: a fresh retrain
+    # sees the clean index, a resume sees whatever a torn rewrite left
+    # (a vector possibly in two dirs — identical rows, only the cell
+    # differs), so the re-assignment input is invariant under any
+    # partial commit
+    rows = idx.dropDuplicates(["vec_id"])
+    if pending is not None:
+        cents_new = [[float(x) for x in c] for c in pending["centroids"]]
+        k = len(cents_new)
+    else:
+        k = n_cells - len(dead)
+        if k < 1:
+            raise ValueError(
+                f"retrain_ivf_index: index at {path} has no live cells")
+        if rows.isEmpty():
+            raise ValueError(
+                f"retrain_ivf_index: index at {path} holds no vectors — "
+                f"nothing to train on")
+        cents_new = train_ivf_centroids(
+            rows, "embedding", k, dims, iters=iters,
+            sample_fraction=sample_fraction,
+            id_col="vec_id" if sample_fraction is not None else None,
+            salt=salt)
+        fsutil.write_text(pend_path,
+                          json.dumps({"centroids": cents_new}),
+                          spark=spark)
+
+    reassigned = (ivf_assign(rows.drop("cell"), "embedding", k, dims,
+                             probes=1, centroids=cents_new)
+                  .withColumn("cell", F.element_at("cells", 1))
+                  .drop("cells")
+                  .select(*rows.columns)   # keep the stored column order
+                  .localCheckpoint(eager=True))
+    (reassigned.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cell").parquet(path))
+    live = {int(r.cell) for r in
+            reassigned.select("cell").distinct().collect()}
+    # compact: every pre-retrain directory not re-written disappears —
+    # dead slots' dirs (already gone), renumbered tails, emptied cells
+    for c in set(range(1, n_cells + 1)) - live:
+        fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+
+    # membership rewrite (ids unchanged → same span set, no span deletes)
+    members_path = os.path.join(path, _IVF_MEMBERS)
+    (reassigned.select("vec_id",
+                       F.col("cell").cast("int").alias("cell"))
+     .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("vspan").parquet(members_path))
+
+    # descriptor last: compacted geometry, chain reset
+    meta2 = dict(meta)
+    meta2.update({"n_cells": k, "centroids": cents_new, "dead": [],
+                  "geometry_actions": 0,
+                  "retrains": int(meta.get("retrains", 0)) + 1})
+    fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
+                      spark=spark)
+    fsutil.delete(pend_path, spark=spark)
+    return k
+
+
+def pending_retrain(path: str) -> dict | None:
+    """``{"centroids": [...]}`` of a torn ``retrain_ivf_index`` run, or
+    None — the retrain twin of ``pending_split``. Recovery =
+    ``retrain_ivf_index(spark, path)`` (resumes with the manifest's
+    trained codebook); upsert/split/merge auto-resume it before
+    mutating."""
+    import json
+    import os
+
+    pend = os.path.join(path, _IVF_RETRAIN_PENDING)
+    if not fsutil.exists(pend):
+        return None
+    doc = json.loads(fsutil.read_text(pend))
+    return {"centroids": doc["centroids"]}
 
 
 def pending_merge(path: str) -> dict | None:
@@ -1731,7 +1932,11 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
                        *[F.col(c).alias(f"__q_{c}") for c in filter_cols]),
         "qv", n_cells, dims, probes=probes, centroids=centroids,
         dead_cells=dead)
-    qcells = q.select("query_id", "qv", F.explode("cells").alias("cell"),
+    # array_distinct is defense in depth behind ivf_assign's live-count
+    # probe clamp (ADVICE r11): a duplicated probe cell would score the
+    # same neighbor twice and hand it two of the k ranks
+    qcells = q.select("query_id", "qv",
+                      F.explode(F.array_distinct("cells")).alias("cell"),
                       *[f"__q_{c}" for c in filter_cols])
     probe_cells = sorted({r.cell for r in
                           qcells.select("cell").distinct().collect()})

@@ -95,20 +95,19 @@ _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # recorded round", which could never re-verify a query that was green in
 # that round and changed AFTER it — exactly the r10 situation.)
 _ROTATION_BOOST: dict[str, int] = {
-    # r11 implementation changes that deserve a fresh driver row: both
-    # upsert paths changed (lexical: early schema persist + shard_rows
-    # accounting + merge auto-resume; IVF: meta_cols carry + dead-cell
-    # masking + merge auto-resume), both splits (counts, merge-resume
-    # entry, _live_shards validation), the placement chain grew merge
-    # entries (every lexical probe evaluates it), and bm25_indexed_topk
-    # gained the doc_filter arm. Budget note: 4 pins + 6 boosts + 4 new
-    # + the 35-query r6-stale cohort = 49 ≤ 50 — do NOT add a boost or
-    # a new registration without retiring one, or the stale cohort
-    # loses its window slot (test_r11_window_covers_entire_r6_stale_
-    # cohort pins this).
-    "lexical_index_upsert": 10, "bm25_indexed": 10,
-    "phrase_match_indexed": 10, "lexical_shard_split": 10,
-    "ann_ivf_index_upsert": 10, "ann_ivf_split_rebalance": 10,
+    # r12 implementation changes that deserve a fresh driver row:
+    # ann_ivf_index_stats's OUTPUT grew the two geometry-drift columns
+    # (n_dead_cells / chain_length — r11 verdict #6), and
+    # ann_ivf_index_filtered's probe path changed (probe clamp to the
+    # live-cell count + array_distinct on the probed cells + the
+    # min_results auto-widen plumbing — ADVICE r11 / verdict #4).
+    # Budget note (r11 verdict #1 — the HARD line this round): 4 pins
+    # + 2 boosts + 1 new (ann_ivf_retrain) + the 43-query r7-stale
+    # cohort = 50 — the window is EXACTLY full, so r12 ships with no
+    # other boost or registration, and the whole r7 cohort re-greens
+    # (test_r12_window_covers_entire_r7_stale_cohort pins this). The
+    # r11 boosts all self-retired on their r11 green rows.
+    "ann_ivf_index_stats": 11, "ann_ivf_index_filtered": 11,
 }
 
 # Rotation-fairness knobs (r8, from the r7 verdict's starvation analysis:

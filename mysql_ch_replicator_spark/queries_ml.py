@@ -4886,16 +4886,21 @@ def lexical_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's from-scratch (term, doc_id, tf, df) recomputation
     proves no posting was lost, duplicated, or re-counted by the move;
     placement itself is pinned by plan/mtime tests
-    (tests/test_round10_properties.py)."""
+    (tests/test_round10_properties.py). The starting index is a
+    hardlinked private copy of the shared full 16-shard/span-1024
+    session fixture (r11 verdict #5: this query used to be the only
+    index query rebuilding its index from scratch on every run — 6.4 s
+    controlled, 31 s in a degraded driver window, all fixture build);
+    the split moves the positions twin along with the postings, which
+    the postings-relation oracle is insensitive to and the phrase-probe
+    tests pin separately."""
     import os
 
-    from .operators.retrieval import split_lexical_shard, \
-        write_lexical_index
-    from .queries import _tmp_root
+    from .operators.retrieval import split_lexical_shard
+    from .queries import _mutable_copy
 
-    docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_tmp_root(sf_dir, "lexsplit"), "index")
-    write_lexical_index(docs, path, shards=16, span_width=1024)
+    path = _mutable_copy(_lex_full_fixture(spark, sf_dir),
+                         sf_dir, "lexsplit")
     split_lexical_shard(spark, path)
     return (spark.read.parquet(os.path.join(path, "postings"))
             .select("term", "doc_id", "tf", "df"))
@@ -5190,6 +5195,150 @@ def ann_ivf_merge_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_topk(spark, path, queries, k=5, probes=2)
 
 
+def _ivf_retrain_oracle_sql(n_cells: int, dims: int, iters: int,
+                            scale: float, k: int, n_queries: int) -> str:
+    """DuckDB oracle for the post-retrain probe: the retrain trains a
+    fresh ``n_cells``-cell codebook over the WHOLE corpus (exact
+    quantized Lloyd, ``iters`` iterations unrolled as CTE stages — the
+    ann_ivf_kmeans_topk oracle's machinery, minus the sample), then the
+    index holds every vector under its retrained assignment with NO
+    dead slots, so the probe is the standard masked-re-argmin two-probe
+    ranking over the trained float centroids. Matching it from scratch
+    proves the in-place rewrite (data move + membership + descriptor
+    compaction) composed to exactly 'as if rebuilt with the retrained
+    codebook'."""
+    from .operators.similarity import ivf_centroids, quantize_centroids
+
+    init_q = quantize_centroids(ivf_centroids(n_cells, dims), scale)
+    c0_rows = ",\n             ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            c + 1, ", ".join(f"{v}e0" for v in init_q[c]))
+        for c in range(n_cells))
+    qdist = (f"list_sum(list_transform(range({dims}), i -> "
+             f"(v.q[i + 1] - c.cq[i + 1]) * (v.q[i + 1] - c.cq[i + 1])))")
+    lloyd = ""
+    for it in range(1, iters + 1):
+        lloyd += f"""
+    a{it} AS (
+      SELECT vec_id, q, cell FROM (
+        SELECT v.vec_id, v.q, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {qdist}, c.cell) AS rn
+        FROM tr v CROSS JOIN c{it - 1} c)
+      WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT cell, list(m ORDER BY pos) AS cq FROM (
+        SELECT cell, t.i AS pos,
+               floor(CAST(sum(q[t.i + 1]) AS DOUBLE) / count(*)) AS m
+        FROM a{it}, range({dims}) t(i)
+        GROUP BY cell, t.i) GROUP BY cell
+    ),
+    c{it} AS (
+      SELECT p.cell, COALESCE(u.cq, p.cq) AS cq
+      FROM c{it - 1} p LEFT JOIN u{it} u USING (cell)
+    ),"""
+    return f"""
+    WITH tr AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * {scale!r})) AS q
+      FROM embeddings
+    ),
+    c0(cell, cq) AS (
+      VALUES {c0_rows}
+    ),{lloyd}
+    cd AS (
+      SELECT cell, list_transform(cq, x -> x / {scale!r}) AS cl
+      FROM c{iters}
+    ),
+    cord AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
+             {_sqdist_arr_sql('e.embedding', 'c.cl', dims)} AS dist
+      FROM embeddings e CROSS JOIN cd c
+    ),
+    corc AS (
+      SELECT neighbor_id, cv, cell FROM (
+        SELECT neighbor_id, cv, cell,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY dist, cell) AS rn
+        FROM cord) WHERE rn = 1
+    ),
+    qd0 AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+             {_sqdist_arr_sql('e.embedding', 'c.cl', dims)} AS dist
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {n_queries}) e
+      CROSS JOIN cd c
+    ),
+    qd AS (
+      SELECT query_id, qv, list(dist ORDER BY cell) AS dl
+      FROM qd0 GROUP BY query_id, qv
+    ),
+    qc AS (
+      SELECT query_id, qv, dl,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, qv, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range({n_cells}), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dl[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, qv, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round({_cos_sql('q.qv', 'c.cv', dims)}, 6) AS cos
+      FROM corc c JOIN qprobe q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_retrain",
+          _ivf_retrain_oracle_sql(n_cells=7, dims=_EMB_DIMS, iters=2,
+                                  scale=4_194_304.0, k=5, n_queries=10))
+def ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-retrain e2e (operators/similarity.retrain_ivf_index —
+    r11 verdict #3, the escalation ABOVE split/merge and the index's
+    OPTIMIZE FINAL analog, reference db_optimizer.py:71–80): a merge
+    drifts the geometry (dead slot, chain length 1) on a private copy
+    of the full-corpus index, then the retrain rebuilds the global
+    codebook — exact quantized Lloyd over the index's current corpus —
+    re-assigns every vector, compacts the dead slot away (8 slots → 7
+    live cells), resets the chain, and the probe runs against the
+    compacted geometry. The oracle recomputes the trained codebook from
+    scratch (unrolled Lloyd CTEs) and the full probe over it: equality
+    proves the in-place rewrite equals 'as if rebuilt'. Crash-resume
+    (manifest codebook, never retrain-over-torn-data), the no-op guard
+    for undrifted indexes, and the maybe_rebalance policy trigger are
+    pinned in tests/test_round12_properties.py."""
+    from .operators.similarity import (ivf_index_topk, merge_ivf_cells,
+                                       retrain_ivf_index)
+    from .queries import _mutable_copy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _mutable_copy(_ivf8_full_fixture(spark, sf_dir),
+                         sf_dir, "ivf_retrain")
+    merge_ivf_cells(spark, path, src=_IVF_MERGE_SRC, dst=_IVF_MERGE_DST)
+    retrain_ivf_index(spark, path, iters=2)
+    queries = emb.where(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_index_topk(spark, path, queries, k=5, probes=2)
+
+
 @register("lexical_shard_merge", _bm25_oracle_sql(
     _BM25_TERMS, _BM25_K,
     source="(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
@@ -5391,7 +5540,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) AS BIGINT) AS c
             FROM per_cell)
     SELECT p.cell, p.n_vectors,
-           1000000 * p.n_vectors * tot.c // tot.t AS load6
+           1000000 * p.n_vectors * tot.c // tot.t AS load6,
+           CAST(0 AS INTEGER) AS n_dead_cells,
+           CAST(0 AS INTEGER) AS chain_length
     FROM per_cell p CROSS JOIN tot
     """,
 )
@@ -5400,14 +5551,22 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector counts plus load6 = 1e6-scaled (cell size / mean cell size) —
     the imbalance factor that decides when the codebook needs
     retraining (a hot cell is a hot partition: probe cost and skew both
-    follow it). Reads the cell-partitioned index written by
-    ``write_ivf_index`` — the listing-only scan never touches vector
+    follow it) — and, since r12, the two geometry-drift signals the
+    retrain escalation thresholds on: the descriptor's dead-slot count
+    and split/merge chain length (both 0 on the pristine fixture; the
+    oracle pins the constants, the non-zero paths are pinned by the
+    maintained-retrain policy test in tests/test_round12_properties.py
+    against a drifted index). Reads the cell-partitioned index written
+    by ``write_ivf_index`` — the listing-only scan never touches vector
     data (column pruning keeps the parquet read to the partition
     column); the oracle recomputes the assignment from the source
     embeddings, proving the stored partitioning still matches the
     descriptor's centroids. The index is the shared read-only session
     fixture (same build index_membership_stats consumes)."""
+    from .operators.similarity import read_ivf_meta
+
     path = _ivf8_full_fixture(spark, sf_dir)
+    meta = read_ivf_meta(path) or {}
     idx = spark.read.parquet(path).select("cell")
     per_cell = idx.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"))
@@ -5415,7 +5574,11 @@ def ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.count(F.lit(1)).cast("long").alias("c"))
     return (per_cell.crossJoin(F.broadcast(tot))
             .select("cell", "n_vectors",
-                    F.expr("1000000 * n_vectors * c div t").alias("load6")))
+                    F.expr("1000000 * n_vectors * c div t").alias("load6"),
+                    F.lit(len(meta.get("dead", [])))
+                    .cast("int").alias("n_dead_cells"),
+                    F.lit(int(meta.get("geometry_actions", 0)))
+                    .cast("int").alias("chain_length")))
 
 
 def _membership_span_frames(spark, lex_path: str, ivf_path: str):

@@ -274,6 +274,26 @@ def test_r11_window_covers_entire_r6_stale_cohort():
     assert r6 <= window, sorted(r6 - window)
 
 
+def test_r12_window_covers_entire_r7_stale_cohort():
+    """The r11 verdict's task #1, pinned on the REAL history: every
+    query whose newest green row is round 7 (the 43-query cohort, one
+    round from the overdue bound) must be inside the round-12 window —
+    with the budget EXACTLY full (4 pins + 2 boosts + 1 new
+    registration + 43 = 50), a single extra boost or registration
+    crowds one of them out. If this fails, retire a boost or fold the
+    new query into an existing name."""
+    latest = _latest_green_rounds()
+    newest = max(latest.values(), default=-1)
+    if newest != 11:      # only meaningful while r11 is the newest row
+        pytest.skip("history has moved past round 11")
+    r7 = {n for n in _REGISTRY if latest.get(n) == 7}
+    window = set(_ordered_names()[:DRIVER_WINDOW])
+    assert r7 <= window, sorted(r7 - window)
+    # the never-verified new registration must also make the window
+    never = {n for n in _REGISTRY if n not in latest}
+    assert never <= window, sorted(never - window)
+
+
 def test_overdue_lane_preempts_new_lane(monkeypatch):
     """A query whose newest green row is _OVERDUE_AGE+ rounds behind the
     newest recorded round outranks even never-verified entrants — the

@@ -1,0 +1,298 @@
+"""Round-12 properties: probe-degeneracy guards, load-factor config
+sanity, codebook retrain escalation, and filtered-probe auto-widening.
+
+The r11 ADVICE found the first reachable degeneracy of the masked
+re-argmin probe assignment: once merges exist, an index can hold fewer
+LIVE cells than the requested probe count, the masked distance array
+goes all-+inf, and ``array_position`` silently returns cell 1 — a
+duplicate (or dead) probe slot that scores the same neighbor twice and
+hands it two of the k ranks. These tests pin the clamp, the merge/split
+ping-pong rejection, and the round-12 escalations above split/merge.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_ch_replicator_spark.operators.similarity import (
+    brute_force_topk, ivf_assign, ivf_index_topk, merge_ivf_cells,
+    read_ivf_meta, write_ivf_index,
+)
+
+
+def _vec(i: int) -> list[float]:
+    # well-spread 3-D points, never the zero vector (cosine needs a norm)
+    return [float(i % 4) * 2.0, float(i % 7) - 3.0, 1.0 + float(i % 3)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _vec(i)) for i in range(48)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, corpus, tmp_path_factory):
+    """4-cell index merged down to 3 live cells — the r11-ADVICE
+    geometry where probes >= live cells becomes reachable."""
+    path = str(tmp_path_factory.mktemp("ivfclamp") / "index")
+    write_ivf_index(corpus, path, n_cells=4)
+    live = sorted(set(range(1, 5))
+                  - {int(c) for c in (read_ivf_meta(path).get("dead", []))})
+    merge_ivf_cells(spark, path, src=live[0], dst=live[1])
+    return path
+
+
+def test_probes_clamped_to_live_cells_in_assignment(spark, corpus,
+                                                    merged_index):
+    """probes > live cells must yield DISTINCT, LIVE probe cells — not
+    the all-+inf fallback to cell 1 (ADVICE r11)."""
+    meta = read_ivf_meta(merged_index)
+    dead = [int(c) for c in meta["dead"]]
+    live = [c for c in range(1, meta["n_cells"] + 1) if c not in dead]
+    got = ivf_assign(corpus.limit(6), "embedding", meta["n_cells"],
+                     meta["dims"], probes=8, centroids=meta["centroids"],
+                     dead_cells=dead).select("cells").collect()
+    for r in got:
+        cells = list(r.cells)
+        assert len(cells) == len(live), \
+            f"probes must clamp to the live count, got {cells}"
+        assert len(set(cells)) == len(cells), f"duplicate probes: {cells}"
+        assert not set(cells) & set(dead), f"dead cell probed: {cells}"
+
+
+def test_wide_probe_on_merged_index_is_exact(spark, corpus, merged_index):
+    """Probing with probes >= live cells covers the whole index, so the
+    result must EQUAL brute force over the full corpus — with the
+    pre-clamp degeneracy, duplicate probe cells double-scored neighbors
+    and displaced real ones."""
+    queries = corpus.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_index_topk(spark, merged_index, queries, k=5, probes=16)
+    want = brute_force_topk(corpus, queries, 5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # and no neighbor may occupy two ranks for one query even if a
+    # duplicate survived somewhere upstream
+    dup = (got.groupBy("query_id", "neighbor_id")
+           .count().where(F.col("count") > 1))
+    assert dup.isEmpty()
+
+
+def _mk_engine(spark, tmp_path, name="replica"):
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+
+    engine = ReplicaEngine(spark, str(tmp_path / name))
+    engine.create_table("db1", """CREATE TABLE vecs (
+      vec_id bigint NOT NULL, emb varchar(300), PRIMARY KEY (vec_id))""")
+    return engine
+
+
+def test_ping_pong_load_factors_rejected(spark, tmp_path):
+    """2*merge_load_factor > split_load_factor lets a merge assemble a
+    partition that immediately re-trips the split (an O(partition)
+    rewrite every poll, forever) — rejected at construction
+    (ADVICE r11)."""
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+
+    engine = _mk_engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="ping-pong"):
+        MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix"),
+                        "ivf", payload_col="emb",
+                        split_load_factor=1.5, merge_load_factor=0.9)
+    # consistent factors (2*merge <= split) construct fine
+    MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix2"),
+                    "ivf", payload_col="emb",
+                    split_load_factor=2.0, merge_load_factor=0.5)
+    # and the retrain escalation is IVF-only
+    with pytest.raises(ValueError, match="IVF-only"):
+        MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix3"),
+                        "lexical", payload_col="emb", retrain_after=4)
+
+
+# -- codebook retrain escalation (r11 verdict #3) -------------------------
+
+
+def test_retrain_noop_on_undrifted_index(spark, corpus, tmp_path):
+    """With no dead slots and an empty action chain the geometry never
+    drifted: retrain must return None WITHOUT touching the index —
+    probes before/after byte-identical, descriptor unchanged."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        retrain_ivf_index,
+    )
+
+    path = str(tmp_path / "clean")
+    write_ivf_index(corpus, path, n_cells=4)
+    queries = corpus.where(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    before = sorted(map(tuple, ivf_index_topk(
+        spark, path, queries, k=5, probes=2).collect()))
+    meta_before = read_ivf_meta(path)
+
+    assert retrain_ivf_index(spark, path) is None
+    assert read_ivf_meta(path) == meta_before
+    after = sorted(map(tuple, ivf_index_topk(
+        spark, path, queries, k=5, probes=2).collect()))
+    assert after == before
+
+
+def test_retrain_compacts_and_equals_from_scratch(spark, corpus, tmp_path):
+    """After a merge has drifted the geometry, retrain must (a) compact
+    the dead slot away, (b) reset the chain, and (c) leave an index
+    whose probes EQUAL a from-scratch index built with the same trained
+    codebook — the rebuild oracle."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        retrain_ivf_index, train_ivf_centroids,
+    )
+
+    path = str(tmp_path / "drifted")
+    write_ivf_index(corpus, path, n_cells=4)
+    live = sorted(set(range(1, 5))
+                  - {int(c) for c in read_ivf_meta(path).get("dead", [])})
+    merge_ivf_cells(spark, path, src=live[0], dst=live[1])
+    assert read_ivf_meta(path).get("geometry_actions") == 1
+
+    k = retrain_ivf_index(spark, path, iters=2)
+    assert k == 3
+    meta = read_ivf_meta(path)
+    assert meta["n_cells"] == 3
+    assert meta["dead"] == []
+    assert meta["geometry_actions"] == 0
+    assert meta["retrains"] == 1
+
+    # the trained codebook is exactly quantized Lloyd over the corpus
+    want_cents = train_ivf_centroids(corpus, "embedding", 3, 3, iters=2,
+                                     salt="ivf-retrain")
+    assert meta["centroids"] == [[float(x) for x in c]
+                                 for c in want_cents]
+
+    fresh = str(tmp_path / "fresh")
+    write_ivf_index(corpus, fresh, n_cells=3, centroids=want_cents)
+    queries = corpus.where(F.col("vec_id") < 6) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(map(tuple, ivf_index_topk(
+        spark, path, queries, k=5, probes=2).collect()))
+    want = sorted(map(tuple, ivf_index_topk(
+        spark, fresh, queries, k=5, probes=2).collect()))
+    assert got == want
+    # membership table matches the rewritten cells
+    idx = spark.read.parquet(path)
+    memb = spark.read.parquet(f"{path}/_vecmeta")
+    assert sorted(map(tuple, idx.select("vec_id", "cell").collect())) == \
+        sorted(map(tuple, memb.select(
+            "vec_id", F.col("cell").cast("int")).collect()))
+
+
+def test_retrain_crash_resume_via_upsert(spark, corpus, tmp_path):
+    """A retrain torn before the descriptor commit (codebook trained and
+    manifested, data partially re-assigned) must be detectable
+    (pending_retrain) and auto-resumed by the next upsert — with the
+    MANIFEST's codebook, never a re-train over torn data — converging
+    to the clean-retrain state."""
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.similarity import (
+        pending_retrain, retrain_ivf_index, upsert_ivf_index,
+    )
+
+    path = str(tmp_path / "crash")
+    write_ivf_index(corpus, path, n_cells=4)
+    live = sorted(set(range(1, 5))
+                  - {int(c) for c in read_ivf_meta(path).get("dead", [])})
+    merge_ivf_cells(spark, path, src=live[0], dst=live[1])
+
+    # the clean final state, computed on a parallel copy
+    clean = str(tmp_path / "clean")
+    write_ivf_index(corpus, clean, n_cells=4)
+    merge_ivf_cells(spark, clean, src=live[0], dst=live[1])
+    retrain_ivf_index(spark, clean, iters=2)
+
+    real_write = fsutil.write_text
+
+    def crashing(p, text, spark=None):
+        if p.endswith("_ivf_meta.json"):
+            raise RuntimeError("injected crash before descriptor commit")
+        return real_write(p, text, spark=spark)
+
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            retrain_ivf_index(spark, path, iters=2)
+    finally:
+        fsutil.write_text = real_write
+    assert pending_retrain(path) is not None
+
+    # next upsert resumes the retrain before applying its batch
+    extra = spark.createDataFrame([(1000, _vec(17))],
+                                  "vec_id long, embedding array<float>")
+    upsert_ivf_index(spark, path, adds=extra)
+    assert pending_retrain(path) is None
+    meta = read_ivf_meta(path)
+    clean_meta = read_ivf_meta(clean)
+    assert meta["centroids"] == clean_meta["centroids"]
+    assert meta["n_cells"] == clean_meta["n_cells"]
+    assert meta["dead"] == [] and meta["geometry_actions"] == 0
+    idx = spark.read.parquet(path)
+    assert idx.count() == corpus.count() + 1
+    assert idx.select("vec_id").distinct().count() == idx.count()
+    # the post-resume index equals clean-retrain + the same upsert
+    upsert_ivf_index(spark, clean, adds=extra)
+    assert sorted(map(tuple, idx.select("vec_id", "cell").collect())) == \
+        sorted(map(tuple, spark.read.parquet(clean)
+                   .select("vec_id", "cell").collect()))
+
+
+def test_maintained_retrain_policy_fires_and_resets(spark, tmp_path):
+    """Policy e2e: an accumulated split/merge chain reaching
+    ``retrain_after`` makes the next maybe_rebalance poll return ONE
+    retrain action (preempting split/merge); the chain resets; polls
+    converge to idle; probes still answer."""
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.operators.similarity import (
+        merge_ivf_cells, read_ivf_meta,
+    )
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE vecs (
+      vec_id bigint NOT NULL, emb varchar(300), PRIMARY KEY (vec_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "vecs",
+            [(i, json.dumps(_vec(i))) for i in range(64)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    path = str(tmp_path / "ivf")
+    ix = MaintainedIndex(engine, "db1", "vecs", path, "ivf",
+                         payload_col="emb",
+                         payload_expr=F.from_json(F.col("emb"),
+                                                  "array<float>"),
+                         retrain_after=2, n_cells=8)
+    ix.build()
+
+    # drift the geometry: two manual merges = chain length 2
+    for _ in range(2):
+        merge_ivf_cells(spark, path)
+    assert read_ivf_meta(path)["geometry_actions"] == 2
+    st = ix.status()
+    assert st["n_dead_cells"] == 2 and st["chain_length"] == 2
+
+    act = ix.maybe_rebalance()
+    assert act is not None and act.startswith("retrain:")
+    meta = read_ivf_meta(path)
+    assert meta["geometry_actions"] == 0 and meta["dead"] == []
+    assert meta["n_cells"] == 6 and meta["retrains"] == 1
+    st = ix.status()
+    assert st["n_dead_cells"] == 0 and st["chain_length"] == 0
+    assert st["retrains"] == 1
+    assert ix.maybe_rebalance() is None    # converged to idle
+
+    q = spark.createDataFrame([(999, [1.0, 0.0, 1.0])],
+                              "query_id long, embedding array<float>")
+    assert ivf_index_topk(spark, path, q, k=3, probes=2).count() == 3
