@@ -302,27 +302,35 @@ def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
                dead_cells: list[int] | None = None) -> DataFrame:
     """Attach the ``probes`` nearest IVF cell ids (1-based array column).
 
-    Argmin is ``array_position(d, array_min(d))`` — first occurrence, so
-    ties break toward the lower cell id in both engines. Subsequent probes
-    mask the already-chosen cell with +inf and re-argmin (deterministic,
-    and exactly expressible in the SQL oracle, unlike an argsort whose
-    stability differs across engines).
+    Single-probe argmin is ``array_position(d, array_min(d))`` — first
+    occurrence, so ties break toward the lower cell id in both engines.
+    Multi-probe selection sorts (distance, cell) structs and slices the
+    first ``probes`` — EXACTLY the iterated mask-and-re-argmin the SQL
+    oracles unroll (ascending distance, ties to the lower cell id is
+    the same total order either way; ``array_sort`` on structs compares
+    fields left-to-right, so the order is engine-independent —
+    deterministic, unlike an argsort over distances alone). The sort
+    form is what makes wide probes LINEAR: the old per-probe masking
+    chain re-embedded every previously-chosen-cell expression, so the
+    expression tree grew exponentially in ``probes`` — invisible at the
+    standard probes=2, a planner hang when the filtered-search
+    auto-widen walks probes up to the live-cell count (r12).
 
-    The distance array is STAGED as a persisted column first: the masked
-    re-argmin references it repeatedly, and inlined (CollapseProject) the
-    O(n_cells × dims) subtree would be cloned per reference — exploding
-    both driver-side planning time and per-row work. At 100 TB the stage
-    is a written table; here, a cache.
+    The distance array is STAGED as a persisted column first: the probe
+    expression references it and two downstream actions (the probed-cell
+    collect and the candidate join) consume the result — inlined
+    (CollapseProject) the O(n_cells × dims) subtree would be cloned per
+    reference, exploding both driver-side planning time and per-row
+    work. At 100 TB the stage is a written table; here, a cache.
 
     ``probes`` is clamped to the LIVE cell count (cells minus
-    ``dead_cells``): once every live cell is chosen, the masked distance
-    array is all +inf and ``array_position`` degenerates to cell 1 —
-    possibly dead, possibly already chosen — so the same cell would
-    occupy two probe slots and, downstream, the same neighbor two top-k
-    ranks (ADVICE r11). Unreachable before merges existed (probes ≤
-    n_cells always found a fresh finite cell); reachable now on an index
-    that organically merged down to few live cells, exactly when the
-    filtered-search docstring advises widening probes."""
+    ``dead_cells``): once every live cell is chosen, the next-nearest
+    slot is a dead/+inf cell — a duplicate or dead probe slot that
+    would double-score neighbors downstream (ADVICE r11). Unreachable
+    before merges existed (probes ≤ n_cells always found a fresh finite
+    cell); reachable now on an index that organically merged down to
+    few live cells, exactly when the filtered-search docstring advises
+    widening probes."""
     vec = F.col(vec_col)
     vec_d = F.transform(vec, lambda x: x.cast("double"))
     cents = centroids if centroids is not None \
@@ -333,17 +341,18 @@ def ivf_assign(df: DataFrame, vec_col: str, n_cells: int, dims: int,
     d = _sq_dists(vec_d, cents, dead=dead_set or None)
     staged = transient_persist(df.withColumn("__d", d))
 
-    cells: list[Column] = []
-    dcol: Column = F.col("__d")
-    for _ in range(probes):
-        c = F.array_position(dcol, F.array_min(dcol)).cast("int")
-        cells.append(c)
-        chosen = F.array(*cells)
-        dcol = F.zip_with(
+    if probes == 1:
+        cells = F.array(
+            F.array_position(F.col("__d"),
+                             F.array_min(F.col("__d"))).cast("int"))
+    else:
+        pairs = F.zip_with(
             F.col("__d"), F.sequence(F.lit(1), F.lit(n_cells)),
-            lambda dist, i: F.when(F.array_contains(chosen, i.cast("int")),
-                                   F.lit(float("inf"))).otherwise(dist))
-    return staged.withColumn(cells_col, F.array(*cells)).drop("__d")
+            lambda dist, i: F.struct(dist.alias("d"),
+                                     i.cast("int").alias("c")))
+        cells = F.transform(F.slice(F.array_sort(pairs), 1, probes),
+                            lambda s: s["c"])
+    return staged.withColumn(cells_col, cells).drop("__d")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -1867,7 +1876,8 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
                    query_id_col: str = "query_id",
                    vec_col: str = "embedding",
                    centroids: list[list[float]] | None = None,
-                   filter_cols: list[str] | None = None) -> DataFrame:
+                   filter_cols: list[str] | None = None,
+                   min_results: int | None = None) -> DataFrame:
     """Probe a ``write_ivf_index`` table: compute each query's ``probes``
     nearest cells, scan ONLY those partitions (an IN-filter on the
     partition column → PartitionFilters in the parquet scan, zero IO for
@@ -1896,7 +1906,22 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
     cells only. A highly selective predicate thins each probed cell, so
     fewer than k survivors may return; widen ``probes`` for selective
     filters (the standard IVF dial — exactly how FAISS/Qdrant document
-    filtered search). Exactness WITHIN the probed cells is unchanged."""
+    filtered search). Exactness WITHIN the probed cells is unchanged.
+
+    ``min_results`` — AUTO-widening (r11 verdict #4): without it a
+    too-narrow probe under-returns SILENTLY and the caller cannot tell
+    "corpus has < k matches" from "probe too narrow". With it, queries
+    that return fewer than ``min_results`` rows are re-probed with the
+    probe count DOUBLED (satisfied queries keep their original ranking
+    — exactness within probed cells makes the narrow answer a correct
+    answer), repeating until every query is satisfied or the probe
+    count reaches the live-cell count — at which point the whole index
+    was scanned for the still-short queries, so a short result now
+    MEANS the corpus has that few matches. Each widened pass is the
+    same partition-pruned probe over just the under-returning queries;
+    cost is O(log2(live cells)) probe rounds worst-case, each a bounded
+    per-query row count collect (queries are broadcast-small by
+    contract)."""
     meta = read_ivf_meta(path)
     if meta is not None:
         if centroids is not None and \
@@ -1926,39 +1951,65 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
             f"the index at {path} (meta_cols={carried}) — rebuild with "
             f"write_ivf_index(meta_cols=...) to filter on them")
     dead = [int(c) for c in (meta or {}).get("dead", [])]
-    q = ivf_assign(
-        queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"),
-                       *[F.col(c).alias(f"__q_{c}") for c in filter_cols]),
-        "qv", n_cells, dims, probes=probes, centroids=centroids,
-        dead_cells=dead)
-    # array_distinct is defense in depth behind ivf_assign's live-count
-    # probe clamp (ADVICE r11): a duplicated probe cell would score the
-    # same neighbor twice and hand it two of the k ranks
-    qcells = q.select("query_id", "qv",
-                      F.explode(F.array_distinct("cells")).alias("cell"),
-                      *[f"__q_{c}" for c in filter_cols])
-    probe_cells = sorted({r.cell for r in
-                          qcells.select("cell").distinct().collect()})
-    index = fsutil.read_parquet_or_empty(
-        spark, path,
-        (meta or {}).get("schemas", {}).get("index")) \
-        .where(F.col("cell").isin(probe_cells))
-    cond = F.col("vec_id") != F.col("query_id")
-    for c in filter_cols:
-        # inside the join condition → dropped BEFORE any cosine; the
-        # probed-cell partition pruning above is untouched (plan pin)
-        cond = cond & (F.col(c) == F.col(f"__q_{c}"))
-    scored = (index.join(F.broadcast(qcells), ["cell"])
-              .where(cond)
-              .withColumn("cos", F.round(cosine_expr("qv", "embedding"),
-                                         6)))
-    w = Window.partitionBy("query_id") \
-        .orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "rank", "cos"))
+    live_count = n_cells - len(dead)
+    qframe = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        *[F.col(c).alias(f"__q_{c}") for c in filter_cols])
+
+    def _probe(qf: DataFrame, p: int) -> DataFrame:
+        q = ivf_assign(qf, "qv", n_cells, dims, probes=p,
+                       centroids=centroids, dead_cells=dead)
+        # array_distinct is defense in depth behind ivf_assign's
+        # live-count probe clamp (ADVICE r11): a duplicated probe cell
+        # would score the same neighbor twice and hand it two of the k
+        # ranks
+        qcells = q.select(
+            "query_id", "qv",
+            F.explode(F.array_distinct("cells")).alias("cell"),
+            *[f"__q_{c}" for c in filter_cols])
+        probe_cells = sorted({r.cell for r in
+                              qcells.select("cell").distinct().collect()})
+        index = fsutil.read_parquet_or_empty(
+            spark, path,
+            (meta or {}).get("schemas", {}).get("index")) \
+            .where(F.col("cell").isin(probe_cells))
+        cond = F.col("vec_id") != F.col("query_id")
+        for c in filter_cols:
+            # inside the join condition → dropped BEFORE any cosine;
+            # the probed-cell partition pruning above is untouched
+            # (plan pin)
+            cond = cond & (F.col(c) == F.col(f"__q_{c}"))
+        scored = (index.join(F.broadcast(qcells), ["cell"])
+                  .where(cond)
+                  .withColumn("cos",
+                              F.round(cosine_expr("qv", "embedding"), 6)))
+        w = Window.partitionBy("query_id") \
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        "rank", "cos"))
+
+    res = _probe(qframe, probes)
+    if min_results is None:
+        return res
+    want = min(int(min_results), k)
+    all_ids = [r.query_id for r in
+               qframe.select("query_id").distinct().collect()]
+    p = max(1, min(probes, live_count))
+    while p < live_count:
+        counts = {r.query_id: r.n for r in
+                  res.groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        under = [i for i in all_ids if counts.get(i, 0) < want]
+        if not under:
+            break
+        p = min(2 * p, live_count)
+        widened = _probe(qframe.where(F.col("query_id").isin(under)), p)
+        res = (res.where(~F.col("query_id").isin(under))
+               .unionByName(widened))
+    return res
 
 
 def matryoshka_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,

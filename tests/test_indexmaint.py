@@ -415,6 +415,10 @@ def test_streaming_supervisor_services_maintained_index(spark, tmp_path):
             assert info["versions_behind"] == 0
             assert info["applied_version"] == info["replica_version"]
             assert info["age_seconds"] >= 0.0
+            # geometry-drift signals (r11 verdict #6) ride /status too:
+            # a pristine index reports zero dead slots, an empty chain
+            assert info["n_dead_cells"] == 0
+            assert info["chain_length"] == 0
         finally:
             server.shutdown()
     finally:

@@ -246,6 +246,196 @@ def test_retrain_crash_resume_via_upsert(spark, corpus, tmp_path):
                    .select("vec_id", "cell").collect()))
 
 
+# -- FAIR scheduler pools: the cluster-deployment shape (r11 verdict #7) --
+
+
+_FAIR_E2E_SCRIPT = r"""
+import json, os, sys, threading
+sys.path.insert(0, os.environ["R12_REPO"])
+from pyspark.sql import functions as F
+from mysql_ch_replicator_spark.plans.session import get_spark
+from mysql_ch_replicator_spark.engine import ReplicaEngine
+from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+from mysql_ch_replicator_spark.optimizer import ReplicaOptimizer
+from mysql_ch_replicator_spark.sources.event_log import EventLogWriter
+
+spark = get_spark("fair-e2e", master="local[8]",
+                  extra_conf={"spark.sql.shuffle.partitions": "8"})
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.conf.get("spark.scheduler.mode") == "FAIR", "mode not FAIR"
+sc = spark.sparkContext._jsc.sc()
+for pool in ("apply", "maintenance"):
+    assert sc.getPoolForName(pool).isDefined(), f"pool {pool} missing"
+
+root = os.environ["R12_SCRATCH"]
+engine = ReplicaEngine(spark, os.path.join(root, "replica"))
+engine.create_table("db1", "CREATE TABLE docs ("
+                    "doc_id bigint NOT NULL, body varchar(255), "
+                    "PRIMARY KEY (doc_id))")
+log_dir = os.path.join(root, "log")
+log = EventLogWriter(log_dir, live=True)
+log.add("db1", "docs",
+        [(i, f"alpha beta w{i % 7}") for i in range(300)])
+log.rotate()
+ckpt = os.path.join(root, "ckpt")
+q = engine.start_streaming(log_dir, ckpt, trigger_seconds=0.05,
+                           max_files_per_trigger=2)
+q.processAllAvailable(); q.stop()
+
+path = os.path.join(root, "lexidx")
+ix = MaintainedIndex(engine, "db1", "docs", path, "lexical",
+                     payload_col="body", max_lag_seconds=0.0, shards=4)
+ix.build()
+opt = ReplicaOptimizer(engine, interval=1e9, indexes=[ix])
+
+for b in range(4):
+    log.add("db1", "docs",
+            [(1000 + b * 50 + j, f"gamma delta w{j % 7}")
+             for j in range(50)])
+    log.rotate()
+log.remove("db1", "docs", [(0,), (1,)])
+log.rotate()
+
+worst = [0]
+applied = [0]
+stop = threading.Event()
+def maintain():
+    while not stop.is_set():
+        try:
+            worst[0] = max(worst[0], ix.status()["versions_behind"])
+            acts = opt.maybe_maintain_indexes()
+            applied[0] += sum(1 for _, a in acts if a == "apply")
+        except Exception:
+            pass
+        stop.wait(0.5)
+
+q2 = engine.start_streaming(log_dir, ckpt, trigger_seconds=0.05,
+                            max_files_per_trigger=2)
+t = threading.Thread(target=maintain, daemon=True)
+t.start()
+try:
+    q2.processAllAvailable()
+finally:
+    stop.set(); t.join(timeout=10); q2.stop()
+while ix.status()["versions_behind"] > 0:
+    ix.apply()
+s = ix.status()
+assert s["versions_behind"] == 0, s
+docmeta = spark.read.parquet(os.path.join(path, "docmeta"))
+ids = {int(r.doc_id) for r in docmeta.select("doc_id").collect()}
+assert 1000 in ids and 1199 in ids and 0 not in ids and 1 not in ids
+print("FAIR_E2E_OK", json.dumps({"worst_behind": worst[0],
+                                 "applies": applied[0]}))
+"""
+
+
+def test_fair_pools_maintained_streaming_e2e(tmp_path):
+    """The deployment shape the pools ship for (r11 verdict #7): with
+    FAIR mode ON (subprocess — scheduler mode is fixed at context init)
+    and both named pools loaded from fairscheduler.xml, the streaming
+    apply + concurrent index maintenance e2e must still converge: index
+    catches up to 0 behind, deletes applied, adds probeable. Keeps the
+    opt-in cluster path from rotting while FIFO stays the measured
+    local default (plans/session.py A/B note)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               SPARK_GRAFT_SCHEDULER="FAIR",
+               R12_REPO=repo,
+               R12_SCRATCH=str(tmp_path))
+    r = subprocess.run([sys.executable, "-c", _FAIR_E2E_SCRIPT],
+                       env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "FAIR_E2E_OK" in r.stdout, r.stdout[-2000:]
+
+
+# -- filtered-probe auto-widening (r11 verdict #4) ------------------------
+
+
+@pytest.fixture(scope="module")
+def widen_setup(spark, tmp_path_factory):
+    """Corpus engineered so a selective label filter under-returns at
+    narrow probes: the query carries the RARE label but its vector sits
+    inside the COMMON cluster, so its nearest cells hold zero matching
+    candidates — exactly the silent-under-return shape the recall
+    contract warns about."""
+    common = [(i, [10.0 + (i % 5) * 0.1, float(i % 3), 1.0], "c")
+              for i in range(30)]
+    rare = [(100 + i, [-10.0 - (i % 4) * 0.1, float(i % 3), 1.0], "r")
+            for i in range(8)]
+    corpus = spark.createDataFrame(
+        common + rare,
+        "vec_id long, embedding array<float>, label string").cache()
+    path = str(tmp_path_factory.mktemp("widen") / "index")
+    write_ivf_index(corpus, path, n_cells=8, meta_cols=["label"])
+    queries = spark.createDataFrame(
+        [(0, [10.0, 0.5, 1.0], "r"), (1, [10.0, 1.5, 1.0], "c")],
+        "query_id long, embedding array<float>, label string")
+    return corpus, path, queries
+
+
+def test_auto_widen_reaches_min_results(spark, widen_setup):
+    """With >= k matching rows in the corpus and a selective predicate,
+    min_results must widen the probe until exactly k rows return, equal
+    to the brute-force filtered oracle — while a query already
+    satisfied at the narrow width keeps its original (narrow) ranking."""
+    corpus, path, queries = widen_setup
+    narrow = ivf_index_topk(spark, path, queries, k=5, probes=1,
+                            filter_cols=["label"])
+    by_q = {r.query_id: r.n for r in
+            narrow.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert by_q.get(0, 0) < 5, \
+        "precondition: the rare-label query must under-return narrowly"
+
+    got = ivf_index_topk(spark, path, queries, k=5, probes=1,
+                         filter_cols=["label"], min_results=5)
+    rare_rows = sorted(map(tuple, got.where(
+        F.col("query_id") == 0).collect()))
+    assert len(rare_rows) == 5
+    want = brute_force_topk(
+        corpus.where(F.col("label") == "r"),
+        queries.where(F.col("query_id") == 0)
+        .select("query_id", "embedding"), 5)
+    assert rare_rows == sorted(map(tuple, want.collect()))
+    # the satisfied query's rows are its NARROW rows, untouched
+    assert sorted(map(tuple, got.where(F.col("query_id") == 1)
+                      .collect())) == \
+        sorted(map(tuple, narrow.where(F.col("query_id") == 1)
+                   .collect()))
+
+
+def test_auto_widen_keeps_partition_pruning(spark, widen_setup):
+    """Every pass of the widened probe — including the re-probe — must
+    stay a partition-pruned scan of the probed cells, never a full
+    index scan."""
+    _, path, queries = widen_setup
+    got = ivf_index_topk(spark, path, queries, k=5, probes=1,
+                         filter_cols=["label"], min_results=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_auto_widen_short_corpus_means_short_result(spark, widen_setup):
+    """min_results larger than the matching-row count must exhaust the
+    live cells and return exactly the corpus's matches — a short result
+    now MEANS the corpus is short, the distinguishability the r11
+    verdict asked for."""
+    corpus, path, _ = widen_setup
+    q = spark.createDataFrame(
+        [(0, [10.0, 0.5, 1.0], "r")],
+        "query_id long, embedding array<float>, label string")
+    got = ivf_index_topk(spark, path, q, k=20, probes=1,
+                         filter_cols=["label"], min_results=20)
+    n_rare = corpus.where(F.col("label") == "r").count()
+    assert got.count() == n_rare
+
+
 def test_maintained_retrain_policy_fires_and_resets(spark, tmp_path):
     """Policy e2e: an accumulated split/merge chain reaching
     ``retrain_after`` makes the next maybe_rebalance poll return ONE
