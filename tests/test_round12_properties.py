@@ -188,6 +188,67 @@ def test_retrain_compacts_and_equals_from_scratch(spark, corpus, tmp_path):
             "vec_id", F.col("cell").cast("int")).collect()))
 
 
+def test_retrain_with_sampled_training_scan(spark, corpus, tmp_path):
+    """The 100 TB shape: retrain trains its codebook on a deterministic
+    hash-SAMPLE of the corpus (the re-assign pass is unchanged) and must
+    equal a from-scratch index built with centroids trained on the same
+    sample — the sampling is md5-threshold-deterministic, so the two
+    codebooks are identical by construction."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        retrain_ivf_index, train_ivf_centroids,
+    )
+
+    path = str(tmp_path / "sampled")
+    write_ivf_index(corpus, path, n_cells=4)
+    merge_ivf_cells(spark, path)
+    k = retrain_ivf_index(spark, path, iters=2, sample_fraction=0.5)
+    assert k == 3
+    want_cents = train_ivf_centroids(
+        corpus, "embedding", 3, 3, iters=2, sample_fraction=0.5,
+        id_col="vec_id", salt="ivf-retrain")
+    meta = read_ivf_meta(path)
+    assert meta["centroids"] == [[float(x) for x in c]
+                                 for c in want_cents]
+    # every vector survived re-assignment under the sampled codebook
+    idx = spark.read.parquet(path)
+    assert idx.count() == corpus.count()
+    assert idx.select("vec_id").distinct().count() == corpus.count()
+
+
+def test_retrain_preserves_meta_cols_and_filtered_probe(spark, tmp_path):
+    """The retrain rewrite must carry the index's metadata payload
+    columns through re-assignment — a filtered probe after retrain
+    equals brute force over the matching rows (full-width probes make
+    the filtered search exact over the whole corpus)."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        retrain_ivf_index,
+    )
+
+    rows = [(i, _vec(i), "even" if i % 2 == 0 else "odd")
+            for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    path = str(tmp_path / "meta")
+    write_ivf_index(corpus, path, n_cells=4, meta_cols=["label"])
+    merge_ivf_cells(spark, path)      # coldest pair — drifts the geometry
+    k = retrain_ivf_index(spark, path, iters=2)
+    meta = read_ivf_meta(path)
+    assert meta["meta_cols"] == ["label"]
+    assert "label" in spark.read.parquet(path).columns
+
+    queries = corpus.where(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    got = ivf_index_topk(spark, path, queries, k=3, probes=k,
+                         filter_cols=["label"])
+    want = []
+    for lab in ("even", "odd"):
+        want.extend(brute_force_topk(
+            corpus.where(F.col("label") == lab),
+            queries.where(F.col("label") == lab)
+            .select("query_id", "embedding"), 3).collect())
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+
 def test_retrain_crash_resume_via_upsert(spark, corpus, tmp_path):
     """A retrain torn before the descriptor commit (codebook trained and
     manifested, data partially re-assigned) must be detectable
