@@ -134,11 +134,6 @@ class MaintainedIndex:
         self.payload_expr = payload_expr
         self.max_lag_seconds = float(max_lag_seconds)
         self.max_versions_behind = max_versions_behind
-        if retrain_after is not None and kind != "ivf":
-            raise ValueError(
-                "MaintainedIndex: retrain_after is IVF-only — the lexical "
-                "index has no trained codebook to retrain (term-hash "
-                "placement is already a pure function of the chain)")
         self.split_load_factor = split_load_factor
         self.split_min_rows = int(split_min_rows)
         self.merge_load_factor = merge_load_factor
@@ -371,7 +366,7 @@ class MaintainedIndex:
         probe touching it, a sparse pair only wastes probe slots."""
         r = self.maybe_retrain()
         if r is not None:
-            return f"retrain:{r}"
+            return r
         s = self.maybe_split()
         if s is not None:
             return f"split:{s[0]}->{s[1]}"
@@ -380,31 +375,46 @@ class MaintainedIndex:
             return f"merge:{m[0]}->{m[1]}"
         return None
 
-    def maybe_retrain(self) -> int | None:
-        """Codebook-retrain escalation ABOVE split/merge (r11 verdict
-        #3): every split seeds a LOCAL sub-codebook and every merge
-        leaves a dead slot — the descriptor's ``geometry_actions`` chain
-        counts that drift, and once it reaches ``retrain_after`` the
-        maintainer rebuilds the global codebook
-        (``retrain_ivf_index`` — the index's OPTIMIZE FINAL analog:
-        reference db_optimizer.py:71–80, the periodic full compaction
-        behind the incremental actions). The trigger is descriptor-only
-        (no scan); a torn retrain left by a crash is resumed first and
-        counts as this poll's action. IVF-only by construction
-        (validated in __init__). Returns the new live-cell count."""
-        if (self.retrain_after is None or self.kind != "ivf"
-                or not self.built()):
+    def maybe_retrain(self) -> str | None:
+        """Geometry-REBUILD escalation ABOVE split/merge (r11 verdict
+        #3): every split and merge drifts the index's global geometry a
+        little — IVF splits seed LOCAL sub-codebooks and merges leave
+        dead centroid slots; lexical splits freeze their skew into the
+        chain and merges retire ids forever — and nothing in the
+        one-action-per-poll policy ever revisits it. Once the chain
+        length reaches ``retrain_after`` the maintainer rebuilds:
+        ``retrain_ivf_index`` (fresh exact-Lloyd codebook) for IVF,
+        ``compact_lexical_index`` (fresh uniform base placement) for
+        lexical — each the index's OPTIMIZE FINAL analog (reference
+        db_optimizer.py:71–80, the periodic full pass behind the
+        incremental actions). The trigger is descriptor-only (no scan);
+        a torn rebuild left by a crash is resumed first and counts as
+        this poll's action. Returns the action label
+        (``retrain:k`` / ``compact:k``) or None."""
+        if self.retrain_after is None or not self.built():
             return None
-        from .operators.similarity import (pending_retrain,
-                                           read_ivf_meta,
-                                           retrain_ivf_index)
-
         spark = self.engine.spark
-        if pending_retrain(self.index_path) is not None:
-            return retrain_ivf_index(spark, self.index_path)
-        imeta = read_ivf_meta(self.index_path) or {}
-        if int(imeta.get("geometry_actions", 0)) >= int(self.retrain_after):
-            return retrain_ivf_index(spark, self.index_path)
+        if self.kind == "ivf":
+            from .operators.similarity import (pending_retrain,
+                                               read_ivf_meta,
+                                               retrain_ivf_index)
+
+            if pending_retrain(self.index_path) is not None:
+                return f"retrain:{retrain_ivf_index(spark, self.index_path)}"
+            imeta = read_ivf_meta(self.index_path) or {}
+            if int(imeta.get("geometry_actions", 0)) \
+                    >= int(self.retrain_after):
+                return f"retrain:{retrain_ivf_index(spark, self.index_path)}"
+            return None
+        from .operators.retrieval import (compact_lexical_index,
+                                          pending_lexical_compact)
+
+        if pending_lexical_compact(self.index_path) is not None:
+            return f"compact:{compact_lexical_index(spark, self.index_path)}"
+        lex = os.path.join(self.index_path, "_lex_meta.json")
+        lmeta = json.loads(fsutil.read_text(lex, spark=spark))
+        if len(lmeta.get("splits", [])) >= int(self.retrain_after):
+            return f"compact:{compact_lexical_index(spark, self.index_path)}"
         return None
 
     def maybe_split(self) -> tuple[int, int] | None:

@@ -653,6 +653,15 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         merge_lexical_shards(spark, path)
         meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                            spark=spark))
+    if fsutil.exists(os.path.join(path, _LEX_COMPACT_PENDING),
+                     spark=spark):
+        # a torn chain COMPACTION left the whole placement ambiguous
+        # (old chain in the descriptor over partially re-homed
+        # directories) — finish it (pure-function placement, idempotent
+        # re-run) before applying anything
+        compact_lexical_index(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
     shards = meta["shards"]
     splits = meta.get("splits", [])
     schemas = meta.get("schemas", {})
@@ -1087,6 +1096,18 @@ def split_lexical_shard(spark, path: str,
         splits = list(meta.get("splits", []))
         has_positions = bool(meta.get("positions", False))
         dspan_w = int(meta.get("dspan", _LEX_DSPAN))
+    if pending is None and fsutil.exists(
+            os.path.join(path, _LEX_COMPACT_PENDING), spark=spark):
+        # a torn chain compaction leaves the whole placement ambiguous —
+        # finish it (pure-function placement, idempotent) before
+        # splitting anything
+        compact_lexical_index(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
+        shards = int(meta["shards"])
+        splits = list(meta.get("splits", []))
+        has_positions = bool(meta.get("positions", False))
+        dspan_w = int(meta.get("dspan", _LEX_DSPAN))
     postings = fsutil.read_parquet_or_empty(
         spark, postings_path, meta.get("schemas", {}).get("postings"))
     if pending is not None:
@@ -1252,6 +1273,162 @@ def split_lexical_shard(spark, path: str,
 
 
 _LEX_MERGE_PENDING = "_lex_merge_pending.json"   # shard-merge intent
+_LEX_COMPACT_PENDING = "_lex_compact_pending.json"   # chain-compaction intent
+
+
+def compact_lexical_index(spark, path: str) -> int | None:
+    """Placement-chain compaction — the lexical OPTIMIZE FINAL analog
+    (reference db_optimizer.py:71–80) and the twin of
+    ``similarity.retrain_ivf_index``: a long split/merge chain leaves
+    placement fragmented (split shards keep their skew, merged-away ids
+    accumulate as retired chain slots, and every probe and upsert
+    replays the whole chain per term). The compaction re-homes every
+    term to a FRESH uniform base placement over the live-shard count
+    and clears the chain: postings (and the positions twin) rewrite
+    into ``h60(term) % n_live`` directories, every doc's membership set
+    recomputes state-based from the committed re-placement, and the
+    descriptor emerges with ``splits=[]`` — byte-identical to a
+    from-scratch ``write_lexical_index(shards=n_live)`` build of the
+    same corpus (pinned), the same 'as if rebuilt' contract the IVF
+    retrain satisfies. BM25/phrase scores are placement-independent, so
+    probes before and after are identical.
+
+    Deliberately O(index) — the bounded periodic full pass that caps
+    how far the incremental actions can drift, exactly like OPTIMIZE
+    FINAL behind per-batch merges. dl, the per-span stats, n/tl, and df
+    are all untouched (terms still move wholesale).
+
+    No-op guard: an empty chain IS base placement — returns None
+    without touching the index.
+
+    Crash contract: intent manifest (the new shard count) before any
+    mutation; placement is a PURE function of (term, n_live) — no
+    trained state — so the resume simply re-runs: the rewrite input is
+    the union of every shard directory deduped on (term, doc_id) /
+    (term, doc_id, pos), invariant under any partial commit. Data first
+    (postings, then positions), membership next, descriptor last,
+    manifest deleted after. ``upsert_lexical_index`` /
+    ``split_lexical_shard`` / ``merge_lexical_shards`` auto-resume a
+    pending compaction before mutating (the descriptor still routes
+    terms through the old chain while the data has partially moved).
+    Returns the new shard count, or None for the no-op."""
+    import json
+    import os
+
+    meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                       spark=spark))
+    pend_path = os.path.join(path, _LEX_COMPACT_PENDING)
+    pending = None
+    if fsutil.exists(pend_path, spark=spark):
+        pending = json.loads(fsutil.read_text(pend_path, spark=spark))
+    if pending is None:
+        # finish any torn incremental action first (each O(shards
+        # touched), idempotent); only one manifest can exist at a time —
+        # every action resumes the others before writing its own
+        if fsutil.exists(os.path.join(path, _LEX_SPLIT_PENDING),
+                         spark=spark):
+            split_lexical_shard(spark, path)
+            meta = json.loads(fsutil.read_text(
+                os.path.join(path, _LEX_META), spark=spark))
+        if fsutil.exists(os.path.join(path, _LEX_MERGE_PENDING),
+                         spark=spark):
+            merge_lexical_shards(spark, path)
+            meta = json.loads(fsutil.read_text(
+                os.path.join(path, _LEX_META), spark=spark))
+    shards = int(meta["shards"])
+    splits = list(meta.get("splits", []))
+    if pending is None and not splits:
+        return None                     # base placement already
+    k = int(pending["shards"]) if pending is not None \
+        else len(_live_shards(shards, splits))
+    has_positions = bool(meta.get("positions", False))
+    schemas = meta.get("schemas", {})
+    postings_path = os.path.join(path, "postings")
+    docmeta_path = os.path.join(path, "docmeta")
+
+    # union of every shard directory deduped: a fresh compaction sees
+    # the clean index, a resume whatever a torn rewrite left (a term's
+    # rows possibly in two dirs — identical rows, only the shard
+    # differs), so the rewrite input is invariant under partial commits
+    rows = (fsutil.read_parquet_or_empty(spark, postings_path,
+                                         schemas.get("postings"))
+            .dropDuplicates(["term", "doc_id"]))
+    old_live = _live_shards(shards, splits) | set(range(k))
+
+    fsutil.write_text(pend_path, json.dumps({"shards": k}), spark=spark)
+
+    reassigned = (rows.withColumn(
+        "shard", (h60(F.col("term")) % k).cast("int"))
+        .localCheckpoint(eager=True))
+    (reassigned.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("shard").parquet(postings_path))
+    counts = {int(r.shard): int(r.n) for r in
+              reassigned.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s in old_live - set(counts):
+        fsutil.delete(os.path.join(postings_path, f"shard={s}"),
+                      spark=spark)
+    if has_positions:
+        positions_path = os.path.join(path, "positions")
+        pos_rows = (fsutil.read_parquet_or_empty(
+                        spark, positions_path, schemas.get("positions"))
+                    .dropDuplicates(["term", "doc_id", "pos"])
+                    .withColumn("shard",
+                                (h60(F.col("term")) % k).cast("int"))
+                    .localCheckpoint(eager=True))
+        (pos_rows.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(positions_path))
+        pos_live = {int(r.shard) for r in
+                    pos_rows.select("shard").distinct().collect()}
+        for s in old_live - pos_live:
+            fsutil.delete(os.path.join(positions_path, f"shard={s}"),
+                          spark=spark)
+
+    # membership AFTER the data commits: every doc's shard set
+    # recomputes state-based from the committed re-placement; dl and
+    # the span stats are untouched, zero-token docs keep empty sets
+    docmeta = fsutil.read_parquet_or_empty(spark, docmeta_path,
+                                           schemas.get("docmeta"))
+    doc_sets = (reassigned.groupBy("doc_id")
+                .agg(F.collect_set("shard").alias("fresh")))
+    merged_meta = (docmeta.join(doc_sets, "doc_id", "left")
+                   .select("doc_id", "dl",
+                           F.coalesce("fresh",
+                                      F.array().cast("array<int>"))
+                            .alias("shards"),
+                           "dspan")
+                   .localCheckpoint(eager=True))
+    (merged_meta.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("dspan").parquet(docmeta_path))
+
+    # descriptor last: fresh geometry, empty chain, reseeded shard_rows
+    meta2 = dict(meta)
+    meta2.update({"shards": k, "splits": [],
+                  "shard_rows": {str(s): n for s, n in counts.items()
+                                 if n > 0},
+                  "compactions": int(meta.get("compactions", 0)) + 1})
+    fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta2),
+                      spark=spark)
+    fsutil.delete(pend_path, spark=spark)
+    return k
+
+
+def pending_lexical_compact(path: str) -> dict | None:
+    """``{"shards": int}`` of a torn ``compact_lexical_index`` run, or
+    None. Recovery = ``compact_lexical_index(spark, path)`` (placement
+    is a pure function, so the resume just re-runs); upsert/split/merge
+    auto-resume it before mutating."""
+    import json
+    import os
+
+    pend = os.path.join(path, _LEX_COMPACT_PENDING)
+    if not fsutil.exists(pend):
+        return None
+    doc = json.loads(fsutil.read_text(pend))
+    return {"shards": int(doc["shards"])}
 
 
 def pending_lexical_merge(path: str) -> dict | None:
@@ -1308,6 +1485,13 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
         # O(shard)); only one manifest can exist at a time, so this
         # cannot recurse
         split_lexical_shard(spark, path)
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
+    if fsutil.exists(os.path.join(path, _LEX_COMPACT_PENDING),
+                     spark=spark):
+        # a torn chain compaction leaves the whole placement ambiguous —
+        # finish it (pure-function placement, idempotent) before merging
+        compact_lexical_index(spark, path)
         meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                            spark=spark))
     shards = int(meta["shards"])

@@ -109,10 +109,6 @@ def test_ping_pong_load_factors_rejected(spark, tmp_path):
     MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix2"),
                     "ivf", payload_col="emb",
                     split_load_factor=2.0, merge_load_factor=0.5)
-    # and the retrain escalation is IVF-only
-    with pytest.raises(ValueError, match="IVF-only"):
-        MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix3"),
-                        "lexical", payload_col="emb", retrain_after=4)
 
 
 # -- codebook retrain escalation (r11 verdict #3) -------------------------
@@ -305,6 +301,197 @@ def test_retrain_crash_resume_via_upsert(spark, corpus, tmp_path):
     assert sorted(map(tuple, idx.select("vec_id", "cell").collect())) == \
         sorted(map(tuple, spark.read.parquet(clean)
                    .select("vec_id", "cell").collect()))
+
+
+# -- lexical placement-chain compaction (round-12 surplus: the lexical
+# -- OPTIMIZE FINAL analog, twin of retrain_ivf_index) ---------------------
+
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _drift_lexical(spark, docs, path, positions=False):
+    """Build an 8-shard index and drift its chain: one split, one merge."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        merge_lexical_shards, split_lexical_shard, write_lexical_index,
+    )
+
+    write_lexical_index(docs, path, shards=8, positions=positions)
+    split_lexical_shard(spark, path)
+    merge_lexical_shards(spark, path)
+
+
+def test_compact_equals_from_scratch_build(spark, docs, tmp_path):
+    """After compaction the index must be byte-identical (postings,
+    docmeta, descriptor geometry) to a from-scratch build with the
+    live-count shards — the 'as if rebuilt' contract; BM25 probes are
+    unchanged (placement-independent scores)."""
+    import json
+    import os
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        _live_shards, bm25_indexed_topk, compact_lexical_index,
+        write_lexical_index,
+    )
+
+    path = str(tmp_path / "drifted")
+    _drift_lexical(spark, docs, path)
+    meta = json.loads(fsutil.read_text(os.path.join(path, "_lex_meta.json")))
+    n_live = len(_live_shards(int(meta["shards"]), meta["splits"]))
+    terms = ["hash", "merge", "vector"]
+    before = sorted(map(tuple, bm25_indexed_topk(
+        spark, path, terms, k=10).collect()))
+
+    k = compact_lexical_index(spark, path)
+    assert k == n_live
+    meta2 = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_meta.json")))
+    assert meta2["splits"] == [] and meta2["shards"] == k
+    assert meta2["compactions"] == 1
+    assert meta2["n"] == meta["n"] and meta2["tl"] == meta["tl"]
+
+    fresh = str(tmp_path / "fresh")
+    write_lexical_index(docs, fresh, shards=k)
+    for sub in ("postings", "docmeta"):
+        got = spark.read.parquet(os.path.join(path, sub))
+        want = spark.read.parquet(os.path.join(fresh, sub))
+        cols = sorted(c for c in got.columns if c != "shards")
+        assert sorted(map(tuple, got.select(*cols).collect())) == \
+            sorted(map(tuple, want.select(*cols).collect())), sub
+        if "shards" in got.columns:   # docmeta: set-valued column
+            g = {r.doc_id: sorted(r.shards) for r in got.collect()}
+            w = {r.doc_id: sorted(r.shards) for r in want.collect()}
+            assert g == w
+    after = sorted(map(tuple, bm25_indexed_topk(
+        spark, path, terms, k=10).collect()))
+    assert after == before
+
+
+def test_compact_noop_on_empty_chain(spark, docs, tmp_path):
+    """An empty chain is base placement already: compaction returns
+    None without touching the index."""
+    import json
+    import os
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index, write_lexical_index,
+    )
+
+    path = str(tmp_path / "clean")
+    write_lexical_index(docs, path, shards=8)
+    before = fsutil.read_text(os.path.join(path, "_lex_meta.json"))
+    assert compact_lexical_index(spark, path) is None
+    assert fsutil.read_text(os.path.join(path, "_lex_meta.json")) == before
+
+
+def test_compact_moves_positions_twin(spark, docs, tmp_path):
+    """On a positional index the compaction re-homes the positions
+    table with the same fresh placement — phrase probes keep working
+    and equal the pre-compaction answer."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index, phrase_match_indexed,
+    )
+
+    path = str(tmp_path / "pos")
+    _drift_lexical(spark, docs, path, positions=True)
+    phrase = ["data", "processing"]
+    before = sorted(map(tuple, phrase_match_indexed(
+        spark, path, phrase, k=10).collect()))
+    assert compact_lexical_index(spark, path) is not None
+    after = sorted(map(tuple, phrase_match_indexed(
+        spark, path, phrase, k=10).collect()))
+    assert after == before
+
+
+def test_compact_crash_resume_via_upsert(spark, docs, tmp_path):
+    """A compaction torn before the descriptor commit is detectable
+    (pending_lexical_compact) and auto-resumed by the next upsert,
+    converging to the clean-compaction state with the batch applied
+    against the compacted placement."""
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, bm25_topk, compact_lexical_index,
+        pending_lexical_compact, upsert_lexical_index,
+    )
+
+    path = str(tmp_path / "crash")
+    _drift_lexical(spark, docs, path)
+    real_write = fsutil.write_text
+
+    def crashing(p, text, spark=None):
+        if p.endswith("_lex_meta.json"):
+            raise RuntimeError("injected crash before descriptor commit")
+        return real_write(p, text, spark=spark)
+
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_lexical_index(spark, path)
+    finally:
+        fsutil.write_text = real_write
+    assert pending_lexical_compact(path) is not None
+
+    upsert_lexical_index(
+        spark, path,
+        adds=docs.where(F.col("doc_id") % 5 == 0),
+        removes=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    assert pending_lexical_compact(path) is None
+
+    final = docs.where(F.col("doc_id") % 7 != 0)
+    got = sorted(map(tuple, bm25_indexed_topk(
+        spark, path, ["hash", "merge", "vector"], k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(
+        final, ["hash", "merge", "vector"], k=10).collect()))
+    assert got == want
+
+
+def test_maintained_lexical_compaction_policy(spark, tmp_path):
+    """The lexical arm of the geometry-rebuild escalation: a chain of
+    retrain_after length makes the next maybe_rebalance poll return one
+    compact action; the chain resets; polls converge to idle."""
+    import json as _json
+
+    from mysql_ch_replicator_spark import fsutil
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        merge_lexical_shards, split_lexical_shard,
+    )
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE docs (
+      doc_id bigint NOT NULL, body varchar(255), PRIMARY KEY (doc_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "docs",
+            [(i, f"alpha beta w{i % 23} z{i % 7}") for i in range(64)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    path = str(tmp_path / "lex")
+    ix = MaintainedIndex(engine, "db1", "docs", path, "lexical",
+                         payload_col="body", retrain_after=2, shards=8)
+    ix.build()
+    split_lexical_shard(spark, path)
+    merge_lexical_shards(spark, path)
+    st = ix.status()
+    assert st["chain_length"] == 2
+
+    act = ix.maybe_rebalance()
+    assert act is not None and act.startswith("compact:")
+    meta = _json.loads(fsutil.read_text(f"{path}/_lex_meta.json"))
+    assert meta["splits"] == []
+    st = ix.status()
+    assert st["chain_length"] == 0 and st["n_dead_cells"] == 0
+    assert ix.maybe_rebalance() is None
 
 
 # -- FAIR scheduler pools: the cluster-deployment shape (r11 verdict #7) --
