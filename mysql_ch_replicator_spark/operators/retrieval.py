@@ -1276,7 +1276,8 @@ _LEX_MERGE_PENDING = "_lex_merge_pending.json"   # shard-merge intent
 _LEX_COMPACT_PENDING = "_lex_compact_pending.json"   # chain-compaction intent
 
 
-def compact_lexical_index(spark, path: str) -> int | None:
+def compact_lexical_index(spark, path: str,
+                          shards: int | None = None) -> int | None:
     """Placement-chain compaction — the lexical OPTIMIZE FINAL analog
     (reference db_optimizer.py:71–80) and the twin of
     ``similarity.retrain_ivf_index``: a long split/merge chain leaves
@@ -1298,8 +1299,15 @@ def compact_lexical_index(spark, path: str) -> int | None:
     FINAL behind per-batch merges. dl, the per-span stats, n/tl, and df
     are all untouched (terms still move wholesale).
 
-    No-op guard: an empty chain IS base placement — returns None
-    without touching the index.
+    ``shards`` — explicit target geometry: a corpus that GREW since the
+    build wants MORE base shards than it started with (splits patch the
+    hot spots but the base stays undersized), a shrunken one fewer; the
+    default keeps the live count. The no-op guard only applies to the
+    default: an explicit target re-homes even a chain-free index
+    (re-sharding IS the point then).
+
+    No-op guard: with no explicit target, an empty chain IS base
+    placement — returns None without touching the index.
 
     Crash contract: intent manifest (the new shard count) before any
     mutation; placement is a PURE function of (term, n_live) — no
@@ -1335,12 +1343,23 @@ def compact_lexical_index(spark, path: str) -> int | None:
             merge_lexical_shards(spark, path)
             meta = json.loads(fsutil.read_text(
                 os.path.join(path, _LEX_META), spark=spark))
-    shards = int(meta["shards"])
+    cur_shards = int(meta["shards"])
     splits = list(meta.get("splits", []))
-    if pending is None and not splits:
+    if pending is None and not splits and shards is None:
         return None                     # base placement already
-    k = int(pending["shards"]) if pending is not None \
-        else len(_live_shards(shards, splits))
+    if pending is not None:
+        if shards is not None and int(shards) != int(pending["shards"]):
+            raise ValueError(
+                f"compact_lexical_index: unfinished compaction to "
+                f"{pending['shards']} shards pending at {path} — resume "
+                f"it (shards=None) before compacting to another target")
+        k = int(pending["shards"])
+    elif shards is not None:
+        if int(shards) < 1:
+            raise ValueError("compact_lexical_index: shards must be >= 1")
+        k = int(shards)
+    else:
+        k = len(_live_shards(cur_shards, splits))
     has_positions = bool(meta.get("positions", False))
     schemas = meta.get("schemas", {})
     postings_path = os.path.join(path, "postings")
@@ -1353,7 +1372,7 @@ def compact_lexical_index(spark, path: str) -> int | None:
     rows = (fsutil.read_parquet_or_empty(spark, postings_path,
                                          schemas.get("postings"))
             .dropDuplicates(["term", "doc_id"]))
-    old_live = _live_shards(shards, splits) | set(range(k))
+    old_live = _live_shards(cur_shards, splits) | set(range(k))
 
     fsutil.write_text(pend_path, json.dumps({"shards": k}), spark=spark)
 

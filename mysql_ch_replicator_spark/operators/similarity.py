@@ -1663,7 +1663,8 @@ _IVF_RETRAIN_PENDING = "_ivf_retrain_pending.json"  # retrain intent manifest
 def retrain_ivf_index(spark, path: str, iters: int = 2,
                       sample_fraction: float | None = None,
                       salt: str = "ivf-retrain",
-                      force: bool = False) -> int | None:
+                      force: bool = False,
+                      n_cells: int | None = None) -> int | None:
     """Full codebook retrain — the escalation ABOVE split/merge and the
     index's OPTIMIZE FINAL analog (reference db_optimizer.py:71–80: the
     periodic full compaction behind the incremental actions). A long
@@ -1689,6 +1690,13 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     retrain returns None WITHOUT touching the index — probes before and
     after are byte-identical (``force=True`` overrides, for an explicit
     operator-initiated rebuild).
+
+    ``n_cells`` — explicit target geometry: a corpus that GREW since
+    the build wants MORE cells than it started with (splits patch hot
+    spots but the base stays undersized), a shrunken one fewer; the
+    default keeps the live count. An explicit target implies intent, so
+    it retrains even an undrifted index (the no-op guard applies to the
+    default only).
 
     Crash contract (the split's, escalated): the intent manifest
     (``_ivf_retrain_pending.json``) persists the TRAINED centroids
@@ -1728,10 +1736,11 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                          spark=spark):
             merge_ivf_cells(spark, path)
             meta = read_ivf_meta(path)
-    n_cells, dims = int(meta["n_cells"]), int(meta["dims"])
+    cur_cells, dims = int(meta["n_cells"]), int(meta["dims"])
     dead = {int(c) for c in meta.get("dead", [])}
     chain = int(meta.get("geometry_actions", 0))
-    if pending is None and not force and not dead and chain == 0:
+    if pending is None and not force and not dead and chain == 0 \
+            and n_cells is None:
         return None                     # geometry never drifted: no-op
     idx = fsutil.read_parquet_or_empty(
         spark, path, meta.get("schemas", {}).get("index"))
@@ -1744,8 +1753,19 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     if pending is not None:
         cents_new = [[float(x) for x in c] for c in pending["centroids"]]
         k = len(cents_new)
+        if n_cells is not None and int(n_cells) != k:
+            raise ValueError(
+                f"retrain_ivf_index: unfinished retrain to {k} cells "
+                f"pending at {path} — resume it (n_cells=None) before "
+                f"retraining to another target")
     else:
-        k = n_cells - len(dead)
+        if n_cells is not None:
+            if int(n_cells) < 1:
+                raise ValueError(
+                    "retrain_ivf_index: n_cells must be >= 1")
+            k = int(n_cells)
+        else:
+            k = cur_cells - len(dead)
         if k < 1:
             raise ValueError(
                 f"retrain_ivf_index: index at {path} has no live cells")
@@ -1775,7 +1795,7 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
             reassigned.select("cell").distinct().collect()}
     # compact: every pre-retrain directory not re-written disappears —
     # dead slots' dirs (already gone), renumbered tails, emptied cells
-    for c in set(range(1, n_cells + 1)) - live:
+    for c in set(range(1, max(cur_cells, k) + 1)) - live:
         fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
 
     # membership rewrite (ids unchanged → same span set, no span deletes)

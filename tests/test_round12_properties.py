@@ -245,6 +245,58 @@ def test_retrain_preserves_meta_cols_and_filtered_probe(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
 
 
+def test_retrain_to_explicit_cell_target(spark, corpus, tmp_path):
+    """A grown corpus wants MORE cells than the build chose: an explicit
+    n_cells target retrains even an undrifted index (intent overrides
+    the no-op guard) and equals a from-scratch build with the same
+    trained codebook."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        retrain_ivf_index, train_ivf_centroids,
+    )
+
+    path = str(tmp_path / "grow")
+    write_ivf_index(corpus, path, n_cells=4)
+    assert retrain_ivf_index(spark, path, iters=2, n_cells=6) == 6
+    meta = read_ivf_meta(path)
+    assert meta["n_cells"] == 6 and meta["dead"] == []
+    want = train_ivf_centroids(corpus, "embedding", 6, 3, iters=2,
+                               salt="ivf-retrain")
+    assert meta["centroids"] == [[float(x) for x in c] for c in want]
+    fresh = str(tmp_path / "fresh6")
+    write_ivf_index(corpus, fresh, n_cells=6, centroids=want)
+    queries = corpus.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    assert sorted(map(tuple, ivf_index_topk(
+        spark, path, queries, k=4, probes=2).collect())) == \
+        sorted(map(tuple, ivf_index_topk(
+            spark, fresh, queries, k=4, probes=2).collect()))
+
+
+def test_compact_to_explicit_shard_target(spark, docs, tmp_path):
+    """Re-sharding UP: an explicit shards target re-homes even a
+    chain-free index and equals a from-scratch build at that width."""
+    import os
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, compact_lexical_index, write_lexical_index,
+    )
+
+    path = str(tmp_path / "up")
+    write_lexical_index(docs, path, shards=4)
+    terms = ["hash", "merge", "vector"]
+    before = sorted(map(tuple, bm25_indexed_topk(
+        spark, path, terms, k=10).collect()))
+    assert compact_lexical_index(spark, path, shards=16) == 16
+    fresh = str(tmp_path / "fresh16")
+    write_lexical_index(docs, fresh, shards=16)
+    got = spark.read.parquet(os.path.join(path, "postings"))
+    want = spark.read.parquet(os.path.join(fresh, "postings"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert sorted(map(tuple, bm25_indexed_topk(
+        spark, path, terms, k=10).collect())) == before
+
+
 def test_retrain_crash_resume_via_upsert(spark, corpus, tmp_path):
     """A retrain torn before the descriptor commit (codebook trained and
     manifested, data partially re-assigned) must be detectable
