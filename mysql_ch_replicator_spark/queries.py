@@ -107,6 +107,10 @@ _ROTATION_BOOST: dict[str, int] = {
     # other boost or registration, and the whole r7 cohort re-greens
     # (test_r12_window_covers_entire_r7_stale_cohort pins this). The
     # r11 boosts all self-retired on their r11 green rows.
+    # Forward note for r13: the r8 cohort is 45 queries, so 4 pins +
+    # 45 = 49 leaves exactly ONE slot for a boost or new registration
+    # (compact_lexical_index is the obvious registration candidate —
+    # built and pytest-gated in r12, no registry slot left for it).
     "ann_ivf_index_stats": 11, "ann_ivf_index_filtered": 11,
 }
 
