@@ -601,6 +601,83 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
 OUTLIER_SCALE = 1024  # small quantization scale: keeps n^2*dist in int64
 
 
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                n_cells: int = 8, probes: int = 2,
+                m: int = 16, n_codes: int = 16, shortlist: int = 100,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id",
+                centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the production FAISS index shape
+    (IndexIVFPQ + refine), composing the two scale paths this module
+    already ships: the IVF coarse quantizer restricts candidates to each
+    query's ``probes`` nearest cells (at 100 TB the cell is the
+    partition column, so the candidate stage READS probes/n_cells of
+    the data), the PQ stage scans those candidates as ``m`` small codes
+    (16× narrower than raw floats at the defaults) against each query's
+    broadcast ADC table and keeps the ``shortlist`` best, and the final
+    stage re-ranks only |queries| × shortlist raw vectors by exact
+    cosine (``brute_force_topk``'s rounded-score/id-tie-break
+    contract).
+
+    Equality contracts (pinned): with an unbounded shortlist the result
+    EQUALS ``ivf_topk`` at the same (n_cells, probes, centroids) — the
+    PQ stage then only reorders a superset the exact rerank restores —
+    and with full-coverage probes it equals ``brute_force_topk``. The
+    two independent recall dials are ``probes`` (coverage) and
+    ``shortlist`` (rerank depth).
+
+    Scale shape: corpus assignment + normalization staged once (the
+    persisted-index analog is write-time work); the code scan is
+    shuffle-free with queries broadcast; both ranking stages are
+    bounded per-query windows; the corpus never shuffles."""
+    dims = len(corpus.select(vec_col).first()[0])
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, dims, "ivf")
+    # staged once: cell assignment + raw + normalized vector (the
+    # inlined norm fold would be cloned into every PQ distance subtree —
+    # the pq_encode hazard; at 100 TB this frame IS the written index)
+    cor = transient_persist(
+        ivf_assign(spread(corpus), vec_col, n_cells, dims, probes=1,
+                   centroids=cents)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                F.element_at("cells", 1).alias("cell"),
+                normalize_expr(vec_col).alias("__v")))
+    enc = cor.select(
+        "neighbor_id", "cell",
+        pq_encode("__v", m, n_codes, dims, normalized=True).alias("codes"))
+    qd = transient_persist(
+        ivf_assign(queries.select(F.col(query_id_col).alias("query_id"),
+                                  F.col(vec_col).alias("qv")),
+                   "qv", n_cells, dims, probes=probes, centroids=cents)
+        .select("query_id", "qv", "cells",
+                pq_distance_table(normalize_expr("qv"), m, n_codes, dims,
+                                  normalized=True).alias("dt")))
+    qcells = qd.select("query_id", "dt",
+                       F.explode(F.array_distinct("cells")).alias("cell"))
+    joined = enc.join(F.broadcast(qcells), "cell") \
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    score = F.element_at(F.element_at("dt", 1), F.element_at("codes", 1))
+    for j in range(1, m):
+        score = score + F.element_at(F.element_at("dt", j + 1),
+                                     F.element_at("codes", j + 1))
+    w1 = Window.partitionBy("query_id") \
+        .orderBy(F.col("adc"), F.col("neighbor_id"))
+    cands = (joined.withColumn("adc", score)
+             .withColumn("__r", F.row_number().over(w1))
+             .where(F.col("__r") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    rer = (cands
+           .join(cor.select("neighbor_id", "cv"), "neighbor_id")
+           .join(F.broadcast(qd.select("query_id", "qv")), "query_id")
+           .withColumn("cos", F.round(cosine_expr("qv", "cv"), 6)))
+    w2 = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos"))
+
+
 def embedding_outlier_scores(embeddings: DataFrame,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",

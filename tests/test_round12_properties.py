@@ -355,6 +355,63 @@ def test_retrain_crash_resume_via_upsert(spark, corpus, tmp_path):
                    .select("vec_id", "cell").collect()))
 
 
+# -- IVF-PQ with exact re-ranking (round-12 surplus) -----------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+def test_ivf_pq_unbounded_shortlist_equals_ivf(spark, emb):
+    """With an unbounded shortlist the PQ stage only reorders a superset
+    the exact rerank restores — the result must EQUAL ivf_topk at the
+    same geometry (the composition's exactness oracle)."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ivf_pq_topk, ivf_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_pq_topk(emb, queries, k=10, n_cells=8, probes=2,
+                      shortlist=10_000_000)
+    want = ivf_topk(emb, queries, k=10, n_cells=8, probes=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_ivf_pq_full_coverage_equals_brute_force(spark, emb):
+    """probes = n_cells + unbounded shortlist covers the whole corpus
+    with exact reranking — must equal brute force."""
+    from mysql_ch_replicator_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.where(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_pq_topk(emb, queries, k=5, n_cells=8, probes=8,
+                      shortlist=10_000_000)
+    want = brute_force_topk(emb, queries, 5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_ivf_pq_recall_floor_at_defaults(spark, emb):
+    """The deployed configuration (probes=2, m=16, codes=16, R=100) must
+    keep a usable recall@10 vs brute force on the synthetic corpus —
+    the same pinned-floor discipline as ann_pq_topk's 0.91."""
+    from mysql_ch_replicator_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.where(F.col("vec_id") < 16) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_pq_topk(emb, queries, k=10, n_cells=8, probes=2,
+                      shortlist=100)
+    want = brute_force_topk(emb, queries, 10)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    w = {(r.query_id, r.neighbor_id) for r in want.collect()}
+    recall = len(g & w) / len(w)
+    assert recall >= 0.55, recall   # probes=2/8 caps coverage; see note
+
+
 # -- lexical placement-chain compaction (round-12 surplus: the lexical
 # -- OPTIMIZE FINAL analog, twin of retrain_ivf_index) ---------------------
 
