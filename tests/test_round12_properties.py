@@ -412,6 +412,22 @@ def test_ivf_pq_recall_floor_at_defaults(spark, emb):
     assert recall >= 0.55, recall   # probes=2/8 caps coverage; see note
 
 
+def test_ivf_pq_candidate_stage_is_broadcast_cell_join(spark, emb):
+    """The candidate stage must be a broadcast hash join on the probed
+    cell — never a cartesian of corpus × queries (the corpus side never
+    shuffles; at the persisted layout the cell key is the partition
+    column, so this join IS the pruning)."""
+    from mysql_ch_replicator_spark.operators.similarity import ivf_pq_topk
+
+    queries = emb.where(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_pq_topk(emb, queries, k=5, n_cells=8, probes=2,
+                      shortlist=50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 # -- lexical placement-chain compaction (round-12 surplus: the lexical
 # -- OPTIMIZE FINAL analog, twin of retrain_ivf_index) ---------------------
 
