@@ -22,6 +22,34 @@ from mysql_ch_replicator_spark.plans.session import get_spark  # noqa: E402
 from mysql_ch_replicator_spark.queries import spark_queries  # noqa: E402
 
 
+# Host-load ceiling for moving the COMMITTED controlled snapshot
+# (BENCH_FULL.json). The r11/r12 host_regime stamps showed loadavg > ~2
+# at start means a uniform 1.1-1.3x inflation across untouched queries —
+# a noisy window must never silently become the controlled number
+# (r12 verdict #7 closed the loop the stamps opened).
+SNAPSHOT_LOAD_LIMIT = 2.0
+
+
+def snapshot_decision(load1: float, requested: bool,
+                      force: bool) -> tuple[bool, str | None]:
+    """Whether this run may write BENCH_FULL.json, and the note to record.
+
+    Not requested -> never. Requested under a clean host (1-min loadavg
+    <= SNAPSHOT_LOAD_LIMIT) -> yes, silently. Requested under load ->
+    REFUSED unless forced, and either way the decision lands in the
+    sidecar notes so the committed history shows it."""
+    if not requested:
+        return False, None
+    if load1 <= SNAPSHOT_LOAD_LIMIT:
+        return True, None
+    if force:
+        return True, (f"snapshot FORCED under load: loadavg_at_start "
+                      f"{load1} > {SNAPSHOT_LOAD_LIMIT}")
+    return False, (f"snapshot REFUSED: loadavg_at_start {load1} > "
+                   f"{SNAPSHOT_LOAD_LIMIT} — degraded window; rerun when "
+                   f"idle or set SPARK_GRAFT_BENCH_SNAPSHOT_FORCE=1")
+
+
 def bench_streaming(spark) -> dict:
     """Sustained CDC throughput through the REAL streaming path: pre-write
     an event log (110k row events: 100k inserts, 5k updates, 5k deletes on
@@ -340,6 +368,12 @@ def main() -> None:
     # loadavg > ~2 at start has historically meant a uniform 1.1-1.3x
     # inflation across untouched queries
     load_start = [round(x, 2) for x in os.getloadavg()]
+    write_snapshot, guard_note = snapshot_decision(
+        load_start[0],
+        os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT") == "1",
+        os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT_FORCE") == "1")
+    if guard_note:
+        print(guard_note, file=sys.stderr)   # surface it NOW, not post-run
     spark = get_spark("mysql_ch_replicator_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -412,7 +446,8 @@ def main() -> None:
         "notes": {"host_regime": {
             "loadavg_at_start": load_start,
             "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
-        }},
+        },
+            **({"snapshot_guard": guard_note} if guard_note else {})},
         "metric": "total_query_time",
         "value": total,
         "unit": "sec",
@@ -427,7 +462,7 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_LAST_RUN.json"), "w",
               encoding="utf-8") as fh:
         json.dump(result, fh, indent=1)
-    if os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT") == "1":
+    if write_snapshot:
         with open(os.path.join(here, "BENCH_FULL.json"), "w",
                   encoding="utf-8") as fh:
             json.dump(result, fh, indent=1)

@@ -117,6 +117,15 @@ class MaintainedIndex:
                 f"(a merge of two <{merge_load_factor}x-mean partitions "
                 f"can exceed the split trigger); require "
                 f"2*merge_load_factor <= split_load_factor")
+        if retrain_after is not None and int(retrain_after) < 1:
+            # ADVICE r12: retrain_after=0 makes the chain>=0 trigger
+            # always true while the rebuild no-ops on an undrifted
+            # index — maybe_rebalance would return 'retrain:None' every
+            # poll and permanently preempt split/merge
+            raise ValueError(
+                f"MaintainedIndex: retrain_after={retrain_after} must be "
+                f">= 1 (0 would fire the rebuild trigger on every poll "
+                f"and preempt split/merge forever)")
         st = engine.structure(db, table)
         if id_col is None:
             if len(st.primary_keys) != 1:
@@ -239,7 +248,8 @@ class MaintainedIndex:
         from .operators.retrieval import _live_shards
         lex = os.path.join(self.index_path, "_lex_meta.json")
         if not fsutil.exists(lex, spark=spark):
-            return {"n_dead_cells": 0, "chain_length": 0}
+            return {"n_dead_cells": 0, "chain_length": 0,
+                    "compactions": 0}
         lmeta = json.loads(fsutil.read_text(lex, spark=spark))
         chain = lmeta.get("splits", [])
         live = _live_shards(int(lmeta["shards"]), chain)
@@ -249,6 +259,9 @@ class MaintainedIndex:
             # merged-away placement-chain slots
             "n_dead_cells": int(lmeta["shards"]) + splits - len(live),
             "chain_length": len(chain),
+            # rebuild history, symmetric with the IVF arm's 'retrains'
+            # (ADVICE r12: /status showed it for one family only)
+            "compactions": int(lmeta.get("compactions", 0)),
         }
 
     def due(self) -> bool:

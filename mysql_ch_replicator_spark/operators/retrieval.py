@@ -1274,6 +1274,7 @@ def split_lexical_shard(spark, path: str,
 
 _LEX_MERGE_PENDING = "_lex_merge_pending.json"   # shard-merge intent
 _LEX_COMPACT_PENDING = "_lex_compact_pending.json"   # chain-compaction intent
+_LEX_COMPACT_STAGING = "_compact_staging"   # staged re-homed snapshots
 
 
 def compact_lexical_index(spark, path: str,
@@ -1309,16 +1310,29 @@ def compact_lexical_index(spark, path: str,
     No-op guard: with no explicit target, an empty chain IS base
     placement — returns None without touching the index.
 
-    Crash contract: intent manifest (the new shard count) before any
-    mutation; placement is a PURE function of (term, n_live) — no
-    trained state — so the resume simply re-runs: the rewrite input is
-    the union of every shard directory deduped on (term, doc_id) /
-    (term, doc_id, pos), invariant under any partial commit. Data first
-    (postings, then positions), membership next, descriptor last,
-    manifest deleted after. ``upsert_lexical_index`` /
-    ``split_lexical_shard`` / ``merge_lexical_shards`` auto-resume a
-    pending compaction before mutating (the descriptor still routes
-    terms through the old chain while the data has partially moved).
+    Crash contract: the re-homed rows are STAGED
+    (``_compact_staging/postings`` + ``/positions`` parquet, complete
+    re-placed snapshots) and only then referenced by the intent
+    manifest (shard count + staging flag), BEFORE any destructive
+    mutation. The dynamic shard overwrite commits per-partition
+    (delete old dir, then rename staged dir, in a driver loop) — a
+    crash between one shard's delete and rename would otherwise drop
+    its postings permanently and the union-of-dirs resume would re-home
+    WITHOUT them (ADVICE r12); the staged snapshot is what the resume
+    rewrites from instead. Data first (postings, then positions, both
+    from the staging read), membership next, descriptor last, manifest
+    then staging deleted after. A resume of a run torn AFTER the
+    descriptor commit redoes the data writes but does NOT re-bump the
+    ``compactions`` counter (descriptor already reflects the target). A
+    legacy manifest without the staging flag resumes through the old
+    union-of-shard-dirs path — placement is a PURE function of (term,
+    n_live), so that re-run is still deterministic — then upgrades
+    itself to the staged protocol before rewriting. An orphaned staging
+    dir is inert (overwritten by the next compaction).
+    ``upsert_lexical_index`` / ``split_lexical_shard`` /
+    ``merge_lexical_shards`` auto-resume a pending compaction before
+    mutating (the descriptor still routes terms through the old chain
+    while the data has partially moved).
     Returns the new shard count, or None for the no-op."""
     import json
     import os
@@ -1365,20 +1379,46 @@ def compact_lexical_index(spark, path: str,
     postings_path = os.path.join(path, "postings")
     docmeta_path = os.path.join(path, "docmeta")
 
-    # union of every shard directory deduped: a fresh compaction sees
-    # the clean index, a resume whatever a torn rewrite left (a term's
-    # rows possibly in two dirs — identical rows, only the shard
-    # differs), so the rewrite input is invariant under partial commits
-    rows = (fsutil.read_parquet_or_empty(spark, postings_path,
-                                         schemas.get("postings"))
-            .dropDuplicates(["term", "doc_id"]))
     old_live = _live_shards(cur_shards, splits) | set(range(k))
+    staging = os.path.join(path, _LEX_COMPACT_STAGING)
+    if pending is not None and pending.get("staging"):
+        # the manifest references COMPLETE staged snapshots: resume by
+        # rewriting from them — never from shard dirs a torn
+        # per-partition overwrite may have holed (ADVICE r12)
+        reassigned = spark.read.parquet(os.path.join(staging, "postings"))
+        pos_rows = spark.read.parquet(os.path.join(staging, "positions")) \
+            if has_positions else None
+    else:
+        # union of every shard directory deduped: a fresh compaction
+        # sees the clean index, a LEGACY (pre-staging manifest) resume
+        # whatever a torn rewrite left (a term's rows possibly in two
+        # dirs — identical rows, only the shard differs; placement is a
+        # pure function, so the legacy re-run stays deterministic)
+        rows = (fsutil.read_parquet_or_empty(spark, postings_path,
+                                             schemas.get("postings"))
+                .dropDuplicates(["term", "doc_id"]))
+        # stage the re-homed snapshots BEFORE any destructive mutation
+        # (also the materialization barrier the old localCheckpoint
+        # provided); the manifest is written strictly AFTER both
+        # staging writes return, so manifest ⇒ staging complete
+        (rows.withColumn("shard", (h60(F.col("term")) % k).cast("int"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(staging, "postings")))
+        if has_positions:
+            (fsutil.read_parquet_or_empty(
+                spark, os.path.join(path, "positions"),
+                schemas.get("positions"))
+             .dropDuplicates(["term", "doc_id", "pos"])
+             .withColumn("shard", (h60(F.col("term")) % k).cast("int"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(staging, "positions")))
+        fsutil.write_text(pend_path,
+                          json.dumps({"shards": k, "staging": True}),
+                          spark=spark)
+        reassigned = spark.read.parquet(os.path.join(staging, "postings"))
+        pos_rows = spark.read.parquet(os.path.join(staging, "positions")) \
+            if has_positions else None
 
-    fsutil.write_text(pend_path, json.dumps({"shards": k}), spark=spark)
-
-    reassigned = (rows.withColumn(
-        "shard", (h60(F.col("term")) % k).cast("int"))
-        .localCheckpoint(eager=True))
     (reassigned.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("shard").parquet(postings_path))
@@ -1390,12 +1430,6 @@ def compact_lexical_index(spark, path: str,
                       spark=spark)
     if has_positions:
         positions_path = os.path.join(path, "positions")
-        pos_rows = (fsutil.read_parquet_or_empty(
-                        spark, positions_path, schemas.get("positions"))
-                    .dropDuplicates(["term", "doc_id", "pos"])
-                    .withColumn("shard",
-                                (h60(F.col("term")) % k).cast("int"))
-                    .localCheckpoint(eager=True))
         (pos_rows.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("shard").parquet(positions_path))
@@ -1423,15 +1457,23 @@ def compact_lexical_index(spark, path: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("dspan").parquet(docmeta_path))
 
-    # descriptor last: fresh geometry, empty chain, reseeded shard_rows
+    # descriptor last: fresh geometry, empty chain, reseeded shard_rows.
+    # A resume of a run torn AFTER the descriptor commit must not
+    # re-bump the counter (ADVICE r12): the descriptor already at the
+    # target geometry with an empty chain is exactly that case.
+    already_committed = (pending is not None
+                         and int(meta.get("shards", -1)) == k
+                         and not splits)
     meta2 = dict(meta)
     meta2.update({"shards": k, "splits": [],
                   "shard_rows": {str(s): n for s, n in counts.items()
                                  if n > 0},
-                  "compactions": int(meta.get("compactions", 0)) + 1})
+                  "compactions": int(meta.get("compactions", 0))
+                  + (0 if already_committed else 1)})
     fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return k
 
 

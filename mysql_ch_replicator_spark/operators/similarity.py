@@ -1735,6 +1735,7 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
 
 
 _IVF_RETRAIN_PENDING = "_ivf_retrain_pending.json"  # retrain intent manifest
+_IVF_RETRAIN_STAGING = "_retrain_staging"  # staged re-assigned snapshot
 
 
 def retrain_ivf_index(spark, path: str, iters: int = 2,
@@ -1775,19 +1776,32 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     it retrains even an undrifted index (the no-op guard applies to the
     default only).
 
-    Crash contract (the split's, escalated): the intent manifest
-    (``_ivf_retrain_pending.json``) persists the TRAINED centroids
-    before any mutation — a resume must re-assign with the codebook the
-    torn run trained, never retrain over torn data (training input
-    would differ mid-rewrite). Data first (dynamic cell overwrite +
-    stale-directory deletes), membership next, descriptor last, manifest
-    deleted after. A crash between data and descriptor leaves probes on
-    the OLD geometry over partially moved rows — bounded recall loss,
-    never wrong results (membership, not global consistency, defines
-    candidates — ``ivf_index_topk``'s standing contract) — until the
-    idempotent resume: the re-assignment input is the union of every
-    cell directory deduped on vec_id, invariant under any partial
-    commit. ``upsert_ivf_index`` / ``split_ivf_cell`` /
+    Crash contract (the split's, escalated): the re-assigned snapshot is
+    STAGED (``_retrain_staging/`` parquet, complete re-assigned rows)
+    and only then referenced by the intent manifest
+    (``_ivf_retrain_pending.json`` — trained centroids + staging flag)
+    BEFORE any destructive mutation. The dynamic cell overwrite commits
+    per-partition (delete old dir, then rename staged dir, in a driver
+    loop) — a crash between one cell's delete and rename would
+    otherwise drop that cell's rows permanently, and a union-of-dirs
+    resume would retrain/re-home WITHOUT them (ADVICE r12); with the
+    staging snapshot the resume rewrites from the manifest-referenced
+    staging dir, which a torn overwrite can never have touched. Data
+    first (dynamic cell overwrite + stale-directory deletes, all from
+    the staging read), membership next, descriptor last, manifest then
+    staging deleted after. A crash between data and descriptor leaves
+    probes on the OLD geometry over partially moved rows — bounded
+    recall loss, never wrong results (membership, not global
+    consistency, defines candidates — ``ivf_index_topk``'s standing
+    contract) — until the idempotent resume. A resume of a run torn
+    AFTER the descriptor commit redoes the data writes but does NOT
+    re-bump the ``retrains`` counter (the descriptor already reflects
+    the target — the split's 'already grown' guard). A legacy manifest
+    without the staging flag resumes through the old
+    union-of-cell-dirs-deduped-on-vec_id path, then upgrades itself to
+    the staged protocol before rewriting. An orphaned staging dir (crash
+    between manifest delete and staging delete) is inert — the next
+    retrain overwrites it. ``upsert_ivf_index`` / ``split_ivf_cell`` /
     ``merge_ivf_cells`` auto-resume a pending retrain before mutating.
     Returns the new live-cell count, or None for the no-op."""
     import json
@@ -1819,14 +1833,7 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     if pending is None and not force and not dead and chain == 0 \
             and n_cells is None:
         return None                     # geometry never drifted: no-op
-    idx = fsutil.read_parquet_or_empty(
-        spark, path, meta.get("schemas", {}).get("index"))
-    # union of every cell directory deduped on vec_id: a fresh retrain
-    # sees the clean index, a resume sees whatever a torn rewrite left
-    # (a vector possibly in two dirs — identical rows, only the cell
-    # differs), so the re-assignment input is invariant under any
-    # partial commit
-    rows = idx.dropDuplicates(["vec_id"])
+    staging = os.path.join(path, _IVF_RETRAIN_STAGING)
     if pending is not None:
         cents_new = [[float(x) for x in c] for c in pending["centroids"]]
         k = len(cents_new)
@@ -1835,36 +1842,56 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                 f"retrain_ivf_index: unfinished retrain to {k} cells "
                 f"pending at {path} — resume it (n_cells=None) before "
                 f"retraining to another target")
+    if pending is not None and pending.get("staging"):
+        # the manifest references a COMPLETE staged snapshot: resume by
+        # rewriting from it — never from cell dirs a torn per-partition
+        # overwrite may have holed (ADVICE r12)
+        reassigned = spark.read.parquet(staging)
     else:
-        if n_cells is not None:
-            if int(n_cells) < 1:
+        idx = fsutil.read_parquet_or_empty(
+            spark, path, meta.get("schemas", {}).get("index"))
+        # union of every cell directory deduped on vec_id: a fresh
+        # retrain sees the clean index, a LEGACY (pre-staging manifest)
+        # resume whatever a torn rewrite left (a vector possibly in two
+        # dirs — identical rows, only the cell differs)
+        rows = idx.dropDuplicates(["vec_id"])
+        if pending is None:
+            if n_cells is not None:
+                if int(n_cells) < 1:
+                    raise ValueError(
+                        "retrain_ivf_index: n_cells must be >= 1")
+                k = int(n_cells)
+            else:
+                k = cur_cells - len(dead)
+            if k < 1:
                 raise ValueError(
-                    "retrain_ivf_index: n_cells must be >= 1")
-            k = int(n_cells)
-        else:
-            k = cur_cells - len(dead)
-        if k < 1:
-            raise ValueError(
-                f"retrain_ivf_index: index at {path} has no live cells")
-        if rows.isEmpty():
-            raise ValueError(
-                f"retrain_ivf_index: index at {path} holds no vectors — "
-                f"nothing to train on")
-        cents_new = train_ivf_centroids(
-            rows, "embedding", k, dims, iters=iters,
-            sample_fraction=sample_fraction,
-            id_col="vec_id" if sample_fraction is not None else None,
-            salt=salt)
+                    f"retrain_ivf_index: index at {path} has no live "
+                    f"cells")
+            if rows.isEmpty():
+                raise ValueError(
+                    f"retrain_ivf_index: index at {path} holds no "
+                    f"vectors — nothing to train on")
+            cents_new = train_ivf_centroids(
+                rows, "embedding", k, dims, iters=iters,
+                sample_fraction=sample_fraction,
+                id_col="vec_id" if sample_fraction is not None else None,
+                salt=salt)
+        # snapshot the re-assigned rows BEFORE any destructive mutation
+        # (this write is also the materialization barrier the old
+        # localCheckpoint provided — the overwrite below must not scan
+        # the dirs it rewrites); the manifest is written strictly AFTER
+        # the staging write returns, so manifest ⇒ staging complete
+        (ivf_assign(rows.drop("cell"), "embedding", k, dims,
+                    probes=1, centroids=cents_new)
+         .withColumn("cell", F.element_at("cells", 1))
+         .drop("cells")
+         .select(*rows.columns)   # keep the stored column order
+         .write.mode("overwrite").parquet(staging))
         fsutil.write_text(pend_path,
-                          json.dumps({"centroids": cents_new}),
+                          json.dumps({"centroids": cents_new,
+                                      "staging": True}),
                           spark=spark)
-
-    reassigned = (ivf_assign(rows.drop("cell"), "embedding", k, dims,
-                             probes=1, centroids=cents_new)
-                  .withColumn("cell", F.element_at("cells", 1))
-                  .drop("cells")
-                  .select(*rows.columns)   # keep the stored column order
-                  .localCheckpoint(eager=True))
+        reassigned = spark.read.parquet(staging)
     (reassigned.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("cell").parquet(path))
@@ -1884,14 +1911,26 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("vspan").parquet(members_path))
 
-    # descriptor last: compacted geometry, chain reset
+    # descriptor last: compacted geometry, chain reset. A resume of a
+    # run torn AFTER the descriptor commit must not re-bump the
+    # counter (ADVICE r12 — the split's 'descriptor already grown'
+    # guard): the descriptor already reflecting the pending target is
+    # exactly that case.
+    already_committed = (
+        pending is not None
+        and int(meta.get("n_cells", -1)) == k
+        and meta.get("centroids") == cents_new
+        and not meta.get("dead")
+        and int(meta.get("geometry_actions", 0)) == 0)
     meta2 = dict(meta)
     meta2.update({"n_cells": k, "centroids": cents_new, "dead": [],
                   "geometry_actions": 0,
-                  "retrains": int(meta.get("retrains", 0)) + 1})
+                  "retrains": int(meta.get("retrains", 0))
+                  + (0 if already_committed else 1)})
     fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return k
 
 
@@ -2095,6 +2134,11 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
     all_ids = [r.query_id for r in
                qframe.select("query_id").distinct().collect()]
     p = max(1, min(probes, live_count))
+    # each round's counts collect (and the caller's final action) runs
+    # against the persisted round result, not the whole widening
+    # lineage — without this every round re-executes every PRIOR probe
+    # pass's partition scan + broadcast join + window (ADVICE r12)
+    res = transient_persist(res)
     while p < live_count:
         counts = {r.query_id: r.n for r in
                   res.groupBy("query_id")
@@ -2104,8 +2148,9 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
             break
         p = min(2 * p, live_count)
         widened = _probe(qframe.where(F.col("query_id").isin(under)), p)
-        res = (res.where(~F.col("query_id").isin(under))
-               .unionByName(widened))
+        res = transient_persist(
+            res.where(~F.col("query_id").isin(under))
+            .unionByName(widened))
     return res
 
 

@@ -1,0 +1,384 @@
+"""Round-13 properties: staged-snapshot crash contracts for the two
+index rebuilds, rebuild-counter idempotence, config validation, and the
+auto-widen persistence fix.
+
+The r12 ADVICE found the one real hole in the rebuild crash story:
+Spark's dynamic partition overwrite commits per-partition (delete old
+dir, then rename staged dir, in a driver loop), so a crash between one
+partition's delete and rename permanently drops its rows — and the old
+union-of-dirs resume then retrained/re-homed WITHOUT them. The rebuilds
+now stage the complete re-assigned snapshot BEFORE any destructive
+mutation and resume from it; these tests reproduce the torn-overwrite
+hole directly (delete a committed partition dir while the manifest is
+pending) and pin that no row is lost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_ch_replicator_spark import fsutil
+from mysql_ch_replicator_spark.operators.similarity import (
+    ivf_index_topk, merge_ivf_cells, read_ivf_meta, retrain_ivf_index,
+    write_ivf_index,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _vec(i: int) -> list[float]:
+    return [float(i % 4) * 2.0, float(i % 7) - 3.0, 1.0 + float(i % 3)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _vec(i)) for i in range(48)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+def _drifted_ivf(spark, corpus, path: str) -> None:
+    """4-cell index with one merge on the chain — retrain-eligible."""
+    write_ivf_index(corpus, path, n_cells=4)
+    live = sorted(set(range(1, 5))
+                  - {int(c) for c in read_ivf_meta(path).get("dead", [])})
+    merge_ivf_cells(spark, path, src=live[0], dst=live[1])
+
+
+def _crash_after_write(suffix: str):
+    """write_text wrapper that COMPLETES the matching write, then dies —
+    the crash lands strictly after the manifest is durable."""
+    real_write = fsutil.write_text
+
+    def crashing(p, text, spark=None):
+        real_write(p, text, spark=spark)
+        if p.endswith(suffix):
+            raise RuntimeError("injected crash after manifest")
+    return real_write, crashing
+
+
+def test_retrain_torn_overwrite_resumes_from_staging(spark, corpus,
+                                                     tmp_path):
+    """THE ADVICE-r12 scenario: retrain crashes with the manifest
+    durable but the destructive rewrite not yet run, and the torn
+    per-partition overwrite is simulated by deleting one committed cell
+    directory outright. The resume must restore every row from the
+    staged snapshot — the old union-of-cell-dirs input would have
+    retrained over the holed data and lost that cell forever."""
+    path = str(tmp_path / "torn")
+    _drifted_ivf(spark, corpus, path)
+    clean = str(tmp_path / "clean")
+    _drifted_ivf(spark, corpus, clean)
+    retrain_ivf_index(spark, clean, iters=2)
+
+    real_write, crashing = _crash_after_write("_ivf_retrain_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            retrain_ivf_index(spark, path, iters=2)
+    finally:
+        fsutil.write_text = real_write
+
+    # simulate the torn overwrite's hole: one whole cell dir gone
+    meta = read_ivf_meta(path)
+    live = sorted(set(range(1, int(meta["n_cells"]) + 1))
+                  - {int(c) for c in meta.get("dead", [])})
+    fsutil.delete(os.path.join(path, f"cell={live[0]}"))
+    assert spark.read.parquet(path).count() < corpus.count(), \
+        "precondition: the hole must actually drop rows"
+
+    assert retrain_ivf_index(spark, path) is not None
+    idx = spark.read.parquet(path)
+    assert idx.count() == corpus.count(), "rows lost across the resume"
+    assert idx.select("vec_id").distinct().count() == corpus.count()
+    clean_meta = read_ivf_meta(clean)
+    got_meta = read_ivf_meta(path)
+    assert got_meta["centroids"] == clean_meta["centroids"]
+    assert got_meta["retrains"] == 1
+    assert sorted(map(tuple, idx.select("vec_id", "cell").collect())) == \
+        sorted(map(tuple, spark.read.parquet(clean)
+                   .select("vec_id", "cell").collect()))
+    # staging + manifest both cleaned up after the commit
+    assert not fsutil.exists(os.path.join(path, "_retrain_staging"))
+    assert not fsutil.exists(os.path.join(path,
+                                          "_ivf_retrain_pending.json"))
+
+
+def test_retrain_resume_after_descriptor_commit_no_double_bump(
+        spark, corpus, tmp_path):
+    """A crash between the descriptor commit and the manifest delete
+    must not double-count the rebuild on resume (ADVICE r12): the
+    descriptor already reflects the pending target, so the counter
+    stays at 1 — mirroring the split's 'already grown' guard."""
+    path = str(tmp_path / "bump")
+    _drifted_ivf(spark, corpus, path)
+
+    real_delete = fsutil.delete
+
+    def crashing_delete(p, recursive=True, spark=None):
+        if p.endswith("_ivf_retrain_pending.json"):
+            raise RuntimeError("injected crash before manifest delete")
+        return real_delete(p, recursive=recursive, spark=spark)
+
+    fsutil.delete = crashing_delete
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            retrain_ivf_index(spark, path, iters=2)
+    finally:
+        fsutil.delete = real_delete
+    assert read_ivf_meta(path)["retrains"] == 1
+    assert fsutil.exists(os.path.join(path, "_ivf_retrain_pending.json"))
+
+    assert retrain_ivf_index(spark, path) is not None   # resume
+    assert read_ivf_meta(path)["retrains"] == 1, \
+        "resume after descriptor commit must not re-bump the counter"
+    assert not fsutil.exists(os.path.join(path,
+                                          "_ivf_retrain_pending.json"))
+    idx = spark.read.parquet(path)
+    assert idx.count() == corpus.count()
+
+
+def test_retrain_legacy_manifest_resumes_and_upgrades(spark, corpus,
+                                                      tmp_path):
+    """A pre-r13 manifest (no staging flag) still resumes — through the
+    old union-of-dirs path — and converges to the clean-retrain state;
+    placement comes from the MANIFEST's codebook, never a re-train."""
+    clean = str(tmp_path / "clean")
+    _drifted_ivf(spark, corpus, clean)
+    retrain_ivf_index(spark, clean, iters=2)
+    cents = read_ivf_meta(clean)["centroids"]
+
+    path = str(tmp_path / "legacy")
+    _drifted_ivf(spark, corpus, path)
+    fsutil.write_text(os.path.join(path, "_ivf_retrain_pending.json"),
+                      json.dumps({"centroids": cents}))
+
+    assert retrain_ivf_index(spark, path) is not None
+    got_meta = read_ivf_meta(path)
+    assert got_meta["centroids"] == cents
+    assert got_meta["dead"] == [] and got_meta["geometry_actions"] == 0
+    assert sorted(map(tuple,
+                      spark.read.parquet(path)
+                      .select("vec_id", "cell").collect())) == \
+        sorted(map(tuple, spark.read.parquet(clean)
+                   .select("vec_id", "cell").collect()))
+    assert not fsutil.exists(os.path.join(path, "_retrain_staging"))
+
+
+# -- lexical compaction: the same contract --------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _drifted_lexical(spark, docs, path: str) -> None:
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        merge_lexical_shards, split_lexical_shard, write_lexical_index,
+    )
+    write_lexical_index(docs, path, shards=8)
+    split_lexical_shard(spark, path)
+    merge_lexical_shards(spark, path)
+
+
+def test_compact_torn_overwrite_resumes_from_staging(spark, docs,
+                                                     tmp_path):
+    """Lexical twin of the torn-overwrite test: manifest durable, one
+    committed postings shard dir deleted outright, resume restores the
+    full posting set from staging — equal to a from-scratch build."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index, write_lexical_index,
+    )
+
+    path = str(tmp_path / "torn")
+    _drifted_lexical(spark, docs, path)
+    postings_before = spark.read.parquet(
+        os.path.join(path, "postings")).count()
+
+    real_write, crashing = _crash_after_write("_lex_compact_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_lexical_index(spark, path)
+    finally:
+        fsutil.write_text = real_write
+
+    shard_dirs = [n for n in fsutil.list_names(
+        os.path.join(path, "postings")) if n.startswith("shard=")]
+    fsutil.delete(os.path.join(path, "postings", shard_dirs[0]))
+    assert spark.read.parquet(
+        os.path.join(path, "postings")).count() < postings_before, \
+        "precondition: the hole must actually drop postings"
+
+    k = compact_lexical_index(spark, path)
+    assert k is not None
+    fresh = str(tmp_path / "fresh")
+    write_lexical_index(docs, fresh, shards=k)
+    got = spark.read.parquet(os.path.join(path, "postings"))
+    want = spark.read.parquet(os.path.join(fresh, "postings"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect())), \
+        "postings lost or drifted across the resume"
+    meta2 = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_meta.json")))
+    assert meta2["compactions"] == 1
+    assert not fsutil.exists(os.path.join(path, "_compact_staging"))
+    assert not fsutil.exists(os.path.join(path,
+                                          "_lex_compact_pending.json"))
+
+
+def test_compact_resume_after_descriptor_commit_no_double_bump(
+        spark, docs, tmp_path):
+    """compactions counter stays at 1 across a resume of a run torn
+    between the descriptor commit and the manifest delete."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index,
+    )
+
+    path = str(tmp_path / "bump")
+    _drifted_lexical(spark, docs, path)
+
+    real_delete = fsutil.delete
+
+    def crashing_delete(p, recursive=True, spark=None):
+        if p.endswith("_lex_compact_pending.json"):
+            raise RuntimeError("injected crash before manifest delete")
+        return real_delete(p, recursive=recursive, spark=spark)
+
+    fsutil.delete = crashing_delete
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_lexical_index(spark, path)
+    finally:
+        fsutil.delete = real_delete
+    meta = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_meta.json")))
+    assert meta["compactions"] == 1
+
+    assert compact_lexical_index(spark, path) is not None   # resume
+    meta2 = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_meta.json")))
+    assert meta2["compactions"] == 1, \
+        "resume after descriptor commit must not re-bump the counter"
+    assert not fsutil.exists(os.path.join(path,
+                                          "_lex_compact_pending.json"))
+
+
+# -- config validation + status symmetry (ADVICE r12) ----------------------
+
+
+def _mk_engine(spark, tmp_path, name="replica"):
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+
+    engine = ReplicaEngine(spark, str(tmp_path / name))
+    engine.create_table("db1", """CREATE TABLE vecs (
+      vec_id bigint NOT NULL, emb varchar(300), PRIMARY KEY (vec_id))""")
+    return engine
+
+
+def test_retrain_after_zero_rejected(spark, tmp_path):
+    """retrain_after=0 would fire the rebuild trigger on every poll
+    while the rebuild no-ops on an undrifted index — 'retrain:None'
+    forever, permanently preempting split/merge (ADVICE r12). Rejected
+    at construction like the ping-pong guard."""
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+
+    engine = _mk_engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="retrain_after"):
+        MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix"),
+                        "ivf", payload_col="emb", retrain_after=0)
+    MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "ix2"),
+                    "ivf", payload_col="emb", retrain_after=1)
+
+
+def test_lexical_status_exposes_compactions(spark, tmp_path):
+    """/status must report rebuild history for BOTH families (ADVICE
+    r12): the lexical arm carries 'compactions' beside n_dead_cells /
+    chain_length, counting up when a compaction runs."""
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index, merge_lexical_shards, split_lexical_shard,
+    )
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE docs (
+      doc_id bigint NOT NULL, body varchar(255), PRIMARY KEY (doc_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "docs",
+            [(i, f"alpha beta gamma delta token{i % 7} word{i % 11}")
+             for i in range(64)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    path = str(tmp_path / "lex")
+    ix = MaintainedIndex(engine, "db1", "docs", path, "lexical",
+                         payload_col="body", shards=8)
+    ix.build()
+    assert ix.status()["compactions"] == 0
+
+    split_lexical_shard(spark, path)
+    merge_lexical_shards(spark, path)
+    assert compact_lexical_index(spark, path) is not None
+    st = ix.status()
+    assert st["compactions"] == 1
+    assert st["chain_length"] == 0 and st["n_dead_cells"] == 0
+
+
+# -- auto-widen persistence (ADVICE r12) ------------------------------------
+
+
+def test_auto_widen_result_is_persisted(spark, tmp_path):
+    """The widening loop's per-round counts collect (and the caller's
+    final action) must run against a PERSISTED round result — without
+    it every round re-executes every prior probe pass's scan + join +
+    window (ADVICE r12)."""
+    common = [(i, [10.0 + (i % 5) * 0.1, float(i % 3), 1.0], "c")
+              for i in range(30)]
+    rare = [(100 + i, [-10.0 - (i % 4) * 0.1, float(i % 3), 1.0], "r")
+            for i in range(8)]
+    corpus = spark.createDataFrame(
+        common + rare,
+        "vec_id long, embedding array<float>, label string")
+    path = str(tmp_path / "index")
+    write_ivf_index(corpus, path, n_cells=8, meta_cols=["label"])
+    queries = spark.createDataFrame(
+        [(0, [10.0, 0.5, 1.0], "r")],
+        "query_id long, embedding array<float>, label string")
+    got = ivf_index_topk(spark, path, queries, k=5, probes=1,
+                         filter_cols=["label"], min_results=5)
+    assert got.storageLevel.useMemory, \
+        "min_results result must be transient-persisted"
+    assert got.count() == 5
+
+
+# -- bench snapshot guard (r12 verdict #7) ----------------------------------
+
+
+def test_bench_snapshot_guard():
+    """A degraded window (loadavg_at_start over the limit) can never
+    silently become the committed controlled snapshot: refused without
+    the explicit force, and the decision is recorded either way."""
+    import bench
+
+    # not requested: never writes, never notes
+    assert bench.snapshot_decision(0.5, False, False) == (False, None)
+    assert bench.snapshot_decision(9.9, False, True) == (False, None)
+    # requested on a clean host: writes silently
+    assert bench.snapshot_decision(
+        bench.SNAPSHOT_LOAD_LIMIT, True, False) == (True, None)
+    # requested under load: refused with a recorded reason
+    ok, note = bench.snapshot_decision(
+        bench.SNAPSHOT_LOAD_LIMIT + 0.1, True, False)
+    assert not ok and "REFUSED" in note
+    # forced under load: writes, but the override is on the record
+    ok, note = bench.snapshot_decision(11.6, True, True)
+    assert ok and "FORCED" in note
