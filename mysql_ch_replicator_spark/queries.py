@@ -95,23 +95,20 @@ _DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # recorded round", which could never re-verify a query that was green in
 # that round and changed AFTER it — exactly the r10 situation.)
 _ROTATION_BOOST: dict[str, int] = {
-    # r12 implementation changes that deserve a fresh driver row:
-    # ann_ivf_index_stats's OUTPUT grew the two geometry-drift columns
-    # (n_dead_cells / chain_length — r11 verdict #6), and
-    # ann_ivf_index_filtered's probe path changed (probe clamp to the
-    # live-cell count + array_distinct on the probed cells + the
-    # min_results auto-widen plumbing — ADVICE r11 / verdict #4).
-    # Budget note (r11 verdict #1 — the HARD line this round): 4 pins
-    # + 2 boosts + 1 new (ann_ivf_retrain) + the 43-query r7-stale
-    # cohort = 50 — the window is EXACTLY full, so r12 ships with no
-    # other boost or registration, and the whole r7 cohort re-greens
-    # (test_r12_window_covers_entire_r7_stale_cohort pins this). The
-    # r11 boosts all self-retired on their r11 green rows.
-    # Forward note for r13: the r8 cohort is 45 queries, so 4 pins +
-    # 45 = 49 leaves exactly ONE slot for a boost or new registration
-    # (compact_lexical_index is the obvious registration candidate —
-    # built and pytest-gated in r12, no registry slot left for it).
-    "ann_ivf_index_stats": 11, "ann_ivf_index_filtered": 11,
+    # Budget note (r12 verdict #1 — the HARD line again this round):
+    # the r8-stale cohort is 45 queries and hits _OVERDUE_AGE=5 next
+    # round, so 4 pins + 45 = 49 leaves exactly ONE slot. It goes to
+    # the single r13 registration, `lexical_index_compact`
+    # (compact_lexical_index was built and pytest-gated in r12 with no
+    # registry slot left; the r12 verdict named it for this slot) —
+    # 4 + 1 new + 45 = 50, the window EXACTLY full, no boosts
+    # (test_r13_window_covers_entire_r8_stale_cohort pins this). The
+    # r12 boosts (ann_ivf_index_stats / ann_ivf_index_filtered, flagged
+    # at 11) self-retired on their r12 green rows and are dropped.
+    # Forward note for r14: the r9 cohort is 41 queries, so 4 pins +
+    # 41 = 45 leaves ~5 slots — enough for the planned
+    # `ann_ivf_pq_index` registration (persisted-PQ probe, r12 verdict
+    # #3/#5) plus boosts for any r13 watch item.
 }
 
 # Rotation-fairness knobs (r8, from the r7 verdict's starvation analysis:

@@ -5369,6 +5369,49 @@ def lexical_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("score", F.col("score").cast("string"))
 
 
+@register("lexical_index_compact", _bm25_oracle_sql(
+    _BM25_TERMS, _BM25_K,
+    source="(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
+def lexical_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placement-chain COMPACTION e2e (operators/retrieval.
+    compact_lexical_index — the lexical OPTIMIZE FINAL analog, reference
+    db_optimizer.py:71–80; built r12, registered r13 when the rotation
+    budget freed a slot): drift a private copy of the full index's
+    placement chain (one hot-shard split + one cold-pair merge — the
+    same incremental actions the maintainer fires), compact it back to
+    a fresh uniform base placement over the live-shard count
+    (``splits=[]``, byte-identical to a from-scratch build — equality
+    pinned in tests/test_round12_properties.py; crash resume staged per
+    ADVICE r12 in tests/test_round13_properties.py), then run a CDC
+    batch THROUGH the compacted placement (re-adds of every 5th doc +
+    deletes of every 7th) and probe. BM25 scores are placement-
+    independent, so the standard from-scratch oracle over the final
+    corpus gates the whole lifecycle: drift + compact + post-compact
+    upsert + shard-pruned probe must be bit-identical to never having
+    drifted. At 100 TB this is the bounded periodic full pass that caps
+    incremental drift — deliberately O(index), priced like
+    ann_ivf_retrain."""
+    from .operators.retrieval import (bm25_indexed_topk,
+                                      compact_lexical_index,
+                                      merge_lexical_shards,
+                                      split_lexical_shard,
+                                      upsert_lexical_index)
+    from .queries import _mutable_copy
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _mutable_copy(_lex_full_fixture(spark, sf_dir),
+                         sf_dir, "lex_compact")
+    split_lexical_shard(spark, path)
+    merge_lexical_shards(spark, path)
+    compact_lexical_index(spark, path)
+    upsert_lexical_index(
+        spark, path,
+        adds=docs.where(F.col("doc_id") % 5 == 0),
+        removes=docs.where(F.col("doc_id") % 7 == 0).select("doc_id"))
+    return bm25_indexed_topk(spark, path, _BM25_TERMS, k=_BM25_K) \
+        .withColumn("score", F.col("score").cast("string"))
+
+
 def _ivf8_meta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Shared full-corpus IVF index CARRYING metadata (meta_cols=
     ['label']): built from 80% of the corpus, the rest streamed in via

@@ -304,3 +304,24 @@ def test_overdue_lane_preempts_new_lane(monkeypatch):
     import mysql_ch_replicator_spark.queries as q
     base = len(q._DRIVER_WINDOW_PINNED)
     assert set(names[base:base + 8]) == {f"ancient_{i}" for i in range(8)}
+
+
+def test_r13_window_covers_entire_r8_stale_cohort():
+    """The r12 verdict's task #1, pinned on the REAL history: every
+    query whose newest green row is round 8 (the 45-query cohort, one
+    round from the overdue bound) must be inside the round-13 window —
+    with the budget EXACTLY full (4 pins + 1 new registration
+    [lexical_index_compact] + 45 = 50), a single extra boost or
+    registration crowds one of them out. If this fails, retire a boost
+    or fold the new query into an existing name."""
+    latest = _latest_green_rounds()
+    newest = max(latest.values(), default=-1)
+    if newest != 12:      # only meaningful while r12 is the newest row
+        pytest.skip("history has moved past round 12")
+    r8 = {n for n in _REGISTRY if latest.get(n) == 8}
+    window = set(_ordered_names()[:DRIVER_WINDOW])
+    assert r8 <= window, sorted(r8 - window)
+    # the never-verified new registration must also make the window
+    never = {n for n in _REGISTRY if n not in latest}
+    assert "lexical_index_compact" in never
+    assert never <= window, sorted(never - window)
