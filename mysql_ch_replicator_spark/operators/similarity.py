@@ -468,7 +468,8 @@ def normalize_expr(vec_col) -> Column:
 
 
 def pq_encode(vec_col, m: int, n_codes: int, dims: int,
-              prefix: str = "pq", normalized: bool = False) -> Column:
+              prefix: str = "pq", normalized: bool = False,
+              books: list[list[list[float]]] | None = None) -> Column:
     """PQ code array (1-based ints, length ``m``): per subspace, the index
     of the L2-normalized subvector's nearest codebook centroid. 64 floats
     → ``m`` small ints — the memory-compressed corpus representation that
@@ -487,7 +488,8 @@ def pq_encode(vec_col, m: int, n_codes: int, dims: int,
     sd = dims // m
     vec_d = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
         if normalized else normalize_expr(vec_col)
-    books_lit = _books_lit(pq_codebooks(m, n_codes, sd, prefix))
+    books_lit = _books_lit(books if books is not None
+                           else pq_codebooks(m, n_codes, sd, prefix))
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.element_at(
@@ -519,7 +521,8 @@ def _sqd_fold(sub: Column, cent: Column) -> Column:
 
 
 def pq_distance_table(vec_col, m: int, n_codes: int, dims: int,
-                      prefix: str = "pq", normalized: bool = False) -> Column:
+                      prefix: str = "pq", normalized: bool = False,
+                      books: list[list[list[float]]] | None = None) -> Column:
     """ADC distance table for a query vector: dt[j][c] = squared L2 from
     the normalized query's j-th subvector to centroid c of subspace j —
     an ``m × n_codes`` nested array computed once per query, after which
@@ -529,7 +532,8 @@ def pq_distance_table(vec_col, m: int, n_codes: int, dims: int,
     sd = dims // m
     vec_d = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
         if normalized else normalize_expr(vec_col)
-    books_lit = _books_lit(pq_codebooks(m, n_codes, sd, prefix))
+    books_lit = _books_lit(books if books is not None
+                           else pq_codebooks(m, n_codes, sd, prefix))
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.transform(
@@ -967,7 +971,8 @@ _IVF_VSPAN = 4096              # membership partition width (vec ids per dir)
 def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     centroids: list[list[float]] | None = None,
-                    meta_cols: list[str] | None = None) -> None:
+                    meta_cols: list[str] | None = None,
+                    pq: dict | None = None) -> None:
     """Materialize the IVF index as a CELL-PARTITIONED parquet table —
     the 100 TB deployment shape of ``ivf_topk``: cell assignment is paid
     once at write, and every probe afterwards reads only
@@ -991,7 +996,22 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
     The list is persisted in the descriptor; upserts must supply the
     same columns (reference-shaped rationale: ClickHouse pushes WHERE
     into the replica read, clickhouse_api.py:417-430 — index probes
-    must compose with predicates the same way)."""
+    must compose with predicates the same way).
+
+    ``pq`` — persist PQ codes beside the raw vectors (r12 verdict #3:
+    the FAISS IndexIVFPQ layout, previously only the in-memory
+    ``ivf_pq_topk`` composition): ``{"m": 16, "n_codes": 16}`` writes a
+    ``codes`` column (array<int>, length m) into every cell partition
+    and a ``pq`` block (m, n_codes, and the full codebooks) into the
+    descriptor, so ``ivf_index_topk(pq_shortlist=...)`` can scan probed
+    cells as m small codes (16× narrower than raw floats at the
+    defaults — at 100 TB the candidate stage's IO) and re-rank only the
+    shortlist against raw vectors. Codebooks default to the same
+    deterministic scheme as ``ivf_pq_topk`` (``pq_codebooks``) so the
+    persisted probe equals the in-memory composition bit-for-bit
+    (pinned); pass ``{"books": [...]}`` to override. Codes depend only
+    on (embedding, books), so upsert re-encodes adds from the
+    descriptor and split/merge/retrain carry codes through unchanged."""
     import json
     import os
 
@@ -1009,13 +1029,33 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
         else ivf_centroids(n_cells, dims, "ivf")
     cents = [[float(x) for x in c] for c in cents]
     meta_cols = list(meta_cols or [])
+    pq_block = None
+    if pq is not None:
+        m, n_codes = int(pq["m"]), int(pq["n_codes"])
+        if dims % m:
+            raise ValueError(
+                f"write_ivf_index: pq m={m} must divide dims={dims}")
+        books = pq.get("books") or pq_codebooks(m, n_codes, dims // m)
+        pq_block = {"m": m, "n_codes": n_codes,
+                    "books": [[[float(x) for x in cent] for cent in book]
+                              for book in books]}
     assigned = ivf_assign(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("embedding"),
                       *[F.col(c) for c in meta_cols]),
-        "embedding", n_cells, dims, probes=1, centroids=cents)
-    (assigned.withColumn("cell", F.element_at("cells", 1)).drop("cells")
-     .write.mode("overwrite").partitionBy("cell").parquet(path))
+        "embedding", n_cells, dims, probes=1, centroids=cents) \
+        .withColumn("cell", F.element_at("cells", 1)).drop("cells")
+    if pq_block is not None:
+        # normalization staged through a persisted column: inlined, the
+        # norm fold would be cloned into every one of the m × n_codes
+        # encode subtrees (the pq_encode hazard — measured 20×)
+        assigned = transient_persist(
+            assigned.withColumn("__v", normalize_expr("embedding")))
+        assigned = assigned.withColumn(
+            "codes", pq_encode("__v", pq_block["m"], pq_block["n_codes"],
+                               dims, normalized=True,
+                               books=pq_block["books"])).drop("__v")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     # vec_id→cell membership, id-span-partitioned, derived from the
     # COMMITTED index (a 2-column read-back — no second assignment
     # pass): the inverse mapping incremental upserts need. Vec ids
@@ -1039,12 +1079,13 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
         "index": spark.read.parquet(path).schema.json(),
         "members": spark.read.parquet(
             os.path.join(path, _IVF_MEMBERS)).schema.json()}
-    fsutil.write_text(
-        os.path.join(path, _IVF_META),
-        json.dumps({"n_cells": n_cells, "dims": dims,
-                    "centroids": cents, "schemas": schemas,
-                    "meta_cols": meta_cols}),
-        spark=spark)
+    doc = {"n_cells": n_cells, "dims": dims,
+           "centroids": cents, "schemas": schemas,
+           "meta_cols": meta_cols}
+    if pq_block is not None:
+        doc["pq"] = pq_block
+    fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(doc),
+                      spark=spark)
 
 
 def _ivf_membership_cells(members: DataFrame, ids: DataFrame,
@@ -1202,13 +1243,29 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                 f"columns {meta_cols} but the adds frame lacks "
                 f"{missing} — filtered probes would silently see NULL "
                 f"metadata for these rows")
-        assigned = transient_persist(ivf_assign(
+        assigned = ivf_assign(
             adds.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("embedding"),
                         *[F.col(c) for c in meta_cols]),
             "embedding", n_cells, dims, probes=1, centroids=cents,
-            dead_cells=dead)
-            .withColumn("cell", F.element_at("cells", 1)).drop("cells"))
+            dead_cells=dead) \
+            .withColumn("cell", F.element_at("cells", 1)).drop("cells")
+        pqm = meta.get("pq")
+        if pqm is not None:
+            # the index carries PQ codes: re-encode the adds with the
+            # DESCRIPTOR's codebooks (codes depend only on embedding +
+            # books, so an upsert can never drift from the write-time
+            # quantizer); normalization staged through the persisted
+            # column — the pq_encode clone hazard
+            assigned = transient_persist(assigned.withColumn(
+                "__v", normalize_expr("embedding")))
+            assigned = assigned.withColumn(
+                "codes", pq_encode("__v", int(pqm["m"]),
+                                   int(pqm["n_codes"]), dims,
+                                   normalized=True,
+                                   books=pqm["books"])).drop("__v")
+        else:
+            assigned = transient_persist(assigned)
         probe_ids.append(assigned.select("vec_id"))
     if removes is not None:
         # removes ALWAYS locate their cells by probing the index, even
@@ -2013,7 +2070,8 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
                    vec_col: str = "embedding",
                    centroids: list[list[float]] | None = None,
                    filter_cols: list[str] | None = None,
-                   min_results: int | None = None) -> DataFrame:
+                   min_results: int | None = None,
+                   pq_shortlist: int | None = None) -> DataFrame:
     """Probe a ``write_ivf_index`` table: compute each query's ``probes``
     nearest cells, scan ONLY those partitions (an IN-filter on the
     partition column → PartitionFilters in the parquet scan, zero IO for
@@ -2057,7 +2115,26 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
     same partition-pruned probe over just the under-returning queries;
     cost is O(log2(live cells)) probe rounds worst-case, each a bounded
     per-query row count collect (queries are broadcast-small by
-    contract)."""
+    contract).
+
+    ``pq_shortlist`` — the ADC probe over a PQ-carrying index
+    (``write_ivf_index(pq=...)``; r12 verdict #3): the candidate stage
+    scans the probed cells' ``codes`` column ONLY (m small ints — 16×
+    narrower than raw floats at the defaults, which at 100 TB is the
+    candidate-stage IO), scores each candidate against the query's
+    broadcast ADC distance table (m array lookups + m−1 adds), keeps
+    the ``pq_shortlist`` best per query, and re-ranks ONLY those rows
+    by exact cosine over raw vectors (a broadcast-shortlist join into
+    the same partition-pruned scan). With an unbounded shortlist the
+    result EQUALS the raw probe at the same geometry (the ADC stage
+    then only reorders a superset the exact rerank restores) and the
+    whole path equals the in-memory ``ivf_pq_topk`` composition at the
+    same (centroids, probes, m, n_codes, shortlist) — both pinned.
+    ``filter_cols`` apply in the ADC join condition, BEFORE the
+    shortlist, so a selective predicate never starves the rerank;
+    ``min_results`` widens probes around the whole two-stage pass.
+    Raises on an index without a ``pq`` block (codes are a build-time
+    layout choice — rebuild or retrain into one)."""
     meta = read_ivf_meta(path)
     if meta is not None:
         if centroids is not None and \
@@ -2088,10 +2165,24 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
             f"write_ivf_index(meta_cols=...) to filter on them")
     dead = [int(c) for c in (meta or {}).get("dead", [])]
     live_count = n_cells - len(dead)
+    pqm = (meta or {}).get("pq")
+    if pq_shortlist is not None and pqm is None:
+        raise ValueError(
+            f"ivf_index_topk: pq_shortlist requires an index that "
+            f"carries PQ codes, but the descriptor at {path} has no "
+            f"'pq' block — rebuild with write_ivf_index(pq=...)")
     qframe = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         *[F.col(c).alias(f"__q_{c}") for c in filter_cols])
+    if pq_shortlist is not None:
+        # each query's ADC table, computed once and broadcast with the
+        # probe rows (normalization inline under the persist — the
+        # ivf_pq_topk idiom)
+        qframe = transient_persist(qframe.withColumn(
+            "dt", pq_distance_table(
+                normalize_expr("qv"), int(pqm["m"]), int(pqm["n_codes"]),
+                dims, normalized=True, books=pqm["books"])))
 
     def _probe(qf: DataFrame, p: int) -> DataFrame:
         q = ivf_assign(qf, "qv", n_cells, dims, probes=p,
@@ -2102,6 +2193,7 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
         # ranks
         qcells = q.select(
             "query_id", "qv",
+            *(["dt"] if pq_shortlist is not None else []),
             F.explode(F.array_distinct("cells")).alias("cell"),
             *[f"__q_{c}" for c in filter_cols])
         probe_cells = sorted({r.cell for r in
@@ -2116,13 +2208,48 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
             # the probed-cell partition pruning above is untouched
             # (plan pin)
             cond = cond & (F.col(c) == F.col(f"__q_{c}"))
-        scored = (index.join(F.broadcast(qcells), ["cell"])
-                  .where(cond)
-                  .withColumn("cos",
-                              F.round(cosine_expr("qv", "embedding"), 6)))
         w = Window.partitionBy("query_id") \
             .orderBy(F.col("cos").desc(), F.col("vec_id"))
-        return (scored.withColumn("rank", F.row_number().over(w))
+        if pq_shortlist is None:
+            scored = (index.join(F.broadcast(qcells), ["cell"])
+                      .where(cond)
+                      .withColumn("cos",
+                                  F.round(cosine_expr("qv", "embedding"),
+                                          6)))
+            return (scored.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= k)
+                    .select("query_id",
+                            F.col("vec_id").alias("neighbor_id"),
+                            "rank", "cos"))
+        # ADC stage: the probed cells scanned as codes only — the
+        # explicit select is what keeps 'embedding' out of this scan's
+        # ReadSchema (plan pin: the candidate stage reads m ints per
+        # row, not dims floats)
+        m = int(pqm["m"])
+        codes_scan = index.select("cell", "vec_id", "codes",
+                                  *filter_cols)
+        joined = codes_scan.join(F.broadcast(qcells.drop("qv")),
+                                 ["cell"]).where(cond)
+        score = F.element_at(F.element_at("dt", 1),
+                             F.element_at("codes", 1))
+        for j in range(1, m):
+            score = score + F.element_at(F.element_at("dt", j + 1),
+                                         F.element_at("codes", j + 1))
+        w1 = Window.partitionBy("query_id") \
+            .orderBy(F.col("adc"), F.col("vec_id"))
+        cands = (joined.withColumn("adc", score)
+                 .withColumn("__r", F.row_number().over(w1))
+                 .where(F.col("__r") <= int(pq_shortlist))
+                 .select("query_id", "vec_id"))
+        # exact rerank: raw vectors for the shortlisted ids only, via a
+        # broadcast join into the SAME partition-pruned scan
+        rer = (index.select("vec_id", "embedding")
+               .join(F.broadcast(cands), "vec_id")
+               .join(F.broadcast(qf.select("query_id", "qv")),
+                     "query_id")
+               .withColumn("cos",
+                           F.round(cosine_expr("qv", "embedding"), 6)))
+        return (rer.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", F.col("vec_id").alias("neighbor_id"),
                         "rank", "cos"))

@@ -382,3 +382,128 @@ def test_bench_snapshot_guard():
     # forced under load: writes, but the override is on the record
     ok, note = bench.snapshot_decision(11.6, True, True)
     assert ok and "FORCED" in note
+
+
+# -- persisted PQ codes in the IVF index (r12 verdict #3) -------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, emb, tmp_path_factory):
+    """Full-corpus PQ-carrying index at the deployed defaults."""
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    write_ivf_index(emb, path, n_cells=8, pq={"m": 16, "n_codes": 16})
+    return path
+
+
+def _queries(emb, n=12):
+    return emb.where(F.col("vec_id") < n) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def test_persisted_pq_probe_equals_in_memory_ivf_pq(spark, emb, pq_index):
+    """The persisted ADC probe must be bit-identical to the in-memory
+    ``ivf_pq_topk`` composition at the same geometry: same deterministic
+    codebooks, same ADC fold order, same shortlist, same exact rerank —
+    the descriptor-carried codes ARE the staged frame ivf_pq_topk
+    builds per call."""
+    from mysql_ch_replicator_spark.operators.similarity import ivf_pq_topk
+
+    q = _queries(emb)
+    got = ivf_index_topk(spark, pq_index, q, k=10, probes=2,
+                         pq_shortlist=100)
+    want = ivf_pq_topk(emb, q, k=10, n_cells=8, probes=2,
+                       m=16, n_codes=16, shortlist=100)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_persisted_pq_unbounded_shortlist_equals_raw_probe(spark, emb,
+                                                           pq_index):
+    """With a shortlist covering every candidate the ADC stage only
+    reorders a superset the exact rerank restores: the PQ probe must
+    EQUAL the raw probe at the same geometry."""
+    q = _queries(emb)
+    got = ivf_index_topk(spark, pq_index, q, k=10, probes=2,
+                         pq_shortlist=10_000_000)
+    want = ivf_index_topk(spark, pq_index, q, k=10, probes=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_pq_codes_survive_incremental_path(spark, emb, tmp_path):
+    """Upsert (re-encode from the descriptor), split, merge, retrain —
+    after the whole lifecycle every stored code must equal a fresh
+    encode of its row's embedding, and the unbounded-shortlist PQ probe
+    must still equal the raw probe on the same index."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        normalize_expr, pq_encode, read_ivf_meta, retrain_ivf_index,
+        split_ivf_cell, upsert_ivf_index,
+    )
+
+    path = str(tmp_path / "index")
+    write_ivf_index(emb.where(F.col("vec_id") % 5 != 0), path,
+                    n_cells=8, pq={"m": 16, "n_codes": 16})
+    upsert_ivf_index(spark, path,
+                     adds=emb.where(F.col("vec_id") % 5 == 0),
+                     removes=emb.where(F.col("vec_id") % 11 == 0)
+                     .select("vec_id"))
+    split_ivf_cell(spark, path)
+    merge_ivf_cells(spark, path)
+    assert retrain_ivf_index(spark, path) is not None
+
+    meta = read_ivf_meta(path)
+    pqm = meta["pq"]
+    idx = spark.read.parquet(path)
+    n_live = emb.where(F.col("vec_id") % 11 != 0).count()
+    assert idx.count() == n_live
+    # every stored code equals a fresh deterministic encode
+    staged = idx.withColumn("__v", normalize_expr("embedding"))
+    fresh = staged.withColumn(
+        "fresh", pq_encode("__v", int(pqm["m"]), int(pqm["n_codes"]),
+                           int(meta["dims"]), normalized=True,
+                           books=pqm["books"]))
+    bad = fresh.where(F.col("codes") != F.col("fresh")).count()
+    assert bad == 0, f"{bad} rows carry stale codes after the lifecycle"
+
+    q = _queries(emb)
+    got = ivf_index_topk(spark, path, q, k=10, probes=2,
+                         pq_shortlist=10_000_000)
+    want = ivf_index_topk(spark, path, q, k=10, probes=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_pq_candidate_scan_reads_codes_not_embeddings(spark, emb,
+                                                      pq_index):
+    """THE 100 TB point of the layout: the ADC candidate stage's scan
+    must read the codes column and NOT the raw embedding column (16×
+    the IO at the defaults) — embeddings are read only by the rerank's
+    broadcast-shortlist scan."""
+    q = _queries(emb, n=4)
+    got = ivf_index_topk(spark, pq_index, q, k=5, probes=2,
+                         pq_shortlist=50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [s for s in plan.split("FileScan") if "ReadSchema" in s]
+    code_scans = [s for s in scans if "codes" in s.split("ReadSchema")[1][:300]]
+    assert code_scans, "no scan reads the codes column"
+    for s in code_scans:
+        schema = s.split("ReadSchema")[1][:300]
+        assert "embedding" not in schema, \
+            "the ADC candidate scan must not read raw embeddings"
+    # partition pruning still holds on every scan of the index
+    assert "PartitionFilters" in plan
+
+
+def test_pq_probe_requires_pq_block(spark, emb, tmp_path):
+    """A raw index (no codes) must refuse the ADC probe loudly instead
+    of failing at analysis depth."""
+    path = str(tmp_path / "raw")
+    write_ivf_index(emb.limit(64), path, n_cells=4)
+    with pytest.raises(ValueError, match="pq"):
+        ivf_index_topk(spark, path, _queries(emb, 4), k=5,
+                       pq_shortlist=10)
