@@ -97,6 +97,8 @@ class MaintainedIndex:
                  split_min_rows: int = 256,
                  merge_load_factor: float | None = None,
                  retrain_after: int | None = None,
+                 target_partition_rows: int | None = None,
+                 geometry_band: float = 2.0,
                  clock=time.time,
                  **index_opts):
         if kind not in ("lexical", "ivf"):
@@ -126,6 +128,19 @@ class MaintainedIndex:
                 f"MaintainedIndex: retrain_after={retrain_after} must be "
                 f">= 1 (0 would fire the rebuild trigger on every poll "
                 f"and preempt split/merge forever)")
+        if target_partition_rows is not None \
+                and int(target_partition_rows) < 1:
+            raise ValueError(
+                f"MaintainedIndex: target_partition_rows="
+                f"{target_partition_rows} must be >= 1")
+        if not float(geometry_band) > 1.0:
+            # band == 1 retrains on ANY deviation from the exact target
+            # (every poll after every apply — the retrain_after=0
+            # pathology with extra steps)
+            raise ValueError(
+                f"MaintainedIndex: geometry_band={geometry_band} must be "
+                f"> 1 (the band is a multiplicative dead zone around "
+                f"target_partition_rows)")
         st = engine.structure(db, table)
         if id_col is None:
             if len(st.primary_keys) != 1:
@@ -147,6 +162,8 @@ class MaintainedIndex:
         self.split_min_rows = int(split_min_rows)
         self.merge_load_factor = merge_load_factor
         self.retrain_after = retrain_after
+        self.target_partition_rows = target_partition_rows
+        self.geometry_band = float(geometry_band)
         self.clock = clock
         self.index_opts = dict(index_opts)
         # version the load-factor check last ran against: the hottest
@@ -403,8 +420,26 @@ class MaintainedIndex:
         incremental actions). The trigger is descriptor-only (no scan);
         a torn rebuild left by a crash is resumed first and counts as
         this poll's action. Returns the action label
-        (``retrain:k`` / ``compact:k``) or None."""
-        if self.retrain_after is None or not self.built():
+        (``retrain:k`` / ``compact:k``) or None.
+
+        AUTO-GEOMETRY arming (r12 verdict #4): with
+        ``target_partition_rows`` set, the maintainer also watches the
+        index's own row accounting — a corpus that grew 10× since the
+        build otherwise keeps its undersized base geometry forever
+        (splits patch hot partitions one per poll, never the base).
+        When the mean rows-per-live-partition leaves the
+        ``geometry_band`` dead zone around the target (mean > band ×
+        target, or mean × band < target), the rebuild fires with an
+        EXPLICIT target of ``total_rows // target_partition_rows``
+        partitions; a chain-triggered rebuild on an armed index uses
+        the same computed target, so every policy rebuild lands at the
+        right size for the CURRENT corpus. Cost of the armed check:
+        the lexical arm reads the descriptor's ``shard_rows`` map
+        (metadata-only); the IVF arm the 2-int membership table (one
+        bounded row-per-cell aggregate — the same snapshot the split/
+        merge triggers already pay for)."""
+        if not self.built() or (self.retrain_after is None
+                                and self.target_partition_rows is None):
             return None
         spark = self.engine.spark
         if self.kind == "ivf":
@@ -415,9 +450,16 @@ class MaintainedIndex:
             if pending_retrain(self.index_path) is not None:
                 return f"retrain:{retrain_ivf_index(spark, self.index_path)}"
             imeta = read_ivf_meta(self.index_path) or {}
-            if int(imeta.get("geometry_actions", 0)) \
+            if self.retrain_after is not None \
+                    and int(imeta.get("geometry_actions", 0)) \
                     >= int(self.retrain_after):
-                return f"retrain:{retrain_ivf_index(spark, self.index_path)}"
+                k = retrain_ivf_index(spark, self.index_path,
+                                      n_cells=self._geometry_target())
+                return f"retrain:{k}"
+            t = self._geometry_target()
+            if t is not None:
+                k = retrain_ivf_index(spark, self.index_path, n_cells=t)
+                return f"retrain:{k}"
             return None
         from .operators.retrieval import (compact_lexical_index,
                                           pending_lexical_compact)
@@ -426,9 +468,40 @@ class MaintainedIndex:
             return f"compact:{compact_lexical_index(spark, self.index_path)}"
         lex = os.path.join(self.index_path, "_lex_meta.json")
         lmeta = json.loads(fsutil.read_text(lex, spark=spark))
-        if len(lmeta.get("splits", [])) >= int(self.retrain_after):
-            return f"compact:{compact_lexical_index(spark, self.index_path)}"
+        if self.retrain_after is not None \
+                and len(lmeta.get("splits", [])) >= int(self.retrain_after):
+            k = compact_lexical_index(spark, self.index_path,
+                                      shards=self._geometry_target())
+            return f"compact:{k}"
+        t = self._geometry_target()
+        if t is not None:
+            k = compact_lexical_index(spark, self.index_path, shards=t)
+            return f"compact:{k}"
         return None
+
+    def _geometry_target(self) -> int | None:
+        """The armed rebuild target: ``total_rows //
+        target_partition_rows`` partitions when the mean rows-per-live-
+        partition has left the ``geometry_band`` dead zone (and the
+        target actually differs from the live count), else None. A
+        just-built, in-band, or unarmed index returns None — the
+        rebuild's own no-op guard stays in charge of those. Floors at 2
+        partitions: a 1-partition index degenerates every probe into a
+        full scan (the merge policy refuses the same floor)."""
+        if self.target_partition_rows is None:
+            return None
+        counts = self._ivf_load() if self.kind == "ivf" \
+            else self._lexical_load()
+        live, total = len(counts), sum(counts.values())
+        if not live or not total:
+            return None
+        tpr = int(self.target_partition_rows)
+        mean = total / live
+        if mean <= self.geometry_band * tpr \
+                and mean * self.geometry_band >= tpr:
+            return None                     # inside the dead zone
+        target = max(2, total // tpr)
+        return int(target) if target != live else None
 
     def maybe_split(self) -> tuple[int, int] | None:
         """Split the index's hottest partition when its row count exceeds

@@ -507,3 +507,125 @@ def test_pq_probe_requires_pq_block(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="pq"):
         ivf_index_topk(spark, path, _queries(emb, 4), k=5,
                        pq_shortlist=10)
+
+
+# -- auto-geometry arming (r12 verdict #4) ----------------------------------
+
+
+def test_geometry_band_validation(spark, tmp_path):
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+
+    engine = _mk_engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="target_partition_rows"):
+        MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "a"),
+                        "ivf", payload_col="emb", target_partition_rows=0)
+    with pytest.raises(ValueError, match="geometry_band"):
+        MaintainedIndex(engine, "db1", "vecs", str(tmp_path / "b"),
+                        "ivf", payload_col="emb",
+                        target_partition_rows=10, geometry_band=1.0)
+
+
+def test_ivf_auto_geometry_recells_grown_corpus(spark, tmp_path):
+    """The r12 verdict's gap: a corpus that grew far past the build-time
+    geometry kept its undersized base forever. Armed with
+    target_partition_rows, the poll after the growth window retrains to
+    total_rows // target cells; within-band polls stay no-ops; probes
+    after equal brute force at full coverage."""
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE vecs (
+      vec_id bigint NOT NULL, emb varchar(300), PRIMARY KEY (vec_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "vecs",
+            [(i, json.dumps(_vec(i))) for i in range(32)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    path = str(tmp_path / "ivf")
+    ix = MaintainedIndex(engine, "db1", "vecs", path, "ivf",
+                         payload_col="emb",
+                         payload_expr=F.from_json(F.col("emb"),
+                                                  "array<float>"),
+                         target_partition_rows=16, geometry_band=2.0,
+                         n_cells=4)
+    ix.build()
+    # 32 rows / 4 cells = mean 8: inside [16/2, 16*2] -> no action
+    assert ix.maybe_rebalance() is None
+
+    # growth window: 10x the corpus through CDC, absorb it
+    log.add("db1", "vecs",
+            [(i, json.dumps(_vec(i))) for i in range(32, 320)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert ix.apply()["applied"]
+    act = ix.maybe_rebalance()
+    assert act == "retrain:20", act        # 320 rows // 16 per cell
+    meta = read_ivf_meta(path)
+    assert meta["n_cells"] == 20 and meta["geometry_actions"] == 0
+    # converged: mean is 16, inside the band
+    assert ix.maybe_rebalance() is None
+
+    corpus = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(320)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") < 4) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_index_topk(spark, path, queries, k=5, probes=20)
+    want = brute_force_topk(corpus, queries, 5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_lexical_auto_geometry_reshards_grown_corpus(spark, tmp_path):
+    """The lexical arm of the same policy: posting mass past the band
+    fires compact:<bigger-shard-count>; the probe equals the
+    from-scratch BM25 answer over the final corpus."""
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        bm25_indexed_topk, bm25_topk,
+    )
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    def body(i):
+        return f"alpha beta gamma w{i % 23} z{i % 7} q{i % 11}"
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE docs (
+      doc_id bigint NOT NULL, body varchar(255), PRIMARY KEY (doc_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "docs", [(i, body(i)) for i in range(32)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    path = str(tmp_path / "lex")
+    ix = MaintainedIndex(engine, "db1", "docs", path, "lexical",
+                         payload_col="body",
+                         target_partition_rows=64, geometry_band=2.0,
+                         shards=4)
+    ix.build()
+    assert ix.maybe_rebalance() is None    # ~192 postings / 4 in band
+
+    log.add("db1", "docs", [(i, body(i)) for i in range(32, 512)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert ix.apply()["applied"]
+    act = ix.maybe_rebalance()
+    assert act is not None and act.startswith("compact:"), act
+    new_shards = int(act.split(":")[1])
+    assert new_shards > 4
+    assert ix.maybe_rebalance() is None    # converged
+
+    docs = spark.createDataFrame([(i, body(i)) for i in range(512)],
+                                 "doc_id long, body string")
+    got = sorted(map(tuple, bm25_indexed_topk(
+        spark, path, ["alpha", "w3"], k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(
+        docs, ["alpha", "w3"], k=10, text_col="body").collect()))
+    assert got == want
