@@ -2907,6 +2907,113 @@ def _pq_oracle_sql(m: int, n_codes: int, dims: int, k: int,
     """
 
 
+def _ivf_pq_oracle_sql(k: int, shortlist: int, n_queries: int = 12,
+                       n_cells: int = 8, m: int = 16,
+                       n_codes: int = 16) -> str:
+    """DuckDB oracle for IVF-PQ with exact re-ranking (r12 verdict #5,
+    written in r13 for the planned r14 ``ann_ivf_pq_index``
+    registration): ``_pq_oracle_sql``'s encode/ADC/rerank stages
+    composed with the IVF probe CTEs the ``ann_ivf_topk`` oracle uses —
+    corpus cells by first-occurrence argmin over the deterministic
+    centroid distances, two query probes by the masked re-argmin, ADC
+    restricted to the probed cells' candidates. Covers BOTH the
+    in-memory ``ivf_pq_topk`` and the persisted
+    ``ivf_index_topk(pq_shortlist=...)`` probe (bit-equal, pinned in
+    tests/test_round13_properties.py). The rerank ranks by the ROUNDED
+    cosine, exactly like the Spark window."""
+    from .operators.similarity import pq_codebooks
+    dims = _EMB_DIMS
+    sd = dims // m
+    books = pq_codebooks(m, n_codes, sd)
+
+    norm_chain = " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * CAST(embedding[{d + 1}] AS DOUBLE)" for d in range(dims))
+
+    def dl(vec: str, j: int) -> str:
+        return ("list_value(" + ", ".join(
+            _sqdist_off_sql(vec, books[j][c], j * sd)
+            for c in range(n_codes)) + ")")
+
+    enc_dls = ",\n             ".join(
+        f"{dl('v', j)} AS dl{j}" for j in range(m))
+    codes = ", ".join(
+        f"CAST(list_position(dl{j}, list_min(dl{j})) AS INTEGER)"
+        for j in range(m))
+    q_dt = ", ".join(dl("v", j) for j in range(m))
+    score = " + ".join(f"dt[{j + 1}][codes[{j + 1}]]" for j in range(m))
+    return f"""
+    WITH nv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt({norm_chain})) AS v,
+             {_ivf_dl_sql('embedding', n_cells, dims)} AS cdl
+      FROM embeddings
+    ),
+    corc AS (
+      SELECT vec_id, v,
+             CAST(list_position(cdl, list_min(cdl)) AS INTEGER) AS cell
+      FROM nv
+    ),
+    encd AS (
+      SELECT vec_id AS neighbor_id, cell,
+             {enc_dls}
+      FROM corc
+    ),
+    enc AS (
+      SELECT neighbor_id, cell, list_value({codes}) AS codes FROM encd
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, cdl AS dl, list_value({q_dt}) AS dt
+      FROM nv WHERE vec_id < {n_queries}
+    ),
+    qc AS (
+      SELECT query_id, dt, dl,
+             CAST(list_position(dl, list_min(dl)) AS INTEGER) AS c1
+      FROM qd
+    ),
+    qc2 AS (
+      SELECT query_id, dt, c1,
+             CAST(list_position(dl2, list_min(dl2)) AS INTEGER) AS c2
+      FROM (SELECT *, list_transform(range({n_cells}), i ->
+              CASE WHEN i + 1 = c1 THEN 'infinity'::DOUBLE
+                   ELSE dl[i + 1] END) AS dl2
+            FROM qc)
+    ),
+    qprobe AS (
+      SELECT query_id, dt, unnest([c1, c2]) AS cell FROM qc2
+    ),
+    scored AS (
+      SELECT q.query_id, e.neighbor_id, {score} AS adc
+      FROM enc e JOIN qprobe q USING (cell)
+      WHERE e.neighbor_id <> q.query_id
+    ),
+    sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, neighbor_id) AS r
+        FROM scored) WHERE r <= {shortlist}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({_cos_sql('q2.embedding', 'e.embedding', dims)}, 6)
+               AS cos
+      FROM sl s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN embeddings q2 ON q2.vec_id = s.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, rank, cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 @register("ann_pq_topk",
           _pq_oracle_sql(m=16, n_codes=16, dims=_EMB_DIMS, k=10,
                          shortlist=100))

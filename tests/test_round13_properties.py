@@ -629,3 +629,37 @@ def test_lexical_auto_geometry_reshards_grown_corpus(spark, tmp_path):
     want = sorted(map(tuple, bm25_topk(
         docs, ["alpha", "w3"], k=10, text_col="body").collect()))
     assert got == want
+
+
+# -- the ivf_pq_topk / persisted-PQ oracle (r12 verdict #5) ------------------
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_ivf_pq_oracle_matches_both_probe_shapes(spark, sf_dir, tmp_path):
+    """The DuckDB CTE oracle written for the planned r14
+    ``ann_ivf_pq_index`` registration must match BOTH the in-memory
+    ``ivf_pq_topk`` and the persisted ``ivf_index_topk(pq_shortlist=)``
+    probe at the registration geometry — making the r14 slot a
+    formality."""
+    from tests.oracle_compare import compare
+
+    from mysql_ch_replicator_spark.operators.similarity import ivf_pq_topk
+    from mysql_ch_replicator_spark.queries_ml import _ivf_pq_oracle_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 12) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    sql = _ivf_pq_oracle_sql(k=10, shortlist=100)
+
+    mem = ivf_pq_topk(emb, q, k=10, n_cells=8, probes=2,
+                      m=16, n_codes=16, shortlist=100)
+    ok, msg = compare(mem, sql, sf_dir)
+    assert ok, f"in-memory vs oracle: {msg}"
+
+    path = str(tmp_path / "index")
+    write_ivf_index(emb, path, n_cells=8, pq={"m": 16, "n_codes": 16})
+    per = ivf_index_topk(spark, path, q, k=10, probes=2,
+                         pq_shortlist=100)
+    ok, msg = compare(per, sql, sf_dir)
+    assert ok, f"persisted vs oracle: {msg}"
