@@ -663,3 +663,115 @@ def test_ivf_pq_oracle_matches_both_probe_shapes(spark, sf_dir, tmp_path):
                          pq_shortlist=100)
     ok, msg = compare(per, sql, sf_dir)
     assert ok, f"persisted vs oracle: {msg}"
+
+
+# -- maintained-streaming retained floor (r12 verdict #6) --------------------
+
+
+def test_maintained_streaming_retained_floor(spark, tmp_path):
+    """The bench sidecar measures the maintained-streaming contract
+    (64-66% apply retained at an every-poll-due cadence) but nothing
+    FAILED if a regression halved it — the number only appeared in
+    notes. This pins the floor as loose asserts at test scale: both
+    passes drain the IDENTICAL event window from a warm seed checkpoint
+    (the bench's seed-then-resume shape), maintenance coalesces on a
+    concurrent poller, and the maintained drain must retain >= 40% of
+    the baseline's apply throughput, stay boundedly stale while
+    draining, and converge to 0 behind."""
+    import threading
+    import time as _time
+
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.optimizer import ReplicaOptimizer
+    from mysql_ch_replicator_spark.sources.event_log import EventLogWriter
+
+    def body(j):
+        return f"alpha w{j % 97} beta gamma{j % 11} tail{j % 5}"
+
+    log_dir = str(tmp_path / "log")
+    log = EventLogWriter(log_dir, live=True)
+    log.add("bench", "t", [(j, body(j)) for j in range(2_000)])
+    log.rotate()
+
+    engines = {}
+    for name in ("maint", "base"):
+        eng = ReplicaEngine(spark, str(tmp_path / f"rep_{name}"))
+        eng.create_table("bench", """CREATE TABLE t (
+          id int NOT NULL, body varchar(255), PRIMARY KEY (id))""")
+        q = eng.start_streaming(log_dir, str(tmp_path / f"ck_{name}"),
+                                trigger_seconds=0.01,
+                                max_files_per_trigger=4)
+        q.processAllAvailable()
+        q.stop()
+        engines[name] = eng
+
+    path = str(tmp_path / "lexidx")
+    ix = MaintainedIndex(engines["maint"], "bench", "t", path, "lexical",
+                         payload_col="body", max_lag_seconds=0.0,
+                         shards=4)
+    ix.build()
+    opt = ReplicaOptimizer(engines["maint"], interval=1e9, indexes=[ix])
+
+    n, per = 50_000, 2_000
+    for i in range(2_000, n, per):
+        log.add("bench", "t", [(j, body(j)) for j in range(i, i + per)])
+        if (i // per) % 3 == 2:
+            log.rotate()
+    log.remove("bench", "t", [(j,) for j in range(n - 1_000, n)])
+    log.rotate()
+
+    # baseline: warm resume, no maintenance (also warms the streaming
+    # machinery so the maintained pass pays no first-run JIT)
+    qb = engines["base"].start_streaming(
+        log_dir, str(tmp_path / "ck_base"), trigger_seconds=0.01,
+        max_files_per_trigger=4)
+    t0 = _time.perf_counter()
+    try:
+        qb.processAllAvailable()
+    finally:
+        qb.stop()
+    base_wall = _time.perf_counter() - t0
+
+    worst = [0]
+    stop = threading.Event()
+
+    def maintain():
+        while not stop.is_set():
+            try:
+                worst[0] = max(worst[0],
+                               ix.status()["versions_behind"])
+                opt.maybe_maintain_indexes()
+            except Exception:        # noqa: BLE001 — keep polling
+                pass
+            stop.wait(1.0)
+
+    q2 = engines["maint"].start_streaming(
+        log_dir, str(tmp_path / "ck_maint"), trigger_seconds=0.01,
+        max_files_per_trigger=4)
+    poller = threading.Thread(target=maintain, daemon=True)
+    t0 = _time.perf_counter()
+    poller.start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        stop.set()
+        poller.join(timeout=10)
+        q2.stop()
+    maint_wall = _time.perf_counter() - t0
+
+    while ix.status()["versions_behind"] > 0:
+        ix.apply()
+    assert ix.status()["versions_behind"] == 0   # converged
+
+    retained = 100.0 * base_wall / maint_wall
+    assert retained >= 40.0, (
+        f"maintained drain retained only {retained:.0f}% of baseline "
+        f"apply throughput (base {base_wall:.2f}s vs maint "
+        f"{maint_wall:.2f}s) — a maintenance-cost regression")
+    # staleness bounded WHILE draining: the poller never observed the
+    # index more than a coalescing window behind (the drain applies a
+    # handful of micro-batches per 1 s poll window at this scale)
+    assert worst[0] <= 10, f"worst staleness {worst[0]} versions"
+    final = engines["maint"].read_final("bench", "t").count()
+    assert final == n - 1_000
