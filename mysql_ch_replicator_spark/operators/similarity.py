@@ -456,6 +456,55 @@ def pq_codebooks(m: int, n_codes: int, sub_dims: int,
             for j in range(m)]
 
 
+def train_pq_codebooks(corpus: DataFrame, m: int = 16, n_codes: int = 16,
+                       vec_col: str = "embedding", dims: int | None = None,
+                       iters: int = 2,
+                       sample_fraction: float | None = None,
+                       id_col: str = "vec_id",
+                       salt: str = "pq-train"
+                       ) -> list[list[list[float]]]:
+    """DATA-TRAINED product-quantizer codebooks — the real FAISS shape
+    behind the deterministic-constant default (``pq_codebooks``): per
+    subspace, Lloyd's k-means over the corpus's L2-NORMALIZED
+    subvectors, run in the same EXACT quantized arithmetic as
+    ``train_ivf_centroids`` (every distance and mean an exact float64
+    integer), seeded from the shipped deterministic books — so training
+    is bit-reproducible on any engine and needs no persisted RNG state.
+    Feed the result to ``write_ivf_index(pq={"books": ...})`` (the
+    descriptor carries the books, probes read them back) or to the
+    in-memory ``ann_pq_topk``/``ivf_pq_topk`` via ``books=``.
+
+    Scale shape: the normalization is staged ONCE (one corpus scan into
+    a persisted (id, normalized) frame); each of the ``m`` subspace
+    trains then reads ``sd`` columns of that cache — m × iters bounded
+    shuffles of skinny (cell, pos, sum, count) rows, never a re-scan of
+    raw vectors. At 100 TB you train on a ``sample_fraction``
+    (deterministic md5-hash threshold on ``id_col`` — the FAISS
+    practice, and the same portable idiom as the IVF trainer)."""
+    probe = corpus.select(vec_col).first()
+    if probe is None:
+        raise ValueError("train_pq_codebooks: corpus has no rows")
+    dims = len(probe[0]) if dims is None else int(dims)
+    if dims % m:
+        raise ValueError(f"train_pq_codebooks: m={m} must divide "
+                         f"dims={dims}")
+    sd = dims // m
+    init = pq_codebooks(m, n_codes, sd)
+    cols = [F.col(id_col)] if sample_fraction is not None else []
+    staged = transient_persist(corpus.select(
+        *cols, normalize_expr(vec_col).alias("__v")))
+    books = []
+    for j in range(m):
+        sub = staged.select(*cols,
+                            F.slice("__v", j * sd + 1, sd).alias("sub"))
+        books.append(train_ivf_centroids(
+            sub, "sub", n_codes, sd, iters=iters,
+            sample_fraction=sample_fraction,
+            id_col=id_col if sample_fraction is not None else None,
+            salt=f"{salt}|{j}", init_centroids=init[j]))
+    return books
+
+
 def normalize_expr(vec_col) -> Column:
     """L2-normalized double vector — one fold for the norm, one divide per
     component, all correctly-rounded IEEE ops (cross-engine exact). After
@@ -544,7 +593,8 @@ def pq_distance_table(vec_col, m: int, n_codes: int, dims: int,
 def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 m: int = 16, n_codes: int = 16, shortlist: int = 100,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                books: list[list[list[float]]] | None = None) -> DataFrame:
     """Two-stage PQ ANN, the deployed shape: (1) ADC shortlist — the
     corpus is scanned as codes only (16× smaller than raw floats at the
     defaults), each query broadcasts its ``m × n_codes`` distance table,
@@ -569,14 +619,16 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
         normalize_expr(vec_col).alias("__v")))
     enc = cor.select(
         "neighbor_id",
-        pq_encode("__v", m, n_codes, dims, normalized=True).alias("codes"))
+        pq_encode("__v", m, n_codes, dims, normalized=True,
+                  books=books).alias("codes"))
     qd = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         normalize_expr(vec_col).alias("__qn"))
     qd = qd.select(
         "query_id", "qv",
-        pq_distance_table("__qn", m, n_codes, dims, normalized=True)
+        pq_distance_table("__qn", m, n_codes, dims, normalized=True,
+                          books=books)
         .alias("dt"))
     joined = enc.crossJoin(F.broadcast(qd.select("query_id", "dt"))) \
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -610,7 +662,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 m: int = 16, n_codes: int = 16, shortlist: int = 100,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 query_id_col: str = "query_id",
-                centroids: list[list[float]] | None = None) -> DataFrame:
+                centroids: list[list[float]] | None = None,
+                books: list[list[list[float]]] | None = None) -> DataFrame:
     """IVF-PQ with exact re-ranking — the production FAISS index shape
     (IndexIVFPQ + refine), composing the two scale paths this module
     already ships: the IVF coarse quantizer restricts candidates to each
@@ -649,14 +702,16 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 normalize_expr(vec_col).alias("__v")))
     enc = cor.select(
         "neighbor_id", "cell",
-        pq_encode("__v", m, n_codes, dims, normalized=True).alias("codes"))
+        pq_encode("__v", m, n_codes, dims, normalized=True,
+                  books=books).alias("codes"))
     qd = transient_persist(
         ivf_assign(queries.select(F.col(query_id_col).alias("query_id"),
                                   F.col(vec_col).alias("qv")),
                    "qv", n_cells, dims, probes=probes, centroids=cents)
         .select("query_id", "qv", "cells",
                 pq_distance_table(normalize_expr("qv"), m, n_codes, dims,
-                                  normalized=True).alias("dt")))
+                                  normalized=True,
+                                  books=books).alias("dt")))
     qcells = qd.select("query_id", "dt",
                        F.explode(F.array_distinct("cells")).alias("cell"))
     joined = enc.join(F.broadcast(qcells), "cell") \

@@ -775,3 +775,81 @@ def test_maintained_streaming_retained_floor(spark, tmp_path):
     assert worst[0] <= 10, f"worst staleness {worst[0]} versions"
     final = engines["maint"].read_final("bench", "t").count()
     assert final == n - 1_000
+
+
+# -- trained PQ codebooks (round-13 surplus) --------------------------------
+
+
+def test_trained_pq_books_improve_recall(spark, emb):
+    """Data-trained per-subspace codebooks (exact quantized Lloyd over
+    normalized subvectors, seeded from the deterministic defaults) must
+    beat the constant default books on PQ-stage recall — measured
+    0.913 -> 0.967 recall@10 at shortlist=100 on the synthetic corpus;
+    the floor pins the win."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ann_pq_topk, brute_force_topk, train_pq_codebooks,
+    )
+
+    q = _queries(emb, 30)
+    truth = {}
+    for r in brute_force_topk(emb, q, 10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hit = sum(len(got.get(k, set()) & v) for k, v in truth.items())
+        return hit / sum(len(v) for v in truth.values())
+
+    base = recall(ann_pq_topk(emb, q, 10, shortlist=100))
+    books = train_pq_codebooks(emb, iters=2)
+    trained = recall(ann_pq_topk(emb, q, 10, shortlist=100, books=books))
+    assert trained > base, (trained, base)
+    assert trained >= 0.94, trained
+
+
+def test_trained_pq_books_deterministic_and_sampled(spark):
+    """Bit-reproducible training (exact quantized arithmetic, no RNG
+    state): two trains on the same corpus return identical books; the
+    deterministic hash-sampled train returns well-formed books too."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = train_pq_codebooks(emb, iters=1)
+    b = train_pq_codebooks(emb, iters=1)
+    assert a == b
+    assert len(a) == 16 and all(len(book) == 16 for book in a)
+    assert all(len(cent) == 4 for book in a for cent in book)
+    s = train_pq_codebooks(emb, iters=1, sample_fraction=0.5)
+    assert len(s) == 16 and all(len(book) == 16 for book in s)
+    assert all(len(cent) == 4 for book in s for cent in book)
+
+
+def test_trained_books_flow_through_persisted_index(spark, emb, tmp_path):
+    """Trained books persist in the descriptor and drive BOTH probe
+    stages: the persisted ADC probe equals the in-memory ivf_pq_topk at
+    the same trained books, and the unbounded-shortlist exactness
+    contract is books-independent."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        ivf_pq_topk, train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, iters=1)
+    path = str(tmp_path / "trained")
+    write_ivf_index(emb, path, n_cells=8,
+                    pq={"m": 16, "n_codes": 16, "books": books})
+    q = _queries(emb)
+    got = ivf_index_topk(spark, path, q, k=10, probes=2,
+                         pq_shortlist=100)
+    want = ivf_pq_topk(emb, q, k=10, n_cells=8, probes=2,
+                       m=16, n_codes=16, shortlist=100, books=books)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    exact = ivf_index_topk(spark, path, q, k=10, probes=2,
+                           pq_shortlist=10_000_000)
+    raw = ivf_index_topk(spark, path, q, k=10, probes=2)
+    assert sorted(map(tuple, exact.collect())) == \
+        sorted(map(tuple, raw.collect()))
