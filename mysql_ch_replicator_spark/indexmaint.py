@@ -171,6 +171,7 @@ class MaintainedIndex:
         # index, so idle polls skip the O(partition-stats) scan entirely
         self._split_checked_version: int | None = None
         self._merge_checked_version: int | None = None
+        self._geom_checked_version: int | None = None
 
     # -- state ----------------------------------------------------------
 
@@ -487,8 +488,19 @@ class MaintainedIndex:
         just-built, in-band, or unarmed index returns None — the
         rebuild's own no-op guard stays in charge of those. Floors at 2
         partitions: a 1-partition index degenerates every probe into a
-        full scan (the merge policy refuses the same floor)."""
+        full scan (the merge policy refuses the same floor).
+
+        Idle polls stay metadata-only (the split/merge triggers'
+        checked-version rule): the band can only move when an apply
+        grows/shrinks the corpus, so an in-band verdict is cached
+        against ``applied_version`` and re-checked only after the next
+        apply. (A same-version split/merge shifts the mean slightly by
+        changing the live count — bounded by one partition — and any
+        drift that matters re-enters through the chain trigger.)"""
         if self.target_partition_rows is None:
+            return None
+        applied_v = int(self._state()["applied_version"])
+        if self._geom_checked_version == applied_v:
             return None
         counts = self._ivf_load() if self.kind == "ivf" \
             else self._lexical_load()
@@ -499,9 +511,15 @@ class MaintainedIndex:
         mean = total / live
         if mean <= self.geometry_band * tpr \
                 and mean * self.geometry_band >= tpr:
+            self._geom_checked_version = applied_v
             return None                     # inside the dead zone
         target = max(2, total // tpr)
-        return int(target) if target != live else None
+        if target == live:
+            self._geom_checked_version = applied_v
+            return None
+        # a rebuild fires: deliberately NOT marked checked, so residual
+        # drift re-checks on the next poll
+        return int(target)
 
     def maybe_split(self) -> tuple[int, int] | None:
         """Split the index's hottest partition when its row count exceeds

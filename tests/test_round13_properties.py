@@ -853,3 +853,38 @@ def test_trained_books_flow_through_persisted_index(spark, emb, tmp_path):
     raw = ivf_index_topk(spark, path, q, k=10, probes=2)
     assert sorted(map(tuple, exact.collect())) == \
         sorted(map(tuple, raw.collect()))
+
+
+def test_pq_probe_composes_with_filters_and_auto_widen(spark, tmp_path):
+    """The three probe dials compose: a PQ-carrying index with metadata
+    columns, a selective label filter (applied in the ADC join BEFORE
+    the shortlist), and min_results auto-widen — the widened two-stage
+    probe must return the brute-force filtered answer once the probes
+    cover the matching rows (unbounded shortlist keeps the rerank
+    exact within probed cells)."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    common = [(i, [10.0 + (i % 5) * 0.1, float(i % 3), 1.0], "c")
+              for i in range(30)]
+    rare = [(100 + i, [-10.0 - (i % 4) * 0.1, float(i % 3), 1.0], "r")
+            for i in range(8)]
+    corpus = spark.createDataFrame(
+        common + rare,
+        "vec_id long, embedding array<float>, label string")
+    path = str(tmp_path / "index")
+    # m=1 so the 3-dim vectors quantize in one subspace
+    write_ivf_index(corpus, path, n_cells=8, meta_cols=["label"],
+                    pq={"m": 1, "n_codes": 8})
+    queries = spark.createDataFrame(
+        [(0, [10.0, 0.5, 1.0], "r")],
+        "query_id long, embedding array<float>, label string")
+    got = ivf_index_topk(spark, path, queries, k=5, probes=1,
+                         filter_cols=["label"], min_results=5,
+                         pq_shortlist=1_000_000)
+    want = brute_force_topk(
+        corpus.where(F.col("label") == "r"),
+        queries.select("query_id", "embedding"), 5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
