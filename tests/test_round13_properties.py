@@ -888,3 +888,61 @@ def test_pq_probe_composes_with_filters_and_auto_widen(spark, tmp_path):
         queries.select("query_id", "embedding"), 5)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_maintained_pq_index_e2e(spark, tmp_path):
+    """The maintained path supports the PQ layout end-to-end: index_opts
+    carry pq= through build, the coalesced apply re-encodes adds from
+    the descriptor, and the ADC probe with an unbounded shortlist equals
+    the raw probe after CDC."""
+    from mysql_ch_replicator_spark.engine import ReplicaEngine
+    from mysql_ch_replicator_spark.indexmaint import MaintainedIndex
+    from mysql_ch_replicator_spark.operators.similarity import (
+        normalize_expr, pq_encode,
+    )
+    from mysql_ch_replicator_spark.sources.event_log import (
+        EventLogWriter, read_event_log,
+    )
+
+    def vec(i):
+        return [float(i % 4) * 2.0, float(i % 7) - 3.0, 1.0 + float(i % 3)]
+
+    engine = ReplicaEngine(spark, str(tmp_path / "replica"))
+    engine.create_table("db1", """CREATE TABLE vecs (
+      vec_id bigint NOT NULL, emb varchar(300), PRIMARY KEY (vec_id))""")
+    log = EventLogWriter(str(tmp_path / "log"))
+    log.add("db1", "vecs", [(i, json.dumps(vec(i))) for i in range(48)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+
+    path = str(tmp_path / "ivf")
+    ix = MaintainedIndex(engine, "db1", "vecs", path, "ivf",
+                         payload_col="emb",
+                         payload_expr=F.from_json(F.col("emb"),
+                                                  "array<float>"),
+                         n_cells=4, pq={"m": 1, "n_codes": 8})
+    ix.build()
+    meta = read_ivf_meta(path)
+    assert "pq" in meta and meta["pq"]["m"] == 1
+
+    log.add("db1", "vecs",
+            [(i, json.dumps(vec(i))) for i in range(48, 64)])
+    log.remove("db1", "vecs", [(i,) for i in range(4)])
+    engine.apply_batch(read_event_log(spark, str(tmp_path / "log")))
+    assert ix.apply()["applied"]
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == 60
+    staged = idx.withColumn("__v", normalize_expr("embedding"))
+    bad = staged.withColumn(
+        "fresh", pq_encode("__v", 1, 8, 3, normalized=True,
+                           books=meta["pq"]["books"])) \
+        .where(F.col("codes") != F.col("fresh")).count()
+    assert bad == 0, f"{bad} CDC-applied rows carry stale codes"
+
+    q = spark.createDataFrame([(999, vec(5))],
+                              "query_id long, embedding array<float>")
+    got = ivf_index_topk(spark, path, q, k=5, probes=4,
+                         pq_shortlist=1_000_000)
+    want = ivf_index_topk(spark, path, q, k=5, probes=4)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
