@@ -99,6 +99,7 @@ class MaintainedIndex:
                  retrain_after: int | None = None,
                  target_partition_rows: int | None = None,
                  geometry_band: float = 2.0,
+                 retrain_trains_pq: bool = False,
                  clock=time.time,
                  **index_opts):
         if kind not in ("lexical", "ivf"):
@@ -164,6 +165,9 @@ class MaintainedIndex:
         self.retrain_after = retrain_after
         self.target_partition_rows = target_partition_rows
         self.geometry_band = float(geometry_band)
+        # policy rebuilds retrain the PQ (fine) quantization layer too —
+        # inert on a lexical or raw-vector index
+        self.retrain_trains_pq = bool(retrain_trains_pq)
         self.clock = clock
         self.index_opts = dict(index_opts)
         # version the load-factor check last ran against: the hottest
@@ -455,11 +459,13 @@ class MaintainedIndex:
                     and int(imeta.get("geometry_actions", 0)) \
                     >= int(self.retrain_after):
                 k = retrain_ivf_index(spark, self.index_path,
-                                      n_cells=self._geometry_target())
+                                      n_cells=self._geometry_target(),
+                                      train_pq=self.retrain_trains_pq)
                 return f"retrain:{k}"
             t = self._geometry_target()
             if t is not None:
-                k = retrain_ivf_index(spark, self.index_path, n_cells=t)
+                k = retrain_ivf_index(spark, self.index_path, n_cells=t,
+                                      train_pq=self.retrain_trains_pq)
                 return f"retrain:{k}"
             return None
         from .operators.retrieval import (compact_lexical_index,

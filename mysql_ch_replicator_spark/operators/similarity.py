@@ -1854,7 +1854,8 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                       sample_fraction: float | None = None,
                       salt: str = "ivf-retrain",
                       force: bool = False,
-                      n_cells: int | None = None) -> int | None:
+                      n_cells: int | None = None,
+                      train_pq: bool = False) -> int | None:
     """Full codebook retrain — the escalation ABOVE split/merge and the
     index's OPTIMIZE FINAL analog (reference db_optimizer.py:71–80: the
     periodic full compaction behind the incremental actions). A long
@@ -1887,6 +1888,22 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     default keeps the live count. An explicit target implies intent, so
     it retrains even an undrifted index (the no-op guard applies to the
     default only).
+
+    ``train_pq`` — retrain the FINE quantization layer too: on a
+    PQ-carrying index, train fresh per-subspace codebooks over the
+    current corpus (``train_pq_codebooks`` — same exact quantized
+    Lloyd, same ``sample_fraction``) and re-encode every row's codes
+    during the re-assignment pass, committing the new books into the
+    descriptor's ``pq`` block. The corpus distribution drifts away from
+    the build-time books exactly like it drifts from the build-time
+    centroids — this is the OPTIMIZE FINAL for both layers in the one
+    O(index) pass that already touches every row. The trained books
+    ride the intent manifest beside the centroids, so a resume
+    re-encodes with the books the torn run trained (and the staged
+    snapshot already holds the re-encoded codes — a resume rewrites,
+    never re-trains). Ignored (with the layer untouched) on an index
+    without a ``pq`` block; like ``n_cells``, an explicit
+    ``train_pq=True`` implies intent and overrides the no-op guard.
 
     Crash contract (the split's, escalated): the re-assigned snapshot is
     STAGED (``_retrain_staging/`` parquet, complete re-assigned rows)
@@ -1942,10 +1959,13 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     cur_cells, dims = int(meta["n_cells"]), int(meta["dims"])
     dead = {int(c) for c in meta.get("dead", [])}
     chain = int(meta.get("geometry_actions", 0))
+    pqm = meta.get("pq")
+    train_pq = bool(train_pq and pqm is not None)
     if pending is None and not force and not dead and chain == 0 \
-            and n_cells is None:
+            and n_cells is None and not train_pq:
         return None                     # geometry never drifted: no-op
     staging = os.path.join(path, _IVF_RETRAIN_STAGING)
+    books_new: list | None = None
     if pending is not None:
         cents_new = [[float(x) for x in c] for c in pending["centroids"]]
         k = len(cents_new)
@@ -1954,10 +1974,14 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                 f"retrain_ivf_index: unfinished retrain to {k} cells "
                 f"pending at {path} — resume it (n_cells=None) before "
                 f"retraining to another target")
+        if pending.get("pq_books") is not None:
+            books_new = [[[float(x) for x in cent] for cent in book]
+                         for book in pending["pq_books"]]
     if pending is not None and pending.get("staging"):
         # the manifest references a COMPLETE staged snapshot: resume by
         # rewriting from it — never from cell dirs a torn per-partition
-        # overwrite may have holed (ADVICE r12)
+        # overwrite may have holed (ADVICE r12); codes in the snapshot
+        # were already encoded with the manifest's books
         reassigned = spark.read.parquet(staging)
     else:
         idx = fsutil.read_parquet_or_empty(
@@ -1988,21 +2012,39 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                 sample_fraction=sample_fraction,
                 id_col="vec_id" if sample_fraction is not None else None,
                 salt=salt)
+            if train_pq:
+                books_new = train_pq_codebooks(
+                    rows, m=int(pqm["m"]), n_codes=int(pqm["n_codes"]),
+                    vec_col="embedding", dims=dims, iters=iters,
+                    sample_fraction=sample_fraction,
+                    salt=f"{salt}|pq")
         # snapshot the re-assigned rows BEFORE any destructive mutation
         # (this write is also the materialization barrier the old
         # localCheckpoint provided — the overwrite below must not scan
         # the dirs it rewrites); the manifest is written strictly AFTER
         # the staging write returns, so manifest ⇒ staging complete
-        (ivf_assign(rows.drop("cell"), "embedding", k, dims,
-                    probes=1, centroids=cents_new)
-         .withColumn("cell", F.element_at("cells", 1))
-         .drop("cells")
-         .select(*rows.columns)   # keep the stored column order
+        reassigned = (ivf_assign(rows.drop("cell"), "embedding", k, dims,
+                                 probes=1, centroids=cents_new)
+                      .withColumn("cell", F.element_at("cells", 1))
+                      .drop("cells"))
+        if books_new is not None:
+            # re-encode the fine layer with the freshly trained books in
+            # the same pass (normalization staged through a persisted
+            # column — the pq_encode clone hazard)
+            reassigned = transient_persist(
+                reassigned.drop("codes")
+                .withColumn("__v", normalize_expr("embedding")))
+            reassigned = reassigned.withColumn(
+                "codes", pq_encode("__v", int(pqm["m"]),
+                                   int(pqm["n_codes"]), dims,
+                                   normalized=True,
+                                   books=books_new)).drop("__v")
+        (reassigned.select(*rows.columns)   # keep the stored column order
          .write.mode("overwrite").parquet(staging))
-        fsutil.write_text(pend_path,
-                          json.dumps({"centroids": cents_new,
-                                      "staging": True}),
-                          spark=spark)
+        manifest = {"centroids": cents_new, "staging": True}
+        if books_new is not None:
+            manifest["pq_books"] = books_new
+        fsutil.write_text(pend_path, json.dumps(manifest), spark=spark)
         reassigned = spark.read.parquet(staging)
     (reassigned.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -2033,12 +2075,17 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
         and int(meta.get("n_cells", -1)) == k
         and meta.get("centroids") == cents_new
         and not meta.get("dead")
-        and int(meta.get("geometry_actions", 0)) == 0)
+        and int(meta.get("geometry_actions", 0)) == 0
+        and (books_new is None
+             or (meta.get("pq") or {}).get("books") == books_new))
     meta2 = dict(meta)
     meta2.update({"n_cells": k, "centroids": cents_new, "dead": [],
                   "geometry_actions": 0,
                   "retrains": int(meta.get("retrains", 0))
                   + (0 if already_committed else 1)})
+    if books_new is not None:
+        meta2["pq"] = dict(pqm or meta.get("pq") or {})
+        meta2["pq"]["books"] = books_new
     fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)

@@ -946,3 +946,86 @@ def test_maintained_pq_index_e2e(spark, tmp_path):
     want = ivf_index_topk(spark, path, q, k=5, probes=4)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_retrain_trains_pq_books_too(spark, emb, tmp_path):
+    """retrain_ivf_index(train_pq=True) is the OPTIMIZE FINAL for BOTH
+    quantization layers: fresh coarse centroids AND fresh per-subspace
+    books trained over the current corpus, every row re-encoded in the
+    same pass, the books committed into the descriptor — and the trained
+    books ride the manifest, so a resume re-encodes with the torn run's
+    books rather than re-training."""
+    from mysql_ch_replicator_spark.operators.similarity import (
+        normalize_expr, pq_encode, split_ivf_cell, train_pq_codebooks,
+    )
+
+    path = str(tmp_path / "index")
+    write_ivf_index(emb, path, n_cells=8, pq={"m": 16, "n_codes": 16})
+    old_books = read_ivf_meta(path)["pq"]["books"]
+    split_ivf_cell(spark, path)      # drift the chain
+
+    assert retrain_ivf_index(spark, path, train_pq=True) is not None
+    meta = read_ivf_meta(path)
+    new_books = meta["pq"]["books"]
+    assert new_books != old_books, "books must actually retrain"
+    assert new_books == train_pq_codebooks(emb, iters=2,
+                                           salt="ivf-retrain|pq"), \
+        "descriptor books must equal a fresh train over the corpus"
+    idx = spark.read.parquet(path)
+    staged = idx.withColumn("__v", normalize_expr("embedding"))
+    bad = staged.withColumn(
+        "fresh", pq_encode("__v", 16, 16, 64, normalized=True,
+                           books=new_books)) \
+        .where(F.col("codes") != F.col("fresh")).count()
+    assert bad == 0, f"{bad} rows not re-encoded with the new books"
+    # the ADC probe now runs on the trained books; exactness contract
+    # (unbounded shortlist == raw probe) is books-independent
+    q = _queries(emb)
+    got = ivf_index_topk(spark, path, q, k=10, probes=2,
+                         pq_shortlist=10_000_000)
+    want = ivf_index_topk(spark, path, q, k=10, probes=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # a train_pq retrain on an undrifted index is NOT a no-op (explicit
+    # intent, like n_cells) — but a plain retrain afterwards is
+    assert retrain_ivf_index(spark, path) is None
+
+
+def test_retrain_pq_books_crash_resume(spark, emb, tmp_path):
+    """A two-layer retrain torn before the descriptor commit resumes
+    with the MANIFEST's trained books — descriptor and codes converge to
+    the clean result without re-training."""
+    path = str(tmp_path / "crash")
+    write_ivf_index(emb, path, n_cells=8, pq={"m": 16, "n_codes": 16})
+    clean = str(tmp_path / "clean")
+    write_ivf_index(emb, clean, n_cells=8, pq={"m": 16, "n_codes": 16})
+    for p in (path, clean):
+        merge_ivf_cells(spark, p)
+
+    real_write = fsutil.write_text
+
+    def crashing(p, text, spark=None):
+        if p.endswith("_ivf_meta.json"):
+            raise RuntimeError("injected crash before descriptor commit")
+        return real_write(p, text, spark=spark)
+
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            retrain_ivf_index(spark, path, train_pq=True)
+    finally:
+        fsutil.write_text = real_write
+
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_retrain_pending.json")))
+    assert pend.get("pq_books"), "manifest must carry the trained books"
+
+    assert retrain_ivf_index(spark, path) is not None   # resume
+    retrain_ivf_index(spark, clean, train_pq=True)
+    got, want = read_ivf_meta(path), read_ivf_meta(clean)
+    assert got["pq"]["books"] == want["pq"]["books"]
+    assert got["centroids"] == want["centroids"]
+    assert sorted(map(tuple, spark.read.parquet(path)
+                      .select("vec_id", "cell", "codes").collect())) == \
+        sorted(map(tuple, spark.read.parquet(clean)
+                   .select("vec_id", "cell", "codes").collect()))
