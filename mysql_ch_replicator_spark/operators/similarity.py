@@ -2339,13 +2339,26 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
                                          F.element_at("codes", j + 1))
         w1 = Window.partitionBy("query_id") \
             .orderBy(F.col("adc"), F.col("vec_id"))
-        cands = (joined.withColumn("adc", score)
-                 .withColumn("__r", F.row_number().over(w1))
-                 .where(F.col("__r") <= int(pq_shortlist))
-                 .select("query_id", "vec_id"))
-        # exact rerank: raw vectors for the shortlisted ids only, via a
-        # broadcast join into the SAME partition-pruned scan
-        rer = (index.select("vec_id", "embedding")
+        cands = transient_persist(
+            joined.withColumn("adc", score)
+            .withColumn("__r", F.row_number().over(w1))
+            .where(F.col("__r") <= int(pq_shortlist))
+            .select("query_id", "vec_id"))
+        # exact rerank: raw vectors for the shortlisted ids only. The
+        # broadcast join alone would still READ the probed cells' whole
+        # embedding column (a hash join pushes no point lookups into
+        # parquet) — 16× the ADC stage's IO, eroding the layout's win —
+        # so the shortlist ids are also pushed as an IN-filter into the
+        # scan (PushedFilters → row-group min/max pruning; plan pin).
+        # The id set is bounded by contract (queries broadcast-small ×
+        # shortlist); a degenerate unbounded shortlist falls back to the
+        # join-only scan rather than building a megaliteral filter.
+        emb_scan = index.select("vec_id", "embedding")
+        ids = [r.vec_id for r in cands.select("vec_id")
+               .distinct().limit(100_001).collect()]
+        if len(ids) <= 100_000:
+            emb_scan = emb_scan.where(F.col("vec_id").isin(ids))
+        rer = (emb_scan
                .join(F.broadcast(cands), "vec_id")
                .join(F.broadcast(qf.select("query_id", "qv")),
                      "query_id")

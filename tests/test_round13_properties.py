@@ -1029,3 +1029,22 @@ def test_retrain_pq_books_crash_resume(spark, emb, tmp_path):
                       .select("vec_id", "cell", "codes").collect())) == \
         sorted(map(tuple, spark.read.parquet(clean)
                    .select("vec_id", "cell", "codes").collect()))
+
+
+def test_pq_rerank_scan_pushes_shortlist_ids(spark, emb, pq_index):
+    """The rerank stage must push the shortlist ids INTO the embedding
+    scan (PushedFilters, row-group pruning) — a broadcast hash join
+    alone reads the probed cells' whole embedding column, 16x the ADC
+    stage's IO at the defaults."""
+    q = _queries(emb, 4)
+    got = ivf_index_topk(spark, pq_index, q, k=5, probes=2,
+                         pq_shortlist=50)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    emb_scans = [s for s in plan.split("FileScan")
+                 if "ReadSchema" in s and "embedding" in
+                 s.split("ReadSchema")[1][:300]]
+    assert emb_scans, "no embedding scan in the rerank"
+    assert any("PushedFilters: [" in s and "In(vec_id" in
+               s.split("PushedFilters", 1)[1][:200] for s in emb_scans), \
+        "shortlist ids not pushed into the embedding scan"
+    assert got.count() > 0
