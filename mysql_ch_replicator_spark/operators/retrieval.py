@@ -1360,7 +1360,12 @@ def compact_lexical_index(spark, path: str,
     cur_shards = int(meta["shards"])
     splits = list(meta.get("splits", []))
     if pending is None and not splits and shards is None:
-        return None                     # base placement already
+        # base placement already: no-op — but reap an orphaned staging
+        # snapshot (crash between manifest delete and staging delete)
+        orphan = os.path.join(path, _LEX_COMPACT_STAGING)
+        if fsutil.exists(orphan, spark=spark):
+            fsutil.delete(orphan, spark=spark)
+        return None
     if pending is not None:
         if shards is not None and int(shards) != int(pending["shards"]):
             raise ValueError(

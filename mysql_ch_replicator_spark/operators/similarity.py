@@ -474,13 +474,15 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 16, n_codes: int = 16,
     descriptor carries the books, probes read them back) or to the
     in-memory ``ann_pq_topk``/``ivf_pq_topk`` via ``books=``.
 
-    Scale shape: the normalization is staged ONCE (one corpus scan into
-    a persisted (id, normalized) frame); each of the ``m`` subspace
-    trains then reads ``sd`` columns of that cache — m × iters bounded
-    shuffles of skinny (cell, pos, sum, count) rows, never a re-scan of
-    raw vectors. At 100 TB you train on a ``sample_fraction``
-    (deterministic md5-hash threshold on ``id_col`` — the FAISS
-    practice, and the same portable idiom as the IVF trainer)."""
+    Scale shape: the deterministic hash-sample (md5 threshold on
+    ``id_col`` — the FAISS practice, the IVF trainer's idiom) applies
+    ONCE, BEFORE the normalization stage, so the persisted cache and
+    every subspace scan hold only the sampled rows (at
+    sample_fraction=0.001 that is 1000× less cache than sampling
+    inside each train); the normalization is then staged once and each
+    of the ``m`` subspace trains reads ``sd`` columns of that cache —
+    m × iters bounded shuffles of skinny (cell, pos, sum, count) rows,
+    never a re-scan of raw vectors."""
     probe = corpus.select(vec_col).first()
     if probe is None:
         raise ValueError("train_pq_codebooks: corpus has no rows")
@@ -490,17 +492,19 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 16, n_codes: int = 16,
                          f"dims={dims}")
     sd = dims // m
     init = pq_codebooks(m, n_codes, sd)
-    cols = [F.col(id_col)] if sample_fraction is not None else []
-    staged = transient_persist(corpus.select(
-        *cols, normalize_expr(vec_col).alias("__v")))
+    vecs = corpus
+    if sample_fraction is not None:
+        thresh = int(round(sample_fraction * 10_000))
+        bucket = h60(F.concat(F.lit(f"{salt}|"),
+                              F.col(id_col).cast("string"))) % 10_000
+        vecs = vecs.where(bucket < F.lit(thresh))
+    staged = transient_persist(vecs.select(
+        normalize_expr(vec_col).alias("__v")))
     books = []
     for j in range(m):
-        sub = staged.select(*cols,
-                            F.slice("__v", j * sd + 1, sd).alias("sub"))
+        sub = staged.select(F.slice("__v", j * sd + 1, sd).alias("sub"))
         books.append(train_ivf_centroids(
             sub, "sub", n_codes, sd, iters=iters,
-            sample_fraction=sample_fraction,
-            id_col=id_col if sample_fraction is not None else None,
             salt=f"{salt}|{j}", init_centroids=init[j]))
     return books
 
@@ -590,6 +594,20 @@ def pq_distance_table(vec_col, m: int, n_codes: int, dims: int,
             lambda cent: _sqd_fold(F.slice(vec_d, j * sd + 1, sd), cent)))
 
 
+def _adc_score(m: int, dt_col: str = "dt",
+               codes_col: str = "codes") -> Column:
+    """The ADC sum: dt[j][codes[j]] summed left-to-right over the ``m``
+    subspaces — m array lookups + m−1 adds per candidate. One shared
+    fold so the three ADC consumers (ann_pq_topk, ivf_pq_topk, the
+    persisted probe) can never drift apart."""
+    score = F.element_at(F.element_at(dt_col, 1),
+                         F.element_at(codes_col, 1))
+    for j in range(1, m):
+        score = score + F.element_at(F.element_at(dt_col, j + 1),
+                                     F.element_at(codes_col, j + 1))
+    return score
+
+
 def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 m: int = 16, n_codes: int = 16, shortlist: int = 100,
                 vec_col: str = "embedding", id_col: str = "vec_id",
@@ -632,10 +650,7 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .alias("dt"))
     joined = enc.crossJoin(F.broadcast(qd.select("query_id", "dt"))) \
         .where(F.col("neighbor_id") != F.col("query_id"))
-    score = F.element_at(F.element_at("dt", 1), F.element_at("codes", 1))
-    for j in range(1, m):
-        score = score + F.element_at(F.element_at("dt", j + 1),
-                                     F.element_at("codes", j + 1))
+    score = _adc_score(m)
     w1 = Window.partitionBy("query_id") \
         .orderBy(F.col("adc"), F.col("neighbor_id"))
     cands = (joined.withColumn("adc", score)
@@ -716,10 +731,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                        F.explode(F.array_distinct("cells")).alias("cell"))
     joined = enc.join(F.broadcast(qcells), "cell") \
         .where(F.col("neighbor_id") != F.col("query_id"))
-    score = F.element_at(F.element_at("dt", 1), F.element_at("codes", 1))
-    for j in range(1, m):
-        score = score + F.element_at(F.element_at("dt", j + 1),
-                                     F.element_at("codes", j + 1))
+    score = _adc_score(m)
     w1 = Window.partitionBy("query_id") \
         .orderBy(F.col("adc"), F.col("neighbor_id"))
     cands = (joined.withColumn("adc", score)
@@ -1021,6 +1033,97 @@ _IVF_META = "_ivf_meta.json"   # underscore prefix: invisible to parquet scans
 _IVF_PENDING = "_ivf_upsert_pending.json"   # upsert intent manifest
 _IVF_MEMBERS = "_vecmeta"      # id-span-partitioned vec_id→cell membership
 _IVF_VSPAN = 4096              # membership partition width (vec ids per dir)
+_IVF_UPSERT_STAGING = "_upsert_staging"   # staged batch snapshot (data+members)
+_IVF_SPLIT_STAGING = "_split_staging"     # staged split snapshot
+_IVF_MERGE_STAGING = "_merge_staging"     # staged merge snapshot
+
+
+def _ivf_commit_staged(spark, path: str, staging: str, cells, spans,
+                       schemas: dict, delete_empty_spans: bool = False,
+                       data_empty: bool = False) -> set[int]:
+    """The destructive phase every staged IVF action shares (upsert /
+    split / merge — the retrain has its own descriptor-swapping twin):
+    rewrite the touched cell directories and membership spans FROM the
+    staged snapshot, never from live directories a torn per-partition
+    dynamic overwrite may have holed (ADVICE r12 — Spark commits the
+    overwrite per-partition as delete-then-rename in a driver loop, so a
+    crash between one directory's delete and rename drops its rows; the
+    staged snapshot is the recovery source a tear can never touch).
+    Because the snapshot is immutable until the caller's cleanup, a
+    crash ANYWHERE in this phase re-runs it idempotently. Touched dirs
+    absent from the staged content (an emptied cell, a merge's src) are
+    deleted explicitly — dynamic overwrite never clears a partition it
+    writes no rows for. Returns the staged data's live cell set; the
+    emptied-dir probe overlaps the data write on a scheduler thread
+    (it reads the staged files, so the answer is the same either way)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = fsutil.read_parquet_or_empty(
+        spark, os.path.join(staging, "data"), schemas.get("index")) \
+        if not data_empty else None
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        live: set[int] = set()
+        if data is not None:
+            live_f = pool.submit(
+                lambda: {int(r.cell) for r in
+                         data.select("cell").distinct().collect()})
+            (data.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("cell").parquet(path))
+            live = live_f.result()
+        for c in set(cells) - live:
+            fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+        if spans:
+            members_path = os.path.join(path, _IVF_MEMBERS)
+            memb = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "members"),
+                schemas.get("members"))
+            live_s_f = pool.submit(
+                lambda: {int(r.vspan) for r in
+                         memb.select("vspan").distinct().collect()})
+            (memb.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("vspan").parquet(members_path))
+            live_spans = live_s_f.result()
+            if delete_empty_spans:
+                for s in set(spans) - live_spans:
+                    fsutil.delete(
+                        os.path.join(members_path, f"vspan={s}"),
+                        spark=spark)
+    except BaseException:
+        pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    pool.shutdown(wait=True)
+    return live
+
+
+def _resume_ivf_upsert(spark, path: str) -> bool:
+    """Finish the destructive phase of a torn STAGED upsert batch from
+    its snapshot — called at entry by every IVF action (upsert itself,
+    split, merge, retrain) before reading or mutating cell directories a
+    torn overwrite may have holed. A legacy (pre-r13, no ``staging``
+    flag) manifest is left alone: its documented recovery contract is
+    re-running the same batch. Returns True when a restore ran."""
+    import json
+    import os
+
+    pend = os.path.join(path, _IVF_PENDING)
+    if not fsutil.exists(pend, spark=spark):
+        return False
+    doc = json.loads(fsutil.read_text(pend, spark=spark))
+    if not doc.get("staging"):
+        return False
+    meta = read_ivf_meta(path) or {}
+    staging = os.path.join(path, _IVF_UPSERT_STAGING)
+    _ivf_commit_staged(spark, path, staging,
+                       [int(c) for c in doc.get("cells", [])],
+                       [int(s) for s in doc.get("vspans", [])],
+                       meta.get("schemas", {}), delete_empty_spans=True)
+    fsutil.delete(pend, spark=spark)
+    fsutil.delete(staging, spark=spark)
+    return True
 
 
 def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
@@ -1234,6 +1337,12 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
             f"only write_ivf_index tables (r6+) support incremental upsert")
     cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                             meta["dims"])
+    # a torn STAGED upsert is restored FIRST: its snapshot is the only
+    # trustworthy image of the cells a torn per-partition overwrite may
+    # have holed, and every read below (index, membership) would
+    # otherwise see the hole (ADVICE r12's window, closed for the
+    # incremental actions in r13)
+    _resume_ivf_upsert(spark, path)
     if fsutil.exists(os.path.join(path, _IVF_RETRAIN_PENDING), spark=spark):
         # a torn RETRAIN left the whole geometry ambiguous (old
         # descriptor over partially re-assigned directories): finish it
@@ -1961,10 +2070,16 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     chain = int(meta.get("geometry_actions", 0))
     pqm = meta.get("pq")
     train_pq = bool(train_pq and pqm is not None)
+    staging = os.path.join(path, _IVF_RETRAIN_STAGING)
     if pending is None and not force and not dead and chain == 0 \
             and n_cells is None and not train_pq:
-        return None                     # geometry never drifted: no-op
-    staging = os.path.join(path, _IVF_RETRAIN_STAGING)
+        # geometry never drifted: no-op — but reap an orphaned staging
+        # snapshot first (a crash between the manifest delete and the
+        # staging delete leaves a full-index-size dir that no healthy
+        # index would otherwise ever revisit)
+        if fsutil.exists(staging, spark=spark):
+            fsutil.delete(staging, spark=spark)
+        return None
     books_new: list | None = None
     if pending is not None:
         cents_new = [[float(x) for x in c] for c in pending["centroids"]]
@@ -2273,6 +2388,15 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
             f"ivf_index_topk: pq_shortlist requires an index that "
             f"carries PQ codes, but the descriptor at {path} has no "
             f"'pq' block — rebuild with write_ivf_index(pq=...)")
+    if pq_shortlist is not None and int(pq_shortlist) < k:
+        # a shortlist below k silently caps every query at shortlist
+        # rows — and with min_results it turns the widen loop into
+        # log2(cells) futile full-coverage passes whose short result the
+        # docstring tells the caller to read as "the corpus is short"
+        raise ValueError(
+            f"ivf_index_topk: pq_shortlist={pq_shortlist} < k={k} — the "
+            f"rerank can never return k rows; raise the shortlist (it "
+            f"is the recall dial, k the result size)")
     qframe = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -2332,11 +2456,7 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
                                   *filter_cols)
         joined = codes_scan.join(F.broadcast(qcells.drop("qv")),
                                  ["cell"]).where(cond)
-        score = F.element_at(F.element_at("dt", 1),
-                             F.element_at("codes", 1))
-        for j in range(1, m):
-            score = score + F.element_at(F.element_at("dt", j + 1),
-                                         F.element_at("codes", j + 1))
+        score = _adc_score(m)
         w1 = Window.partitionBy("query_id") \
             .orderBy(F.col("adc"), F.col("vec_id"))
         cands = transient_persist(

@@ -1048,3 +1048,23 @@ def test_pq_rerank_scan_pushes_shortlist_ids(spark, emb, pq_index):
                s.split("PushedFilters", 1)[1][:200] for s in emb_scans), \
         "shortlist ids not pushed into the embedding scan"
     assert got.count() > 0
+
+
+def test_pq_shortlist_below_k_rejected(spark, emb, pq_index):
+    """shortlist < k silently caps every query and defeats the
+    min_results exhaustion guarantee — rejected loudly."""
+    with pytest.raises(ValueError, match="pq_shortlist"):
+        ivf_index_topk(spark, pq_index, _queries(emb, 4), k=10,
+                       pq_shortlist=5)
+
+
+def test_retrain_noop_reaps_orphaned_staging(spark, corpus, tmp_path):
+    """A crash between the manifest delete and the staging delete leaves
+    an orphaned full-index-size snapshot; the next (no-op) retrain must
+    reap it instead of leaking it forever."""
+    path = str(tmp_path / "idx")
+    write_ivf_index(corpus, path, n_cells=4)
+    orphan = os.path.join(path, "_retrain_staging")
+    spark.createDataFrame([(1,)], "x int").write.parquet(orphan)
+    assert retrain_ivf_index(spark, path) is None
+    assert not fsutil.exists(orphan)
