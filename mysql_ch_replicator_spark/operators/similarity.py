@@ -1305,21 +1305,31 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     every untouched cell directory byte-identical. Returns the affected
     cell ids.
 
-    Crash contract: the per-cell overwrite is atomic per DIRECTORY but
-    not across cells — a failure mid-write can leave some affected
-    cells updated and others not (a torn batch, like any multi-file
-    commit without a manifest). A tiny intent manifest
-    (``_ivf_upsert_pending.json``, written with the affected cell list
-    before the overwrite and removed after it commits) makes the torn
-    state DETECTABLE: ``pending_upsert_cells`` returns the cell ids a
-    crashed batch may have half-applied. The operation is IDEMPOTENT by
-    construction — every term of ``(current ∖ add_ids ∖ removes) ∪
+    Crash contract (the retrain's staged protocol, r13): the merged
+    final content of the affected cells AND their membership spans is
+    STAGED (``_upsert_staging/{data,members}`` — also the
+    materialization barrier the old localCheckpoint provided) and only
+    then referenced by the intent manifest
+    (``_ivf_upsert_pending.json`` — affected cells + vspans +
+    ``staging`` flag, removed after the commit), BEFORE any destructive
+    mutation. The dynamic overwrite commits per-partition (delete old
+    dir, then rename staged dir, in a driver loop) — a crash between
+    one cell's delete and rename would otherwise drop its pre-batch
+    rows permanently, and a re-run reading the holed directory would
+    make the loss silent and final (ADVICE r12's window, closed for the
+    incremental actions in r13). With the snapshot, a torn batch is
+    restored FROM STAGING — by ``_resume_ivf_upsert`` at the next
+    action's entry (upsert/split/merge/retrain all call it first) or by
+    this batch's re-run — and the operation stays IDEMPOTENT by
+    construction: every term of ``(current ∖ add_ids ∖ removes) ∪
     (adds ∖ removes)`` is insensitive to whether a cell already
-    absorbed the batch — so the recovery protocol is simply re-running
-    the same upsert (pinned by the partial-failure test in
-    tests/test_ann_recall.py); replica tables, which need readers
-    isolated during rewrite, use the generation-manifest protocol
-    instead (engine._overwrite_data). A pending SPLIT manifest found at
+    absorbed the batch (pinned by the partial-failure test in
+    tests/test_ann_recall.py). A legacy (pre-r13) manifest without the
+    staging flag keeps its old contract: re-run the same batch.
+    ``pending_upsert_cells`` still returns the cell ids a crashed batch
+    may have half-applied. Replica tables, which need readers isolated
+    during rewrite, use the generation-manifest protocol instead
+    (engine._overwrite_data). A pending SPLIT manifest found at
     entry is auto-resumed before the batch applies: a torn split's
     membership maps moved vectors to their pre-split cell, and an upsert
     trusting it could leave live rows a later split resume resurrects
@@ -1499,6 +1509,7 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
             merged = merged.join(
                 removes.select(F.col(id_col).alias("vec_id")),
                 "vec_id", "left_anti")
+        staging = os.path.join(path, _IVF_UPSERT_STAGING)
         memb_f = None
         if spans:
             cur_m = (members.where(F.col("vspan").isin(spans))
@@ -1516,54 +1527,38 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                 merged_m = merged_m.unionByName(new_m)
             mm = merged_m.withColumn("vspan",
                                      F.expr(f"vec_id div {_IVF_VSPAN}"))
+            # staged DURABLY (replacing the old localCheckpoint): the
+            # snapshot is both the materialization barrier (the commit
+            # must not scan the dirs it rewrites) and the torn-overwrite
+            # recovery source — overlapped with the data staging below
+            memb_f = pool.submit(
+                lambda: mm.write.mode("overwrite")
+                .parquet(os.path.join(staging, "members")))
 
-            def _memb_side():
-                ck = mm.localCheckpoint(eager=True)
-                return ck, {int(r.vspan) for r in
-                            ck.select("vspan").distinct().collect()}
-
-            memb_f = pool.submit(_memb_side)
-
-        merged = merged.localCheckpoint(eager=True)
+        (merged.write.mode("overwrite")
+         .parquet(os.path.join(staging, "data")))
+        if memb_f is not None:
+            memb_f.result()
+        # the manifest is written strictly AFTER both staging writes
+        # return, so manifest ⇒ staging complete — the retrain's
+        # protocol. Destructive phase (cells, then membership, each with
+        # its emptied-dir sweep) reads ONLY the staged snapshot; a crash
+        # anywhere inside it restores idempotently at the next action's
+        # entry (_resume_ivf_upsert) or this batch's re-run.
         pending = os.path.join(path, _IVF_PENDING)
         fsutil.write_text(pending,
-                          json.dumps({"cells": cells, "vspans": spans}),
+                          json.dumps({"cells": cells, "vspans": spans,
+                                      "staging": True}),
                           spark=spark)
-        # the emptied-cell probe reads the checkpointed blocks — it
-        # overlaps the write (same answer either way)
-        live_f = pool.submit(
-            lambda: {int(r.cell) for r in
-                     merged.select("cell").distinct().collect()})
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("cell").parquet(path))
-        # dynamic overwrite never writes (hence never clears) an
-        # affected cell whose merged content is EMPTY — a cell whose
-        # every vector was removed must be deleted explicitly or its
-        # stale rows survive. Deletes go through the Hadoop FS (shutil
-        # would silently no-op on s3a://hdfs:// paths and leak the
-        # stale cells — ADVICE r7).
-        for c in set(cells) - live_f.result():
-            fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
-
-        if spans:
-            # membership rewrite AFTER the cells commit (superset-on-
-            # crash; see the docstring's crash contract): changed ids
-            # out, the batch's surviving assignments in — one span-
-            # partitioned dynamic overwrite
-            merged_m, live_spans = memb_f.result()
-            (merged_m.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("vspan").parquet(members_path))
-            for s in set(spans) - live_spans:
-                fsutil.delete(os.path.join(members_path, f"vspan={s}"),
-                              spark=spark)
+        _ivf_commit_staged(spark, path, staging, cells, spans,
+                           schemas, delete_empty_spans=True)
     except BaseException:
         pool.shutdown(wait=True, cancel_futures=True)
         raise
     pool.shutdown(wait=True)
 
     fsutil.delete(pending, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return cells
 
 
@@ -1617,15 +1612,21 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     vspans. Everything is O(cell), never O(index) — at 100 TB you
     ``sample_fraction`` the training scan and the rest is unchanged.
 
-    Crash contract: the intent manifest (``_ivf_split_pending.json``,
-    written before any mutation, removed after the descriptor commits)
-    makes a torn split detectable; re-running ``split_ivf_cell`` with no
-    arguments RESUMES it — the trainer reads the union of the two split
-    directories (invariant under any partial commit of the rewrite), so
-    the re-run recomputes the identical sub-codebook and converges to
-    the same final state (pinned by the crash test). Data commits before
-    the descriptor: a crash in between leaves moved vectors invisible to
-    probes (bounded recall loss, never wrong results) until the re-run.
+    Crash contract (the retrain's staged protocol, r13): the re-split
+    rows AND their merged membership spans are STAGED
+    (``_split_staging/{data,members}``) and only then referenced by the
+    intent manifest (``_ivf_split_pending.json`` — cell ids, the
+    TRAINED sub-codebook, spans, ``staging`` flag; written before any
+    destructive mutation, removed after the descriptor commits).
+    Re-running ``split_ivf_cell`` with no arguments RESUMES it — from
+    the snapshot, with the manifest's sub-codebook, never by
+    re-training over cell directories a torn per-partition overwrite
+    may have holed (ADVICE r12's window, closed for the incremental
+    actions in r13; a LEGACY pre-r13 manifest still resumes through the
+    old union-of-both-dirs-deduped path, then upgrades itself to the
+    staged protocol before rewriting). Data commits before the
+    descriptor: a crash in between leaves moved vectors invisible to
+    probes (bounded recall loss, never wrong results) until the resume.
     Returns ``(split_cell, new_cell)``."""
     import json
     import os
@@ -1634,6 +1635,9 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     if meta is None:
         raise ValueError(
             f"split_ivf_cell: no _ivf_meta.json descriptor at {path}")
+    # restore a torn STAGED upsert before reading any cell directory a
+    # torn per-partition overwrite may have holed (r13)
+    _resume_ivf_upsert(spark, path)
     cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                             meta["dims"])
     members_path = os.path.join(path, _IVF_MEMBERS)
@@ -1659,6 +1663,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         meta = read_ivf_meta(path)
         cents, n_cells, dims = (meta["centroids"], meta["n_cells"],
                                 meta["dims"])
+    staging = os.path.join(path, _IVF_SPLIT_STAGING)
+    schemas = meta.get("schemas", {})
     if pending is not None:
         if cell is not None and cell != pending["cell"]:
             raise ValueError(
@@ -1692,80 +1698,96 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
                 f"not a live cell of the index at {path}")
         new_cell = n_cells + 1
 
-    idx = fsutil.read_parquet_or_empty(spark, path,
-                                       meta.get("schemas", {}).get("index"))
-    # union of both split directories — deduped on vec_id: a fresh split
-    # sees the empty new side, a resume sees the torn remainder, and a
-    # crash inside the two-directory commit can leave a member present
-    # in BOTH dirs (the vector rows are identical — the split never
-    # changes a vector, only its cell), so the dedup is what makes the
-    # TRAINING INPUT SET invariant under any partial commit and the
-    # recovery idempotent
-    cellrows = idx.where(F.col("cell").isin([cell, new_cell])) \
-        .dropDuplicates(["vec_id"])
-    if pending is None and cellrows.isEmpty():
-        raise UnsplittablePartition(
-            f"split_ivf_cell: cell {cell} holds no vectors — splitting "
-            f"it would replace its centroid with the untrained init")
-    # Farthest-point seeding FROM THE CELL'S OWN MEMBERS (r10): the old
-    # fixed pseudo-random init sat near the origin, so a hot cell whose
-    # mass lies far out assigned every member to one sub-centroid and
-    # the "split" degenerated into a cell rename — no rebalance, and a
-    # load-factor policy would re-split the same mass every poll. Seeds:
-    # the min-id member, then the member farthest from it (exact
-    # quantized distances, ties to the lower id) — deterministic,
-    # resume-invariant (computed over the same union-deduped input), and
-    # still two SQL rows, so the split oracle follows. O(cell) like the
-    # trainer itself.
-    seeds, max_d = _split_seed_centroids(cellrows, "embedding")
-    if pending is None and max_d == 0.0:
-        raise UnsplittablePartition(
-            f"split_ivf_cell: every member of cell {cell} is identical — "
-            f"a split cannot rebalance it")
-    sub = train_ivf_centroids(
-        cellrows, "embedding", 2, dims, iters=iters,
-        sample_fraction=sample_fraction,
-        id_col="vec_id" if sample_fraction is not None else None,
-        salt="ivf-split", init_centroids=seeds)
+    if pending is not None and pending.get("staging"):
+        # the manifest references a COMPLETE staged snapshot: resume by
+        # rewriting from it — never from cell dirs a torn per-partition
+        # overwrite may have holed, and never by re-training over them
+        # (the manifest carries the sub-codebook the torn run trained)
+        sub = [[float(x) for x in c] for c in pending["sub"]]
+        spans = [int(s) for s in pending["spans"]]
+    else:
+        idx = fsutil.read_parquet_or_empty(spark, path,
+                                           schemas.get("index"))
+        # union of both split directories — deduped on vec_id: a fresh
+        # split sees the empty new side, a LEGACY (pre-r13 manifest)
+        # resume the torn remainder, and a crash inside the
+        # two-directory commit can leave a member present in BOTH dirs
+        # (the vector rows are identical — the split never changes a
+        # vector, only its cell), so the dedup is what makes the
+        # TRAINING INPUT SET invariant under any partial commit and the
+        # recovery idempotent
+        cellrows = idx.where(F.col("cell").isin([cell, new_cell])) \
+            .dropDuplicates(["vec_id"])
+        if pending is None and cellrows.isEmpty():
+            raise UnsplittablePartition(
+                f"split_ivf_cell: cell {cell} holds no vectors — "
+                f"splitting it would replace its centroid with the "
+                f"untrained init")
+        # Farthest-point seeding FROM THE CELL'S OWN MEMBERS (r10): the
+        # old fixed pseudo-random init sat near the origin, so a hot
+        # cell whose mass lies far out assigned every member to one
+        # sub-centroid and the "split" degenerated into a cell rename —
+        # no rebalance, and a load-factor policy would re-split the same
+        # mass every poll. Seeds: the min-id member, then the member
+        # farthest from it (exact quantized distances, ties to the lower
+        # id) — deterministic, resume-invariant (computed over the same
+        # union-deduped input), and still two SQL rows, so the split
+        # oracle follows. O(cell) like the trainer itself.
+        seeds, max_d = _split_seed_centroids(cellrows, "embedding")
+        if pending is None and max_d == 0.0:
+            raise UnsplittablePartition(
+                f"split_ivf_cell: every member of cell {cell} is "
+                f"identical — a split cannot rebalance it")
+        sub = train_ivf_centroids(
+            cellrows, "embedding", 2, dims, iters=iters,
+            sample_fraction=sample_fraction,
+            id_col="vec_id" if sample_fraction is not None else None,
+            salt="ivf-split", init_centroids=seeds)
 
-    fsutil.write_text(pend_path,
-                      json.dumps({"cell": cell, "new_cell": new_cell}),
-                      spark=spark)
+        d = _sq_dists(_as_double(F.col("embedding")), sub)
+        reassigned = cellrows.withColumn(
+            "cell",
+            F.when(F.array_position(d, F.array_min(d)) == 1, F.lit(cell))
+             .otherwise(F.lit(new_cell)))
+        # stage the snapshot (data + merged membership spans) BEFORE the
+        # manifest, the manifest BEFORE any destructive mutation — the
+        # retrain's protocol (ADVICE r12, extended to the incremental
+        # actions in r13). The staged write doubles as the
+        # materialization barrier the old localCheckpoint provided. A
+        # legacy manifest upgrades itself to the staged protocol here.
+        (reassigned.write.mode("overwrite")
+         .parquet(os.path.join(staging, "data")))
+        reassigned = spark.read.parquet(os.path.join(staging, "data"))
+        members = fsutil.read_parquet_or_empty(
+            spark, members_path, schemas.get("members"))
+        final_m = reassigned.select(
+            "vec_id", F.col("cell").cast("int").alias("cell"))
+        spans = sorted({int(r.v) for r in reassigned.select(
+            F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
+            .distinct().collect()})
+        if spans:
+            merged_m = (members.where(F.col("vspan").isin(spans))
+                        .join(final_m.select("vec_id"), "vec_id",
+                              "left_anti")
+                        .select("vec_id",
+                                F.col("cell").cast("int").alias("cell"))
+                        .unionByName(final_m)
+                        .withColumn("vspan",
+                                    F.expr(f"vec_id div {_IVF_VSPAN}")))
+            (merged_m.write.mode("overwrite")
+             .parquet(os.path.join(staging, "members")))
+        fsutil.write_text(
+            pend_path,
+            json.dumps({"cell": cell, "new_cell": new_cell,
+                        "sub": [[float(x) for x in c] for c in sub],
+                        "spans": spans, "staging": True}),
+            spark=spark)
 
-    d = _sq_dists(_as_double(F.col("embedding")), sub)
-    reassigned = (cellrows.withColumn(
-        "cell",
-        F.when(F.array_position(d, F.array_min(d)) == 1, F.lit(cell))
-         .otherwise(F.lit(new_cell)))
-        .localCheckpoint(eager=True))
-    (reassigned.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("cell").parquet(path))
-    live = {int(r.cell) for r in
-            reassigned.select("cell").distinct().collect()}
-    for c in {cell, new_cell} - live:
-        fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
-
-    # membership rewrite for the split members' spans (their final cell
-    # comes from the committed reassignment, never a second training)
-    members = fsutil.read_parquet_or_empty(
-        spark, members_path, meta.get("schemas", {}).get("members"))
-    final_m = reassigned.select(
-        "vec_id", F.col("cell").cast("int").alias("cell"))
-    spans = sorted({int(r.v) for r in reassigned.select(
-        F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
-        .distinct().collect()})
-    if spans:
-        merged_m = (members.where(F.col("vspan").isin(spans))
-                    .join(final_m.select("vec_id"), "vec_id", "left_anti")
-                    .select("vec_id",
-                            F.col("cell").cast("int").alias("cell"))
-                    .unionByName(final_m)
-                    .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
-                    .localCheckpoint(eager=True))
-        (merged_m.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("vspan").parquet(members_path))
+    # destructive phase, entirely from the staged snapshot: data first
+    # (dynamic cell overwrite + emptied-dir sweep), membership next —
+    # the split never empties a span, so no span sweep
+    _ivf_commit_staged(spark, path, staging, [cell, new_cell], spans,
+                       schemas, delete_empty_spans=False)
 
     cents2 = [list(c) for c in cents]
     cents2[cell - 1] = [float(x) for x in sub[0]]
@@ -1788,6 +1810,7 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return cell, new_cell
 
 
@@ -1820,14 +1843,19 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
     move). Refuses to drop the live-cell count below 2 — a 1-cell index
     degenerates every probe into a full scan.
 
-    Crash contract (the split's, mirrored): intent manifest
-    (``_ivf_merge_pending.json``) before any mutation, data first
-    (dst rewrite, then the src directory delete), membership next,
-    descriptor last, manifest deleted after. A torn merge can leave a
-    moved vector visible in BOTH directories (the rows are identical —
-    only the cell changes), a bounded probe anomaly until the
-    idempotent resume: the rewrite input is the union of both
-    directories deduped on vec_id, invariant under any partial commit.
+    Crash contract (the split's staged protocol, mirrored): the merged
+    dst content AND its membership spans are STAGED
+    (``_merge_staging/{data,members}``) and only then referenced by the
+    intent manifest (``_ivf_merge_pending.json`` — src/dst, spans,
+    ``staging`` flag; before any destructive mutation), data first
+    (dst rewrite from the snapshot, then the src directory delete),
+    membership next, descriptor last, manifest then staging deleted
+    after. A torn merge can leave a moved vector visible in BOTH
+    directories (the rows are identical — only the cell changes), a
+    bounded probe anomaly until the idempotent resume — which rewrites
+    from the snapshot, never from directories a torn per-partition
+    overwrite may have holed (a LEGACY pre-r13 manifest still resumes
+    through the old union-deduped path, then upgrades itself).
     ``upsert_ivf_index`` and ``split_ivf_cell`` auto-resume a pending
     merge before mutating — a torn merge's membership still maps moved
     ids to the deleted src directory, and an upsert trusting it would
@@ -1839,6 +1867,9 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
     if meta is None:
         raise ValueError(
             f"merge_ivf_cells: no _ivf_meta.json descriptor at {path}")
+    # restore a torn STAGED upsert before reading any cell directory a
+    # torn per-partition overwrite may have holed (r13)
+    _resume_ivf_upsert(spark, path)
     if fsutil.exists(os.path.join(path, _IVF_SPLIT_PENDING), spark=spark):
         # ambiguous geometry: finish the torn split first (idempotent,
         # O(cell) — same contract as the upsert's auto-resume)
@@ -1897,50 +1928,70 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
             if src == dst:
                 raise ValueError("merge_ivf_cells: src == dst")
 
-    idx = fsutil.read_parquet_or_empty(
-        spark, path, meta.get("schemas", {}).get("index"))
-    # union of both directories deduped on vec_id: a fresh merge sees
-    # src+dst, a resume sees whatever a torn run left (possibly a
-    # vector in both dirs — identical rows, only cell differs), so the
-    # rewrite input is invariant under any partial commit
-    merged = (idx.where(F.col("cell").isin([src, dst]))
-              .dropDuplicates(["vec_id"])
-              .withColumn("cell", F.lit(dst))
-              .localCheckpoint(eager=True))
-
-    fsutil.write_text(pend_path, json.dumps({"src": src, "dst": dst}),
-                      spark=spark)
-
-    if merged.isEmpty():
-        # both cells empty (a delete wave swept them): nothing to move,
-        # the merge is descriptor-only
-        fsutil.delete(os.path.join(path, f"cell={dst}"), spark=spark)
+    staging = os.path.join(path, _IVF_MERGE_STAGING)
+    schemas = meta.get("schemas", {})
+    if pending is not None and pending.get("staging"):
+        # the manifest references a COMPLETE staged snapshot: resume by
+        # rewriting from it — never from cell dirs a torn per-partition
+        # overwrite may have holed (r13)
+        spans = [int(s) for s in pending["spans"]]
+        data_empty = bool(pending.get("empty"))
     else:
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("cell").parquet(path))
-    fsutil.delete(os.path.join(path, f"cell={src}"), spark=spark)
+        idx = fsutil.read_parquet_or_empty(
+            spark, path, schemas.get("index"))
+        # union of both directories deduped on vec_id: a fresh merge
+        # sees src+dst, a LEGACY (pre-r13 manifest) resume whatever a
+        # torn run left (possibly a vector in both dirs — identical
+        # rows, only cell differs), so the rewrite input is invariant
+        # under any partial commit
+        merged = (idx.where(F.col("cell").isin([src, dst]))
+                  .dropDuplicates(["vec_id"])
+                  .withColumn("cell", F.lit(dst)))
+        # both cells empty (a delete wave swept them): the merge is
+        # descriptor-only — probed BEFORE staging so an empty snapshot
+        # (whose read-back would need a schema a pre-r10 descriptor may
+        # not carry) is never written
+        data_empty = merged.isEmpty()
+        if not data_empty:
+            # stage the snapshot BEFORE the manifest, the manifest
+            # BEFORE any destructive mutation — the retrain's protocol
+            # (ADVICE r12, extended to the incremental actions in r13);
+            # the staged write doubles as the materialization barrier
+            # the old localCheckpoint provided. A legacy manifest
+            # upgrades itself to the staged protocol here.
+            (merged.write.mode("overwrite")
+             .parquet(os.path.join(staging, "data")))
+            merged = spark.read.parquet(os.path.join(staging, "data"))
+        spans = sorted({int(r.v) for r in merged.select(
+            F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
+            .distinct().collect()}) if not data_empty else []
+        if spans:
+            members = fsutil.read_parquet_or_empty(
+                spark, members_path, schemas.get("members"))
+            final_m = merged.select(
+                "vec_id", F.col("cell").cast("int").alias("cell"))
+            merged_m = (members.where(F.col("vspan").isin(spans))
+                        .join(final_m.select("vec_id"), "vec_id",
+                              "left_anti")
+                        .select("vec_id",
+                                F.col("cell").cast("int").alias("cell"))
+                        .unionByName(final_m)
+                        .withColumn("vspan",
+                                    F.expr(f"vec_id div {_IVF_VSPAN}")))
+            (merged_m.write.mode("overwrite")
+             .parquet(os.path.join(staging, "members")))
+        fsutil.write_text(
+            pend_path,
+            json.dumps({"src": src, "dst": dst, "spans": spans,
+                        "empty": data_empty, "staging": True}),
+            spark=spark)
 
-    # membership rewrite AFTER the data commits — state-based from the
-    # committed union, only the merged rows' spans
-    spans = sorted({int(r.v) for r in merged.select(
-        F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
-        .distinct().collect()})
-    if spans:
-        members = fsutil.read_parquet_or_empty(
-            spark, members_path, meta.get("schemas", {}).get("members"))
-        final_m = merged.select(
-            "vec_id", F.col("cell").cast("int").alias("cell"))
-        merged_m = (members.where(F.col("vspan").isin(spans))
-                    .join(final_m.select("vec_id"), "vec_id", "left_anti")
-                    .select("vec_id",
-                            F.col("cell").cast("int").alias("cell"))
-                    .unionByName(final_m)
-                    .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
-                    .localCheckpoint(eager=True))
-        (merged_m.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("vspan").parquet(members_path))
+    # destructive phase, entirely from the staged snapshot: the
+    # touched-minus-live sweep deletes src always and dst when the
+    # merge was empty — the merge never empties a span, so no span sweep
+    _ivf_commit_staged(spark, path, staging, [src, dst], spans,
+                       schemas, delete_empty_spans=False,
+                       data_empty=data_empty)
 
     # descriptor last; idempotent on resume (set semantics; the chain
     # counter is NOT re-bumped when the dead set already contains src)
@@ -1952,6 +2003,7 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
     fsutil.write_text(os.path.join(path, _IVF_META), json.dumps(meta2),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return src, dst
 
 
@@ -2056,7 +2108,11 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     if pending is None:
         # finish any torn incremental action first (each is O(cells
         # touched) and idempotent); only one manifest can exist at a
-        # time — every action resumes the others before writing its own
+        # time — every action resumes the others before writing its own.
+        # The staged upsert restore runs FIRST: the retrain's training
+        # scan reads every cell directory, and a torn upsert overwrite
+        # may have holed one (r13).
+        _resume_ivf_upsert(spark, path)
         if fsutil.exists(os.path.join(path, _IVF_SPLIT_PENDING),
                          spark=spark):
             split_ivf_cell(spark, path)
@@ -2258,8 +2314,10 @@ def pending_split(path: str) -> dict | None:
 def pending_upsert_cells(path: str) -> list[int] | None:
     """Cell ids a crashed ``upsert_ivf_index`` batch may have left half-
     applied (its intent manifest survives the crash), or None when the
-    last upsert committed cleanly. Recovery = re-run the same upsert
-    (idempotent; see the crash contract above)."""
+    last upsert committed cleanly. Recovery: any IVF action restores the
+    staged snapshot at entry (``_resume_ivf_upsert``), and re-running
+    the same upsert is also always safe (idempotent; see the crash
+    contract above — legacy pre-r13 manifests have only the re-run)."""
     import json
     import os
 

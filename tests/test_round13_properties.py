@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from mysql_ch_replicator_spark import fsutil
 from mysql_ch_replicator_spark.operators.similarity import (
     ivf_index_topk, merge_ivf_cells, read_ivf_meta, retrain_ivf_index,
-    write_ivf_index,
+    split_ivf_cell, upsert_ivf_index, write_ivf_index,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -1068,3 +1068,159 @@ def test_retrain_noop_reaps_orphaned_staging(spark, corpus, tmp_path):
     spark.createDataFrame([(1,)], "x int").write.parquet(orphan)
     assert retrain_ivf_index(spark, path) is None
     assert not fsutil.exists(orphan)
+
+
+# ---------------------------------------------------------------------------
+# Torn-overwrite staging for the INCREMENTAL actions (r13): the review
+# found the ADVICE-r12 hole was closed only for the two full rebuilds —
+# upsert/split/merge still committed via the per-partition
+# delete-then-rename overwrite and resumed from the (possibly holed)
+# live directories. Each now stages its final cells + membership spans
+# before the manifest and resumes from the snapshot.
+# ---------------------------------------------------------------------------
+
+
+def _vc(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _batch(spark):
+    adds = _vc(spark, [(100 + i, _vec(i + 5)) for i in range(6)])
+    removes = spark.createDataFrame([(3,), (7,)], "vec_id long")
+    return adds, removes
+
+
+def _idx_state(spark, path):
+    return (sorted(map(tuple, spark.read.parquet(path)
+                       .select("vec_id", "cell").collect())),
+            sorted(map(tuple, spark.read.parquet(
+                os.path.join(path, "_vecmeta"))
+                .select("vec_id", "cell").collect())))
+
+
+def test_upsert_torn_overwrite_restored_on_rerun(spark, corpus, tmp_path):
+    """An upsert crash with the manifest durable + one touched cell dir
+    holed (the torn per-partition overwrite) must lose NOTHING: the
+    re-run restores from the staged snapshot at entry, then re-applies
+    the idempotent batch — final state equal to a never-crashed twin."""
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_ivf_index(corpus, path, n_cells=4)
+    write_ivf_index(corpus, clean, n_cells=4)
+    adds, removes = _batch(spark)
+    upsert_ivf_index(spark, clean, adds=adds, removes=removes)
+
+    real_write, crashing = _crash_after_write("_ivf_upsert_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_ivf_index(spark, path, adds=adds, removes=removes)
+    finally:
+        fsutil.write_text = real_write
+
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_upsert_pending.json")))
+    assert pend.get("staging") is True
+    fsutil.delete(os.path.join(path, f"cell={int(pend['cells'][0])}"))
+
+    upsert_ivf_index(spark, path, adds=adds, removes=removes)
+    assert _idx_state(spark, path) == _idx_state(spark, clean)
+    assert not fsutil.exists(os.path.join(path, "_upsert_staging"))
+    assert not fsutil.exists(
+        os.path.join(path, "_ivf_upsert_pending.json"))
+
+
+def test_other_actions_restore_torn_upsert_first(spark, corpus,
+                                                 tmp_path):
+    """split/merge/retrain read cell directories at entry — a torn
+    upsert's hole would flow straight into their rewrite input. Each
+    must restore the staged upsert FIRST (here: the split path)."""
+    path = str(tmp_path / "torn")
+    write_ivf_index(corpus, path, n_cells=4)
+    adds, removes = _batch(spark)
+
+    real_write, crashing = _crash_after_write("_ivf_upsert_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_ivf_index(spark, path, adds=adds, removes=removes)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_upsert_pending.json")))
+    fsutil.delete(os.path.join(path, f"cell={int(pend['cells'][0])}"))
+
+    split_ivf_cell(spark, path)
+    idx = spark.read.parquet(path)
+    expected = corpus.count() + 6 - 2     # the restored batch's state
+    assert idx.count() == expected, "rows lost across the restore"
+    assert idx.select("vec_id").distinct().count() == expected
+    assert not fsutil.exists(
+        os.path.join(path, "_ivf_upsert_pending.json"))
+
+
+def test_split_torn_overwrite_resumes_from_staging(spark, corpus,
+                                                   tmp_path):
+    """Split crash with manifest durable + the split cell's dir holed:
+    the resume must rewrite from staging with the MANIFEST's trained
+    sub-codebook (never re-train over the holed union) — equal to a
+    never-crashed twin."""
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_ivf_index(corpus, path, n_cells=4)
+    write_ivf_index(corpus, clean, n_cells=4)
+    split_ivf_cell(spark, clean)
+
+    real_write, crashing = _crash_after_write("_ivf_split_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            split_ivf_cell(spark, path)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_split_pending.json")))
+    assert pend.get("staging") is True and pend.get("sub")
+    fsutil.delete(os.path.join(path, f"cell={int(pend['cell'])}"))
+    assert spark.read.parquet(path).count() < corpus.count()
+
+    split_ivf_cell(spark, path)
+    assert _idx_state(spark, path) == _idx_state(spark, clean)
+    assert read_ivf_meta(path)["centroids"] == \
+        read_ivf_meta(clean)["centroids"]
+    assert not fsutil.exists(os.path.join(path, "_split_staging"))
+    assert not fsutil.exists(os.path.join(path, "_ivf_split_pending.json"))
+
+
+def test_merge_torn_overwrite_resumes_from_staging(spark, corpus,
+                                                   tmp_path):
+    """Merge crash with manifest durable + the dst dir holed: the
+    resume must rewrite dst from staging — the old union-of-dirs input
+    would have seen only src's rows and silently dropped dst's."""
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_ivf_index(corpus, path, n_cells=4)
+    write_ivf_index(corpus, clean, n_cells=4)
+    # merge two POPULATED cells (the no-arg coldest pick can select an
+    # empty pair on this tiny corpus, where the hole has nothing to eat)
+    pop = sorted(int(r.cell) for r in spark.read.parquet(path)
+                 .groupBy("cell").count().where("count > 0")
+                 .select("cell").collect())
+    src, dst = pop[0], pop[1]
+    merge_ivf_cells(spark, clean, src=src, dst=dst)
+
+    real_write, crashing = _crash_after_write("_ivf_merge_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge_ivf_cells(spark, path, src=src, dst=dst)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_merge_pending.json")))
+    assert pend.get("staging") is True
+    fsutil.delete(os.path.join(path, f"cell={int(pend['dst'])}"))
+    assert spark.read.parquet(path).count() < corpus.count()
+
+    merge_ivf_cells(spark, path)
+    assert _idx_state(spark, path) == _idx_state(spark, clean)
+    assert read_ivf_meta(path)["dead"] == read_ivf_meta(clean)["dead"]
+    assert not fsutil.exists(os.path.join(path, "_merge_staging"))
+    assert not fsutil.exists(os.path.join(path, "_ivf_merge_pending.json"))
