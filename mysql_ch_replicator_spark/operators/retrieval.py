@@ -543,6 +543,196 @@ def bm25_indexed_topk(spark, path: str, query_terms: list[str],
             .select("doc_id", "score", "rank"))
 
 
+_LEX_UPSERT_STAGING = "_upsert_staging"   # staged batch snapshot
+_LEX_SPLIT_STAGING = "_split_staging"     # staged split snapshot
+_LEX_MERGE_STAGING = "_merge_staging"     # staged merge snapshot
+
+
+def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
+                       spans, schemas: dict, has_positions: bool,
+                       derive_df: bool = False, data_empty: bool = False,
+                       delete_empty_spans: bool = False,
+                       live: set[int] | None = None,
+                       live_spans: set[int] | None = None) -> set[int]:
+    """The destructive phase every staged lexical action shares
+    (upsert / split / merge — the compaction has its own
+    descriptor-swapping flow): rewrite the touched postings shards,
+    the positions twin, and the touched docmeta spans FROM the staged
+    snapshot, never from live directories a torn per-partition dynamic
+    overwrite may have holed (ADVICE r12 — the per-partition
+    delete-then-rename commit loop; the IVF family's
+    ``_ivf_commit_staged`` twin). The snapshot is immutable until the
+    caller's cleanup, so a crash anywhere in this phase re-runs it
+    idempotently. ``derive_df``: the upsert stages its merged postings
+    WITHOUT the df column (df is a pure function of the snapshot —
+    deriving it here saves a second materialization on the CDC hot
+    path); split/merge staged rows carry df through unchanged (terms
+    move wholesale). Touched dirs absent from the staged content (an
+    emptied shard, a merge's src) are deleted explicitly — the
+    postings live set IS the positions live set (a (term, doc) has a
+    posting iff it has >= 1 position), so one sweep covers both
+    tables. ``live`` / ``live_spans``: callers that already know the
+    staged live sets (from the counts/stats they compute for the
+    descriptor anyway) pass them in and skip the probe jobs — the
+    upsert runs at a 1 s CDC cadence where jobs, not data, are the
+    budget; the rare restore path leaves them None and probes. Returns
+    the staged postings' live shard set."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    postings_path = os.path.join(path, "postings")
+    positions_path = os.path.join(path, "positions")
+    docmeta_path = os.path.join(path, "docmeta")
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        probe_live = live is None
+        if probe_live:
+            live = set()
+        if touched_shards and not data_empty:
+            post = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "postings"),
+                schemas.get("postings"))
+            if derive_df:
+                dfreq = post.groupBy("term").agg(
+                    F.count(F.lit(1)).cast("long").alias("df"))
+                post = (post.join(dfreq, "term")
+                        .select("shard", "term", "doc_id", "tf", "df"))
+            live_f = None
+            if probe_live:
+                live_f = pool.submit(
+                    lambda: {int(r.shard) for r in
+                             post.select("shard").distinct().collect()})
+            (post.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(postings_path))
+            if live_f is not None:
+                live = live_f.result()
+            if has_positions:
+                pos = fsutil.read_parquet_or_empty(
+                    spark, os.path.join(staging, "positions"),
+                    schemas.get("positions"))
+                (pos.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("shard").parquet(positions_path))
+        for s in set(touched_shards) - live:
+            fsutil.delete(os.path.join(postings_path, f"shard={s}"),
+                          spark=spark)
+            if has_positions:
+                fsutil.delete(os.path.join(positions_path, f"shard={s}"),
+                              spark=spark)
+        if spans:
+            dm = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "docmeta"),
+                schemas.get("docmeta"))
+            live_s_f = None
+            if delete_empty_spans and live_spans is None:
+                live_s_f = pool.submit(
+                    lambda: {int(r.dspan) for r in
+                             dm.select("dspan").distinct().collect()})
+            (dm.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("dspan").parquet(docmeta_path))
+            if live_s_f is not None:
+                live_spans = live_s_f.result()
+            if delete_empty_spans:
+                for s in set(spans) - (live_spans or set()):
+                    fsutil.delete(
+                        os.path.join(docmeta_path, f"dspan={s}"),
+                        spark=spark)
+    except BaseException:
+        pool.shutdown(wait=True, cancel_futures=True)
+        raise
+    pool.shutdown(wait=True)
+    return live
+
+
+def _resume_lexical_upsert(spark, path: str) -> bool:
+    """Finish the destructive phase of a torn STAGED upsert batch from
+    its snapshot — called at entry by every lexical action before
+    reading shard/span directories a torn overwrite may have holed
+    (r13; the IVF family's ``_resume_ivf_upsert`` twin). The descriptor
+    refresh replays from the snapshot too: touched shards' counts and
+    touched spans' stats are pure functions of the staged content. A
+    legacy (pre-r13, no ``staging`` flag) manifest is left alone — its
+    contract is re-running the same batch. Returns True on restore."""
+    import json
+    import os
+
+    pend = os.path.join(path, _LEX_PENDING)
+    if not fsutil.exists(pend, spark=spark):
+        return False
+    doc = json.loads(fsutil.read_text(pend, spark=spark))
+    if not doc.get("staging"):
+        return False
+    meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                       spark=spark))
+    schemas = meta.get("schemas", {})
+    has_positions = bool(meta.get("positions", False))
+    staging = os.path.join(path, _LEX_UPSERT_STAGING)
+    shards_t = [int(s) for s in doc.get("shards", [])]
+    spans_t = [int(s) for s in doc.get("dspans", [])]
+    _lex_commit_staged(spark, path, staging, shards_t, spans_t, schemas,
+                       has_positions, derive_df=True,
+                       delete_empty_spans=True)
+    # descriptor refresh, state-based from the snapshot (bounded by the
+    # crashed batch's touched sets); a pre-r9/r11 descriptor that never
+    # carried the maps re-seeds them from the committed tables — the
+    # same one-time full pass its next upsert would have paid anyway
+    dspan_w = int(meta.get("dspan", _LEX_DSPAN))
+    if "spans" in meta:
+        spans_map = {k: [int(v[0]), int(v[1])]
+                     for k, v in meta["spans"].items()}
+        if spans_t:
+            fresh = _span_stats_map(
+                fsutil.read_parquet_or_empty(
+                    spark, os.path.join(staging, "docmeta"),
+                    schemas.get("docmeta")).select("dl", "dspan"))
+            for s in spans_t:
+                key = str(int(s))
+                if key in fresh:
+                    spans_map[key] = fresh[key]
+                else:
+                    spans_map.pop(key, None)
+    else:
+        spans_map = _span_stats_map(
+            fsutil.read_parquet_or_empty(
+                spark, os.path.join(path, "docmeta"),
+                schemas.get("docmeta")).select("dl", "dspan"))
+    if "shard_rows" in meta:
+        shard_rows = {int(k): int(v)
+                      for k, v in meta["shard_rows"].items()}
+        if shards_t:
+            counts = {int(r.shard): int(r.n) for r in
+                      fsutil.read_parquet_or_empty(
+                          spark, os.path.join(staging, "postings"),
+                          schemas.get("postings"))
+                      .groupBy("shard")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            for s in shards_t:
+                if counts.get(s):
+                    shard_rows[s] = counts[s]
+                else:
+                    shard_rows.pop(s, None)
+    else:
+        shard_rows = {int(r.shard): int(r.n) for r in
+                      fsutil.read_parquet_or_empty(
+                          spark, os.path.join(path, "postings"),
+                          schemas.get("postings"))
+                      .groupBy("shard")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+    fsutil.write_text(
+        os.path.join(path, _LEX_META),
+        json.dumps(_lex_meta_doc(
+            spans_map, int(meta["shards"]), dspan_w,
+            positions=has_positions,
+            splits=list(meta.get("splits", [])),
+            schemas=schemas, shard_rows=shard_rows)),
+        spark=spark)
+    fsutil.delete(pend, spark=spark)
+    fsutil.delete(staging, spark=spark)
+    return True
+
+
 def _membership_shard_frame(docmeta: DataFrame, changed: DataFrame,
                             spans: list[int]) -> DataFrame:
     """Shards currently holding the changed docs' postings, from the
@@ -621,21 +811,39 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
     action with no ordering dependency overlaps on scheduler threads:
     the adds' new-term discovery runs beside the changed-spans collect,
     the docmeta merge and its span-stats refresh beside the postings
-    merge, the emptied-shard probe and the positions rewrite beside the
-    postings write. CRASH ORDER: pending manifest before any mutation,
-    the DATA phase (postings and positions — these two commit
-    CONCURRENTLY within the phase, in either order) strictly before
-    docmeta, descriptor last. A crash inside the data phase can land
-    positions ahead of postings or vice versa; recovery via the pending
-    manifest re-merges both tables from the same state-based algebra,
-    so either torn order converges (jobs-per-upsert pinned by
-    test_round10_properties)."""
+    and positions merges, the emptied-shard probe beside the manifest
+    turnaround. CRASH ORDER (the retrain's staged protocol, r13): the
+    merged final content of the touched shards and spans is STAGED
+    (``_upsert_staging/{postings,positions,docmeta}`` — also the
+    materialization barrier the old localCheckpoints provided; the
+    three staging writes overlap), the manifest is written strictly
+    after every staging write returns (manifest ⇒ staging complete),
+    and the destructive phase — postings (+ positions twin) with their
+    emptied-shard sweep first, docmeta strictly after (superset
+    membership on a tear), descriptor last — reads ONLY the snapshot.
+    A torn per-partition dynamic overwrite (Spark commits
+    delete-then-rename per directory in a driver loop) can hole a
+    touched shard or span dir; the old re-run recovery read that hole
+    and made the loss permanent (ADVICE r12's window, closed for the
+    incremental actions in r13). Now any lexical action restores the
+    snapshot at entry (``_resume_lexical_upsert`` — descriptor refresh
+    included, replayed state-based from the staged content), and
+    re-running the same batch stays equally safe (idempotent algebra).
+    A legacy pre-r13 manifest (no staging flag) keeps the old re-run
+    contract (jobs-per-upsert pinned by test_round10_properties)."""
     import json
     import os
     from functools import reduce
 
     meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                        spark=spark))
+    # a torn STAGED upsert is restored FIRST: its snapshot is the only
+    # trustworthy image of the shards/spans a torn per-partition
+    # overwrite may have holed, and every read below (postings, docmeta)
+    # would otherwise see the hole (r13)
+    if _resume_lexical_upsert(spark, path):
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
     if fsutil.exists(os.path.join(path, _LEX_SPLIT_PENDING), spark=spark):
         # a torn shard split leaves term placement ambiguous between the
         # descriptor (old) and the data (partially moved); the resume is
@@ -823,11 +1031,7 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         touched_shards = sorted(shard_set)
 
         pending = os.path.join(path, _LEX_PENDING)
-        fsutil.write_text(
-            pending,
-            json.dumps({"shards": touched_shards,
-                        "dspans": touched_spans}),
-            spark=spark)
+        staging = os.path.join(path, _LEX_UPSERT_STAGING)
 
         # -- merge phase. The WRITE ordering is the crash contract
         # (docmeta strictly after postings, so a torn batch leaves
@@ -847,25 +1051,28 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             mm = mm.withColumn("dspan", F.expr(f"doc_id div {dspan_w}"))
 
             def _meta_side():
-                # O(changed spans) scalar refresh: the touched spans'
-                # descriptor entries come from the SAME checkpointed
-                # frame the docmeta rewrite will commit (no post-write
-                # docmeta read — IO-pinned). State-based, so a crashed
-                # batch's re-run writes the identical map.
-                ck = mm.localCheckpoint(eager=True)
-                return ck, _span_stats_map(ck.select("dl", "dspan"))
+                # staged DURABLY (the old localCheckpoint's barrier AND
+                # the torn-overwrite recovery source, r13); the
+                # O(changed spans) scalar refresh reads the staged
+                # blocks — still no post-write docmeta read, and
+                # state-based, so a crashed batch's re-run (or restore)
+                # writes the identical map
+                (mm.write.mode("overwrite")
+                 .parquet(os.path.join(staging, "docmeta")))
+                ck = spark.read.parquet(os.path.join(staging, "docmeta"))
+                return _span_stats_map(ck.select("dl", "dspan"))
 
             meta_f = pool.submit(_meta_side)
 
-        merged_pos_f = None
+        pos_f = None
         if touched_shards and has_positions:
             # positional twin of the postings rewrite: same touched
             # shards (a doc's positions live in exactly the shards its
-            # terms hash to), same merge algebra; checkpoints beside the
+            # terms hash to), same merge algebra; stages beside the
             # postings merge, commits in the same data phase
-            positions_path = os.path.join(path, "positions")
             pos_tbl = fsutil.read_parquet_or_empty(
-                spark, positions_path, schemas.get("positions"))
+                spark, os.path.join(path, "positions"),
+                schemas.get("positions"))
             cur_pos = (pos_tbl
                        .where(F.col("shard").isin(touched_shards))
                        .join(changed, "doc_id", "left_anti")
@@ -876,9 +1083,12 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                     new_pos.withColumn(
                         "shard", _shard_expr(F.col("term"), shards, splits))
                     .select("shard", "term", "doc_id", "pos"))
-            merged_pos_f = pool.submit(
-                lambda: merged_pos.localCheckpoint(eager=True))
+            pos_f = pool.submit(
+                lambda: merged_pos.write.mode("overwrite")
+                .parquet(os.path.join(staging, "positions")))
 
+        counts: dict[int, int] = {}
+        counts_f = None
         if touched_shards:
             cur = (postings.where(F.col("shard").isin(touched_shards))
                    .join(changed, "doc_id", "left_anti")
@@ -889,88 +1099,67 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                     new_per.withColumn(
                         "shard", _shard_expr(F.col("term"), shards, splits))
                     .select("shard", "term", "doc_id", "tf"))
-            # the merge is checkpointed BEFORE the df recount, so the df
-            # aggregate and the join-back both read the checkpointed
-            # blocks — the previous plan traversed the whole merge twice
-            # (both join branches re-read the touched shards off parquet
-            # and re-ran the anti-join), and the checkpoint already had
-            # to happen (Spark refuses to overwrite a path it is
-            # reading). NOT a term-keyed window: that would funnel a hot
-            # term's entire posting list through one task, where the
-            # aggregate keeps map-side combine and AQE keeps the join
-            # broadcast/skew-safe.
-            base = merged.localCheckpoint(eager=True)
-            dfreq = base.groupBy("term").agg(
-                F.count(F.lit(1)).cast("long").alias("df"))
-            merged = (base.join(dfreq, "term")
-                      .select("shard", "term", "doc_id", "tf", "df"))
-            # the emptied-shard probe reads the checkpointed blocks, so
-            # it overlaps the write (same answer either way); counting
-            # rows per shard instead of a bare distinct costs the same
-            # job and is what keeps the descriptor's shard_rows map
+            # staged WITHOUT the df column: df is a pure function of the
+            # snapshot, derived inside the staged commit — the snapshot
+            # write replaces the old localCheckpoint (the merge still
+            # materializes exactly once; both df branches then read the
+            # staged parquet). NOT a term-keyed window: that would
+            # funnel a hot term's entire posting list through one task,
+            # where the aggregate keeps map-side combine and AQE keeps
+            # the join broadcast/skew-safe.
+            (merged.write.mode("overwrite")
+             .parquet(os.path.join(staging, "postings")))
+            base = spark.read.parquet(os.path.join(staging, "postings"))
+            # the emptied-shard probe reads the staged blocks, so it
+            # overlaps the remaining staging + manifest turnaround;
+            # counting rows per shard instead of a bare distinct costs
+            # the same job and keeps the descriptor's shard_rows map
             # maintained without any postings re-read
             counts_f = pool.submit(
                 lambda: {int(r.shard): int(r.n) for r in
                          base.groupBy("shard")
                          .agg(F.count(F.lit(1)).alias("n")).collect()})
-            write_pos_f = None
-            if merged_pos_f is not None:
-                merged_pos_ck = merged_pos_f.result()
-                write_pos_f = pool.submit(
-                    lambda: (merged_pos_ck.write.mode("overwrite")
-                             .option("partitionOverwriteMode", "dynamic")
-                             .partitionBy("shard")
-                             .parquet(positions_path)))
-            (merged.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("shard").parquet(postings_path))
-            if write_pos_f is not None:
-                write_pos_f.result()
-            # dynamic overwrite never writes (hence never clears) a
-            # touched partition whose merged content is EMPTY — a shard
-            # whose every posting was removed must be deleted explicitly
-            # or its stale rows survive the upsert (Hadoop-FS delete:
-            # shutil silently no-ops on non-local schemes and leaks the
-            # shard). A (term, doc) has a posting iff it has ≥1
-            # position, so the postings LIVE set is the positions live
-            # set too — the emptied-dir sweep covers both tables.
+        fresh: dict = {}
+        if meta_f is not None:
+            fresh = meta_f.result()
+        if pos_f is not None:
+            pos_f.result()
+        # the manifest is written strictly AFTER every staging write
+        # returns, so manifest ⇒ staging complete (the retrain's
+        # protocol). The destructive phase reads ONLY the snapshot —
+        # postings (+ positions twin) with their emptied-shard sweep
+        # first, docmeta strictly after (a crash between the two leaves
+        # membership a SUPERSET of the postings' real state, so
+        # recovery re-discovers at worst a few already-clean shards) —
+        # and a crash anywhere inside it restores idempotently at the
+        # next action's entry (_resume_lexical_upsert) or this batch's
+        # re-run.
+        fsutil.write_text(
+            pending,
+            json.dumps({"shards": touched_shards,
+                        "dspans": touched_spans, "staging": True}),
+            spark=spark)
+        if counts_f is not None:
             counts = counts_f.result()
-            for s in set(touched_shards) - set(counts):
-                fsutil.delete(os.path.join(postings_path, f"shard={s}"),
-                              spark=spark)
-                if has_positions:
-                    fsutil.delete(
-                        os.path.join(positions_path, f"shard={s}"),
-                        spark=spark)
-            for s in touched_shards:
-                if s in counts:
-                    shard_rows[s] = counts[s]
-                else:
-                    shard_rows.pop(s, None)
-
-        if touched_spans:
-            # ONE docmeta rewrite covers dl AND membership, AFTER the
-            # postings commit: a crash between the two leaves membership
-            # a SUPERSET of the postings' real state, so re-running the
-            # batch re-discovers (at worst) a few already-clean shards —
-            # never misses one
-            merged_meta, fresh = meta_f.result()
-            (merged_meta.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("dspan").parquet(docmeta_path))
-            # emptied spans drop out, untouched entries are carried
-            # verbatim, (n, tl) re-derive as sums; the stats keys double
-            # as the LIVE span set (one job covered both the sweep and
-            # the refresh)
-            for s in set(touched_spans) - {int(k) for k in fresh}:
-                fsutil.delete(os.path.join(docmeta_path, f"dspan={s}"),
-                              spark=spark)
-            for s in touched_spans:
-                key = str(int(s))
-                if key in fresh:
-                    spans_map[key] = fresh[key]
-                else:
-                    spans_map.pop(key, None)
+        _lex_commit_staged(spark, path, staging, touched_shards,
+                           touched_spans, schemas, has_positions,
+                           derive_df=True, delete_empty_spans=True,
+                           live=set(counts),
+                           live_spans={int(k) for k in fresh})
+        # descriptor bookkeeping from the staged finals: emptied spans
+        # drop out, untouched entries carry verbatim, (n, tl) re-derive
+        # as sums
+        for s in touched_shards:
+            if counts.get(s):
+                shard_rows[s] = counts[s]
+            else:
+                shard_rows.pop(s, None)
+        for s in touched_spans:
+            key = str(int(s))
+            if key in fresh:
+                spans_map[key] = fresh[key]
+            else:
+                spans_map.pop(key, None)
     except BaseException:
         pool.shutdown(wait=True, cancel_futures=True)
         raise
@@ -984,6 +1173,7 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                                  shard_rows=shard_rows)),
         spark=spark)
     fsutil.delete(pending, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return {"shards": touched_shards, "dspans": touched_spans}
 
 
@@ -1052,14 +1242,21 @@ def split_lexical_shard(spark, path: str,
     {src, dst} out, the doc's fresh shard set in). Per-span dl stats are
     untouched, so the descriptor's spans map carries over verbatim.
 
-    Crash contract (the IVF split's, verbatim): intent manifest written
-    before any mutation, data dirs first, membership next, descriptor
-    last, manifest deleted after. A torn split leaves moved postings
-    invisible to probes (the descriptor still routes their terms to the
-    src shard) — bounded recall loss, never wrong results — until the
-    idempotent resume: the rewrite input is the union of BOTH split
-    directories deduped on (term, doc_id), invariant under any partial
-    commit, and the membership recompute is state-based.
+    Crash contract (the IVF split's staged protocol, verbatim): the
+    re-placed rows, the positions twin, and the merged membership
+    spans are STAGED (``_split_staging/{postings,positions,docmeta}``)
+    and only then referenced by the intent manifest (shards, salt,
+    spans, counts, ``staging`` flag — written before any destructive
+    mutation), data dirs first, membership next, descriptor last,
+    manifest then staging deleted after. A torn split leaves moved
+    postings invisible to probes (the descriptor still routes their
+    terms to the src shard) — bounded recall loss, never wrong results
+    — until the idempotent resume, which rewrites FROM the snapshot:
+    never from shard dirs a torn per-partition overwrite may have
+    holed, and never by re-deriving placement over them (ADVICE r12's
+    window, closed for the incremental actions in r13; a LEGACY
+    pre-r13 manifest still resumes through the old
+    union-of-both-dirs-deduped path, then upgrades itself).
     ``upsert_lexical_index`` auto-resumes a pending split before
     applying a batch, so CDC traffic cannot apply against ambiguous
     placement. Salt selection walks a deterministic ladder in ONE
@@ -1073,6 +1270,11 @@ def split_lexical_shard(spark, path: str,
 
     meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                        spark=spark))
+    # restore a torn STAGED upsert before reading any shard/span
+    # directory a torn per-partition overwrite may have holed (r13)
+    if _resume_lexical_upsert(spark, path):
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
     shards = int(meta["shards"])
     splits = list(meta.get("splits", []))
     has_positions = bool(meta.get("positions", False))
@@ -1142,115 +1344,129 @@ def split_lexical_shard(spark, path: str,
         dst = shards + len(splits)    # next free id, never reused
         salt = None                   # chosen below, before the manifest
 
-    # union of both split directories, deduped on (term, doc_id): a
-    # fresh split sees the empty new side, a resume the torn remainder —
-    # the rewrite input is invariant under any partial commit (the IVF
-    # split's recovery algebra). df rides along unchanged: terms move
-    # wholesale, so every term's posting count is placement-independent.
-    rows = (postings.where(F.col("shard").isin([src, dst]))
-            .dropDuplicates(["term", "doc_id"]))
-    if salt is None:
-        # salt selection, ONE bounded aggregate: a shard holding few
-        # terms can land them all on one side of a given salted hash —
-        # a committed no-op split the load-factor policy would then
-        # stack forever. Try a deterministic salt ladder and take the
-        # first that actually separates; only a shard whose terms NEVER
-        # separate (single hot term) raises — before the manifest
-        # exists, so nothing is committed.
-        candidates = [f"lexsplit{dst}"] + [f"lexsplit{dst}#{i}"
-                                           for i in range(1, 8)]
-        movers = [F.sum((h60(F.concat(F.lit(c + "|"), F.col("term")))
-                         % 2).cast("long")).alias(f"m{i}")
-                  for i, c in enumerate(candidates)]
-        stat = (rows.select("term").distinct()
-                .agg(F.count(F.lit(1)).alias("nt"), *movers).first())
-        if int(stat.nt) == 0:
-            raise UnsplittablePartition(
-                f"split_lexical_shard: shard {src} holds no postings — "
-                f"nothing to split")
-        for i, c in enumerate(candidates):
-            if 0 < int(stat[f"m{i}"]) < int(stat.nt):
-                salt = c
-                break
+    staging = os.path.join(path, _LEX_SPLIT_STAGING)
+    schemas = meta.get("schemas", {})
+    if pending is not None and pending.get("staging"):
+        # the manifest references a COMPLETE staged snapshot: resume by
+        # rewriting from it — never from shard dirs a torn
+        # per-partition overwrite may have holed, and never by
+        # re-deriving the re-placement over them (r13)
+        counts = {int(k): int(v) for k, v in pending["counts"].items()}
+        touched_spans = [int(s) for s in pending["spans"]]
+    else:
+        # union of both split directories, deduped on (term, doc_id): a
+        # fresh split sees the empty new side, a LEGACY (pre-r13
+        # manifest) resume the torn remainder — the rewrite input is
+        # invariant under any partial commit (the IVF split's recovery
+        # algebra). df rides along unchanged: terms move wholesale, so
+        # every term's posting count is placement-independent.
+        rows = (postings.where(F.col("shard").isin([src, dst]))
+                .dropDuplicates(["term", "doc_id"]))
         if salt is None:
-            raise UnsplittablePartition(
-                f"split_lexical_shard: no salt separates the terms of "
-                f"shard {src} — every candidate moved them all to one "
-                f"side (a single hot term cannot be rebalanced by term "
-                f"movement; posting mass per TERM cannot be split "
-                f"without breaking the one-shard-per-term df invariant)")
-    moved = h60(F.concat(F.lit(salt + "|"), F.col("term"))) % 2 == 1
-    reassigned = (rows.withColumn(
-        "shard", F.when(moved, F.lit(dst)).otherwise(F.lit(src))
-        .cast("int"))
-        .localCheckpoint(eager=True))
+            # salt selection, ONE bounded aggregate: a shard holding
+            # few terms can land them all on one side of a given salted
+            # hash — a committed no-op split the load-factor policy
+            # would then stack forever. Try a deterministic salt ladder
+            # and take the first that actually separates; only a shard
+            # whose terms NEVER separate (single hot term) raises —
+            # before the manifest exists, so nothing is committed.
+            candidates = [f"lexsplit{dst}"] + [f"lexsplit{dst}#{i}"
+                                               for i in range(1, 8)]
+            movers = [F.sum((h60(F.concat(F.lit(c + "|"), F.col("term")))
+                             % 2).cast("long")).alias(f"m{i}")
+                      for i, c in enumerate(candidates)]
+            stat = (rows.select("term").distinct()
+                    .agg(F.count(F.lit(1)).alias("nt"), *movers).first())
+            if int(stat.nt) == 0:
+                raise UnsplittablePartition(
+                    f"split_lexical_shard: shard {src} holds no "
+                    f"postings — nothing to split")
+            for i, c in enumerate(candidates):
+                if 0 < int(stat[f"m{i}"]) < int(stat.nt):
+                    salt = c
+                    break
+            if salt is None:
+                raise UnsplittablePartition(
+                    f"split_lexical_shard: no salt separates the terms "
+                    f"of shard {src} — every candidate moved them all "
+                    f"to one side (a single hot term cannot be "
+                    f"rebalanced by term movement; posting mass per "
+                    f"TERM cannot be split without breaking the "
+                    f"one-shard-per-term df invariant)")
+        moved = h60(F.concat(F.lit(salt + "|"), F.col("term"))) % 2 == 1
+        reassigned = rows.withColumn(
+            "shard", F.when(moved, F.lit(dst)).otherwise(F.lit(src))
+            .cast("int"))
+        # stage the snapshot (postings + positions twin + merged
+        # membership spans) BEFORE the manifest, the manifest BEFORE
+        # any destructive mutation — the retrain's protocol (ADVICE
+        # r12, extended to the incremental actions in r13); the staged
+        # writes double as the old localCheckpoints' materialization
+        # barriers. A legacy manifest upgrades itself here.
+        (reassigned.write.mode("overwrite")
+         .parquet(os.path.join(staging, "postings")))
+        reassigned = spark.read.parquet(os.path.join(staging,
+                                                     "postings"))
+        # counting instead of a bare distinct: same bounded job, and
+        # the result keeps the descriptor's shard_rows map exact for
+        # the two rewritten shards (ADVICE r10)
+        counts = {int(r.shard): int(r.n) for r in
+                  reassigned.groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if has_positions:
+            (fsutil.read_parquet_or_empty(
+                spark, os.path.join(path, "positions"),
+                schemas.get("positions"))
+             .where(F.col("shard").isin([src, dst]))
+             .dropDuplicates(["term", "doc_id", "pos"])
+             .withColumn(
+                 "shard",
+                 F.when(moved, F.lit(dst)).otherwise(F.lit(src))
+                 .cast("int"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(staging, "positions")))
+        # membership recompute, state-based from the staged
+        # reassignment: only the spans holding the shard's documents;
+        # each touched doc's shards array drops {src, dst} and gains
+        # its fresh shard set
+        doc_sets = (reassigned.groupBy("doc_id")
+                    .agg(F.collect_set("shard").alias("fresh")))
+        touched_spans = sorted({int(r.v) for r in reassigned.select(
+            F.expr(f"doc_id div {dspan_w}").alias("v"))
+            .distinct().collect()})
+        if touched_spans:
+            docmeta = fsutil.read_parquet_or_empty(
+                spark, docmeta_path, schemas.get("docmeta"))
+            (docmeta.where(F.col("dspan").isin(touched_spans))
+             .join(doc_sets, "doc_id", "left")
+             .select(
+                 "doc_id", "dl",
+                 F.when(
+                     F.col("fresh").isNotNull(),
+                     F.array_union(
+                         F.array_except(
+                             F.col("shards"),
+                             F.array(F.lit(src), F.lit(dst))
+                             .cast("array<int>")),
+                         F.col("fresh")))
+                 .otherwise(F.col("shards")).alias("shards"),
+                 "dspan")
+             .write.mode("overwrite")
+             .parquet(os.path.join(staging, "docmeta")))
+        fsutil.write_text(
+            pend_path,
+            json.dumps({"src": src, "dst": dst, "salt": salt,
+                        "spans": touched_spans,
+                        "counts": {str(k): int(v)
+                                   for k, v in counts.items()},
+                        "staging": True}),
+            spark=spark)
 
-    fsutil.write_text(pend_path,
-                      json.dumps({"src": src, "dst": dst, "salt": salt}),
-                      spark=spark)
-
-    (reassigned.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("shard").parquet(postings_path))
-    # counting instead of a bare distinct: same bounded job, and the
-    # result keeps the descriptor's shard_rows map exact for the two
-    # rewritten shards (ADVICE r10)
-    counts = {int(r.shard): int(r.n) for r in
-              reassigned.groupBy("shard")
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
-    live = set(counts)
-    for s in {src, dst} - live:
-        fsutil.delete(os.path.join(postings_path, f"shard={s}"),
-                      spark=spark)
-    if has_positions:
-        positions_path = os.path.join(path, "positions")
-        pos_rows = (fsutil.read_parquet_or_empty(
-                        spark, positions_path,
-                        meta.get("schemas", {}).get("positions"))
-                    .where(F.col("shard").isin([src, dst]))
-                    .dropDuplicates(["term", "doc_id", "pos"])
-                    .withColumn(
-                        "shard",
-                        F.when(moved, F.lit(dst)).otherwise(F.lit(src))
-                        .cast("int"))
-                    .localCheckpoint(eager=True))
-        (pos_rows.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("shard").parquet(positions_path))
-        for s in {src, dst} - live:
-            fsutil.delete(os.path.join(positions_path, f"shard={s}"),
-                          spark=spark)
-
-    # membership rewrite, AFTER the data commits: only the spans holding
-    # the shard's documents; each touched doc's shards array is
-    # recomputed state-based — {src, dst} entries out, the doc's fresh
-    # shard set from the committed reassignment in
-    doc_sets = (reassigned.groupBy("doc_id")
-                .agg(F.collect_set("shard").alias("fresh")))
-    touched_spans = sorted({int(r.v) for r in reassigned.select(
-        F.expr(f"doc_id div {dspan_w}").alias("v"))
-        .distinct().collect()})
-    if touched_spans:
-        docmeta = fsutil.read_parquet_or_empty(
-            spark, docmeta_path, meta.get("schemas", {}).get("docmeta"))
-        merged_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
-                       .join(doc_sets, "doc_id", "left")
-                       .select(
-                           "doc_id", "dl",
-                           F.when(
-                               F.col("fresh").isNotNull(),
-                               F.array_union(
-                                   F.array_except(
-                                       F.col("shards"),
-                                       F.array(F.lit(src), F.lit(dst))
-                                       .cast("array<int>")),
-                                   F.col("fresh")))
-                           .otherwise(F.col("shards")).alias("shards"),
-                           "dspan")
-                       .localCheckpoint(eager=True))
-        (merged_meta.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("dspan").parquet(docmeta_path))
+    # destructive phase, entirely from the staged snapshot: data (+
+    # positions twin) with the emptied-dir sweep first, membership
+    # strictly after — the split never empties a span, so no span sweep
+    _lex_commit_staged(spark, path, staging, [src, dst], touched_spans,
+                       schemas, has_positions, live=set(counts))
 
     # descriptor last; dl/span stats are untouched by design, so the
     # whole meta carries over with just the split appended (idempotent:
@@ -1269,6 +1485,7 @@ def split_lexical_shard(spark, path: str,
     fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return src, dst
 
 
@@ -1311,10 +1528,13 @@ def compact_lexical_index(spark, path: str,
     placement — returns None without touching the index.
 
     Crash contract: the re-homed rows are STAGED
-    (``_compact_staging/postings`` + ``/positions`` parquet, complete
-    re-placed snapshots) and only then referenced by the intent
-    manifest (shard count + staging flag), BEFORE any destructive
-    mutation. The dynamic shard overwrite commits per-partition
+    (``_compact_staging/{postings,positions,docmeta}`` parquet,
+    complete re-placed snapshots — the recomputed membership included,
+    r13: the docmeta overwrite has the same per-partition tear as the
+    data dirs, and a resume recomputing membership from a holed live
+    span would lose its docs' dl forever) and only then referenced by
+    the intent manifest (shard count + staging flag), BEFORE any
+    destructive mutation. The dynamic shard overwrite commits per-partition
     (delete old dir, then rename staged dir, in a driver loop) — a
     crash between one shard's delete and rename would otherwise drop
     its postings permanently and the union-of-dirs resume would re-home
@@ -1346,7 +1566,13 @@ def compact_lexical_index(spark, path: str,
     if pending is None:
         # finish any torn incremental action first (each O(shards
         # touched), idempotent); only one manifest can exist at a time —
-        # every action resumes the others before writing its own
+        # every action resumes the others before writing its own. The
+        # staged upsert restore runs FIRST: the compaction reads every
+        # shard directory, and a torn upsert overwrite may have holed
+        # one (r13).
+        if _resume_lexical_upsert(spark, path):
+            meta = json.loads(fsutil.read_text(
+                os.path.join(path, _LEX_META), spark=spark))
         if fsutil.exists(os.path.join(path, _LEX_SPLIT_PENDING),
                          spark=spark):
             split_lexical_shard(spark, path)
@@ -1409,6 +1635,7 @@ def compact_lexical_index(spark, path: str,
         (rows.withColumn("shard", (h60(F.col("term")) % k).cast("int"))
          .write.mode("overwrite")
          .parquet(os.path.join(staging, "postings")))
+        reassigned = spark.read.parquet(os.path.join(staging, "postings"))
         if has_positions:
             (fsutil.read_parquet_or_empty(
                 spark, os.path.join(path, "positions"),
@@ -1417,10 +1644,25 @@ def compact_lexical_index(spark, path: str,
              .withColumn("shard", (h60(F.col("term")) % k).cast("int"))
              .write.mode("overwrite")
              .parquet(os.path.join(staging, "positions")))
+        # membership recompute staged too (r13): the docmeta dynamic
+        # overwrite has the same per-partition tear as the data dirs —
+        # this recompute reads the LIVE docmeta, so a resume after a
+        # torn docmeta overwrite would read a holed span and lose its
+        # docs' dl/membership forever; from the snapshot it cannot
+        (fsutil.read_parquet_or_empty(spark, docmeta_path,
+                                      schemas.get("docmeta"))
+         .join(reassigned.groupBy("doc_id")
+               .agg(F.collect_set("shard").alias("fresh")),
+               "doc_id", "left")
+         .select("doc_id", "dl",
+                 F.coalesce("fresh", F.array().cast("array<int>"))
+                  .alias("shards"),
+                 "dspan")
+         .write.mode("overwrite")
+         .parquet(os.path.join(staging, "docmeta")))
         fsutil.write_text(pend_path,
                           json.dumps({"shards": k, "staging": True}),
                           spark=spark)
-        reassigned = spark.read.parquet(os.path.join(staging, "postings"))
         pos_rows = spark.read.parquet(os.path.join(staging, "positions")) \
             if has_positions else None
 
@@ -1444,20 +1686,26 @@ def compact_lexical_index(spark, path: str,
             fsutil.delete(os.path.join(positions_path, f"shard={s}"),
                           spark=spark)
 
-    # membership AFTER the data commits: every doc's shard set
-    # recomputes state-based from the committed re-placement; dl and
-    # the span stats are untouched, zero-token docs keep empty sets
-    docmeta = fsutil.read_parquet_or_empty(spark, docmeta_path,
-                                           schemas.get("docmeta"))
-    doc_sets = (reassigned.groupBy("doc_id")
-                .agg(F.collect_set("shard").alias("fresh")))
-    merged_meta = (docmeta.join(doc_sets, "doc_id", "left")
-                   .select("doc_id", "dl",
-                           F.coalesce("fresh",
-                                      F.array().cast("array<int>"))
-                            .alias("shards"),
-                           "dspan")
-                   .localCheckpoint(eager=True))
+    # membership AFTER the data commits, FROM the staged snapshot (r13):
+    # dl and the span stats are untouched, zero-token docs keep empty
+    # sets; rewriting from staging keeps a resume safe against a torn
+    # docmeta overwrite (a holed span would otherwise lose its docs)
+    if fsutil.exists(os.path.join(staging, "docmeta"), spark=spark):
+        merged_meta = spark.read.parquet(os.path.join(staging, "docmeta"))
+    else:
+        # manifest written before the docmeta staging existed (early
+        # r13): recompute state-based from the live table, the old path
+        docmeta = fsutil.read_parquet_or_empty(spark, docmeta_path,
+                                               schemas.get("docmeta"))
+        doc_sets = (reassigned.groupBy("doc_id")
+                    .agg(F.collect_set("shard").alias("fresh")))
+        merged_meta = (docmeta.join(doc_sets, "doc_id", "left")
+                       .select("doc_id", "dl",
+                               F.coalesce("fresh",
+                                          F.array().cast("array<int>"))
+                                .alias("shards"),
+                               "dspan")
+                       .localCheckpoint(eager=True))
     (merged_meta.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("dspan").parquet(docmeta_path))
@@ -1534,18 +1782,30 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
     Cost: O(two shard directories) — rewrite + positions twin + a
     membership rewrite of only the spans holding the merged docs.
 
-    Crash contract (the split's, verbatim): intent manifest before any
-    mutation, data dirs first (dst rewrite, then the src delete),
-    membership next, descriptor last, manifest deleted after. The
-    rewrite input is the union of both directories deduped on
-    (term, doc_id), invariant under any partial commit, so the resume
-    is idempotent; ``upsert_lexical_index`` auto-resumes a pending
-    merge before applying a batch. Returns ``(src, dst)``."""
+    Crash contract (the split's staged protocol, verbatim): the merged
+    dst content, the positions twin, and the merged membership spans
+    are STAGED (``_merge_staging/{postings,positions,docmeta}``) and
+    only then referenced by the intent manifest (src/dst, spans, the
+    authoritative row total, ``staging`` flag — before any destructive
+    mutation), data dirs first (dst rewrite from the snapshot, then the
+    src delete), membership next, descriptor last, manifest then
+    staging deleted after. The resume rewrites FROM the snapshot —
+    never from shard dirs a torn per-partition overwrite may have
+    holed (ADVICE r12's window, closed for the incremental actions in
+    r13; a LEGACY pre-r13 manifest still resumes through the old
+    union-deduped path, then upgrades itself); ``upsert_lexical_index``
+    auto-resumes a pending merge before applying a batch. Returns
+    ``(src, dst)``."""
     import json
     import os
 
     meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
                                        spark=spark))
+    # restore a torn STAGED upsert before reading any shard/span
+    # directory a torn per-partition overwrite may have holed (r13)
+    if _resume_lexical_upsert(spark, path):
+        meta = json.loads(fsutil.read_text(os.path.join(path, _LEX_META),
+                                           spark=spark))
     if fsutil.exists(os.path.join(path, _LEX_SPLIT_PENDING), spark=spark):
         # ambiguous placement: finish the torn split first (idempotent,
         # O(shard)); only one manifest can exist at a time, so this
@@ -1615,69 +1875,89 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
             if src == dst:
                 raise ValueError("merge_lexical_shards: src == dst")
 
-    rows = (postings.where(F.col("shard").isin([src, dst]))
-            .dropDuplicates(["term", "doc_id"])
-            .withColumn("shard", F.lit(int(dst)).cast("int"))
-            .localCheckpoint(eager=True))
-
-    fsutil.write_text(pend_path, json.dumps({"src": src, "dst": dst}),
-                      spark=spark)
-
-    if rows.isEmpty():
-        # both shards already empty — descriptor-only merge
-        fsutil.delete(os.path.join(postings_path, f"shard={dst}"),
-                      spark=spark)
+    staging = os.path.join(path, _LEX_MERGE_STAGING)
+    schemas = meta.get("schemas", {})
+    if pending is not None and pending.get("staging"):
+        # the manifest references a COMPLETE staged snapshot: resume by
+        # rewriting from it — never from shard dirs a torn
+        # per-partition overwrite may have holed (r13)
+        touched_spans = [int(s) for s in pending["spans"]]
+        data_empty = bool(pending.get("empty"))
+        total = int(pending.get("total", 0))
     else:
-        (rows.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("shard").parquet(postings_path))
-    fsutil.delete(os.path.join(postings_path, f"shard={src}"),
-                  spark=spark)
-    if has_positions:
-        positions_path = os.path.join(path, "positions")
-        pos_rows = (fsutil.read_parquet_or_empty(
-                        spark, positions_path,
-                        meta.get("schemas", {}).get("positions"))
-                    .where(F.col("shard").isin([src, dst]))
-                    .dropDuplicates(["term", "doc_id", "pos"])
-                    .withColumn("shard", F.lit(int(dst)).cast("int"))
-                    .localCheckpoint(eager=True))
-        if not pos_rows.isEmpty():
-            (pos_rows.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("shard").parquet(positions_path))
-        fsutil.delete(os.path.join(positions_path, f"shard={src}"),
-                      spark=spark)
+        rows = (postings.where(F.col("shard").isin([src, dst]))
+                .dropDuplicates(["term", "doc_id"])
+                .withColumn("shard", F.lit(int(dst)).cast("int")))
+        # both shards already empty — descriptor-only merge; probed
+        # BEFORE staging so an empty snapshot (whose read-back would
+        # need a schema a pre-r10 descriptor may not carry) is never
+        # written
+        data_empty = rows.isEmpty()
+        total = 0
+        touched_spans: list[int] = []
+        if not data_empty:
+            # stage the snapshot (postings + positions twin + merged
+            # membership spans) BEFORE the manifest, the manifest
+            # BEFORE any destructive mutation — the retrain's protocol
+            # (ADVICE r12, extended to the incremental actions in r13);
+            # the staged writes double as the old localCheckpoints'
+            # barriers. A legacy manifest upgrades itself here.
+            (rows.write.mode("overwrite")
+             .parquet(os.path.join(staging, "postings")))
+            rows = spark.read.parquet(os.path.join(staging, "postings"))
+            # authoritative union-dedup count for the descriptor's
+            # shard_rows (one bounded job over the staged blocks —
+            # resume-proof, unlike summing pre-merge descriptor counts)
+            total = rows.count()
+            if has_positions:
+                (fsutil.read_parquet_or_empty(
+                    spark, os.path.join(path, "positions"),
+                    schemas.get("positions"))
+                 .where(F.col("shard").isin([src, dst]))
+                 .dropDuplicates(["term", "doc_id", "pos"])
+                 .withColumn("shard", F.lit(int(dst)).cast("int"))
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(staging, "positions")))
+            # membership recompute, state-based from the staged rows —
+            # each merged doc's shards array drops {src, dst} and gains
+            # {dst} (the split's recompute verbatim)
+            doc_sets = (rows.groupBy("doc_id")
+                        .agg(F.collect_set("shard").alias("fresh")))
+            touched_spans = sorted({int(r.v) for r in rows.select(
+                F.expr(f"doc_id div {dspan_w}").alias("v"))
+                .distinct().collect()})
+            if touched_spans:
+                docmeta = fsutil.read_parquet_or_empty(
+                    spark, docmeta_path, schemas.get("docmeta"))
+                (docmeta.where(F.col("dspan").isin(touched_spans))
+                 .join(doc_sets, "doc_id", "left")
+                 .select(
+                     "doc_id", "dl",
+                     F.when(
+                         F.col("fresh").isNotNull(),
+                         F.array_union(
+                             F.array_except(
+                                 F.col("shards"),
+                                 F.array(F.lit(src), F.lit(dst))
+                                 .cast("array<int>")),
+                             F.col("fresh")))
+                     .otherwise(F.col("shards")).alias("shards"),
+                     "dspan")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(staging, "docmeta")))
+        fsutil.write_text(
+            pend_path,
+            json.dumps({"src": src, "dst": dst, "spans": touched_spans,
+                        "empty": data_empty, "total": total,
+                        "staging": True}),
+            spark=spark)
 
-    # membership rewrite AFTER the data commits — each merged doc's
-    # shards array drops {src, dst} and gains {dst} (state-based from
-    # the committed rows, the split's recompute verbatim)
-    doc_sets = (rows.groupBy("doc_id")
-                .agg(F.collect_set("shard").alias("fresh")))
-    touched_spans = sorted({int(r.v) for r in rows.select(
-        F.expr(f"doc_id div {dspan_w}").alias("v"))
-        .distinct().collect()})
-    if touched_spans:
-        docmeta = fsutil.read_parquet_or_empty(
-            spark, docmeta_path, meta.get("schemas", {}).get("docmeta"))
-        merged_meta = (docmeta.where(F.col("dspan").isin(touched_spans))
-                       .join(doc_sets, "doc_id", "left")
-                       .select(
-                           "doc_id", "dl",
-                           F.when(
-                               F.col("fresh").isNotNull(),
-                               F.array_union(
-                                   F.array_except(
-                                       F.col("shards"),
-                                       F.array(F.lit(src), F.lit(dst))
-                                       .cast("array<int>")),
-                                   F.col("fresh")))
-                           .otherwise(F.col("shards")).alias("shards"),
-                           "dspan")
-                       .localCheckpoint(eager=True))
-        (merged_meta.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("dspan").parquet(docmeta_path))
+    # destructive phase, entirely from the staged snapshot: the
+    # touched-minus-live sweep deletes src always and dst when the
+    # merge was empty; membership strictly after the data
+    _lex_commit_staged(spark, path, staging, [src, dst], touched_spans,
+                       schemas, has_positions, data_empty=data_empty,
+                       live=set() if data_empty else {int(dst)})
 
     # descriptor last (idempotent on resume: set/chain semantics)
     entry = {"src": int(src), "dst": int(dst), "salt": None}
@@ -1685,16 +1965,14 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
         splits.append(entry)
     meta["splits"] = splits
     if "shard_rows" in meta:
-        moved = meta["shard_rows"].pop(str(src), 0)
-        kept = meta["shard_rows"].pop(str(dst), 0)
-        # a resume after the data committed must not double-count: the
-        # union-dedup row count is authoritative when available
-        total = rows.count() if pending is not None else moved + kept
+        meta["shard_rows"].pop(str(src), None)
+        meta["shard_rows"].pop(str(dst), None)
         if total:
             meta["shard_rows"][str(dst)] = int(total)
     fsutil.write_text(os.path.join(path, _LEX_META), json.dumps(meta),
                       spark=spark)
     fsutil.delete(pend_path, spark=spark)
+    fsutil.delete(staging, spark=spark)
     return int(src), int(dst)
 
 

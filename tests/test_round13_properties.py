@@ -1224,3 +1224,247 @@ def test_merge_torn_overwrite_resumes_from_staging(spark, corpus,
     assert read_ivf_meta(path)["dead"] == read_ivf_meta(clean)["dead"]
     assert not fsutil.exists(os.path.join(path, "_merge_staging"))
     assert not fsutil.exists(os.path.join(path, "_ivf_merge_pending.json"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical twins of the incremental-action staging (upsert/split/merge),
+# plus the compaction's docmeta tear: its membership recompute read the
+# LIVE docmeta, so a holed dspan dir lost its docs' dl forever.
+# ---------------------------------------------------------------------------
+
+
+def _ldocs(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} w{i % 11} gamma") for i in range(n)],
+        "doc_id long, text string")
+
+
+def _lex_batch(spark):
+    adds = spark.createDataFrame(
+        [(200 + i, f"delta epsilon w{i % 5} zeta") for i in range(6)],
+        "doc_id long, text string")
+    removes = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    return adds, removes
+
+
+def _lex_state(spark, path):
+    post = sorted(map(tuple, spark.read.parquet(
+        os.path.join(path, "postings")).collect()))
+    dm = sorted((r.doc_id, r.dl, sorted(r.shards), r.dspan)
+                for r in spark.read.parquet(
+                    os.path.join(path, "docmeta")).collect())
+    return post, dm
+
+
+def test_lex_upsert_torn_overwrite_restored_on_rerun(spark, tmp_path):
+    """A lexical upsert crash with the manifest durable + one touched
+    postings shard holed must lose NOTHING: the re-run restores from
+    the staged snapshot (descriptor refresh included), then re-applies
+    the idempotent batch — equal to a never-crashed twin."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        upsert_lexical_index, write_lexical_index,
+    )
+
+    docs = _ldocs(spark)
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_lexical_index(docs, path, shards=4, positions=True)
+    write_lexical_index(docs, clean, shards=4, positions=True)
+    adds, removes = _lex_batch(spark)
+    upsert_lexical_index(spark, clean, adds=adds, removes=removes)
+
+    real_write, crashing = _crash_after_write("_lex_upsert_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_lexical_index(spark, path, adds=adds, removes=removes)
+    finally:
+        fsutil.write_text = real_write
+
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_upsert_pending.json")))
+    assert pend.get("staging") is True
+    hole = int(pend["shards"][0])
+    fsutil.delete(os.path.join(path, "postings", f"shard={hole}"))
+    fsutil.delete(os.path.join(path, "positions", f"shard={hole}"))
+
+    upsert_lexical_index(spark, path, adds=adds, removes=removes)
+    assert _lex_state(spark, path) == _lex_state(spark, clean)
+    assert sorted(map(tuple, spark.read.parquet(
+        os.path.join(path, "positions")).collect())) == \
+        sorted(map(tuple, spark.read.parquet(
+            os.path.join(clean, "positions")).collect()))
+    got = json.loads(fsutil.read_text(os.path.join(path,
+                                                   "_lex_meta.json")))
+    want = json.loads(fsutil.read_text(os.path.join(clean,
+                                                    "_lex_meta.json")))
+    assert got["shard_rows"] == want["shard_rows"]
+    assert got["spans"] == want["spans"]
+    assert got["n"] == want["n"] and got["tl"] == want["tl"]
+    assert not fsutil.exists(os.path.join(path, "_upsert_staging"))
+    assert not fsutil.exists(os.path.join(path,
+                                          "_lex_upsert_pending.json"))
+
+
+def test_lex_other_actions_restore_torn_upsert_first(spark, tmp_path):
+    """split/merge/compact read shard directories at entry — each must
+    restore a torn staged upsert FIRST (here: the split path), with the
+    descriptor refresh replayed from the snapshot."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        split_lexical_shard, upsert_lexical_index, write_lexical_index,
+    )
+
+    docs = _ldocs(spark)
+    path = str(tmp_path / "torn")
+    write_lexical_index(docs, path, shards=4)
+    adds, removes = _lex_batch(spark)
+
+    real_write, crashing = _crash_after_write("_lex_upsert_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_lexical_index(spark, path, adds=adds, removes=removes)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_upsert_pending.json")))
+    hole = int(pend["shards"][0])
+    fsutil.delete(os.path.join(path, "postings", f"shard={hole}"))
+
+    split_lexical_shard(spark, path)
+    assert not fsutil.exists(os.path.join(path,
+                                          "_lex_upsert_pending.json"))
+    # every batch doc present exactly once in docmeta (the restored
+    # final state), and the postings carry the adds' terms
+    dm = spark.read.parquet(os.path.join(path, "docmeta"))
+    assert dm.where("doc_id >= 200").count() == 6
+    assert dm.where("doc_id in (3, 7)").count() == 0
+    post = spark.read.parquet(os.path.join(path, "postings"))
+    assert post.where("term = 'epsilon'").count() == 6
+
+
+def test_lex_split_torn_overwrite_resumes_from_staging(spark, tmp_path):
+    """Split crash with manifest durable + the src shard dir holed: the
+    resume rewrites from staging with the MANIFEST's salt and counts —
+    equal to a never-crashed twin."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        split_lexical_shard, write_lexical_index,
+    )
+
+    docs = _ldocs(spark)
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_lexical_index(docs, path, shards=4)
+    write_lexical_index(docs, clean, shards=4)
+    split_lexical_shard(spark, clean)
+
+    real_write, crashing = _crash_after_write("_lex_split_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            split_lexical_shard(spark, path)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_split_pending.json")))
+    assert pend.get("staging") is True and pend.get("counts")
+    fsutil.delete(os.path.join(path, "postings",
+                               f"shard={int(pend['src'])}"))
+
+    split_lexical_shard(spark, path)
+    assert _lex_state(spark, path) == _lex_state(spark, clean)
+    got = json.loads(fsutil.read_text(os.path.join(path,
+                                                   "_lex_meta.json")))
+    want = json.loads(fsutil.read_text(os.path.join(clean,
+                                                    "_lex_meta.json")))
+    assert got["splits"] == want["splits"]
+    assert got["shard_rows"] == want["shard_rows"]
+    assert not fsutil.exists(os.path.join(path, "_split_staging"))
+    assert not fsutil.exists(os.path.join(path, "_lex_split_pending.json"))
+
+
+def test_lex_merge_torn_overwrite_resumes_from_staging(spark, tmp_path):
+    """Merge crash with manifest durable + the dst shard dir holed: the
+    resume rewrites dst from staging — the old union-of-dirs input
+    would have silently dropped dst's postings."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        merge_lexical_shards, write_lexical_index,
+    )
+
+    docs = _ldocs(spark)
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_lexical_index(docs, path, shards=4)
+    write_lexical_index(docs, clean, shards=4)
+    pop = sorted(int(r.shard) for r in spark.read.parquet(
+        os.path.join(path, "postings"))
+        .groupBy("shard").count().where("count > 0")
+        .select("shard").collect())
+    src, dst = pop[0], pop[1]
+    merge_lexical_shards(spark, clean, src=src, dst=dst)
+
+    real_write, crashing = _crash_after_write("_lex_merge_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge_lexical_shards(spark, path, src=src, dst=dst)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_lex_merge_pending.json")))
+    assert pend.get("staging") is True
+    before = spark.read.parquet(os.path.join(path, "postings")).count()
+    fsutil.delete(os.path.join(path, "postings", f"shard={dst}"))
+    assert spark.read.parquet(
+        os.path.join(path, "postings")).count() < before
+
+    merge_lexical_shards(spark, path)
+    assert _lex_state(spark, path) == _lex_state(spark, clean)
+    got = json.loads(fsutil.read_text(os.path.join(path,
+                                                   "_lex_meta.json")))
+    want = json.loads(fsutil.read_text(os.path.join(clean,
+                                                    "_lex_meta.json")))
+    assert got["splits"] == want["splits"]
+    assert got["shard_rows"] == want["shard_rows"]
+    assert not fsutil.exists(os.path.join(path, "_merge_staging"))
+    assert not fsutil.exists(os.path.join(path, "_lex_merge_pending.json"))
+
+
+def test_compact_torn_docmeta_overwrite_keeps_dl(spark, tmp_path):
+    """THE residual compaction hole (r13 review): the membership
+    recompute read the LIVE docmeta, so a compact resumed after a torn
+    docmeta overwrite (one dspan dir holed) lost that span's docs' dl
+    and membership forever. Staged docmeta makes the resume rewrite
+    every span from the snapshot."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index, write_lexical_index,
+    )
+
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        merge_lexical_shards, split_lexical_shard,
+    )
+
+    docs = _ldocs(spark)
+    path, fresh = str(tmp_path / "torn"), str(tmp_path / "fresh")
+    # small span width so the docmeta has several dspan dirs to hole
+    write_lexical_index(docs, path, shards=8, span_width=16)
+    split_lexical_shard(spark, path)
+    merge_lexical_shards(spark, path)
+
+    real_write, crashing = _crash_after_write("_lex_compact_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_lexical_index(spark, path)
+    finally:
+        fsutil.write_text = real_write
+
+    # the torn DOCMETA overwrite: one committed dspan dir gone
+    span_dirs = [n for n in fsutil.list_names(
+        os.path.join(path, "docmeta")) if n.startswith("dspan=")]
+    fsutil.delete(os.path.join(path, "docmeta", span_dirs[0]))
+    docs_left = spark.read.parquet(os.path.join(path, "docmeta")).count()
+    assert docs_left < docs.count(), \
+        "precondition: the hole must actually drop docmeta rows"
+
+    k = compact_lexical_index(spark, path)
+    assert k is not None
+    write_lexical_index(docs, fresh, shards=k, span_width=16)
+    assert _lex_state(spark, path) == _lex_state(spark, fresh)

@@ -53,11 +53,13 @@ def test_lex_upsert_meta_matches_rebuild_multispan(spark, tmp_path):
 
 def test_lex_upsert_no_postwrite_docmeta_read(spark, tmp_path):
     """IO pin for the O(changed spans) refresh: the upsert reads the
-    docmeta table exactly ONCE (the span-pruned discovery/merge read at
-    the top) — the corpus-scalar refresh must come from the batch's own
-    checkpointed frame, never a second (post-write, full) docmeta scan,
-    which at 1e10 docs and a 1 s CDC cadence would dominate the apply
-    loop (r8 verdict)."""
+    LIVE docmeta table exactly ONCE (the span-pruned discovery/merge
+    read at the top) — the corpus-scalar refresh must come from the
+    batch's own staged frame (r13; previously the checkpointed frame),
+    never a second (post-write, full) docmeta scan, which at 1e10 docs
+    and a 1 s CDC cadence would dominate the apply loop (r8 verdict).
+    Reads of the batch's own ``_upsert_staging`` snapshot are bounded
+    by the batch and don't count."""
     from pyspark.sql.readwriter import DataFrameReader
 
     from mysql_ch_replicator_spark.operators.retrieval import (
@@ -82,7 +84,8 @@ def test_lex_upsert_no_postwrite_docmeta_read(spark, tmp_path):
                                        "doc_id long, text string"))
     finally:
         DataFrameReader.parquet = orig
-    docmeta_reads = [p for p in reads if "docmeta" in p]
+    docmeta_reads = [p for p in reads
+                     if "docmeta" in p and "_staging" not in p]
     assert len(docmeta_reads) == 1
 
 
