@@ -169,6 +169,29 @@ def delete(path: str, recursive: bool = True,
     return bool(fs.delete(p, recursive))
 
 
+def rename(src: str, dst: str,
+           spark: SparkSession | None = None) -> None:
+    """Move a file or directory to an ABSENT destination (callers delete
+    the target first — the write_text overwrite idiom, lifted to
+    directories). This is the staged-commit promotion primitive: a
+    directory rename is atomic on POSIX/HDFS, and on object stores it
+    degrades to the same copy semantics Spark's own output committer
+    has. Raises when the filesystem refuses the move."""
+    handle = _fs(src, spark)
+    if handle is None:
+        local_dst = _local_form(dst)
+        os.makedirs(os.path.dirname(local_dst), exist_ok=True)
+        os.rename(_local_form(src), local_dst)
+        return
+    fs, p_src, jvm = handle
+    p_dst = jvm.org.apache.hadoop.fs.Path(dst)
+    parent = p_dst.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(p_src, p_dst):
+        raise IOError(f"fsutil.rename: {src} -> {dst} failed")
+
+
 def list_names(path: str, spark: SparkSession | None = None) -> list[str]:
     """Names of the directory's direct children, [] when absent — the
     bounded listing partition-emptiness checks need (a directory of

@@ -1038,9 +1038,41 @@ _IVF_SPLIT_STAGING = "_split_staging"     # staged split snapshot
 _IVF_MERGE_STAGING = "_merge_staging"     # staged merge snapshot
 
 
+def _promote_staged_dirs(spark, staged_root: str, live_root: str,
+                         key: str, touched, live_names) -> None:
+    """Commit staged ``key=value`` partition directories into the live
+    table by per-directory delete+rename — the cheap half of the staged
+    protocol: the data was already written ONCE (partitioned, into
+    staging), so promotion is pure filesystem metadata, not a second
+    write+decode pass. Idempotent against the manifest's ``live_names``
+    list: a named directory absent from staging was already promoted by
+    a torn earlier pass (its rename completed — the only way the staged
+    dir disappears); a named directory still staged has its live twin
+    deleted then renamed into place (a crash between the two re-runs
+    safely — the staged dir is untouched until its rename). Touched
+    keys NOT in ``live_names`` were emptied by the action: their live
+    dirs are deleted, the dynamic-overwrite-never-clears-empty rule.
+    Directory rename is atomic on POSIX/HDFS; on object stores it
+    degrades to the same copy semantics Spark's own committer has."""
+    import os
+
+    promoted: set[int] = set()
+    for name in live_names:
+        src = os.path.join(staged_root, name)
+        dst = os.path.join(live_root, name)
+        if fsutil.exists(src, spark=spark):
+            fsutil.delete(dst, spark=spark)
+            fsutil.rename(src, dst, spark=spark)
+        promoted.add(int(name.split("=", 1)[1]))
+    for k in set(touched) - promoted:
+        fsutil.delete(os.path.join(live_root, f"{key}={k}"),
+                      spark=spark)
+
+
 def _ivf_commit_staged(spark, path: str, staging: str, cells, spans,
                        schemas: dict, delete_empty_spans: bool = False,
-                       data_empty: bool = False) -> set[int]:
+                       data_empty: bool = False,
+                       live_names=None, live_span_names=None) -> set[int]:
     """The destructive phase every staged IVF action shares (upsert /
     split / merge — the retrain has its own descriptor-swapping twin):
     rewrite the touched cell directories and membership spans FROM the
@@ -1053,11 +1085,28 @@ def _ivf_commit_staged(spark, path: str, staging: str, cells, spans,
     crash ANYWHERE in this phase re-runs it idempotently. Touched dirs
     absent from the staged content (an emptied cell, a merge's src) are
     deleted explicitly — dynamic overwrite never clears a partition it
-    writes no rows for. Returns the staged data's live cell set; the
-    emptied-dir probe overlaps the data write on a scheduler thread
-    (it reads the staged files, so the answer is the same either way)."""
+    writes no rows for. Two wire protocols: when the manifest carries
+    ``live_names``/``live_span_names`` (r13b), the snapshot was staged
+    PARTITIONED and commits by pure-metadata directory promotion
+    (``_promote_staged_dirs`` — no second write, no parquet decode, no
+    probe jobs: the live lists came from a driver-side listing of the
+    staged dirs); without them (flat r13a snapshots) it falls back to
+    re-reading the snapshot and dynamic-overwriting, with the
+    emptied-dir probe overlapping the write on a scheduler thread.
+    Returns the staged data's live cell set."""
     import os
     from concurrent.futures import ThreadPoolExecutor
+
+    if live_names is not None:
+        _promote_staged_dirs(spark, os.path.join(staging, "data"), path,
+                             "cell", cells, live_names)
+        if spans:
+            _promote_staged_dirs(
+                spark, os.path.join(staging, "members"),
+                os.path.join(path, _IVF_MEMBERS), "vspan",
+                spans if delete_empty_spans else [],
+                live_span_names or [])
+        return {int(n.split("=", 1)[1]) for n in live_names}
 
     data = fsutil.read_parquet_or_empty(
         spark, os.path.join(staging, "data"), schemas.get("index")) \
@@ -1120,7 +1169,9 @@ def _resume_ivf_upsert(spark, path: str) -> bool:
     _ivf_commit_staged(spark, path, staging,
                        [int(c) for c in doc.get("cells", [])],
                        [int(s) for s in doc.get("vspans", [])],
-                       meta.get("schemas", {}), delete_empty_spans=True)
+                       meta.get("schemas", {}), delete_empty_spans=True,
+                       live_names=doc.get("live_cells"),
+                       live_span_names=doc.get("live_spans"))
     fsutil.delete(pend, spark=spark)
     fsutil.delete(staging, spark=spark)
     return True
@@ -1527,31 +1578,47 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
                 merged_m = merged_m.unionByName(new_m)
             mm = merged_m.withColumn("vspan",
                                      F.expr(f"vec_id div {_IVF_VSPAN}"))
-            # staged DURABLY (replacing the old localCheckpoint): the
-            # snapshot is both the materialization barrier (the commit
-            # must not scan the dirs it rewrites) and the torn-overwrite
-            # recovery source — overlapped with the data staging below
+            # staged DURABLY, PARTITIONED (replacing the old
+            # localCheckpoint): the snapshot is the torn-overwrite
+            # recovery source AND the final bytes — the commit promotes
+            # these directories by rename, so the batch's data is
+            # written exactly once — overlapped with the data staging
+            # below
             memb_f = pool.submit(
-                lambda: mm.write.mode("overwrite")
+                lambda: mm.write.mode("overwrite").partitionBy("vspan")
                 .parquet(os.path.join(staging, "members")))
 
-        (merged.write.mode("overwrite")
+        (merged.write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
         if memb_f is not None:
             memb_f.result()
+        # the live dir lists come from a driver-side listing of the
+        # staged dirs — no probe jobs on the CDC hot path (jobs, not
+        # data, are the 1 s cadence budget)
+        live_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "data"), spark=spark)
+            if n.startswith("cell=")]
+        live_span_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "members"), spark=spark)
+            if n.startswith("vspan=")] if spans else []
         # the manifest is written strictly AFTER both staging writes
         # return, so manifest ⇒ staging complete — the retrain's
-        # protocol. Destructive phase (cells, then membership, each with
-        # its emptied-dir sweep) reads ONLY the staged snapshot; a crash
-        # anywhere inside it restores idempotently at the next action's
-        # entry (_resume_ivf_upsert) or this batch's re-run.
+        # protocol. Destructive phase (cell promotion, then membership,
+        # each with its emptied-dir sweep) touches ONLY filesystem
+        # metadata; a crash anywhere inside it restores idempotently at
+        # the next action's entry (_resume_ivf_upsert) or this batch's
+        # re-run.
         pending = os.path.join(path, _IVF_PENDING)
         fsutil.write_text(pending,
                           json.dumps({"cells": cells, "vspans": spans,
-                                      "staging": True}),
+                                      "staging": True,
+                                      "live_cells": live_names,
+                                      "live_spans": live_span_names}),
                           spark=spark)
         _ivf_commit_staged(spark, path, staging, cells, spans,
-                           schemas, delete_empty_spans=True)
+                           schemas, delete_empty_spans=True,
+                           live_names=live_names,
+                           live_span_names=live_span_names)
     except BaseException:
         pool.shutdown(wait=True, cancel_futures=True)
         raise
@@ -1705,6 +1772,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         # (the manifest carries the sub-codebook the torn run trained)
         sub = [[float(x) for x in c] for c in pending["sub"]]
         spans = [int(s) for s in pending["spans"]]
+        live_names = pending.get("live_cells")
+        live_span_names = pending.get("live_spans")
     else:
         idx = fsutil.read_parquet_or_empty(spark, path,
                                            schemas.get("index"))
@@ -1752,10 +1821,12 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         # stage the snapshot (data + merged membership spans) BEFORE the
         # manifest, the manifest BEFORE any destructive mutation — the
         # retrain's protocol (ADVICE r12, extended to the incremental
-        # actions in r13). The staged write doubles as the
-        # materialization barrier the old localCheckpoint provided. A
-        # legacy manifest upgrades itself to the staged protocol here.
-        (reassigned.write.mode("overwrite")
+        # actions in r13). Staged PARTITIONED: the commit promotes the
+        # directories by rename, so the split's data is written exactly
+        # once (the staged write also doubles as the materialization
+        # barrier the old localCheckpoint provided). A legacy manifest
+        # upgrades itself to the staged protocol here.
+        (reassigned.write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
         reassigned = spark.read.parquet(os.path.join(staging, "data"))
         members = fsutil.read_parquet_or_empty(
@@ -1774,20 +1845,30 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
                         .unionByName(final_m)
                         .withColumn("vspan",
                                     F.expr(f"vec_id div {_IVF_VSPAN}")))
-            (merged_m.write.mode("overwrite")
+            (merged_m.write.mode("overwrite").partitionBy("vspan")
              .parquet(os.path.join(staging, "members")))
+        live_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "data"), spark=spark)
+            if n.startswith("cell=")]
+        live_span_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "members"), spark=spark)
+            if n.startswith("vspan=")] if spans else []
         fsutil.write_text(
             pend_path,
             json.dumps({"cell": cell, "new_cell": new_cell,
                         "sub": [[float(x) for x in c] for c in sub],
-                        "spans": spans, "staging": True}),
+                        "spans": spans, "staging": True,
+                        "live_cells": live_names,
+                        "live_spans": live_span_names}),
             spark=spark)
 
-    # destructive phase, entirely from the staged snapshot: data first
-    # (dynamic cell overwrite + emptied-dir sweep), membership next —
-    # the split never empties a span, so no span sweep
+    # destructive phase, entirely from the staged snapshot: cell
+    # promotion + emptied-dir sweep first, membership next — the split
+    # never empties a span, so no span sweep
     _ivf_commit_staged(spark, path, staging, [cell, new_cell], spans,
-                       schemas, delete_empty_spans=False)
+                       schemas, delete_empty_spans=False,
+                       live_names=live_names,
+                       live_span_names=live_span_names)
 
     cents2 = [list(c) for c in cents]
     cents2[cell - 1] = [float(x) for x in sub[0]]
@@ -1936,6 +2017,8 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
         # overwrite may have holed (r13)
         spans = [int(s) for s in pending["spans"]]
         data_empty = bool(pending.get("empty"))
+        live_names = pending.get("live_cells")
+        live_span_names = pending.get("live_spans")
     else:
         idx = fsutil.read_parquet_or_empty(
             spark, path, schemas.get("index"))
@@ -1947,20 +2030,22 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
         merged = (idx.where(F.col("cell").isin([src, dst]))
                   .dropDuplicates(["vec_id"])
                   .withColumn("cell", F.lit(dst)))
-        # both cells empty (a delete wave swept them): the merge is
-        # descriptor-only — probed BEFORE staging so an empty snapshot
-        # (whose read-back would need a schema a pre-r10 descriptor may
-        # not carry) is never written
-        data_empty = merged.isEmpty()
+        # stage the snapshot BEFORE the manifest, the manifest BEFORE
+        # any destructive mutation — the retrain's protocol (ADVICE
+        # r12, extended to the incremental actions in r13); staged
+        # PARTITIONED so the commit promotes by rename (ONE evaluation
+        # of the union-dedup plan and one write of the merged data,
+        # total — the staged write doubles as the materialization
+        # barrier the old localCheckpoint provided). Both cells empty
+        # (a delete wave swept them) falls out of the staged listing:
+        # no cell directory written ⇒ descriptor-only merge. A legacy
+        # manifest upgrades itself to the staged protocol here.
+        (merged.write.mode("overwrite").partitionBy("cell")
+         .parquet(os.path.join(staging, "data")))
+        data_empty = not any(
+            n.startswith("cell=") for n in fsutil.list_names(
+                os.path.join(staging, "data"), spark=spark))
         if not data_empty:
-            # stage the snapshot BEFORE the manifest, the manifest
-            # BEFORE any destructive mutation — the retrain's protocol
-            # (ADVICE r12, extended to the incremental actions in r13);
-            # the staged write doubles as the materialization barrier
-            # the old localCheckpoint provided. A legacy manifest
-            # upgrades itself to the staged protocol here.
-            (merged.write.mode("overwrite")
-             .parquet(os.path.join(staging, "data")))
             merged = spark.read.parquet(os.path.join(staging, "data"))
         spans = sorted({int(r.v) for r in merged.select(
             F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
@@ -1978,12 +2063,20 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
                         .unionByName(final_m)
                         .withColumn("vspan",
                                     F.expr(f"vec_id div {_IVF_VSPAN}")))
-            (merged_m.write.mode("overwrite")
+            (merged_m.write.mode("overwrite").partitionBy("vspan")
              .parquet(os.path.join(staging, "members")))
+        live_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "data"), spark=spark)
+            if n.startswith("cell=")] if not data_empty else []
+        live_span_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "members"), spark=spark)
+            if n.startswith("vspan=")] if spans else []
         fsutil.write_text(
             pend_path,
             json.dumps({"src": src, "dst": dst, "spans": spans,
-                        "empty": data_empty, "staging": True}),
+                        "empty": data_empty, "staging": True,
+                        "live_cells": live_names,
+                        "live_spans": live_span_names}),
             spark=spark)
 
     # destructive phase, entirely from the staged snapshot: the
@@ -1991,7 +2084,9 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
     # merge was empty — the merge never empties a span, so no span sweep
     _ivf_commit_staged(spark, path, staging, [src, dst], spans,
                        schemas, delete_empty_spans=False,
-                       data_empty=data_empty)
+                       data_empty=data_empty,
+                       live_names=live_names,
+                       live_span_names=live_span_names)
 
     # descriptor last; idempotent on resume (set semantics; the chain
     # counter is NOT re-bumped when the dead set already contains src)
