@@ -192,6 +192,33 @@ def rename(src: str, dst: str,
         raise IOError(f"fsutil.rename: {src} -> {dst} failed")
 
 
+def promote_dirs(staged_root: str, live_root: str, key: str, touched,
+                 live_names, spark: SparkSession | None = None) -> None:
+    """Commit staged ``key=value`` partition directories into a live
+    table by per-directory delete+rename — the cheap half of the staged
+    crash protocol the index operators share: the data was already
+    written ONCE (partitioned, into staging), so promotion is pure
+    filesystem metadata, never a second write+decode pass. Idempotent
+    against the manifest's ``live_names`` list: a named directory
+    absent from staging was already promoted by a torn earlier pass
+    (its rename completed — the only way the staged dir disappears); a
+    named directory still staged has its live twin deleted then
+    renamed into place (a crash between the two re-runs safely — the
+    staged dir is untouched until its own rename). ``touched`` keys
+    NOT in ``live_names`` were emptied by the action: their live dirs
+    are deleted — the dynamic-overwrite-never-clears-empty rule."""
+    promoted: set[int] = set()
+    for name in live_names:
+        src = os.path.join(staged_root, name)
+        dst = os.path.join(live_root, name)
+        if exists(src, spark=spark):
+            delete(dst, spark=spark)
+            rename(src, dst, spark=spark)
+        promoted.add(int(name.split("=", 1)[1]))
+    for k in set(touched) - promoted:
+        delete(os.path.join(live_root, f"{key}={k}"), spark=spark)
+
+
 def list_names(path: str, spark: SparkSession | None = None) -> list[str]:
     """Names of the directory's direct children, [] when absent — the
     bounded listing partition-emptiness checks need (a directory of

@@ -1612,13 +1612,28 @@ def compact_lexical_index(spark, path: str,
 
     old_live = _live_shards(cur_shards, splits) | set(range(k))
     staging = os.path.join(path, _LEX_COMPACT_STAGING)
+    live_shards = live_pos_shards = live_spans = None
+    counts: dict[int, int] | None = None
+    reassigned = pos_rows = None
     if pending is not None and pending.get("staging"):
         # the manifest references COMPLETE staged snapshots: resume by
         # rewriting from them — never from shard dirs a torn
-        # per-partition overwrite may have holed (ADVICE r12)
-        reassigned = spark.read.parquet(os.path.join(staging, "postings"))
-        pos_rows = spark.read.parquet(os.path.join(staging, "positions")) \
-            if has_positions else None
+        # per-partition overwrite may have holed (ADVICE r12). A
+        # partitioned (r13b) snapshot resumes by directory promotion
+        # with the manifest's counts; a flat (r13a) one re-reads and
+        # dynamic-overwrites.
+        live_shards = pending.get("live_shards")
+        live_pos_shards = pending.get("live_pos_shards")
+        live_spans = pending.get("live_spans")
+        if live_shards is not None:
+            counts = {int(kk): int(v)
+                      for kk, v in pending.get("counts", {}).items()}
+        else:
+            reassigned = spark.read.parquet(
+                os.path.join(staging, "postings"))
+            pos_rows = spark.read.parquet(
+                os.path.join(staging, "positions")) \
+                if has_positions else None
     else:
         # union of every shard directory deduped: a fresh compaction
         # sees the clean index, a LEGACY (pre-staging manifest) resume
@@ -1633,16 +1648,22 @@ def compact_lexical_index(spark, path: str,
         # provided); the manifest is written strictly AFTER both
         # staging writes return, so manifest ⇒ staging complete
         (rows.withColumn("shard", (h60(F.col("term")) % k).cast("int"))
-         .write.mode("overwrite")
+         .write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(staging, "postings")))
         reassigned = spark.read.parquet(os.path.join(staging, "postings"))
+        # per-shard counts for the descriptor's shard_rows reseed —
+        # carried in the manifest so a promote-resume (whose renames
+        # consume the staged dirs) never needs to re-read them
+        counts = {int(r.shard): int(r.n) for r in
+                  reassigned.groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
         if has_positions:
             (fsutil.read_parquet_or_empty(
                 spark, os.path.join(path, "positions"),
                 schemas.get("positions"))
              .dropDuplicates(["term", "doc_id", "pos"])
              .withColumn("shard", (h60(F.col("term")) % k).cast("int"))
-             .write.mode("overwrite")
+             .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(staging, "positions")))
         # membership recompute staged too (r13): the docmeta dynamic
         # overwrite has the same per-partition tear as the data dirs —
@@ -1658,57 +1679,84 @@ def compact_lexical_index(spark, path: str,
                  F.coalesce("fresh", F.array().cast("array<int>"))
                   .alias("shards"),
                  "dspan")
-         .write.mode("overwrite")
+         .write.mode("overwrite").partitionBy("dspan")
          .parquet(os.path.join(staging, "docmeta")))
-        fsutil.write_text(pend_path,
-                          json.dumps({"shards": k, "staging": True}),
-                          spark=spark)
-        pos_rows = spark.read.parquet(os.path.join(staging, "positions")) \
-            if has_positions else None
+        live_shards = [n for n in fsutil.list_names(
+            os.path.join(staging, "postings"), spark=spark)
+            if n.startswith("shard=")]
+        live_pos_shards = [n for n in fsutil.list_names(
+            os.path.join(staging, "positions"), spark=spark)
+            if n.startswith("shard=")] if has_positions else []
+        live_spans = [n for n in fsutil.list_names(
+            os.path.join(staging, "docmeta"), spark=spark)
+            if n.startswith("dspan=")]
+        fsutil.write_text(
+            pend_path,
+            json.dumps({"shards": k, "staging": True,
+                        "counts": {str(kk): v
+                                   for kk, v in counts.items()},
+                        "live_shards": live_shards,
+                        "live_pos_shards": live_pos_shards,
+                        "live_spans": live_spans}),
+            spark=spark)
 
-    (reassigned.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("shard").parquet(postings_path))
-    counts = {int(r.shard): int(r.n) for r in
-              reassigned.groupBy("shard")
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
-    for s in old_live - set(counts):
-        fsutil.delete(os.path.join(postings_path, f"shard={s}"),
-                      spark=spark)
-    if has_positions:
-        positions_path = os.path.join(path, "positions")
-        (pos_rows.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("shard").parquet(positions_path))
-        pos_live = {int(r.shard) for r in
-                    pos_rows.select("shard").distinct().collect()}
-        for s in old_live - pos_live:
-            fsutil.delete(os.path.join(positions_path, f"shard={s}"),
-                          spark=spark)
-
-    # membership AFTER the data commits, FROM the staged snapshot (r13):
-    # dl and the span stats are untouched, zero-token docs keep empty
-    # sets; rewriting from staging keeps a resume safe against a torn
-    # docmeta overwrite (a holed span would otherwise lose its docs)
-    if fsutil.exists(os.path.join(staging, "docmeta"), spark=spark):
-        merged_meta = spark.read.parquet(os.path.join(staging, "docmeta"))
+    if live_shards is not None:
+        # destructive phase by pure directory promotion (r13b): the
+        # re-homed index is written exactly once; every pre-compaction
+        # shard dir not promoted disappears. The docmeta snapshot
+        # covers every doc, so all its spans promote with no deletes.
+        fsutil.promote_dirs(os.path.join(staging, "postings"),
+                             postings_path, "shard", old_live,
+                             live_shards, spark=spark)
+        if has_positions:
+            fsutil.promote_dirs(os.path.join(staging, "positions"),
+                os.path.join(path, "positions"), "shard", old_live,
+                live_pos_shards or [], spark=spark)
+        fsutil.promote_dirs(os.path.join(staging, "docmeta"),
+                             docmeta_path, "dspan", [], live_spans or [], spark=spark)
     else:
-        # manifest written before the docmeta staging existed (early
-        # r13): recompute state-based from the live table, the old path
-        docmeta = fsutil.read_parquet_or_empty(spark, docmeta_path,
-                                               schemas.get("docmeta"))
-        doc_sets = (reassigned.groupBy("doc_id")
-                    .agg(F.collect_set("shard").alias("fresh")))
-        merged_meta = (docmeta.join(doc_sets, "doc_id", "left")
-                       .select("doc_id", "dl",
-                               F.coalesce("fresh",
-                                          F.array().cast("array<int>"))
-                                .alias("shards"),
-                               "dspan")
-                       .localCheckpoint(eager=True))
-    (merged_meta.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("dspan").parquet(docmeta_path))
+        # flat r13a snapshot: re-read and dynamic-overwrite
+        (reassigned.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(postings_path))
+        counts = {int(r.shard): int(r.n) for r in
+                  reassigned.groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        for s in old_live - set(counts):
+            fsutil.delete(os.path.join(postings_path, f"shard={s}"),
+                          spark=spark)
+        if has_positions:
+            positions_path = os.path.join(path, "positions")
+            (pos_rows.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(positions_path))
+            pos_live = {int(r.shard) for r in
+                        pos_rows.select("shard").distinct().collect()}
+            for s in old_live - pos_live:
+                fsutil.delete(
+                    os.path.join(positions_path, f"shard={s}"),
+                    spark=spark)
+        # membership AFTER the data commits, FROM the staged snapshot
+        # when present, else the pre-docmeta-staging recompute
+        if fsutil.exists(os.path.join(staging, "docmeta"), spark=spark):
+            merged_meta = spark.read.parquet(
+                os.path.join(staging, "docmeta"))
+        else:
+            docmeta = fsutil.read_parquet_or_empty(
+                spark, docmeta_path, schemas.get("docmeta"))
+            doc_sets = (reassigned.groupBy("doc_id")
+                        .agg(F.collect_set("shard").alias("fresh")))
+            merged_meta = (docmeta.join(doc_sets, "doc_id", "left")
+                           .select("doc_id", "dl",
+                                   F.coalesce(
+                                       "fresh",
+                                       F.array().cast("array<int>"))
+                                    .alias("shards"),
+                                   "dspan")
+                           .localCheckpoint(eager=True))
+        (merged_meta.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("dspan").parquet(docmeta_path))
 
     # descriptor last: fresh geometry, empty chain, reseeded shard_rows.
     # A resume of a run torn AFTER the descriptor commit must not

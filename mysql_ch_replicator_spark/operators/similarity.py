@@ -1038,37 +1038,6 @@ _IVF_SPLIT_STAGING = "_split_staging"     # staged split snapshot
 _IVF_MERGE_STAGING = "_merge_staging"     # staged merge snapshot
 
 
-def _promote_staged_dirs(spark, staged_root: str, live_root: str,
-                         key: str, touched, live_names) -> None:
-    """Commit staged ``key=value`` partition directories into the live
-    table by per-directory delete+rename — the cheap half of the staged
-    protocol: the data was already written ONCE (partitioned, into
-    staging), so promotion is pure filesystem metadata, not a second
-    write+decode pass. Idempotent against the manifest's ``live_names``
-    list: a named directory absent from staging was already promoted by
-    a torn earlier pass (its rename completed — the only way the staged
-    dir disappears); a named directory still staged has its live twin
-    deleted then renamed into place (a crash between the two re-runs
-    safely — the staged dir is untouched until its rename). Touched
-    keys NOT in ``live_names`` were emptied by the action: their live
-    dirs are deleted, the dynamic-overwrite-never-clears-empty rule.
-    Directory rename is atomic on POSIX/HDFS; on object stores it
-    degrades to the same copy semantics Spark's own committer has."""
-    import os
-
-    promoted: set[int] = set()
-    for name in live_names:
-        src = os.path.join(staged_root, name)
-        dst = os.path.join(live_root, name)
-        if fsutil.exists(src, spark=spark):
-            fsutil.delete(dst, spark=spark)
-            fsutil.rename(src, dst, spark=spark)
-        promoted.add(int(name.split("=", 1)[1]))
-    for k in set(touched) - promoted:
-        fsutil.delete(os.path.join(live_root, f"{key}={k}"),
-                      spark=spark)
-
-
 def _ivf_commit_staged(spark, path: str, staging: str, cells, spans,
                        schemas: dict, delete_empty_spans: bool = False,
                        data_empty: bool = False,
@@ -1088,7 +1057,7 @@ def _ivf_commit_staged(spark, path: str, staging: str, cells, spans,
     writes no rows for. Two wire protocols: when the manifest carries
     ``live_names``/``live_span_names`` (r13b), the snapshot was staged
     PARTITIONED and commits by pure-metadata directory promotion
-    (``_promote_staged_dirs`` — no second write, no parquet decode, no
+    (``fsutil.promote_dirs`` — no second write, no parquet decode, no
     probe jobs: the live lists came from a driver-side listing of the
     staged dirs); without them (flat r13a snapshots) it falls back to
     re-reading the snapshot and dynamic-overwriting, with the
@@ -1098,14 +1067,13 @@ def _ivf_commit_staged(spark, path: str, staging: str, cells, spans,
     from concurrent.futures import ThreadPoolExecutor
 
     if live_names is not None:
-        _promote_staged_dirs(spark, os.path.join(staging, "data"), path,
-                             "cell", cells, live_names)
+        fsutil.promote_dirs(os.path.join(staging, "data"), path,
+                             "cell", cells, live_names, spark=spark)
         if spans:
-            _promote_staged_dirs(
-                spark, os.path.join(staging, "members"),
+            fsutil.promote_dirs(os.path.join(staging, "members"),
                 os.path.join(path, _IVF_MEMBERS), "vspan",
                 spans if delete_empty_spans else [],
-                live_span_names or [])
+                live_span_names or [], spark=spark)
         return {int(n.split("=", 1)[1]) for n in live_names}
 
     data = fsutil.read_parquet_or_empty(
@@ -2243,12 +2211,18 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
         if pending.get("pq_books") is not None:
             books_new = [[[float(x) for x in cent] for cent in book]
                          for book in pending["pq_books"]]
+    live_names = live_span_names = None
     if pending is not None and pending.get("staging"):
         # the manifest references a COMPLETE staged snapshot: resume by
         # rewriting from it — never from cell dirs a torn per-partition
         # overwrite may have holed (ADVICE r12); codes in the snapshot
-        # were already encoded with the manifest's books
-        reassigned = spark.read.parquet(staging)
+        # were already encoded with the manifest's books. A partitioned
+        # (r13b) snapshot resumes by pure directory promotion; a flat
+        # (r13a) one re-reads and dynamic-overwrites.
+        live_names = pending.get("live_cells")
+        live_span_names = pending.get("live_spans")
+        reassigned = spark.read.parquet(staging) \
+            if live_names is None else None
     else:
         idx = fsutil.read_parquet_or_empty(
             spark, path, meta.get("schemas", {}).get("index"))
@@ -2306,30 +2280,57 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                                    normalized=True,
                                    books=books_new)).drop("__v")
         (reassigned.select(*rows.columns)   # keep the stored column order
-         .write.mode("overwrite").parquet(staging))
-        manifest = {"centroids": cents_new, "staging": True}
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(os.path.join(staging, "data")))
+        # the membership table is staged beside the data (2-int rows,
+        # derived from the staged files) so the commit is pure
+        # directory promotion for BOTH tables — at 100 TB the
+        # re-assignment pass writes the index exactly once and the
+        # destructive phase touches only filesystem metadata
+        (spark.read.parquet(os.path.join(staging, "data"))
+         .select("vec_id", F.col("cell").cast("int").alias("cell"))
+         .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+         .write.mode("overwrite").partitionBy("vspan")
+         .parquet(os.path.join(staging, "members")))
+        live_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "data"), spark=spark)
+            if n.startswith("cell=")]
+        live_span_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "members"), spark=spark)
+            if n.startswith("vspan=")]
+        manifest = {"centroids": cents_new, "staging": True,
+                    "live_cells": live_names,
+                    "live_spans": live_span_names}
         if books_new is not None:
             manifest["pq_books"] = books_new
         fsutil.write_text(pend_path, json.dumps(manifest), spark=spark)
-        reassigned = spark.read.parquet(staging)
-    (reassigned.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("cell").parquet(path))
-    live = {int(r.cell) for r in
-            reassigned.select("cell").distinct().collect()}
-    # compact: every pre-retrain directory not re-written disappears —
-    # dead slots' dirs (already gone), renumbered tails, emptied cells
-    for c in set(range(1, max(cur_cells, k) + 1)) - live:
-        fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
-
-    # membership rewrite (ids unchanged → same span set, no span deletes)
+        reassigned = None
     members_path = os.path.join(path, _IVF_MEMBERS)
-    (reassigned.select("vec_id",
-                       F.col("cell").cast("int").alias("cell"))
-     .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("vspan").parquet(members_path))
+    if live_names is not None:
+        # compact: every pre-retrain directory not promoted disappears —
+        # dead slots' dirs (already gone), renumbered tails, emptied
+        # cells; ids unchanged → same span set, no span deletes
+        fsutil.promote_dirs(os.path.join(staging, "data"), path,
+                             "cell", range(1, max(cur_cells, k) + 1),
+                             live_names, spark=spark)
+        fsutil.promote_dirs(os.path.join(staging, "members"),
+                             members_path, "vspan", [],
+                             live_span_names or [], spark=spark)
+    else:
+        # flat r13a snapshot: re-read and dynamic-overwrite
+        (reassigned.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell").parquet(path))
+        live = {int(r.cell) for r in
+                reassigned.select("cell").distinct().collect()}
+        for c in set(range(1, max(cur_cells, k) + 1)) - live:
+            fsutil.delete(os.path.join(path, f"cell={c}"), spark=spark)
+        (reassigned.select("vec_id",
+                           F.col("cell").cast("int").alias("cell"))
+         .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("vspan").parquet(members_path))
 
     # descriptor last: compacted geometry, chain reset. A resume of a
     # run torn AFTER the descriptor commit must not re-bump the
