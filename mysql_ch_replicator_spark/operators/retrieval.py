@@ -553,7 +553,9 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
                        derive_df: bool = False, data_empty: bool = False,
                        delete_empty_spans: bool = False,
                        live: set[int] | None = None,
-                       live_spans: set[int] | None = None) -> set[int]:
+                       live_spans: set[int] | None = None,
+                       live_post_names=None, live_pos_names=None,
+                       live_span_names=None) -> set[int]:
     """The destructive phase every staged lexical action shares
     (upsert / split / merge — the compaction has its own
     descriptor-swapping flow): rewrite the touched postings shards,
@@ -575,8 +577,14 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
     staged live sets (from the counts/stats they compute for the
     descriptor anyway) pass them in and skip the probe jobs — the
     upsert runs at a 1 s CDC cadence where jobs, not data, are the
-    budget; the rare restore path leaves them None and probes. Returns
-    the staged postings' live shard set."""
+    budget; the rare restore path leaves them None and probes.
+    ``live_post_names`` / ``live_pos_names`` / ``live_span_names``
+    (r13b): per-table PARTITIONED snapshots commit by pure directory
+    promotion (``fsutil.promote_dirs`` — no second write, no parquet
+    decode) with those manifest-recorded dir-name lists; a table whose
+    list is None keeps the flat read-and-overwrite path (the upsert's
+    postings stay flat because df is derived here). Returns the staged
+    postings' live shard set."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -588,7 +596,12 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
         probe_live = live is None
         if probe_live:
             live = set()
-        if touched_shards and not data_empty:
+        if live_post_names is not None:
+            fsutil.promote_dirs(os.path.join(staging, "postings"),
+                                postings_path, "shard", touched_shards,
+                                live_post_names, spark=spark)
+            live = {int(n.split("=", 1)[1]) for n in live_post_names}
+        elif touched_shards and not data_empty:
             post = fsutil.read_parquet_or_empty(
                 spark, os.path.join(staging, "postings"),
                 schemas.get("postings"))
@@ -607,20 +620,32 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
              .partitionBy("shard").parquet(postings_path))
             if live_f is not None:
                 live = live_f.result()
-            if has_positions:
-                pos = fsutil.read_parquet_or_empty(
-                    spark, os.path.join(staging, "positions"),
-                    schemas.get("positions"))
-                (pos.write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("shard").parquet(positions_path))
-        for s in set(touched_shards) - live:
-            fsutil.delete(os.path.join(postings_path, f"shard={s}"),
-                          spark=spark)
-            if has_positions:
-                fsutil.delete(os.path.join(positions_path, f"shard={s}"),
+        if has_positions and live_pos_names is not None:
+            fsutil.promote_dirs(os.path.join(staging, "positions"),
+                                positions_path, "shard", touched_shards,
+                                live_pos_names, spark=spark)
+        elif has_positions and touched_shards and not data_empty:
+            pos = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "positions"),
+                schemas.get("positions"))
+            (pos.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(positions_path))
+        if live_post_names is None:
+            # flat-postings sweep (promotion sweeps inside promote_dirs)
+            for s in set(touched_shards) - live:
+                fsutil.delete(os.path.join(postings_path, f"shard={s}"),
                               spark=spark)
-        if spans:
+                if has_positions and live_pos_names is None:
+                    fsutil.delete(
+                        os.path.join(positions_path, f"shard={s}"),
+                        spark=spark)
+        if spans and live_span_names is not None:
+            fsutil.promote_dirs(os.path.join(staging, "docmeta"),
+                                docmeta_path, "dspan",
+                                spans if delete_empty_spans else [],
+                                live_span_names, spark=spark)
+        elif spans:
             dm = fsutil.read_parquet_or_empty(
                 spark, os.path.join(staging, "docmeta"),
                 schemas.get("docmeta"))
@@ -671,28 +696,42 @@ def _resume_lexical_upsert(spark, path: str) -> bool:
     staging = os.path.join(path, _LEX_UPSERT_STAGING)
     shards_t = [int(s) for s in doc.get("shards", [])]
     spans_t = [int(s) for s in doc.get("dspans", [])]
+    # the descriptor finals are read from the snapshot BEFORE the commit
+    # — the promotion renames consume the staged span dirs (bounded by
+    # the crashed batch's touched sets either way)
+    fresh: dict = {}
+    counts: dict[int, int] = {}
+    if spans_t and "spans" in meta:
+        fresh = _span_stats_map(
+            fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "docmeta"),
+                schemas.get("docmeta")).select("dl", "dspan"))
+    if shards_t and "shard_rows" in meta:
+        counts = {int(r.shard): int(r.n) for r in
+                  fsutil.read_parquet_or_empty(
+                      spark, os.path.join(staging, "postings"),
+                      schemas.get("postings"))
+                  .groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
     _lex_commit_staged(spark, path, staging, shards_t, spans_t, schemas,
                        has_positions, derive_df=True,
-                       delete_empty_spans=True)
-    # descriptor refresh, state-based from the snapshot (bounded by the
-    # crashed batch's touched sets); a pre-r9/r11 descriptor that never
-    # carried the maps re-seeds them from the committed tables — the
-    # same one-time full pass its next upsert would have paid anyway
+                       delete_empty_spans=True,
+                       live_pos_names=doc.get("live_positions"),
+                       live_span_names=doc.get("live_docmeta"))
+    # descriptor refresh, state-based from the snapshot; a pre-r9/r11
+    # descriptor that never carried the maps re-seeds them from the
+    # committed tables — the same one-time full pass its next upsert
+    # would have paid anyway
     dspan_w = int(meta.get("dspan", _LEX_DSPAN))
     if "spans" in meta:
         spans_map = {k: [int(v[0]), int(v[1])]
                      for k, v in meta["spans"].items()}
-        if spans_t:
-            fresh = _span_stats_map(
-                fsutil.read_parquet_or_empty(
-                    spark, os.path.join(staging, "docmeta"),
-                    schemas.get("docmeta")).select("dl", "dspan"))
-            for s in spans_t:
-                key = str(int(s))
-                if key in fresh:
-                    spans_map[key] = fresh[key]
-                else:
-                    spans_map.pop(key, None)
+        for s in spans_t:
+            key = str(int(s))
+            if key in fresh:
+                spans_map[key] = fresh[key]
+            else:
+                spans_map.pop(key, None)
     else:
         spans_map = _span_stats_map(
             fsutil.read_parquet_or_empty(
@@ -701,18 +740,11 @@ def _resume_lexical_upsert(spark, path: str) -> bool:
     if "shard_rows" in meta:
         shard_rows = {int(k): int(v)
                       for k, v in meta["shard_rows"].items()}
-        if shards_t:
-            counts = {int(r.shard): int(r.n) for r in
-                      fsutil.read_parquet_or_empty(
-                          spark, os.path.join(staging, "postings"),
-                          schemas.get("postings"))
-                      .groupBy("shard")
-                      .agg(F.count(F.lit(1)).alias("n")).collect()}
-            for s in shards_t:
-                if counts.get(s):
-                    shard_rows[s] = counts[s]
-                else:
-                    shard_rows.pop(s, None)
+        for s in shards_t:
+            if counts.get(s):
+                shard_rows[s] = counts[s]
+            else:
+                shard_rows.pop(s, None)
     else:
         shard_rows = {int(r.shard): int(r.n) for r in
                       fsutil.read_parquet_or_empty(
@@ -1051,15 +1083,21 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             mm = mm.withColumn("dspan", F.expr(f"doc_id div {dspan_w}"))
 
             def _meta_side():
-                # staged DURABLY (the old localCheckpoint's barrier AND
-                # the torn-overwrite recovery source, r13); the
-                # O(changed spans) scalar refresh reads the staged
-                # blocks — still no post-write docmeta read, and
-                # state-based, so a crashed batch's re-run (or restore)
-                # writes the identical map
-                (mm.write.mode("overwrite")
+                # staged DURABLY, PARTITIONED (the old localCheckpoint's
+                # barrier AND the torn-overwrite recovery source, r13;
+                # partitioned so the commit promotes the span dirs by
+                # rename — written once); the O(changed spans) scalar
+                # refresh reads the staged blocks — still no post-write
+                # docmeta read, and state-based, so a crashed batch's
+                # re-run (or restore) writes the identical map
+                (mm.write.mode("overwrite").partitionBy("dspan")
                  .parquet(os.path.join(staging, "docmeta")))
-                ck = spark.read.parquet(os.path.join(staging, "docmeta"))
+                # schema-aware read-back: a remove-everything batch
+                # stages an EMPTY docmeta, and a partitioned empty
+                # write leaves no files to infer from
+                ck = fsutil.read_parquet_or_empty(
+                    spark, os.path.join(staging, "docmeta"),
+                    mm.schema.json())
                 return _span_stats_map(ck.select("dl", "dspan"))
 
             meta_f = pool.submit(_meta_side)
@@ -1085,6 +1123,7 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                     .select("shard", "term", "doc_id", "pos"))
             pos_f = pool.submit(
                 lambda: merged_pos.write.mode("overwrite")
+                .partitionBy("shard")
                 .parquet(os.path.join(staging, "positions")))
 
         counts: dict[int, int] = {}
@@ -1134,10 +1173,19 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
         # and a crash anywhere inside it restores idempotently at the
         # next action's entry (_resume_lexical_upsert) or this batch's
         # re-run.
+        live_pos_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "positions"), spark=spark)
+            if n.startswith("shard=")] \
+            if (touched_shards and has_positions) else []
+        live_span_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "docmeta"), spark=spark)
+            if n.startswith("dspan=")] if touched_spans else []
         fsutil.write_text(
             pending,
             json.dumps({"shards": touched_shards,
-                        "dspans": touched_spans, "staging": True}),
+                        "dspans": touched_spans, "staging": True,
+                        "live_positions": live_pos_names,
+                        "live_docmeta": live_span_names}),
             spark=spark)
         if counts_f is not None:
             counts = counts_f.result()
@@ -1145,7 +1193,9 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                            touched_spans, schemas, has_positions,
                            derive_df=True, delete_empty_spans=True,
                            live=set(counts),
-                           live_spans={int(k) for k in fresh})
+                           live_pos_names=live_pos_names
+                           if has_positions else None,
+                           live_span_names=live_span_names)
         # descriptor bookkeeping from the staged finals: emptied spans
         # drop out, untouched entries carry verbatim, (n, tl) re-derive
         # as sums
@@ -1353,6 +1403,9 @@ def split_lexical_shard(spark, path: str,
         # re-deriving the re-placement over them (r13)
         counts = {int(k): int(v) for k, v in pending["counts"].items()}
         touched_spans = [int(s) for s in pending["spans"]]
+        live_post_names = pending.get("live_postings")
+        live_pos_names = pending.get("live_positions")
+        live_span_names = pending.get("live_docmeta")
     else:
         # union of both split directories, deduped on (term, doc_id): a
         # fresh split sees the empty new side, a LEGACY (pre-r13
@@ -1400,10 +1453,13 @@ def split_lexical_shard(spark, path: str,
         # stage the snapshot (postings + positions twin + merged
         # membership spans) BEFORE the manifest, the manifest BEFORE
         # any destructive mutation — the retrain's protocol (ADVICE
-        # r12, extended to the incremental actions in r13); the staged
-        # writes double as the old localCheckpoints' materialization
-        # barriers. A legacy manifest upgrades itself here.
-        (reassigned.write.mode("overwrite")
+        # r12, extended to the incremental actions in r13); staged
+        # PARTITIONED so the commit promotes the directories by rename
+        # (the split's data is written exactly once — df rides in the
+        # staged rows, terms move wholesale), and the staged writes
+        # double as the old localCheckpoints' materialization barriers.
+        # A legacy manifest upgrades itself here.
+        (reassigned.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(staging, "postings")))
         reassigned = spark.read.parquet(os.path.join(staging,
                                                      "postings"))
@@ -1423,7 +1479,7 @@ def split_lexical_shard(spark, path: str,
                  "shard",
                  F.when(moved, F.lit(dst)).otherwise(F.lit(src))
                  .cast("int"))
-             .write.mode("overwrite")
+             .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(staging, "positions")))
         # membership recompute, state-based from the staged
         # reassignment: only the spans holding the shard's documents;
@@ -1451,22 +1507,39 @@ def split_lexical_shard(spark, path: str,
                          F.col("fresh")))
                  .otherwise(F.col("shards")).alias("shards"),
                  "dspan")
-             .write.mode("overwrite")
+             .write.mode("overwrite").partitionBy("dspan")
              .parquet(os.path.join(staging, "docmeta")))
+        live_post_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "postings"), spark=spark)
+            if n.startswith("shard=")]
+        live_pos_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "positions"), spark=spark)
+            if n.startswith("shard=")] if has_positions else []
+        live_span_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "docmeta"), spark=spark)
+            if n.startswith("dspan=")] if touched_spans else []
         fsutil.write_text(
             pend_path,
             json.dumps({"src": src, "dst": dst, "salt": salt,
                         "spans": touched_spans,
                         "counts": {str(k): int(v)
                                    for k, v in counts.items()},
-                        "staging": True}),
+                        "staging": True,
+                        "live_postings": live_post_names,
+                        "live_positions": live_pos_names,
+                        "live_docmeta": live_span_names}),
             spark=spark)
 
     # destructive phase, entirely from the staged snapshot: data (+
-    # positions twin) with the emptied-dir sweep first, membership
-    # strictly after — the split never empties a span, so no span sweep
+    # positions twin) promotion with the emptied-dir sweep first,
+    # membership strictly after — the split never empties a span, so
+    # no span sweep
     _lex_commit_staged(spark, path, staging, [src, dst], touched_spans,
-                       schemas, has_positions, live=set(counts))
+                       schemas, has_positions, live=set(counts),
+                       live_post_names=live_post_names,
+                       live_pos_names=live_pos_names
+                       if has_positions else None,
+                       live_span_names=live_span_names)
 
     # descriptor last; dl/span stats are untouched by design, so the
     # whole meta carries over with just the split appended (idempotent:
@@ -1932,26 +2005,34 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
         touched_spans = [int(s) for s in pending["spans"]]
         data_empty = bool(pending.get("empty"))
         total = int(pending.get("total", 0))
+        live_post_names = pending.get("live_postings")
+        live_pos_names = pending.get("live_positions")
+        live_span_names = pending.get("live_docmeta")
     else:
         rows = (postings.where(F.col("shard").isin([src, dst]))
                 .dropDuplicates(["term", "doc_id"])
                 .withColumn("shard", F.lit(int(dst)).cast("int")))
-        # both shards already empty — descriptor-only merge; probed
-        # BEFORE staging so an empty snapshot (whose read-back would
-        # need a schema a pre-r10 descriptor may not carry) is never
-        # written
-        data_empty = rows.isEmpty()
+        # stage the snapshot (postings + positions twin + merged
+        # membership spans) BEFORE the manifest, the manifest BEFORE
+        # any destructive mutation — the retrain's protocol (ADVICE
+        # r12, extended to the incremental actions in r13); staged
+        # PARTITIONED so the commit promotes by rename (ONE evaluation
+        # of the union-dedup plan, one write — no isEmpty pre-pass),
+        # doubling as the old localCheckpoints' barriers. Both shards
+        # empty (a delete wave swept them) falls out of the staged
+        # listing: no shard dir written ⇒ descriptor-only merge. A
+        # legacy manifest upgrades itself here.
+        (rows.write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(staging, "postings")))
+        live_post_names = [n for n in fsutil.list_names(
+            os.path.join(staging, "postings"), spark=spark)
+            if n.startswith("shard=")]
+        data_empty = not live_post_names
         total = 0
         touched_spans: list[int] = []
+        live_pos_names: list = []
+        live_span_names: list = []
         if not data_empty:
-            # stage the snapshot (postings + positions twin + merged
-            # membership spans) BEFORE the manifest, the manifest
-            # BEFORE any destructive mutation — the retrain's protocol
-            # (ADVICE r12, extended to the incremental actions in r13);
-            # the staged writes double as the old localCheckpoints'
-            # barriers. A legacy manifest upgrades itself here.
-            (rows.write.mode("overwrite")
-             .parquet(os.path.join(staging, "postings")))
             rows = spark.read.parquet(os.path.join(staging, "postings"))
             # authoritative union-dedup count for the descriptor's
             # shard_rows (one bounded job over the staged blocks —
@@ -1964,8 +2045,11 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
                  .where(F.col("shard").isin([src, dst]))
                  .dropDuplicates(["term", "doc_id", "pos"])
                  .withColumn("shard", F.lit(int(dst)).cast("int"))
-                 .write.mode("overwrite")
+                 .write.mode("overwrite").partitionBy("shard")
                  .parquet(os.path.join(staging, "positions")))
+                live_pos_names = [n for n in fsutil.list_names(
+                    os.path.join(staging, "positions"), spark=spark)
+                    if n.startswith("shard=")]
             # membership recompute, state-based from the staged rows —
             # each merged doc's shards array drops {src, dst} and gains
             # {dst} (the split's recompute verbatim)
@@ -1991,13 +2075,19 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
                              F.col("fresh")))
                      .otherwise(F.col("shards")).alias("shards"),
                      "dspan")
-                 .write.mode("overwrite")
+                 .write.mode("overwrite").partitionBy("dspan")
                  .parquet(os.path.join(staging, "docmeta")))
+                live_span_names = [n for n in fsutil.list_names(
+                    os.path.join(staging, "docmeta"), spark=spark)
+                    if n.startswith("dspan=")]
         fsutil.write_text(
             pend_path,
             json.dumps({"src": src, "dst": dst, "spans": touched_spans,
                         "empty": data_empty, "total": total,
-                        "staging": True}),
+                        "staging": True,
+                        "live_postings": live_post_names,
+                        "live_positions": live_pos_names,
+                        "live_docmeta": live_span_names}),
             spark=spark)
 
     # destructive phase, entirely from the staged snapshot: the
@@ -2005,7 +2095,11 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
     # merge was empty; membership strictly after the data
     _lex_commit_staged(spark, path, staging, [src, dst], touched_spans,
                        schemas, has_positions, data_empty=data_empty,
-                       live=set() if data_empty else {int(dst)})
+                       live=set() if data_empty else {int(dst)},
+                       live_post_names=live_post_names,
+                       live_pos_names=live_pos_names
+                       if has_positions else None,
+                       live_span_names=live_span_names)
 
     # descriptor last (idempotent on resume: set/chain semantics)
     entry = {"src": int(src), "dst": int(dst), "salt": None}
