@@ -1659,11 +1659,18 @@ def compact_lexical_index(spark, path: str,
     cur_shards = int(meta["shards"])
     splits = list(meta.get("splits", []))
     if pending is None and not splits and shards is None:
-        # base placement already: no-op — but reap an orphaned staging
-        # snapshot (crash between manifest delete and staging delete)
-        orphan = os.path.join(path, _LEX_COMPACT_STAGING)
-        if fsutil.exists(orphan, spark=spark):
-            fsutil.delete(orphan, spark=spark)
+        # base placement already: no-op — but reap orphaned staging
+        # snapshots (crash between manifest delete and staging delete;
+        # the incremental actions' orphans are bounded and also
+        # overwritten by their next run — the rebuild is the natural GC
+        # point, and every pending manifest was restored/resumed at
+        # entry so nothing references these dirs here)
+        for p in (os.path.join(path, _LEX_COMPACT_STAGING),
+                  os.path.join(path, _LEX_UPSERT_STAGING),
+                  os.path.join(path, _LEX_SPLIT_STAGING),
+                  os.path.join(path, _LEX_MERGE_STAGING)):
+            if fsutil.exists(p, spark=spark):
+                fsutil.delete(p, spark=spark)
         return None
     if pending is not None:
         if shards is not None and int(shards) != int(pending["shards"]):

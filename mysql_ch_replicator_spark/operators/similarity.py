@@ -2192,12 +2192,21 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     staging = os.path.join(path, _IVF_RETRAIN_STAGING)
     if pending is None and not force and not dead and chain == 0 \
             and n_cells is None and not train_pq:
-        # geometry never drifted: no-op — but reap an orphaned staging
-        # snapshot first (a crash between the manifest delete and the
-        # staging delete leaves a full-index-size dir that no healthy
-        # index would otherwise ever revisit)
-        if fsutil.exists(staging, spark=spark):
-            fsutil.delete(staging, spark=spark)
+        # geometry never drifted: no-op — but reap orphaned staging
+        # snapshots first (a crash between the manifest delete and the
+        # staging delete leaves a dir no healthy index would otherwise
+        # ever revisit — full-index-size for the retrain's own, bounded
+        # by one batch/two cells for the incremental actions, each also
+        # overwritten by that action's next run; the rebuild is the
+        # natural GC point because it is already a full pass)
+        # (safe: every pending manifest was restored/resumed at entry,
+        # so nothing references these dirs here)
+        for p in (staging,
+                  os.path.join(path, _IVF_UPSERT_STAGING),
+                  os.path.join(path, _IVF_SPLIT_STAGING),
+                  os.path.join(path, _IVF_MERGE_STAGING)):
+            if fsutil.exists(p, spark=spark):
+                fsutil.delete(p, spark=spark)
         return None
     books_new: list | None = None
     if pending is not None:

@@ -1,6 +1,7 @@
-"""Round-13 properties: staged-snapshot crash contracts for the two
-index rebuilds, rebuild-counter idempotence, config validation, and the
-auto-widen persistence fix.
+"""Round-13 properties: staged-snapshot crash contracts for ALL EIGHT
+index actions (upsert/split/merge/rebuild x both families, including
+the promotion-by-rename commit), rebuild-counter idempotence, config
+validation, and the auto-widen persistence fix.
 
 The r12 ADVICE found the one real hole in the rebuild crash story:
 Spark's dynamic partition overwrite commits per-partition (delete old
@@ -1468,3 +1469,108 @@ def test_compact_torn_docmeta_overwrite_keeps_dl(spark, tmp_path):
     assert k is not None
     write_lexical_index(docs, fresh, shards=k, span_width=16)
     assert _lex_state(spark, path) == _lex_state(spark, fresh)
+
+
+# ---------------------------------------------------------------------------
+# Promotion-commit idempotence (r13b): staged PARTITIONED snapshots
+# commit by per-directory delete+rename. The resume matrix: a
+# manifest-listed dir absent from staging was already promoted; one
+# still staged has its live twin deleted+renamed; a touched key not
+# listed was emptied and its live dir is swept.
+# ---------------------------------------------------------------------------
+
+
+def test_promote_dirs_idempotence_matrix(spark, tmp_path):
+    import shutil
+
+    staged = tmp_path / "stage"
+    live = tmp_path / "live"
+    for c in (1, 2, 3):
+        (staged / f"cell={c}").mkdir(parents=True)
+        (staged / f"cell={c}" / "part-0").write_text(f"new{c}")
+    for c in (1, 2, 3, 4):
+        (live / f"cell={c}").mkdir(parents=True)
+        (live / f"cell={c}" / "part-0").write_text(f"old{c}")
+    live_names = ["cell=1", "cell=2", "cell=3"]
+    # simulate a torn earlier pass: cell=1 fully promoted (staged dir
+    # consumed), cell=2 mid-tear (live deleted, rename not yet run)
+    shutil.rmtree(live / "cell=1")
+    shutil.move(str(staged / "cell=1"), str(live / "cell=1"))
+    shutil.rmtree(live / "cell=2")
+
+    fsutil.promote_dirs(str(staged), str(live), "cell",
+                        [1, 2, 3, 4], live_names)
+    for c in (1, 2, 3):
+        assert (live / f"cell={c}" / "part-0").read_text() == f"new{c}"
+    assert not (live / "cell=4").exists(), "emptied key not swept"
+    # a second (crash-recovery) pass over the same manifest is a no-op
+    fsutil.promote_dirs(str(staged), str(live), "cell",
+                        [1, 2, 3, 4], live_names)
+    for c in (1, 2, 3):
+        assert (live / f"cell={c}" / "part-0").read_text() == f"new{c}"
+
+
+def test_upsert_torn_mid_promotion_restored(spark, corpus, tmp_path):
+    """A crash INSIDE the promotion loop (one cell already renamed into
+    place, another's live dir deleted but its rename not run) restores
+    to exactly the never-crashed state on re-run."""
+    import shutil
+
+    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
+    write_ivf_index(corpus, path, n_cells=4)
+    write_ivf_index(corpus, clean, n_cells=4)
+    # a batch spread across the vector space so several cells stage
+    adds = _vc(spark, [(100 + i, _vec(i)) for i in range(12)])
+    removes = spark.createDataFrame([(3,), (7,), (11,), (20,)],
+                                    "vec_id long")
+    upsert_ivf_index(spark, clean, adds=adds, removes=removes)
+
+    real_write, crashing = _crash_after_write("_ivf_upsert_pending.json")
+    fsutil.write_text = crashing
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_ivf_index(spark, path, adds=adds, removes=removes)
+    finally:
+        fsutil.write_text = real_write
+    pend = json.loads(fsutil.read_text(
+        os.path.join(path, "_ivf_upsert_pending.json")))
+    names = list(pend["live_cells"])
+    assert len(names) >= 2, "need two staged cells for the tear"
+    # cell A: promotion completed (staged dir consumed by the rename)
+    a = names[0]
+    shutil.rmtree(os.path.join(path, a), ignore_errors=True)
+    shutil.move(os.path.join(path, "_upsert_staging", "data", a),
+                os.path.join(path, a))
+    # cell B: torn between delete(live) and rename(staged)
+    b = names[1]
+    shutil.rmtree(os.path.join(path, b), ignore_errors=True)
+
+    upsert_ivf_index(spark, path, adds=adds, removes=removes)
+    assert _idx_state(spark, path) == _idx_state(spark, clean)
+    assert not fsutil.exists(os.path.join(path, "_upsert_staging"))
+
+
+def test_rebuild_noop_reaps_incremental_orphans(spark, corpus, docs,
+                                                tmp_path):
+    """The rebuilds' no-op paths reap orphaned incremental stagings
+    (crash between manifest delete and staging delete) — the rebuild is
+    the natural GC point; nothing references the dirs by then."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        compact_lexical_index, write_lexical_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_cells=4)
+    for d in ("_upsert_staging", "_split_staging", "_merge_staging"):
+        os.makedirs(os.path.join(path, d, "data"))
+    assert retrain_ivf_index(spark, path) is None
+    for d in ("_upsert_staging", "_split_staging", "_merge_staging"):
+        assert not fsutil.exists(os.path.join(path, d)), d
+
+    lex = str(tmp_path / "lex")
+    write_lexical_index(docs, lex, shards=4)
+    for d in ("_upsert_staging", "_split_staging", "_merge_staging"):
+        os.makedirs(os.path.join(lex, d, "postings"))
+    assert compact_lexical_index(spark, lex) is None
+    for d in ("_upsert_staging", "_split_staging", "_merge_staging"):
+        assert not fsutil.exists(os.path.join(lex, d)), d
