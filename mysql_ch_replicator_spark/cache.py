@@ -36,9 +36,21 @@ _TRANSIENT_LOCK = threading.Lock()
 
 
 def transient_persist(df: DataFrame,
-                      limit: int = TRANSIENT_CACHE_LIMIT) -> DataFrame:
+                      limit: int = TRANSIENT_CACHE_LIMIT,
+                      eager: bool = False) -> DataFrame:
     """persist() with bounded lifetime: evicts the oldest registered
-    transient cache once more than ``limit`` are alive."""
+    transient cache once more than ``limit`` are alive.
+
+    ``eager=True`` materializes the cache NOW with one count() job.
+    Use it when the FIRST consumers run on concurrent scheduler threads
+    (overlapped writers/collects): Spark's cache has no stampede
+    protection — N concurrent jobs that all first-touch an unpopulated
+    cache each recompute the full plan (measured: the 3 overlapped
+    lexical-index writers re-ran the tokenize 3x, and 8 concurrent AQE
+    broadcast stages re-ran a 1-task Arrow decode 8x). One eager job
+    pays the plan once; every overlapped consumer then reads blocks.
+    Leave False (default) when consumption is serial — the first
+    consumer materializes it for free."""
     df.persist()
     evicted: list[DataFrame] = []
     with _TRANSIENT_LOCK:
@@ -47,6 +59,8 @@ def transient_persist(df: DataFrame,
             evicted.append(_TRANSIENT.popleft())
     for old in evicted:  # unpersist outside the lock — it can block on the JVM
         old.unpersist()
+    if eager:
+        df.count()
     return df
 
 

@@ -263,3 +263,38 @@ def read_parquet_or_empty(spark: SparkSession, root: str,
     from pyspark.sql.types import StructType
     return spark.createDataFrame(
         [], StructType.fromJson(_json.loads(schema_json)))
+
+
+def cluster_by_dir(df, part_col: str, id_col: str,
+                   n_dirs: int | None = None):
+    """Cluster a frame by its output partition directory before a
+    ``partitionBy`` write (guide: hash write-distribution — the Iceberg
+    ``write.distribution-mode=hash`` shape).
+
+    An unclustered partitioned write emits up to tasks x dirs files:
+    every writer task opens one file per directory value it happens to
+    hold (measured at sf0.1: 416 files for a 16-shard positions table,
+    160 for a 5-span docmeta — each later read/copy/promote pays per
+    file). Clustering by the partition column makes files-per-dir a
+    function of the SECONDARY key count instead of the task count.
+
+    ``n_dirs`` — expected live directory count. The secondary key
+    splits each directory across ``shuffle.partitions // n_dirs``
+    writer tasks so one huge directory (an IVF cell at 100 TB) keeps
+    write parallelism; with ``n_dirs`` None (bounded-size dirs: doc/vec
+    spans, whose row count the span width caps by design) each
+    directory becomes exactly one file. The secondary key derives from
+    the row id (deterministic under task retry — never ``rand()``,
+    SPARK-38388), and ``shuffle.partitions`` is the per-deploy scale
+    knob, so the same code lands sane layouts at sf0.001 and at
+    cluster scale."""
+    from pyspark.sql import functions as F
+
+    sess = df.sparkSession
+    shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    sub = max(1, shuffle_n // max(int(n_dirs), 1)) if n_dirs else 1
+    if sub <= 1:
+        return df.repartition(F.col(part_col))
+    return df.repartition(
+        F.col(part_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub)))

@@ -47,7 +47,15 @@ def pack_fake_image(doc_id: int, text: str) -> bytes:
 def attach_fake_binary(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Produce the (id, image binary) frame — the stand-in for reading real
-    image bytes from a lake. mapInPandas keeps partitioning; no shuffle."""
+    image bytes from a lake. mapInPandas keeps partitioning; no shuffle.
+    Deliberately NOT ``spread``: an r13 A/B measured the whole synthetic
+    decode at ~0.4 s on one task vs ~1.2-2.0 s repartitioned 32-way at
+    sf0.1 (the shuffle + 32 Arrow batches cost more than the decode),
+    and every downstream stage over a 32-partition frame then pays 32
+    task launches instead of 1. The real lake ingress
+    (``ingest_binary_files``) is split by ``maxPartitionBytes``, so
+    production decode parallelism comes from the source, not from a
+    repartition here."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("image", T.BinaryType()),

@@ -313,48 +313,64 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
                 F.count(F.lit(1)).cast("long").alias("tf")))
     else:
         per = _tokenized_tf(docs, id_col, text_col)
-    # persisted: the docmeta write AND the descriptor's span-stats
-    # aggregate both consume it — without the persist the doc-keyed
-    # join/aggregate would run twice
+    # persisted EAGERLY: the table writers below run on CONCURRENT
+    # scheduler threads and all first-touch this chain (meta_df → per →
+    # pos_tok) — without one eager materialization each overlapped
+    # writer recomputed the whole tokenize for itself (cache stampede;
+    # measured 3x the tokenize cost at sf0.1). One count() here pays
+    # the chain once and populates all three caches serially.
     meta_df = transient_persist(
         _doc_meta(docs, per, id_col, shards)
-        .withColumn("dspan", F.expr(f"doc_id div {span_width}")))
+        .withColumn("dspan", F.expr(f"doc_id div {span_width}")),
+        eager=True)
     dfreq = per.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     postings = (per.join(dfreq, "term")
                 .withColumn("shard", h60(F.col("term")) % shards))
 
+    # every table clusters by its partition directory before the write
+    # (fsutil.cluster_by_dir): unclustered, each writer task opened one
+    # file per directory it held — tasks x dirs tiny files (measured
+    # 416 for positions at sf0.1) that every later probe, fixture copy
+    # and staged promotion paid for per file
     def _write_postings():
-        (postings.select("shard", "term", "doc_id", "tf", "df")
+        (fsutil.cluster_by_dir(
+            postings.select("shard", "term", "doc_id", "tf", "df"),
+            "shard", "doc_id", shards)
          .write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(path, "postings")))
 
     def _write_docmeta():
         # docmeta partitioned by doc-id span so an incremental upsert
         # rewrites only the spans holding changed docs (the IVF
-        # touched-cells rule)
-        (meta_df.write.mode("overwrite").partitionBy("dspan")
+        # touched-cells rule); span size is width-bounded, so one file
+        # per span is the right layout at any corpus scale
+        (fsutil.cluster_by_dir(meta_df, "dspan", "doc_id")
+         .write.mode("overwrite").partitionBy("dspan")
          .parquet(os.path.join(path, "docmeta")))
 
     def _write_positions():
-        (pos_tok.withColumn("shard", (h60(F.col("term")) % shards)
-                            .cast("int"))
-         .select("shard", "term", "doc_id", "pos")
+        (fsutil.cluster_by_dir(
+            pos_tok.withColumn("shard", (h60(F.col("term")) % shards)
+                               .cast("int"))
+            .select("shard", "term", "doc_id", "pos"),
+            "shard", "doc_id", shards)
          .write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(path, "positions")))
 
     # the table writes are independent at BUILD time (no reader sees
     # the dir until the descriptor lands last), and all hang off the
-    # same persisted tokenize — submit concurrently like checkpoint_pair
-    # so the later ones don't pay scheduling + IO latency serially (the
-    # UPSERT path must stay ordered: its docmeta commits strictly after
-    # postings for the torn-batch superset contract)
+    # same (eagerly materialized) persisted tokenize — submit
+    # concurrently like checkpoint_pair so the later ones don't pay
+    # scheduling + IO latency serially (the UPSERT path must stay
+    # ordered: its docmeta commits strictly after postings for the
+    # torn-batch superset contract). The two bounded descriptor
+    # aggregates (span stats, per-shard posting counts) read the same
+    # caches and depend on no write — they overlap on the same pool
+    # instead of running serially after it.
     writers = [_write_postings, _write_docmeta]
     if positions:
         writers.append(_write_positions)
-    with ThreadPoolExecutor(max_workers=len(writers)) as pool:
-        for f in [pool.submit(w) for w in writers]:
-            f.result()
     # ONE per-span aggregate over the docmeta frame defines the
     # descriptor: spans[s] = (count, sum dl), with (n, tl) their sums —
     # the SAME state-based convention the upsert's O(changed spans)
@@ -363,15 +379,23 @@ def write_lexical_index(docs: DataFrame, path: str, shards: int = 16,
     # on duplicate-id inputs and silently shift every idf6), and no
     # second corpus scan. The collect is bounded by the span COUNT,
     # which span_width keeps ~1e4 at any corpus size.
-    spans_map = _span_stats_map(meta_df.select("dl", "dspan"))
+    spans_f = lambda: _span_stats_map(meta_df.select("dl", "dspan"))  # noqa: E731
     # per-shard posting-row counts seed the descriptor (one bounded
     # aggregate over the already-persisted tokenize — postings rows ==
     # per rows, the df join never changes the count), so the load-factor
     # poll starts descriptor-only from day one (ADVICE r10)
-    shard_rows = {int(r.shard): int(r.n) for r in
-                  per.groupBy((h60(F.col("term")) % shards).cast("int")
-                              .alias("shard"))
-                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows_f = lambda: {int(r.shard): int(r.n) for r in  # noqa: E731
+                      per.groupBy((h60(F.col("term")) % shards)
+                                  .cast("int").alias("shard"))
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+    with ThreadPoolExecutor(max_workers=len(writers) + 2) as pool:
+        futures = [pool.submit(w) for w in writers]
+        spans_fut = pool.submit(spans_f)
+        rows_fut = pool.submit(rows_f)
+        for f in futures:
+            f.result()
+        spans_map = spans_fut.result()
+        shard_rows = rows_fut.result()
     # read-back schemas (one footer read per table): what keeps the
     # index READABLE after a remove-everything CDC window sweeps every
     # partition directory — see fsutil.read_parquet_or_empty
@@ -615,7 +639,9 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
                 live_f = pool.submit(
                     lambda: {int(r.shard) for r in
                              post.select("shard").distinct().collect()})
-            (post.write.mode("overwrite")
+            (fsutil.cluster_by_dir(post, "shard", "doc_id",
+                                   len(touched_shards) or None)
+             .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("shard").parquet(postings_path))
             if live_f is not None:
@@ -1014,6 +1040,14 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # would burn a slot in the bounded cache registry for the
             # same frame)
             new_per = _tokenized_tf(kept, id_col, text_col)
+        # materialize the batch tokenize ONCE before the overlapped
+        # consumers fork: the new-term discovery collect, the postings
+        # merge write and the docmeta merge all first-touch this cache
+        # from concurrent scheduler threads, and an unpopulated cache
+        # has no stampede protection — each would re-tokenize the batch
+        # (with positions, this one job also populates the new_pos
+        # cache the positions merge reads)
+        new_per.count()
         new_meta = _doc_meta(kept, new_per, id_col, shards,
                              splits=splits)
 
@@ -1090,7 +1124,8 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                 # refresh reads the staged blocks — still no post-write
                 # docmeta read, and state-based, so a crashed batch's
                 # re-run (or restore) writes the identical map
-                (mm.write.mode("overwrite").partitionBy("dspan")
+                (fsutil.cluster_by_dir(mm, "dspan", "doc_id")
+                 .write.mode("overwrite").partitionBy("dspan")
                  .parquet(os.path.join(staging, "docmeta")))
                 # schema-aware read-back: a remove-everything batch
                 # stages an EMPTY docmeta, and a partitioned empty
@@ -1122,7 +1157,10 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
                         "shard", _shard_expr(F.col("term"), shards, splits))
                     .select("shard", "term", "doc_id", "pos"))
             pos_f = pool.submit(
-                lambda: merged_pos.write.mode("overwrite")
+                lambda: fsutil.cluster_by_dir(
+                    merged_pos, "shard", "doc_id",
+                    len(touched_shards))
+                .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(os.path.join(staging, "positions")))
 
@@ -1407,14 +1445,19 @@ def split_lexical_shard(spark, path: str,
         live_pos_names = pending.get("live_positions")
         live_span_names = pending.get("live_docmeta")
     else:
-        # union of both split directories, deduped on (term, doc_id): a
-        # fresh split sees the empty new side, a LEGACY (pre-r13
-        # manifest) resume the torn remainder — the rewrite input is
-        # invariant under any partial commit (the IVF split's recovery
-        # algebra). df rides along unchanged: terms move wholesale, so
-        # every term's posting count is placement-independent.
-        rows = (postings.where(F.col("shard").isin([src, dst]))
-                .dropDuplicates(["term", "doc_id"]))
+        # union of both split directories: a fresh split sees the empty
+        # new side, a LEGACY (pre-r13 manifest) resume whatever the
+        # torn rewrite left — only THAT resume can hold a (term, doc)
+        # in both dirs, so only it pays the dedup shuffle; the fresh
+        # path (no manifest ⇒ every prior action fully committed ⇒ one
+        # row per (term, doc_id) by the placement invariant) skips it
+        # outright, removing a full exchange from every split-input
+        # consumer below (salt stat, staging write). df rides along
+        # unchanged: terms move wholesale, so every term's posting
+        # count is placement-independent.
+        rows = postings.where(F.col("shard").isin([src, dst]))
+        if pending is not None:
+            rows = rows.dropDuplicates(["term", "doc_id"])
         if salt is None:
             # salt selection, ONE bounded aggregate: a shard holding
             # few terms can land them all on one side of a given salted
@@ -1447,9 +1490,11 @@ def split_lexical_shard(spark, path: str,
                     f"TERM cannot be split without breaking the "
                     f"one-shard-per-term df invariant)")
         moved = h60(F.concat(F.lit(salt + "|"), F.col("term"))) % 2 == 1
-        reassigned = rows.withColumn(
-            "shard", F.when(moved, F.lit(dst)).otherwise(F.lit(src))
-            .cast("int"))
+        reassigned = fsutil.cluster_by_dir(
+            rows.withColumn(
+                "shard", F.when(moved, F.lit(dst)).otherwise(F.lit(src))
+                .cast("int")),
+            "shard", "doc_id", 2)
         # stage the snapshot (postings + positions twin + merged
         # membership spans) BEFORE the manifest, the manifest BEFORE
         # any destructive mutation — the retrain's protocol (ADVICE
@@ -1470,15 +1515,18 @@ def split_lexical_shard(spark, path: str,
                   reassigned.groupBy("shard")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
         if has_positions:
-            (fsutil.read_parquet_or_empty(
+            pos_in = (fsutil.read_parquet_or_empty(
                 spark, os.path.join(path, "positions"),
                 schemas.get("positions"))
-             .where(F.col("shard").isin([src, dst]))
-             .dropDuplicates(["term", "doc_id", "pos"])
-             .withColumn(
-                 "shard",
-                 F.when(moved, F.lit(dst)).otherwise(F.lit(src))
-                 .cast("int"))
+                .where(F.col("shard").isin([src, dst])))
+            if pending is not None:   # legacy torn-resume input only
+                pos_in = pos_in.dropDuplicates(["term", "doc_id", "pos"])
+            (fsutil.cluster_by_dir(
+                pos_in.withColumn(
+                    "shard",
+                    F.when(moved, F.lit(dst)).otherwise(F.lit(src))
+                    .cast("int")),
+                "shard", "doc_id", 2)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(staging, "positions")))
         # membership recompute, state-based from the staged
@@ -1493,20 +1541,22 @@ def split_lexical_shard(spark, path: str,
         if touched_spans:
             docmeta = fsutil.read_parquet_or_empty(
                 spark, docmeta_path, schemas.get("docmeta"))
-            (docmeta.where(F.col("dspan").isin(touched_spans))
-             .join(doc_sets, "doc_id", "left")
-             .select(
-                 "doc_id", "dl",
-                 F.when(
-                     F.col("fresh").isNotNull(),
-                     F.array_union(
-                         F.array_except(
-                             F.col("shards"),
-                             F.array(F.lit(src), F.lit(dst))
-                             .cast("array<int>")),
-                         F.col("fresh")))
-                 .otherwise(F.col("shards")).alias("shards"),
-                 "dspan")
+            (fsutil.cluster_by_dir(
+                docmeta.where(F.col("dspan").isin(touched_spans))
+                .join(doc_sets, "doc_id", "left")
+                .select(
+                    "doc_id", "dl",
+                    F.when(
+                        F.col("fresh").isNotNull(),
+                        F.array_union(
+                            F.array_except(
+                                F.col("shards"),
+                                F.array(F.lit(src), F.lit(dst))
+                                .cast("array<int>")),
+                            F.col("fresh")))
+                    .otherwise(F.col("shards")).alias("shards"),
+                    "dspan"),
+                "dspan", "doc_id")
              .write.mode("overwrite").partitionBy("dspan")
              .parquet(os.path.join(staging, "docmeta")))
         live_post_names = [n for n in fsutil.list_names(
@@ -1715,52 +1765,84 @@ def compact_lexical_index(spark, path: str,
                 os.path.join(staging, "positions")) \
                 if has_positions else None
     else:
-        # union of every shard directory deduped: a fresh compaction
-        # sees the clean index, a LEGACY (pre-staging manifest) resume
+        # union of every shard directory: a fresh compaction sees the
+        # clean index (no manifest ⇒ every action fully committed ⇒ one
+        # row per (term, doc_id) by the placement invariant — no dedup
+        # shuffle); a LEGACY (pre-staging manifest) resume sees
         # whatever a torn rewrite left (a term's rows possibly in two
         # dirs — identical rows, only the shard differs; placement is a
-        # pure function, so the legacy re-run stays deterministic)
-        rows = (fsutil.read_parquet_or_empty(spark, postings_path,
-                                             schemas.get("postings"))
-                .dropDuplicates(["term", "doc_id"]))
+        # pure function, so the legacy re-run stays deterministic) and
+        # only THAT path pays the dedup exchange
+        rows = fsutil.read_parquet_or_empty(spark, postings_path,
+                                            schemas.get("postings"))
+        if pending is not None:
+            rows = rows.dropDuplicates(["term", "doc_id"])
         # stage the re-homed snapshots BEFORE any destructive mutation
         # (also the materialization barrier the old localCheckpoint
-        # provided); the manifest is written strictly AFTER both
-        # staging writes return, so manifest ⇒ staging complete
-        (rows.withColumn("shard", (h60(F.col("term")) % k).cast("int"))
-         .write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(staging, "postings")))
-        reassigned = spark.read.parquet(os.path.join(staging, "postings"))
-        # per-shard counts for the descriptor's shard_rows reseed —
-        # carried in the manifest so a promote-resume (whose renames
-        # consume the staged dirs) never needs to re-read them
-        counts = {int(r.shard): int(r.n) for r in
-                  reassigned.groupBy("shard")
-                  .agg(F.count(F.lit(1)).alias("n")).collect()}
-        if has_positions:
-            (fsutil.read_parquet_or_empty(
+        # provided); the manifest is written strictly AFTER every
+        # staging write returns, so manifest ⇒ staging complete. The
+        # positions re-home is independent of the postings staging, and
+        # the counts + membership stages only need the STAGED postings
+        # — so positions overlaps the postings write, and counts +
+        # docmeta overlap each other after it (three scheduler threads,
+        # same commit order as the serial code).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stage_positions():
+            if not has_positions:
+                return
+            pos_in = fsutil.read_parquet_or_empty(
                 spark, os.path.join(path, "positions"),
                 schemas.get("positions"))
-             .dropDuplicates(["term", "doc_id", "pos"])
-             .withColumn("shard", (h60(F.col("term")) % k).cast("int"))
+            if pending is not None:   # legacy torn-resume input only
+                pos_in = pos_in.dropDuplicates(
+                    ["term", "doc_id", "pos"])
+            (fsutil.cluster_by_dir(
+                pos_in.withColumn("shard",
+                                  (h60(F.col("term")) % k).cast("int")),
+                "shard", "doc_id", k)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(staging, "positions")))
-        # membership recompute staged too (r13): the docmeta dynamic
-        # overwrite has the same per-partition tear as the data dirs —
-        # this recompute reads the LIVE docmeta, so a resume after a
-        # torn docmeta overwrite would read a holed span and lose its
-        # docs' dl/membership forever; from the snapshot it cannot
-        (fsutil.read_parquet_or_empty(spark, docmeta_path,
-                                      schemas.get("docmeta"))
-         .join(reassigned.groupBy("doc_id")
-               .agg(F.collect_set("shard").alias("fresh")),
-               "doc_id", "left")
-         .select("doc_id", "dl",
-                 F.coalesce("fresh", F.array().cast("array<int>"))
-                  .alias("shards"),
-                 "dspan")
-         .write.mode("overwrite").partitionBy("dspan")
-         .parquet(os.path.join(staging, "docmeta")))
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            pos_fut = pool.submit(_stage_positions)
+            (fsutil.cluster_by_dir(
+                rows.withColumn("shard", (h60(F.col("term")) % k)
+                                .cast("int")),
+                "shard", "doc_id", k)
+             .write.mode("overwrite").partitionBy("shard")
+             .parquet(os.path.join(staging, "postings")))
+            reassigned = spark.read.parquet(
+                os.path.join(staging, "postings"))
+            # per-shard counts for the descriptor's shard_rows reseed —
+            # carried in the manifest so a promote-resume (whose
+            # renames consume the staged dirs) never needs to re-read
+            counts_fut = pool.submit(
+                lambda: {int(r.shard): int(r.n) for r in
+                         reassigned.groupBy("shard")
+                         .agg(F.count(F.lit(1)).alias("n")).collect()})
+            # membership recompute staged too (r13): the docmeta
+            # dynamic overwrite has the same per-partition tear as the
+            # data dirs — this recompute reads the LIVE docmeta, so a
+            # resume after a torn docmeta overwrite would read a holed
+            # span and lose its docs' dl/membership forever; from the
+            # snapshot it cannot
+            (fsutil.cluster_by_dir(
+                fsutil.read_parquet_or_empty(spark, docmeta_path,
+                                             schemas.get("docmeta"))
+                .join(reassigned.groupBy("doc_id")
+                      .agg(F.collect_set("shard").alias("fresh")),
+                      "doc_id", "left")
+                .select("doc_id", "dl",
+                        F.coalesce("fresh",
+                                   F.array().cast("array<int>"))
+                         .alias("shards"),
+                        "dspan"),
+                "dspan", "doc_id")
+             .write.mode("overwrite").partitionBy("dspan")
+             .parquet(os.path.join(staging, "docmeta")))
+            pos_fut.result()
+            counts = counts_fut.result()
         live_shards = [n for n in fsutil.list_names(
             os.path.join(staging, "postings"), spark=spark)
             if n.startswith("shard=")]
@@ -2016,9 +2098,14 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
         live_pos_names = pending.get("live_positions")
         live_span_names = pending.get("live_docmeta")
     else:
-        rows = (postings.where(F.col("shard").isin([src, dst]))
-                .dropDuplicates(["term", "doc_id"])
-                .withColumn("shard", F.lit(int(dst)).cast("int")))
+        # fresh merge: src/dst are distinct shards of a fully committed
+        # index, so (term, doc_id) is already unique across their union
+        # — only a LEGACY (pre-r13 manifest) resume can see a torn
+        # rewrite's duplicates and pays the dedup exchange
+        rows = postings.where(F.col("shard").isin([src, dst]))
+        if pending is not None:
+            rows = rows.dropDuplicates(["term", "doc_id"])
+        rows = rows.withColumn("shard", F.lit(int(dst)).cast("int"))
         # stage the snapshot (postings + positions twin + merged
         # membership spans) BEFORE the manifest, the manifest BEFORE
         # any destructive mutation — the retrain's protocol (ADVICE
@@ -2029,7 +2116,8 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
         # empty (a delete wave swept them) falls out of the staged
         # listing: no shard dir written ⇒ descriptor-only merge. A
         # legacy manifest upgrades itself here.
-        (rows.write.mode("overwrite").partitionBy("shard")
+        (fsutil.cluster_by_dir(rows, "shard", "doc_id", 2)
+         .write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(staging, "postings")))
         live_post_names = [n for n in fsutil.list_names(
             os.path.join(staging, "postings"), spark=spark)
@@ -2046,12 +2134,17 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
             # resume-proof, unlike summing pre-merge descriptor counts)
             total = rows.count()
             if has_positions:
-                (fsutil.read_parquet_or_empty(
+                pos_in = (fsutil.read_parquet_or_empty(
                     spark, os.path.join(path, "positions"),
                     schemas.get("positions"))
-                 .where(F.col("shard").isin([src, dst]))
-                 .dropDuplicates(["term", "doc_id", "pos"])
-                 .withColumn("shard", F.lit(int(dst)).cast("int"))
+                    .where(F.col("shard").isin([src, dst])))
+                if pending is not None:   # legacy torn-resume only
+                    pos_in = pos_in.dropDuplicates(
+                        ["term", "doc_id", "pos"])
+                (fsutil.cluster_by_dir(
+                    pos_in.withColumn("shard",
+                                      F.lit(int(dst)).cast("int")),
+                    "shard", "doc_id", 2)
                  .write.mode("overwrite").partitionBy("shard")
                  .parquet(os.path.join(staging, "positions")))
                 live_pos_names = [n for n in fsutil.list_names(
@@ -2068,20 +2161,22 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
             if touched_spans:
                 docmeta = fsutil.read_parquet_or_empty(
                     spark, docmeta_path, schemas.get("docmeta"))
-                (docmeta.where(F.col("dspan").isin(touched_spans))
-                 .join(doc_sets, "doc_id", "left")
-                 .select(
-                     "doc_id", "dl",
-                     F.when(
-                         F.col("fresh").isNotNull(),
-                         F.array_union(
-                             F.array_except(
-                                 F.col("shards"),
-                                 F.array(F.lit(src), F.lit(dst))
-                                 .cast("array<int>")),
-                             F.col("fresh")))
-                     .otherwise(F.col("shards")).alias("shards"),
-                     "dspan")
+                (fsutil.cluster_by_dir(
+                    docmeta.where(F.col("dspan").isin(touched_spans))
+                    .join(doc_sets, "doc_id", "left")
+                    .select(
+                        "doc_id", "dl",
+                        F.when(
+                            F.col("fresh").isNotNull(),
+                            F.array_union(
+                                F.array_except(
+                                    F.col("shards"),
+                                    F.array(F.lit(src), F.lit(dst))
+                                    .cast("array<int>")),
+                                F.col("fresh")))
+                        .otherwise(F.col("shards")).alias("shards"),
+                        "dspan"),
+                    "dspan", "doc_id")
                  .write.mode("overwrite").partitionBy("dspan")
                  .parquet(os.path.join(staging, "docmeta")))
                 live_span_names = [n for n in fsutil.list_names(

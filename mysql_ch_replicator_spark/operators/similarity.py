@@ -1232,7 +1232,14 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
             "codes", pq_encode("__v", pq_block["m"], pq_block["n_codes"],
                                dims, normalized=True,
                                books=pq_block["books"])).drop("__v")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # clustered by cell before the write (fsutil.cluster_by_dir): the
+    # per-row assignment/encode work stays on the scan's parallelism,
+    # the exchange lands each cell in few writer tasks — files per cell
+    # bounded by the secondary-key count instead of the task count (the
+    # hash write-distribution shape; at 100 TB a cell keeps
+    # shuffle.partitions/n_cells-way write parallelism)
+    (fsutil.cluster_by_dir(assigned, "cell", "vec_id", n_cells)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
     # vec_id→cell membership, id-span-partitioned, derived from the
     # COMMITTED index (a 2-column read-back — no second assignment
     # pass): the inverse mapping incremental upserts need. Vec ids
@@ -1242,9 +1249,11 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
     # directory-pruned read of the changed ids' spans — O(batch). The
     # underscore prefix keeps the subdir out of the index's own scans.
     spark = corpus.sparkSession
-    (spark.read.parquet(path)
-     .select("vec_id", F.col("cell").cast("int").alias("cell"))
-     .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+    (fsutil.cluster_by_dir(
+        spark.read.parquet(path)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}")),
+        "vspan", "vec_id")
      .write.mode("overwrite").partitionBy("vspan")
      .parquet(os.path.join(path, _IVF_MEMBERS)))
     # meta rides the Hadoop FS like the parquet it describes — open()
@@ -1481,6 +1490,13 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
     try:
         new_cells_f = None
         if assigned is not None:
+            # materialize the assignment cache ONCE before the forked
+            # consumers: the new-cell collect below and the main
+            # thread's spans collect (whose ids union contains
+            # assigned.select) would otherwise both first-touch an
+            # unpopulated cache and each re-run the assignment
+            # (stampede — caches have no concurrent-compute dedup)
+            assigned.count()
             new_cells_f = pool.submit(
                 lambda: {int(r.cell) for r in
                          assigned.select("cell").distinct().collect()})
@@ -1553,10 +1569,12 @@ def upsert_ivf_index(spark, path: str, adds: DataFrame | None = None,
             # written exactly once — overlapped with the data staging
             # below
             memb_f = pool.submit(
-                lambda: mm.write.mode("overwrite").partitionBy("vspan")
+                lambda: fsutil.cluster_by_dir(mm, "vspan", "vec_id")
+                .write.mode("overwrite").partitionBy("vspan")
                 .parquet(os.path.join(staging, "members")))
 
-        (merged.write.mode("overwrite").partitionBy("cell")
+        (fsutil.cluster_by_dir(merged, "cell", "vec_id", len(cells))
+         .write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
         if memb_f is not None:
             memb_f.result()
@@ -1745,16 +1763,18 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
     else:
         idx = fsutil.read_parquet_or_empty(spark, path,
                                            schemas.get("index"))
-        # union of both split directories — deduped on vec_id: a fresh
-        # split sees the empty new side, a LEGACY (pre-r13 manifest)
-        # resume the torn remainder, and a crash inside the
-        # two-directory commit can leave a member present in BOTH dirs
-        # (the vector rows are identical — the split never changes a
-        # vector, only its cell), so the dedup is what makes the
-        # TRAINING INPUT SET invariant under any partial commit and the
-        # recovery idempotent
-        cellrows = idx.where(F.col("cell").isin([cell, new_cell])) \
-            .dropDuplicates(["vec_id"])
+        # union of both split directories. A fresh split (no manifest ⇒
+        # every prior action fully committed ⇒ vec_id unique across
+        # cells) sees the empty new side and needs no dedup — skipping
+        # it removes a full exchange from every consumer (seeding,
+        # training passes, staging write). Only a LEGACY (pre-r13
+        # manifest) resume can see a torn two-directory commit's
+        # duplicate members (identical rows, only the cell differs) and
+        # pays the vec_id dedup that makes the TRAINING INPUT SET
+        # invariant under any partial commit.
+        cellrows = idx.where(F.col("cell").isin([cell, new_cell]))
+        if pending is not None:
+            cellrows = cellrows.dropDuplicates(["vec_id"])
         if pending is None and cellrows.isEmpty():
             raise UnsplittablePartition(
                 f"split_ivf_cell: cell {cell} holds no vectors — "
@@ -1794,7 +1814,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         # once (the staged write also doubles as the materialization
         # barrier the old localCheckpoint provided). A legacy manifest
         # upgrades itself to the staged protocol here.
-        (reassigned.write.mode("overwrite").partitionBy("cell")
+        (fsutil.cluster_by_dir(reassigned, "cell", "vec_id", 2)
+         .write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
         reassigned = spark.read.parquet(os.path.join(staging, "data"))
         members = fsutil.read_parquet_or_empty(
@@ -1813,7 +1834,8 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
                         .unionByName(final_m)
                         .withColumn("vspan",
                                     F.expr(f"vec_id div {_IVF_VSPAN}")))
-            (merged_m.write.mode("overwrite").partitionBy("vspan")
+            (fsutil.cluster_by_dir(merged_m, "vspan", "vec_id")
+             .write.mode("overwrite").partitionBy("vspan")
              .parquet(os.path.join(staging, "members")))
         live_names = [n for n in fsutil.list_names(
             os.path.join(staging, "data"), spark=spark)
@@ -1990,14 +2012,17 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
     else:
         idx = fsutil.read_parquet_or_empty(
             spark, path, schemas.get("index"))
-        # union of both directories deduped on vec_id: a fresh merge
-        # sees src+dst, a LEGACY (pre-r13 manifest) resume whatever a
-        # torn run left (possibly a vector in both dirs — identical
-        # rows, only cell differs), so the rewrite input is invariant
+        # union of both directories: a fresh merge (no manifest ⇒ every
+        # prior action fully committed ⇒ vec_id unique across cells)
+        # sees src+dst and needs no dedup exchange; a LEGACY (pre-r13
+        # manifest) resume sees whatever a torn run left (possibly a
+        # vector in both dirs — identical rows, only cell differs) and
+        # pays the vec_id dedup that makes the rewrite input invariant
         # under any partial commit
-        merged = (idx.where(F.col("cell").isin([src, dst]))
-                  .dropDuplicates(["vec_id"])
-                  .withColumn("cell", F.lit(dst)))
+        merged = idx.where(F.col("cell").isin([src, dst]))
+        if pending is not None:
+            merged = merged.dropDuplicates(["vec_id"])
+        merged = merged.withColumn("cell", F.lit(dst))
         # stage the snapshot BEFORE the manifest, the manifest BEFORE
         # any destructive mutation — the retrain's protocol (ADVICE
         # r12, extended to the incremental actions in r13); staged
@@ -2008,7 +2033,8 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
         # (a delete wave swept them) falls out of the staged listing:
         # no cell directory written ⇒ descriptor-only merge. A legacy
         # manifest upgrades itself to the staged protocol here.
-        (merged.write.mode("overwrite").partitionBy("cell")
+        (fsutil.cluster_by_dir(merged, "cell", "vec_id", 2)
+         .write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
         data_empty = not any(
             n.startswith("cell=") for n in fsutil.list_names(
@@ -2031,7 +2057,8 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
                         .unionByName(final_m)
                         .withColumn("vspan",
                                     F.expr(f"vec_id div {_IVF_VSPAN}")))
-            (merged_m.write.mode("overwrite").partitionBy("vspan")
+            (fsutil.cluster_by_dir(merged_m, "vspan", "vec_id")
+             .write.mode("overwrite").partitionBy("vspan")
              .parquet(os.path.join(staging, "members")))
         live_names = [n for n in fsutil.list_names(
             os.path.join(staging, "data"), spark=spark)
@@ -2235,11 +2262,17 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
     else:
         idx = fsutil.read_parquet_or_empty(
             spark, path, meta.get("schemas", {}).get("index"))
-        # union of every cell directory deduped on vec_id: a fresh
-        # retrain sees the clean index, a LEGACY (pre-staging manifest)
-        # resume whatever a torn rewrite left (a vector possibly in two
-        # dirs — identical rows, only the cell differs)
-        rows = idx.dropDuplicates(["vec_id"])
+        # union of every cell directory: a fresh retrain (no manifest ⇒
+        # every prior action fully committed ⇒ vec_id unique across
+        # cells) sees the clean index and needs no dedup — skipping it
+        # removes a full exchange from every training pass and the
+        # re-assignment scan; a LEGACY (pre-staging manifest) resume
+        # sees whatever a torn rewrite left (a vector possibly in two
+        # dirs — identical rows, only the cell differs) and pays the
+        # vec_id dedup
+        rows = idx
+        if pending is not None:
+            rows = rows.dropDuplicates(["vec_id"])
         if pending is None:
             if n_cells is not None:
                 if int(n_cells) < 1:
@@ -2288,7 +2321,9 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
                                    int(pqm["n_codes"]), dims,
                                    normalized=True,
                                    books=books_new)).drop("__v")
-        (reassigned.select(*rows.columns)   # keep the stored column order
+        (fsutil.cluster_by_dir(
+            reassigned.select(*rows.columns),  # keep stored column order
+            "cell", "vec_id", k)
          .write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
         # the membership table is staged beside the data (2-int rows,
@@ -2296,9 +2331,11 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
         # directory promotion for BOTH tables — at 100 TB the
         # re-assignment pass writes the index exactly once and the
         # destructive phase touches only filesystem metadata
-        (spark.read.parquet(os.path.join(staging, "data"))
-         .select("vec_id", F.col("cell").cast("int").alias("cell"))
-         .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}"))
+        (fsutil.cluster_by_dir(
+            spark.read.parquet(os.path.join(staging, "data"))
+            .select("vec_id", F.col("cell").cast("int").alias("cell"))
+            .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}")),
+            "vspan", "vec_id")
          .write.mode("overwrite").partitionBy("vspan")
          .parquet(os.path.join(staging, "members")))
         live_names = [n for n in fsutil.list_names(

@@ -1574,7 +1574,11 @@ def debezium_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.create_table("dbz", _USER_STATE_DDL)
     st = engine.structure("dbz", "user_state")
 
-    events = load_table(spark, sf_dir, "events")
+    # spread: the snapshot table arrives as ONE file split, which would
+    # serialize the per-row JSON envelope render + Debezium parse (the
+    # whole point of this e2e) on a single core — a real Kafka topic
+    # arrives partitioned; a wide frame passes through untouched
+    events = spread(load_table(spark, sf_dir, "events"))
     is_del = F.col("event_type") == "error"
     after = F.struct(
         F.col("user_id").cast("string").alias("user_id"),

@@ -1382,8 +1382,14 @@ def incremental_image_dedup_maintenance(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     # ONE Arrow fingerprint pass: every batch below filters this frame,
     # and without the persist each of the 4 batch branches (plus the
-    # remove wave) would re-decode the whole corpus through mapInPandas
-    fps = transient_persist(dhash_images(attach_fake_binary(docs)))
+    # remove wave) would re-decode the whole corpus through mapInPandas.
+    # EAGER: the first checkpoint_pair round launches several AQE
+    # broadcast stages concurrently, all first-touching this cache —
+    # an unpopulated cache has no stampede protection, so each of the 8
+    # concurrent stages re-ran the full decode for itself (wasted CPU;
+    # one eager job pays the decode once and the stages read blocks)
+    fps = transient_persist(dhash_images(attach_fake_binary(docs)),
+                            eager=True)
     rows = fps.select("doc_id", "fp", F.col("doc_id").alias("dup_id"))
     b = rows.agg(F.min("doc_id").alias("lo"),
                  F.max("doc_id").alias("hi")).collect()[0]
