@@ -216,6 +216,9 @@ class ReplicaEngine:
         #: assert immediate reclamation set it to 0
         self.generation_retention_s = GENERATION_RETENTION_S
         self._gen_cache: dict[str, tuple] = {}  # manifest cache (mtime key)
+        # live-read schema cache: (db, table) -> (validity token, schema).
+        # See _live_read_frame for the invalidation contract.
+        self._read_schema_cache: dict[tuple, tuple] = {}
         self._stats_guard = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self.recover_databases()  # finish any interrupted db-level publish
@@ -903,6 +906,39 @@ class ReplicaEngine:
                             "retired_ts": r["ts"]})
         return out
 
+    def _live_read_frame(self, db: str, table: str, meta: dict,
+                         st) -> DataFrame:
+        """Schema-pinned read of the live generation (caller holds the
+        table lock). A ``mergeSchema`` read costs one footer-sweep Spark
+        job per call and O(files) driver work — at replica scale that
+        sweep grows with the table while the answer almost never
+        changes: the union schema can only move through DDL (which
+        rewrites ``meta['structure']``) or a generation flip (type
+        rewrites publish a NEW generation dir). So the inferred schema
+        is cached keyed on exactly those two tokens; CDC appends between
+        DDLs read with the pinned schema and pay zero inference.
+        Columns the structure declares that no file carries yet (ADD
+        COLUMN before its first append) are united in with their
+        declared types so a post-cache append that starts writing them
+        can never be read back as missing."""
+        data_dir = self._data_dir(db, table)
+        token = (os.path.basename(data_dir),
+                 json.dumps(meta["structure"], sort_keys=True))
+        cached = self._read_schema_cache.get((db, table))
+        if cached is not None and cached[0] == token:
+            return self.spark.read.schema(cached[1]).parquet(data_dir)
+        inferred = self.spark.read.option("mergeSchema", "true") \
+            .parquet(data_dir).schema
+        have = {f.name for f in inferred.fields}
+        schema = inferred
+        for f in st.fields:
+            phys = f.physical or f.name
+            if phys not in have:
+                schema = schema.add(
+                    phys, spark_type_for(f, self.types_mapping), True)
+        self._read_schema_cache[(db, table)] = (token, schema)
+        return self.spark.read.schema(schema).parquet(data_dir)
+
     def read_raw(self, db: str, table: str,
                  generation: str | None = None) -> DataFrame:
         # Structure AND file listing are taken atomically under the table
@@ -923,7 +959,8 @@ class ReplicaEngine:
         # as NULL, renamed columns resolve through their physical name —
         # the same contract as reading old files in the live table.
         with self.table_lock(db, table):
-            st = self.structure(db, table)
+            meta = self.load_meta(db, table)
+            st = _structure_from_dict(meta["structure"])
             if generation is not None:
                 gdir = os.path.join(self._table_dir(db, table), generation)
                 if not os.path.isdir(gdir):
@@ -940,8 +977,7 @@ class ReplicaEngine:
                 schema = schema.add(OP_COL, "integer", False)
                 return self.spark.createDataFrame([], schema)
             else:
-                df = self.spark.read.option("mergeSchema", "true") \
-                    .parquet(self._data_dir(db, table))
+                df = self._live_read_frame(db, table, meta, st)
         exprs = []
         for f in st.fields:
             target = spark_type_for(f, self.types_mapping).simpleString()

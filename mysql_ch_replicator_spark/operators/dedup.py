@@ -293,9 +293,14 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
     # the non-empty filter sits ABOVE the cache: filtering the raw
     # projection would clone the shingle subtree into the pushed-down
     # predicate and evaluate it twice during cache fill
+    # eager: banding (both join sides) and the two verify sh_tbl sides
+    # first-touch this cache from concurrent stages of one action — a
+    # lazy cache is recomputed by each (stampede, guide §5), and the
+    # md5-per-hash signature is the most expensive projection here
     sigs = transient_persist(
         raw.withColumn("sig",
-                       minhash_signature(F.col("sh"), num_hashes))) \
+                       minhash_signature(F.col("sh"), num_hashes)),
+        eager=True) \
         .where(F.size("sh") > 0)
     banded = sigs.select(
         "doc_id",
@@ -435,7 +440,9 @@ def _band15_resolve(fp: DataFrame, all_ids: DataFrame, max_distance: int,
                    .where(F.col("doc_id") != F.col("a"))
                    .select("a", F.col("doc_id").alias("b")))
         return connected_components(rep_pairs.unionByName(members), all_ids)
-    rep_pairs = transient_persist(rep_pairs)
+    # eager: both nbrs directions first-touch this from concurrent
+    # stages — lazy, each would re-run the band join + Hamming verify
+    rep_pairs = transient_persist(rep_pairs, eager=True)
     nbrs = rep_pairs.select(F.col("a").alias("r"), F.col("b").alias("n")) \
         .unionByName(rep_pairs.select(F.col("b").alias("r"),
                                       F.col("a").alias("n")))
@@ -478,8 +485,12 @@ def band15_hot_report(fp: DataFrame) -> DataFrame:
     the exploded DISTINCT fps (4 rows per fp), a second chunk-keyed
     aggregate over raw docs for the contrast column, then one-row
     totals. No joins, no pair generation — safe at any corpus size."""
+    # eager: the two one-row stat branches below materialize as
+    # concurrent broadcast jobs inside the caller's single action, and a
+    # lazy cache would be recomputed by each (stampede — guide §5)
     per_fp = transient_persist(
-        fp.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("c")))
+        fp.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        eager=True)
     fp_stats = per_fp.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_fps"),
@@ -538,9 +549,14 @@ def ngram_jaccard_dedup(docs: DataFrame, text_col: str = "text",
     before committing (r6 verdict #5)."""
     base = _shingled(docs, text_col, id_col, shingle_n)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    # eager: the action fans into concurrent AQE stages (freq, both
+    # pair-join sides, two sizes branches) that all first-touch these
+    # caches — lazily persisted, each stage re-ran the interpreted
+    # shingle subtree (cache stampede, guide §5). One count populates
+    # posting AND, en route, the base shingle cache it reads through.
     posting = transient_persist(
         base.select("doc_id", F.explode("sh").alias("g"))
-        .withColumn("gh", h60(F.col("g"))).drop("g"))
+        .withColumn("gh", h60(F.col("g"))).drop("g"), eager=True)
     freq = posting.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     posting = transient_persist(
         posting.join(freq.where(F.col("df") <= max_posting), "gh"))
@@ -614,9 +630,12 @@ def embedding_neardup(embeddings: DataFrame, vec_col: str = "embedding",
     from ..operators.similarity import cosine_expr, hyperplane_bucket
 
     dims = len(embeddings.select(vec_col).first()[0])
+    # eager: both bucket-join sides first-touch this cache concurrently;
+    # lazy, each re-ran the hyperplane sign projection (stampede)
     bucketed = transient_persist(spread(embeddings).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
-        hyperplane_bucket(vec_col, planes, dims).alias("bucket")))
+        hyperplane_bucket(vec_col, planes, dims).alias("bucket")),
+        eager=True)
 
     left = bucketed.select(F.col("doc_id").alias("a"), F.col("v").alias("va"),
                            "bucket")
@@ -656,9 +675,12 @@ def semantic_cell_dedup(embeddings: DataFrame, vec_col: str = "embedding",
         spread(embeddings).select(F.col(id_col).alias("doc_id"),
                                   F.col(vec_col).alias("v")),
         "v", n_cells, dims, probes=1, cells_col="cells")
+    # eager: both cell-join sides plus the final cell join-back
+    # first-touch this cache concurrently; lazy, each re-ran the
+    # 16-centroid assignment projection (stampede)
     cells = transient_persist(
         assigned.withColumn("cell", F.element_at("cells", 1))
-        .drop("cells"))
+        .drop("cells"), eager=True)
     left = cells.select(F.col("doc_id").alias("a"),
                         F.col("v").alias("va"), "cell")
     right = cells.select(F.col("doc_id").alias("b"),
@@ -797,7 +819,9 @@ def substring_dup_stats(docs: DataFrame, win: int = 64, stride: int = 32,
                                              i * stride + 1,
                                              F.lit(win)))))
                   .alias("wh")))
-    wh = transient_persist(wh)
+    # eager: the frequency aggregate and the count join-back first-touch
+    # this cache from concurrent stages (stampede — guide §5)
+    wh = transient_persist(wh, eager=True)
     freq = wh.groupBy("wh").agg(
         F.count_distinct("doc_id").alias("nd"))
     return (wh.join(freq, "wh")
@@ -867,7 +891,11 @@ def source_similarity_matrix(docs: DataFrame, shingle_n: int = 3,
                         .alias("g"))
                .select("src", h60(F.col("g")).alias("gh"))
                .distinct())
-    posting = transient_persist(posting)
+    # eager: sizes (twice via all_pairs) and both self-join sides
+    # first-touch this cache from concurrent AQE stages of the one
+    # final action — lazily persisted, each re-ran the shingle explode
+    # + distinct (cache stampede, guide §5)
+    posting = transient_persist(posting, eager=True)
     sizes = posting.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     a = posting.select(F.col("src").alias("src_a"), "gh")
     b = posting.select(F.col("src").alias("src_b"), "gh")
@@ -912,10 +940,12 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text",
     base = _shingled(docs, text_col, id_col, shingle_n)
     sigs = base.withColumn("sig",
                            minhash_signature(F.col("sh"), num_hashes))
+    # eager: both candidate-join sides first-touch this cache
+    # concurrently; lazy, each re-ran the signature + banding projection
     banded = transient_persist(sigs.select(
         "doc_id", "sh", "sig",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band))
-         .alias("bucket")))
+         .alias("bucket")), eager=True)
     left = banded.select(F.col("doc_id").alias("a"),
                          F.col("sh").alias("sh_a"),
                          F.col("sig").alias("sig_a"), "bucket")
@@ -1000,9 +1030,15 @@ def jaccard_prefix_join(docs: DataFrame, text_col: str = "text",
     tp = threshold_ppm
     base = _shingled(docs, text_col, id_col, shingle_n)
     sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    # eager: the action fans into concurrent AQE stages (freq, ranked,
+    # both verify posting sides, three sizes branches) that all
+    # first-touch these caches — lazily persisted, each stage re-ran
+    # the interpreted shingle subtree (measured: seven ~0.7 s duplicate
+    # stages at sf0.1 — cache stampede, guide §5). One count populates
+    # posting AND, en route, the base shingle cache it reads through.
     posting = transient_persist(
         base.select("doc_id", F.explode("sh").alias("g"))
-        .withColumn("gh", h60(F.col("g"))).drop("g"))
+        .withColumn("gh", h60(F.col("g"))).drop("g"), eager=True)
     freq = posting.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     ranked = (posting.join(freq, "gh").join(sizes, "doc_id")
               .withColumn("rn", F.row_number().over(

@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import transient_persist
 from ..functions.hashing import shingles, words
 
 SCALE = 10 ** 12
@@ -83,16 +84,28 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     a decimal(38,0) integer at ``SCALE`` — deterministic, hashable,
     engine-portable at any graph size. ``redistribute=True`` conserves
     dangling mass (see module docstring)."""
-    nodes = (edges.select(F.col("s").alias("node"))
-             .union(edges.select(F.col("t").alias("node")))
-             .distinct())
+    # The edge list feeds EVERY iteration's contrib join plus the
+    # nodes/out_w derivations, and most of those consumers materialize
+    # as concurrent broadcast-exchange jobs inside the caller's single
+    # action — with a lazy lineage each broadcast re-ran the whole
+    # upstream edge build (measured on graph_pagerank_conserving at
+    # sf0.1: six 2.5–4.6 s re-executions of the tokenize+explode+agg
+    # subtree, ~22 s of the query's 32 s total job time). One eager
+    # persist pays the edge build once; Spark's cache has no concurrent-
+    # materialization dedup, so eager (not first-consumer-lazy) is what
+    # actually kills the stampede (guide §5 caching, §2.6 overlap).
+    edges = transient_persist(edges, eager=True)
+    nodes = transient_persist(
+        edges.select(F.col("s").alias("node"))
+        .union(edges.select(F.col("t").alias("node")))
+        .distinct(), eager=True)
     # sum IN decimal — sum(long).cast would aggregate in wrapping int64
     out_w = edges.groupBy("s").agg(
         F.sum(F.col("wt").cast(_DEC)).cast(_DEC).alias("ow"))
     contrib_edges = edges.join(out_w, "s")
 
     ranks = nodes.select("node", F.lit(SCALE).cast(_DEC).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         acc = (contrib_edges
                .join(ranks, contrib_edges["s"] == ranks["node"])
                .select(F.col("t"),
@@ -121,4 +134,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             (F.lit(_BASE).cast(_DEC)
              + _idiv(F.lit(85).cast(_DEC) * F.col("acc"),
                      F.lit(100).cast(_DEC))).cast(_DEC).alias("rank"))
+        # each intermediate rank table is consumed 2–3x by the NEXT
+        # iteration (contrib join, dangling anti-join) on concurrent
+        # broadcast threads — same stampede as the edges above, and the
+        # un-cached lineage branches compound per iteration. The FINAL
+        # iteration stays lazy: it has exactly one consumer (the
+        # caller's action) and keeps the full plan visible.
+        if it < iterations - 1:
+            ranks = transient_persist(ranks, eager=True)
     return ranks

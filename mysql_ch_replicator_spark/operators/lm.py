@@ -60,7 +60,10 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
                   F.explode(bigram_pairs(F.col(text_col))).alias("p"))
           .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")))
     # one persisted explode feeds both count tables AND the scoring join
-    bg = transient_persist(bg)
+    # — eager, because those three consumers first-touch the cache from
+    # concurrent stages of one action (lazy = each re-ran the bigram
+    # explode; cache stampede, guide §5)
+    bg = transient_persist(bg, eager=True)
     c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     c_a = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     scored = (bg.join(c_ab, ["a", "b"])
@@ -98,7 +101,9 @@ def collocation_lift(docs: DataFrame, text_col: str = "text",
     bg = (spread(docs)
           .select(F.explode(bigram_pairs(F.col(text_col))).alias("p"))
           .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
-    bg = transient_persist(bg)
+    # eager: c_ab/c_a/c_b/tot all first-touch this cache from concurrent
+    # stages of one action (lazy = four bigram-explode re-runs)
+    bg = transient_persist(bg, eager=True)
     c_ab = bg.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n_ab"))
     c_a = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_a"))

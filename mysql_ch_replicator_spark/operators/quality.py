@@ -97,7 +97,10 @@ def constraint_report(df: DataFrame, rules: list[dict],
 
     frames: list[DataFrame] = []
     if meta:
-        base = transient_persist(df.agg(*aggs))   # ONE scan, 1-row frame
+        # ONE scan, 1-row frame — eager: every meta report row reads it
+        # and the rows materialize as concurrent stages of one action
+        # (lazy = one full scan per rule; cache stampede, guide §5)
+        base = transient_persist(df.agg(*aggs), eager=True)
         frames += [_report_row(base, table, i, kind, target, f"__v{i}")
                    for i, kind, target in meta]
     for i, r in ref_rules:

@@ -66,12 +66,14 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     # and N from a pruned count scan (no text read).
     tok = spread(docs).select(F.col(id_col).alias("doc_id"),
                               F.explode(words(F.col(text_col))).alias("term"))
+    # eager: dl/TL/N and the scoring branch first-touch this cache from
+    # concurrent stages of one action (lazy = tokenize re-runs; stampede)
     per_doc = transient_persist(
         tok.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("dl"),
             *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
               .cast("long").alias(f"__tf_{i}")
-              for i, t in enumerate(terms)]))
+              for i, t in enumerate(terms)]), eager=True)
     dl = per_doc.select("doc_id", "dl")
     n_tl = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n")).crossJoin(

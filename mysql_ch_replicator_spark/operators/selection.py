@@ -264,7 +264,10 @@ def curation_pipeline(docs: DataFrame, budget_tokens: int,
         "passed_gate",
         gopher_passes(F.col("__nw"), F.col("__mwl"), F.col("__alpha"),
                       F.col("__nstop"), F.col("__pr")).cast("long")) \
-        .transform(transient_persist)  # every signal used by 2+ downstream jobs
+        .transform(lambda d: transient_persist(d, eager=True))
+    # ^ every signal used by 2+ downstream jobs, which first-touch the
+    # cache from concurrent stages — eager, or each re-runs the full
+    # quality/tokenize projection (cache stampede, guide §5)
     keeper = (gated.where(F.col("passed_gate") == 1)
               .groupBy("__h").agg(F.min("doc_id").alias("__keep")))
     staged = gated.join(keeper, "__h", "left").withColumn(

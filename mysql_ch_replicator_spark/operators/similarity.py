@@ -632,9 +632,12 @@ def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     # duplicates interpreted higher-order functions — measured 20×). At
     # 100 TB the staged frame is the written compressed index; here, a
     # cache of (id, raw vector, normalized vector).
+    # eager: the encode branch and the exact-rerank branch first-touch
+    # this cache from concurrent stages of one action (lazy = the norm
+    # fold re-runs per branch; cache stampede, guide §5)
     cor = transient_persist(spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        normalize_expr(vec_col).alias("__v")))
+        normalize_expr(vec_col).alias("__v")), eager=True)
     enc = cor.select(
         "neighbor_id",
         pq_encode("__v", m, n_codes, dims, normalized=True,
@@ -714,11 +717,14 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .select(F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("cv"),
                 F.element_at("cells", 1).alias("cell"),
-                normalize_expr(vec_col).alias("__v")))
+                normalize_expr(vec_col).alias("__v")), eager=True)
     enc = cor.select(
         "neighbor_id", "cell",
         pq_encode("__v", m, n_codes, dims, normalized=True,
                   books=books).alias("codes"))
+    # both eager: encode + rerank (cor) and the cell explode + ADC
+    # branches (qd) first-touch the caches from concurrent stages of
+    # one action (lazy = assignment/ADC-table re-runs; stampede)
     qd = transient_persist(
         ivf_assign(queries.select(F.col(query_id_col).alias("query_id"),
                                   F.col(vec_col).alias("qv")),
@@ -726,7 +732,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .select("query_id", "qv", "cells",
                 pq_distance_table(normalize_expr("qv"), m, n_codes, dims,
                                   normalized=True,
-                                  books=books).alias("dt")))
+                                  books=books).alias("dt")), eager=True)
     qcells = qd.select("query_id", "dt",
                        F.explode(F.array_distinct("cells")).alias("cell"))
     joined = enc.join(F.broadcast(qcells), "cell") \
@@ -816,11 +822,14 @@ def embedding_group_drift(embeddings: DataFrame,
     and joins back by dim position as a broadcast. The corpus shuffles
     nothing but the skinny (group, pos, component) explode."""
     qcol = quantize_expr(F.col(vec_col), scale)
+    # eager: gmean and lmean first-touch this cache from concurrent
+    # stages of one action (lazy = the corpus posexplode re-runs twice)
     per = transient_persist(
         spread(embeddings)
         .select(F.col(group_col).alias("grp"), F.posexplode(qcol))
         .groupBy("grp", "pos")
-        .agg(F.sum("col").alias("s"), F.count("col").alias("n")))
+        .agg(F.sum("col").alias("s"), F.count("col").alias("n")),
+        eager=True)
     gmean = (per.groupBy("pos")
              .agg(F.floor(F.sum("s").cast("double") / F.sum("n"))
                   .cast("long").alias("gm")))
@@ -1000,11 +1009,15 @@ def semi_hard_triplets(corpus: DataFrame, anchors: DataFrame,
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("cv"),
                               F.col(label_col).alias("__c_label"))
+    # eager: the pos and neg branches first-touch this cache from
+    # concurrent stages of one action (lazy = the corpus-wide cosine
+    # scan re-runs per branch; cache stampede, guide §5)
     cand = transient_persist(
         c.join(F.broadcast(a), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
                 (F.col("__c_label") == F.col("__q_label")).alias("same"),
-                F.round(cosine_expr("qv", "cv"), 6).alias("cos")))
+                F.round(cosine_expr("qv", "cv"), 6).alias("cos")),
+        eager=True)
     pos = (cand.where(F.col("same"))
            .groupBy("query_id")
            .agg(F.max_by("neighbor_id",

@@ -546,8 +546,10 @@ def hll_set_ops(registers: DataFrame, group_col: str) -> DataFrame:
 
     # the register table feeds SIX consumers (group list, two pair-join
     # sides, both single-estimate sides) — without a persist each one
-    # re-runs the corpus-width register build upstream
-    registers = transient_persist(registers)
+    # re-runs the corpus-width register build upstream; eager because
+    # the union sides first-touch the cache from concurrent stages of
+    # one action (lazy = stampede re-runs, guide §5)
+    registers = transient_persist(registers, eager=True)
     reg = registers.select(F.col(group_col).alias("g"), "bucket", "t")
     groups = reg.select("g").distinct()
     pairs = (groups.select(F.col("g").alias("g1"))

@@ -189,7 +189,10 @@ def simhash_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.hashing import simhash64, words
     from .operators.dedup import band15_hot_report
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the per-row simhash: the one-file scan otherwise
+    # serializes the whole tokenize+hash on a single core (measured: one
+    # 3.9 s 1-task job at sf0.1 — guide §2.5 input skew)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.select(F.col("doc_id"),
                      simhash64(words(F.col("text"))).alias("fp"))
     return band15_hot_report(fp)

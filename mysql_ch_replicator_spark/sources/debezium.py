@@ -125,18 +125,32 @@ def debezium_schema_events(df: DataFrame,
 
 
 def debezium_events(df: DataFrame, structure: TableStructure,
-                    value_col: str = "value") -> DataFrame:
+                    value_col: str = "value",
+                    filter_nonevents: bool = True) -> DataFrame:
     """Map a DataFrame of Debezium JSON strings (``value_col``, e.g. the
     Kafka ``value``) onto ``EVENT_SCHEMA``. Tombstone messages (null
     value — Kafka log-compaction markers, not CDC events) are dropped,
-    like the reference skips non-row binlog events."""
+    like the reference skips non-row binlog events.
+
+    ``filter_nonevents=False`` skips the tombstone + phantom-DDL guards
+    for callers that GUARANTEE every record is a non-null row envelope
+    (e.g. a synthetic rendered stream). The guards are deterministic
+    filters over the parsed value, so on a computed ``value_col`` the
+    optimizer pushes them below any upstream exchange and re-evaluates
+    the whole render there — measured as a duplicate single-task JSON
+    render of the entire batch before the spread exchange (guide §4.4's
+    duplicated-evaluation hazard, expression-flavored). On a real Kafka
+    source the pushdown is exactly what you want; keep the default."""
     env = F.from_json(F.col(value_col).cast("string"),
                       debezium_envelope_schema(structure))
     # op.isNotNull(): a schema-change envelope on a combined stream carries
     # a populated source.table but NO op — without this guard it would
     # also parse here as a phantom all-NULL ADD row (review r5)
-    out = (df.where(F.col(value_col).isNotNull())
-           .where(env["op"].isNotNull())
+    guarded = df
+    if filter_nonevents:
+        guarded = df.where(F.col(value_col).isNotNull()) \
+                    .where(env["op"].isNotNull())
+    out = (guarded
            .select(
                env["source"]["file"].alias("tx_file"),
                env["source"]["pos"].alias("tx_pos"),
