@@ -628,9 +628,14 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
                                 live_post_names, spark=spark)
             live = {int(n.split("=", 1)[1]) for n in live_post_names}
         elif touched_shards and not data_empty:
+            # pin=False: the upsert's staged postings are df-LESS (df
+            # is derived just below) — the captured postings schema
+            # would fabricate a NULL df that collides with the derived
+            # one. Split/merge/compact stagings carry df and stay
+            # pinned at their own read sites.
             post = fsutil.read_parquet_or_empty(
                 spark, os.path.join(staging, "postings"),
-                schemas.get("postings"))
+                schemas.get("postings"), pin=not derive_df)
             if derive_df:
                 dfreq = post.groupBy("term").agg(
                     F.count(F.lit(1)).cast("long").alias("df"))
@@ -735,10 +740,13 @@ def _resume_lexical_upsert(spark, path: str) -> bool:
                 spark, os.path.join(staging, "docmeta"),
                 schemas.get("docmeta")).select("dl", "dspan"))
     if shards_t and "shard_rows" in meta:
+        # pin=False: this is the upsert's df-less staged postings (see
+        # _lex_commit_staged) — only shard is read, but the honest
+        # schema is the inferred one
         counts = {int(r.shard): int(r.n) for r in
                   fsutil.read_parquet_or_empty(
                       spark, os.path.join(staging, "postings"),
-                      schemas.get("postings"))
+                      schemas.get("postings"), pin=False)
                   .groupBy("shard")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
     _lex_commit_staged(spark, path, staging, shards_t, spans_t, schemas,
@@ -1188,7 +1196,12 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # the join broadcast/skew-safe.
             (merged.write.mode("overwrite")
              .parquet(os.path.join(staging, "postings")))
-            base = spark.read.parquet(os.path.join(staging, "postings"))
+            # staged postings promote into the live table, so their
+            # schema IS the descriptor's postings schema — pin the
+            # read-back and skip the per-call inference job
+            base = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "postings"),
+                schemas.get("postings"))
             # the emptied-shard probe reads the staged blocks, so it
             # overlaps the remaining staging + manifest turnaround;
             # counting rows per shard instead of a bare distinct costs
@@ -1508,8 +1521,11 @@ def split_lexical_shard(spark, path: str,
         # A legacy manifest upgrades itself here.
         (reassigned.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(staging, "postings")))
-        reassigned = spark.read.parquet(os.path.join(staging,
-                                                     "postings"))
+        # schema-pinned read-back (staged == live schema by the rename
+        # promotion contract) — no inference job
+        reassigned = fsutil.read_parquet_or_empty(
+            spark, os.path.join(staging, "postings"),
+            schemas.get("postings"))
         # counting instead of a bare distinct: same bounded job, and
         # the result keeps the descriptor's shard_rows map exact for
         # the two rewritten shards (ADVICE r10)
@@ -1761,10 +1777,12 @@ def compact_lexical_index(spark, path: str,
             counts = {int(kk): int(v)
                       for kk, v in pending.get("counts", {}).items()}
         else:
-            reassigned = spark.read.parquet(
-                os.path.join(staging, "postings"))
-            pos_rows = spark.read.parquet(
-                os.path.join(staging, "positions")) \
+            reassigned = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "postings"),
+                schemas.get("postings"))
+            pos_rows = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "positions"),
+                schemas.get("positions")) \
                 if has_positions else None
     else:
         # union of every shard directory: a fresh compaction sees the
@@ -1814,8 +1832,9 @@ def compact_lexical_index(spark, path: str,
                 "shard", "doc_id", k)
              .write.mode("overwrite").partitionBy("shard")
              .parquet(os.path.join(staging, "postings")))
-            reassigned = spark.read.parquet(
-                os.path.join(staging, "postings"))
+            reassigned = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "postings"),
+                schemas.get("postings"))
             # per-shard counts for the descriptor's shard_rows reseed —
             # carried in the manifest so a promote-resume (whose
             # renames consume the staged dirs) never needs to re-read
@@ -1903,8 +1922,9 @@ def compact_lexical_index(spark, path: str,
         # membership AFTER the data commits, FROM the staged snapshot
         # when present, else the pre-docmeta-staging recompute
         if fsutil.exists(os.path.join(staging, "docmeta"), spark=spark):
-            merged_meta = spark.read.parquet(
-                os.path.join(staging, "docmeta"))
+            merged_meta = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "docmeta"),
+                schemas.get("docmeta"))
         else:
             docmeta = fsutil.read_parquet_or_empty(
                 spark, docmeta_path, schemas.get("docmeta"))
@@ -2130,7 +2150,9 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
         live_pos_names: list = []
         live_span_names: list = []
         if not data_empty:
-            rows = spark.read.parquet(os.path.join(staging, "postings"))
+            rows = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "postings"),
+                schemas.get("postings"))
             # authoritative union-dedup count for the descriptor's
             # shard_rows (one bounded job over the staged blocks —
             # resume-proof, unlike summing pre-merge descriptor counts)

@@ -1262,8 +1262,9 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
     # directory-pruned read of the changed ids' spans — O(batch). The
     # underscore prefix keeps the subdir out of the index's own scans.
     spark = corpus.sparkSession
+    idx_rb = spark.read.parquet(path)   # ONE read-back: members + schema
     (fsutil.cluster_by_dir(
-        spark.read.parquet(path)
+        idx_rb
         .select("vec_id", F.col("cell").cast("int").alias("cell"))
         .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}")),
         "vspan", "vec_id")
@@ -1275,7 +1276,7 @@ def write_ivf_index(corpus: DataFrame, path: str, n_cells: int = 8,
     # index READABLE after a remove-everything CDC window sweeps every
     # cell/vspan directory — see fsutil.read_parquet_or_empty
     schemas = {
-        "index": spark.read.parquet(path).schema.json(),
+        "index": idx_rb.schema.json(),
         "members": spark.read.parquet(
             os.path.join(path, _IVF_MEMBERS)).schema.json()}
     doc = {"n_cells": n_cells, "dims": dims,
@@ -1830,7 +1831,10 @@ def split_ivf_cell(spark, path: str, cell: int | None = None,
         (fsutil.cluster_by_dir(reassigned, "cell", "vec_id", 2)
          .write.mode("overwrite").partitionBy("cell")
          .parquet(os.path.join(staging, "data")))
-        reassigned = spark.read.parquet(os.path.join(staging, "data"))
+        # schema-pinned read-back (staged == live schema by the rename
+        # promotion contract) — no inference job
+        reassigned = fsutil.read_parquet_or_empty(
+            spark, os.path.join(staging, "data"), schemas.get("index"))
         members = fsutil.read_parquet_or_empty(
             spark, members_path, schemas.get("members"))
         final_m = reassigned.select(
@@ -2053,7 +2057,9 @@ def merge_ivf_cells(spark, path: str, src: int | None = None,
             n.startswith("cell=") for n in fsutil.list_names(
                 os.path.join(staging, "data"), spark=spark))
         if not data_empty:
-            merged = spark.read.parquet(os.path.join(staging, "data"))
+            merged = fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "data"),
+                schemas.get("index"))
         spans = sorted({int(r.v) for r in merged.select(
             F.expr(f"vec_id div {_IVF_VSPAN}").alias("v"))
             .distinct().collect()}) if not data_empty else []
@@ -2345,7 +2351,9 @@ def retrain_ivf_index(spark, path: str, iters: int = 2,
         # re-assignment pass writes the index exactly once and the
         # destructive phase touches only filesystem metadata
         (fsutil.cluster_by_dir(
-            spark.read.parquet(os.path.join(staging, "data"))
+            fsutil.read_parquet_or_empty(
+                spark, os.path.join(staging, "data"),
+                meta.get("schemas", {}).get("index"))
             .select("vec_id", F.col("cell").cast("int").alias("cell"))
             .withColumn("vspan", F.expr(f"vec_id div {_IVF_VSPAN}")),
             "vspan", "vec_id")
