@@ -920,13 +920,29 @@ class ReplicaEngine:
         Columns the structure declares that no file carries yet (ADD
         COLUMN before its first append) are united in with their
         declared types so a post-cache append that starts writing them
-        can never be read back as missing."""
+        can never be read back as missing.
+
+        r14: the inferred schema is ALSO persisted into the table meta
+        (``read_schema``, keyed by the same token), so the cache
+        survives engine restarts — a maintenance daemon constructing
+        many short-lived engines pays the footer sweep once per
+        schema-changing event, not once per process. This also closes
+        the stale-hit hazard of a (db, table) recreated into an
+        identically-named generation dir: create_table writes fresh
+        meta without the blob."""
+        from pyspark.sql.types import StructType
+
         data_dir = self._data_dir(db, table)
         token = (os.path.basename(data_dir),
                  json.dumps(meta["structure"], sort_keys=True))
         cached = self._read_schema_cache.get((db, table))
         if cached is not None and cached[0] == token:
             return self.spark.read.schema(cached[1]).parquet(data_dir)
+        blob = meta.get("read_schema")
+        if blob and tuple(blob.get("token", ())) == token:
+            schema = StructType.fromJson(json.loads(blob["schema"]))
+            self._read_schema_cache[(db, table)] = (token, schema)
+            return self.spark.read.schema(schema).parquet(data_dir)
         inferred = self.spark.read.option("mergeSchema", "true") \
             .parquet(data_dir).schema
         have = {f.name for f in inferred.fields}
@@ -937,6 +953,12 @@ class ReplicaEngine:
                 schema = schema.add(
                     phys, spark_type_for(f, self.types_mapping), True)
         self._read_schema_cache[(db, table)] = (token, schema)
+        # persist under the held table lock (atomic replace): every
+        # later engine instance reads with zero inference jobs
+        meta2 = dict(meta)
+        meta2["read_schema"] = {"token": list(token),
+                                "schema": schema.json()}
+        self.save_meta(db, table, meta2)
         return self.spark.read.schema(schema).parquet(data_dir)
 
     def read_raw(self, db: str, table: str,

@@ -314,7 +314,14 @@ def cluster_by_dir(df, part_col: str, id_col: str,
     from pyspark.sql import functions as F
 
     sess = df.sparkSession
-    shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions",
+                                      "200"))
+    except (TypeError, ValueError):
+        # deployments can set the conf non-numeric ("auto" on some
+        # AQE-managed platforms) — any clustered write would then die in
+        # int(); fall back to the stock default instead (ADVICE r13)
+        shuffle_n = 200
     sub = max(1, shuffle_n // max(int(n_dirs), 1)) if n_dirs else 1
     if sub <= 1:
         return df.repartition(F.col(part_col))

@@ -94,7 +94,13 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # persist pays the edge build once; Spark's cache has no concurrent-
     # materialization dedup, so eager (not first-consumer-lazy) is what
     # actually kills the stampede (guide §5 caching, §2.6 overlap).
-    edges = transient_persist(edges, eager=True)
+    # A caller-persisted edges frame is used as-is: re-registering it in
+    # the bounded FIFO would let an eviction unpersist a cache the
+    # caller still counts on (ADVICE r13).
+    if edges.storageLevel.useMemory or edges.storageLevel.useDisk:
+        edges.count()
+    else:
+        edges = transient_persist(edges, eager=True)
     nodes = transient_persist(
         edges.select(F.col("s").alias("node"))
         .union(edges.select(F.col("t").alias("node")))
@@ -105,6 +111,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     contrib_edges = edges.join(out_w, "s")
 
     ranks = nodes.select("node", F.lit(SCALE).cast(_DEC).alias("rank"))
+    prev_ranks = None
     for it in range(iterations):
         acc = (contrib_edges
                .join(ranks, contrib_edges["s"] == ranks["node"])
@@ -140,6 +147,21 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         # un-cached lineage branches compound per iteration. The FINAL
         # iteration stays lazy: it has exactly one consumer (the
         # caller's action) and keeps the full plan visible.
+        # Iteration-local cache lifecycle (ADVICE r13): routing every
+        # intermediate through the shared FIFO meant iterations >= ~14
+        # evicted their own edges/early-rank caches mid-computation.
+        # Instead each intermediate is unpersisted HERE once the next
+        # one materializes; only the LAST intermediate (which the
+        # returned lazy final iteration still reads) enters the bounded
+        # registry, so the FIFO holds <= 3 entries per call at any
+        # iteration count.
         if it < iterations - 1:
-            ranks = transient_persist(ranks, eager=True)
+            ranks = ranks.persist()
+            ranks.count()
+            if prev_ranks is not None:
+                prev_ranks.unpersist()
+            prev_ranks = ranks
+    if prev_ranks is not None:
+        # already persisted+materialized; register for bounded lifetime
+        transient_persist(prev_ranks)
     return ranks

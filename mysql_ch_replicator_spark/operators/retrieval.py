@@ -209,6 +209,22 @@ def _term_shard_py(term: str, shards: int, splits: list[dict]) -> int:
     return s
 
 
+def _schema_without(schema_json: str | None, *cols: str) -> str | None:
+    """Drop named fields from a captured schema JSON — the honest pinned
+    schema for staged tables written as a column SUBSET of the live one
+    (the upsert's df-less staged postings): pinning the full schema
+    would fabricate the missing columns as all-NULL, bare inference
+    costs a footer-sweep job per read (ADVICE r13)."""
+    if not schema_json:
+        return None
+    import json as _json
+
+    doc = _json.loads(schema_json)
+    doc["fields"] = [f for f in doc.get("fields", [])
+                     if f.get("name") not in cols]
+    return _json.dumps(doc)
+
+
 def _tokenized_tf(docs: DataFrame, id_col: str,
                   text_col: str) -> DataFrame:
     """(doc_id, term, tf) — the per-doc term frequencies, persisted (the
@@ -628,14 +644,16 @@ def _lex_commit_staged(spark, path: str, staging: str, touched_shards,
                                 live_post_names, spark=spark)
             live = {int(n.split("=", 1)[1]) for n in live_post_names}
         elif touched_shards and not data_empty:
-            # pin=False: the upsert's staged postings are df-LESS (df
-            # is derived just below) — the captured postings schema
-            # would fabricate a NULL df that collides with the derived
-            # one. Split/merge/compact stagings carry df and stay
-            # pinned at their own read sites.
+            # the upsert's staged postings are df-LESS (df is derived
+            # just below) — the full captured schema would fabricate a
+            # NULL df that collides with the derived one, so pin its
+            # df-less projection (zero inference jobs either way).
+            # Split/merge/compact stagings carry df and stay pinned at
+            # their own read sites.
             post = fsutil.read_parquet_or_empty(
                 spark, os.path.join(staging, "postings"),
-                schemas.get("postings"), pin=not derive_df)
+                _schema_without(schemas.get("postings"), "df")
+                if derive_df else schemas.get("postings"))
             if derive_df:
                 dfreq = post.groupBy("term").agg(
                     F.count(F.lit(1)).cast("long").alias("df"))
@@ -740,13 +758,13 @@ def _resume_lexical_upsert(spark, path: str) -> bool:
                 spark, os.path.join(staging, "docmeta"),
                 schemas.get("docmeta")).select("dl", "dspan"))
     if shards_t and "shard_rows" in meta:
-        # pin=False: this is the upsert's df-less staged postings (see
-        # _lex_commit_staged) — only shard is read, but the honest
-        # schema is the inferred one
+        # the upsert's df-less staged postings (see _lex_commit_staged)
+        # — pin the honest df-less projection of the captured schema:
+        # zero inference jobs, no fabricated NULL df
         counts = {int(r.shard): int(r.n) for r in
                   fsutil.read_parquet_or_empty(
                       spark, os.path.join(staging, "postings"),
-                      schemas.get("postings"), pin=False)
+                      _schema_without(schemas.get("postings"), "df"))
                   .groupBy("shard")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
     _lex_commit_staged(spark, path, staging, shards_t, spans_t, schemas,
@@ -1050,14 +1068,6 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # would burn a slot in the bounded cache registry for the
             # same frame)
             new_per = _tokenized_tf(kept, id_col, text_col)
-        # materialize the batch tokenize ONCE before the overlapped
-        # consumers fork: the new-term discovery collect, the postings
-        # merge write and the docmeta merge all first-touch this cache
-        # from concurrent scheduler threads, and an unpopulated cache
-        # has no stampede protection — each would re-tokenize the batch
-        # (with positions, this one job also populates the new_pos
-        # cache the positions merge reads)
-        new_per.count()
         new_meta = _doc_meta(kept, new_per, id_col, shards,
                              splits=splits)
 
@@ -1065,33 +1075,32 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
 
     pool = ThreadPoolExecutor(max_workers=3)
     try:
-        # -- discovery, overlapped: the adds' new-term shards depend on
-        # neither the changed spans nor the membership table, so that
-        # collect runs on a scheduler thread (materializing the shared
-        # tokenize cache once) beside the spans + membership collects
-        # here. Both remain bounded: distinct spans / distinct shard ids,
-        # never batch rows.
-        new_shards_f = None
+        # -- discovery, ONE job (r14): the changed ids' spans and the
+        # adds' new-term shards union into a single bounded
+        # distinct-collect (previously two overlapped jobs — at a 1 s
+        # CDC cadence jobs, not data, are the budget). The job is also
+        # the first consumer of BOTH the changed and tokenize caches,
+        # so it doubles as their materialization barrier before the
+        # merge-phase consumers fork onto scheduler threads (an
+        # unpopulated cache has no stampede protection; with positions
+        # this same job populates the new_pos cache too).
+        probe = changed.select(
+            F.expr(f"doc_id div {dspan_w}").alias("v"),
+            F.lit(1).alias("is_span"))
         if new_per is not None:
-            new_shards_f = pool.submit(
-                lambda: {int(r.v) for r in new_per.select(
-                    _shard_expr(F.col("term"), shards, splits)
-                    .cast("long").alias("v"))
-                    .distinct().collect()})
-        # changed ids' spans — collected FIRST (bounded by the batch
-        # size) so the membership read can prune directories at planning
-        # time
-        touched_spans = sorted({int(r.v) for r in changed.select(
-            F.expr(f"doc_id div {dspan_w}").alias("v"))
-            .distinct().collect()})
-        shard_set: set[int] = set()
+            probe = probe.unionByName(new_per.select(
+                _shard_expr(F.col("term"), shards, splits)
+                .cast("long").alias("v"), F.lit(0).alias("is_span")))
+        probe_rows = probe.distinct().collect()
+        touched_spans = sorted({int(r.v) for r in probe_rows
+                                if r.is_span == 1})
+        shard_set: set[int] = {int(r.v) for r in probe_rows
+                               if r.is_span == 0}
         if touched_spans:
             # span-pruned membership read — O(changed docs), never a
             # postings scan
             shard_set |= {int(r.v) for r in _membership_shard_frame(
                 docmeta, changed, touched_spans).distinct().collect()}
-        if new_shards_f is not None:
-            shard_set |= new_shards_f.result()
         # a surviving pending manifest means THIS batch already half-ran:
         # its data phase may have committed (membership included), so
         # discovery-from-membership can MISS shards that only held this
@@ -1196,12 +1205,15 @@ def upsert_lexical_index(spark, path: str, adds: DataFrame | None = None,
             # the join broadcast/skew-safe.
             (merged.write.mode("overwrite")
              .parquet(os.path.join(staging, "postings")))
-            # staged postings promote into the live table, so their
-            # schema IS the descriptor's postings schema — pin the
-            # read-back and skip the per-call inference job
+            # the upsert's staged postings are df-LESS (df is derived at
+            # commit, _lex_commit_staged), so pinning the FULL captured
+            # schema would fabricate an all-NULL df column (ADVICE r13);
+            # pin the honest df-less projection of it instead — still
+            # zero inference jobs, and any future consumer of base sees
+            # exactly the staged columns
             base = fsutil.read_parquet_or_empty(
                 spark, os.path.join(staging, "postings"),
-                schemas.get("postings"))
+                _schema_without(schemas.get("postings"), "df"))
             # the emptied-shard probe reads the staged blocks, so it
             # overlaps the remaining staging + manifest turnaround;
             # counting rows per shard instead of a bare distinct costs
@@ -1526,12 +1538,18 @@ def split_lexical_shard(spark, path: str,
         reassigned = fsutil.read_parquet_or_empty(
             spark, os.path.join(staging, "postings"),
             schemas.get("postings"))
-        # counting instead of a bare distinct: same bounded job, and
-        # the result keeps the descriptor's shard_rows map exact for
-        # the two rewritten shards (ADVICE r10)
-        counts = {int(r.shard): int(r.n) for r in
-                  reassigned.groupBy("shard")
-                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # ONE bounded aggregate feeds BOTH descriptor inputs: per-shard
+        # posting counts (keeps shard_rows exact for the two rewritten
+        # shards, ADVICE r10) AND the touched doc-span set — previously
+        # two jobs scanning the same staged table (r14, guide §1/§2:
+        # fewer jobs on the protocol path). Cardinality is 2 shards x
+        # O(spans) rows — driver-trivial.
+        shard_span_rows = (reassigned.groupBy(
+            "shard", F.expr(f"doc_id div {dspan_w}").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+        counts: dict[int, int] = {}
+        for r in shard_span_rows:
+            counts[int(r.shard)] = counts.get(int(r.shard), 0) + int(r.n)
         if has_positions:
             pos_in = (fsutil.read_parquet_or_empty(
                 spark, os.path.join(path, "positions"),
@@ -1553,9 +1571,7 @@ def split_lexical_shard(spark, path: str,
         # its fresh shard set
         doc_sets = (reassigned.groupBy("doc_id")
                     .agg(F.collect_set("shard").alias("fresh")))
-        touched_spans = sorted({int(r.v) for r in reassigned.select(
-            F.expr(f"doc_id div {dspan_w}").alias("v"))
-            .distinct().collect()})
+        touched_spans = sorted({int(r.v) for r in shard_span_rows})
         if touched_spans:
             docmeta = fsutil.read_parquet_or_empty(
                 spark, docmeta_path, schemas.get("docmeta"))
@@ -2153,10 +2169,17 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
             rows = fsutil.read_parquet_or_empty(
                 spark, os.path.join(staging, "postings"),
                 schemas.get("postings"))
-            # authoritative union-dedup count for the descriptor's
-            # shard_rows (one bounded job over the staged blocks —
-            # resume-proof, unlike summing pre-merge descriptor counts)
-            total = rows.count()
+            # ONE bounded aggregate over the staged blocks feeds BOTH
+            # descriptor inputs: the authoritative union-dedup total for
+            # shard_rows (resume-proof, unlike summing pre-merge
+            # descriptor counts) AND the touched doc-span set — the two
+            # separate jobs (count + distinct-spans collect) scanned the
+            # same staged table twice (r14, guide §1/§2: fewer jobs on
+            # the protocol path)
+            span_rows = (rows.groupBy(
+                F.expr(f"doc_id div {dspan_w}").alias("v"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+            total = sum(int(r.n) for r in span_rows)
             if has_positions:
                 pos_in = (fsutil.read_parquet_or_empty(
                     spark, os.path.join(path, "positions"),
@@ -2179,9 +2202,7 @@ def merge_lexical_shards(spark, path: str, src: int | None = None,
             # {dst} (the split's recompute verbatim)
             doc_sets = (rows.groupBy("doc_id")
                         .agg(F.collect_set("shard").alias("fresh")))
-            touched_spans = sorted({int(r.v) for r in rows.select(
-                F.expr(f"doc_id div {dspan_w}").alias("v"))
-                .distinct().collect()})
+            touched_spans = sorted({int(r.v) for r in span_rows})
             if touched_spans:
                 docmeta = fsutil.read_parquet_or_empty(
                     spark, docmeta_path, schemas.get("docmeta"))

@@ -2692,13 +2692,23 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
         # so the shortlist ids are also pushed as an IN-filter into the
         # scan (PushedFilters → row-group min/max pruning; plan pin).
         # The id set is bounded by contract (queries broadcast-small ×
-        # shortlist); a degenerate unbounded shortlist falls back to the
-        # join-only scan rather than building a megaliteral filter.
+        # shortlist); a degenerate oversized shortlist falls back to a
+        # min/max RANGE pushdown instead of a megaliteral IN: a 100k-
+        # element IN literal has real analyzer/codegen cost before the
+        # scan even starts (r13 verdict #3), while the range predicate
+        # is two comparisons that still prune row groups whose id
+        # min/max miss the shortlist span entirely.
         emb_scan = index.select("vec_id", "embedding")
         ids = [r.vec_id for r in cands.select("vec_id")
-               .distinct().limit(100_001).collect()]
-        if len(ids) <= 100_000:
+               .distinct().limit(10_001).collect()]
+        if len(ids) <= 10_000:
             emb_scan = emb_scan.where(F.col("vec_id").isin(ids))
+        elif ids:
+            bounds = cands.agg(F.min("vec_id").alias("lo"),
+                               F.max("vec_id").alias("hi")).collect()[0]
+            emb_scan = emb_scan.where(
+                (F.col("vec_id") >= int(bounds.lo))
+                & (F.col("vec_id") <= int(bounds.hi)))
         rer = (emb_scan
                .join(F.broadcast(cands), "vec_id")
                .join(F.broadcast(qf.select("query_id", "qv")),

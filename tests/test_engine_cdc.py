@@ -719,6 +719,7 @@ def test_streaming_maintained_aggregate(engine, spark, tmp_path):
     assert view == scratch == {"B": (2, "41.00")}
 
 
+@pytest.mark.heavy
 def test_incremental_agg_random_sequences(spark):
     """Property: for random op sequences in random batch splits, the
     incrementally maintained view equals the from-scratch aggregate of the

@@ -425,6 +425,7 @@ def test_streaming_supervisor_services_maintained_index(spark, tmp_path):
         sup.stop_all()
 
 
+@pytest.mark.heavy
 def test_randomized_windows_converge_to_rebuild(spark, tmp_path):
     """Seeded-random stress over the full contract: four maintenance
     windows of random adds/updates/deletes, a compaction thrown between

@@ -149,6 +149,7 @@ def test_scheduler_vacuums_expired_generations(spark, tmp_path):
     assert got == {(1, "a2")}
 
 
+@pytest.mark.heavy
 def test_concurrent_apply_optimize_and_read(spark, tmp_path):
     """True thread interleaving over one table: a CDC writer applies 6
     sequential batches while a compactor loops optimize() and a reader

@@ -788,6 +788,7 @@ def test_maintained_streaming_retained_floor(spark, tmp_path):
 # -- trained PQ codebooks (round-13 surplus) --------------------------------
 
 
+@pytest.mark.heavy
 def test_trained_pq_books_improve_recall(spark, emb):
     """Data-trained per-subspace codebooks (exact quantized Lloyd over
     normalized subvectors, seeded from the deterministic defaults) must
@@ -817,6 +818,7 @@ def test_trained_pq_books_improve_recall(spark, emb):
     assert trained >= 0.94, trained
 
 
+@pytest.mark.heavy
 def test_trained_pq_books_deterministic_and_sampled(spark):
     """Bit-reproducible training (exact quantized arithmetic, no RNG
     state): two trains on the same corpus return identical books; the
@@ -956,6 +958,7 @@ def test_maintained_pq_index_e2e(spark, tmp_path):
         sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.heavy
 def test_retrain_trains_pq_books_too(spark, emb, tmp_path):
     """retrain_ivf_index(train_pq=True) is the OPTIMIZE FINAL for BOTH
     quantization layers: fresh coarse centroids AND fresh per-subspace

@@ -2,6 +2,8 @@
 oracle check: proportions, the nested-subset guarantee, the no-shuffle plan,
 and int8 code range."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mysql_ch_replicator_spark.operators.sampling import (
@@ -197,6 +199,7 @@ def test_per_group_cap_zero_survivor_groups_rescued(spark):
     assert len({g for _, g in got}) == 40  # no group vanished
 
 
+@pytest.mark.heavy
 def test_per_group_cap_property_random_shapes(spark):
     """Property: for RANDOM group-size profiles (hypothesis-driven), the
     skew-safe plan equals the naive window for every oversample, every
