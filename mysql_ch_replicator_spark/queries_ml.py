@@ -1133,7 +1133,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the sampled indices/offsets analytically from the payload
     length (the deterministic fake format's header is 16 bytes)."""
     from .operators.multimodal import pack_and_sample_frames
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # NOT spread (r14, measured like r13's attach_fake_binary): the
+    # whole pass is one cheap vectorized-numpy Arrow stage whose OUTPUT
+    # outweighs its input — repartitioning the one-file scan first costs
+    # more than the single-task decode it parallelizes (interleaved A/B
+    # at 32 cores, see OPTIMIZATION_r14.md; this query also ran 2x
+    # FASTER on 8 cores than 32 in the r13 driver scaling block). At
+    # cluster scale the input arrives pre-partitioned and spread() would
+    # be a no-op anyway.
+    docs = load_table(spark, sf_dir, "documents")
     return pack_and_sample_frames(docs, frame_size=8, step=4) \
         .select("doc_id", "frame_idx", "frame_off")
 
@@ -1175,7 +1183,15 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed aggregate; the Arrow fan-out never shuffles."""
     from .operators.multimodal import attach_fake_binary, \
         audio_energy_windows
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # NOT spread (r14, measured like r13's attach_fake_binary): the
+    # whole pass is one cheap vectorized-numpy Arrow stage whose OUTPUT
+    # outweighs its input — repartitioning the one-file scan first costs
+    # more than the single-task decode it parallelizes (interleaved A/B
+    # at 32 cores, see OPTIMIZATION_r14.md; this query also ran 2x
+    # FASTER on 8 cores than 32 in the r13 driver scaling block). At
+    # cluster scale the input arrives pre-partitioned and spread() would
+    # be a no-op anyway.
+    docs = load_table(spark, sf_dir, "documents")
     wins = audio_energy_windows(attach_fake_binary(docs),
                                 frame=_AUDIO_FRAME)
     return (wins.groupBy("doc_id").agg(
@@ -1229,7 +1245,15 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the packed payload's characters. One scan, shuffle-free fan-out,
     one doc-keyed aggregate."""
     from .operators.multimodal import attach_fake_binary, scene_cut_frames
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # NOT spread (r14, measured like r13's attach_fake_binary): the
+    # whole pass is one cheap vectorized-numpy Arrow stage whose OUTPUT
+    # outweighs its input — repartitioning the one-file scan first costs
+    # more than the single-task decode it parallelizes (interleaved A/B
+    # at 32 cores, see OPTIMIZATION_r14.md; this query also ran 2x
+    # FASTER on 8 cores than 32 in the r13 driver scaling block). At
+    # cluster scale the input arrives pre-partitioned and spread() would
+    # be a no-op anyway.
+    docs = load_table(spark, sf_dir, "documents")
     dists = scene_cut_frames(attach_fake_binary(docs), _SCENE_FRAME)
     return (dists.groupBy("doc_id").agg(
         (F.count(F.lit(1)) + 1).cast("long").alias("n_frames"),
@@ -1414,7 +1438,8 @@ def incremental_image_dedup_maintenance(spark: SparkSession,
         .withColumn(SEQ_COL, F.col("doc_id") + F.lit(hi + 1))
         .withColumn(OP_COL, F.lit(OP_REMOVE)))
     for batch in batches:
-        ops = collapse_batch(batch, ["doc_id"])
+        # per-round ops checkpoint: see incremental_minmax_maintenance
+        ops = collapse_batch(batch, ["doc_id"]).localCheckpoint()
         state, agg = apply_minmax_batch(
             state, ops, agg, ["doc_id"], "fp", "dup_id")
         state, agg = checkpoint_pair(state, agg)
@@ -3097,7 +3122,8 @@ def incremental_dedup_maintenance(spark: SparkSession,
         .withColumn(SEQ_COL, F.col("doc_id") + F.lit(hi + 1))
         .withColumn(OP_COL, F.lit(OP_REMOVE)))
     for batch in batches:
-        ops = collapse_batch(batch, ["doc_id"])
+        # per-round ops checkpoint: see incremental_minmax_maintenance
+        ops = collapse_batch(batch, ["doc_id"]).localCheckpoint()
         state, agg = apply_minmax_batch(
             state, ops, agg, ["doc_id"], "content_hash", "dup_id")
         # eager localCheckpoint: materialize + lineage-cut in one pass
