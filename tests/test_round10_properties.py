@@ -481,6 +481,7 @@ def test_lexical_shard_split_probe_invariant(spark, tmp_path, documents):
     assert {(int(r.doc_id), int(r.s)) for r in memb.collect()} == want
 
 
+@pytest.mark.heavy
 def test_lexical_split_then_upsert_equals_rebuild(spark, tmp_path):
     """The critical composition: an upsert AFTER a split must place new
     postings with the split-aware hash and discover moved terms through

@@ -54,6 +54,7 @@ def queries_df(emb):
         .select(F.col("vec_id").alias("query_id"), "embedding", "label")
 
 
+@pytest.mark.heavy
 def test_filtered_probe_equals_label_subindex(spark, emb, meta_index,
                                               queries_df, tmp_path):
     """Cross-primitive completeness: filtering candidates by label
@@ -192,6 +193,7 @@ def test_bm25_doc_filter_is_prefilter_not_postfilter(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy
 def test_ivf_split_then_merge_round_trip(spark, emb, tmp_path):
     """Split a cell, merge the new cell straight back into its source:
     the DATA round-trips byte-identically — every row returns to its

@@ -702,6 +702,7 @@ print("FAIR_E2E_OK", json.dumps({"worst_behind": worst[0],
 """
 
 
+@pytest.mark.heavy
 def test_fair_pools_maintained_streaming_e2e(tmp_path):
     """The deployment shape the pools ship for (r11 verdict #7): with
     FAIR mode ON (subprocess — scheduler mode is fixed at context init)

@@ -51,6 +51,32 @@ def _drifted_ivf(spark, corpus, path: str) -> None:
     merge_ivf_cells(spark, path, src=live[0], dst=live[1])
 
 
+
+_TMPL_CACHE: dict = {}
+
+
+def _ivf4_tmpl(corpus) -> str:
+    """Lazy per-run 4-cell IVF template (r14, VERDICT #1): the torn-
+    resume matrix rebuilt this identical index ~11x per run; each test
+    now takes a hardlink copy (_link_copy safety contract)."""
+    import tempfile
+    if "ivf4" not in _TMPL_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="r13tmpl_"), "ivf4")
+        write_ivf_index(corpus, d, n_cells=4)
+        _TMPL_CACHE["ivf4"] = d
+    return _TMPL_CACHE["ivf4"]
+
+
+def _drifted_tmpl(spark, corpus) -> str:
+    """4-cell template with one merge on the chain (see _ivf4_tmpl)."""
+    import tempfile
+    if "drift" not in _TMPL_CACHE:
+        d = os.path.join(tempfile.mkdtemp(prefix="r13tmpl_"), "drift")
+        _drifted_ivf(spark, corpus, d)
+        _TMPL_CACHE["drift"] = d
+    return _TMPL_CACHE["drift"]
+
+
 def _crash_after_write(suffix: str):
     """write_text wrapper that COMPLETES the matching write, then dies —
     the crash lands strictly after the manifest is durable."""
@@ -72,9 +98,9 @@ def test_retrain_torn_overwrite_resumes_from_staging(spark, corpus,
     staged snapshot — the old union-of-cell-dirs input would have
     retrained over the holed data and lost that cell forever."""
     path = str(tmp_path / "torn")
-    _drifted_ivf(spark, corpus, path)
+    _link_copy(_drifted_tmpl(spark, corpus), path)
     clean = str(tmp_path / "clean")
-    _drifted_ivf(spark, corpus, clean)
+    _link_copy(_drifted_tmpl(spark, corpus), clean)
     retrain_ivf_index(spark, clean, iters=2)
 
     real_write, crashing = _crash_after_write("_ivf_retrain_pending.json")
@@ -117,7 +143,7 @@ def test_retrain_resume_after_descriptor_commit_no_double_bump(
     descriptor already reflects the pending target, so the counter
     stays at 1 — mirroring the split's 'already grown' guard."""
     path = str(tmp_path / "bump")
-    _drifted_ivf(spark, corpus, path)
+    _link_copy(_drifted_tmpl(spark, corpus), path)
 
     real_delete = fsutil.delete
 
@@ -150,12 +176,12 @@ def test_retrain_legacy_manifest_resumes_and_upgrades(spark, corpus,
     old union-of-dirs path — and converges to the clean-retrain state;
     placement comes from the MANIFEST's codebook, never a re-train."""
     clean = str(tmp_path / "clean")
-    _drifted_ivf(spark, corpus, clean)
+    _link_copy(_drifted_tmpl(spark, corpus), clean)
     retrain_ivf_index(spark, clean, iters=2)
     cents = read_ivf_meta(clean)["centroids"]
 
     path = str(tmp_path / "legacy")
-    _drifted_ivf(spark, corpus, path)
+    _link_copy(_drifted_tmpl(spark, corpus), path)
     fsutil.write_text(os.path.join(path, "_ivf_retrain_pending.json"),
                       json.dumps({"centroids": cents}))
 
@@ -1074,7 +1100,7 @@ def test_retrain_noop_reaps_orphaned_staging(spark, corpus, tmp_path):
     an orphaned full-index-size snapshot; the next (no-op) retrain must
     reap it instead of leaking it forever."""
     path = str(tmp_path / "idx")
-    write_ivf_index(corpus, path, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
     orphan = os.path.join(path, "_retrain_staging")
     spark.createDataFrame([(1,)], "x int").write.parquet(orphan)
     assert retrain_ivf_index(spark, path) is None
@@ -1115,8 +1141,8 @@ def test_upsert_torn_overwrite_restored_on_rerun(spark, corpus, tmp_path):
     re-run restores from the staged snapshot at entry, then re-applies
     the idempotent batch — final state equal to a never-crashed twin."""
     path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_ivf_index(corpus, path, n_cells=4)
-    write_ivf_index(corpus, clean, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
+    _link_copy(_ivf4_tmpl(corpus), clean)
     adds, removes = _batch(spark)
     upsert_ivf_index(spark, clean, adds=adds, removes=removes)
 
@@ -1146,7 +1172,7 @@ def test_other_actions_restore_torn_upsert_first(spark, corpus,
     upsert's hole would flow straight into their rewrite input. Each
     must restore the staged upsert FIRST (here: the split path)."""
     path = str(tmp_path / "torn")
-    write_ivf_index(corpus, path, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
     adds, removes = _batch(spark)
 
     real_write, crashing = _crash_after_write("_ivf_upsert_pending.json")
@@ -1176,8 +1202,8 @@ def test_split_torn_overwrite_resumes_from_staging(spark, corpus,
     sub-codebook (never re-train over the holed union) — equal to a
     never-crashed twin."""
     path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_ivf_index(corpus, path, n_cells=4)
-    write_ivf_index(corpus, clean, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
+    _link_copy(_ivf4_tmpl(corpus), clean)
     split_ivf_cell(spark, clean)
 
     real_write, crashing = _crash_after_write("_ivf_split_pending.json")
@@ -1207,8 +1233,8 @@ def test_merge_torn_overwrite_resumes_from_staging(spark, corpus,
     resume must rewrite dst from staging — the old union-of-dirs input
     would have seen only src's rows and silently dropped dst's."""
     path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_ivf_index(corpus, path, n_cells=4)
-    write_ivf_index(corpus, clean, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
+    _link_copy(_ivf4_tmpl(corpus), clean)
     # merge two POPULATED cells (the no-arg coldest pick can select an
     # empty pair on this tiny corpus, where the hole has nothing to eat)
     pop = sorted(int(r.cell) for r in spark.read.parquet(path)
@@ -1250,6 +1276,49 @@ def _ldocs(spark, n=60):
         "doc_id long, text string")
 
 
+def _link_copy(src: str, dst: str) -> str:
+    """Private mutable copy of a template index by directory-tree
+    hardlink (the query layer's _mutable_copy contract: parquet rewrites
+    unlink+create, descriptors go through fsutil.write_text's
+    temp+rename — nothing writes an inode in place)."""
+    import shutil
+
+    def _link(s, d, **kw):
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src, dst, copy_function=_link)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def lex_s4_template(spark, tmp_path_factory):
+    """Session-built 4-shard lexical index template (r14, VERDICT #1:
+    the torn-overwrite matrix rebuilt this identical index 7x per run —
+    each test now takes a hardlink copy)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        write_lexical_index,
+    )
+
+    p = str(tmp_path_factory.mktemp("lex_tmpl") / "s4")
+    write_lexical_index(_ldocs(spark), p, shards=4)
+    return p
+
+
+@pytest.fixture(scope="module")
+def lex_s4pos_template(spark, tmp_path_factory):
+    """4-shard + positions twin template (see lex_s4_template)."""
+    from mysql_ch_replicator_spark.operators.retrieval import (
+        write_lexical_index,
+    )
+
+    p = str(tmp_path_factory.mktemp("lex_tmpl_pos") / "s4pos")
+    write_lexical_index(_ldocs(spark), p, shards=4, positions=True)
+    return p
+
+
 def _lex_batch(spark):
     adds = spark.createDataFrame(
         [(200 + i, f"delta epsilon w{i % 5} zeta") for i in range(6)],
@@ -1267,19 +1336,18 @@ def _lex_state(spark, path):
     return post, dm
 
 
-def test_lex_upsert_torn_overwrite_restored_on_rerun(spark, tmp_path):
+def test_lex_upsert_torn_overwrite_restored_on_rerun(spark, tmp_path,
+                                                     lex_s4pos_template):
     """A lexical upsert crash with the manifest durable + one touched
     postings shard holed must lose NOTHING: the re-run restores from
     the staged snapshot (descriptor refresh included), then re-applies
     the idempotent batch — equal to a never-crashed twin."""
     from mysql_ch_replicator_spark.operators.retrieval import (
-        upsert_lexical_index, write_lexical_index,
+        upsert_lexical_index,
     )
 
-    docs = _ldocs(spark)
-    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_lexical_index(docs, path, shards=4, positions=True)
-    write_lexical_index(docs, clean, shards=4, positions=True)
+    path = _link_copy(lex_s4pos_template, str(tmp_path / "torn"))
+    clean = _link_copy(lex_s4pos_template, str(tmp_path / "clean"))
     adds, removes = _lex_batch(spark)
     upsert_lexical_index(spark, clean, adds=adds, removes=removes)
 
@@ -1316,17 +1384,16 @@ def test_lex_upsert_torn_overwrite_restored_on_rerun(spark, tmp_path):
                                           "_lex_upsert_pending.json"))
 
 
-def test_lex_other_actions_restore_torn_upsert_first(spark, tmp_path):
+def test_lex_other_actions_restore_torn_upsert_first(spark, tmp_path,
+                                                     lex_s4_template):
     """split/merge/compact read shard directories at entry — each must
     restore a torn staged upsert FIRST (here: the split path), with the
     descriptor refresh replayed from the snapshot."""
     from mysql_ch_replicator_spark.operators.retrieval import (
-        split_lexical_shard, upsert_lexical_index, write_lexical_index,
+        split_lexical_shard, upsert_lexical_index,
     )
 
-    docs = _ldocs(spark)
-    path = str(tmp_path / "torn")
-    write_lexical_index(docs, path, shards=4)
+    path = _link_copy(lex_s4_template, str(tmp_path / "torn"))
     adds, removes = _lex_batch(spark)
 
     real_write, crashing = _crash_after_write("_lex_upsert_pending.json")
@@ -1353,18 +1420,17 @@ def test_lex_other_actions_restore_torn_upsert_first(spark, tmp_path):
     assert post.where("term = 'epsilon'").count() == 6
 
 
-def test_lex_split_torn_overwrite_resumes_from_staging(spark, tmp_path):
+def test_lex_split_torn_overwrite_resumes_from_staging(spark, tmp_path,
+                                                       lex_s4_template):
     """Split crash with manifest durable + the src shard dir holed: the
     resume rewrites from staging with the MANIFEST's salt and counts —
     equal to a never-crashed twin."""
     from mysql_ch_replicator_spark.operators.retrieval import (
-        split_lexical_shard, write_lexical_index,
+        split_lexical_shard,
     )
 
-    docs = _ldocs(spark)
-    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_lexical_index(docs, path, shards=4)
-    write_lexical_index(docs, clean, shards=4)
+    path = _link_copy(lex_s4_template, str(tmp_path / "torn"))
+    clean = _link_copy(lex_s4_template, str(tmp_path / "clean"))
     split_lexical_shard(spark, clean)
 
     real_write, crashing = _crash_after_write("_lex_split_pending.json")
@@ -1392,18 +1458,17 @@ def test_lex_split_torn_overwrite_resumes_from_staging(spark, tmp_path):
     assert not fsutil.exists(os.path.join(path, "_lex_split_pending.json"))
 
 
-def test_lex_merge_torn_overwrite_resumes_from_staging(spark, tmp_path):
+def test_lex_merge_torn_overwrite_resumes_from_staging(spark, tmp_path,
+                                                       lex_s4_template):
     """Merge crash with manifest durable + the dst shard dir holed: the
     resume rewrites dst from staging — the old union-of-dirs input
     would have silently dropped dst's postings."""
     from mysql_ch_replicator_spark.operators.retrieval import (
-        merge_lexical_shards, write_lexical_index,
+        merge_lexical_shards,
     )
 
-    docs = _ldocs(spark)
-    path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_lexical_index(docs, path, shards=4)
-    write_lexical_index(docs, clean, shards=4)
+    path = _link_copy(lex_s4_template, str(tmp_path / "torn"))
+    clean = _link_copy(lex_s4_template, str(tmp_path / "clean"))
     pop = sorted(int(r.shard) for r in spark.read.parquet(
         os.path.join(path, "postings"))
         .groupBy("shard").count().where("count > 0")
@@ -1527,8 +1592,8 @@ def test_upsert_torn_mid_promotion_restored(spark, corpus, tmp_path):
     import shutil
 
     path, clean = str(tmp_path / "torn"), str(tmp_path / "clean")
-    write_ivf_index(corpus, path, n_cells=4)
-    write_ivf_index(corpus, clean, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
+    _link_copy(_ivf4_tmpl(corpus), clean)
     # a batch spread across the vector space so several cells stage
     adds = _vc(spark, [(100 + i, _vec(i)) for i in range(12)])
     removes = spark.createDataFrame([(3,), (7,), (11,), (20,)],
@@ -1570,7 +1635,7 @@ def test_rebuild_noop_reaps_incremental_orphans(spark, corpus, docs,
     )
 
     path = str(tmp_path / "ivf")
-    write_ivf_index(corpus, path, n_cells=4)
+    _link_copy(_ivf4_tmpl(corpus), path)
     for d in ("_upsert_staging", "_split_staging", "_merge_staging"):
         os.makedirs(os.path.join(path, d, "data"))
     assert retrain_ivf_index(spark, path) is None

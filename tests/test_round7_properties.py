@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -750,6 +752,7 @@ _DOCS = st.lists(
 @hyp_settings(max_examples=10, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_DOCS)
+@pytest.mark.heavy
 def test_jaccard_prefix_lossless_on_random_corpora(spark, word_lists):
     """Random tiny-vocab corpora (hot shared shingles, duplicates,
     short docs): the prefix+positional-filtered join returns EXACTLY

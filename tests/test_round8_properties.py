@@ -150,6 +150,7 @@ def test_lexical_upsert_migrates_pre_membership_index(spark, tmp_path):
     assert not os.path.exists(path + "/doclen")   # migrated away
 
 
+@pytest.mark.heavy
 def test_image_dhash_dedup_matches_brute_force(spark):
     """Banded dHash dedup finds EXACTLY the Hamming-≤3 pairs a brute-
     force all-pairs comparison finds — pigeonhole recall is exact, and

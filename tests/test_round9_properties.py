@@ -8,6 +8,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -17,6 +19,7 @@ def _lex_docs(spark, n=40, extra=""):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.heavy
 def test_lex_upsert_meta_matches_rebuild_multispan(spark, tmp_path):
     """After an upsert touching a strict subset of spans, the descriptor
     (n, tl, AND the per-span stats map) must equal a from-scratch

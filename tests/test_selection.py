@@ -4,6 +4,8 @@ sum behind token-budget selection."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -35,6 +37,7 @@ def test_ranged_running_sum_matches_global_window(spark):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_ranged_running_sum_property(spark):
     """Property: for RANDOM key distributions — negative keys, heavy ties,
     skewed clusters — the range-bucketed prefix sum equals the single-task

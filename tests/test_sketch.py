@@ -2,6 +2,8 @@
 and the mergeability law (sketch of a union == cell-wise sum of partial
 sketches) that makes it a streaming/partition-parallel summary."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mysql_ch_replicator_spark.operators.sketch import cm_build, cm_estimate
@@ -250,6 +252,7 @@ def test_hdr_quantiles_error_bound(spark):
         assert est <= true <= est * 17 // 16 + 1  # ≤ 1/16 relative error
 
 
+@pytest.mark.heavy
 def test_hdr_grouped_matches_per_group_global(spark):
     """Grouped sketch == running the global sketch on each group's slice;
     grouped quantiles == per-slice hdr_quantiles."""
@@ -319,6 +322,7 @@ def test_decayed_counts_power_of_two_model(spark):
         + (DECAY_SCALE >> 2)   # the two near-base events still age < 1 hl
 
 
+@pytest.mark.heavy
 def test_hll_grouped_matches_per_group_global(spark):
     """Grouped registers == running the global sketch on each group's
     slice; grouped estimates == per-slice hll_estimate; registers of a
@@ -474,6 +478,7 @@ def test_hll_set_ops_disjoint_groups_clamp(spark):
     assert r.est_intersection <= 0.3 * r.est_union
 
 
+@pytest.mark.heavy
 def test_hll_sliding_merge_equals_window_union(spark):
     """The sliding MIN-merge of per-day registers must equal the sketch
     built directly from the window's union of keys — the mergeability

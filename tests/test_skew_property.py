@@ -110,6 +110,7 @@ def test_ddl_parser_roundtrip(table):
         assert field.nullable == (nullable and n != pk)
 
 
+@pytest.mark.heavy
 def test_connected_components_matches_union_find(spark):
     """Randomized cross-check of the iterative min-label propagation against
     a driver-side union-find on 400 nodes / 300 random edges (seed fixed).

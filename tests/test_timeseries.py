@@ -133,6 +133,7 @@ _EVENTS = st.lists(
 @hyp_settings(max_examples=10, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_EVENTS)
+@pytest.mark.heavy
 def test_resample_locf_matches_python_model(spark, evs):
     """For random event sets (duplicate (user, hour, minute) tuples
     allowed — event_id breaks the tie), the Spark grid equals a literal
