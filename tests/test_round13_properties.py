@@ -462,6 +462,7 @@ def test_persisted_pq_unbounded_shortlist_equals_raw_probe(spark, emb,
         sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.heavy
 def test_pq_codes_survive_incremental_path(spark, emb, tmp_path):
     """Upsert (re-encode from the descriptor), split, merge, retrain —
     after the whole lifecycle every stored code must equal a fresh
